@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation-family operators (SURVEY.md §2.4 A1–A6). */
+object Aggregates {
+
+  /** A6 — OHLCV bar synthesis from finer-grained rows: per (key, period)
+    * first/max/min/last/sum. Reference: weekly/monthly bars "由日线数据进行合成"
+    * (PTrade_API_mini_Reference.md:1983).
+    *
+    * `order` must be unique within (key, period) for deterministic open/close;
+    * uses min_by/max_by (codegen'd, single-pass partial agg — no window
+    * shuffle beyond the groupBy).
+    */
+  def resampleBars(df: DataFrame, keys: Seq[Column], period: Column, order: Column,
+                   price: Column, volume: Column, money: Column): DataFrame =
+    df.groupBy((keys :+ period.as("period")): _*).agg(
+      min_by(price, order).as("open"),
+      max(price).as("high"),
+      min(price).as("low"),
+      max_by(price, order).as("close"),
+      sum(volume).as("volume"),
+      sum(money).as("money"),
+      count(lit(1)).as("n_rows"))
+
+  /** A5 — cumulative product per key via the log-sum trick
+    * (adjust-factor synthesis, docs/DATA_MAPPING.md:533-575). Requires
+    * strictly positive factors (true for price-adjustment ratios).
+    * exp(sum(log x)) keeps the whole computation inside whole-stage codegen;
+    * an exact `Aggregator` variant is only warranted if precision tests fail
+    * (SURVEY.md §7.3).
+    */
+  def cumProduct(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 factor: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(as, exp(sum(log(factor)).over(w)))
+  }
+
+  /** A1 — distinct-union accumulation: union of key scans → sorted distinct
+    * pool (download_efficient.py:252-273). */
+  def distinctUnion(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_ unionByName _).distinct()
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-family operators (SURVEY.md §2.5 W1–W4).
+  *
+  * All operators take explicit key/order columns so they work over any keyed
+  * time series (bars, valuation, events). Ordering columns must be a unique
+  * key within a partition for deterministic results — callers append a
+  * tiebreaker id when the natural order column can tie.
+  *
+  * Scale notes: each of these is a single shuffle on the partition key; at
+  * 100 TB the partition key (symbol/user) has high cardinality so the shuffle
+  * parallelizes evenly. None of them materialize per-key state on the driver.
+  */
+object Windows {
+
+  /** W1 — last N rows per key, ordered by `order` descending
+    * (reference: `get_history(count)` / `get_price(count)`,
+    * PTrade_API_mini_Reference.md:1777-1798). Output keeps original rows.
+    */
+  def lastNPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** W3/A3 — trailing moving average over the previous `n` rows (inclusive).
+    * Reference: strategies/simple/backtest.py:66-67 (`sum(prices[-w:])/w`).
+    */
+  def movingAvg(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                value: Column, n: Int, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*).rowsBetween(-(n - 1), 0)
+    df.withColumn(as, avg(value).over(w))
+  }
+
+  /** A4 — trailing rolling sum over the previous `n` rows (inclusive); the
+    * reference's TTM = rolling(4).sum over quarters (docs/DATA_MAPPING.md:741-755).
+    */
+  def rollingSum(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 value: Column, n: Int, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*).rowsBetween(-(n - 1), 0)
+    df.withColumn(as, sum(value).over(w))
+  }
+
+  /** W4/J4 — dedup keeping the first row per key under `order` ascending
+    * (mootdx_fetcher.py:163 keep='first'). For keep='last' pass descending
+    * order columns.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** W2 — suspension forward-fill on a spine: given a frame already joined to
+    * the full (key, time) spine (nulls where the key had no row), carry the
+    * last non-null observation forward per key
+    * (PTrade_API_mini_Reference.md:1792,1975 — suspended days filled with
+    * last pre-suspension values).
+    */
+  def fillForward(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                  fillCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    fillCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** PTrade derived field `preclose` ≈ lag(close) per key
+    * (PTrade_API_mini_Reference.md:1809). */
+  def withLag(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+              value: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn(as, lag(value, 1).over(w))
+  }
+}
