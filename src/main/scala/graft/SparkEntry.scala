@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Aggregates, Joins, Windows}
+import graft.functions.{CodeConvert, Coerce}
+import graft.ops.{Aggregates, Joins, Projections, Windows}
 import graft.sources.TestData
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,73 +13,130 @@ import graft.sources.TestData
   * driver-provided parquet fixtures; `oracleSql` carries the DuckDB-equivalent
   * ANSI SQL for the driver's correctness gate.
   *
-  * Determinism rules used throughout (so hash-compare with DuckDB is stable):
+  * Determinism rules (so hash-compare with DuckDB is stable):
   *  - double SUMs go through decimal(25,6) (exact, order-independent) and are
   *    cast back to double;
   *  - every window order includes a unique tiebreaker column;
-  *  - floating outputs are rounded where an engine-order-dependent path
-  *    cannot be made exact.
+  *  - engine-order-dependent float outputs (sliding window avg/sum) are
+  *    rounded to 4 decimals.
   */
 object SparkEntry {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(25,6)")
+  private def dec(c: Column) = c.cast("decimal(25,6)")
+  private def decSum(c: Column) = sum(dec(c)).cast("decimal(25,6)").cast("double")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // ---------------------------------------------------------------- scans & core
+  private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // A2 counters + headline aggregation (TPC-H Q1 shape); decimal sums for
-    // cross-engine exactness.
+    // A2 counters + headline aggregation (TPC-H Q1 shape).
     "q1_pricing_summary" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem
+      TestData(s, dir).lineitem
         .filter(col("l_shipdate") <= lit("1998-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec(sum(dec(col("l_quantity")))).cast("double").as("sum_qty"),
-          dec(sum(dec(col("l_extendedprice")))).cast("double").as("sum_base_price"),
-          dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).cast("double").as("sum_disc_price"),
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
+    }),
+
+    // Headline join+agg+topk (TPC-H Q3 shape). Decimal revenue → exact order.
+    "q3_topk_revenue" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.orders.filter(col("o_orderdate") < lit("1996-07-01"))
+        .join(t.lineitem.filter(col("l_shipdate") > lit("1996-06-30")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // S1/S2 unified wide scan: projection + date normalize + JSON extract +
+    // numeric coercion + boolean flag derivation (C2/C3/C4/C6).
+    "s1_unified_scan" -> ((s, dir) => {
+      TestData(s, dir).events.select(
+        col("event_id"), col("user_id"),
+        Coerce.normalize(col("ts")).as("date"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("double").as("k_value"),
+        (col("event_type") === "error").as("is_error"))
     }),
 
     // F4 date-range predicate + P1 field-list projection (pushed to parquet).
     "f4_p1_range_scan" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem
+      TestData(s, dir).lineitem
         .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1996-03-31")))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
+  )
+
+  // ------------------------------------------------- projections / filters / fns
+  private val shapeQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P2 routed split-projection + P3 rename map ("amount→money" analogue).
+    "p2_routed_split" -> ((s, dir) => {
+      val routes = Map(
+        "market" -> (Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
+          Map("l_extendedprice" -> "money", "l_quantity" -> "volume")))
+      Projections.routedSplit(TestData(s, dir).lineitem, routes)("market")
+    }),
+
+    // F6 column reorder/ensure with typed-null backfill (pandas reindex).
+    "f6_reindex" -> ((s, dir) => {
+      Projections.reindexColumns(
+        TestData(s, dir).orders.select("o_orderkey", "o_totalprice"),
+        Seq("o_orderkey", "o_totalprice", "total_shares", "float_value"))
+    }),
+
+    // F1/F5 status-flag predicates and labels (string-flag compare, C6).
+    "f5_status_flags" -> ((s, dir) => {
+      TestData(s, dir).orders
+        .filter(col("o_orderstatus") =!= "P")
+        .select(col("o_orderkey"),
+          (col("o_orderstatus") === "F").as("is_filled"),
+          when(col("o_orderstatus") === "O", lit("open")).otherwise(lit("other")).as("status_label"))
+    }),
+
+    // C1 code conversion round-trip + F2 index predicate — pure column exprs.
+    "c1_code_roundtrip" -> ((s, dir) => {
+      val bare = lpad((col("c_custkey") % 1000000).cast("string"), 6, "0")
+      TestData(s, dir).customer
+        .select(col("c_custkey"), CodeConvert.inferPtrade(bare).as("pt"))
+        .withColumn("bs", CodeConvert.ptradeToBaostock(col("pt")))
+        .withColumn("back", CodeConvert.baostockToPtrade(col("bs")))
+        .withColumn("is_index", CodeConvert.isIndexCode(col("bs")))
+    }),
+
+    // C2 date parse/format family: date↔int YYYYMMDD, month truncation.
+    "c2_dates" -> ((s, dir) => {
+      TestData(s, dir).orders.select(
+        col("o_orderkey"),
+        Coerce.dateToInt(col("o_orderdate")).as("date_int"),
+        Coerce.normalize(col("o_orderdate")).as("date_back"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"))
+    }),
+  )
+
+  // ----------------------------------------------------------- joins / set ops
+  private val joinQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // J3 broadcast-map lookup join with default fill.
     "j3_broadcast_lookup" -> ((s, dir) => {
       val t = TestData(s, dir)
       val natReg = t.nation.join(broadcast(t.region),
         col("n_regionkey") === col("r_regionkey"), "left")
-        .select(col("n_nationkey"), col("n_name"), coalesce(col("r_name"), lit("UNKNOWN")).as("r_name"))
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("r_name"), lit("UNKNOWN")).as("r_name"))
       Joins.broadcastLookup(
         t.customer.select(col("c_custkey"), col("c_nationkey")),
         natReg.withColumnRenamed("n_nationkey", "c_nationkey"),
         Seq("c_nationkey"), "n_name", lit("UNKNOWN"))
         .select("c_custkey", "n_name", "r_name")
-    }),
-
-    // W1 last-N-per-key (get_history(count) shape): last 3 orders/customer.
-    "w1_last_n" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      Windows.lastNPerKey(t.orders, Seq(col("o_custkey")),
-          Seq(col("o_orderdate"), col("o_orderkey")), 3)
-        .select("o_custkey", "o_orderkey", "o_orderdate")
-    }),
-
-    // A1/SET3 distinct-union accumulation of a key pool.
-    "a1_distinct_union" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      Aggregates.distinctUnion(Seq(
-        t.orders.select(col("o_custkey").as("custkey")),
-        t.customer.select(col("c_custkey").as("custkey"))))
     }),
 
     // J6 as-of join: for each purchase, the user's latest click at or before
@@ -92,7 +150,109 @@ object SparkEntry {
       Joins.asOf(purchases, clicks, Seq("user_id"), "ts_ns", "cts", Seq("click_value"))
         .select("user_id", "event_id", "purchase_value", "click_value")
     }),
+
+    // J1 multi-way index-aligned full-outer join (quarterly-frames merge shape).
+    "j1_multiway_outer" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+      def per(tp: String): DataFrame = ev.filter(col("event_type") === tp)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as(s"${tp}_cnt"), decSum(col("value")).as(s"${tp}_sum"))
+      per("click")
+        .join(per("view"), Seq("user_id"), "full_outer")
+        .join(per("purchase"), Seq("user_id"), "full_outer")
+    }),
+
+    // J4 upsert (last-wins dedup-merge) of two snapshots.
+    "j4_upsert" -> ((s, dir) => {
+      val o = TestData(s, dir).orders
+      val snapA = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice")).withColumn("batch", lit(0))
+      val snapB = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * lit(1.1)).as("o_totalprice"))
+        .withColumn("batch", lit(1))
+      Joins.upsert(snapA, snapB, Seq("o_orderkey"), Seq(col("batch")))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("totalprice"), col("batch"))
+    }),
+
+    // SET1 set difference via left-anti join (pool − existing): orders with
+    // no lineitem shipped before 1997.
+    "set1_except" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.orders.select(col("o_orderkey"))
+        .join(t.lineitem.filter(col("l_shipdate") < lit("1997-01-01"))
+            .select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"), "left_anti")
+    }),
+
+    // A1/SET3 distinct-union accumulation of a key pool.
+    "a1_distinct_union" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      Aggregates.distinctUnion(Seq(
+        t.orders.select(col("o_custkey").as("custkey")),
+        t.customer.select(col("c_custkey").as("custkey"))))
+    }),
   )
+
+  // ------------------------------------------------------- windows / resample
+  private val windowQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W1 last-N-per-key (get_history(count) shape): last 3 orders/customer.
+    "w1_last_n" -> ((s, dir) => {
+      Windows.lastNPerKey(TestData(s, dir).orders, Seq(col("o_custkey")),
+          Seq(col("o_orderdate"), col("o_orderkey")), 3)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    }),
+
+    // W2 suspension forward-fill on a (user × date) calendar spine.
+    "w2_fill_forward" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+        .select(col("user_id"), Coerce.normalize(col("ts")).as("d"),
+          col("value"), col("ts_ns"), col("event_id"))
+      val dailyLast = Windows.dedupKeepFirst(ev,
+          Seq(col("user_id"), col("d")),
+          Seq(col("ts_ns").desc, col("event_id").desc))
+        .select(col("user_id"), col("d"), col("value").as("close"))
+      val spine = ev.select(col("user_id")).distinct()
+        .crossJoin(ev.select(col("d")).distinct())
+      val joined = spine.join(dailyLast, Seq("user_id", "d"), "left")
+      Windows.fillForward(joined, Seq(col("user_id")), Seq(col("d")), Seq("close"))
+        .select(col("user_id"), col("d").as("date"), col("close"))
+    }),
+
+    // A3 moving average + A4 rolling (TTM-style) sum, rounded for stability.
+    "a3_a4_windows" -> ((s, dir) => {
+      val keys = Seq(col("o_custkey"))
+      val ord = Seq(col("o_orderdate"), col("o_orderkey"))
+      val withMa = Windows.movingAvg(TestData(s, dir).orders, keys, ord,
+        col("o_totalprice"), 5, "ma5")
+      Windows.rollingSum(withMa, keys, ord, col("o_totalprice"), 4, "ttm4")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("ma5"), 4).as("ma5"), round(col("ttm4"), 4).as("ttm4"))
+    }),
+
+    // A6 weekly OHLCV bar synthesis via min_by/max_by (single groupBy, no window).
+    "a6_resample_weekly" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+      Aggregates.resampleBars(ev,
+          Seq(col("user_id")),
+          to_date(date_trunc("week", col("ts"))),
+          struct(col("ts_ns"), col("event_id")),
+          col("value"), lit(1L), dec(col("value")))
+        .withColumn("money", col("money").cast("decimal(25,6)").cast("double"))
+    }),
+
+    // §1.3 PTrade matrix shape: date × event_type pivot at the serving edge.
+    "pivot_matrix" -> ((s, dir) => {
+      TestData(s, dir).events
+        .groupBy(Coerce.normalize(col("ts")).as("date"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(decSum(col("value")))
+    }),
+  )
+
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ shapeQueries ++ joinQueries ++ windowQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -107,10 +267,71 @@ object SparkEntry {
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
 
+    "q3_topk_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+                CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey ASC
+         LIMIT 10""",
+
+    "s1_unified_scan" ->
+      """SELECT event_id, user_id, CAST(ts AS DATE) AS date, value,
+                CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_value,
+                event_type = 'error' AS is_error
+         FROM events""",
+
     "f4_p1_range_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
          FROM lineitem
          WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-03-31 00:00:00'""",
+
+    "p2_routed_split" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS money, l_quantity AS volume
+         FROM lineitem""",
+
+    "f6_reindex" ->
+      """SELECT o_orderkey, o_totalprice,
+                CAST(NULL AS DOUBLE) AS total_shares,
+                CAST(NULL AS DOUBLE) AS float_value
+         FROM orders""",
+
+    "f5_status_flags" ->
+      """SELECT o_orderkey, o_orderstatus = 'F' AS is_filled,
+                CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status_label
+         FROM orders WHERE o_orderstatus <> 'P'""",
+
+    "c1_code_roundtrip" ->
+      """WITH b AS (
+           SELECT c_custkey, lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0') AS bare
+           FROM customer),
+         p AS (
+           SELECT c_custkey,
+                  CASE WHEN substr(bare,1,1) IN ('6','5','9') THEN bare || '.SS'
+                       WHEN substr(bare,1,1) IN ('0','2','3') THEN bare || '.SZ'
+                       ELSE NULL END AS pt
+           FROM b),
+         q AS (
+           SELECT c_custkey, pt,
+                  CASE WHEN pt LIKE '%.SS' THEN 'sh.' || substr(pt,1,6)
+                       WHEN pt LIKE '%.SZ' THEN 'sz.' || substr(pt,1,6)
+                       ELSE NULL END AS bs
+           FROM p)
+         SELECT c_custkey, pt, bs,
+                CASE WHEN bs LIKE 'sh.%' THEN substr(bs,4,6) || '.SS'
+                     WHEN bs LIKE 'sz.%' THEN substr(bs,4,6) || '.SZ'
+                     ELSE NULL END AS back,
+                regexp_matches(bs, '^(sh\.000|sz\.399)') AS is_index
+         FROM q""",
+
+    "c2_dates" ->
+      """SELECT o_orderkey,
+                CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_int,
+                CAST(o_orderdate AS DATE) AS date_back,
+                CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+         FROM orders""",
 
     "j3_broadcast_lookup" ->
       """SELECT c_custkey,
@@ -120,18 +341,6 @@ object SparkEntry {
          LEFT JOIN nation ON c_nationkey = n_nationkey
          LEFT JOIN region ON n_regionkey = r_regionkey""",
 
-    "w1_last_n" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
-           SELECT o_custkey, o_orderkey, o_orderdate,
-                  ROW_NUMBER() OVER (PARTITION BY o_custkey
-                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-           FROM orders) WHERE rn <= 3""",
-
-    "a1_distinct_union" ->
-      """SELECT DISTINCT o_custkey AS custkey FROM orders
-         UNION
-         SELECT c_custkey AS custkey FROM customer""",
-
     "j6_asof" ->
       """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, value AS purchase_value
                     FROM events WHERE event_type = 'purchase'),
@@ -139,5 +348,104 @@ object SparkEntry {
                     FROM events WHERE event_type = 'click')
          SELECT p.user_id, p.event_id, p.purchase_value, c.click_value
          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsn >= c.cts""",
+
+    "j1_multiway_outer" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS click_cnt,
+                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS click_sum
+                    FROM events WHERE event_type = 'click' GROUP BY user_id),
+              v AS (SELECT user_id, COUNT(*) AS view_cnt,
+                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS view_sum
+                    FROM events WHERE event_type = 'view' GROUP BY user_id),
+              pu AS (SELECT user_id, COUNT(*) AS purchase_cnt,
+                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS purchase_sum
+                    FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT COALESCE(c.user_id, v.user_id, pu.user_id) AS user_id,
+                c.click_cnt, c.click_sum, v.view_cnt, v.view_sum,
+                pu.purchase_cnt, pu.purchase_sum
+         FROM c FULL JOIN v ON c.user_id = v.user_id
+                FULL JOIN pu ON COALESCE(c.user_id, v.user_id) = pu.user_id""",
+
+    "j4_upsert" ->
+      """WITH a AS (SELECT o_orderkey, o_totalprice, 0 AS batch
+                    FROM orders WHERE o_orderkey % 3 <> 0),
+              b AS (SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 1 AS batch
+                    FROM orders WHERE o_orderkey % 2 = 0),
+              u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         SELECT o_orderkey, ROUND(o_totalprice, 4) AS totalprice, batch
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY batch DESC) AS rn
+               FROM u)
+         WHERE rn = 1""",
+
+    "set1_except" ->
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey NOT IN (
+           SELECT l_orderkey FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00')""",
+
+    "a1_distinct_union" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+         UNION
+         SELECT c_custkey AS custkey FROM customer""",
+
+    "w1_last_n" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders) WHERE rn <= 3""",
+
+    "w2_fill_forward" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, value,
+                           epoch_ns(ts) AS tsn, event_id
+                    FROM events),
+              dl AS (SELECT user_id, d, value AS close FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, d
+                         ORDER BY tsn DESC, event_id DESC) AS rn FROM e)
+                     WHERE rn = 1),
+              spine AS (SELECT u.user_id, dd.d
+                        FROM (SELECT DISTINCT user_id FROM e) u
+                        CROSS JOIN (SELECT DISTINCT d FROM e) dd)
+         SELECT s.user_id, s.d AS date,
+                LAST_VALUE(dl.close IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close
+         FROM spine s LEFT JOIN dl ON s.user_id = dl.user_id AND s.d = dl.d""",
+
+    "a3_a4_windows" ->
+      """SELECT o_custkey, o_orderkey,
+                ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5,
+                ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ttm4
+         FROM orders""",
+
+    "a6_resample_weekly" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS period,
+                           value, epoch_ns(ts) AS tsn, event_id
+                    FROM events),
+              r AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, period ORDER BY tsn, event_id) AS ra,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, period ORDER BY tsn DESC, event_id DESC) AS rd
+                    FROM e)
+         SELECT user_id, period,
+                MAX(CASE WHEN ra = 1 THEN value END) AS open,
+                MAX(value) AS high,
+                MIN(value) AS low,
+                MAX(CASE WHEN rd = 1 THEN value END) AS close,
+                CAST(SUM(1) AS BIGINT) AS volume,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS money,
+                COUNT(*) AS n_rows
+         FROM r GROUP BY user_id, period""",
+
+    "pivot_matrix" ->
+      """SELECT CAST(ts AS DATE) AS date,
+                CAST(CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(25,6)) END) AS DECIMAL(25,6)) AS DOUBLE) AS click,
+                CAST(CAST(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(25,6)) END) AS DECIMAL(25,6)) AS DOUBLE) AS error,
+                CAST(CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(25,6)) END) AS DECIMAL(25,6)) AS DOUBLE) AS purchase,
+                CAST(CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(25,6)) END) AS DECIMAL(25,6)) AS DOUBLE) AS signup,
+                CAST(CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(25,6)) END) AS DECIMAL(25,6)) AS DOUBLE) AS view
+         FROM events GROUP BY CAST(ts AS DATE)""",
   )
 }
