@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{CodeConvert, Coerce}
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.{CodeConvert, Coerce, TextFns}
+import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, Joins, Projections, Windows}
 import graft.sources.TestData
 
@@ -250,9 +253,84 @@ object SparkEntry {
     }),
   )
 
+  // ------------------------------------- LLM-data-pipeline operators (M7)
+  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Text quality scoring: word/char counts, avg word length, stopword ratio.
+    "text_quality" -> ((s, dir) => {
+      val t = col("text")
+      TestData(s, dir).documents.select(
+        col("doc_id"),
+        TextFns.wordCount(t).cast("long").as("n_words"),
+        TextFns.totalWordChars(t).cast("long").as("total_chars"),
+        round(TextFns.totalWordChars(t).cast("double") / TextFns.wordCount(t).cast("double"), 6).as("avg_word_len"),
+        TextFns.stopwordRatio(t, Seq("the", "a", "of", "and", "is")).as("stop_ratio"))
+    }),
+
+    // Language ID: deterministic marker-word argmax heuristic.
+    "text_langid" -> ((s, dir) => {
+      TestData(s, dir).documents.select(
+        col("doc_id"),
+        TextFns.langId(col("text")).as("lang_pred"),
+        TextFns.langScore(col("text"), TextFns.langMarkers.toMap.apply("en")).cast("long").as("en_score"))
+    }),
+
+    // Token counting: whitespace words + BPE-ish regex tokens.
+    "text_tokens" -> ((s, dir) => {
+      TestData(s, dir).documents.select(
+        col("doc_id"),
+        TextFns.wordCount(col("text")).cast("long").as("ws_tokens"),
+        TextFns.regexTokenCount(col("text")).cast("long").as("re_tokens"))
+    }),
+
+    // Rolling polynomial fingerprint (order-sensitive document hash).
+    "text_fingerprint" -> ((s, dir) => {
+      TestData(s, dir).documents.select(
+        col("doc_id"), TextFns.rollingFingerprint(col("text")).as("fp"))
+    }),
+
+    // Exact dedup by content hash.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(TestData(s, dir).documents, "doc_id", "text")),
+
+    // N-gram Jaccard near-dup pairs via inverted-index join with DF cap.
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(TestData(s, dir).documents, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDF = 100)),
+
+    // MinHash+LSH near-dup pairs (engine-hash based → rows-only check;
+    // recall vs exact Jaccard is asserted in DedupSpec).
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLsh(TestData(s, dir).documents, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5, maxBucket = 100)),
+
+    // SimHash near-dup pairs (engine-hash based → rows-only check).
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(TestData(s, dir).documents, "doc_id", "text", maxHamming = 6)),
+
+    // Embedding cosine near-dup within label blocks.
+    "emb_near_dup" -> ((s, dir) =>
+      Ann.nearDupPairs(TestData(s, dir).embeddings, "vec_id", "embedding", "label", 0.4)),
+
+    // Brute-force cosine top-k ANN (query set = vec_id < 10).
+    "ann_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Multimodal binary plumbing: payload + typed metadata struct.
+    "mm_binary_meta" -> ((s, dir) => {
+      Multimodal.attachBinary(TestData(s, dir).documents, "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          col("meta.n_bytes").cast("long").as("n_bytes"),
+          md5(col("media")).as("content_hash"))
+    }),
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ shapeQueries ++ joinQueries ++ windowQueries
+    coreQueries ++ shapeQueries ++ joinQueries ++ windowQueries ++ pipelineQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -438,6 +516,99 @@ object SparkEntry {
                 CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS money,
                 COUNT(*) AS n_rows
          FROM r GROUP BY user_id, period""",
+
+    "text_quality" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents)
+         SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS total_chars,
+                ROUND(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) AS avg_word_len,
+                CASE WHEN len(ws) > 0 THEN
+                  ROUND(CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6)
+                END AS stop_ratio
+         FROM w""",
+
+    "text_langid" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         s AS (SELECT doc_id,
+                 len(list_filter(ws, x -> x='der'))+len(list_filter(ws, x -> x='die'))+len(list_filter(ws, x -> x='das'))+len(list_filter(ws, x -> x='und'))+len(list_filter(ws, x -> x='nicht')) AS s_de,
+                 len(list_filter(ws, x -> x='the'))+len(list_filter(ws, x -> x='a'))+len(list_filter(ws, x -> x='of'))+len(list_filter(ws, x -> x='and'))+len(list_filter(ws, x -> x='is')) AS s_en,
+                 len(list_filter(ws, x -> x='el'))+len(list_filter(ws, x -> x='los'))+len(list_filter(ws, x -> x='las'))+len(list_filter(ws, x -> x='una'))+len(list_filter(ws, x -> x='que')) AS s_es,
+                 len(list_filter(ws, x -> x='le'))+len(list_filter(ws, x -> x='les'))+len(list_filter(ws, x -> x='et'))+len(list_filter(ws, x -> x='une'))+len(list_filter(ws, x -> x='est')) AS s_fr,
+                 len(list_filter(ws, x -> x='的'))+len(list_filter(ws, x -> x='是'))+len(list_filter(ws, x -> x='在'))+len(list_filter(ws, x -> x='了'))+len(list_filter(ws, x -> x='和')) AS s_zh
+               FROM w)
+         SELECT doc_id,
+                CASE WHEN s_de=mx THEN 'de' WHEN s_en=mx THEN 'en' WHEN s_es=mx THEN 'es'
+                     WHEN s_fr=mx THEN 'fr' WHEN s_zh=mx THEN 'zh' END AS lang_pred,
+                CAST(s_en AS BIGINT) AS en_score
+         FROM (SELECT *, greatest(s_de,s_en,s_es,s_fr,s_zh) AS mx FROM s)""",
+
+    "text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split(text,' '), x -> length(x)>0)) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
+         FROM documents""",
+
+    "text_fingerprint" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents)
+         SELECT doc_id,
+                list_reduce([CAST(0 AS BIGINT)] || list_transform(ws, x -> CAST(length(x)*131 + ord(substr(x,1,1)) AS BIGINT)),
+                            (a,b) -> (a*31+b) % 1000000007) AS fp
+         FROM w""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+         FROM documents GROUP BY md5(text)""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM w, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3),
+         sz AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY doc_id),
+         rare AS (SELECT g.* FROM g JOIN (
+                    SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM g GROUP BY sh)
+                    WHERE df BETWEEN 2 AND 100) d USING (sh)),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+               FROM rare a JOIN rare b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b,
+                  ROUND(CAST(inter AS DOUBLE) / CAST(sa.c + sb.c - inter AS DOUBLE), 6) AS jaccard
+           FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+         WHERE jaccard >= 0.5""",
+
+    "emb_near_dup" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ROUND(
+                   list_reduce(list_transform(list_zip(a.embedding, b.embedding), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (x,y) -> x+y)
+                   / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))
+                    * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))), 6) AS cos
+               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""",
+
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                 ROUND(
+                   list_reduce(list_transform(list_zip(qv, cv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (x,y) -> x+y)
+                   / (sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))
+                    * sqrt(list_reduce(list_transform(cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))), 6) AS cos
+               FROM c JOIN q ON query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, cos FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM s)
+         WHERE rank <= 5""",
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_hash
+         FROM documents""",
 
     "pivot_matrix" ->
       """SELECT CAST(ts AS DATE) AS date,

@@ -1,0 +1,90 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Cosine is computed with sequential left-fold accumulation
+  * (`aggregate(zip_with(...))`) after widening each element to double —
+  * deterministic and replayable bit-for-bit in SQL (DuckDB `list_reduce`).
+  *
+  * Scale posture: the brute-force path broadcasts the (small) query set and
+  * streams the corpus — one pass, no shuffle except the final per-query top-k.
+  * The LSH path buckets the corpus by random-hyperplane signs so each query
+  * probes only its bucket — the 100 TB plan.
+  */
+object Ann {
+
+  /** dot(a, b) with double widening and sequential accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded). Ranking key is (round(cos, 6) DESC, id ASC) so
+    * near-ties rank engine-independently.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)), with
+    * deterministic pseudo-hyperplanes h_i[d] derived from xxhash64(i, d)
+    * (no stored model, identical across runs/executors). */
+  def lshSignature(vec: Column, dims: Int, bits: Int): Column = {
+    val planes = (0 until bits).map { i =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dims - 1)),
+          // pseudo-random coefficient in [-1, 1) from (plane, dim)
+          (x, d) => x.cast("double") *
+            ((pmod(xxhash64(lit(i), d), lit(2000001L)).cast("double") / 1000000.0) - 1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: queries probe only their LSH bucket, then exact cosine
+    * re-ranks within the bucket. Trades recall for a corpus-partition-local
+    * search — the path that survives a 100×-scale corpus. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, dims: Int, bits: Int = 12): DataFrame = {
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+      .withColumn("bucket", lshSignature(col("cv"), dims, bits))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .withColumn("bucket", lshSignature(col("qv"), dims, bits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Embedding near-dup pairs within a blocking key (e.g. a cluster label or
+    * LSH bucket): all pairs inside a block, cosine >= threshold. */
+  def nearDupPairs(vectors: DataFrame, id: String, vec: String, block: String,
+                   threshold: Double): DataFrame = {
+    val v = vectors.select(col(id).as("vid"), col(vec).as("v"), col(block).as("blk"))
+    v.as("a").join(v.as("b"), Seq("blk"))
+      .filter(col("a.vid") < col("b.vid"))
+      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. All set up for 100 TB posture — no
+  * driver-side state, candidate generation always goes through an inverted
+  * index / banding join (never an all-pairs cross join), and hot shingles are
+  * capped by document frequency so one stop-shingle cannot produce a
+  * quadratic bucket.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one shuffle on md5(text).
+    * Returns (content_hash, keep_id, dup_cnt) with keep = min id. */
+  def exact(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.groupBy(md5(col(text)).as("content_hash"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct (id, shingle) pairs of word n-grams. */
+  def wordShingles(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val ws = filter(split(col(text), " "), w => length(w) > 0)
+    val grams = transform(
+      sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+    docs.filter(size(ws) >= n)
+      .select(col(id).as("doc_id"), explode(grams).as("shingle"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup pairs via inverted-index join.
+    *
+    * Shingles with document frequency > `maxDF` are dropped before the
+    * self-join — at 100 TB a single ubiquitous shingle would otherwise create
+    * an O(df²) pair explosion; dropping ultra-common shingles is the standard
+    * bound and only loses pairs that share nothing rare.
+    * Returns (doc_a, doc_b, jaccard) with jaccard >= `threshold`.
+    */
+  def ngramJaccard(docs: DataFrame, id: String, text: String,
+                   n: Int = 3, threshold: Double = 0.5, maxDF: Int = 100): DataFrame = {
+    val sh = wordShingles(docs, id, text, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, maxDF))
+        .select("shingle"),
+      "shingle")
+    val inter = rare.as("a").join(rare.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signatures: sig_i = min over shingles of xxhash64(i, shingle).
+    * One groupBy per document; k hash lanes computed in a single pass. */
+  def minHashSignatures(shingles: DataFrame, k: Int): DataFrame =
+    shingles.groupBy("doc_id").agg(
+      (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i")).head,
+      (1 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i")): _*)
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
+    *
+    * k = bands·rowsPerBand signatures; documents agreeing on all rows of any
+    * band land in the same bucket (bucket id = hash of the band's signature
+    * slice). Buckets larger than `maxBucket` are dropped — a skew guard: a
+    * degenerate bucket of B docs would emit B²/2 candidate pairs.
+    * Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    */
+  def minHashLsh(docs: DataFrame, id: String, text: String,
+                 n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                 threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = wordShingles(docs, id, text, n)
+    val sigs = minHashSignatures(sh, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i")): _*).as("bucket"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val wCnt = Window.partitionBy("band", "bucket")
+    val bounded = buckets.withColumn("__n", count(lit(1)).over(wCnt))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val cands = bounded.as("a").join(bounded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exact Jaccard for given candidate pairs (semi-joined inverted index —
+    * only candidate docs' shingles are shuffled). */
+  def verifyJaccard(cands: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
+    val docsInPlay = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b"))).distinct()
+    val sh = shingles.join(docsInPlay, "doc_id")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "sh_b"), "doc_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cands.join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 32-bit SimHash per document: bit i is the sign of the weighted sum of
+    * word-hash bits. One explode + one groupBy with 32 conditional sums —
+    * fully distributed, no per-doc loops. */
+  def simHash(docs: DataFrame, id: String, text: String): DataFrame = {
+    val w = docs.select(col(id).as("doc_id"), explode(filter(split(col(text), " "), x => length(x) > 0)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 32).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt"))).as(s"b_$i")
+    }
+    val agg = w.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map(i => when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band on the high 16 bits, verify Hamming
+    * distance <= maxHamming via bit_count(xor). */
+  def simHashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int = 6): DataFrame = {
+    val sigs = simHash(docs, id, text).withColumn("band", shiftright(col("simhash"), 16))
+    sigs.as("a").join(sigs.as("b"), Seq("band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * token counting, quality scoring, n-gram language ID, rolling-hash
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs), designed
+  * so an identical algorithm is expressible in ANSI SQL for the oracle.
+  */
+object TextFns {
+
+  /** Non-empty whitespace-split words. */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** Exact occurrence count of one word (list-filter, no overlap pitfalls). */
+  def countWord(text: Column, word: String): Column =
+    size(filter(split(text, " "), w => w === word))
+
+  /** BPE-ish token count: letter runs, digit runs, single other non-space. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Total characters across words (exact integer arithmetic). */
+  def totalWordChars(text: Column): Column =
+    aggregate(transform(words(text), w => length(w)), lit(0), (a, b) => a + b)
+
+  /** Ratio of words found in `stopwords`; null-safe for empty docs. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val n = wordCount(text)
+    val hits = size(filter(words(text), w => w.isin(stopwords.map(lit): _*)))
+    when(n > 0, round(hits.cast("double") / n.cast("double"), 6)).otherwise(lit(null))
+  }
+
+  /** Punctuation character ratio over total length. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      round(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text).cast("double"), 6))
+      .otherwise(lit(null))
+
+  /** Marker-word tables for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "los", "las", "una", "que"),
+    "fr" -> Seq("le", "les", "et", "une", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和"),
+  )
+
+  /** Score for one language = total marker-word occurrences. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(countWord(text, _)).reduce(_ + _)
+
+  /** Deterministic language ID: argmax of marker scores, ties broken by
+    * language code ascending (so the result is engine-independent). */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(null).cast("string")) { case ((l, sc), acc) =>
+      when(sc === mx, lit(l)).otherwise(acc)
+    } match {
+      // foldRight gives ascending priority: earliest lang wins ties.
+      case c => c
+    }
+  }
+
+  /** Rolling polynomial fingerprint over words:
+    * h = fold(h*31 + (len(w)*131 + ascii(w[0]))) mod 1e9+7 — order-sensitive,
+    * exact in int64, replayable in SQL via list_reduce. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(words(text), w => (length(w) * 131 + ascii(w)).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+}

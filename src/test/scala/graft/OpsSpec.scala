@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Aggregates, Joins, Windows}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf attaches latest right row at or before left time, per key") {
+    val left = Seq((1, 10L, "l1"), (1, 20L, "l2"), (2, 5L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1, 10L, 100.0), (1, 15L, 150.0), (2, 9L, 900.0))
+      .toDF("k", "rt", "v")
+    val out = Joins.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("k", "tag", "v").as[(Int, String, Option[Double])].collect().toSet
+    // l1: right@10 (<=, inclusive); l2: right@15; l3: nothing at or before 5
+    assert(out == Set((1, "l1", Some(100.0)), (1, "l2", Some(150.0)), (2, "l3", None)))
+  }
+
+  test("upsert keeps the preferred (last-wins) row per key") {
+    val existing = Seq((1, "old"), (2, "old")).toDF("k", "v").withColumn("batch", lit(0))
+    val incoming = Seq((2, "new"), (3, "new")).toDF("k", "v").withColumn("batch", lit(1))
+    val out = Joins.upsert(existing, incoming, Seq("k"), Seq(col("batch")))
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(out == Set((1, "old"), (2, "new"), (3, "new")))
+  }
+
+  test("upsert is idempotent (re-applying the same increment changes nothing)") {
+    val existing = Seq((1, "a"), (2, "b")).toDF("k", "v").withColumn("batch", lit(0))
+    val incoming = Seq((2, "b2")).toDF("k", "v").withColumn("batch", lit(1))
+    val once = Joins.upsert(existing, incoming, Seq("k"), Seq(col("batch")))
+    val twice = Joins.upsert(once, incoming, Seq("k"), Seq(col("batch")))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("fillForward carries last non-null observation; leading nulls stay null") {
+    val df = Seq((1, 1, Some(10.0)), (1, 2, None), (1, 3, None), (1, 4, Some(40.0)),
+                 (2, 1, None), (2, 2, Some(2.0)))
+      .toDF("k", "t", "v")
+    val out = Windows.fillForward(df, Seq(col("k")), Seq(col("t")), Seq("v"))
+      .as[(Int, Int, Option[Double])].collect().toSet
+    assert(out == Set((1, 1, Some(10.0)), (1, 2, Some(10.0)), (1, 3, Some(10.0)),
+      (1, 4, Some(40.0)), (2, 1, None), (2, 2, Some(2.0))))
+  }
+
+  test("fillForward is idempotent") {
+    val df = Seq((1, 1, Some(1.0)), (1, 2, None)).toDF("k", "t", "v")
+    val once = Windows.fillForward(df, Seq(col("k")), Seq(col("t")), Seq("v"))
+    val twice = Windows.fillForward(once, Seq(col("k")), Seq(col("t")), Seq("v"))
+    assert(once.orderBy("t").collect().toSeq == twice.orderBy("t").collect().toSeq)
+  }
+
+  test("lastNPerKey returns the n most recent rows per key") {
+    val df = Seq((1, 1), (1, 2), (1, 3), (2, 1)).toDF("k", "t")
+    val out = Windows.lastNPerKey(df, Seq(col("k")), Seq(col("t")), 2)
+      .as[(Int, Int)].collect().toSet
+    assert(out == Set((1, 3), (1, 2), (2, 1)))
+  }
+
+  test("resampleBars computes first/max/min/last/sum per period") {
+    val df = Seq(
+      ("s", "2024-01-01", 1L, 10.0, 100.0),
+      ("s", "2024-01-01", 2L, 30.0, 100.0),
+      ("s", "2024-01-01", 3L, 5.0, 100.0),
+      ("s", "2024-01-02", 4L, 7.0, 50.0)
+    ).toDF("sym", "d", "seq", "px", "vol")
+    val out = Aggregates.resampleBars(df, Seq(col("sym")), col("d"), col("seq"),
+        col("px"), col("vol"), col("px") * col("vol"))
+      .orderBy("period").collect()
+    val day1 = out(0)
+    assert(day1.getAs[Double]("open") == 10.0)
+    assert(day1.getAs[Double]("high") == 30.0)
+    assert(day1.getAs[Double]("low") == 5.0)
+    assert(day1.getAs[Double]("close") == 5.0)
+    assert(day1.getAs[Double]("volume") == 300.0)
+    assert(day1.getAs[Long]("n_rows") == 3L)
+  }
+
+  test("cumProduct matches exact running product within double tolerance") {
+    val df = Seq(("s", 1, 1.1), ("s", 2, 0.9), ("s", 3, 1.25), ("s", 4, 2.0))
+      .toDF("sym", "t", "f")
+    val out = Aggregates.cumProduct(df, Seq(col("sym")), Seq(col("t")), col("f"), "cp")
+      .orderBy("t").select("cp").as[Double].collect()
+    val expected = Seq(1.1, 1.1 * 0.9, 1.1 * 0.9 * 1.25, 1.1 * 0.9 * 1.25 * 2.0)
+    out.zip(expected).foreach { case (a, e) => assert(math.abs(a - e) < 1e-12 * e) }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sources.TestData
+
+/** LLM-pipeline operators: dedup recall, ANN sanity, multimodal plumbing —
+  * exercised on the sf0.001 fixtures. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = TestData(spark, sf0001).documents
+  private lazy val embs = TestData(spark, sf0001).embeddings
+
+  test("exact dedup groups identical texts and planted dups survive minhash") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text", 3, 4, 4, 0.5, 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must be verified-exact pairs")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("simhash distance 0 for identical docs, small for near-dups") {
+    val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+                  (3L, "totally different words here now")).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(two, "doc_id", "text", maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("cosine of a vector with itself is 1; ANN ranks are 1..k") {
+    val self = embs.limit(1).select(round(Ann.cosine(col("embedding"), col("embedding")), 9))
+      .as[Double].head()
+    assert(self == 1.0)
+    val topk = Ann.bruteForceTopK(embs, embs.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val ranks = topk.groupBy("query_id").agg(collect_set("rank")).collect()
+    assert(ranks.forall(_.getSeq[Int](1).toSet == Set(1, 2, 3, 4, 5)))
+  }
+
+  test("lshTopK returns verified-cosine neighbors from the query's bucket") {
+    val out = Ann.lshTopK(embs, embs.limit(20), "vec_id", "embedding", 3, dims = 64, bits = 6)
+    // bucketed search may miss, but whatever it returns must be well-formed
+    val rows = out.collect()
+    assert(rows.forall(r => r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 3))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.000001))
+  }
+
+  test("multimodal decode plumbing: schema, determinism, per-byte features") {
+    val media = Multimodal.attachBinary(docs.limit(10), "doc_id", "text")
+    assert(media.schema("media").dataType.typeName == "binary")
+    val rows = media.select(col("id"), col("media"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.decodeFeatures(rows)(spark).collect()
+    assert(feats.length == 10)
+    assert(feats.forall(f => f.n_bytes > 0 && f.brightness > 0))
+    val again = Multimodal.decodeFeatures(rows)(spark).collect()
+    assert(feats.map(f => (f.id, f.fingerprint)).toSet == again.map(f => (f.id, f.fingerprint)).toSet)
+  }
+}
