@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ann.Ann
+import graft.api.PTradeApi
 import graft.dedup.Dedup
+import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
 import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, Joins, Projections, Windows}
@@ -328,13 +330,163 @@ object SparkEntry {
     }),
   )
 
+  // --------------------------- financial serving surface (M3/M4, PTradeApi)
+  private def api(s: SparkSession, dir: String) = PTradeApi(MarketViews(s, dir))
+  private val syms3 = Seq("000001.SZ", "000002.SZ", "000003.SZ")
+
+  private val apiQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The canonical bars derivation itself (A6 over the tick mapping).
+    "api_bars" -> ((s, dir) => MarketViews(s, dir).bars),
+
+    // get_price, fq=none: filter + project off the long bars table.
+    "api_get_price" -> ((s, dir) =>
+      api(s, dir).getPrice(syms3, "1996-01-01", "1996-12-31", Seq("close", "volume"))),
+
+    // get_price, fq=post: as-of factor join (J2) over A5-synthesized factors.
+    "api_adjusted_price" -> ((s, dir) =>
+      api(s, dir).getPrice(Seq("000001.SZ", "000002.SZ"), "1995-01-01", "1998-12-31",
+        Seq("close"), fq = "post")),
+
+    // get_history: calendar-spine suspension fill (W2) + last-N (W1).
+    "api_history_ffill" -> ((s, dir) =>
+      api(s, dir).getHistory(30, syms3, "1997-06-30")),
+
+    // get_fundamentals date mode: point-in-time as-of on publication date.
+    "api_fundamentals_asof" -> ((s, dir) => {
+      val v = MarketViews(s, dir)
+      val qdates = v.calendar.groupBy(year(col("trade_date")))
+        .agg(min(col("trade_date")).as("qdate")).select("qdate")
+      api(s, dir).getFundamentalsAsOf(syms3, qdates)
+    }),
+
+    // get_stock_status: HALT/DELISTING flags at a date (F5 + J3).
+    "api_stock_status" -> ((s, dir) => api(s, dir).getStockStatus("1997-03-03")),
+
+    // PTrade derived fields: preclose / price limits (lag window).
+    "api_derived_fields" -> ((s, dir) => {
+      val v = MarketViews(s, dir)
+      api(s, dir).withDerivedFields(v.bars.filter(col("symbol").isin(syms3: _*)))
+        .filter(col("date") <= lit("1996-12-31"))
+        .select("symbol", "date", "close", "preclose", "high_limit", "low_limit")
+    }),
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ shapeQueries ++ joinQueries ++ windowQueries ++ pipelineQueries
+    coreQueries ++ shapeQueries ++ joinQueries ++ windowQueries ++ pipelineQueries ++ apiQueries
+
+  /** Shared DuckDB CTE prefix replaying the MarketViews derivation
+    * (ticks → bars → calendar/meta → factors → fundamentals) in SQL. */
+  private val MKT =
+    """WITH ticks AS (
+         SELECT CASE WHEN substr(bare,1,1) IN ('6','5','9') THEN bare || '.SS'
+                     WHEN substr(bare,1,1) IN ('0','2','3') THEN bare || '.SZ' END AS symbol,
+                CAST(l_shipdate AS DATE) AS date,
+                l_orderkey*10 + l_linenumber AS seq,
+                l_extendedprice / l_quantity AS px,
+                l_quantity AS qty, l_extendedprice AS amt
+         FROM (SELECT *, lpad(CAST(l_suppkey % 1000000 AS VARCHAR), 6, '0') AS bare FROM lineitem)),
+       br AS (SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY symbol, date ORDER BY seq) AS ra,
+                ROW_NUMBER() OVER (PARTITION BY symbol, date ORDER BY seq DESC) AS rd
+              FROM ticks),
+       bars AS (SELECT symbol, date,
+                  MAX(CASE WHEN ra=1 THEN px END) AS open, MAX(px) AS high, MIN(px) AS low,
+                  MAX(CASE WHEN rd=1 THEN px END) AS close,
+                  CAST(CAST(SUM(CAST(qty AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS volume,
+                  CAST(CAST(SUM(CAST(amt AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS money
+                FROM br GROUP BY symbol, date),
+       meta AS (SELECT symbol, MIN(date) AS listed_date, MAX(date) AS de_listed_date
+                FROM bars GROUP BY symbol),
+       cal AS (SELECT DISTINCT date AS trade_date FROM ticks),
+       fev AS (SELECT symbol, MIN(date) AS date
+               FROM bars GROUP BY symbol, date_trunc('month', date)),
+       fr AS (SELECT symbol, date,
+                1.0 + CAST((date_part('month', date) + date_part('day', date)) % 7 - 3 AS DOUBLE)/100.0 AS ratio
+              FROM fev),
+       adj AS (SELECT symbol, date,
+                 list_reduce([CAST(1.0 AS DOUBLE)] ||
+                   list(ratio) OVER (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   (a, b) -> a * b) AS backward_a
+               FROM fr),
+       fqr AS (SELECT symbol, CAST(date_trunc('quarter', date) AS DATE) AS q_start,
+                 CAST(CAST(SUM(CAST(amt AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
+                 COUNT(*) AS n
+               FROM ticks GROUP BY 1, 2),
+       fund AS (SELECT symbol,
+                  CAST(q_start + INTERVAL '3 months' AS DATE) - 1 AS end_date,
+                  CAST(q_start + INTERVAL '3 months' AS DATE)
+                    + (44 + CAST(substr(symbol,1,6) AS INT) % 30) AS publ_date,
+                  revenue,
+                  ROUND(revenue / (n * 1000.0), 6) AS roe
+                FROM fqr)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+
+    "api_bars" ->
+      s"""$MKT SELECT symbol, date, open, high, low, close, volume, money FROM bars""",
+
+    "api_get_price" ->
+      s"""$MKT SELECT symbol, date, close, volume FROM bars
+          WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')
+            AND date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""",
+
+    "api_adjusted_price" ->
+      s"""$MKT, sel AS (SELECT symbol, date, close FROM bars
+                        WHERE symbol IN ('000001.SZ','000002.SZ')
+                          AND date BETWEEN DATE '1995-01-01' AND DATE '1998-12-31'),
+          j AS (SELECT s.symbol, s.date, s.close, a.backward_a
+                FROM sel s ASOF LEFT JOIN adj a
+                  ON s.symbol = a.symbol AND s.date >= a.date)
+          SELECT symbol, date, close * COALESCE(backward_a, 1.0) AS close FROM j""",
+
+    "api_history_ffill" ->
+      s"""$MKT, spine AS (SELECT m.symbol, c.trade_date AS date
+                          FROM cal c JOIN meta m
+                            ON c.trade_date BETWEEN m.listed_date AND m.de_listed_date
+                          WHERE m.symbol IN ('000001.SZ','000002.SZ','000003.SZ')),
+          jn AS (SELECT s.symbol, s.date, b.close, b.volume
+                 FROM spine s LEFT JOIN bars b USING (symbol, date)),
+          fl AS (SELECT symbol, date,
+                   LAST_VALUE(close IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+                   COALESCE(volume, 0.0) AS volume
+                 FROM jn)
+          SELECT symbol, date, close, volume FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date DESC) AS rn
+            FROM fl WHERE date <= DATE '1997-06-30')
+          WHERE rn <= 30""",
+
+    "api_fundamentals_asof" ->
+      s"""$MKT, qd AS (SELECT MIN(trade_date) AS qdate FROM cal
+                       GROUP BY date_part('year', trade_date)),
+          grid AS (SELECT m.symbol, q.qdate FROM qd q
+                   CROSS JOIN (SELECT symbol FROM meta
+                               WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')) m)
+          SELECT g.symbol, g.qdate, f.end_date, f.revenue, f.roe
+          FROM grid g ASOF LEFT JOIN fund f
+            ON g.symbol = f.symbol AND g.qdate >= f.publ_date""",
+
+    "api_stock_status" ->
+      s"""$MKT, active AS (SELECT DISTINCT symbol FROM bars WHERE date = DATE '1997-03-03')
+          SELECT m.symbol,
+                 (a.symbol IS NULL AND DATE '1997-03-03' <= m.de_listed_date) AS is_halt,
+                 (DATE '1997-03-03' > m.de_listed_date) AS is_delisted
+          FROM meta m LEFT JOIN active a USING (symbol)""",
+
+    "api_derived_fields" ->
+      s"""$MKT SELECT symbol, date, close, preclose,
+                 floor(preclose * 1.1 * 100 + 0.5) / 100 AS high_limit,
+                 floor(preclose * 0.9 * 100 + 0.5) / 100 AS low_limit
+          FROM (SELECT symbol, date, close,
+                  LAG(close) OVER (PARTITION BY symbol ORDER BY date) AS preclose
+                FROM bars
+                WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ'))
+          WHERE date <= DATE '1996-12-31'""",
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,104 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.domain.MarketViews
+import graft.ops.{Joins, Projections, Windows}
+
+/** PTrade-compatible serving surface (SURVEY.md §2, §3.1, §3.3;
+  * docs/PTrade_API_mini_Reference.md). Every call is a short DataFrame
+  * program over the canonical long tables; the matrix/Panel return shapes
+  * are produced only at the edge (`toMatrix`), never inside the engine
+  * (SURVEY.md §7.4.3).
+  */
+final case class PTradeApi(views: MarketViews) {
+
+  /** get_price (ptrade_data_api.py:33-106): bars for securities in a date
+    * range, optional field projection, adjustment via as-of factor join when
+    * `fq != none` (J2 + A5-synthesized factors). */
+  def getPrice(securities: Seq[String], start: String, end: String,
+               fields: Seq[String] = Seq("open", "high", "low", "close", "volume", "money"),
+               fq: String = "none"): DataFrame = {
+    val base = views.bars
+      .filter(col("symbol").isin(securities: _*))
+      .filter(col("date").between(lit(start), lit(end)))
+    val adjusted = fq match {
+      case "none" => base
+      case "post" =>
+        // post-adjustment: price × backward factor as of the bar date
+        val withF = Joins.asOf(base, views.adjFactors.withColumnRenamed("date", "fdate"),
+          Seq("symbol"), "date", "fdate", Seq("backward_a"))
+        val f = coalesce(col("backward_a"), lit(1.0))
+        withF.select(
+          (Seq(col("symbol"), col("date")) ++
+            Seq("open", "high", "low", "close").map(c => (col(c) * f).as(c)) ++
+            Seq(col("volume"), col("money"))): _*)
+      case other => sys.error(s"unsupported fq: $other")
+    }
+    Projections.projectExisting(adjusted, Seq("symbol", "date") ++ fields)
+  }
+
+  /** get_history (PTrade_API_mini_Reference.md:1777-1798): last `count`
+    * trading days per security at or before `endDate`, on the full trading
+    * calendar with suspension forward-fill (W2: suspended days carry the
+    * last close; volume = 0). */
+  def getHistory(count: Int, securities: Seq[String], endDate: String): DataFrame = {
+    val meta = views.stockMetadata.filter(col("symbol").isin(securities: _*))
+    val spine = views.calendar
+      .join(broadcast(meta), col("trade_date").between(col("listed_date"), col("de_listed_date")))
+      .select(col("symbol"), col("trade_date").as("date"))
+    val joined = spine.join(
+      views.bars.filter(col("symbol").isin(securities: _*)), Seq("symbol", "date"), "left")
+    val filled = Windows.fillForward(joined, Seq(col("symbol")), Seq(col("date")), Seq("close"))
+      .withColumn("volume", coalesce(col("volume"), lit(0.0)))
+    Windows.lastNPerKey(filled.filter(col("date") <= lit(endDate)),
+        Seq(col("symbol")), Seq(col("date")), count)
+      .select("symbol", "date", "close", "volume")
+  }
+
+  /** get_fundamentals date mode (J6; PTrade_API_mini_Reference.md:3316-3394):
+    * for each (security, query date), the latest report whose PUBLICATION
+    * date is ≤ the query date — no future leakage. */
+  def getFundamentalsAsOf(securities: Seq[String], queryDates: DataFrame): DataFrame = {
+    val grid = queryDates.select(col("qdate"))
+      .crossJoin(views.stockMetadata.filter(col("symbol").isin(securities: _*)).select("symbol"))
+    Joins.asOf(grid, views.fundamentals, Seq("symbol"), "qdate", "publ_date",
+        Seq("end_date", "revenue", "roe"))
+      .select("symbol", "qdate", "end_date", "revenue", "roe")
+  }
+
+  /** get_fundamentals year-range mode (ptrade_data_api.py:484-594): one scan,
+    * no per-stock × year × quarter loop. */
+  def getFundamentalsYears(securities: Seq[String], y0: Int, y1: Int): DataFrame =
+    views.fundamentals
+      .filter(col("symbol").isin(securities: _*))
+      .filter(year(col("end_date")).between(y0, y1))
+
+  /** get_stock_status (F5 + J3): HALT = no bar on the date (broadcast lookup
+    * with false default); DELISTING = date past the de-listing date. */
+  def getStockStatus(date: String): DataFrame = {
+    val active = views.bars.filter(col("date") === lit(date))
+      .select(col("symbol")).withColumn("has_bar", lit(true))
+    Joins.broadcastLookup(views.stockMetadata, active, Seq("symbol"), "has_bar", lit(false))
+      .select(col("symbol"),
+        (!col("has_bar") && lit(date).cast("date") <= col("de_listed_date")).as("is_halt"),
+        (lit(date).cast("date") > col("de_listed_date")).as("is_delisted"))
+  }
+
+  /** get_trade_days (S6/F3). */
+  def getTradeDays(start: String, end: String): DataFrame =
+    views.calendar.filter(col("trade_date").between(lit(start), lit(end)))
+
+  /** PTrade derived fields (PTrade_API_mini_Reference.md:1809-1812):
+    * preclose = lag(close); ±10% price limits off preclose. */
+  def withDerivedFields(bars: DataFrame): DataFrame = {
+    val w = Windows.withLag(bars, Seq(col("symbol")), Seq(col("date")), col("close"), "preclose")
+    w.withColumn("high_limit", graft.functions.Coerce.roundHalfUp(col("preclose") * 1.1, 2))
+      .withColumn("low_limit", graft.functions.Coerce.roundHalfUp(col("preclose") * 0.9, 2))
+  }
+
+  /** §1.3 matrix edge shape: long → date × security matrix for one field. */
+  def toMatrix(long: DataFrame, field: String, securities: Seq[String]): DataFrame =
+    long.groupBy("date").pivot("symbol", securities).agg(first(col(field)))
+}

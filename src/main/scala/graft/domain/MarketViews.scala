@@ -1,0 +1,102 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CodeConvert
+import graft.ops.Aggregates
+import graft.sources.TestData
+
+/** Deterministic derivation of the canonical market tables from the
+  * driver-provided fixtures (TESTDATA.md) — the financial-domain test bed.
+  *
+  * Each lineitem is treated as a trade tick of security `SUP<l_suppkey>`:
+  * unit price = extendedprice/quantity, traded volume = quantity. Daily bars,
+  * the trading calendar, adjust factors, fundamentals, and metadata all
+  * derive from that mapping with pure column arithmetic, so the DuckDB
+  * oracle can replay the exact derivation in SQL.
+  *
+  * At cluster scale these views would be materialized parquet tables
+  * partitioned by date (SURVEY.md §4 physical notes); here they are
+  * recomputed per query over the fixture files.
+  */
+final case class MarketViews(spark: SparkSession, dir: String) {
+  private val t = TestData(spark, dir)
+
+  /** PTrade-style symbol from the supplier key: 6-digit code + market
+    * suffix inferred from the first digit (CodeConvert). */
+  private def symbolCol = CodeConvert.inferPtrade(
+    lpad((col("l_suppkey") % 1000000).cast("string"), 6, "0"))
+
+  /** Per-tick base: (symbol, date, seq, px, qty, amt). */
+  def ticks: DataFrame = t.lineitem.select(
+    symbolCol.as("symbol"),
+    to_date(col("l_shipdate")).as("date"),
+    (col("l_orderkey") * 10 + col("l_linenumber")).as("seq"),
+    // raw quotient, deliberately NOT rounded: a pure per-row double op is
+    // bit-identical across engines, while pre-quantizing to 4 decimals puts
+    // values on half-boundaries where engines' rounding modes disagree
+    (col("l_extendedprice") / col("l_quantity")).as("px"),
+    col("l_quantity").as("qty"),
+    col("l_extendedprice").as("amt"))
+
+  /** Daily OHLCV bars via A6 resample (decimal sums for exactness). */
+  def bars: DataFrame = Aggregates.resampleBars(
+      ticks, Seq(col("symbol")), col("date"), col("seq"),
+      col("px"), col("qty").cast("decimal(25,6)"), col("amt").cast("decimal(25,6)"))
+    .select(col("symbol"), col("period").as("date"),
+      col("open"), col("high"), col("low"), col("close"),
+      col("volume").cast("double").as("volume"),
+      col("money").cast("double").as("money"))
+
+  /** Trading calendar = distinct bar dates (S6/K9). */
+  def calendar: DataFrame =
+    ticks.select(col("date").as("trade_date")).distinct()
+
+  /** Synthetic ex-rights events: first trading day of each month per symbol,
+    * ratio = 1 + ((month + day) % 7 - 3) / 100 — strictly positive,
+    * deterministic, replayable in SQL. Factor synthesis = A5 cumulative
+    * product over events (docs/DATA_MAPPING.md:533-575 shape). */
+  def exrightsEvents: DataFrame = {
+    val firstDay = bars.groupBy(col("symbol"), date_trunc("month", col("date")).as("m"))
+      .agg(min(col("date")).as("date"))
+    firstDay.select(col("symbol"), col("date"),
+      (lit(1.0) + (((month(col("date")) + dayofmonth(col("date"))) % 7) - 3).cast("double") / 100.0)
+        .as("ratio"))
+  }
+
+  /** Backward adjust factors: running product of event ratios per symbol
+    * (A5). Uses the exact sequential-fold variant, not exp(sum(log)):
+    * libm exp/log differ across engines at 1 ulp, while a left-fold double
+    * product is bit-identical. Events are monthly per symbol, so the
+    * collected factor list stays tiny. */
+  def adjFactors: DataFrame =
+    Aggregates.cumProductExact(exrightsEvents, Seq(col("symbol")), Seq(col("date")),
+        col("ratio"), "backward_a")
+      .select(col("symbol"), col("date"), col("backward_a"))
+
+  /** Quarterly fundamentals with publication lag: end_date = quarter end,
+    * publ_date = end_date + 45 + (suppkey-derived jitter) days — creates the
+    * out-of-order publications that the as-of join must handle
+    * (SURVEY.md §7.4.1 point-in-time risk). */
+  def fundamentals: DataFrame = {
+    val q = ticks.groupBy(col("symbol"),
+        to_date(date_trunc("quarter", col("date"))).as("q_start"))
+      .agg(sum(col("amt").cast("decimal(25,6)")).cast("decimal(25,6)").cast("double").as("revenue"),
+        count(lit(1)).as("n_trades"))
+    q.select(col("symbol"),
+      date_add(add_months(col("q_start"), 3), -1).as("end_date"),
+      date_add(add_months(col("q_start"), 3),
+        lit(44) + pmod(substring(col("symbol"), 1, 6).cast("int"), lit(30))).as("publ_date"),
+      col("revenue"),
+      round(col("revenue") / (col("n_trades") * 1000.0), 6).as("roe"))
+  }
+
+  /** Static metadata: listing span = first/last trading day (K5 dim). */
+  def stockMetadata: DataFrame =
+    bars.groupBy(col("symbol")).agg(
+      min(col("date")).as("listed_date"),
+      max(col("date")).as("de_listed_date"))
+      .select(col("symbol"),
+        concat(lit("SEC-"), col("symbol")).as("stock_name"),
+        col("listed_date"), col("de_listed_date"))
+}

@@ -27,4 +27,15 @@ object Coerce {
   /** Midnight truncation — pandas `.normalize()` (data_converter.py:92-93);
     * the true grain of the reference is the date. */
   def normalize(ts: Column): Column = to_date(ts)
+
+  /** Engine-portable half-up rounding for non-negative values:
+    * floor(x·10^s + 0.5)/10^s. Unlike `round`, every step is an exact IEEE
+    * op on identical inputs, so two engines can never disagree on boundary
+    * values (Spark rounds the decimal expansion of the double, DuckDB the
+    * scaled double — they differ exactly on the .xx5 lattice that financial
+    * prices live on). */
+  def roundHalfUp(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * p + 0.5) / p
+  }
 }

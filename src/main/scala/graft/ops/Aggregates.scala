@@ -40,6 +40,20 @@ object Aggregates {
     df.withColumn(as, exp(sum(log(factor)).over(w)))
   }
 
+  /** A5 exact variant — cumulative product as a sequential left fold over
+    * the ordered factor prefix (`aggregate(collect_list(...) over w)`).
+    * Bit-deterministic (same multiply sequence on any engine), at the cost
+    * of materializing the per-key prefix — use only when the number of
+    * events per key is small (e.g. monthly ex-rights events); the log-sum
+    * form above is the scalable default. */
+  def cumProductExact(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                      factor: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(as,
+      aggregate(collect_list(factor).over(w), lit(1.0), (acc, x) => acc * x))
+  }
+
   /** A1 — distinct-union accumulation: union of key scans → sorted distinct
     * pool (download_efficient.py:252-273). */
   def distinctUnion(frames: Seq[DataFrame]): DataFrame =
