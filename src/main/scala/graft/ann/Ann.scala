@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** dot(a, b) with double widening and sequential accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) as a sequential left fold over builtin higher-order
+    * functions — the reference semantics (any element type). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** dot(a, b) via the native codegen'd [[graft.functions.VecDotFloat]]
+    * expression — bit-identical to [[dotFold]] on `array<float>` input
+    * (same accumulation order), ~no per-row allocation. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

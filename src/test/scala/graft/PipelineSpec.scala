@@ -44,6 +44,13 @@ class PipelineSpec extends SparkSpec {
     assert(ranks.forall(_.getSeq[Int](1).toSet == Set(1, 2, 3, 4, 5)))
   }
 
+  test("native VecDotFloat is bit-identical to the higher-order-function fold") {
+    val pairs = embs.as("a").crossJoin(embs.as("b").limit(5))
+      .select(Ann.dot(col("a.embedding"), col("b.embedding")).as("fast"),
+        Ann.dotFold(col("a.embedding"), col("b.embedding")).as("fold"))
+    assert(pairs.filter(col("fast") =!= col("fold")).count() == 0)
+  }
+
   test("lshTopK returns verified-cosine neighbors from the query's bucket") {
     val out = Ann.lshTopK(embs, embs.limit(20), "vec_id", "embedding", 3, dims = 64, bits = 6)
     // bucketed search may miss, but whatever it returns must be well-formed
