@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import graft.{Sessions, SparkEntry}
+
+/** Plan / timing audit: prints the formatted physical plan and wall time of
+  * one or more SparkEntry queries, so pushdown (`PushedFilters`,
+  * `ReadSchema`) and WholeStageCodegen spans can be inspected per query.
+  *
+  * Usage: runMain graft.tools.PlanAudit <sfDir> <query...|all> [--plan]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val showPlan = args.contains("--plan")
+    val names = args.drop(1).filterNot(_ == "--plan") match {
+      case Array() | Array("all") => SparkEntry.queries.keys.toSeq.sorted
+      case qs => qs.toSeq
+    }
+    val spark = Sessions.local(appName = "graft-plan-audit")
+    names.foreach { name =>
+      val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+      if (showPlan) {
+        println(s"=== $name: physical plan ===")
+        df.explain("formatted")
+      }
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"=== $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
+
+/** Stage-level breakdown of the MinHash LSH pipeline (perf investigation). */
+object MinHashProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.local(appName = "graft-minhash-probe")
+    val docs = graft.sources.TestData(spark, sfDir).documents
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"--- $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    import org.apache.spark.sql.functions._
+    val sh = graft.dedup.Dedup.wordShingles(docs, "doc_id", "text", 3).persist()
+    time("shingles count")(sh.count())
+    val sigs = graft.dedup.Dedup.minHashSignatures(sh, 16)
+    time("signatures")(sigs.count())
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"sig_$i")): _*).as("bucket"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = buckets.groupBy("band", "bucket")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 100))
+      .select(explode(flatten(transform(array_sort(col("ds")), (x, i) =>
+        transform(slice(array_sort(col("ds")), i + 2, size(col("ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct().persist()
+    time("cands")(cands.count())
+    time("verify")(graft.dedup.Dedup.verifyJaccard(cands, sh, 0.5).count())
+    time("full minHashLsh")(
+      graft.dedup.Dedup.minHashLsh(docs, "doc_id", "text", 3, 4, 4, 0.5, 100).count())
+    spark.stop()
+  }
+}
