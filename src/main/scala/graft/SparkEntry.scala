@@ -363,6 +363,21 @@ object SparkEntry {
     // get_stock_status: HALT/DELISTING flags at a date (F5 + J3).
     "api_stock_status" -> ((s, dir) => api(s, dir).getStockStatus("1997-03-03")),
 
+    // get_fundamentals table=valuation (daily valuation series).
+    "api_valuation" -> ((s, dir) =>
+      api(s, dir).getValuation(syms3, "1996-01-01", "1996-12-31")),
+
+    // get_Ashares: tradable universe at a date (F1).
+    "api_ashares" -> ((s, dir) => api(s, dir).getAshares("1997-03-03")),
+
+    // get_index_stocks: constituents at latest sample ≤ query date (S7).
+    "api_index_stocks" -> ((s, dir) =>
+      api(s, dir).getIndexStocks("000300.SS", "1998-06-30")),
+
+    // get_stock_exrights: serving-edge int dates (C2 edge rule).
+    "api_exrights" -> ((s, dir) =>
+      api(s, dir).getExrights(Seq("000001.SZ", "000002.SZ"))),
+
     // PTrade derived fields: preclose / price limits (lag window).
     "api_derived_fields" -> ((s, dir) => {
       val v = MarketViews(s, dir)
@@ -477,6 +492,44 @@ object SparkEntry {
                  (a.symbol IS NULL AND DATE '1997-03-03' <= m.de_listed_date) AS is_halt,
                  (DATE '1997-03-03' > m.de_listed_date) AS is_delisted
           FROM meta m LEFT JOIN active a USING (symbol)""",
+
+    "api_valuation" ->
+      s"""$MKT SELECT symbol, date,
+                 close * volume / money AS pe_ttm,
+                 close / open AS pb,
+                 money / volume AS ps_ttm,
+                 high / low AS pcf,
+                 volume / 1000000.0 AS turnover_rate,
+                 CAST(NULL AS DOUBLE) AS total_shares,
+                 CAST(NULL AS DOUBLE) AS total_value,
+                 CAST(NULL AS DOUBLE) AS float_value
+          FROM bars
+          WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')
+            AND date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""",
+
+    "api_ashares" ->
+      s"""$MKT SELECT symbol, 'SEC-' || symbol AS stock_name FROM meta
+          WHERE DATE '1997-03-03' BETWEEN listed_date AND de_listed_date""",
+
+    "api_index_stocks" ->
+      s"""$MKT, smp AS (SELECT MIN(trade_date) AS sample_date FROM cal
+                        GROUP BY date_part('year', trade_date)),
+          ic AS (SELECT s.sample_date,
+                   CASE CAST(substr(m.symbol,1,6) AS INT) % 3
+                     WHEN 0 THEN '000300.SS' WHEN 1 THEN '000905.SS'
+                     ELSE '000016.SS' END AS index_code,
+                   m.symbol
+                 FROM smp s CROSS JOIN meta m
+                 WHERE s.sample_date BETWEEN m.listed_date AND m.de_listed_date),
+          pick AS (SELECT MAX(sample_date) AS sample_date FROM ic
+                   WHERE index_code = '000300.SS' AND sample_date <= DATE '1998-06-30')
+          SELECT symbol FROM ic JOIN pick USING (sample_date)
+          WHERE index_code = '000300.SS'""",
+
+    "api_exrights" ->
+      s"""$MKT SELECT symbol,
+                 CAST(strftime(date, '%Y%m%d') AS INT) AS date_int, ratio
+          FROM fr WHERE symbol IN ('000001.SZ','000002.SZ')""",
 
     "api_derived_fields" ->
       s"""$MKT SELECT symbol, date, close, preclose,

@@ -90,6 +90,39 @@ final case class PTradeApi(views: MarketViews) {
   def getTradeDays(start: String, end: String): DataFrame =
     views.calendar.filter(col("trade_date").between(lit(start), lit(end)))
 
+  /** get_Ashares (F1): the tradable universe at a date — listed on or
+    * before, not yet de-listed. */
+  def getAshares(date: String): DataFrame =
+    views.stockMetadata
+      .filter(lit(date).cast("date").between(col("listed_date"), col("de_listed_date")))
+      .select("symbol", "stock_name")
+
+  /** get_index_stocks (S7): constituents of one index at the latest sample
+    * date at or before the query date. */
+  def getIndexStocks(indexCode: String, date: String): DataFrame = {
+    val ic = views.indexConstituents.filter(col("index_code") === indexCode)
+    val latest = ic.filter(col("sample_date") <= lit(date))
+      .agg(max(col("sample_date")).as("sample_date"))
+    ic.join(broadcast(latest), "sample_date").select("symbol")
+  }
+
+  /** get_stock_info (K5 dim projection). */
+  def getStockInfo(securities: Seq[String]): DataFrame =
+    views.stockMetadata.filter(col("symbol").isin(securities: _*))
+
+  /** get_stock_exrights: event table with PTrade's int YYYYMMDD dates at the
+    * serving edge only (data_converter.py:353-356 semantics). */
+  def getExrights(securities: Seq[String]): DataFrame =
+    views.exrightsEvents.filter(col("symbol").isin(securities: _*))
+      .select(col("symbol"),
+        graft.functions.Coerce.dateToInt(col("date")).as("date_int"),
+        col("ratio"))
+
+  /** get_fundamentals table=valuation (daily mode, ptrade_data_api.py:463-482). */
+  def getValuation(securities: Seq[String], start: String, end: String): DataFrame =
+    views.valuation.filter(col("symbol").isin(securities: _*))
+      .filter(col("date").between(lit(start), lit(end)))
+
   /** PTrade derived fields (PTrade_API_mini_Reference.md:1809-1812):
     * preclose = lag(close); ±10% price limits off preclose. */
   def withDerivedFields(bars: DataFrame): DataFrame = {

@@ -91,6 +91,36 @@ final case class MarketViews(spark: SparkSession, dir: String) {
       round(col("revenue") / (col("n_trades") * 1000.0), 6).as("roe"))
   }
 
+  /** Daily valuation series (Schemas.valuation): deterministic ratios off
+    * the bars; total_shares/total_value/float_value stay null exactly like
+    * the reference's TODO columns (data_converter.py:167-170). */
+  def valuation: DataFrame = bars.select(
+    col("symbol"), col("date"),
+    (col("close") * col("volume") / col("money")).as("pe_ttm"),
+    (col("close") / col("open")).as("pb"),
+    (col("money") / col("volume")).as("ps_ttm"),
+    (col("high") / col("low")).as("pcf"),
+    (col("volume") / 1000000.0).as("turnover_rate"),
+    lit(null).cast("double").as("total_shares"),
+    lit(null).cast("double").as("total_value"),
+    lit(null).cast("double").as("float_value"))
+
+  /** Index constituents (S7): membership sampled at year starts, index
+    * assignment by code arithmetic (000300 = code%3==0, 000905 = code%3==1). */
+  def indexConstituents: DataFrame = {
+    val samples = calendar.groupBy(year(col("trade_date")).as("y"))
+      .agg(min(col("trade_date")).as("sample_date"))
+    val members = stockMetadata.select(col("symbol"),
+      (substring(col("symbol"), 1, 6).cast("int") % 3).as("m"),
+      col("listed_date"), col("de_listed_date"))
+    samples.crossJoin(members)
+      .filter(col("sample_date").between(col("listed_date"), col("de_listed_date")))
+      .select(col("sample_date"),
+        when(col("m") === 0, lit("000300.SS")).when(col("m") === 1, lit("000905.SS"))
+          .otherwise(lit("000016.SS")).as("index_code"),
+        col("symbol"))
+  }
+
   /** Static metadata: listing span = first/last trading day (K5 dim). */
   def stockMetadata: DataFrame =
     bars.groupBy(col("symbol")).agg(

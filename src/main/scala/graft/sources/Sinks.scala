@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+
+/** Sink layer (SURVEY.md §2.1 K1–K12, re-expressed for Spark).
+  *
+  * The reference writes one HDF5 group per symbol (h5_writer.py) because
+  * PyTables has no partition pruning; the Spark-native layout is ONE table
+  * per dataset, parquet, partitioned by a date-derived column — date-range
+  * predicates prune partitions, and `sortWithinPartitions(symbol, date)`
+  * gives run-length locality for per-symbol scans (SURVEY.md §4 physical
+  * notes). Per-symbol files would be catastrophic at 100 TB (5e3–5e6 tiny
+  * files per day); partition-by-date + bucket-by-symbol is the layout that
+  * scales.
+  */
+object Sinks {
+
+  /** K1/K7/K8-style sink: write a long table partitioned by month of `date`,
+    * sorted within partitions for symbol locality. */
+  def writePartitioned(df: DataFrame, path: String,
+                       dateCol: String = "date", mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("p_month", date_format(col(dateCol), "yyyy-MM"))
+      .repartition(col("p_month"))
+      .sortWithinPartitions("symbol", dateCol)
+      .write.mode(mode)
+      .partitionBy("p_month")
+      .parquet(path)
+
+  /** K5-style dimension sink (small, unpartitioned, typed). */
+  def writeDim(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** K11 catalog probe: symbols already present in a sink
+    * (h5_writer.py:466-509 `get_existing_stocks`). Column-pruned scan —
+    * only the `symbol` column is read. */
+  def existingSymbols(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("symbol").distinct()
+
+  /** K12 integrity check: path readable, schema contains the expected
+    * columns, row count positive (check_file_integrity analogue). */
+  def checkIntegrity(spark: SparkSession, path: String, requiredCols: Seq[String]): Boolean =
+    try {
+      val df = spark.read.parquet(path)
+      requiredCols.forall(df.columns.contains) && df.limit(1).count() == 1
+    } catch { case _: Throwable => false }
+
+  /** J4-backed incremental refresh: merge `fresh` rows into the table at
+    * `path` (last-wins on key), rewriting only the partitions that received
+    * fresh data — the offline stand-in for Delta MERGE
+    * (SURVEY.md §7.4.5). */
+  def upsertPartitioned(spark: SparkSession, path: String, fresh: DataFrame,
+                        keys: Seq[String], dateCol: String = "date"): Unit = {
+    val touched = fresh.select(date_format(col(dateCol), "yyyy-MM").as("p_month"))
+      .distinct().collect().map(_.getString(0))
+    val existing = spark.read.parquet(path)
+      .filter(date_format(col(dateCol), "yyyy-MM").isin(touched.toSeq: _*))
+      .drop("p_month")
+    val merged = Joins.upsert(
+      existing.withColumn("__batch", lit(0)),
+      fresh.select(existing.columns.map(col): _*).withColumn("__batch", lit(1)),
+      keys, Seq(col("__batch"))).drop("__batch")
+    merged.withColumn("p_month", date_format(col(dateCol), "yyyy-MM"))
+      .repartition(col("p_month"))
+      .sortWithinPartitions("symbol", dateCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_month")
+      .parquet(path)
+  }
+}
