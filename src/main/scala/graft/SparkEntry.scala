@@ -300,6 +300,12 @@ object SparkEntry {
       Dedup.ngramJaccard(TestData(s, dir).documents, "doc_id", "text",
         n = 3, threshold = 0.5, maxDF = 100)),
 
+    // Near-dup clusters: connected components (min-label fixpoint) over the
+    // exact-Jaccard pair graph.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.resolveClusters(
+        Dedup.ngramJaccard(TestData(s, dir).documents, "doc_id", "text", 3, 0.5, 100))),
+
     // MinHash+LSH near-dup pairs (engine-hash based → rows-only check;
     // recall vs exact Jaccard is asserted in DedupSpec).
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -347,6 +353,23 @@ object SparkEntry {
     "api_adjusted_price" -> ((s, dir) =>
       api(s, dir).getPrice(Seq("000001.SZ", "000002.SZ"), "1995-01-01", "1998-12-31",
         Seq("close"), fq = "post")),
+
+    // get_price, fq=pre: backward factor normalized by the latest factor
+    // (most recent bar keeps its raw price).
+    "api_pre_adjusted" -> ((s, dir) =>
+      api(s, dir).getPrice(Seq("000001.SZ", "000002.SZ"), "1995-01-01", "1998-12-31",
+        Seq("close"), fq = "pre")),
+
+    // A4 on the financial domain: rolling 4-quarter (TTM) revenue.
+    "api_revenue_ttm" -> ((s, dir) => {
+      val f = MarketViews(s, dir).fundamentals
+        .filter(col("symbol").isin(syms3: _*))
+      graft.ops.Windows.rollingSum(
+          f.withColumn("rev_d", col("revenue").cast("decimal(25,6)")),
+          Seq(col("symbol")), Seq(col("end_date")), col("rev_d"), 4, "revenue_ttm")
+        .select(col("symbol"), col("end_date"), col("revenue"),
+          col("revenue_ttm").cast("decimal(25,6)").cast("double").as("revenue_ttm"))
+    }),
 
     // get_history: calendar-spine suspension fill (W2) + last-N (W1).
     "api_history_ffill" -> ((s, dir) =>
@@ -458,6 +481,26 @@ object SparkEntry {
                 FROM sel s ASOF LEFT JOIN adj a
                   ON s.symbol = a.symbol AND s.date >= a.date)
           SELECT symbol, date, close * COALESCE(backward_a, 1.0) AS close FROM j""",
+
+    "api_pre_adjusted" ->
+      s"""$MKT, sel AS (SELECT symbol, date, close FROM bars
+                        WHERE symbol IN ('000001.SZ','000002.SZ')
+                          AND date BETWEEN DATE '1995-01-01' AND DATE '1998-12-31'),
+          j AS (SELECT s.symbol, s.date, s.close,
+                  COALESCE(a.backward_a, 1.0) AS f0
+                FROM sel s ASOF LEFT JOIN adj a
+                  ON s.symbol = a.symbol AND s.date >= a.date)
+          SELECT symbol, date,
+                 close * (f0 / LAST_VALUE(f0) OVER (PARTITION BY symbol ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS close
+          FROM j""",
+
+    "api_revenue_ttm" ->
+      s"""$MKT SELECT symbol, end_date, revenue,
+                 CAST(CAST(SUM(CAST(revenue AS DECIMAL(25,6))) OVER (
+                   PARTITION BY symbol ORDER BY end_date
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(25,6)) AS DOUBLE) AS revenue_ttm
+          FROM fund WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')""",
 
     "api_history_ffill" ->
       s"""$MKT, spine AS (SELECT m.symbol, c.trade_date AS date
@@ -784,6 +827,34 @@ object SparkEntry {
                   ROUND(CAST(inter AS DOUBLE) / CAST(sa.c + sb.c - inter AS DOUBLE), 6) AS jaccard
            FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
          WHERE jaccard >= 0.5""",
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM w, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3),
+         sz AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY doc_id),
+         rare AS (SELECT g.* FROM g JOIN (
+                    SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM g GROUP BY sh)
+                    WHERE df BETWEEN 2 AND 100) d USING (sh)),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+               FROM rare a JOIN rare b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM (
+                     SELECT doc_a, doc_b,
+                       ROUND(CAST(inter AS DOUBLE) / CAST(sa.c + sb.c - inter AS DOUBLE), 6) AS jaccard
+                     FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+                   WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         walk(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT w2.src, e.dst FROM walk w2 JOIN edges e ON w2.dst = e.src
+           WHERE w2.src <> e.dst)
+         SELECT n.doc_id, LEAST(n.doc_id, MIN(t.dst)) AS label
+         FROM (SELECT DISTINCT src AS doc_id FROM edges) n
+         JOIN walk t ON t.src = n.doc_id
+         GROUP BY n.doc_id""",
 
     "emb_near_dup" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

@@ -25,11 +25,16 @@ final case class PTradeApi(views: MarketViews) {
       .filter(col("date").between(lit(start), lit(end)))
     val adjusted = fq match {
       case "none" => base
-      case "post" =>
-        // post-adjustment: price × backward factor as of the bar date
+      case "post" | "pre" =>
+        // post: price × backward factor as of the bar date;
+        // pre: additionally normalized by the symbol's LATEST factor so the
+        // most recent bar keeps its raw price (PTrade 前复权 semantics).
         val withF = Joins.asOf(base, views.adjFactors.withColumnRenamed("date", "fdate"),
           Seq("symbol"), "date", "fdate", Seq("backward_a"))
-        val f = coalesce(col("backward_a"), lit(1.0))
+        val f0 = coalesce(col("backward_a"), lit(1.0))
+        val wAll = Window.partitionBy(col("symbol")).orderBy(col("date"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val f = if (fq == "post") f0 else f0 / last(f0).over(wAll)
         withF.select(
           (Seq(col("symbol"), col("date")) ++
             Seq("open", "high", "low", "close").map(c => (col(c) * f).as(c)) ++

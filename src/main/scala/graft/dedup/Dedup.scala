@@ -138,6 +138,47 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Resolve near-dup pairs into clusters: iterative min-label propagation
+    * until fixpoint. Each doc's label converges to the minimum doc_id of its
+    * connected component in O(component diameter) rounds — near-dup
+    * components are shallow (pairs come from shared shingles, so they are
+    * clique-ish), so this terminates in a handful of two-shuffle rounds with
+    * no driver-side graph state. Returns (doc_id, label) for every doc that
+    * appears in a pair; label = the component's canonical (minimum) id.
+    */
+  def resolveClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Full dedup: drop every non-canonical member of each near-dup cluster.
+    * Docs not involved in any pair are kept untouched. */
+  def keepCanonical(docs: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val drop = resolveClusters(pairs)
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id").as(id))
+    docs.join(drop, Seq(id), "left_anti")
+  }
+
   /** 32-bit SimHash per document: bit i is the sign of the weighted sum of
     * word-hash bits. One explode + one groupBy with 32 conditional sums —
     * fully distributed, no per-doc loops. */

@@ -35,6 +35,18 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("resolveClusters propagates the min label across a chain; keepCanonical drops the rest") {
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (100L, 200L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(10L) == 10L && labels(20L) == 10L && labels(30L) == 10L && labels(40L) == 10L)
+    assert(labels(100L) == 100L && labels(200L) == 100L)
+    val docs = Seq(10L, 20L, 30L, 40L, 100L, 200L, 999L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs).as[Long].collect().toSet
+    assert(kept == Set(10L, 100L, 999L))
+  }
+
   test("cosine of a vector with itself is 1; ANN ranks are 1..k") {
     val self = embs.limit(1).select(round(Ann.cosine(col("embedding"), col("embedding")), 9))
       .as[Double].head()
