@@ -371,6 +371,10 @@ object SparkEntry {
           col("revenue_ttm").cast("decimal(25,6)").cast("double").as("revenue_ttm"))
     }),
 
+    // get_price count mode: last N bars per security (count XOR start rule).
+    "api_price_count" -> ((s, dir) =>
+      api(s, dir).getPriceCount(syms3, 5, "1997-06-30")),
+
     // get_history: calendar-spine suspension fill (W2) + last-N (W1).
     "api_history_ffill" -> ((s, dir) =>
       api(s, dir).getHistory(30, syms3, "1997-06-30")),
@@ -501,6 +505,15 @@ object SparkEntry {
                    PARTITION BY symbol ORDER BY end_date
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(25,6)) AS DOUBLE) AS revenue_ttm
           FROM fund WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')""",
+
+    "api_price_count" ->
+      s"""$MKT SELECT symbol, date, close, volume FROM (
+            SELECT symbol, date, close, volume,
+                   ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date DESC) AS rn
+            FROM bars
+            WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')
+              AND date <= DATE '1997-06-30')
+          WHERE rn <= 5""",
 
     "api_history_ffill" ->
       s"""$MKT, spine AS (SELECT m.symbol, c.trade_date AS date

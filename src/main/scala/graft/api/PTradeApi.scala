@@ -136,7 +136,24 @@ final case class PTradeApi(views: MarketViews) {
       .withColumn("low_limit", graft.functions.Coerce.roundHalfUp(col("preclose") * 0.9, 2))
   }
 
+  /** get_price count mode (PTrade_API_mini_Reference.md:1973: `count` XOR
+    * `start_date`): the last `count` bars at or before `end` per security. */
+  def getPriceCount(securities: Seq[String], count: Int, end: String,
+                    fields: Seq[String] = Seq("close", "volume")): DataFrame = {
+    val base = views.bars
+      .filter(col("symbol").isin(securities: _*))
+      .filter(col("date") <= lit(end))
+    Projections.projectExisting(
+      Windows.lastNPerKey(base, Seq(col("symbol")), Seq(col("date")), count),
+      Seq("symbol", "date") ++ fields)
+  }
+
   /** §1.3 matrix edge shape: long → date × security matrix for one field. */
   def toMatrix(long: DataFrame, field: String, securities: Seq[String]): DataFrame =
     long.groupBy("date").pivot("symbol", securities).agg(first(col(field)))
+
+  /** §1.3 Panel edge shape (list securities × many fields): one matrix per
+    * field, keyed by field name — produced only at the edge. */
+  def toPanel(long: DataFrame, fields: Seq[String], securities: Seq[String]): Map[String, DataFrame] =
+    fields.map(f => f -> toMatrix(long, f, securities)).toMap
 }
