@@ -405,6 +405,16 @@ object SparkEntry {
     "api_exrights" -> ((s, dir) =>
       api(s, dir).getExrights(Seq("000001.SZ", "000002.SZ"))),
 
+    // Technical indicators: EMA / MACD / RSI as bounded-fold window programs.
+    "api_indicators" -> ((s, dir) => {
+      val b = MarketViews(s, dir).bars.filter(col("symbol").isin(syms3: _*))
+      val keys = Seq(col("symbol")); val ord = Seq(col("date"))
+      val withM = graft.functions.Indicators.withMacd(b, keys, ord, col("close"))
+      graft.functions.Indicators.withRsi(withM, keys, ord, col("close"), 14, "rsi")
+        .withColumn("ema12", graft.functions.Indicators.emaCol(keys, ord, col("close"), 12))
+        .select("symbol", "date", "close", "ema12", "macd", "macd_signal", "rsi")
+    }),
+
     // PTrade derived fields: preclose / price limits (lag window).
     "api_derived_fields" -> ((s, dir) => {
       val v = MarketViews(s, dir)
@@ -586,6 +596,42 @@ object SparkEntry {
       s"""$MKT SELECT symbol,
                  CAST(strftime(date, '%Y%m%d') AS INT) AS date_int, ratio
           FROM fr WHERE symbol IN ('000001.SZ','000002.SZ')""",
+
+    "api_indicators" ->
+      s"""$MKT, sel AS (SELECT symbol, date, close FROM bars
+                        WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')),
+          e AS (SELECT symbol, date, close,
+                  list_reduce(list(close) OVER wk,
+                    (acc, v) -> v * (2.0/13.0) + acc * (1.0 - 2.0/13.0)) AS ema12,
+                  list_reduce(list(close) OVER wk,
+                    (acc, v) -> v * (2.0/13.0) + acc * (1.0 - 2.0/13.0))
+                  - list_reduce(list(close) OVER wk,
+                    (acc, v) -> v * (2.0/27.0) + acc * (1.0 - 2.0/27.0)) AS macd
+                FROM sel
+                WINDOW wk AS (PARTITION BY symbol ORDER BY date
+                              ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)),
+          m AS (SELECT *,
+                  list_reduce(list(macd) OVER wk2,
+                    (acc, v) -> v * (2.0/10.0) + acc * (1.0 - 2.0/10.0)) AS macd_signal
+                FROM e
+                WINDOW wk2 AS (PARTITION BY symbol ORDER BY date
+                               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)),
+          d AS (SELECT *, close - LAG(close) OVER (PARTITION BY symbol ORDER BY date) AS diff
+                FROM m),
+          g AS (SELECT *,
+                  CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gain,
+                  CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS loss
+                FROM d),
+          s AS (SELECT *,
+                  CAST(CAST(SUM(CAST(gain AS DECIMAL(25,6))) OVER w14 AS DECIMAL(25,6)) AS DOUBLE) AS sg,
+                  CAST(CAST(SUM(CAST(loss AS DECIMAL(25,6))) OVER w14 AS DECIMAL(25,6)) AS DOUBLE) AS sl
+                FROM g
+                WINDOW w14 AS (PARTITION BY symbol ORDER BY date
+                               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT symbol, date, close, ema12, macd, macd_signal,
+                 CASE WHEN sl = 0.0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + sg / sl) END AS rsi
+          FROM s""",
 
     "api_derived_fields" ->
       s"""$MKT SELECT symbol, date, close, preclose,
