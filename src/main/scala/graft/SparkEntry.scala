@@ -440,8 +440,8 @@ object SparkEntry {
                 l_quantity AS qty, l_extendedprice AS amt
          FROM (SELECT *, lpad(CAST(l_suppkey % 1000000 AS VARCHAR), 6, '0') AS bare FROM lineitem)),
        br AS (SELECT *,
-                ROW_NUMBER() OVER (PARTITION BY symbol, date ORDER BY seq) AS ra,
-                ROW_NUMBER() OVER (PARTITION BY symbol, date ORDER BY seq DESC) AS rd
+                ROW_NUMBER() OVER (PARTITION BY symbol, date ORDER BY seq, px) AS ra,
+                ROW_NUMBER() OVER (PARTITION BY symbol, date ORDER BY seq DESC, px DESC) AS rd
               FROM ticks),
        bars AS (SELECT symbol, date,
                   MAX(CASE WHEN ra=1 THEN px END) AS open, MAX(px) AS high, MIN(px) AS low,
@@ -472,7 +472,7 @@ object SparkEntry {
                   CAST(q_start + INTERVAL '3 months' AS DATE)
                     + (44 + CAST(substr(symbol,1,6) AS INT) % 30) AS publ_date,
                   revenue,
-                  ROUND(revenue / (n * 1000.0), 6) AS roe
+                  floor(revenue / (n * 1000.0) * 1000000 + 0.5) / 1000000 AS roe
                 FROM fqr)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -623,8 +623,8 @@ object SparkEntry {
                   CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS loss
                 FROM d),
           s AS (SELECT *,
-                  CAST(CAST(SUM(CAST(gain AS DECIMAL(25,6))) OVER w14 AS DECIMAL(25,6)) AS DOUBLE) AS sg,
-                  CAST(CAST(SUM(CAST(loss AS DECIMAL(25,6))) OVER w14 AS DECIMAL(25,6)) AS DOUBLE) AS sl
+                  list_reduce([CAST(0.0 AS DOUBLE)] || list(gain) OVER w14, (a, v) -> a + v) AS sg,
+                  list_reduce([CAST(0.0 AS DOUBLE)] || list(loss) OVER w14, (a, v) -> a + v) AS sl
                 FROM g
                 WINDOW w14 AS (PARTITION BY symbol ORDER BY date
                                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))

@@ -39,9 +39,12 @@ final case class MarketViews(spark: SparkSession, dir: String) {
     col("l_quantity").as("qty"),
     col("l_extendedprice").as("amt"))
 
-  /** Daily OHLCV bars via A6 resample (decimal sums for exactness). */
+  /** Daily OHLCV bars via A6 resample (decimal sums for exactness).
+    * Open/close order by (seq, px): the fixtures contain duplicate
+    * (orderkey, linenumber) rows, so seq alone can tie — px breaks the tie
+    * deterministically (and identical (seq, px) rows are interchangeable). */
   def bars: DataFrame = Aggregates.resampleBars(
-      ticks, Seq(col("symbol")), col("date"), col("seq"),
+      ticks, Seq(col("symbol")), col("date"), struct(col("seq"), col("px")),
       col("px"), col("qty").cast("decimal(25,6)"), col("amt").cast("decimal(25,6)"))
     .select(col("symbol"), col("period").as("date"),
       col("open"), col("high"), col("low"), col("close"),
@@ -88,7 +91,7 @@ final case class MarketViews(spark: SparkSession, dir: String) {
       date_add(add_months(col("q_start"), 3),
         lit(44) + pmod(substring(col("symbol"), 1, 6).cast("int"), lit(30))).as("publ_date"),
       col("revenue"),
-      round(col("revenue") / (col("n_trades") * 1000.0), 6).as("roe"))
+      graft.functions.Coerce.roundHalfUp(col("revenue") / (col("n_trades") * 1000.0), 6).as("roe"))
   }
 
   /** Daily valuation series (Schemas.valuation): deterministic ratios off

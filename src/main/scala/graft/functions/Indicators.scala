@@ -53,8 +53,12 @@ object Indicators {
     val diff = value - lag(value, 1).over(wLag)
     val gain = when(diff > 0, diff).otherwise(lit(0.0))
     val loss = when(diff < 0, -diff).otherwise(lit(0.0))
-    val sumG = sum(gain.cast("decimal(25,6)")).over(w).cast("decimal(25,6)").cast("double")
-    val sumL = sum(loss.cast("decimal(25,6)")).over(w).cast("decimal(25,6)").cast("double")
+    // sequential fold, not decimal-cast window sum: the frame order is
+    // deterministic, so a left fold is engine-exact WITHOUT quantizing the
+    // full-entropy gains onto the decimal lattice (where cast-rounding can
+    // disagree across engines)
+    val sumG = aggregate(collect_list(gain).over(w), lit(0.0), (a, v) => a + v)
+    val sumL = aggregate(collect_list(loss).over(w), lit(0.0), (a, v) => a + v)
     df.withColumn(as,
       when(sumG.isNull || sumL.isNull, lit(null))
         .when(sumL === 0.0, lit(100.0))
