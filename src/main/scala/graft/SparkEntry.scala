@@ -371,6 +371,10 @@ object SparkEntry {
           col("revenue_ttm").cast("decimal(25,6)").cast("double").as("revenue_ttm"))
     }),
 
+    // A6 monthly bar synthesis off daily bars (multi-frequency resample).
+    "api_monthly_bars" -> ((s, dir) =>
+      api(s, dir).resampleBars(syms3, "month")),
+
     // get_price count mode: last N bars per security (count XOR start rule).
     "api_price_count" -> ((s, dir) =>
       api(s, dir).getPriceCount(syms3, 5, "1997-06-30")),
@@ -515,6 +519,24 @@ object SparkEntry {
                    PARTITION BY symbol ORDER BY end_date
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(25,6)) AS DOUBLE) AS revenue_ttm
           FROM fund WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')""",
+
+    "api_monthly_bars" ->
+      s"""$MKT, sel AS (SELECT * FROM bars
+                        WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')),
+          mb AS (SELECT *, CAST(date_trunc('month', date) AS DATE) AS period,
+                   ROW_NUMBER() OVER (PARTITION BY symbol, date_trunc('month', date)
+                     ORDER BY date) AS ra,
+                   ROW_NUMBER() OVER (PARTITION BY symbol, date_trunc('month', date)
+                     ORDER BY date DESC) AS rd
+                 FROM sel)
+          SELECT symbol, period,
+                 MAX(CASE WHEN ra = 1 THEN close END) AS open,
+                 MAX(close) AS high, MIN(close) AS low,
+                 MAX(CASE WHEN rd = 1 THEN close END) AS close,
+                 CAST(CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS volume,
+                 CAST(CAST(SUM(CAST(money AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS money,
+                 COUNT(*) AS n_rows
+          FROM mb GROUP BY symbol, period""",
 
     "api_price_count" ->
       s"""$MKT SELECT symbol, date, close, volume FROM (

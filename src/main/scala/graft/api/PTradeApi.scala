@@ -19,7 +19,10 @@ final case class PTradeApi(views: MarketViews) {
     * `fq != none` (J2 + A5-synthesized factors). */
   def getPrice(securities: Seq[String], start: String, end: String,
                fields: Seq[String] = Seq("open", "high", "low", "close", "volume", "money"),
-               fq: String = "none"): DataFrame = {
+               fq: String = "none", frequency: String = "1d"): DataFrame = {
+    // the reference accepts only daily frequency here (ptrade_data_api.py:58-62);
+    // coarser frequencies go through resampleBars
+    require(frequency == "1d", s"get_price supports only frequency=1d, got $frequency")
     val base = views.bars
       .filter(col("symbol").isin(securities: _*))
       .filter(col("date").between(lit(start), lit(end)))
@@ -134,6 +137,23 @@ final case class PTradeApi(views: MarketViews) {
     val w = Windows.withLag(bars, Seq(col("symbol")), Seq(col("date")), col("close"), "preclose")
     w.withColumn("high_limit", graft.functions.Coerce.roundHalfUp(col("preclose") * 1.1, 2))
       .withColumn("low_limit", graft.functions.Coerce.roundHalfUp(col("preclose") * 0.9, 2))
+  }
+
+  /** A6 multi-frequency bar resample: daily bars → weekly/monthly/quarterly/
+    * yearly bars ("由日线数据进行合成", PTrade_API_mini_Reference.md:1983).
+    * `freq` ∈ {week, month, quarter, year}. */
+  def resampleBars(securities: Seq[String], freq: String): DataFrame = {
+    require(Set("week", "month", "quarter", "year").contains(freq),
+      s"unsupported frequency: $freq")
+    val b = views.bars.filter(col("symbol").isin(securities: _*))
+    graft.ops.Aggregates.resampleBars(
+        b, Seq(col("symbol")), to_date(date_trunc(freq, col("date"))),
+        col("date"), col("close"),
+        col("volume").cast("decimal(25,6)"), col("money").cast("decimal(25,6)"))
+      .select(col("symbol"), col("period"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume").cast("double").as("volume"),
+        col("money").cast("double").as("money"), col("n_rows"))
   }
 
   /** get_price count mode (PTrade_API_mini_Reference.md:1973: `count` XOR
