@@ -371,6 +371,12 @@ object SparkEntry {
           col("revenue_ttm").cast("decimal(25,6)").cast("double").as("revenue_ttm"))
     }),
 
+    // Data-quality invariant report (SURVEY §5.4): per-symbol bar checks.
+    "dq_bars_invariants" -> ((s, dir) => {
+      val v = MarketViews(s, dir)
+      graft.quality.DataQuality.barInvariants(v.bars, v.calendar)
+    }),
+
     // A6 monthly bar synthesis off daily bars (multi-frequency resample).
     "api_monthly_bars" -> ((s, dir) =>
       api(s, dir).resampleBars(syms3, "month")),
@@ -519,6 +525,24 @@ object SparkEntry {
                    PARTITION BY symbol ORDER BY end_date
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(25,6)) AS DOUBLE) AS revenue_ttm
           FROM fund WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')""",
+
+    "dq_bars_invariants" ->
+      s"""$MKT, wp AS (SELECT *, LAG(close) OVER (PARTITION BY symbol ORDER BY date) AS preclose
+                       FROM bars),
+          ps AS (SELECT symbol, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN close IS NULL OR open IS NULL OR high IS NULL OR low IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ohlc,
+                   CAST(SUM(CASE WHEN low > high THEN 1 ELSE 0 END) AS BIGINT) AS lo_gt_hi,
+                   CAST(SUM(CASE WHEN open > high OR open < low OR close > high OR close < low THEN 1 ELSE 0 END) AS BIGINT) AS ooh_range,
+                   CAST(SUM(CASE WHEN volume <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_volume,
+                   CAST(SUM(CASE WHEN abs(close / preclose - 1.0) > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS big_moves,
+                   MIN(date) AS fd, MAX(date) AS ld
+                 FROM wp GROUP BY symbol),
+          sp AS (SELECT p.symbol, COUNT(*) AS std
+                 FROM cal c JOIN ps p ON c.trade_date BETWEEN p.fd AND p.ld
+                 GROUP BY p.symbol)
+          SELECT ps.symbol, n_rows, null_ohlc, lo_gt_hi, ooh_range, nonpos_volume,
+                 big_moves, (sp.std - n_rows) AS calendar_gaps
+          FROM ps LEFT JOIN sp ON ps.symbol = sp.symbol""",
 
     "api_monthly_bars" ->
       s"""$MKT, sel AS (SELECT * FROM bars

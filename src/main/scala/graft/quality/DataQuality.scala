@@ -1,0 +1,64 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality invariant checks (SURVEY.md §5.4 / DATA_MAPPING.md:624-647):
+  * date continuity against the trading calendar, field completeness, value
+  * ranges (±20% daily moves flagged, zero-volume days), null statistics.
+  * Each check is an aggregation over the long table — one pass, no
+  * collect — returning one metric row per (symbol) or globally.
+  */
+object DataQuality {
+
+  /** Per-symbol bar invariants:
+    *  - n_rows, null counts for each OHLC field;
+    *  - violations of low ≤ {open, close} ≤ high;
+    *  - zero/negative volume days;
+    *  - daily |close/preclose − 1| > 20% moves (the reference's flag);
+    *  - calendar gaps: trading days inside the symbol's listing span with
+    *    no bar.
+    */
+  def barInvariants(bars: DataFrame, calendar: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    val withPre = bars.withColumn("preclose", lag(col("close"), 1).over(w))
+    val perSymbol = withPre.groupBy("symbol").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("close").isNull || col("open").isNull ||
+        col("high").isNull || col("low").isNull, 1).otherwise(0)).as("null_ohlc"),
+      sum(when(col("low") > col("high"), 1).otherwise(0)).as("lo_gt_hi"),
+      sum(when(col("open") > col("high") || col("open") < col("low") ||
+        col("close") > col("high") || col("close") < col("low"), 1).otherwise(0)).as("ooh_range"),
+      sum(when(col("volume") <= 0, 1).otherwise(0)).as("nonpos_volume"),
+      sum(when(abs(col("close") / col("preclose") - 1.0) > 0.2, 1).otherwise(0)).as("big_moves"),
+      min(col("date")).as("first_date"),
+      max(col("date")).as("last_date"))
+    val spanDays = calendar.crossJoin(perSymbol.select("symbol", "first_date", "last_date"))
+      .filter(col("trade_date").between(col("first_date"), col("last_date")))
+      .groupBy("symbol").agg(count(lit(1)).as("span_trading_days"))
+    perSymbol.join(spanDays, Seq("symbol"), "left")
+      .withColumn("calendar_gaps", col("span_trading_days") - col("n_rows"))
+      .drop("first_date", "last_date", "span_trading_days")
+  }
+
+  /** Global one-row summary for gating (all violations summed). */
+  def summarize(invariants: DataFrame): DataFrame =
+    invariants.agg(
+      count(lit(1)).as("n_symbols"),
+      sum(col("n_rows")).as("total_rows"),
+      sum(col("null_ohlc")).as("null_ohlc"),
+      sum(col("lo_gt_hi")).as("lo_gt_hi"),
+      sum(col("ooh_range")).as("ooh_range"),
+      sum(col("nonpos_volume")).as("nonpos_volume"),
+      sum(col("big_moves")).as("big_moves"),
+      sum(col("calendar_gaps")).as("calendar_gaps"))
+
+  /** Completeness profile: null ratio per requested column (F6-style report). */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}_nulls"))
+    }
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+}
