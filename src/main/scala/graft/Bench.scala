@@ -23,6 +23,8 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop per-query persisted intermediates
+      System.gc() // let the ContextCleaner reap dead broadcasts/shuffles now,
+                  // not during the next query's timed window
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -92,12 +92,31 @@ object Dedup {
     * degenerate bucket of B docs would emit B²/2 candidate pairs.
     * Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     */
+  /** Per-row shingle ARRAY (duplicates kept — fine for min-hashing, which
+    * is duplicate-insensitive). Word array materialized first (see
+    * wordShingles for why). */
+  private def shingleArray(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val withWords = docs.select(col(id).as("doc_id"),
+      filter(split(col(text), " "), w => length(w) > 0).as("ws"))
+    val ws = col("ws")
+    withWords.filter(size(ws) >= n)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)).as("shs"))
+  }
+
   def minHashLsh(docs: DataFrame, id: String, text: String,
                  n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                  threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
     val k = bands * rowsPerBand
-    val sh = wordShingles(docs, id, text, n).persist()
-    val sigs = minHashSignatures(sh, k)
+    // Signatures per row from the shingle array — min over a multiset equals
+    // min over the set, so NO explode/distinct/groupBy is needed here. The
+    // corpus-wide inverted index is never materialized for candidate
+    // generation; only candidate docs get their shingle sets (in verify).
+    val sigs = shingleArray(docs, id, text, n).select(
+      col("doc_id") +:
+        (0 until k).map(i =>
+          array_min(transform(col("shs"), s => xxhash64(lit(i), s))).as(s"sig_$i")): _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i")): _*).as("bucket"))
@@ -111,6 +130,11 @@ object Dedup {
       .select(explode(pairExpr(array_sort(col("ds")))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+    // shingle sets only for candidate docs
+    val docsInPlay = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b"))).distinct()
+    val sh = wordShingles(
+      docs.join(broadcast(docsInPlay.withColumnRenamed("doc_id", id)), id), id, text, n)
     verifyJaccard(cands, sh, threshold)
   }
 
@@ -147,11 +171,14 @@ object Dedup {
     * appears in a pair; label = the component's canonical (minimum) id.
     */
   def resolveClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): each round's frame would otherwise keep
+    // the whole upstream pipeline plus every previous round in its plan, so
+    // per-round analysis/codegen cost grows with the iteration count.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
+      .withColumn("label", col("doc_id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -160,10 +187,9 @@ object Dedup {
       val next = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = next
       i += 1
     }
