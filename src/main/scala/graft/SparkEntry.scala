@@ -246,6 +246,21 @@ object SparkEntry {
         .withColumn("money", col("money").cast("decimal(25,6)").cast("double"))
     }),
 
+    // Gap-based sessionization (batch form of a streaming session window):
+    // 30-minute inactivity gap per user, with per-session aggregates.
+    "sessionize" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+        // integer DIV: a double-routed division of an ~1.7e18 ns value loses
+        // sub-ms precision (doubles are exact only to 2^53)
+        .select(col("user_id"), col("event_id"), expr("ts_ns DIV 1000000").as("tms"),
+          col("value"))
+      Windows.sessionize(ev, Seq(col("user_id")), col("tms"), 30L * 60 * 1000)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tms")).as("start_ms"), max(col("tms")).as("end_ms"),
+          decSum(col("value")).as("session_value"))
+    }),
+
     // §1.3 PTrade matrix shape: date × event_type pivot at the serving edge.
     "pivot_matrix" -> ((s, dir) => {
       TestData(s, dir).events
@@ -990,6 +1005,23 @@ object SparkEntry {
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS content_hash
          FROM documents""",
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms, value
+                    FROM events),
+         m AS (SELECT *,
+                 CASE WHEN tms - LAG(tms) OVER w > 1800000
+                        OR LAG(tms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+         s AS (SELECT *,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM m)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+                MIN(tms) AS start_ms, MAX(tms) AS end_ms,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS session_value
+         FROM s GROUP BY user_id, session_id""",
 
     "pivot_matrix" ->
       """SELECT CAST(ts AS DATE) AS date,

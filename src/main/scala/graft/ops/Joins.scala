@@ -21,6 +21,11 @@ object Joins {
     *
     * `rightCols` are the payload columns carried from the right side; they
     * must not collide with left column names.
+    *
+    * Determinism contract: `rightTime` must be unique per key — two right
+    * rows at the same (key, time) would be ordered arbitrarily within the
+    * fill window. All engine uses satisfy this (event ns-timestamps,
+    * monthly factor dates, quarterly publication dates).
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,

@@ -72,6 +72,20 @@ object Windows {
     }
   }
 
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event exceeds `gapMs` (batch equivalent of a streaming session
+    * window). session_id = running count of session starts per key — one
+    * shuffle on the key, cumulative sum over the ordered frame. */
+  def sessionize(df: DataFrame, keys: Seq[Column], tsMillis: Column,
+                 gapMs: Long, as: String = "session_id"): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tsMillis)
+    val newSession = when(
+      tsMillis - lag(tsMillis, 1).over(w) > gapMs || lag(tsMillis, 1).over(w).isNull, 1
+    ).otherwise(0)
+    df.withColumn(as,
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** PTrade derived field `preclose` ≈ lag(close) per key
     * (PTrade_API_mini_Reference.md:1809). */
   def withLag(df: DataFrame, keys: Seq[Column], order: Seq[Column],
