@@ -254,7 +254,8 @@ object SparkEntry {
         // sub-ms precision (doubles are exact only to 2^53)
         .select(col("user_id"), col("event_id"), expr("ts_ns DIV 1000000").as("tms"),
           col("value"))
-      Windows.sessionize(ev, Seq(col("user_id")), col("tms"), 30L * 60 * 1000)
+      Windows.sessionize(ev, Seq(col("user_id")), col("tms"), 30L * 60 * 1000,
+          tiebreak = Seq(col("event_id")))
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           min(col("tms")).as("start_ms"), max(col("tms")).as("end_ms"),
@@ -1013,9 +1014,9 @@ object SparkEntry {
                  CASE WHEN tms - LAG(tms) OVER w > 1800000
                         OR LAG(tms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
                FROM e
-               WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+               WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
          s AS (SELECT *,
-                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
                FROM m)
          SELECT user_id, session_id, COUNT(*) AS n_events,

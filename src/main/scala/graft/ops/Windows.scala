@@ -73,12 +73,16 @@ object Windows {
   }
 
   /** Gap-based sessionization: a new session starts when the gap to the
-    * previous event exceeds `gapMs` (batch equivalent of a streaming session
-    * window). session_id = running count of session starts per key — one
-    * shuffle on the key, cumulative sum over the ordered frame. */
+    * previous event EXCEEDS `gapMs` (strict `>`: an exact-gap event extends
+    * the session — note Structured Streaming's `session_window` uses a
+    * half-open window and splits at exactly the gap). session_id = running
+    * count of session starts per key — one shuffle on the key, cumulative
+    * sum over the ordered frame. `tiebreak` columns make the window order a
+    * unique key when the timestamp alone can tie. */
   def sessionize(df: DataFrame, keys: Seq[Column], tsMillis: Column,
-                 gapMs: Long, as: String = "session_id"): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(tsMillis)
+                 gapMs: Long, tiebreak: Seq[Column] = Nil,
+                 as: String = "session_id"): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tsMillis +: tiebreak: _*)
     val newSession = when(
       tsMillis - lag(tsMillis, 1).over(w) > gapMs || lag(tsMillis, 1).over(w).isNull, 1
     ).otherwise(0)
