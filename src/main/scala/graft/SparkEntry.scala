@@ -343,6 +343,15 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // IVF ANN: deterministic coarse quantizer + probed exact re-rank
+    // (rows-only: the Lloyd refinement is impractical to replay in SQL;
+    // recall vs brute force asserted in PipelineSpec).
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nLists = 16, nProbe = 4, lloydIters = 1)
+    }),
+
     // Multimodal binary plumbing: payload + typed metadata struct.
     "mm_binary_meta" -> ((s, dir) => {
       Multimodal.attachBinary(TestData(s, dir).documents, "doc_id", "text")

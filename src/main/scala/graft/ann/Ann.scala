@@ -83,6 +83,66 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — centroids
+    * are the vectors whose id ≡ 0 (mod corpusSize/nLists), i.e. a fixed
+    * sample, refined by `lloydIters` Lloyd steps — partitions the corpus
+    * into cells; each query probes its `nProbe` nearest cells and re-ranks
+    * exactly within them.
+    *
+    * Scale posture: centroids are O(nLists·dims) — always broadcast; the
+    * corpus is scanned once per Lloyd step and once for final assignment
+    * (each a broadcast-join + argmin, no shuffle of the corpus); the search
+    * itself touches ~nProbe/nLists of the corpus per query. Deterministic:
+    * no RNG, ties broken by centroid id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    val n = c.count()
+    val stride = math.max(1L, n / nLists)
+    var centroids = c.filter(col("cid") % stride === 0)
+      .limit(nLists)
+      .select(col("cid").as("centroid_id"), col("cv").as("centroid"))
+    // Lloyd refinement: assign → mean per cell (element-wise array average)
+    for (_ <- 0 until lloydIters) {
+      val assigned = assignToNearest(c, centroids)
+      centroids = assigned.join(c, "cid")
+        .groupBy(col("centroid_id"))
+        .agg(collect_list(col("cv")).as("members"))
+        .select(col("centroid_id"),
+          expr("""transform(sequence(1, size(members[0])),
+                   i -> aggregate(members, 0D, (acc, m) -> acc + CAST(m[i-1] AS DOUBLE))
+                        / size(members))""").as("centroid_d"))
+        .select(col("centroid_id"),
+          expr("transform(centroid_d, x -> CAST(x AS FLOAT))").as("centroid"))
+    }
+    val cells = assignToNearest(c, centroids).join(c, "cid")
+    // queries probe their nProbe nearest centroids
+    val probes = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", -cosine(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist").asc, col("centroid_id").asc)))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "qv", "centroid_id")
+    val scored = probes.join(cells, "centroid_id")
+      .filter(col("query_id") =!= col("cid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Assign each corpus vector to its nearest centroid (broadcast argmin). */
+  private def assignToNearest(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.crossJoin(broadcast(centroids))
+      .withColumn("d", -cosine(col("cv"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("d").asc, col("centroid_id").asc)))
+      .filter(col("rn") === 1)
+      .select("cid", "centroid_id")
+
   /** Embedding near-dup pairs within a blocking key (e.g. a cluster label or
     * LSH bucket): all pairs inside a block, cosine >= threshold. */
   def nearDupPairs(vectors: DataFrame, id: String, vec: String, block: String,

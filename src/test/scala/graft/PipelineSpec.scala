@@ -63,6 +63,23 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.filter(col("fast") =!= col("fold")).count() == 0)
   }
 
+  test("ivfTopK recall vs brute force is high on the probed cells") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(embs, queries, "vec_id", "embedding", 5,
+        nLists = 8, nProbe = 4, lloydIters = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low (nProbe=4 of 8 lists)")
+    // and it is deterministic
+    val again = Ann.ivfTopK(embs, queries, "vec_id", "embedding", 5,
+        nLists = 8, nProbe = 4, lloydIters = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == again)
+  }
+
   test("lshTopK returns verified-cosine neighbors from the query's bucket") {
     val out = Ann.lshTopK(embs, embs.limit(20), "vec_id", "embedding", 3, dims = 64, bits = 6)
     // bucketed search may miss, but whatever it returns must be well-formed
