@@ -49,6 +49,14 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
+    // Beyond-reference: hierarchical ROLLUP aggregation (free under
+    // Catalyst; the reference has no grouping-sets capability at all).
+    "rollup_revenue" -> ((s, dir) => {
+      TestData(s, dir).orders
+        .rollup(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderstatus"))
+        .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
     // Headline join+agg+topk (TPC-H Q3 shape). Decimal revenue → exact order.
     "q3_topk_revenue" -> ((s, dir) => {
       val t = TestData(s, dir)
@@ -722,6 +730,13 @@ object SparkEntry {
          COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+
+    "rollup_revenue" ->
+      """SELECT date_part('year', o_orderdate) AS order_year, o_orderstatus,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_orders
+         FROM orders
+         GROUP BY ROLLUP(date_part('year', o_orderdate), o_orderstatus)""",
 
     "q3_topk_revenue" ->
       """SELECT o_orderkey, o_orderdate,
