@@ -448,6 +448,15 @@ object SparkEntry {
     "api_exrights" -> ((s, dir) =>
       api(s, dir).getExrights(Seq("000001.SZ", "000002.SZ"))),
 
+    // Ex-rights A/B affine coefficients (SURVEY §7.4.4 resolved): cumulative
+    // (A, B) per event via a struct-accumulator fold.
+    "api_exrights_ab" -> ((s, dir) => {
+      MarketViews(s, dir).exrightsAB
+        .filter(col("symbol").isin(syms3: _*))
+        .select(col("symbol"), Coerce.dateToInt(col("date")).as("date_int"),
+          col("ratio"), col("cash"), col("exer_forward_a"), col("exer_forward_b"))
+    }),
+
     // Technical indicators: EMA / MACD / RSI as bounded-fold window programs.
     "api_indicators" -> ((s, dir) => {
       val b = MarketViews(s, dir).bars.filter(col("symbol").isin(syms3: _*))
@@ -711,6 +720,23 @@ object SparkEntry {
                  CASE WHEN sl = 0.0 THEN 100.0
                       ELSE 100.0 - 100.0 / (1.0 + sg / sl) END AS rsi
           FROM s""",
+
+    "api_exrights_ab" ->
+      s"""$MKT, fr2 AS (SELECT symbol, date, ratio,
+                   CAST((date_part('month', date) + date_part('day', date)) % 5 AS DOUBLE) * 0.1 AS cash
+                 FROM fr
+                 WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')),
+          cumt AS (SELECT symbol, date, ratio, cash,
+                     list_reduce(
+                       [{'a': CAST(1.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)}] ||
+                       list({'a': 1.0 / ratio, 'b': (0.0 - cash) / ratio}) OVER (
+                         PARTITION BY symbol ORDER BY date
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       (acc, e) -> {'a': acc.a * e.a, 'b': acc.b * e.a + e.b}) AS cum
+                   FROM fr2)
+          SELECT symbol, CAST(strftime(date, '%Y%m%d') AS INT) AS date_int,
+                 ratio, cash, cum.a AS exer_forward_a, cum.b AS exer_forward_b
+          FROM cumt""",
 
     "api_derived_fields" ->
       s"""$MKT SELECT symbol, date, close, preclose,

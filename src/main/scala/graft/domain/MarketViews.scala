@@ -67,6 +67,34 @@ final case class MarketViews(spark: SparkSession, dir: String) {
         .as("ratio"))
   }
 
+  /** PTrade A/B affine adjustment coefficients (SURVEY §7.4.4: 前复权价格 =
+    * A·price + B; the reference stores B as NaN — we DERIVE it from a
+    * synthetic cash dividend, resolving the documented gap). Each event
+    * maps pre-event price p to (p − cash)/ratio ≡ aᵢ·p + bᵢ with
+    * aᵢ = 1/ratio, bᵢ = −cash/ratio; cumulative coefficients compose
+    * chronologically: (A,B) ∘ (a,b) = (A·a, B·a + b) — a sequential fold
+    * over the per-symbol event prefix (bit-deterministic, SQL-replayable
+    * with a struct accumulator). */
+  def exrightsAB: DataFrame = {
+    val ev = exrightsEvents.withColumn("cash",
+      (((month(col("date")) + dayofmonth(col("date"))) % 5).cast("double")) * 0.1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("date"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val eventAB = struct(
+      (lit(1.0) / col("ratio")).as("a"),
+      ((lit(0.0) - col("cash")) / col("ratio")).as("b"))
+    val cum = aggregate(
+      collect_list(eventAB).over(w),
+      struct(lit(1.0).as("a"), lit(0.0).as("b")),
+      (acc, e) => struct(
+        (acc.getField("a") * e.getField("a")).as("a"),
+        (acc.getField("b") * e.getField("a") + e.getField("b")).as("b")))
+    ev.withColumn("cum", cum)
+      .select(col("symbol"), col("date"), col("ratio"), col("cash"),
+        col("cum.a").as("exer_forward_a"), col("cum.b").as("exer_forward_b"))
+  }
+
   /** Backward adjust factors: running product of event ratios per symbol
     * (A5). Uses the exact sequential-fold variant, not exp(sum(log)):
     * libm exp/log differ across engines at 1 ulp, while a left-fold double
