@@ -187,6 +187,16 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("totalprice"), col("batch"))
     }),
 
+    // Semi-join (EXISTS): orders with at least one 1996-shipped lineitem.
+    "semi_join" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.orders.select(col("o_orderkey"), col("o_totalprice"))
+        .join(t.lineitem
+            .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1996-12-31")))
+            .select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"), "left_semi")
+    }),
+
     // SET1 set difference via left-anti join (pool − existing): orders with
     // no lineitem shipped before 1997.
     "set1_except" -> ((s, dir) => {
@@ -872,6 +882,13 @@ object SparkEntry {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY batch DESC) AS rn
                FROM u)
          WHERE rn = 1""",
+
+    "semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                            AND TIMESTAMP '1996-12-31 00:00:00')""",
 
     "set1_except" ->
       """SELECT o_orderkey FROM orders
