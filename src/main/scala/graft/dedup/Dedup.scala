@@ -177,8 +177,11 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    // seed with the first propagation folded in: label₀ = min(self, direct
+    // neighbors) — one round less to converge
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("label"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
