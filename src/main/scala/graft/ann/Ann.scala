@@ -100,21 +100,26 @@ object Ann {
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
     val n = c.count()
     val stride = math.max(1L, n / nLists)
-    var centroids = c.filter(col("cid") % stride === 0)
-      .limit(nLists)
+    // deterministic seed set: ids ≡ 0 (mod stride) AND id < stride·nLists —
+    // a value predicate, so the pick cannot depend on partition arrival
+    // order (an unordered limit(nLists) would)
+    var centroids = c.filter(col("cid") % stride === 0 && col("cid") < stride * nLists)
       .select(col("cid").as("centroid_id"), col("cv").as("centroid"))
-    // Lloyd refinement: assign → mean per cell (element-wise array average)
+    // Lloyd refinement: assign → element-wise mean per cell via posexplode —
+    // constant-size aggregation state (never collects a cell's vectors into
+    // one row; a collect_list mean would hold corpus/nLists vectors in a
+    // single buffer). round(6) quantizes away partial-sum association noise
+    // so the refined centroids are run-to-run stable.
     for (_ <- 0 until lloydIters) {
       val assigned = assignToNearest(c, centroids)
       centroids = assigned.join(c, "cid")
+        .select(col("centroid_id"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("m"))
         .groupBy(col("centroid_id"))
-        .agg(collect_list(col("cv")).as("members"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),
-          expr("""transform(sequence(1, size(members[0])),
-                   i -> aggregate(members, 0D, (acc, m) -> acc + CAST(m[i-1] AS DOUBLE))
-                        / size(members))""").as("centroid_d"))
-        .select(col("centroid_id"),
-          expr("transform(centroid_d, x -> CAST(x AS FLOAT))").as("centroid"))
+          expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("centroid"))
     }
     val cells = assignToNearest(c, centroids).join(c, "cid")
     // queries probe their nProbe nearest centroids

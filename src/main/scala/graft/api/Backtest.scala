@@ -40,9 +40,13 @@ object Backtest {
   def equityCurve(signals: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
     val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
-    // position AFTER today's signal: 1 between buy (inclusive next day) and sell
-    val toggle = when(col("signal") === "buy", 1).when(col("signal") === "sell", -1).otherwise(0)
-    val position = greatest(least(sum(toggle).over(wCum), lit(1)), lit(0))
+    // position AFTER today's signal = 1 iff the most recent non-hold signal
+    // is a buy. (NOT a clamped running sum of ±1 toggles: a sell arriving
+    // before any buy would pin that sum at −1 and a later buy could never
+    // open the position.)
+    val lastSignal = last(
+      when(col("signal") =!= "hold", col("signal")), ignoreNulls = true).over(wCum)
+    val position = when(lastSignal === "buy", 1).otherwise(0)
     val ret = (col("close") / lag(col("close"), 1).over(w)) - 1.0
     val held = lag(position, 1).over(w)
     signals.withColumn("position", position)

@@ -31,26 +31,30 @@ object Joins {
            leftTime: String, rightTime: String,
            rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The right payload travels as ONE struct (non-null for every right row,
+    // even when individual payload fields are null) so the forward fill
+    // distinguishes "no right row yet" from "right row with a null value" —
+    // filling the fields individually would skip legitimate nulls.
     // Tag: right rows sort before left rows at the same timestamp so a right
     // row with rightTime == leftTime is visible to that left row (<=).
-    val taggedLeft = rightCols.foldLeft(
-      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
-    )((d, c) => d.withColumn(c, lit(null)))
+    val taggedLeft = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null))
     val taggedRight = leftCols.filterNot(keys.contains).foldLeft(
       right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+        .withColumn("__payload", struct(rightCols.map(col): _*))
     )((d, c) => d.withColumn(c, lit(null)))
-    val unioned = taggedLeft.select(
-      (keys ++ Seq("__t", "__side") ++ leftCols.filterNot(keys.contains) ++ rightCols).map(col): _*
-    ).unionByName(taggedRight.select(
-      (keys ++ Seq("__t", "__side") ++ leftCols.filterNot(keys.contains) ++ rightCols).map(col): _*
-    ))
+    val cols = keys ++ Seq("__t", "__side") ++ leftCols.filterNot(keys.contains) :+ "__payload"
+    val unioned = taggedLeft.select(cols.map(col): _*)
+      .unionByName(taggedRight.select(cols.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = unioned.withColumn("__payload",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    val extracted = rightCols.foldLeft(filled) { (d, c) =>
+      d.withColumn(c, col("__payload").getField(c))
     }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    extracted.filter(col("__side") === 1).drop("__t", "__side", "__payload")
   }
 
   /** J3 — broadcast lookup with default: left join a small dimension and

@@ -54,8 +54,11 @@ object Sinks {
                         keys: Seq[String], dateCol: String = "date"): Unit = {
     val touched = fresh.select(date_format(col(dateCol), "yyyy-MM").as("p_month"))
       .distinct().collect().map(_.getString(0))
+    // filter on the PARTITION column so the read prunes to touched months;
+    // a predicate on date_format(dateCol) cannot be mapped to partitions
+    // and would list/scan the whole table
     val existing = spark.read.parquet(path)
-      .filter(date_format(col(dateCol), "yyyy-MM").isin(touched.toSeq: _*))
+      .filter(col("p_month").isin(touched.toSeq: _*))
       .drop("p_month")
     val merged = Joins.upsert(
       existing.withColumn("__batch", lit(0)),

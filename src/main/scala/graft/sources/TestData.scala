@@ -28,8 +28,10 @@ final case class TestData(spark: SparkSession, dir: String) {
   def events: DataFrame = {
     val raw = t("events")
     import org.apache.spark.sql.functions._
+    // integer DIV, never `/`: double-routed division of ~1e18 ns loses
+    // sub-microsecond precision (CLAUDE.md rule 5)
     raw.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -17,6 +17,16 @@ class OpsSpec extends SparkSpec {
     assert(out == Set((1, "l1", Some(100.0)), (1, "l2", Some(150.0)), (2, "l3", None)))
   }
 
+  test("asOf attaches a newer right row even when its payload is null") {
+    val left = Seq((1, 20L, "l")).toDF("k", "t", "tag")
+    val right = Seq((1, 10L, Some(5.0)), (1, 15L, None)).toDF("k", "rt", "v")
+    val out = Joins.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].head()
+    // the as-of-latest right row (t=15) has v=null; an implementation that
+    // forward-fills the payload FIELD would wrongly return 5.0
+    assert(out == (("l", None)))
+  }
+
   test("upsert keeps the preferred (last-wins) row per key") {
     val existing = Seq((1, "old"), (2, "old")).toDF("k", "v").withColumn("batch", lit(0))
     val incoming = Seq((2, "new"), (3, "new")).toDF("k", "v").withColumn("batch", lit(1))
