@@ -41,6 +41,19 @@ class DataSourceV2Spec extends SparkSpec {
     assert(dates == ("2020-01-10", "2020-01-19"))
   }
 
+  test("repeated bounds on one column intersect (tighter bound wins)") {
+    val df = src.load()
+      .filter(col("date") >= lit("2020-01-05"))
+      .filter(col("date") >= lit("2020-01-10"))
+      .filter(col("date") <= lit("2020-01-20"))
+      .filter(col("date") <= lit("2020-01-15"))
+    val dates = df.select(min("date"), max("date")).as[(String, String)].head()
+    assert(dates == (("2020-01-10", "2020-01-15")))
+    // conflicting symbol equalities → provably empty
+    assert(src.load().filter(col("symbol") === "000002.SZ")
+      .filter(col("symbol") === "000004.SZ").count() == 0)
+  }
+
   test("pushed-down rows agree with post-filter rows (source guarantees filters)") {
     val all = src.load().collect().toSet
     val viaPushdown = src.load().filter(col("symbol") === "000003.SS").collect().toSet
