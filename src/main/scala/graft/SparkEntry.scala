@@ -340,15 +340,19 @@ object SparkEntry {
       Dedup.resolveClusters(
         Dedup.ngramJaccard(TestData(s, dir).documents, "doc_id", "text", 3, 0.5, 100))),
 
-    // MinHash+LSH near-dup pairs (engine-hash based → rows-only check;
-    // recall vs exact Jaccard is asserted in DedupSpec).
+    // MinHash+LSH near-dup pairs. The gate runs the Md5Hash family so the
+    // lane hashes replay in DuckDB (full value oracle); the production
+    // XxHash path is semantically identical (DedupSpec asserts both paths'
+    // recall vs exact Jaccard).
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLsh(TestData(s, dir).documents, "doc_id", "text",
-        n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5, maxBucket = 100)),
+        n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5, maxBucket = 100,
+        family = Dedup.Md5Hash)),
 
-    // SimHash near-dup pairs (engine-hash based → rows-only check).
+    // SimHash near-dup pairs — Md5Hash family for the same reason.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(TestData(s, dir).documents, "doc_id", "text", maxHamming = 6)),
+      Dedup.simHashPairs(TestData(s, dir).documents, "doc_id", "text",
+        maxHamming = 6, family = Dedup.Md5Hash, maxBucket = 1000)),
 
     // Embedding cosine near-dup within label blocks.
     "emb_near_dup" -> ((s, dir) =>
@@ -368,6 +372,16 @@ object SparkEntry {
       val e = TestData(s, dir).embeddings
       Ann.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
         nLists = 16, nProbe = 4, lloydIters = 1)
+    }),
+
+    // IVF ANN with lloydIters = 0: the pure value-predicate quantizer +
+    // probe + exact re-rank — fully SQL-replayable, so this variant carries
+    // the value oracle for the IVF plan shape (argmin = ROW_NUMBER).
+    "ann_ivf0_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nLists = 16, nProbe = 4, lloydIters = 0)
+        .withColumn("rank", col("rank").cast("long"))
     }),
 
     // Multimodal binary plumbing: payload + typed metadata struct.
@@ -1083,8 +1097,11 @@ object SparkEntry {
                FROM e
                WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
          s AS (SELECT *,
-                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 -- CAST: DuckDB SUM(INTEGER) yields HUGEINT, which its
+                 -- pandas/arrow export renders unlike Spark's BIGINT and
+                 -- breaks the driver's hash compare (values still equal).
+                 CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
                FROM m)
          SELECT user_id, session_id, COUNT(*) AS n_events,
                 MIN(tms) AS start_ms, MAX(tms) AS end_ms,
@@ -1099,5 +1116,134 @@ object SparkEntry {
                 CAST(CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(25,6)) END) AS DECIMAL(25,6)) AS DOUBLE) AS signup,
                 CAST(CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(25,6)) END) AS DECIMAL(25,6)) AS DOUBLE) AS view
          FROM events GROUP BY CAST(ts AS DATE)""",
+
+    "dedup_minhash_lsh" -> minHashLshOracle,
+    "dedup_simhash" -> simHashOracle,
+    "ann_ivf0_topk" -> ivf0Oracle,
   )
+
+  // ----------------------------------------------- generated oracle SQL
+  // These three oracles replay hash-heavy plans, so their SQL is built with
+  // small Scala loops (16 minhash lanes, 32 simhash bits) instead of being
+  // written out longhand.
+
+  /** DuckDB replay of [[Dedup.Md5Hash]].lane(i, s): Kirsch–Mitzenmacher
+    * double hashing over one md5 digest — h1 + i·(h2 mod 2⁵⁵), where h1/h2
+    * are 60-bit BIGINTs from hex chars 1–15 / 17–31 (DuckDB CASTs '0x…'
+    * strings directly). */
+  private def laneSql(i: Int, s: String): String =
+    s"(CAST('0x' || substring(md5($s), 1, 15) AS BIGINT)" +
+      s" + $i * (CAST('0x' || substring(md5($s), 17, 15) AS BIGINT) % ${1L << 55}))"
+
+  /** DuckDB replay of the sequential-fold cosine (Ann.cosine /
+    * VecDotFloat): same left-to-right accumulation → bit-identical
+    * doubles, proven by the passing ann_topk / emb_near_dup oracles. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (x,y) -> x+y)" +
+      s" / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))" +
+      s" * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))))"
+
+  /** Replays Dedup.minHashLsh(n=3, bands=4, rowsPerBand=4, threshold=0.5,
+    * maxBucket=100, family=Md5Hash): per-doc shingle lists, 16 md5 lanes,
+    * banding, the bucket-size cap, then exact-Jaccard verification of the
+    * candidates (the same index shape as the ngramJaccard oracle). */
+  private lazy val minHashLshOracle: String = {
+    val bands = 4; val rpb = 4; val k = bands * rpb
+    val sigCols = (0 until k).map(i =>
+      s"list_min(list_transform(shs, s -> ${laneSql(i, "s")})) AS sig_$i").mkString(",\n                ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb).map(i => s"sig_$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bucket FROM sigs"
+    }.mkString("\n                UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_transform(range(0, len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS shs
+               FROM w WHERE len(ws) >= 3),
+        sigs AS (SELECT doc_id,
+                $sigCols
+                FROM sh),
+        bk AS ($bandSelects),
+        ok AS (SELECT band, bucket FROM bk GROUP BY band, bucket
+               HAVING COUNT(*) BETWEEN 2 AND 100),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                                     AND a.doc_id < b.doc_id
+                 JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket),
+        g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh2
+              FROM w, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3),
+        gc AS (SELECT g.* FROM g JOIN (SELECT doc_a AS d FROM cand
+                                       UNION SELECT doc_b FROM cand) cd ON g.doc_id = cd.d),
+        sz AS (SELECT doc_id, COUNT(*) AS c FROM gc GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                  FROM gc a JOIN gc b ON a.sh2 = b.sh2 AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT c.doc_a, c.doc_b,
+                 ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                       / CAST(sa.c + sb.c - COALESCE(i.inter, 0) AS DOUBLE), 6) AS jaccard
+          FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN sz sa ON c.doc_a = sa.doc_id JOIN sz sb ON c.doc_b = sb.doc_id)
+        WHERE jaccard >= 0.5"""
+  }
+
+  /** Replays Dedup.simHashPairs(maxHamming=6, family=Md5Hash,
+    * maxBucket=1000): 32 weighted bit sums per doc, high-16-bit banding
+    * with the bucket-size cap, Hamming verify via bit_count(xor). */
+  private lazy val simHashOracle: String = {
+    val bitSums = (0 until 32).map(i =>
+      s"SUM(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN cnt ELSE -cnt END) AS b_$i")
+      .mkString(",\n                ")
+    val sig = (0 until 32).map(i =>
+      s"CASE WHEN b_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString("\n                + ")
+    s"""WITH wr AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> length(x)>0)) AS w
+                    FROM documents),
+        wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM wr GROUP BY doc_id, w),
+        h AS (SELECT doc_id, ${laneSql(0, "w")} AS h, cnt FROM wc),
+        bits AS (SELECT doc_id,
+                $bitSums
+                FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id,
+                $sig AS simhash
+                FROM bits),
+        bd AS (SELECT doc_id, simhash, simhash // 65536 AS band FROM sig),
+        ok AS (SELECT band FROM bd GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id
+        JOIN ok ON ok.band = a.band
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
+  }
+
+  /** Replays Ann.ivfTopK(k=5, nLists=16, nProbe=4, lloydIters=0): the
+    * value-predicate seed centroids, broadcast-argmin assignment
+    * (ROW_NUMBER), nProbe probing, exact re-rank. Unrounded cosines order
+    * identically in both engines because the fold is bit-identical. */
+  private lazy val ivf0Oracle: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM c),
+        cent AS (SELECT cid AS centroid_id, cv AS centroid FROM c, par
+                 WHERE cid % stride = 0 AND cid < stride * 16),
+        assign AS (SELECT cid, centroid_id FROM (
+            SELECT c.cid, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                     ORDER BY -${cosSql("c.cv", "cent.centroid")} ASC, cent.centroid_id ASC) AS rn
+            FROM c CROSS JOIN cent) WHERE rn = 1),
+        cells AS (SELECT a.centroid_id, c.cid, c.cv FROM assign a JOIN c ON a.cid = c.cid),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        probes AS (SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY -${cosSql("q.qv", "cent.centroid")} ASC, cent.centroid_id ASC) AS pr
+            FROM q CROSS JOIN cent) WHERE pr <= 4),
+        scored AS (SELECT p.query_id, cells.cid AS neighbor_id,
+                          ROUND(${cosSql("p.qv", "cells.cv")}, 6) AS cos
+                   FROM probes p JOIN cells ON p.centroid_id = cells.centroid_id
+                   WHERE p.query_id <> cells.cid)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5"""
 }

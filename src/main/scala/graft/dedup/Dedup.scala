@@ -13,6 +13,48 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hash family for signature lanes and band-bucket ids. Two members:
+    * [[XxHash]] (codegen'd xxhash64 — the production default) and
+    * [[Md5Hash]] (md5-derived — ~4× slower but replayable in any engine
+    * with `md5`, so gate queries using it get a real DuckDB oracle instead
+    * of a rows-only check). Signature semantics are identical; only the
+    * hash values differ. */
+  sealed trait HashFamily {
+    /** Per-string precomputation, materialized ONCE per string and shared
+      * by all lanes (identity for xxhash64; the md5 hex digest for
+      * [[Md5Hash]] — one digest feeds every lane). */
+    def prep(s: Column): Column = s
+    /** 64-bit lane hash of a `prep`-ped value under lane index `i`. */
+    def lane(i: Int, prepped: Column): Column
+    /** Combine several lane values into one bucket id. */
+    def combine(cols: Seq[Column]): Column
+  }
+
+  /** xxhash64 lanes — engine-internal, fastest (whole-stage codegen). */
+  case object XxHash extends HashFamily {
+    def lane(i: Int, p: Column): Column = xxhash64(lit(i), p)
+    def combine(cols: Seq[Column]): Column = xxhash64(cols: _*)
+  }
+
+  /** SQL-replayable lanes via Kirsch–Mitzenmacher double hashing over one
+    * md5 digest: h1 = first 15 hex chars (60 bits), h2 = chars 17–31
+    * reduced mod 2⁵⁵; lane_i = h1 + i·h2 — max < 2⁶¹, so the arithmetic
+    * never overflows a signed 64-bit int in either engine. `prep` returns
+    * the (h1, h2) struct so every lane is two plain column ops. DuckDB
+    * replay: `CAST('0x' || substring(md5(s),1,15) AS BIGINT)
+    *    + i * (CAST('0x' || substring(md5(s),17,15) AS BIGINT) % 2^55)`.
+    * Bucket ids stay as md5 hex strings (no re-hash to int needed). */
+  case object Md5Hash extends HashFamily {
+    override def prep(s: Column): Column = {
+      val d = md5(s)
+      struct(conv(substring(d, 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring(d, 17, 15), 16, 10).cast("long") % lit(1L << 55)).as("h2"))
+    }
+    def lane(i: Int, p: Column): Column =
+      p.getField("h1") + lit(i.toLong) * p.getField("h2")
+    def combine(cols: Seq[Column]): Column = md5(concat_ws(",", cols: _*))
+  }
+
   /** Exact dedup by content hash: one shuffle on md5(text).
     * Returns (content_hash, keep_id, dup_cnt) with keep = min id. */
   def exact(docs: DataFrame, id: String, text: String): DataFrame =
@@ -34,7 +76,14 @@ object Dedup {
       sequence(lit(0), size(ws) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
     withWords.filter(size(ws) >= n)
-      .select(col("doc_id"), explode(grams).as("shingle"))
+      // explode_outer, NOT explode: InferFiltersFromGenerate adds a
+      // `size(grams) > 0` filter under a plain explode, and predicate
+      // pushdown substitutes the whole n-gram transform into it — the
+      // O(words²)-per-doc trap again, paid just to check non-emptiness
+      // (measured 3× the stage cost at sf0.1). The rule skips outer
+      // generates, and `size(ws) >= n` already guarantees ≥ 1 gram, so
+      // no null rows are ever emitted.
+      .select(col("doc_id"), explode_outer(grams).as("shingle"))
       .distinct()
   }
 
@@ -83,12 +132,15 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signatures: sig_i = min over shingles of xxhash64(i, shingle).
-    * One groupBy per document; k hash lanes computed in a single pass. */
-  def minHashSignatures(shingles: DataFrame, k: Int): DataFrame =
-    shingles.groupBy("doc_id").agg(
-      (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i")).head,
-      (1 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i")): _*)
+  /** MinHash signatures: sig_i = min over shingles of lane-hash(i, shingle).
+    * One groupBy per document; k hash lanes computed in a single pass over
+    * a once-prepped hash column. */
+  def minHashSignatures(shingles: DataFrame, k: Int,
+                        family: HashFamily = XxHash): DataFrame =
+    shingles.withColumn("_p", family.prep(col("shingle")))
+      .groupBy("doc_id").agg(
+        (0 until k).map(i => min(family.lane(i, col("_p"))).as(s"sig_$i")).head,
+        (1 until k).map(i => min(family.lane(i, col("_p"))).as(s"sig_$i")): _*)
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
     *
@@ -113,29 +165,54 @@ object Dedup {
 
   def minHashLsh(docs: DataFrame, id: String, text: String,
                  n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-                 threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+                 threshold: Double = 0.5, maxBucket: Int = 100,
+                 family: HashFamily = XxHash): DataFrame = {
     val k = bands * rowsPerBand
-    // Signatures per row from the shingle array — min over a multiset equals
-    // min over the set, so NO explode/distinct/groupBy is needed here. The
-    // corpus-wide inverted index is never materialized for candidate
-    // generation; only candidate docs get their shingle sets (in verify).
-    val sigs = shingleArray(docs, id, text, n).select(
-      col("doc_id") +:
-        (0 until k).map(i =>
-          array_min(transform(col("shs"), s => xxhash64(lit(i), s))).as(s"sig_$i")): _*)
+    // Signature stage, two formulations:
+    // - XxHash: per-row array mins — min over a multiset equals min over
+    //   the set, so NO explode/shuffle is needed; the lane hash is a cheap
+    //   codegen'd xxhash64 and re-evaluating it per lane costs nothing.
+    // - Md5Hash: the digest is ~10× a lane's arithmetic, and CollapseProject
+    //   inlines any prepped-array alias into all k array_min consumers
+    //   (measured: 16× the md5 work, 6.5 s → 10.3 s at sf0.1). So prep once
+    //   per exploded (doc, shingle) ROW in a real Project and let the k
+    //   mins be codegen'd arithmetic with map-side partial aggregation —
+    //   the shuffle carries one 17-column row per doc per partition, which
+    //   survives any corpus scale.
+    val sigs = family match {
+      case XxHash =>
+        shingleArray(docs, id, text, n).select(
+          col("doc_id") +:
+            (0 until k).map(i =>
+              array_min(transform(col("shs"), s => family.lane(i, family.prep(s)))).as(s"sig_$i")): _*)
+      case _ =>
+        // explode_outer for the same reason as wordShingles: a plain
+        // explode gets an inferred size>0 filter with the O(words²)
+        // substituted transform; shs is never empty (size(ws) >= n).
+        minHashSignatures(
+          shingleArray(docs, id, text, n)
+            .select(col("doc_id"), explode_outer(col("shs")).as("shingle")),
+          k, family)
+    }
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i")): _*).as("bucket"))
+        family.combine((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))).as("bucket"))
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // one shuffle: bucket members collected (capped), pairs generated inline
+    // one shuffle: bucket members collected (capped), pairs generated inline.
+    // localCheckpoint: the pair set is consumed three times downstream
+    // (docsInPlay here, docsInPlay in verifyJaccard, the verify join) —
+    // without the barrier the whole signature pipeline runs once per
+    // consumer (measured 3× the wall time at sf0.1). The set is tiny by
+    // construction (bucket cap bounds pairs per bucket).
     val cands = buckets.groupBy("band", "bucket")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
       .select(explode(pairExpr(array_sort(col("ds")))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+      .localCheckpoint()
     // shingle sets only for candidate docs
     val docsInPlay = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b"))).distinct()
@@ -152,7 +229,9 @@ object Dedup {
   def verifyJaccard(cands: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
     val docsInPlay = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b"))).distinct()
-    val sh = shingles.join(broadcast(docsInPlay), "doc_id")
+    // localCheckpoint: consumed twice (sizes + inter) and bounded by the
+    // candidate-doc count, so the barrier is cheap and halves the work.
+    val sh = shingles.join(broadcast(docsInPlay), "doc_id").localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -217,10 +296,11 @@ object Dedup {
   /** 32-bit SimHash per document: bit i is the sign of the weighted sum of
     * word-hash bits. One explode + one groupBy with 32 conditional sums —
     * fully distributed, no per-doc loops. */
-  def simHash(docs: DataFrame, id: String, text: String): DataFrame = {
+  def simHash(docs: DataFrame, id: String, text: String,
+              family: HashFamily = XxHash): DataFrame = {
     val w = docs.select(col(id).as("doc_id"), explode(filter(split(col(text), " "), x => length(x) > 0)).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", family.lane(0, family.prep(col("w"))))
     val bitSums = (0 until 32).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt"))).as(s"b_$i")
     }
@@ -230,13 +310,26 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: band on the high 16 bits, verify Hamming
-    * distance <= maxHamming via bit_count(xor). */
-  def simHashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int = 6): DataFrame = {
-    val sigs = simHash(docs, id, text).withColumn("band", shiftright(col("simhash"), 16))
-    sigs.as("a").join(sigs.as("b"), Seq("band"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+    * distance <= maxHamming via bit_count(xor).
+    *
+    * Candidate generation uses the same grouped shape as [[minHashLsh]] —
+    * band members are collected (capped at `maxBucket`) and pairs generated
+    * inline — NOT a band self-join: a degenerate band of B docs would make a
+    * self-join emit B²/2 rows through a shuffle; here the cap bounds it and
+    * no join has the corpus on both sides. */
+  def simHashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int = 6,
+                   family: HashFamily = XxHash, maxBucket: Int = 1000): DataFrame = {
+    val sigs = simHash(docs, id, text, family)
+      .withColumn("band", shiftright(col("simhash"), 16))
+    sigs.groupBy("band")
+      // array_sort on (doc_id, simhash) structs orders by doc_id (unique),
+      // so pairExpr's doc_a < doc_b invariant holds
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(pairExpr(col("ms"))).as("p"))
+      .withColumn("hamming",
+        bit_count(col("p.doc_a.simhash").bitwiseXOR(col("p.doc_b.simhash"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+      .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_b.doc_id").as("doc_b"), col("hamming"))
   }
 }

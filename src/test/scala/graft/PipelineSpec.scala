@@ -35,6 +35,30 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("Md5Hash family: same dedup semantics as XxHash, just replayable lanes") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text", 3, 4, 4, 0.5, 100,
+        family = Dedup.Md5Hash)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "md5-lane LSH pairs must be verified-exact pairs")
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.5, s"md5-lane recall ${lsh.size}/${exact.size}")
+    val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val pair = Dedup.simHashPairs(two, "doc_id", "text", maxHamming = 0,
+        family = Dedup.Md5Hash)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pair == Set((1L, 2L)))
+  }
+
+  test("simHashPairs plan has no join at all (grouped pair generation)") {
+    val plan = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"simhash candidate generation must not self-join the corpus:\n$plan")
+  }
+
   test("resolveClusters propagates the min label across a chain; keepCanonical drops the rest") {
     val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (100L, 200L))
       .toDF("doc_a", "doc_b")
