@@ -491,6 +491,20 @@ object SparkEntry {
         .select("symbol", "date", "close", "ema12", "macd", "macd_signal", "rsi")
     }),
 
+    // get_stock_blocks: the S5 industry dimension per security.
+    "api_stock_blocks" -> ((s, dir) =>
+      api(s, dir).getStockBlocks(syms3 ++ Seq("000004.SZ", "000005.SZ", "000006.SZ"))),
+
+    // get_Indeces: the index half of the universe split (F2 predicate).
+    "api_indeces" -> ((s, dir) => api(s, dir).getIndeces("1998-06-30")),
+
+    // get_all_trades_days: PTrade-compat alias of get_trade_days.
+    "api_all_trade_days" -> ((s, dir) =>
+      api(s, dir).getAllTradeDays("1996-01-01", "1996-12-31")),
+
+    // get_stock_info: metadata projection incl. the blocks JSON field.
+    "api_stock_info" -> ((s, dir) => api(s, dir).getStockInfo(syms3)),
+
     // PTrade derived fields: preclose / price limits (lag window).
     "api_derived_fields" -> ((s, dir) => {
       val v = MarketViews(s, dir)
@@ -550,6 +564,13 @@ object SparkEntry {
                   revenue,
                   floor(revenue / (n * 1000.0) * 1000000 + 0.5) / 1000000 AS roe
                 FROM fqr)"""
+
+  /** DuckDB replay of MarketViews.industryName — generated from the same
+    * sector list so the two can't drift. */
+  private val industryCaseSql: String =
+    graft.domain.MarketViews.Industries.zipWithIndex
+      .map { case (n, i) => s"WHEN $i THEN '$n'" }
+      .mkString("CASE CAST(substr(symbol,1,6) AS INT) % 8 ", " ", " END")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -708,6 +729,37 @@ object SparkEntry {
       s"""$MKT SELECT symbol,
                  CAST(strftime(date, '%Y%m%d') AS INT) AS date_int, ratio
           FROM fr WHERE symbol IN ('000001.SZ','000002.SZ')""",
+
+    "api_stock_blocks" ->
+      s"""$MKT SELECT symbol, $industryCaseSql AS industry,
+                 'sws_l1' AS industry_classification
+          FROM meta
+          WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ',
+                           '000004.SZ','000005.SZ','000006.SZ')""",
+
+    "api_indeces" ->
+      s"""$MKT, smp AS (SELECT MIN(trade_date) AS sample_date FROM cal
+                        GROUP BY date_part('year', trade_date)),
+          ic AS (SELECT s.sample_date,
+                   CASE CAST(substr(m.symbol,1,6) AS INT) % 3
+                     WHEN 0 THEN '000300.SS' WHEN 1 THEN '000905.SS'
+                     ELSE '000016.SS' END AS index_code,
+                   m.symbol
+                 FROM smp s CROSS JOIN meta m
+                 WHERE s.sample_date BETWEEN m.listed_date AND m.de_listed_date)
+          SELECT DISTINCT index_code FROM ic
+          WHERE sample_date <= DATE '1998-06-30'""",
+
+    "api_all_trade_days" ->
+      s"""$MKT SELECT trade_date FROM cal
+          WHERE trade_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""",
+
+    "api_stock_info" ->
+      s"""$MKT SELECT symbol, 'SEC-' || symbol AS stock_name,
+                 listed_date, de_listed_date,
+                 '{"industry": "' || $industryCaseSql
+                   || '", "industryClassification": "sws_l1"}' AS blocks
+          FROM meta WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')""",
 
     "api_indicators" ->
       s"""$MKT, sel AS (SELECT symbol, date, close FROM bars

@@ -98,6 +98,29 @@ final case class PTradeApi(views: MarketViews) {
   def getTradeDays(start: String, end: String): DataFrame =
     views.calendar.filter(col("trade_date").between(lit(start), lit(end)))
 
+  /** get_all_trades_days (ptrade_data_api.py:303-306): the reference defines
+    * it as a PTrade-compat alias of get_trade_days; parity = same rows. */
+  def getAllTradeDays(start: String, end: String): DataFrame =
+    getTradeDays(start, end)
+
+  /** get_Indeces (ptrade_data_api.py:154-158): the index half of the
+    * `_get_stock_and_index` universe split. The synthetic index universe is
+    * the distinct index codes with a constituent sample at or before the
+    * date; the F2 predicate (`isIndexCode` on the baostock form) is applied
+    * for parity with the reference's prefix split (sh.000 / sz.399). */
+  def getIndeces(date: String): DataFrame =
+    views.indexConstituents
+      .filter(col("sample_date") <= lit(date))
+      .select(col("index_code"))
+      .filter(graft.functions.CodeConvert.isIndexCode(
+        graft.functions.CodeConvert.ptradeToBaostock(col("index_code"))))
+      .distinct()
+
+  /** get_stock_blocks (ptrade_data_api.py:212-246): industry/sector info per
+    * stock — the S5 dimension projected for the requested securities. */
+  def getStockBlocks(securities: Seq[String]): DataFrame =
+    views.industry.filter(col("symbol").isin(securities: _*))
+
   /** get_Ashares (F1): the tradable universe at a date — listed on or
     * before, not yet de-listed. */
   def getAshares(date: String): DataFrame =

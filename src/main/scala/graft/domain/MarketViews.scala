@@ -1,6 +1,6 @@
 package graft.domain
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CodeConvert
 import graft.ops.Aggregates
@@ -152,12 +152,54 @@ final case class MarketViews(spark: SparkSession, dir: String) {
         col("symbol"))
   }
 
-  /** Static metadata: listing span = first/last trading day (K5 dim). */
+  /** Static metadata: listing span = first/last trading day (K5 dim), plus
+    * the `blocks` JSON the reference's efficient downloader embeds in stock
+    * metadata (download_efficient.py:160-167: a JSON dict of industry +
+    * industryClassification). Pure column arithmetic — no extra join. */
   def stockMetadata: DataFrame =
     bars.groupBy(col("symbol")).agg(
       min(col("date")).as("listed_date"),
       max(col("date")).as("de_listed_date"))
       .select(col("symbol"),
         concat(lit("SEC-"), col("symbol")).as("stock_name"),
-        col("listed_date"), col("de_listed_date"))
+        col("listed_date"), col("de_listed_date"),
+        MarketViews.blocksJson(col("symbol")).as("blocks"))
+
+  /** S5 industry dimension (baostock_fetcher.py:149-181:
+    * `query_stock_industry` → one (industry, industryClassification) row per
+    * code). Deterministic off the 6-digit code — 8 named sectors under one
+    * classification scheme — so the dimension is replayable as a CASE in
+    * SQL and needs no fact-table scan at all. */
+  def industry: DataFrame =
+    stockMetadata.select(col("symbol"),
+      MarketViews.industryName(col("symbol")).as("industry"),
+      lit(MarketViews.IndustryClassification).as("industry_classification"))
+}
+
+object MarketViews {
+  /** Classification scheme label (the reference's rows carry baostock's
+    * 申万一级行业; the synthetic dimension uses an ASCII tag). */
+  val IndustryClassification = "sws_l1"
+
+  /** The 8 synthetic sector names, indexed by code % 8. */
+  val Industries: Seq[String] = Seq(
+    "Banking", "Energy", "Technology", "Healthcare",
+    "Materials", "Consumer", "Utilities", "Transport")
+
+  /** Sector name from the symbol's numeric code (deterministic, replayable:
+    * `CASE CAST(substr(symbol,1,6) AS INT) % 8 WHEN ... END`). */
+  def industryName(symbol: Column): Column = {
+    val idx = pmod(substring(symbol, 1, 6).cast("int"), lit(Industries.size))
+    Industries.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (name, i)) => when(idx === i, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** The metadata `blocks` JSON (download_efficient.py:164-167 shape):
+    * built with concat rather than `to_json` so the byte representation is
+    * trivially identical to the SQL oracle's. */
+  def blocksJson(symbol: Column): Column =
+    concat(lit("""{"industry": """"), industryName(symbol),
+      lit("""", "industryClassification": """"), lit(IndustryClassification),
+      lit(""""}"""))
 }

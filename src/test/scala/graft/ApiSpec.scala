@@ -65,6 +65,36 @@ class ApiSpec extends SparkSpec {
     assert(m.columns.toSeq == ("date" +: syms))
   }
 
+  test("industry dimension: every listed stock gets exactly one block, JSON matches") {
+    val uni = api.getAshares("1997-03-03").select("symbol").as[String].collect().toSeq
+    val blocks = api.getStockBlocks(uni)
+    assert(blocks.count() == uni.size, "one industry row per security")
+    assert(blocks.filter(col("industry").isNull).count() == 0)
+    assert(blocks.filter(col("industry_classification") =!= "sws_l1").count() == 0)
+    // metadata blocks JSON round-trips through from_json to the same fields
+    val meta = views.stockMetadata.select(col("symbol"),
+      from_json(col("blocks"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "industry STRING, industryClassification STRING")).as("b"))
+    val mismatch = meta.join(blocks, "symbol")
+      .filter(col("b.industry") =!= col("industry") ||
+        col("b.industryClassification") =!= col("industry_classification"))
+    assert(mismatch.count() == 0)
+  }
+
+  test("getIndeces returns index codes only, disjoint from the A-share universe") {
+    val idx = api.getIndeces("1998-06-30").as[String].collect().toSet
+    assert(idx == Set("000300.SS", "000905.SS", "000016.SS"))
+    val ashares = api.getAshares("1997-03-03").select("symbol").as[String].collect().toSet
+    assert(idx.intersect(ashares).isEmpty)
+  }
+
+  test("getAllTradeDays aliases getTradeDays (same rows)") {
+    val a = api.getAllTradeDays("1996-01-01", "1996-12-31")
+    val b = api.getTradeDays("1996-01-01", "1996-12-31")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("getIndexStocks partitions the universe disjointly across indices") {
     val a = api.getIndexStocks("000300.SS", "1998-06-30").as[String].collect().toSet
     val b = api.getIndexStocks("000905.SS", "1998-06-30").as[String].collect().toSet
