@@ -391,6 +391,16 @@ object SparkEntry {
           col("meta.n_bytes").cast("long").as("n_bytes"),
           md5(col("media")).as("content_hash"))
     }),
+
+    // Multimodal decode: REAL binary-PPM encode → parse → channel-mean
+    // features; the oracle replays the generation formula (the Spark side
+    // must round-trip the actual bytes to match it).
+    "mm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Multimodal.decodePpm(Multimodal.syntheticPpm(ids)).toDF()
+    }),
   )
 
   // --------------------------- financial serving surface (M3/M4, PTradeApi)
@@ -1139,6 +1149,22 @@ object SparkEntry {
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS content_hash
          FROM documents""",
+
+    // Replays the syntheticPpm generation formula; sums are exact integers
+    // and the single int/int division is bit-identical in both engines.
+    "mm_decode" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(4 + doc_id % 5 AS INT) AS width,
+                      CAST(3 + doc_id % 4 AS INT) AS height
+                    FROM documents),
+         px AS (SELECT id, width, height,
+                  CAST(i % width AS BIGINT) AS x, CAST(i // width AS BIGINT) AS y
+                FROM d, unnest(range(0, width * height)) AS t(i))
+         SELECT id, width, height, COUNT(*) AS n_pixels,
+                CAST(SUM((id + 3*x + 7*y) % 256) AS DOUBLE) / COUNT(*) AS mean_r,
+                CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
+                CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
+         FROM px GROUP BY id, width, height""",
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms, value

@@ -124,4 +124,31 @@ class PipelineSpec extends SparkSpec {
     val again = Multimodal.decodeFeatures(rows)(spark).collect()
     assert(feats.map(f => (f.id, f.fingerprint)).toSet == again.map(f => (f.id, f.fingerprint)).toSet)
   }
+
+  test("PPM decoder round-trips the synthetic encoder and parses real headers") {
+    val ids = spark.range(1, 21).as[Long]
+    val feats = Multimodal.decodePpm(Multimodal.syntheticPpm(ids)).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.width == (4 + f.id % 5).toInt && f.height == (3 + f.id % 4).toInt)
+      assert(f.n_pixels == f.width.toLong * f.height)
+      // spot-check mean_b against the generation formula: mean over y of (id + y) % 256
+      val expB = (0 until f.height).map(y => (f.id + y) % 256).sum.toDouble / f.height
+      assert(math.abs(f.mean_b - expB) < 1e-12, s"id=${f.id} mean_b")
+    }
+    // a header with comments and multi-whitespace still parses
+    val withComment = "P6\n# a comment\n2 1\n# another\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+      Array[Byte](1, 2, 3, 2, 3, 4)
+    val one = Multimodal.decodePpm(
+      Seq(Multimodal.PpmImage(99L, withComment)).toDS()).collect()
+    assert(one.length == 1 && one.head.width == 2 && one.head.height == 1)
+    assert(one.head.mean_r == 1.5 && one.head.mean_g == 2.5 && one.head.mean_b == 3.5)
+    // malformed payloads (bad magic, truncated body) are dropped, not crashed
+    val bad = Seq(
+      Multimodal.PpmImage(1L, "P5\n2 1\n255\nxxxxxx".getBytes),
+      Multimodal.PpmImage(2L, "P6\n2 1\n255\nxy".getBytes),
+      Multimodal.PpmImage(3L, "P6\nnot a number\n255\n".getBytes)).toDS()
+    assert(Multimodal.decodePpm(bad).collect().isEmpty)
+  }
 }
