@@ -462,6 +462,26 @@ object SparkEntry {
       val qdates = v.calendar.groupBy(year(col("trade_date")))
         .agg(min(col("trade_date")).as("qdate")).select("qdate")
       api(s, dir).getFundamentalsAsOf(syms3, qdates)
+        .select("symbol", "qdate", "end_date", "revenue", "roe")
+    }),
+
+    // get_fundamentals merge_type=1: latest publication incl. restatements.
+    "api_fund_latest" -> ((s, dir) => {
+      val v = MarketViews(s, dir)
+      val qdates = v.calendar.groupBy(year(col("trade_date")))
+        .agg(min(col("trade_date")).as("qdate")).select("qdate")
+      api(s, dir).getFundamentalsAsOf(syms3, qdates, mergeType = 1)
+        .withColumn("version", col("version").cast("long"))
+    }),
+
+    // get_fundamentals report_types=4 first-publication: latest ANNUAL
+    // report published at or before the date, original data only.
+    "api_fund_annual_first" -> ((s, dir) => {
+      val v = MarketViews(s, dir)
+      val qdates = v.calendar.groupBy(year(col("trade_date")))
+        .agg(min(col("trade_date")).as("qdate")).select("qdate")
+      api(s, dir).getFundamentalsAsOf(syms3, qdates, reportTypes = Some(4))
+        .select("symbol", "qdate", "end_date", "revenue", "roe")
     }),
 
     // get_stock_status: HALT/DELISTING flags at a date (F5 + J3).
@@ -693,6 +713,33 @@ object SparkEntry {
                                WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')) m)
           SELECT g.symbol, g.qdate, f.end_date, f.revenue, f.roe
           FROM grid g ASOF LEFT JOIN fund f
+            ON g.symbol = f.symbol AND g.qdate >= f.publ_date""",
+
+    "api_fund_latest" ->
+      s"""$MKT, fundv AS (
+            SELECT symbol, end_date, publ_date, revenue, roe, CAST(1 AS BIGINT) AS version FROM fund
+            UNION ALL
+            SELECT symbol, end_date, publ_date + 20, revenue * 1.02, roe, CAST(2 AS BIGINT)
+            FROM fund
+            WHERE (CAST(substr(symbol,1,6) AS INT) + date_part('month', end_date)) % 3 = 0),
+          qd AS (SELECT MIN(trade_date) AS qdate FROM cal
+                 GROUP BY date_part('year', trade_date)),
+          grid AS (SELECT m.symbol, q.qdate FROM qd q
+                   CROSS JOIN (SELECT symbol FROM meta
+                               WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')) m)
+          SELECT g.symbol, g.qdate, f.end_date, f.revenue, f.roe, f.version
+          FROM grid g ASOF LEFT JOIN fundv f
+            ON g.symbol = f.symbol AND g.qdate >= f.publ_date""",
+
+    "api_fund_annual_first" ->
+      s"""$MKT, qd AS (SELECT MIN(trade_date) AS qdate FROM cal
+                       GROUP BY date_part('year', trade_date)),
+          grid AS (SELECT m.symbol, q.qdate FROM qd q
+                   CROSS JOIN (SELECT symbol FROM meta
+                               WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')) m)
+          SELECT g.symbol, g.qdate, f.end_date, f.revenue, f.roe
+          FROM grid g ASOF LEFT JOIN
+            (SELECT * FROM fund WHERE date_part('month', end_date) = 12) f
             ON g.symbol = f.symbol AND g.qdate >= f.publ_date""",
 
     "api_stock_status" ->

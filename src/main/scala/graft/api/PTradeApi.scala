@@ -67,13 +67,33 @@ final case class PTradeApi(views: MarketViews) {
 
   /** get_fundamentals date mode (J6; PTrade_API_mini_Reference.md:3316-3394):
     * for each (security, query date), the latest report whose PUBLICATION
-    * date is ≤ the query date — no future leakage. */
-  def getFundamentalsAsOf(securities: Seq[String], queryDates: DataFrame): DataFrame = {
+    * date is ≤ the query date — no future leakage.
+    *
+    * `reportTypes` (doc:3329-3334): restrict to one report period before the
+    * as-of — 1 = Q1, 2 = half-year, 3 = through-Q3, 4 = annual (end_date
+    * month / 3). None = nearest report of any period.
+    *
+    * `mergeType` (doc:3335-3337): 0/None = FIRST publication only (original
+    * data even if later restated — the backtest-safe mode); 1 = include
+    * restatements, i.e. the latest publication at or before the date. As the
+    * doc warns, mergeType=1 without a reportTypes period may return an OLDER
+    * period whose restatement is the most recent publication — that is the
+    * documented behavior, not a bug. */
+  def getFundamentalsAsOf(securities: Seq[String], queryDates: DataFrame,
+                          reportTypes: Option[Int] = None, mergeType: Int = 0): DataFrame = {
     val grid = queryDates.select(col("qdate"))
       .crossJoin(views.stockMetadata.filter(col("symbol").isin(securities: _*)).select("symbol"))
-    Joins.asOf(grid, views.fundamentals, Seq("symbol"), "qdate", "publ_date",
-        Seq("end_date", "revenue", "roe"))
-      .select("symbol", "qdate", "end_date", "revenue", "roe")
+    val all = views.fundamentalsAll
+    val byType = reportTypes match {
+      case Some(t) =>
+        require(t >= 1 && t <= 4, s"report_types must be 1..4, got $t")
+        all.filter(month(col("end_date")) === t * 3)
+      case None => all
+    }
+    val src = if (mergeType == 1) byType else byType.filter(col("version") === 1)
+    Joins.asOf(grid, src, Seq("symbol"), "qdate", "publ_date",
+        Seq("end_date", "revenue", "roe", "version"))
+      .select("symbol", "qdate", "end_date", "revenue", "roe", "version")
   }
 
   /** get_fundamentals year-range mode (ptrade_data_api.py:484-594): one scan,

@@ -122,6 +122,25 @@ final case class MarketViews(spark: SparkSession, dir: String) {
       graft.functions.Coerce.roundHalfUp(col("revenue") / (col("n_trades") * 1000.0), 6).as("roe"))
   }
 
+  /** Fundamentals with publication VERSIONS (merge_type substrate,
+    * PTrade_API_mini_Reference.md:3329-3337): every report is published once
+    * (version 1 = [[fundamentals]]); quarters where (code + month) % 3 == 0
+    * additionally get a restatement 20 days later (version 2) with revenue
+    * revised ×1.02 (pure double multiply — bit-deterministic; roe is left
+    * unrevised). Per symbol all publication dates are distinct by
+    * construction (versions differ by 20 days; consecutive quarters' windows
+    * are ~70 days apart), so as-of joins never tie. */
+  def fundamentalsAll: DataFrame = {
+    val base = fundamentals.withColumn("version", lit(1))
+    val revised = fundamentals
+      .filter(pmod(substring(col("symbol"), 1, 6).cast("int") + month(col("end_date")), lit(3)) === 0)
+      .select(col("symbol"), col("end_date"),
+        date_add(col("publ_date"), 20).as("publ_date"),
+        (col("revenue") * 1.02).as("revenue"), col("roe"))
+      .withColumn("version", lit(2))
+    base.unionByName(revised)
+  }
+
   /** Daily valuation series (Schemas.valuation): deterministic ratios off
     * the bars; total_shares/total_value/float_value stay null exactly like
     * the reference's TODO columns (data_converter.py:167-170). */

@@ -37,6 +37,46 @@ class ApiSpec extends SparkSpec {
     assert(out.getAs[java.sql.Date]("end_date") == expected.getAs[java.sql.Date]("end_date"))
   }
 
+  test("fundamentals merge_type: first-publication never sees restatements; latest does") {
+    // query every quarter start so restatement windows (publ+20d) are sampled
+    val qdates = views.calendar.groupBy(year(col("trade_date")), quarter(col("trade_date")))
+      .agg(min(col("trade_date")).as("qdate")).select("qdate")
+    val uni = views.stockMetadata.select("symbol").as[String].collect().toSeq
+    val first = api.getFundamentalsAsOf(uni, qdates)
+    val latest = api.getFundamentalsAsOf(uni, qdates, mergeType = 1)
+    // first-publication mode must only ever surface version 1
+    assert(first.filter(col("version") === 2).count() == 0)
+    // latest mode must surface SOME restatements on this fixture
+    assert(latest.filter(col("version") === 2).count() > 0)
+    // wherever a version-2 row won, its revenue is exactly 1.02x the original
+    val v2 = latest.filter(col("version") === 2)
+      .select(col("symbol"), col("end_date"), col("revenue").as("rev2"))
+      .distinct()
+    val orig = views.fundamentals.select(col("symbol"), col("end_date"), col("revenue"))
+    val wrong = v2.join(orig, Seq("symbol", "end_date"))
+      .filter(col("rev2") =!= col("revenue") * 1.02)
+    assert(wrong.count() == 0)
+    // point-in-time still holds in latest mode: no publication after qdate
+    val leaks = latest.filter(col("end_date").isNotNull)
+      .join(views.fundamentalsAll.select("symbol", "end_date", "publ_date", "version"),
+        Seq("symbol", "end_date", "version"))
+      .filter(col("publ_date") > col("qdate"))
+    assert(leaks.count() == 0)
+  }
+
+  test("fundamentals report_types=4 returns only annual periods") {
+    val qdates = Seq("1998-06-30").toDF("q").select(to_date(col("q")).as("qdate"))
+    val out = api.getFundamentalsAsOf(syms, qdates, reportTypes = Some(4))
+    assert(out.filter(col("end_date").isNotNull).count() > 0)
+    assert(out.filter(col("end_date").isNotNull && month(col("end_date")) =!= 12).count() == 0)
+    // and the annual report it returns is the latest one published <= qdate
+    val expected = views.fundamentals
+      .filter(col("symbol") === "000001.SZ" && month(col("end_date")) === 12
+        && col("publ_date") <= lit("1998-06-30"))
+      .agg(max(col("end_date"))).head().getDate(0)
+    assert(out.filter(col("symbol") === "000001.SZ").head().getAs[java.sql.Date]("end_date") == expected)
+  }
+
   test("getHistory fills suspended days with last close and volume 0") {
     val h = api.getHistory(1000, syms, "2001-12-31")
     // spine covers every calendar day in each symbol's lifetime: closes all
