@@ -404,13 +404,20 @@ object SparkEntry {
   )
 
   // --------------------------- financial serving surface (M3/M4, PTradeApi)
-  private def api(s: SparkSession, dir: String) = PTradeApi(MarketViews(s, dir))
+  // Serving path: api_* queries run against the MATERIALIZED store (one
+  // derivation pass per fixture dir, then parquet reads with partition
+  // pruning) — the 100 TB posture, where re-deriving bars per API call
+  // would re-scan the fact table every time.
+  private def api(s: SparkSession, dir: String) =
+    PTradeApi(graft.domain.MarketStore.cached(s, dir))
+  private def mkt(s: SparkSession, dir: String): graft.domain.MarketTables =
+    graft.domain.MarketStore.cached(s, dir)
   private val syms3 = Seq("000001.SZ", "000002.SZ", "000003.SZ")
 
   private val apiQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The canonical bars derivation itself (A6 over the tick mapping).
-    "api_bars" -> ((s, dir) => MarketViews(s, dir).bars),
+    "api_bars" -> ((s, dir) => mkt(s, dir).bars),
 
     // get_price, fq=none: filter + project off the long bars table.
     "api_get_price" -> ((s, dir) =>
@@ -429,7 +436,7 @@ object SparkEntry {
 
     // A4 on the financial domain: rolling 4-quarter (TTM) revenue.
     "api_revenue_ttm" -> ((s, dir) => {
-      val f = MarketViews(s, dir).fundamentals
+      val f = mkt(s, dir).fundamentals
         .filter(col("symbol").isin(syms3: _*))
       graft.ops.Windows.rollingSum(
           f.withColumn("rev_d", col("revenue").cast("decimal(25,6)")),
@@ -440,7 +447,7 @@ object SparkEntry {
 
     // Data-quality invariant report (SURVEY §5.4): per-symbol bar checks.
     "dq_bars_invariants" -> ((s, dir) => {
-      val v = MarketViews(s, dir)
+      val v = mkt(s, dir)
       graft.quality.DataQuality.barInvariants(v.bars, v.calendar)
     }),
 
@@ -458,7 +465,7 @@ object SparkEntry {
 
     // get_fundamentals date mode: point-in-time as-of on publication date.
     "api_fundamentals_asof" -> ((s, dir) => {
-      val v = MarketViews(s, dir)
+      val v = mkt(s, dir)
       val qdates = v.calendar.groupBy(year(col("trade_date")))
         .agg(min(col("trade_date")).as("qdate")).select("qdate")
       api(s, dir).getFundamentalsAsOf(syms3, qdates)
@@ -467,7 +474,7 @@ object SparkEntry {
 
     // get_fundamentals merge_type=1: latest publication incl. restatements.
     "api_fund_latest" -> ((s, dir) => {
-      val v = MarketViews(s, dir)
+      val v = mkt(s, dir)
       val qdates = v.calendar.groupBy(year(col("trade_date")))
         .agg(min(col("trade_date")).as("qdate")).select("qdate")
       api(s, dir).getFundamentalsAsOf(syms3, qdates, mergeType = 1)
@@ -477,7 +484,7 @@ object SparkEntry {
     // get_fundamentals report_types=4 first-publication: latest ANNUAL
     // report published at or before the date, original data only.
     "api_fund_annual_first" -> ((s, dir) => {
-      val v = MarketViews(s, dir)
+      val v = mkt(s, dir)
       val qdates = v.calendar.groupBy(year(col("trade_date")))
         .agg(min(col("trade_date")).as("qdate")).select("qdate")
       api(s, dir).getFundamentalsAsOf(syms3, qdates, reportTypes = Some(4))
@@ -505,7 +512,7 @@ object SparkEntry {
     // Ex-rights A/B affine coefficients (SURVEY §7.4.4 resolved): cumulative
     // (A, B) per event via a struct-accumulator fold.
     "api_exrights_ab" -> ((s, dir) => {
-      MarketViews(s, dir).exrightsAB
+      mkt(s, dir).exrightsAB
         .filter(col("symbol").isin(syms3: _*))
         .select(col("symbol"), Coerce.dateToInt(col("date")).as("date_int"),
           col("ratio"), col("cash"), col("exer_forward_a"), col("exer_forward_b"))
@@ -513,7 +520,7 @@ object SparkEntry {
 
     // Technical indicators: EMA / MACD / RSI as bounded-fold window programs.
     "api_indicators" -> ((s, dir) => {
-      val b = MarketViews(s, dir).bars.filter(col("symbol").isin(syms3: _*))
+      val b = mkt(s, dir).bars.filter(col("symbol").isin(syms3: _*))
       val keys = Seq(col("symbol")); val ord = Seq(col("date"))
       val withM = graft.functions.Indicators.withMacd(b, keys, ord, col("close"))
       graft.functions.Indicators.withRsi(withM, keys, ord, col("close"), 14, "rsi")
@@ -537,7 +544,7 @@ object SparkEntry {
 
     // PTrade derived fields: preclose / price limits (lag window).
     "api_derived_fields" -> ((s, dir) => {
-      val v = MarketViews(s, dir)
+      val v = mkt(s, dir)
       api(s, dir).withDerivedFields(v.bars.filter(col("symbol").isin(syms3: _*)))
         .filter(col("date") <= lit("1996-12-31"))
         .select("symbol", "date", "close", "preclose", "high_limit", "low_limit")

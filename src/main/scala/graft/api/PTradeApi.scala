@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.domain.MarketViews
+import graft.domain.MarketTables
 import graft.ops.{Joins, Projections, Windows}
 
 /** PTrade-compatible serving surface (SURVEY.md §2, §3.1, §3.3;
@@ -12,7 +12,7 @@ import graft.ops.{Joins, Projections, Windows}
   * are produced only at the edge (`toMatrix`), never inside the engine
   * (SURVEY.md §7.4.3).
   */
-final case class PTradeApi(views: MarketViews) {
+final case class PTradeApi(views: MarketTables) {
 
   /** get_price (ptrade_data_api.py:33-106): bars for securities in a date
     * range, optional field projection, adjustment via as-of factor join when

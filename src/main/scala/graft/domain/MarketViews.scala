@@ -19,7 +19,7 @@ import graft.sources.TestData
   * partitioned by date (SURVEY.md §4 physical notes); here they are
   * recomputed per query over the fixture files.
   */
-final case class MarketViews(spark: SparkSession, dir: String) {
+final case class MarketViews(spark: SparkSession, dir: String) extends MarketTables {
   private val t = TestData(spark, dir)
 
   /** PTrade-style symbol from the supplier key: 6-digit code + market

@@ -135,6 +135,25 @@ class ApiSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("materialized MarketStore serves byte-identical tables to the live views") {
+    val store = graft.domain.MarketStore.cached(spark, sf0001)
+    def sameRows(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.columns.toSeq == b.columns.toSeq, "column order must survive the round-trip")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    }
+    sameRows(store.bars, views.bars)
+    sameRows(store.valuation, views.valuation)
+    sameRows(store.calendar, views.calendar)
+    sameRows(store.adjFactors, views.adjFactors)
+    sameRows(store.fundamentalsAll, views.fundamentalsAll)
+    sameRows(store.stockMetadata, views.stockMetadata)
+    sameRows(store.industry, views.industry)
+    // and an API program over the store matches the same program over views
+    val a = PTradeApi(store).getPrice(syms, "1996-01-01", "1996-12-31", Seq("close"), fq = "pre")
+    val b = PTradeApi(views).getPrice(syms, "1996-01-01", "1996-12-31", Seq("close"), fq = "pre")
+    sameRows(a, b)
+  }
+
   test("getIndexStocks partitions the universe disjointly across indices") {
     val a = api.getIndexStocks("000300.SS", "1998-06-30").as[String].collect().toSet
     val b = api.getIndexStocks("000905.SS", "1998-06-30").as[String].collect().toSet
