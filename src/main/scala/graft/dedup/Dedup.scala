@@ -272,15 +272,34 @@ object Dedup {
     while (!converged && i < maxIterations) {
       val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop, Seq("doc_id"), "left")
+      val stepped = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // Pointer-halving: label ← min(label, label(label)). Edge propagation
+      // alone moves the min ONE hop per round (O(diameter) rounds — a
+      // 10⁶-long dup chain would need 10⁶ shuffles); composing with the
+      // label-of-label shortcut halves remaining path lengths every round,
+      // so convergence is O(log diameter). label ≤ doc_id invariantly, so
+      // the shortcut only ever lowers labels toward the component min.
+      val next = stepped.as("x")
+        .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")).as("y"),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).isEmpty
       labels = next
       i += 1
     }
+    // The iteration cap is a safety valve, not a correctness bound: min-label
+    // propagation needs ~diameter rounds, and a component wider than the cap
+    // would silently keep NON-canonical labels (diverging from the
+    // recursive-CTE oracle and from keepCanonical's expectations). Fail
+    // loudly instead — callers with genuinely deeper graphs raise the cap.
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters did not converge in $maxIterations rounds — " +
+        "a connected component has diameter > maxIterations; raise it")
     labels
   }
 

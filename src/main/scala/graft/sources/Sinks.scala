@@ -60,10 +60,18 @@ object Sinks {
     val existing = spark.read.parquet(path)
       .filter(col("p_month").isin(touched.toSeq: _*))
       .drop("p_month")
+    // Materialize the merge BEFORE the write plans: the write below
+    // overwrites partitions of the very table `existing` reads from. With
+    // dynamic partitionOverwriteMode the commit is staged-then-swapped, but
+    // if that option were ever lost (or the session default forced static),
+    // a lazy read inside the overwrite's plan would see deleted partitions
+    // and destroy data. The checkpoint bounds the risk to touched months —
+    // small by construction.
     val merged = Joins.upsert(
       existing.withColumn("__batch", lit(0)),
       fresh.select(existing.columns.map(col): _*).withColumn("__batch", lit(1)),
       keys, Seq(col("__batch"))).drop("__batch")
+      .localCheckpoint()
     merged.withColumn("p_month", date_format(col(dateCol), "yyyy-MM"))
       .repartition(col("p_month"))
       .sortWithinPartitions("symbol", dateCol)

@@ -71,6 +71,17 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(10L, 100L, 999L))
   }
 
+  test("resolveClusters fails loudly when the iteration cap cuts propagation short") {
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.resolveClusters(chain, maxIterations = 2).collect()
+    }
+    // pointer-halving converges a diameter-299 chain in O(log d) rounds,
+    // comfortably under the default cap of 20
+    val labels = Dedup.resolveClusters(chain).as[(Long, Long)].collect()
+    assert(labels.length == 300 && labels.forall(_._2 == 1L))
+  }
+
   test("cosine of a vector with itself is 1; ANN ranks are 1..k") {
     val self = embs.limit(1).select(round(Ann.cosine(col("embedding"), col("embedding")), 9))
       .as[Double].head()

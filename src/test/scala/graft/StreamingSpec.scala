@@ -37,6 +37,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  case class SeqTick(symbol: String, ts: Timestamp, px: Double, qty: Double, seq: Long)
+
+  test("BarBuilder same-timestamp ticks: seqCol breaks the open/close tie deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SeqTick]
+    val query = BarBuilder.bars(input.toDF(), windowLen = "1 hour",
+        lateness = "0 seconds", seqCol = Some("seq"))
+      .writeStream.format("memory").queryName("bars_seq_out")
+      .outputMode("append").start()
+    try {
+      // three ticks at the SAME timestamp - order must follow seq, not luck
+      input.addData(
+        SeqTick("A", t("2024-01-01 09:00:00"), 50.0, 1.0, 2L),
+        SeqTick("A", t("2024-01-01 09:00:00"), 10.0, 1.0, 1L),
+        SeqTick("A", t("2024-01-01 09:00:00"), 30.0, 1.0, 3L))
+      query.processAllAvailable()
+      input.addData(SeqTick("A", t("2024-01-01 11:00:00"), 9.0, 1.0, 4L))
+      query.processAllAvailable()
+      val out = spark.table("bars_seq_out")
+        .select("open", "close").as[(Double, Double)].collect()
+      assert(out.contains((10.0, 30.0)), s"open=first-seq, close=last-seq; got ${out.toSeq}")
+    } finally query.stop()
+  }
+
   test("incrementalRefresh upserts fresh bars over existing (last-wins)") {
     val existing = Seq(("A", t("2024-01-01 09:00:00"), 1.0), ("B", t("2024-01-01 09:00:00"), 2.0))
       .toDF("symbol", "bar_start", "close")
