@@ -374,6 +374,15 @@ object SparkEntry {
         nLists = 16, nProbe = 4, lloydIters = 1)
     }),
 
+    // LSH-bucketed ANN: seeded literal hyperplanes make the signature
+    // replayable, so the scale path gets a full value oracle too.
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Ann.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        3, dims = 64, bits = 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // IVF ANN with lloydIters = 0: the pure value-predicate quantizer +
     // probe + exact re-rank — fully SQL-replayable, so this variant carries
     // the value oracle for the IVF plan shape (argmin = ROW_NUMBER).
@@ -1252,6 +1261,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minHashLshOracle,
     "dedup_simhash" -> simHashOracle,
     "ann_ivf0_topk" -> ivf0Oracle,
+    "ann_lsh_topk" -> annLshOracle,
   )
 
   // ----------------------------------------------- generated oracle SQL
@@ -1346,6 +1356,36 @@ object SparkEntry {
         FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id
         JOIN ok ON ok.band = a.band
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
+  }
+
+  /** Replays Ann.lshTopK(k=3, dims=64, bits=8, seed=42): the hyperplane
+    * coefficient matrix is generated by the SAME Scala code
+    * ([[graft.ann.Ann.hyperplanes]]) and inlined as literal lists (%.17g
+    * round-trips doubles exactly); the sign fold and the bucket join then
+    * replay bit-for-bit. */
+  private lazy val annLshOracle: String = {
+    val bits = 8; val dims = 64
+    val hp = graft.ann.Ann.hyperplanes(42L, bits, dims)
+    def planeList(i: Int): String =
+      hp(i).map(c => f"$c%.17g").mkString("[", ", ", "]")
+    val sigTerms = (0 until bits).map { i =>
+      s"""CASE WHEN list_reduce(list_transform(list_zip(embedding, ${planeList(i)}),
+             z -> CAST(z[1] AS DOUBLE) * z[2]), (x, y) -> x + y) > 0
+          THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+    }.mkString("\n                + ")
+    s"""WITH sig AS (SELECT vec_id, embedding,
+                $sigTerms AS bucket
+              FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig WHERE vec_id < 20),
+        scored AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+                     ROUND(${cosSql("q.qv", "s.embedding")}, 6) AS cos
+                   FROM q JOIN sig s USING (bucket)
+                   WHERE q.query_id <> s.vec_id)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 3"""
   }
 
   /** Replays Ann.ivfTopK(k=5, nLists=16, nProbe=4, lloydIters=0): the

@@ -49,16 +49,34 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)), with
-    * deterministic pseudo-hyperplanes h_i[d] derived from xxhash64(i, d)
-    * (no stored model, identical across runs/executors). */
-  def lshSignature(vec: Column, dims: Int, bits: Int): Column = {
+  /** splitmix64 finalizer — the standard public-domain mixer (same math as
+    * java.util.SplittableRandom). Runs at PLAN time only. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic hyperplane matrix: coefficient (i, d) in [-1, 1) from
+    * splitmix64(seed, i·dims + d). Computed once on the driver and inlined
+    * as literals — a bits×dims matrix is ≤ KBs, so shipping it in the plan
+    * beats re-deriving a hash per (row, plane, dim) at scale, and literal
+    * coefficients make the signature replayable in any engine. */
+  def hyperplanes(seed: Long, bits: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dims) { (i, d) =>
+      (mix64(seed + i.toLong * dims + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) over the
+    * seeded [[hyperplanes]] matrix (no stored model, identical across
+    * runs/executors/engines). */
+  def lshSignature(vec: Column, dims: Int, bits: Int, seed: Long = 42L): Column = {
+    val hp = hyperplanes(seed, bits, dims)
     val planes = (0 until bits).map { i =>
+      val coeffs = array(hp(i).map(lit): _*)
       val s = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dims - 1)),
-          // pseudo-random coefficient in [-1, 1) from (plane, dim)
-          (x, d) => x.cast("double") *
-            ((pmod(xxhash64(lit(i), d), lit(2000001L)).cast("double") / 1000000.0) - 1.0)),
+        zip_with(vec, coeffs, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)
       when(s > 0, lit(1L << i)).otherwise(lit(0L))
     }
@@ -69,11 +87,11 @@ object Ann {
     * re-ranks within the bucket. Trades recall for a corpus-partition-local
     * search — the path that survives a 100×-scale corpus. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, dims: Int, bits: Int = 12): DataFrame = {
+              k: Int, dims: Int, bits: Int = 12, seed: Long = 42L): DataFrame = {
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
-      .withColumn("bucket", lshSignature(col("cv"), dims, bits))
+      .withColumn("bucket", lshSignature(col("cv"), dims, bits, seed))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-      .withColumn("bucket", lshSignature(col("qv"), dims, bits))
+      .withColumn("bucket", lshSignature(col("qv"), dims, bits, seed))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
