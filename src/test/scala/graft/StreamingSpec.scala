@@ -61,6 +61,54 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sessionizer (custom state) matches batch sessionize on a replayed stream") {
+    import graft.streaming.StreamSessionizer
+    import graft.streaming.StreamSessionizer.Event
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30 * 60 * 1000L
+    // batch split keeps every event at or above the watermark of its batch
+    // (a row behind the watermark is dropped as late by the stateful op)
+    val events = Seq(
+      Event(1L, t("2024-01-01 09:00:00"), 1.0),
+      Event(1L, t("2024-01-01 09:10:00"), 2.0),
+      Event(2L, t("2024-01-01 09:05:00"), 5.0),
+      Event(1L, t("2024-01-01 11:00:00"), 3.0), // > gap: new session
+      Event(1L, t("2024-01-01 11:20:00"), 4.0),
+      Event(2L, t("2024-01-01 12:00:00"), 6.0))
+    val input = MemoryStream[Event]
+    val query = StreamSessionizer.sessions(
+        input.toDS().withWatermark("ts", "0 seconds"), gapMs)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData(events.take(4))
+      query.processAllAvailable()
+      input.addData(events.drop(4))
+      query.processAllAvailable()
+      // advance the watermark far past every open session so all close
+      input.addData(Event(99L, t("2024-01-02 09:00:00"), 0.0))
+      query.processAllAvailable()
+      input.addData(Event(99L, t("2024-01-03 09:00:00"), 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .filter(col("user_id") < 99L)
+        .select("user_id", "start_ms", "end_ms", "n_events", "session_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      // batch reference over the same rows
+      val batchDf = events.toDF()
+        .select(col("user_id"), (col("ts").cast("double") * 1000).cast("long").as("tms"),
+          col("value"))
+      val batch = graft.ops.Windows.sessionize(
+          batchDf, Seq(col("user_id")), col("tms"), gapMs, Seq(col("value")))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("tms")).as("start_ms"), max(col("tms")).as("end_ms"),
+          count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+        .select("user_id", "start_ms", "end_ms", "n_events", "session_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    } finally query.stop()
+  }
+
   test("incrementalRefresh upserts fresh bars over existing (last-wins)") {
     val existing = Seq(("A", t("2024-01-01 09:00:00"), 1.0), ("B", t("2024-01-01 09:00:00"), 2.0))
       .toDF("symbol", "bar_start", "close")
