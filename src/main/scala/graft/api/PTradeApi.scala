@@ -23,9 +23,8 @@ final case class PTradeApi(views: MarketTables) {
     // the reference accepts only daily frequency here (ptrade_data_api.py:58-62);
     // coarser frequencies go through resampleBars
     require(frequency == "1d", s"get_price supports only frequency=1d, got $frequency")
-    val base = views.bars
+    val base = views.barsInRange(start, end)
       .filter(col("symbol").isin(securities: _*))
-      .filter(col("date").between(lit(start), lit(end)))
     val adjusted = fq match {
       case "none" => base
       case "post" | "pre" =>
@@ -106,7 +105,7 @@ final case class PTradeApi(views: MarketTables) {
   /** get_stock_status (F5 + J3): HALT = no bar on the date (broadcast lookup
     * with false default); DELISTING = date past the de-listing date. */
   def getStockStatus(date: String): DataFrame = {
-    val active = views.bars.filter(col("date") === lit(date))
+    val active = views.barsInRange(date, date)
       .select(col("symbol")).withColumn("has_bar", lit(true))
     Joins.broadcastLookup(views.stockMetadata, active, Seq("symbol"), "has_bar", lit(false))
       .select(col("symbol"),
@@ -171,8 +170,8 @@ final case class PTradeApi(views: MarketTables) {
 
   /** get_fundamentals table=valuation (daily mode, ptrade_data_api.py:463-482). */
   def getValuation(securities: Seq[String], start: String, end: String): DataFrame =
-    views.valuation.filter(col("symbol").isin(securities: _*))
-      .filter(col("date").between(lit(start), lit(end)))
+    views.valuationInRange(start, end)
+      .filter(col("symbol").isin(securities: _*))
 
   /** PTrade derived fields (PTrade_API_mini_Reference.md:1809-1812):
     * preclose = lag(close); ±10% price limits off preclose. */
@@ -203,9 +202,8 @@ final case class PTradeApi(views: MarketTables) {
     * `start_date`): the last `count` bars at or before `end` per security. */
   def getPriceCount(securities: Seq[String], count: Int, end: String,
                     fields: Seq[String] = Seq("close", "volume")): DataFrame = {
-    val base = views.bars
+    val base = views.barsUpTo(end)
       .filter(col("symbol").isin(securities: _*))
-      .filter(col("date") <= lit(end))
     Projections.projectExisting(
       Windows.lastNPerKey(base, Seq(col("symbol")), Seq(col("date")), count),
       Seq("symbol", "date") ++ fields)

@@ -1,6 +1,7 @@
 package graft.domain
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import graft.sources.Sinks
 
 /** The canonical market-table set the serving surface ([[graft.api.PTradeApi]])
@@ -18,6 +19,23 @@ import graft.sources.Sinks
 trait MarketTables {
   def bars: DataFrame
   def calendar: DataFrame
+
+  /** bars restricted to [start, end] (dates as `yyyy-MM-dd`). Implementations
+    * over a partitioned layout override this to ALSO push a predicate on the
+    * partition column: the engine cannot derive `p_month` bounds from a
+    * `date` filter on its own, and without them a date-range query lists and
+    * scans every partition of the fact table. */
+  def barsInRange(start: String, end: String): DataFrame =
+    bars.filter(col("date").between(lit(start), lit(end)))
+
+  /** bars at or before `end` — upper partition bound only. */
+  def barsUpTo(end: String): DataFrame =
+    bars.filter(col("date") <= lit(end))
+
+  /** valuation restricted to [start, end]; same pruning contract as
+    * [[barsInRange]]. */
+  def valuationInRange(start: String, end: String): DataFrame =
+    valuation.filter(col("date").between(lit(start), lit(end)))
   def exrightsEvents: DataFrame
   def exrightsAB: DataFrame
   def adjFactors: DataFrame
@@ -40,6 +58,24 @@ final case class MarketStore(spark: SparkSession, root: String) extends MarketTa
 
   def bars: DataFrame = fact("bars")
   def valuation: DataFrame = fact("valuation")
+
+  // explicit partition predicates: p_month is 'yyyy-MM', which orders
+  // lexicographically, so month bounds derived from the date bounds prune
+  // the file listing to exactly the touched months
+  private def prunedRange(name: String, start: String, end: String): DataFrame =
+    spark.read.parquet(s"$root/$name")
+      .filter(col("p_month").between(start.substring(0, 7), end.substring(0, 7)))
+      .filter(col("date").between(lit(start), lit(end)))
+      .drop("p_month")
+  override def barsInRange(start: String, end: String): DataFrame =
+    prunedRange("bars", start, end)
+  override def barsUpTo(end: String): DataFrame =
+    spark.read.parquet(s"$root/bars")
+      .filter(col("p_month") <= end.substring(0, 7))
+      .filter(col("date") <= lit(end))
+      .drop("p_month")
+  override def valuationInRange(start: String, end: String): DataFrame =
+    prunedRange("valuation", start, end)
   def calendar: DataFrame = dim("calendar")
   def exrightsEvents: DataFrame = dim("exrights_events")
   def exrightsAB: DataFrame = dim("exrights_ab")

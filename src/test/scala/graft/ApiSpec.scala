@@ -154,6 +154,22 @@ class ApiSpec extends SparkSpec {
     sameRows(a, b)
   }
 
+  test("store date-range queries prune p_month partitions in the scan") {
+    val store = graft.domain.MarketStore.cached(spark, sf0001)
+    val pruned = store.barsInRange("1996-03-01", "1996-05-31")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in plan"))
+    val pf = scan.partitionFilters.mkString(";")
+    assert(pf.contains("p_month"), s"partition filters must bound p_month: $pf")
+    // 3 months requested -> at most 3 partition directories read
+    assert(scan.selectedPartitions.partitionCount <= 3,
+      s"expected <=3 pruned partitions, scanned ${scan.selectedPartitions.partitionCount}")
+    // and the rows are identical to the unpruned path
+    val ref = store.bars.filter(col("date").between(lit("1996-03-01"), lit("1996-05-31")))
+    assert(pruned.exceptAll(ref).count() == 0 && ref.exceptAll(pruned).count() == 0)
+  }
+
   test("getIndexStocks partitions the universe disjointly across indices") {
     val a = api.getIndexStocks("000300.SS", "1998-06-30").as[String].collect().toSet
     val b = api.getIndexStocks("000905.SS", "1998-06-30").as[String].collect().toSet
