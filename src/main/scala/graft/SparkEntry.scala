@@ -358,6 +358,12 @@ object SparkEntry {
     "emb_near_dup" -> ((s, dir) =>
       Ann.nearDupPairs(TestData(s, dir).embeddings, "vec_id", "embedding", "label", 0.4)),
 
+    // Self-contained embedding near-dup: LSH-signature blocks with a
+    // capped-bucket guard (no caller-supplied block key).
+    "emb_near_dup_lsh" -> ((s, dir) =>
+      Ann.lshNearDupPairs(TestData(s, dir).embeddings, "vec_id", "embedding",
+        dims = 64, bits = 6, threshold = 0.3, maxBucket = 1000)),
+
     // Brute-force cosine top-k ANN (query set = vec_id < 10).
     "ann_topk" -> ((s, dir) => {
       val e = TestData(s, dir).embeddings
@@ -1262,6 +1268,7 @@ object SparkEntry {
     "dedup_simhash" -> simHashOracle,
     "ann_ivf0_topk" -> ivf0Oracle,
     "ann_lsh_topk" -> annLshOracle,
+    "emb_near_dup_lsh" -> embLshOracle,
   )
 
   // ----------------------------------------------- generated oracle SQL
@@ -1358,21 +1365,24 @@ object SparkEntry {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
   }
 
-  /** Replays Ann.lshTopK(k=3, dims=64, bits=8, seed=42): the hyperplane
+  /** DuckDB replay of [[graft.ann.Ann.lshSignature]]: the hyperplane
     * coefficient matrix is generated by the SAME Scala code
     * ([[graft.ann.Ann.hyperplanes]]) and inlined as literal lists (%.17g
-    * round-trips doubles exactly); the sign fold and the bucket join then
-    * replay bit-for-bit. */
-  private lazy val annLshOracle: String = {
-    val bits = 8; val dims = 64
-    val hp = graft.ann.Ann.hyperplanes(42L, bits, dims)
+    * round-trips doubles exactly); the sign fold then replays bit-for-bit. */
+  private def lshSigSql(bits: Int, dims: Int, seed: Long, vecExpr: String): String = {
+    val hp = graft.ann.Ann.hyperplanes(seed, bits, dims)
     def planeList(i: Int): String =
       hp(i).map(c => f"$c%.17g").mkString("[", ", ", "]")
-    val sigTerms = (0 until bits).map { i =>
-      s"""CASE WHEN list_reduce(list_transform(list_zip(embedding, ${planeList(i)}),
+    (0 until bits).map { i =>
+      s"""CASE WHEN list_reduce(list_transform(list_zip($vecExpr, ${planeList(i)}),
              z -> CAST(z[1] AS DOUBLE) * z[2]), (x, y) -> x + y) > 0
           THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
     }.mkString("\n                + ")
+  }
+
+  /** Replays Ann.lshTopK(k=3, dims=64, bits=8, seed=42). */
+  private lazy val annLshOracle: String = {
+    val sigTerms = lshSigSql(8, 64, 42L, "embedding")
     s"""WITH sig AS (SELECT vec_id, embedding,
                 $sigTerms AS bucket
               FROM embeddings),
@@ -1386,6 +1396,24 @@ object SparkEntry {
                       ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored)
         WHERE rank <= 3"""
+  }
+
+  /** Replays Ann.lshNearDupPairs(dims=64, bits=6, threshold=0.3,
+    * maxBucket=1000, seed=42): seeded-signature blocks, bucket-size cap,
+    * capped self-join, cosine verify. */
+  private lazy val embLshOracle: String = {
+    val sigTerms = lshSigSql(6, 64, 42L, "embedding")
+    s"""WITH sig AS (SELECT vec_id, embedding,
+                $sigTerms AS blk
+              FROM embeddings),
+        ok AS (SELECT blk FROM sig GROUP BY blk
+               HAVING COUNT(*) BETWEEN 2 AND 1000)
+        SELECT vec_a, vec_b, cos FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+          FROM sig a JOIN sig b USING (blk) JOIN ok USING (blk)
+          WHERE a.vec_id < b.vec_id)
+        WHERE cos >= 0.3"""
   }
 
   /** Replays Ann.ivfTopK(k=5, nLists=16, nProbe=4, lloydIters=0): the

@@ -177,4 +177,21 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"), col("cos"))
   }
+
+  /** Self-contained embedding near-dup: blocks come from the seeded LSH
+    * signature (no caller-supplied key), with a bucket-size cap — the same
+    * stop-bucket stance as ngramJaccard's `maxDF`/minHashLsh's `maxBucket`:
+    * an over-full bucket is dropped before the pair join, so per-key join
+    * multiplicity is bounded and no degenerate bucket can go quadratic.
+    * High-cosine pairs land in the same bucket with probability
+    * (1 − θ/π)^bits (hyperplane LSH), so recall is tunable via `bits`. */
+  def lshNearDupPairs(vectors: DataFrame, id: String, vec: String, dims: Int,
+                      bits: Int = 8, threshold: Double = 0.9,
+                      maxBucket: Int = 1000, seed: Long = 42L): DataFrame = {
+    val v = vectors.select(col(id).as("vid"), col(vec).as("v"))
+      .withColumn("blk", lshSignature(col("v"), dims, bits, seed))
+    val ok = v.groupBy("blk").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket)).select("blk")
+    nearDupPairs(v.join(ok, "blk"), "vid", "v", "blk", threshold)
+  }
 }

@@ -10,14 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object CodeConvert {
 
-  /** `600000.SS` → `sh.600000`; `000001.SZ` → `sz.000001`. Unknown suffix → null. */
+  /** `600000.SS` → `sh.600000`; `000001.SZ` → `sz.000001`. The legacy `SH`
+    * suffix is tolerated like the reference's market_map (code_utils.py:85).
+    * Unknown suffix → null. */
   def ptradeToBaostock(code: Column): Column = {
     val base   = substring_index(code, ".", 1)
     val market = substring_index(code, ".", -1)
-    when(market === "SS", concat(lit("sh."), base))
+    when(market === "SS" || market === "SH", concat(lit("sh."), base))
       .when(market === "SZ", concat(lit("sz."), base))
       .otherwise(lit(null))
   }
+
+  /** PTrade → bare 6-digit code — the qstock/mootdx target format
+    * (code_utils.py:88-90); inverse of [[inferPtrade]] for valid codes.
+    * The yahoo target is the identity (same `.SS`/`.SZ` suffixes). */
+  def ptradeToBare(code: Column): Column = substring_index(code, ".", 1)
 
   /** `sh.600000` → `600000.SS`; `sz.000001` → `000001.SZ`. Unknown prefix → null. */
   def baostockToPtrade(code: Column): Column = {

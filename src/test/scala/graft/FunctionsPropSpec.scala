@@ -29,6 +29,17 @@ class FunctionsPropSpec extends SparkSpec {
     assert(df.filter(col("pt").isNotNull).count() > 0)
   }
 
+  test("bare→PTrade→bare round-trips; SH legacy suffix tolerated") {
+    val codes = (0 until 5).flatMap(i => sample(Gen.listOfN(30, bareCode), 7L + i))
+    val df = codes.toDF("bare")
+      .withColumn("pt", CodeConvert.inferPtrade(col("bare")))
+      .withColumn("back", CodeConvert.ptradeToBare(col("pt")))
+    assert(df.filter(col("pt").isNotNull && col("back") =!= col("bare")).count() == 0)
+    val sh = Seq("600000.SH").toDF("c")
+      .select(CodeConvert.ptradeToBaostock(col("c")).as("b")).head().getString(0)
+    assert(sh == "sh.600000")
+  }
+
   test("date ↔ int YYYYMMDD round-trips") {
     val dates = Seq("1995-01-01", "2000-02-29", "2024-12-31").toDF("s")
       .withColumn("d", to_date(col("s")))

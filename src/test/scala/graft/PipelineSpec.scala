@@ -115,6 +115,17 @@ class PipelineSpec extends SparkSpec {
     assert(ivf == again)
   }
 
+  test("lshNearDupPairs emits only verified exact pairs (subset of brute force)") {
+    val exact = Ann.nearDupPairs(embs.withColumn("one", lit(1)),
+        "vec_id", "embedding", "one", 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshNearDupPairs(embs, "vec_id", "embedding",
+        dims = 64, bits = 4, threshold = 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty, "low-bits LSH must find some near-dups on this fixture")
+    assert(lsh.subsetOf(exact), "LSH-blocked pairs must be exact-cosine verified")
+  }
+
   test("lshTopK returns verified-cosine neighbors from the query's bucket") {
     val out = Ann.lshTopK(embs, embs.limit(20), "vec_id", "embedding", 3, dims = 64, bits = 6)
     // bucketed search may miss, but whatever it returns must be well-formed
