@@ -340,6 +340,14 @@ object SparkEntry {
       Dedup.resolveClusters(
         Dedup.ngramJaccard(TestData(s, dir).documents, "doc_id", "text", 3, 0.5, 100))),
 
+    // Full dedup flow: near-dup pairs -> clusters -> keep canonical member.
+    "dedup_keep_canonical" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      Dedup.keepCanonical(docs, "doc_id",
+          Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 100))
+        .select("doc_id")
+    }),
+
     // MinHash+LSH near-dup pairs. The gate runs the Md5Hash family so the
     // lane hashes replay in DuckDB (full value oracle); the production
     // XxHash path is semantically identical (DedupSpec asserts both paths'
@@ -1188,6 +1196,37 @@ object SparkEntry {
          FROM (SELECT DISTINCT src AS doc_id FROM edges) n
          JOIN walk t ON t.src = n.doc_id
          GROUP BY n.doc_id""",
+
+    "dedup_keep_canonical" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM w, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3),
+         sz AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY doc_id),
+         rare AS (SELECT g.* FROM g JOIN (
+                    SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM g GROUP BY sh)
+                    WHERE df BETWEEN 2 AND 100) d USING (sh)),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+               FROM rare a JOIN rare b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM (
+                     SELECT doc_a, doc_b,
+                       ROUND(CAST(inter AS DOUBLE) / CAST(sa.c + sb.c - inter AS DOUBLE), 6) AS jaccard
+                     FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+                   WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         walk(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT w2.src, e.dst FROM walk w2 JOIN edges e ON w2.dst = e.src
+           WHERE w2.src <> e.dst),
+         labels AS (SELECT n.doc_id, LEAST(n.doc_id, MIN(t.dst)) AS label
+                    FROM (SELECT DISTINCT src AS doc_id FROM edges) n
+                    JOIN walk t ON t.src = n.doc_id
+                    GROUP BY n.doc_id)
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE label <> doc_id)""",
+
 
     "emb_near_dup" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
