@@ -305,10 +305,15 @@ object SparkEntry {
 
     // Language ID: deterministic marker-word argmax heuristic.
     "text_langid" -> ((s, dir) => {
-      TestData(s, dir).documents.select(
-        col("doc_id"),
-        TextFns.langId(col("text")).as("lang_pred"),
-        TextFns.langScore(col("text"), TextFns.langMarkers.toMap.apply("en")).cast("long").as("en_score"))
+      // word array in its own Project (CLAUDE.md rule 3): 6 consumers share
+      // one split instead of re-deriving it each
+      TestData(s, dir).documents
+        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+        .select(
+          col("doc_id"),
+          TextFns.langIdFromWords(col("ws")).as("lang_pred"),
+          TextFns.langScoreFromWords(col("ws"),
+            TextFns.langMarkers.toMap.apply("en")).cast("long").as("en_score"))
     }),
 
     // Token counting: whitespace words + BPE-ish regex tokens.
