@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output must reach stdout UNPREFIXED: the bench driver
+// parses the one-line {"metric":...} JSON, and sbt's default logger
+// strategy prepends "[info] " to every forwarded line, which breaks
+// json.loads on the raw line. StdoutOutput hands the child process the
+// real stdout instead of routing through the logger.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
