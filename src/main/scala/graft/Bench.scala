@@ -38,13 +38,19 @@ object Bench {
       }
       name -> (times.min, rows)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val rs = results.map { case (k, (v, n)) =>
-      s"\"" + k + "\":" + (if (v > 0) (n / v).round else -1) }
+    // The driver captures only the LAST 2000 chars of stdout; with 60+
+    // queries a full-precision line plus a per-query rows/s map overflows
+    // that buffer and truncates the {"metric":...} headline (observed in
+    // BENCH_r01..r03). Keep the single JSON line short: 3-decimal seconds,
+    // aggregate rows/s only. Per-query rows/s remains available locally via
+    // tools/PlanAudit.
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_per_sec":$rs,"sf":"$sfDir"}""")
+    val totalRows = results.values.map { case (_, n) => math.max(n, 0L) }.sum
+    val rps = if (total > 0) (totalRows / total).round else -1L
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"rows_per_sec":$rps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
