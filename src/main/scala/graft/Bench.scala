@@ -44,13 +44,27 @@ object Bench {
     // BENCH_r01..r03). Keep the single JSON line short: 3-decimal seconds,
     // aggregate rows/s only. Per-query rows/s remains available locally via
     // tools/PlanAudit.
-    def f3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: under a comma-decimal default locale "%.3f" would emit
+    // "1,234" and corrupt the JSON line.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val totalRows = results.values.map { case (_, n) => math.max(n, 0L) }.sum
-    val rps = if (total > 0) (totalRows / total).round else -1L
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"rows_per_sec":$rps,"sf":"$sfDir"}""")
+    // rows_per_sec counts only queries that produced rows; a failed query
+    // (rows = -1 sentinel) contributes neither rows nor time, so a failure
+    // deflates nothing silently — it is surfaced via "failed" instead.
+    val ok = results.values.filter { case (_, n) => n >= 0 }
+    val okRows = ok.map(_._2).sum
+    val okTime = ok.map(_._1).sum
+    val failed = results.values.count { case (_, n) => n < 0 }
+    val rps = if (okTime > 0) (okRows / okTime).round else -1L
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"rows_per_sec":$rps,"failed":$failed,"sf":"$sfDir"}"""
+    // The driver keeps only the last 2000 chars of stdout; warn (stderr, so
+    // it can't displace the metric line) before truncation becomes possible.
+    if (line.length > 1900)
+      System.err.println(s"WARNING: bench metric line is ${line.length} chars; driver tail is 2000 — trim the query map")
+    println(line)
     spark.stop()
   }
 }
