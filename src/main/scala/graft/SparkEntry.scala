@@ -8,7 +8,8 @@ import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
 import graft.multimodal.Multimodal
-import graft.ops.{Aggregates, Joins, Projections, Windows}
+import graft.ops.{Aggregates, Joins, Projections, Quantiles, Windows}
+import graft.quality.Relevance
 import graft.sources.TestData
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -329,6 +330,26 @@ object SparkEntry {
       TestData(s, dir).documents.select(
         col("doc_id"), TextFns.rollingFingerprint(col("text")).as("fp"))
     }),
+
+    // TF-IDF top terms per doc (log-free rational IDF — see Relevance doc).
+    "text_tfidf" -> ((s, dir) =>
+      Relevance.tfIdfTopTerms(TestData(s, dir).documents, "doc_id", "text", k = 3)),
+
+    // BM25 document scoring against a fixed query-term set.
+    "text_bm25" -> ((s, dir) =>
+      Relevance.bm25(TestData(s, dir).documents, "doc_id", "text",
+        Seq("data", "query", "spark"))),
+
+    // Corpus-wide bigram frequency top-k (TakeOrderedAndProject, no
+    // global sort).
+    "text_ngram_topk" -> ((s, dir) =>
+      Relevance.ngramTopK(TestData(s, dir).documents, "text", n = 2, k = 20)),
+
+    // Exact per-group nearest-rank quantiles (percentile_disc shape);
+    // Quantiles.approx is the documented sketch path at 100 TB.
+    "quantiles_disc" -> ((s, dir) =>
+      Quantiles.exactDisc(TestData(s, dir).lineitem,
+        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))),
 
     // Exact dedup by content hash.
     "dedup_exact" -> ((s, dir) =>
@@ -1152,6 +1173,73 @@ object SparkEntry {
                 list_reduce([CAST(0 AS BIGINT)] || list_transform(ws, x -> CAST(length(x)*131 + ord(substr(x,1,1)) AS BIGINT)),
                             (a,b) -> (a*31+b) % 1000000007) AS fp
          FROM w""",
+
+    // Mirrors Relevance.tfIdfTopTerms: rational IDF tf·(N/df) — the same
+    // raw double product/quotient tree, so scores are bit-identical.
+    "text_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> length(x)>0)) AS term
+                    FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         nn AS (SELECT COUNT(*) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST(tf.tf AS DOUBLE) * (CAST(nn.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN nn)
+         SELECT doc_id, term, tf, df, tfidf, rank FROM (
+           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+           FROM sc)
+         WHERE rank <= 3""",
+
+    // Mirrors Relevance.bm25(terms = data, query, spark; k1 = 1.2,
+    // b = 0.75). Constants written as the same arithmetic as the Scala
+    // plan (1.2 + 1.0, never 2.2) so both engines fold identical doubles;
+    // components sum left-to-right in term order.
+    "text_bm25" -> {
+      def comp(t: String): String =
+        s"""((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
+            * (CAST(tf_$t AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(tf_$t AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+      s"""WITH base AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(text,' '), x -> length(x)>0)) AS BIGINT) AS dl,
+             CAST(len(list_filter(string_split(text,' '), x -> x = 'data')) AS BIGINT) AS tf_data,
+             CAST(len(list_filter(string_split(text,' '), x -> x = 'query')) AS BIGINT) AS tf_query,
+             CAST(len(list_filter(string_split(text,' '), x -> x = 'spark')) AS BIGINT) AS tf_spark
+           FROM documents),
+         stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+             SUM(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END) AS df_data,
+             SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS df_query,
+             SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark
+           FROM base)
+         SELECT doc_id, dl, tf_data, tf_query, tf_spark,
+                ${comp("data")} + ${comp("query")} + ${comp("spark")} AS bm25
+         FROM base CROSS JOIN stats"""
+    },
+
+    // Mirrors Relevance.ngramTopK(n = 2, k = 20): every bigram occurrence
+    // counted (no distinct), total order (cnt DESC, ngram ASC).
+    "text_ngram_topk" ->
+      """WITH w AS (SELECT list_filter(string_split(text,' '), x -> length(x)>0) AS ws FROM documents),
+         g AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram
+               FROM w, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+         c AS (SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram)
+         SELECT ngram, cnt, rank FROM (
+           SELECT ngram, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram ASC) AS BIGINT) AS rank
+           FROM c)
+         WHERE rank <= 20""",
+
+    // Mirrors Quantiles.exactDisc: nearest-rank (percentile_disc) — the
+    // value AT rank ceil(p·n), selected not interpolated, so exact.
+    "quantiles_disc" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+             FROM lineitem)
+         SELECT l_returnflag, MAX(n) AS n,
+                MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT) THEN v END) AS p50,
+                MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.9) AS BIGINT) THEN v END) AS p90,
+                MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.99) AS BIGINT) THEN v END) AS p99
+         FROM r GROUP BY l_returnflag""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt

@@ -1,0 +1,120 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus-relevance scoring for training-data pipelines: TF-IDF term
+  * extraction, BM25 document scoring, corpus n-gram frequency top-k.
+  *
+  * Cross-engine determinism stance (see CLAUDE.md / the float-determinism
+  * notes): no `log`/`ln` in oracle-compared scores (JVM `Math.log` and libm
+  * disagree by 1 ulp) — IDF uses the rational Robertson–Sparck Jones form
+  * `(N − df + ½)/(df + ½) + 1` (the BM25 idf argument without the ln) on
+  * both sides; raw per-row double products/quotients are bit-identical
+  * across engines, so scores are exact without any rounding. Constants
+  * appear as the same arithmetic (`1.2 + 1.0`, never a pre-folded `2.2`)
+  * in the Scala plan and the oracle SQL so both engines fold the identical
+  * double ops.
+  *
+  * Scale posture: TF and DF are plain groupBy aggregations (map-side
+  * partial combine); the tf⟗df join shuffles on `term` (vocabulary-sized,
+  * not corpus-sized; AQE handles skewed stop-terms); BM25's corpus stats
+  * collapse to ONE single-row aggregate that is broadcast — nothing
+  * corpus-sized ever sits on a build side. Top-k terms per doc is a
+  * per-doc window (one shuffle on doc_id); corpus top-k is
+  * TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  * no global sort).
+  */
+object Relevance {
+
+  /** Per-doc top-k terms by TF-IDF.
+    *
+    * tfidf = tf · (N / df) — the log-free rational IDF (monotone in the
+    * classic ln(N/df) for fixed tf, so top-k sets match common practice on
+    * everything except near-tie order). Ties rank by term ascending so the
+    * result is engine-independent.
+    *
+    * Returns (doc_id, term, tf, df, tfidf, rank).
+    */
+  def tfIdfTopTerms(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col(id).as("doc_id"),
+        TextFns.words(col(text)).as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df from tf (already one row per (doc, term)) — no second pass over
+    // the exploded words
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf",
+        col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+  }
+
+  /** BM25 score of every document against a fixed query-term set.
+    *
+    * score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    * the rational idf (see object doc). Terms are summed in the given
+    * order (left-assoc adds — replayable).
+    *
+    * Returns (doc_id, dl, tf_<term>…, bm25).
+    */
+  def bm25(docs: DataFrame, id: String, text: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val t = col(text)
+    val base = docs.select(
+      col(id).as("doc_id") +:
+        TextFns.wordCount(t).cast("long").as("dl") +:
+        terms.map(tm => TextFns.countWord(t, tm).cast("long").as(s"tf_$tm")): _*)
+    // ONE single-row corpus-stats aggregate (N, Σdl, per-term df) —
+    // integer sums, exact; broadcast to every row
+    val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+      terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    def component(tm: String): Column = {
+      val tf = col(s"tf_$tm").cast("double")
+      val dfc = col(s"df_$tm").cast("double")
+      val idf = (col("n").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0)
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(tm => col(s"tf_$tm")) :+
+        terms.map(component).reduce(_ + _).as("bm25"): _*)
+  }
+
+  /** Corpus-wide top-k word n-grams by occurrence count (duplicates within
+    * a doc count). Total order (cnt desc, ngram asc) makes the cut and the
+    * rank engine-independent.
+    *
+    * Returns (ngram, cnt, rank).
+    */
+  def ngramTopK(docs: DataFrame, text: String, n: Int, k: Int): DataFrame = {
+    // word array materialized in its own Project before the n-gram
+    // transform indexes into it (CLAUDE.md rule 3)
+    val withWords = docs.select(TextFns.words(col(text)).as("ws"))
+    val ws = col("ws")
+    val grams = withWords.filter(size(ws) >= n)
+      // explode_outer, not explode — see Dedup.wordShingles: a plain
+      // explode gets a size(grams)>0 infer-filter that re-inlines the
+      // whole transform
+      .select(explode_outer(transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+        .as("ngram"))
+    val counts = grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+    counts.orderBy(col("cnt").desc, col("ngram").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("ngram").asc)).cast("long"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Quantiles
+import graft.quality.Relevance
+import graft.sources.TestData
+
+/** Relevance scoring (TF-IDF, BM25, n-gram top-k) and exact/approx
+  * quantiles — on hand-built frames with known answers plus the sf0.001
+  * fixtures for shape checks. */
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = TestData(spark, sf0001).documents
+
+  test("tf-idf: rarer term outranks common term at equal tf") {
+    val d = Seq(
+      (1L, "apple banana"), (2L, "apple cherry"), (3L, "apple durian"))
+      .toDF("doc_id", "text")
+    val top = Relevance.tfIdfTopTerms(d, "doc_id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // "apple" df=3 (idf 1), others df=1 (idf 3) — unique term wins each doc
+    assert(top === Map(1L -> "banana", 2L -> "cherry", 3L -> "durian"))
+  }
+
+  test("tf-idf: rank tiebreak by term, k bounds output per doc") {
+    val r = Relevance.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+    val counts = r.groupBy("doc_id").count().select(max("count")).as[Long].head()
+    assert(counts <= 3L)
+    // within a doc, ranks are 1..k and tfidf is non-increasing
+    val bad = r.as("a").join(r.as("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.rank" < $"b.rank" &&
+          $"a.tfidf" < $"b.tfidf")
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("bm25: doc with more query-term hits scores higher at equal length") {
+    val d = Seq(
+      (1L, "data data query pad pad pad"),
+      (2L, "data pad pad pad pad pad"),
+      (3L, "none of them here at all"))
+      .toDF("doc_id", "text")
+    val s = Relevance.bm25(d, "doc_id", "text", Seq("data", "query"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(s(1L) > s(2L) && s(2L) > s(3L))
+    assert(s(3L) === 0.0) // no term hits → zero score exactly
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    val d = Seq(
+      (1L, "data pad"),
+      (2L, "data pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val s = Relevance.bm25(d, "doc_id", "text", Seq("data"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(s(1L) > s(2L))
+  }
+
+  test("ngram top-k: counts duplicates, total order, k bound") {
+    val d = Seq(
+      (1L, "a b a b"), // "a b" ×2, "b a" ×1
+      (2L, "a b c"))   // "a b", "b c"
+      .toDF("doc_id", "text")
+    val r = Relevance.ngramTopK(d, "text", n = 2, k = 2)
+      .select("ngram", "cnt", "rank").as[(String, Long, Long)].collect().toList
+    assert(r === List(("a b", 3L, 1L), ("b a", 1L, 2L)))
+  }
+
+  test("exact quantiles: nearest-rank definition on a known frame") {
+    val d = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val q = Quantiles.exactDisc(d, "grp", "v", Seq(0.5, 0.9, 0.99))
+    val row = q.select("n", "p50", "p90", "p99").head()
+    assert(row.getLong(0) === 10L)
+    assert(row.getDouble(1) === 5.0)  // ceil(10·0.5)  = 5
+    assert(row.getDouble(2) === 9.0)  // ceil(10·0.9)  = 9
+    assert(row.getDouble(3) === 10.0) // ceil(10·0.99) = 10
+  }
+
+  test("approx quantiles track exact within a loose tolerance (scale path)") {
+    val li = TestData(spark, sf0001).lineitem
+    val exact = Quantiles.exactDisc(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+      .select("l_returnflag", "p50").as[(String, Double)].collect().toMap
+    val approx = Quantiles.approx(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+      .select(col("l_returnflag"), element_at(col("qs"), 1))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (g, p50) =>
+      assert(math.abs(approx(g) - p50) / p50 < 0.05,
+        s"group $g: approx ${approx(g)} vs exact $p50")
+    }
+  }
+}
