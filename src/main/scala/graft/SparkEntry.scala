@@ -405,13 +405,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // IVF ANN: deterministic coarse quantizer + probed exact re-rank
-    // (rows-only: the Lloyd refinement is impractical to replay in SQL;
-    // recall vs brute force asserted in PipelineSpec).
+    // IVF ANN with one Lloyd refinement step. The gate runs the
+    // fold-centroid lane (per-cell sequential-fold SUM in cid order —
+    // cosine is scale-invariant, so sum-centroids rank exactly like
+    // mean-centroids, and the fold replays bit-for-bit in DuckDB); the
+    // production mean path is semantically identical and recall-asserted
+    // in PipelineSpec.
     "ann_ivf_topk" -> ((s, dir) => {
       val e = TestData(s, dir).embeddings
       Ann.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-        nLists = 16, nProbe = 4, lloydIters = 1)
+        nLists = 16, nProbe = 4, lloydIters = 1, foldCentroids = true)
+        .withColumn("rank", col("rank").cast("long"))
     }),
 
     // LSH-bucketed ANN: seeded literal hyperplanes make the signature
@@ -1399,6 +1403,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minHashLshOracle,
     "dedup_simhash" -> simHashOracle,
     "ann_ivf0_topk" -> ivf0Oracle,
+    "ann_ivf_topk" -> ivf1Oracle,
     "ann_lsh_topk" -> annLshOracle,
     "emb_near_dup_lsh" -> embLshOracle,
   )
@@ -1552,6 +1557,55 @@ object SparkEntry {
     * value-predicate seed centroids, broadcast-argmin assignment
     * (ROW_NUMBER), nProbe probing, exact re-rank. Unrounded cosines order
     * identically in both engines because the fold is bit-identical. */
+  /** Replays Ann.ivfTopK(k=5, nLists=16, nProbe=4, lloydIters=1,
+    * foldCentroids=true): seed centroids and first assignment as in
+    * [[ivf0Oracle]], then ONE Lloyd update where each centroid element is
+    * the sequential-fold SUM of its cell's values in cid order (not the
+    * mean — cosine is scale-invariant, so sum ≡ mean for every ranking,
+    * and `list_reduce` over `list(x ORDER BY cid)` replays Spark's
+    * `aggregate(array_sort(collect_list(struct(cid, x))))` bit-for-bit),
+    * re-assignment + probing against the refined double centroids, exact
+    * re-rank. */
+  private lazy val ivf1Oracle: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM c),
+        cent0 AS (SELECT cid AS centroid_id, cv AS centroid FROM c, par
+                  WHERE cid % stride = 0 AND cid < stride * 16),
+        assign0 AS (SELECT cid, centroid_id FROM (
+            SELECT c.cid, cent0.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                     ORDER BY -${cosSql("c.cv", "cent0.centroid")} ASC, cent0.centroid_id ASC) AS rn
+            FROM c CROSS JOIN cent0) WHERE rn = 1),
+        cells0 AS (SELECT a.centroid_id, c.cid, c.cv FROM assign0 a JOIN c ON a.cid = c.cid),
+        pts AS (SELECT centroid_id, cid, i AS pos, CAST(cv[i] AS DOUBLE) AS x
+                FROM cells0, unnest(range(1, len(cv) + 1)) AS t(i)),
+        m1 AS (SELECT centroid_id, pos,
+                 list_reduce([CAST(0.0 AS DOUBLE)] || list(x ORDER BY cid), (a, b) -> a + b) AS m
+               FROM pts GROUP BY centroid_id, pos),
+        cent AS (SELECT centroid_id, list(m ORDER BY pos) AS centroid
+                 FROM m1 GROUP BY centroid_id),
+        assign AS (SELECT cid, centroid_id FROM (
+            SELECT c.cid, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                     ORDER BY -${cosSql("c.cv", "cent.centroid")} ASC, cent.centroid_id ASC) AS rn
+            FROM c CROSS JOIN cent) WHERE rn = 1),
+        cells AS (SELECT a.centroid_id, c.cid, c.cv FROM assign a JOIN c ON a.cid = c.cid),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        probes AS (SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY -${cosSql("q.qv", "cent.centroid")} ASC, cent.centroid_id ASC) AS pr
+            FROM q CROSS JOIN cent) WHERE pr <= 4),
+        scored AS (SELECT p.query_id, cells.cid AS neighbor_id,
+                          ROUND(${cosSql("p.qv", "cells.cv")}, 6) AS cos
+                   FROM probes p JOIN cells ON p.centroid_id = cells.centroid_id
+                   WHERE p.query_id <> cells.cid)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM scored)
+        WHERE rank <= 5"""
+
   private lazy val ivf0Oracle: String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
         par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM c),

@@ -33,6 +33,13 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] built on [[dotFold]] — works for ANY numeric array element
+    * type (the codegen'd [[dot]] reads `array<float>` only). Bit-identical
+    * to [[cosine]] on float input (same fold order); used where centroids
+    * are double arrays (the fold-sum Lloyd variant). */
+  def cosineFold(a: Column, b: Column): Column =
+    dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded). Ranking key is (round(cos, 6) DESC, id ASC) so
     * near-ties rank engine-independently.
@@ -112,9 +119,27 @@ object Ann {
     * (each a broadcast-join + argmin, no shuffle of the corpus); the search
     * itself touches ~nProbe/nLists of the corpus per query. Deterministic:
     * no RNG, ties broken by centroid id.
+    *
+    * `foldCentroids = true` switches the Lloyd update from the mean
+    * (`round(avg, 6)` — run-to-run stable but not engine-replayable: the
+    * partial-sum association is engine-private) to a per-cell sequential
+    * fold SUM in cid order. Cosine is invariant under positive scaling of
+    * either argument, so the sum-centroid ranks cells and neighbors
+    * EXACTLY like the mean-centroid would in exact arithmetic — and the
+    * fold makes every double bit-replayable in SQL (`list_reduce` over
+    * `list(x ORDER BY cid)`), which is what buys the DuckDB oracle. Cost:
+    * the fold collects one cell×position's values into a row (bounded by
+    * the cell size) — fine at gate scale, documented oracle-lane-only; the
+    * production path keeps the constant-state mean.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, nLists: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+              k: Int, nLists: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
+              foldCentroids: Boolean = false): DataFrame = {
+    // centroids are double arrays after a fold-sum update; cosineFold
+    // handles any element type (bit-identical to the codegen'd cosine on
+    // float input, same accumulation order)
+    val cos: (Column, Column) => Column =
+      if (foldCentroids) cosineFold else cosine
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
     val n = c.count()
     val stride = math.max(1L, n / nLists)
@@ -129,21 +154,33 @@ object Ann {
     // single buffer). round(6) quantizes away partial-sum association noise
     // so the refined centroids are run-to-run stable.
     for (_ <- 0 until lloydIters) {
-      val assigned = assignToNearest(c, centroids)
-      centroids = assigned.join(c, "cid")
-        .select(col("centroid_id"), posexplode(col("cv")).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(round(avg(col("x")), 6).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("centroid_id"),
-          expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("centroid"))
+      val assigned = assignToNearest(c, centroids, cos)
+      centroids =
+        if (foldCentroids)
+          assigned.join(c, "cid")
+            .select(col("centroid_id"), col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
+            .groupBy(col("centroid_id"), col("pos"))
+            .agg(aggregate(
+              array_sort(collect_list(struct(col("cid").as("k"), col("x").cast("double").as("x")))),
+              lit(0.0), (acc, e) => acc + e.getField("x")).as("m"))
+            .groupBy(col("centroid_id"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+            .select(col("centroid_id"), expr("transform(pm, p -> p.m)").as("centroid"))
+        else
+          assigned.join(c, "cid")
+            .select(col("centroid_id"), posexplode(col("cv")).as(Seq("pos", "x")))
+            .groupBy(col("centroid_id"), col("pos"))
+            .agg(round(avg(col("x")), 6).as("m"))
+            .groupBy(col("centroid_id"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+            .select(col("centroid_id"),
+              expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("centroid"))
     }
-    val cells = assignToNearest(c, centroids).join(c, "cid")
+    val cells = assignToNearest(c, centroids, cos).join(c, "cid")
     // queries probe their nProbe nearest centroids
     val probes = queries.select(col(id).as("query_id"), col(vec).as("qv"))
       .crossJoin(broadcast(centroids))
-      .withColumn("dist", -cosine(col("qv"), col("centroid")))
+      .withColumn("dist", -cos(col("qv"), col("centroid")))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dist").asc, col("centroid_id").asc)))
       .filter(col("pr") <= nProbe)
@@ -158,9 +195,10 @@ object Ann {
   }
 
   /** Assign each corpus vector to its nearest centroid (broadcast argmin). */
-  private def assignToNearest(c: DataFrame, centroids: DataFrame): DataFrame =
+  private def assignToNearest(c: DataFrame, centroids: DataFrame,
+                              cos: (Column, Column) => Column): DataFrame =
     c.crossJoin(broadcast(centroids))
-      .withColumn("d", -cosine(col("cv"), col("centroid")))
+      .withColumn("d", -cos(col("cv"), col("centroid")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("cid").orderBy(col("d").asc, col("centroid_id").asc)))
       .filter(col("rn") === 1)
