@@ -213,12 +213,15 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
       .localCheckpoint()
-    // shingle sets only for candidate docs
+    // shingle sets only for candidate docs — built semi-joined HERE so the
+    // verify core doesn't re-derive docsInPlay and re-filter (that shape
+    // cost an extra distinct + broadcast join + barrier per call)
     val docsInPlay = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b"))).distinct()
     val sh = wordShingles(
       docs.join(broadcast(docsInPlay.withColumnRenamed("doc_id", id)), id), id, text, n)
-    verifyJaccard(cands, sh, threshold)
+      .localCheckpoint()
+    verifyJaccardPrefiltered(cands, sh, threshold)
   }
 
   /** Exact Jaccard for given candidate pairs. The inverted index is first
@@ -232,6 +235,13 @@ object Dedup {
     // localCheckpoint: consumed twice (sizes + inter) and bounded by the
     // candidate-doc count, so the barrier is cheap and halves the work.
     val sh = shingles.join(broadcast(docsInPlay), "doc_id").localCheckpoint()
+    verifyJaccardPrefiltered(cands, sh, threshold)
+  }
+
+  /** [[verifyJaccard]] core — requires `sh` already restricted to the
+    * candidate documents and materialized (it is consumed twice). */
+  private def verifyJaccardPrefiltered(cands: DataFrame, sh: DataFrame,
+                                       threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -272,8 +282,11 @@ object Dedup {
     while (!converged && i < maxIterations) {
       val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
+      // the pre-round label rides along as `old`, so the convergence test
+      // below is a plain filter over the checkpointed round output — not
+      // an extra join job per round
       val stepped = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // Pointer-halving: label ← min(label, label(label)). Edge propagation
       // alone moves the min ONE hop per round (O(diameter) rounds — a
@@ -284,12 +297,11 @@ object Dedup {
       val next = stepped.as("x")
         .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")).as("y"),
           Seq("label"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("doc_id", "label")
       i += 1
     }
     // The iteration cap is a safety valve, not a correctness bound: min-label
