@@ -208,6 +208,17 @@ object SparkEntry {
           Seq("o_orderkey"), "left_anti")
     }),
 
+    // Skew-salted join: result ≡ plain join (the oracle), plan splits
+    // each key across 8 reducers. Explicit hot-key handling beyond AQE.
+    "j7_salted_join" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      Joins.saltedJoin(
+        t.lineitem.select(col("l_orderkey").as("okey"),
+          col("l_linenumber"), col("l_quantity")),
+        t.orders.select(col("o_orderkey").as("okey"), col("o_orderstatus")),
+        Seq("okey"), salts = 8)
+    }),
+
     // A1/SET3 distinct-union accumulation of a key pool.
     "a1_distinct_union" -> ((s, dir) => {
       val t = TestData(s, dir)
@@ -1078,6 +1089,11 @@ object SparkEntry {
          WHERE o_orderkey NOT IN (
            SELECT l_orderkey FROM lineitem
            WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00')""",
+
+    // The salt is plan-internal — the result is the plain equi-join.
+    "j7_salted_join" ->
+      """SELECT l_orderkey AS okey, l_linenumber, l_quantity, o_orderstatus
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
 
     "a1_distinct_union" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders

@@ -65,6 +65,67 @@ object Joins {
     facts.join(broadcast(dim), keys, "left")
       .withColumn(flag, coalesce(col(flag), default))
 
+  /** Skew-salted equi-join — the explicit hot-key story beyond AQE.
+    *
+    * A shuffle join on a skewed key sends every row of the hottest key to
+    * ONE reducer; at 100 TB that task runs for hours while the rest of the
+    * stage idles. Salting splits each key's rows across `salts` reducers:
+    * the large side gets a deterministic per-row salt (hash of the whole
+    * row, mod `salts`), the small side is replicated once per salt value,
+    * and the join key becomes (key, salt). Every large row still meets the
+    * full small-side match set for its key exactly once → identical result
+    * to the plain join, with per-reducer load capped at ~1/salts of the
+    * hot key.
+    *
+    * Only `inner` and `left` are supported: the small side is replicated,
+    * so right/full-outer would duplicate unmatched small rows. Use when
+    * the small side is too big to broadcast but small enough to replicate
+    * `salts`×; otherwise prefer broadcast (no shuffle at all) or AQE's
+    * automatic skew-join split.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"salting replicates the small side; $joinType is not result-equivalent")
+    require(salts > 0, "salts must be positive")
+    // hash of the full row: deterministic (content-derived — safe under
+    // task retry, unlike rand()/monotonically_increasing_id), and spreads
+    // a hot key's rows uniformly
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(salts.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Keys of `df` occurring more than `minCount` times — the hot set for
+    * [[skewSplitJoin]]. At 100 TB run this on a sample (the hot set is by
+    * definition visible in any uniform sample); the exact count here keeps
+    * the build deterministic. */
+  def hotKeys(df: DataFrame, keys: Seq[String], minCount: Long): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > minCount)
+      .select(keys.map(col): _*)
+
+  /** Hot-key split join — the other standard skew treatment: rows with hot
+    * keys take a broadcast join (no shuffle of the hot mass at all), the
+    * long tail takes the normal shuffle join, results union. Equivalent to
+    * the plain join for `inner`/`left` because the hot/rest split is a
+    * partition of both inputs by the same key predicate.
+    */
+  def skewSplitJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                    hot: DataFrame, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"split-union is not result-equivalent for $joinType")
+    val h = broadcast(hot)
+    val largeHot = large.join(h, keys, "left_semi")
+    val largeRest = large.join(h, keys, "left_anti")
+    val smallHot = small.join(h, keys, "left_semi")
+    val smallRest = small.join(h, keys, "left_anti")
+    largeHot.join(broadcast(smallHot), keys, joinType)
+      .unionByName(largeRest.join(smallRest, keys, joinType))
+  }
+
   /** J4/J5 — upsert (last-wins dedup-merge): existing ∪ incoming, keep the
     * preferred row per key. `prefer` columns rank rows descending (e.g. a
     * batch-id or load timestamp); ties broken by column order.
