@@ -44,7 +44,13 @@ object Relevance {
     val terms = docs.select(col(id).as("doc_id"),
         TextFns.words(col(text)).as("ws"))
       .select(col("doc_id"), explode(col("ws")).as("term"))
+    // localCheckpoint: tf feeds BOTH the score join and the df derivation —
+    // without the barrier Catalyst re-runs the corpus scan + explode + agg
+    // for each consumer (two full passes over the heaviest input; observed
+    // as two parquet scans in the plan). The materialized tf is the
+    // post-aggregation (doc, term) relation — already shuffle-sized.
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // df from tf (already one row per (doc, term)) — no second pass over
     // the exploded words
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -70,10 +76,15 @@ object Relevance {
   def bm25(docs: DataFrame, id: String, text: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val t = col(text)
+    // localCheckpoint: base feeds the corpus-stats aggregate AND the scored
+    // output — the barrier keeps the text column read + tokenization to ONE
+    // scan, and the materialized base is narrow (id + a few ints; the text
+    // itself is dropped here).
     val base = docs.select(
       col(id).as("doc_id") +:
         TextFns.wordCount(t).cast("long").as("dl") +:
         terms.map(tm => TextFns.countWord(t, tm).cast("long").as(s"tf_$tm")): _*)
+      .localCheckpoint()
     // ONE single-row corpus-stats aggregate (N, Σdl, per-term df) —
     // integer sums, exact; broadcast to every row
     val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
