@@ -465,6 +465,15 @@ object SparkEntry {
         .select(col("doc_id").cast("long")).as[Long]
       Multimodal.decodePpm(Multimodal.syntheticPpm(ids)).toDF()
     }),
+
+    // Multimodal audio decode: REAL RIFF/WAVE (PCM16) chunk-walk → sample
+    // stats; oracle replays the generation formula (integer math, exact).
+    "mm_wav" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Multimodal.decodeWav(Multimodal.syntheticWav(ids)).toDF()
+    }),
   )
 
   // --------------------------- financial serving surface (M3/M4, PTradeApi)
@@ -1386,6 +1395,20 @@ object SparkEntry {
                 CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height""",
+
+    // Replays Multimodal.syntheticWav's generation formula — the Spark
+    // side must round-trip real RIFF bytes to reproduce these numbers.
+    "mm_wav" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+                      CAST(64 + doc_id % 57 AS BIGINT) AS n
+                    FROM documents),
+         sm AS (SELECT id, sample_rate, (id*31 + j*17) % 4096 - 2048 AS s
+                FROM d, unnest(range(0, n)) AS t(j))
+         SELECT id, sample_rate, COUNT(*) AS n_samples,
+                CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_amp,
+                MAX(ABS(s)) AS peak_amp
+         FROM sm GROUP BY id, sample_rate""",
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms, value

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
   * columns with a typed metadata struct, plus a decode/feature-extract stage.
   *
-  * Two decode paths: [[decodePpm]] is a REAL pure-JVM binary-PPM (P6)
-  * decoder — header parse + per-channel payload fold — proving the
-  * partition-loop decode stage end-to-end with no native codec.
+  * Decode paths: [[decodePpm]] (binary-PPM P6 image) and [[decodeWav]]
+  * (RIFF PCM16 audio) are REAL pure-JVM decoders — header/chunk parse +
+  * payload fold — proving the partition-loop decode stage end-to-end with
+  * no native codec, one per modality.
   * [[decodeFeatures]] remains the stand-in for formats that need a native
   * library (JPEG/FLAC/H.264 — not in this container); its Spark-side shape
   * (schema, per-partition batching, mapPartitions signature) is identical.
@@ -112,6 +113,91 @@ object Multimodal {
             }
           }
         } catch { case _: NumberFormatException => None }
+      }
+    }
+  }
+
+  case class WavAudio(id: Long, media: Array[Byte])
+  case class WavFeatures(id: Long, sample_rate: Int, n_samples: Long,
+                         mean_amp: Double, peak_amp: Long)
+
+  /** Deterministic RIFF/WAVE fixture (PCM16 mono little-endian, the real
+    * 44-byte canonical header + payload): sample rate, length, and every
+    * sample derive from the id, so an oracle can replay the expected
+    * features from the generation formula while the Spark path actually
+    * round-trips encode → chunk-walk → decode.
+    * sample j = ((id·31 + j·17) mod 4096) − 2048 — int16-safe, integer
+    * math end to end. */
+  def syntheticWav(ids: Dataset[Long]): Dataset[WavAudio] = {
+    import ids.sparkSession.implicits._
+    ids.map { id =>
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val rate = (8000 + (id % 4) * 4000).toInt
+      val n = (64 + id % 57).toInt
+      val dataSize = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes(ascii)).putInt(36 + dataSize).put("WAVE".getBytes(ascii))
+      buf.put("fmt ".getBytes(ascii)).putInt(16)
+        .putShort(1).putShort(1)                  // PCM, mono
+        .putInt(rate).putInt(rate * 2)            // byte rate = rate·block
+        .putShort(2).putShort(16)                 // block align, bits
+      buf.put("data".getBytes(ascii)).putInt(dataSize)
+      var j = 0
+      while (j < n) {
+        buf.putShort((((id * 31 + j * 17) % 4096) - 2048).toShort)
+        j += 1
+      }
+      WavAudio(id, buf.array())
+    }
+  }
+
+  /** REAL pure-JVM WAV (RIFF PCM16 mono) decoder: validates the RIFF/WAVE
+    * magic, walks the chunk list (tolerating extra chunks and respecting
+    * word alignment — NOT a fixed-44-byte-offset parser), reads the fmt
+    * descriptor, then folds the sample payload into mean/peak amplitude.
+    * Non-PCM16-mono or malformed payloads are dropped (coerce-to-null
+    * rule). Integer sums end-to-end → the features replay exactly in SQL. */
+  def decodeWav(media: Dataset[WavAudio]): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.media
+        def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        def u32(i: Int): Long =
+          (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+            ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+        def tag(i: Int): String =
+          new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+        else {
+          var i = 12
+          var rate = -1; var fmtOk = false
+          var dataOff = -1; var dataLen = 0L
+          while (i + 8 <= b.length) {
+            val id = tag(i); val sz = u32(i + 4)
+            if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
+              fmtOk = u16(i + 8) == 1 && u16(i + 10) == 1 && u16(i + 22) == 16
+              rate = u32(i + 12).toInt
+            } else if (id == "data") { dataOff = i + 8; dataLen = sz }
+            i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          }
+          if (!fmtOk || rate <= 0 || dataOff < 0 ||
+              dataOff + dataLen > b.length || dataLen < 2) None
+          else {
+            val n = dataLen / 2
+            var sum = 0L; var peak = 0L
+            var p = dataOff
+            val end = dataOff + n.toInt * 2
+            while (p < end) {
+              val s = u16(p).toShort.toLong
+              sum += s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              p += 2
+            }
+            Some(WavFeatures(r.id, rate, n, sum.toDouble / n, peak))
+          }
+        }
       }
     }
   }

@@ -173,4 +173,33 @@ class PipelineSpec extends SparkSpec {
       Multimodal.PpmImage(3L, "P6\nnot a number\n255\n".getBytes)).toDS()
     assert(Multimodal.decodePpm(bad).collect().isEmpty)
   }
+
+  test("WAV decoder round-trips RIFF bytes, walks extra chunks, drops junk") {
+    val ids = spark.range(0, 20).as[Long]
+    val feats = Multimodal.decodeWav(Multimodal.syntheticWav(ids)).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.sample_rate == (8000 + (f.id % 4) * 4000).toInt)
+      assert(f.n_samples == 64 + f.id % 57)
+      // replay the per-sample formula
+      val samples = (0L until f.n_samples).map(j => (f.id * 31 + j * 17) % 4096 - 2048)
+      assert(f.peak_amp == samples.map(math.abs).max)
+      assert(math.abs(f.mean_amp - samples.sum.toDouble / f.n_samples) < 1e-12)
+    }
+    // the decoder is a chunk WALKER, not a fixed-offset parser: an extra
+    // odd-sized LIST chunk (with its alignment pad) before data still parses
+    val orig = Multimodal.syntheticWav(Seq(5L).toDS()).collect().head.media
+    val extra = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0, 9, 9, 9, 0)
+    val spliced = orig.take(36) ++ extra ++ orig.drop(36)
+    val one = Multimodal.decodeWav(
+      Seq(Multimodal.WavAudio(5L, spliced)).toDS()).collect()
+    assert(one.length == 1 && one.head.n_samples == 64 + 5 % 57)
+    // malformed: bad magic, truncated data, stereo/non-PCM all dropped
+    val stereo = orig.clone(); stereo(22) = 2 // channels = 2
+    val bad = Seq(
+      Multimodal.WavAudio(1L, "RIFFxxxxJUNK".getBytes),
+      Multimodal.WavAudio(2L, orig.take(50)),
+      Multimodal.WavAudio(3L, stereo)).toDS()
+    assert(Multimodal.decodeWav(bad).collect().isEmpty)
+  }
 }
