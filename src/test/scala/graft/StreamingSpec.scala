@@ -118,4 +118,31 @@ class StreamingSpec extends SparkSpec {
       .select("symbol", "close").as[(String, Double)].collect().toSet
     assert(out == Set(("A", 1.0), ("B", 9.0)))
   }
+
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  test("streaming dedup drops re-delivered payloads within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val query = graft.streaming.StreamDedup
+      .dropRedelivered(input.toDF(), "text", "ts", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, "alpha beta", t("2024-01-01 09:00:00")),
+        Doc(2L, "gamma delta", t("2024-01-01 09:00:05")))
+      query.processAllAvailable()
+      // re-delivery of doc 1's payload (different id, same content) within
+      // the watermark window: dropped
+      input.addData(Doc(3L, "alpha beta", t("2024-01-01 09:01:00")))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L), s"got $ids")
+      // distinct content always passes
+      input.addData(Doc(4L, "epsilon zeta", t("2024-01-01 09:02:00")))
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 3)
+    } finally query.stop()
+  }
 }
