@@ -77,6 +77,29 @@ class RelevanceSpec extends SparkSpec {
     assert(row.getDouble(3) === 10.0) // ceil(10·0.99) = 10
   }
 
+  test("property: exactDisc equals the sorted-sequence nearest-rank definition") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val ps = Seq(0.5, 0.9, 0.99)
+    val rows = Gen.listOfN(400,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-1000, 1000).map(_ / 10.0)))
+    (0 until 3).foreach { it =>
+      val data = sample(rows, 5L + it)
+      val got = Quantiles.exactDisc(data.toDF("g", "v"), "g", "v", ps)
+        .select("g", "p50", "p90", "p99")
+        .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+      data.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        def nr(p: Double) = sorted(math.ceil(sorted.length * p).toInt - 1)
+        val (_, p50, p90, p99) = got(g)
+        assert((p50, p90, p99) === ((nr(0.5), nr(0.9), nr(0.99))),
+          s"group $g diverged (iteration $it)")
+      }
+    }
+  }
+
   test("approx quantiles track exact within a loose tolerance (scale path)") {
     val li = TestData(spark, sf0001).lineitem
     val exact = Quantiles.exactDisc(li, "l_returnflag", "l_extendedprice", Seq(0.5))

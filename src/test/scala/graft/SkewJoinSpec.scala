@@ -50,4 +50,27 @@ class SkewJoinSpec extends SparkSpec {
       .select("k", "v", "name").as[(Long, Int, String)].collect().sorted
     assert(out.toSeq === plain.toSeq)
   }
+
+  test("property: salted and split joins match the plain join on random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    // small key space forces collisions, dup keys on BOTH sides force
+    // multi-row match groups (the case where a buggy salt loses pairs)
+    val rows = Gen.listOfN(300, Gen.zip(Gen.choose(0L, 20L), Gen.choose(-100, 100)))
+    (0 until 3).foreach { it =>
+      val f = sample(rows, 11L + it).toDF("k", "v")
+      val d = sample(rows, 97L + it).map { case (k, v) => (k, s"n$v") }.toDF("k", "name")
+      val expect = f.join(d, Seq("k"), "inner")
+        .select("k", "v", "name").as[(Long, Int, String)].collect().sorted.toSeq
+      val viaSalt = Joins.saltedJoin(f, d, Seq("k"), salts = 5)
+        .select("k", "v", "name").as[(Long, Int, String)].collect().sorted.toSeq
+      assert(viaSalt === expect, s"saltedJoin diverged (iteration $it)")
+      val viaSplit = Joins.skewSplitJoin(f, d, Seq("k"),
+          Joins.hotKeys(f, Seq("k"), minCount = 10L))
+        .select("k", "v", "name").as[(Long, Int, String)].collect().sorted.toSeq
+      assert(viaSplit === expect, s"skewSplitJoin diverged (iteration $it)")
+    }
+  }
 }
