@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
 import graft.multimodal.Multimodal
-import graft.ops.{Aggregates, Joins, Projections, Quantiles, Windows}
+import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Windows}
 import graft.quality.Relevance
 import graft.sources.TestData
 
@@ -361,6 +361,15 @@ object SparkEntry {
     "quantiles_disc" -> ((s, dir) =>
       Quantiles.exactDisc(TestData(s, dir).lineitem,
         "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))),
+
+    // Deterministic stratified sampling: membership is a pure function of
+    // the row key (md5-bucket threshold) — retry/partitioning/engine
+    // independent, replayed exactly by the oracle.
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(TestData(s, dir).documents, "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+        .select("doc_id", "lang", "bucket")),
 
     // Exact dedup by content hash.
     "dedup_exact" -> ((s, dir) =>
@@ -1256,6 +1265,17 @@ object SparkEntry {
            SELECT ngram, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram ASC) AS BIGINT) AS rank
            FROM c)
          WHERE rank <= 20""",
+
+    // Mirrors Sampling.stratified(en→0.5, de→0.25, default 0.1) on key
+    // doc_id: same 60-bit md5-prefix bucket as the Md5Hash lane family.
+    "sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket
+             FROM documents)
+         SELECT doc_id, lang, bucket FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 500000
+                                  WHEN 'de' THEN 250000
+                                  ELSE 100000 END""",
 
     // Mirrors Quantiles.exactDisc: nearest-rank (percentile_disc) — the
     // value AT rank ceil(p·n), selected not interpolated, so exact.

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+import graft.sources.TestData
+
+/** Deterministic sampling: partitioning independence, nested rates,
+  * stratified thresholds, reproducible shuffle order. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = TestData(spark, sf0001).documents
+
+  test("membership is independent of partitioning (retry/cluster-layout safe)") {
+    val a = Sampling.bernoulli(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.bernoulli(docs.repartition(13), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  test("rates nest: the 10% sample is a subset of the 30% sample") {
+    val s10 = Sampling.bernoulli(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val s30 = Sampling.bernoulli(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s30))
+  }
+
+  test("stratified: per-stratum rates honored within binomial noise") {
+    val out = Sampling.stratified(docs, "doc_id", "lang",
+      Map("en" -> 0.8, "de" -> 0.2), defaultRate = 0.0)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.keySet.exists(l => l != "en" && l != "de"), s"default 0 leaked: $byLang")
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    val deRate = byLang.getOrElse("de", 0L).toDouble / totals("de")
+    assert(enRate > 0.6 && enRate < 0.95, s"en rate $enRate")
+    assert(deRate > 0.05 && deRate < 0.4, s"de rate $deRate")
+  }
+
+  test("deterministicShuffle: identical order across runs, seed changes it") {
+    val o1 = Sampling.deterministicShuffle(docs, "doc_id", 42L)
+      .select("doc_id").as[Long].collect().toSeq
+    val o2 = Sampling.deterministicShuffle(docs.repartition(7), "doc_id", 42L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(o1 === o2)
+    val o3 = Sampling.deterministicShuffle(docs, "doc_id", 43L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(o1 !== o3)
+    assert(o1.sorted === o3.sorted)
+  }
+}
