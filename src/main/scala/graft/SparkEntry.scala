@@ -9,7 +9,7 @@ import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
 import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Windows}
-import graft.quality.Relevance
+import graft.quality.{Chunker, Relevance}
 import graft.sources.TestData
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -355,6 +355,12 @@ object SparkEntry {
     // global sort).
     "text_ngram_topk" -> ((s, dir) =>
       Relevance.ngramTopK(TestData(s, dir).documents, "text", n = 2, k = 20)),
+
+    // Token-window chunking with overlap (chunkSize 32, overlap 8) —
+    // shuffle-free generator, slice arithmetic replays in SQL.
+    "text_chunks" -> ((s, dir) =>
+      Chunker.chunkByTokens(TestData(s, dir).documents, "doc_id", "text",
+        chunkSize = 32, overlap = 8)),
 
     // Exact per-group nearest-rank quantiles (percentile_disc shape);
     // Quantiles.approx is the documented sketch path at 100 TB.
@@ -1253,6 +1259,21 @@ object SparkEntry {
                 ${comp("data")} + ${comp("query")} + ${comp("spark")} AS bm25
          FROM base CROSS JOIN stats"""
     },
+
+    // Mirrors Chunker.chunkByTokens(32, 8): starts 0, 24, 48, … < n_words;
+    // DuckDB list slice l[a:b] is 1-based inclusive = slice(ws, a, 32)
+    // with b = a+31, both clamp at the array end.
+    "text_chunks" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         st AS (SELECT doc_id, ws, CAST(j AS BIGINT) // 24 AS chunk_id,
+                       ws[CAST(j AS BIGINT)+1 : CAST(j AS BIGINT)+32] AS chunk
+                FROM w, unnest(range(0, len(ws), 24)) AS t(j)
+                WHERE len(ws) > 0)
+         SELECT doc_id, chunk_id,
+                CAST(len(chunk) AS BIGINT) AS n_tokens,
+                array_to_string(chunk, ' ') AS chunk_text
+         FROM st""",
 
     // Mirrors Relevance.ngramTopK(n = 2, k = 20): every bigram occurrence
     // counted (no distinct), total order (cnt DESC, ngram ASC).

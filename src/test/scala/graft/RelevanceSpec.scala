@@ -67,6 +67,27 @@ class RelevanceSpec extends SparkSpec {
     assert(r === List(("a b", 3L, 1L), ("b a", 1L, 2L)))
   }
 
+  test("chunking: overlap, coverage, and lossless reconstruction") {
+    val d = Seq((1L, (1 to 75).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.quality.Chunker.chunkByTokens(d, "doc_id", "text", 32, 8)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect()
+    // starts 0, 24, 48, 72 → lengths 32, 32, 27, 3
+    assert(chunks.map(c => c._1 -> c._2).toSeq === Seq(0L -> 32L, 1L -> 32L, 2L -> 27L, 3L -> 3L))
+    // consecutive chunks share the 8-token overlap
+    val (c0, c1) = (chunks(0)._3.split(" "), chunks(1)._3.split(" "))
+    assert(c0.takeRight(8).toSeq === c1.take(8).toSeq)
+    // dropping each chunk's leading overlap reconstructs the document
+    val rebuilt = chunks.head._3.split(" ") ++
+      chunks.tail.flatMap(_._3.split(" ").drop(8))
+    assert(rebuilt.toSeq === (1 to 75).map(i => s"w$i"))
+    // empty docs produce no chunks rather than a null row
+    val none = graft.quality.Chunker.chunkByTokens(
+      Seq((2L, "")).toDF("doc_id", "text"), "doc_id", "text", 32, 8)
+    assert(none.isEmpty)
+  }
+
   test("exact quantiles: nearest-rank definition on a known frame") {
     val d = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val q = Quantiles.exactDisc(d, "grp", "v", Seq(0.5, 0.9, 0.99))
