@@ -48,7 +48,11 @@ object Bench {
     // Locale.ROOT: under a comma-decimal default locale "%.3f" would emit
     // "1,234" and corrupt the JSON line.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f3(v) }
+    // per-query map at 2 decimals: run-to-run variance on this box is ±30%,
+    // so the third decimal is noise — and ~80 queries × 1 char is the
+    // difference between fitting the driver's 2000-char tail and not.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // rows_per_sec counts only queries that produced rows; a failed query

@@ -9,7 +9,7 @@ import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
 import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Windows}
-import graft.quality.{Chunker, Relevance}
+import graft.quality.{Chunker, DataQuality, Decontam, Packer, Relevance}
 import graft.sources.TestData
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -361,6 +361,39 @@ object SparkEntry {
     "text_chunks" -> ((s, dir) =>
       Chunker.chunkByTokens(TestData(s, dir).documents, "doc_id", "text",
         chunkSize = 32, overlap = 8)),
+
+    // Greedy sequence packing of the chunks into capacity-100 bins,
+    // bucket-parallel (doc_id % 8) — oracle replays the greedy fold with a
+    // recursive CTE.
+    "pack_chunks" -> ((s, dir) =>
+      Packer.packGreedy(
+        Chunker.chunkByTokens(TestData(s, dir).documents, "doc_id", "text",
+          chunkSize = 32, overlap = 8),
+        "doc_id", "chunk_id", "n_tokens", capacity = 100L, numBuckets = 8)),
+
+    // Train/eval decontamination: 5-gram overlap of every corpus doc
+    // against the doc_id % 50 == 0 "benchmark" slice (broadcast side).
+    "decontam_ngram" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      Decontam.ngramOverlap(docs, docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
+    // Gopher-style repetition signals: duplicate-word and top-bigram
+    // fractions per document.
+    "text_repetition" -> ((s, dir) =>
+      DataQuality.repetitionSignals(TestData(s, dir).documents, "doc_id", "text")),
+
+    // Token-budget mixture: per-language budgets, rates derived from the
+    // actual per-language token totals inside the plan (es capped at
+    // keep-all, fr absent -> dropped).
+    "sample_mixture" -> ((s, dir) => {
+      val d = TestData(s, dir).documents
+        .withColumn("n_tokens", TextFns.wordCount(col("text")).cast("long"))
+      Sampling.tokenBudgetMixture(d, "doc_id", "lang", "n_tokens",
+          Map("en" -> 4000L, "de" -> 2000L, "es" -> 10000000L, "zh" -> 1000L))
+        .select("doc_id", "lang", "n_tokens", "stratum_tokens", "threshold")
+    }),
 
     // Exact per-group nearest-rank quantiles (percentile_disc shape);
     // Quantiles.approx is the documented sketch path at 100 TB.
@@ -1274,6 +1307,93 @@ object SparkEntry {
                 CAST(len(chunk) AS BIGINT) AS n_tokens,
                 array_to_string(chunk, ' ') AS chunk_text
          FROM st""",
+
+    // Mirrors Packer.packGreedy(cap 100, buckets 8) over the same chunks:
+    // the greedy fold (overflow closes the bin) replayed one rank at a
+    // time with a recursive CTE, per bucket.
+    "pack_chunks" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+           FROM documents),
+         ch0 AS (SELECT doc_id, CAST(j AS BIGINT) // 24 AS chunk_id,
+                        CAST(len(ws[CAST(j AS BIGINT)+1 : CAST(j AS BIGINT)+32]) AS BIGINT) AS n_tokens
+                 FROM w, unnest(range(0, len(ws), 24)) AS t(j)
+                 WHERE len(ws) > 0),
+         ch AS (SELECT doc_id, chunk_id, n_tokens, doc_id % 8 AS bucket,
+                       row_number() OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id, chunk_id) AS rn
+                FROM ch0),
+         pack AS (
+           SELECT bucket, rn, doc_id, chunk_id, n_tokens,
+                  CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM ch WHERE rn = 1
+           UNION ALL
+           SELECT c.bucket, c.rn, c.doc_id, c.chunk_id, c.n_tokens,
+                  CASE WHEN p.fill + c.n_tokens > 100 THEN p.bin + 1 ELSE p.bin END,
+                  CASE WHEN p.fill + c.n_tokens > 100 THEN c.n_tokens
+                       ELSE p.fill + c.n_tokens END
+           FROM pack p JOIN ch c ON c.bucket = p.bucket AND c.rn = p.rn + 1)
+         SELECT doc_id, chunk_id, n_tokens, bucket, bin,
+                bucket * 1000000 + bin AS bin_id
+         FROM pack""",
+
+    // Mirrors Decontam.ngramOverlap(n = 5, bench = doc_id % 50 == 0):
+    // distinct 5-grams per doc, LEFT JOIN the distinct bench gram set,
+    // integer hit counts and one IEEE division.
+    "decontam_ngram" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, list_distinct(list_transform(range(0, len(ws)-4),
+                        i -> array_to_string(ws[CAST(i AS BIGINT)+1 : CAST(i AS BIGINT)+5], ' '))) AS grams
+               FROM w WHERE len(ws) >= 5),
+         e AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+         b AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 50 = 0)
+         SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+                CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS contam_frac
+         FROM e LEFT JOIN b ON e.shingle = b.shingle
+         GROUP BY e.doc_id""",
+
+    // Mirrors DataQuality.repetitionSignals: row-local word stats, bigram
+    // counts via unnest + two-level grouping, IEEE divisions of exact ints.
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         base AS (SELECT doc_id,
+                         CAST(len(ws) AS BIGINT) AS n_words,
+                         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+                         CAST(len(ws) - 1 AS BIGINT) AS n_bigrams,
+                         list_transform(range(0, len(ws)-1),
+                           i -> ws[CAST(i AS BIGINT)+1] || ' ' || ws[CAST(i AS BIGINT)+2]) AS bigrams
+                  FROM w WHERE len(ws) >= 2),
+         e AS (SELECT doc_id, n_words, n_distinct_words, n_bigrams, unnest(bigrams) AS g FROM base),
+         c AS (SELECT doc_id, n_words, n_distinct_words, n_bigrams, g, count(*) AS cnt
+               FROM e GROUP BY doc_id, n_words, n_distinct_words, n_bigrams, g)
+         SELECT doc_id, n_words, n_distinct_words, n_bigrams,
+                CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+                CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+                CAST(1 AS DOUBLE) - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+                CAST(max(cnt) AS DOUBLE) / n_bigrams AS top_bigram_frac
+         FROM c GROUP BY doc_id, n_words, n_distinct_words, n_bigrams""",
+
+    // Mirrors Sampling.tokenBudgetMixture(en 4000, de 2000, es 10000000,
+    // zh 1000): integer-division thresholds from in-plan token totals, the
+    // md5-prefix bucket membership of sample_stratified.
+    "sample_mixture" ->
+      """WITH d AS (SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split(text,' '), x -> length(x)>0)) AS BIGINT) AS n_tokens
+               FROM documents),
+         t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS stratum_tokens
+               FROM d GROUP BY lang),
+         th AS (SELECT lang, stratum_tokens,
+                  least(CAST(1000000 AS BIGINT),
+                        CAST(CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 2000
+                                       WHEN 'es' THEN 10000000 WHEN 'zh' THEN 1000
+                                       ELSE 0 END AS BIGINT) * 1000000 // stratum_tokens) AS threshold
+                FROM t WHERE stratum_tokens > 0)
+         SELECT d.doc_id, d.lang, d.n_tokens, th.stratum_tokens, th.threshold
+         FROM d JOIN th USING (lang)
+         WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < th.threshold""",
 
     // Mirrors Relevance.ngramTopK(n = 2, k = 20): every bigram occurrence
     // counted (no distinct), total order (cnt DESC, ngram ASC).

@@ -42,6 +42,39 @@ object Sampling {
     df.filter(hashBucket(col(key)) < threshold)
   }
 
+  /** Token-budget mixture sampling — downsample each stratum (language,
+    * source domain, …) to a TOKEN budget rather than a fixed rate: the
+    * standard "mix domains to target proportions" step of a training-data
+    * build, where budgets are known but per-domain corpus sizes are not.
+    *
+    * rate_g = min(1, budget_g / tokens_g) computed IN the plan from the
+    * actual per-stratum token totals (one pre-aggregation, broadcast back —
+    * strata counts are tiny), then the same deterministic hash-threshold
+    * membership as `bernoulli`. All threshold arithmetic is integer
+    * (`DIV`, not `/` — Spark's `/` routes through double and a truncation
+    * on the wrong side of an integer boundary would diverge from the
+    * oracle's integer division). Strata absent from `budgets` are dropped
+    * (threshold 0).
+    *
+    * Scale posture: one cheap agg over the token column + a broadcast join
+    * + a codegen'd filter — the corpus itself is never shuffled.
+    */
+  def tokenBudgetMixture(df: DataFrame, key: String, strata: String,
+                         tokens: String, budgets: Map[String, Long]): DataFrame = {
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, b)) => when(col(strata) === s, lit(b)).otherwise(acc)
+    }
+    val thresholds = df.groupBy(col(strata))
+      .agg(sum(col(tokens)).cast("long").as("stratum_tokens"))
+      .filter(col("stratum_tokens") > 0)
+      .withColumn("budget_scaled", budget * lit(Scale))
+      .withColumn("threshold",
+        least(lit(Scale), expr("budget_scaled DIV stratum_tokens")).cast("long"))
+      .drop("budget_scaled")
+    df.join(broadcast(thresholds), strata)
+      .filter(hashBucket(col(key)) < col("threshold"))
+  }
+
   /** Reproducible global shuffle for training order: sort by a seeded hash
     * of the key — identical order on every run/cluster layout. A full sort
     * at 100 TB is real work (range partition + per-partition sort); that is

@@ -54,6 +54,46 @@ object DataQuality {
       sum(col("big_moves")).as("big_moves"),
       sum(col("calendar_gaps")).as("calendar_gaps"))
 
+  /** Gopher-style repetition signals per document: duplicate-word fraction
+    * and top/duplicate-bigram fractions — the standard "drop boilerplate
+    * and degenerate repetition" quality features for a training corpus.
+    *
+    * Plan shape: word-level stats are ROW-LOCAL (`array_distinct` on the
+    * materialized word array — no shuffle); the bigram mode (most frequent
+    * bigram count) needs per-(doc, bigram) counts, so one explode and two
+    * groupBys both keyed by doc_id — partial aggregation collapses
+    * map-side, and the doc-level stats ride the grouping keys (functionally
+    * dependent on doc_id) instead of a second scan + join.
+    *
+    * Fractions are single IEEE divisions of exact integers — cross-engine
+    * deterministic (the round()/log traps don't apply).
+    */
+  def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame = {
+    val withWords = docs.select(col(id).as("doc_id"),
+      graft.functions.TextFns.words(col(text)).as("ws"))
+    val ws = col("ws")
+    val base = withWords.filter(size(ws) >= 2)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        size(array_distinct(ws)).cast("long").as("n_distinct_words"),
+        (size(ws) - 1).cast("long").as("n_bigrams"),
+        transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))
+          .as("bigrams"))
+    base
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("n_bigrams"), explode_outer(col("bigrams")).as("g"))
+      .groupBy("doc_id", "n_words", "n_distinct_words", "n_bigrams", "g")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n_words", "n_distinct_words", "n_bigrams")
+      .agg(count(lit(1)).as("n_distinct_bigrams"),
+        max(col("cnt")).as("top_bigram_cnt"))
+      .withColumn("dup_word_frac",
+        lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_cnt").cast("double") / col("n_bigrams"))
+  }
+
   /** Completeness profile: null ratio per requested column (F6-style report). */
   def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>

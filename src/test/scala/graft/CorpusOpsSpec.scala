@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+import graft.quality.{DataQuality, Decontam}
+import graft.sources.TestData
+
+/** Corpus-pipeline operators: decontamination overlap, repetition signals,
+  * token-budget mixture sampling — hand-built frames with known answers. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontam: bench docs are fully contaminated, disjoint docs are clean") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),          // shares the bench doc's grams partially
+      (2L, "a b c d e"),            // IS the bench doc → 100%
+      (3L, "p q r s t u v")).toDF("doc_id", "text")
+    val bench = Seq((2L, "a b c d e")).toDF("doc_id", "text")
+    val r = Decontam.ngramOverlap(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id", "n_grams", "n_contaminated")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc 1 has grams {a b c d e, b c d e f} — 1 hit; doc 2: 1/1; doc 3: 0/3
+    assert(r.toSeq === Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 3L, 0L)))
+  }
+
+  test("decontam: repeated grams inside a doc count once (distinct grams)") {
+    val corpus = Seq((1L, "x y x y x y x y")).toDF("doc_id", "text") // 7 bigrams, 2 distinct
+    val bench = Seq((9L, "x y")).toDF("doc_id", "text")
+    val r = Decontam.ngramOverlap(corpus, bench, "doc_id", "text", n = 2)
+      .select("n_grams", "n_contaminated").as[(Long, Long)].head()
+    assert(r === ((2L, 1L)))
+  }
+
+  test("repetition: degenerate doc scores high, diverse doc scores low") {
+    val d = Seq(
+      (1L, "spam spam spam spam"),   // 4 words 1 distinct; 3 bigrams all "spam spam"
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val r = DataQuality.repetitionSignals(d, "doc_id", "text")
+      .select("doc_id", "n_words", "n_distinct_words", "n_distinct_bigrams",
+        "top_bigram_cnt", "dup_word_frac", "top_bigram_frac")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r(0) === ((1L, 4L, 1L, 1L, 3L, 0.75, 1.0)))
+    assert(r(1) === ((2L, 4L, 4L, 3L, 1L, 0.0, 1.0 / 3.0)))
+  }
+
+  test("mixture: budgets cap rates, absent strata drop, membership = bernoulli hash") {
+    val docs = TestData(spark, sf0001).documents
+      .withColumn("n_tokens", graft.functions.TextFns.wordCount(col("text")).cast("long"))
+    val out = Sampling.tokenBudgetMixture(docs, "doc_id", "lang", "n_tokens",
+      Map("en" -> 400L, "es" -> 10000000L)).cache()
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "es")), s"absent strata leaked: $langs")
+    // es budget >> corpus → threshold capped at Scale → ALL es docs kept
+    val esAll = docs.filter(col("lang") === "es").count()
+    assert(out.filter(col("lang") === "es").count() === esAll)
+    // en kept-token total lands near the budget (hash noise aside)
+    val enTokens = out.filter(col("lang") === "en")
+      .agg(sum("n_tokens")).as[Long].head()
+    val enTotal = docs.filter(col("lang") === "en").agg(sum("n_tokens")).as[Long].head()
+    assert(enTokens < enTotal && enTokens > 0, s"en sampled $enTokens of $enTotal")
+    // membership is the deterministic hash — partitioning-independent
+    val again = Sampling.tokenBudgetMixture(docs.repartition(7), "doc_id", "lang",
+      "n_tokens", Map("en" -> 400L, "es" -> 10000000L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.select("doc_id").as[Long].collect().toSet)
+  }
+}
