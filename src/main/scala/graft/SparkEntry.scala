@@ -271,7 +271,7 @@ object SparkEntry {
       Aggregates.resampleBars(ev,
           Seq(col("user_id")),
           to_date(date_trunc("week", col("ts"))),
-          struct(col("ts_ns"), col("event_id")),
+          Seq(col("ts_ns"), col("event_id")),
           col("value"), lit(1L), dec(col("value")))
         .withColumn("money", col("money").cast("decimal(25,6)").cast("double"))
     }),

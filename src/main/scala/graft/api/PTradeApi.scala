@@ -190,7 +190,7 @@ final case class PTradeApi(views: MarketTables) {
     val b = views.bars.filter(col("symbol").isin(securities: _*))
     graft.ops.Aggregates.resampleBars(
         b, Seq(col("symbol")), to_date(date_trunc(freq, col("date"))),
-        col("date"), col("close"),
+        Seq(col("date")), col("close"),
         col("volume").cast("decimal(25,6)"), col("money").cast("decimal(25,6)"))
       .select(col("symbol"), col("period"),
         col("open"), col("high"), col("low"), col("close"),

@@ -44,7 +44,7 @@ final case class MarketViews(spark: SparkSession, dir: String) extends MarketTab
     * (orderkey, linenumber) rows, so seq alone can tie — px breaks the tie
     * deterministically (and identical (seq, px) rows are interchangeable). */
   def bars: DataFrame = Aggregates.resampleBars(
-      ticks, Seq(col("symbol")), col("date"), struct(col("seq"), col("px")),
+      ticks, Seq(col("symbol")), col("date"), Seq(col("seq"), col("px")),
       col("px"), col("qty").cast("decimal(25,6)"), col("amt").cast("decimal(25,6)"))
     .select(col("symbol"), col("period").as("date"),
       col("open"), col("high"), col("low"), col("close"),

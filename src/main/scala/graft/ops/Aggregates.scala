@@ -11,20 +11,33 @@ object Aggregates {
     * first/max/min/last/sum. Reference: weekly/monthly bars "由日线数据进行合成"
     * (PTrade_API_mini_Reference.md:1983).
     *
-    * `order` must be unique within (key, period) for deterministic open/close;
-    * uses min_by/max_by (codegen'd, single-pass partial agg — no window
-    * shuffle beyond the groupBy).
+    * `order` (1 or 2 columns, lexicographic) must be unique-or-
+    * interchangeable within (key, period) for deterministic open/close.
+    * A single order column uses builtin min_by/max_by; a pair uses
+    * [[graft.functions.MinMaxByPair]] — the struct-ordered builtin would
+    * put a struct in the aggregation buffer and force SortAggregate, while
+    * the flattened pair keeps the whole groupBy in HashAggregate +
+    * whole-stage codegen (single-pass partial agg, no window shuffle
+    * beyond the groupBy).
     */
-  def resampleBars(df: DataFrame, keys: Seq[Column], period: Column, order: Column,
-                   price: Column, volume: Column, money: Column): DataFrame =
+  def resampleBars(df: DataFrame, keys: Seq[Column], period: Column, order: Seq[Column],
+                   price: Column, volume: Column, money: Column): DataFrame = {
+    val (openAgg, closeAgg) = order match {
+      case Seq(o) => (min_by(price, o), max_by(price, o))
+      case Seq(o1, o2) => (graft.functions.AggExpressions.minByPair(price, o1, o2),
+        graft.functions.AggExpressions.maxByPair(price, o1, o2))
+      case _ => throw new IllegalArgumentException(
+        s"resampleBars supports 1 or 2 order columns, got ${order.length}")
+    }
     df.groupBy((keys :+ period.as("period")): _*).agg(
-      min_by(price, order).as("open"),
+      openAgg.as("open"),
       max(price).as("high"),
       min(price).as("low"),
-      max_by(price, order).as("close"),
+      closeAgg.as("close"),
       sum(volume).as("volume"),
       sum(money).as("money"),
       count(lit(1)).as("n_rows"))
+  }
 
   /** A5 — cumulative product per key via the log-sum trick
     * (adjust-factor synthesis, docs/DATA_MAPPING.md:533-575). Requires

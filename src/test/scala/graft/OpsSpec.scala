@@ -74,7 +74,7 @@ class OpsSpec extends SparkSpec {
       ("s", "2024-01-01", 3L, 5.0, 100.0),
       ("s", "2024-01-02", 4L, 7.0, 50.0)
     ).toDF("sym", "d", "seq", "px", "vol")
-    val out = Aggregates.resampleBars(df, Seq(col("sym")), col("d"), col("seq"),
+    val out = Aggregates.resampleBars(df, Seq(col("sym")), col("d"), Seq(col("seq")),
         col("px"), col("vol"), col("px") * col("vol"))
       .orderBy("period").collect()
     val day1 = out(0)
