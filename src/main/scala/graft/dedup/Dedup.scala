@@ -363,4 +363,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_b.doc_id").as("doc_b"), col("hamming"))
   }
+
+  /** Segment-level dedup (C4-style line dedup generalized to token
+    * windows): split every doc into disjoint `segSize`-token segments,
+    * keep only the globally FIRST occurrence of each distinct segment
+    * (lexicographic (doc_id, chunk_id)), and rebuild each doc from its
+    * surviving segments. Docs whose every segment appeared earlier
+    * elsewhere vanish entirely — the boilerplate-removal semantics.
+    *
+    * Plan shape at 100 TB:
+    *  1. first-occurrence resolution shuffles only (md5(segment), doc_id,
+    *     chunk_id) — 32 B/row, not the text; the groupBy is a
+    *     HashAggregate ([[graft.functions.MinMaxByPair]] keeps the
+    *     tiebreakered arg-min in primitive buffer slots);
+    *  2. winners collapse to one keep-set array per doc (narrow);
+    *  3. the text moves ONCE — segments join the broadcast-unfriendly
+    *     keep-set on doc_id, and the final rebuild groupBy(doc_id) reuses
+    *     that join's hash partitioning (no extra text shuffle).
+    */
+  def dedupSegments(docs: DataFrame, id: String, text: String, segSize: Int): DataFrame = {
+    val segs = graft.quality.Chunker.chunkByTokens(docs, id, text, segSize, overlap = 0)
+    val firsts = segs
+      .select(md5(col("chunk_text")).as("h"), col("doc_id"), col("chunk_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        graft.functions.AggExpressions.minByPair(
+          col("chunk_id"), col("doc_id"), col("chunk_id")).as("chunk_id"))
+    val keepSets = firsts.groupBy(col("doc_id"))
+      .agg(collect_set(col("chunk_id")).as("keep_ids"))
+    segs.join(keepSets, Seq("doc_id"))
+      .filter(array_contains(col("keep_ids"), col("chunk_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("n_tokens_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s("chunk_text"))).as("cleaned_text"))
+  }
 }

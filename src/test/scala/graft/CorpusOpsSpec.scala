@@ -43,6 +43,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(1) === ((2L, 4L, 4L, 3L, 1L, 0.0, 1.0 / 3.0)))
   }
 
+  test("segment dedup: duplicate windows keep first occurrence, docs rebuild in order") {
+    // doc 1 and doc 2 share segment "a b"; doc 3 is entirely doc 1's content
+    val d = Seq(
+      (1L, "a b c d"),     // segments "a b", "c d"
+      (2L, "a b e f"),     // "a b" dup → keeps only "e f"
+      (3L, "c d")          // fully duplicate → vanishes
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.dedupSegments(d, "doc_id", "text", segSize = 2)
+      .select("doc_id", "n_kept", "cleaned_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq((1L, 2L, "a b c d"), (2L, 1L, "e f")))
+  }
+
+  test("segment dedup: kept tokens = distinct segment tokens on the fixture") {
+    val docs = TestData(spark, sf0001).documents
+    val out = graft.dedup.Dedup.dedupSegments(docs, "doc_id", "text", segSize = 8)
+    val keptSegs = out.agg(sum("n_kept")).as[Long].head()
+    val distinctSegs = graft.quality.Chunker
+      .chunkByTokens(docs, "doc_id", "text", 8, 0)
+      .select("chunk_text").distinct().count()
+    assert(keptSegs === distinctSegs)
+  }
+
   test("mixture: budgets cap rates, absent strata drop, membership = bernoulli hash") {
     val docs = TestData(spark, sf0001).documents
       .withColumn("n_tokens", graft.functions.TextFns.wordCount(col("text")).cast("long"))
