@@ -94,6 +94,28 @@ object DataQuality {
         col("top_bigram_cnt").cast("double") / col("n_bigrams"))
   }
 
+  /** Blocklist word-fraction filter (the C4 "bad words" rule): per-doc
+    * count of blocklisted words, their fraction, and a keep verdict at
+    * `maxFrac`. Row-local — one filter+isin pass over the materialized
+    * word array, no shuffle; the blocklist is a literal in-plan isin set
+    * (for 100k+-entry lists switch to a broadcast join on exploded words —
+    * same verdict, one doc-keyed agg). The fraction is a single IEEE
+    * division of exact integers. */
+  def blocklistFilter(docs: DataFrame, id: String, text: String,
+                      blocklist: Seq[String], maxFrac: Double): DataFrame = {
+    val withWords = docs.select(col(id).as("doc_id"),
+      graft.functions.TextFns.words(col(text)).as("ws"))
+    val ws = col("ws")
+    withWords.select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        size(filter(ws, w => w.isin(blocklist.map(lit): _*)))
+          .cast("long").as("n_blocked"))
+      .withColumn("blocked_frac",
+        when(col("n_words") > 0,
+          col("n_blocked").cast("double") / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("keep", col("blocked_frac") <= maxFrac)
+  }
+
   /** Completeness profile: null ratio per requested column (F6-style report). */
   def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Quant
+import graft.quality.{DataQuality, Redact}
+
+class RedactQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redact: every PII type detected, masked to typed tokens, clean text untouched") {
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@mail7.example.com or +86-555-0042 thanks"),
+      (2L, "server 10.55.0.12 serves https://site9.example.org/p/123 daily"),
+      (3L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val r = Redact.redact(d, "doc_id", "text")
+      .select("doc_id", "n_url", "n_email", "n_ipv4", "n_phone", "n_pii", "redacted_text")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) === ((1L, 0L, 1L, 0L, 1L, 2L, "mail me at <EMAIL> or <PHONE> thanks")))
+    assert(r(1) === ((2L, 1L, 0L, 1L, 0L, 2L, "server <IPV4> serves <URL> daily")))
+    assert(r(2) === ((3L, 0L, 0L, 0L, 0L, 0L, "nothing sensitive here at all")))
+  }
+
+  test("redact: url masked before its credentials leak to the email pattern") {
+    val d = Seq((1L, "fetch https://user@host.example.com/path now")).toDF("doc_id", "text")
+    val masked = Redact.redact(d, "doc_id", "text")
+      .select("redacted_text").as[String].head()
+    // the email pattern alone WOULD match user@host.example.com; URL-first
+    // ordering must claim the whole span
+    assert(masked === "fetch <URL>/path now" || masked === "fetch <URL> now")
+  }
+
+  test("blocklist filter: counts, fraction, verdict") {
+    val d = Seq(
+      (1L, "good words only here"),
+      (2L, "bad bad bad x"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = DataQuality.blocklistFilter(d, "doc_id", "text", Seq("bad"), maxFrac = 0.5)
+      .select("doc_id", "n_words", "n_blocked", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq((1L, 4L, 0L, true), (2L, 4L, 3L, false), (3L, 0L, 0L, true)))
+  }
+
+  test("quantize: known vector round-trips exactly at the grid points") {
+    // max|x| = 12.7 -> scale = 0.1; every element is a multiple of 0.1 in
+    // DOUBLE arithmetic only approximately — so check codes, not error zero
+    val d = Seq((1L, Array(12.7f, -6.35f, 0.0f, 1.27f))).toDF("vec_id", "embedding")
+    val r = Quant.quantizeInt8(d, "vec_id", "embedding")
+      .select("n_dims", "scale", "code_energy").as[(Long, Double, Long)].head()
+    assert(r._1 === 4L)
+    // 12.7f widens to 12.699999809…; scale inherits the float ulp
+    assert(math.abs(r._2 - 0.1) < 1e-7)
+    // codes: 127, -63 or -64 (half-up on the halfway ulp), 0, 13
+    val codes = 127L * 127L
+    assert(r._3 === codes + 64L * 64L + 13L * 13L || r._3 === codes + 63L * 63L + 13L * 13L)
+  }
+
+  test("quantize: zero vector -> zero scale, zero codes; fixture error is small") {
+    val z = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rz = Quant.quantizeInt8(z, "vec_id", "embedding")
+      .select("scale", "code_energy", "recon_err").as[(Double, Long, Double)].head()
+    assert(rz === ((0.0, 0L, 0.0)))
+
+    val emb = sources.TestData(spark, sf0001).embeddings
+    val stats = Quant.quantizeInt8(emb, "vec_id", "embedding")
+      .agg(max(col("recon_err")).as("max_err"), min(col("code_energy")).as("min_e"))
+      .as[(Double, Long)].head()
+    // per-dim error is bounded by (scale/2)^2; scales here are ~3e-3 so the
+    // 64-dim total stays far below 1e-3
+    assert(stats._1 < 1e-3 && stats._1 > 0.0)
+    assert(stats._2 > 0L)
+  }
+}
