@@ -52,8 +52,19 @@ object Bench {
     // so the third decimal is noise — and ~80 queries × 1 char is the
     // difference between fitting the driver's 2000-char tail and not.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+    // The per-query map is capped by BYTE budget, slowest queries first:
+    // the map exists to show where time goes, so when the query count grows
+    // past what the driver's 2000-char tail can carry, dropping the
+    // fastest entries loses the least information. "omitted" reports how
+    // many sub-threshold entries were cut (0 until ~85 queries).
+    val entries = results.toSeq.sortBy { case (_, (v, _)) => -v }
+      .map { case (k, (v, _)) => s"\"" + k + "\":" + f2(v) }
+    val budget = 1600
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 2
+    for (e <- entries if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    val qs = kept.mkString("{", ",", "}")
+    val omitted = entries.size - kept.size
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // rows_per_sec counts only queries that produced rows; a failed query
     // (rows = -1 sentinel) contributes neither rows nor time, so a failure
@@ -64,7 +75,7 @@ object Bench {
     val failed = results.values.count { case (_, n) => n < 0 }
     val rps = if (okTime > 0) (okRows / okTime).round else -1L
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"rows_per_sec":$rps,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"rows_per_sec":$rps,"failed":$failed,"omitted":$omitted,"sf":"$sfDir"}"""
     // The driver keeps only the last 2000 chars of stdout; warn (stderr, so
     // it can't displace the metric line) before truncation becomes possible.
     if (line.length > 1900)

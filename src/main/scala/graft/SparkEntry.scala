@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ann.Ann
+import graft.ann.{Ann, Quant}
 import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
 import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Windows}
-import graft.quality.{Chunker, DataQuality, Decontam, Packer, Relevance}
+import graft.quality.{Chunker, DataQuality, Decontam, Packer, Redact, Relevance}
 import graft.sources.TestData
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -379,10 +379,37 @@ object SparkEntry {
         "doc_id", "text", n = 5)
     }),
 
+    // C4-style segment dedup: disjoint 8-token windows, global
+    // first-occurrence keep, docs rebuilt from surviving segments.
+    "dedup_segments" -> ((s, dir) =>
+      Dedup.dedupSegments(TestData(s, dir).documents, "doc_id", "text", segSize = 8)),
+
     // Gopher-style repetition signals: duplicate-word and top-bigram
     // fractions per document.
     "text_repetition" -> ((s, dir) =>
       DataQuality.repetitionSignals(TestData(s, dir).documents, "doc_id", "text")),
+
+    // The composed filter funnel: token floor + language-ID agreement +
+    // repetition ceiling + decontamination, one keep verdict per doc —
+    // the end-to-end corpus gate a training build runs before sampling.
+    "corpus_gate" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val rep = DataQuality.repetitionSignals(docs, "doc_id", "text")
+        .select(col("doc_id"), col("top_bigram_frac"))
+      val contam = Decontam.ngramOverlap(docs,
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_contaminated"))
+      docs.select(col("doc_id"), col("lang"),
+          TextFns.wordCount(col("text")).cast("long").as("n_tokens"),
+          TextFns.langId(col("text")).as("lang_pred"))
+        .join(rep, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+        .withColumn("keep", coalesce(
+          col("n_tokens") >= 20 && col("lang_pred") === col("lang") &&
+            col("top_bigram_frac") <= 0.05 && col("n_contaminated") === 0,
+          lit(false)))
+    }),
 
     // Token-budget mixture: per-language budgets, rates derived from the
     // actual per-language token totals inside the plan (es capped at
@@ -409,6 +436,39 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
         .select("doc_id", "lang", "bucket")),
+
+    // PII scrub: detection counts + typed-token masking over a PII-bearing
+    // text CONSTRUCTED in-plan from customer columns (the fixture corpus is
+    // word-salad with no natural PII; both engines build the identical
+    // string, so the regex lanes are exercised non-trivially). Patterns are
+    // Java-regex ∩ RE2, so the oracle replays them verbatim.
+    "pii_redact" -> ((s, dir) => {
+      val key = col("c_custkey")
+      def seg(cond: Column, c: Column) = when(cond, c).otherwise(lit(""))
+      val piiText = concat(
+        lit("doc "), col("c_name"),
+        seg(key % 3 === 0, concat(lit(" mail user"), key.cast("string"),
+          lit("@mail"), (key % 7).cast("string"), lit(".example.com"))),
+        seg(key % 4 === 1, concat(lit(" call +86-555-"),
+          lpad((key % 10000).cast("string"), 4, "0"))),
+        seg(key % 5 === 2, concat(lit(" host 10."), (key % 256).cast("string"),
+          lit(".0."), (key % 199).cast("string"))),
+        seg(key % 2 === 0, concat(lit(" see https://site"), (key % 50).cast("string"),
+          lit(".example.org/p/"), key.cast("string"))))
+      Redact.redact(
+        TestData(s, dir).customer.select(key.as("doc_id"), piiText.as("text")),
+        "doc_id", "text")
+    }),
+
+    // Blocklist word-fraction filter (C4 "bad words" rule) on the corpus.
+    "blocklist_filter" -> ((s, dir) =>
+      DataQuality.blocklistFilter(TestData(s, dir).documents, "doc_id", "text",
+        Seq("slow", "drop", "fail", "small"), maxFrac = 0.05)),
+
+    // Symmetric int8 embedding quantization: codes energy (exact ints),
+    // per-vector scale, sequential-fold reconstruction error.
+    "emb_quantize" -> ((s, dir) =>
+      Quant.quantizeInt8(TestData(s, dir).embeddings, "vec_id", "embedding")),
 
     // Exact dedup by content hash.
     "dedup_exact" -> ((s, dir) =>
@@ -1354,6 +1414,26 @@ object SparkEntry {
          FROM e LEFT JOIN b ON e.shingle = b.shingle
          GROUP BY e.doc_id""",
 
+    // Mirrors Dedup.dedupSegments(segSize 8): disjoint 8-token windows,
+    // first occurrence per distinct segment = row_number over
+    // (doc_id, chunk_id), rebuild with order-preserving string_agg.
+    "dedup_segments" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         st AS (SELECT doc_id, CAST(j AS BIGINT) // 8 AS chunk_id,
+                       CAST(len(ws[CAST(j AS BIGINT)+1 : CAST(j AS BIGINT)+8]) AS BIGINT) AS n_tokens,
+                       array_to_string(ws[CAST(j AS BIGINT)+1 : CAST(j AS BIGINT)+8], ' ') AS chunk_text
+                FROM w, unnest(range(0, len(ws), 8)) AS t(j)
+                WHERE len(ws) > 0),
+         keep AS (SELECT doc_id, chunk_id, n_tokens, chunk_text,
+                         row_number() OVER (PARTITION BY chunk_text
+                                            ORDER BY doc_id, chunk_id) AS rn
+                  FROM st)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
+                string_agg(chunk_text, ' ' ORDER BY chunk_id) AS cleaned_text
+         FROM keep WHERE rn = 1 GROUP BY doc_id""",
+
     // Mirrors DataQuality.repetitionSignals: row-local word stats, bigram
     // counts via unnest + two-level grouping, IEEE divisions of exact ints.
     "text_repetition" ->
@@ -1375,6 +1455,50 @@ object SparkEntry {
                 CAST(1 AS DOUBLE) - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
                 CAST(max(cnt) AS DOUBLE) / n_bigrams AS top_bigram_frac
          FROM c GROUP BY doc_id, n_words, n_distinct_words, n_bigrams""",
+
+    // Mirrors the corpus_gate composition — the langid / repetition /
+    // decontam fragments above, joined on doc_id, one boolean verdict.
+    "corpus_gate" ->
+      """WITH w AS (SELECT doc_id, lang, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         tok AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens FROM w),
+         ls AS (SELECT doc_id,
+                 len(list_filter(ws, x -> x='der'))+len(list_filter(ws, x -> x='die'))+len(list_filter(ws, x -> x='das'))+len(list_filter(ws, x -> x='und'))+len(list_filter(ws, x -> x='nicht')) AS s_de,
+                 len(list_filter(ws, x -> x='the'))+len(list_filter(ws, x -> x='a'))+len(list_filter(ws, x -> x='of'))+len(list_filter(ws, x -> x='and'))+len(list_filter(ws, x -> x='is')) AS s_en,
+                 len(list_filter(ws, x -> x='el'))+len(list_filter(ws, x -> x='los'))+len(list_filter(ws, x -> x='las'))+len(list_filter(ws, x -> x='una'))+len(list_filter(ws, x -> x='que')) AS s_es,
+                 len(list_filter(ws, x -> x='le'))+len(list_filter(ws, x -> x='les'))+len(list_filter(ws, x -> x='et'))+len(list_filter(ws, x -> x='une'))+len(list_filter(ws, x -> x='est')) AS s_fr,
+                 len(list_filter(ws, x -> x='的'))+len(list_filter(ws, x -> x='是'))+len(list_filter(ws, x -> x='在'))+len(list_filter(ws, x -> x='了'))+len(list_filter(ws, x -> x='和')) AS s_zh
+               FROM w),
+         lid AS (SELECT doc_id,
+                 CASE WHEN s_de=mx THEN 'de' WHEN s_en=mx THEN 'en' WHEN s_es=mx THEN 'es'
+                      WHEN s_fr=mx THEN 'fr' WHEN s_zh=mx THEN 'zh' END AS lang_pred
+                 FROM (SELECT *, greatest(s_de,s_en,s_es,s_fr,s_zh) AS mx FROM ls)),
+         rb AS (SELECT doc_id, CAST(len(ws) - 1 AS BIGINT) AS n_bigrams,
+                       list_transform(range(0, len(ws)-1),
+                         i -> ws[CAST(i AS BIGINT)+1] || ' ' || ws[CAST(i AS BIGINT)+2]) AS bigrams
+                FROM w WHERE len(ws) >= 2),
+         re AS (SELECT doc_id, n_bigrams, unnest(bigrams) AS g FROM rb),
+         rc AS (SELECT doc_id, n_bigrams, g, count(*) AS cnt FROM re GROUP BY doc_id, n_bigrams, g),
+         rep AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / n_bigrams AS top_bigram_frac
+                 FROM rc GROUP BY doc_id, n_bigrams),
+         dg AS (SELECT doc_id, list_distinct(list_transform(range(0, len(ws)-4),
+                        i -> array_to_string(ws[CAST(i AS BIGINT)+1 : CAST(i AS BIGINT)+5], ' '))) AS grams
+               FROM w WHERE len(ws) >= 5),
+         de AS (SELECT doc_id, unnest(grams) AS shingle FROM dg),
+         db AS (SELECT DISTINCT shingle FROM de WHERE doc_id % 50 = 0),
+         con AS (SELECT de.doc_id,
+                        CAST(sum(CASE WHEN db.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+                 FROM de LEFT JOIN db ON de.shingle = db.shingle
+                 GROUP BY de.doc_id)
+         SELECT t.doc_id, t.lang, t.n_tokens, lid.lang_pred, rep.top_bigram_frac,
+                COALESCE(con.n_contaminated, 0) AS n_contaminated,
+                COALESCE(t.n_tokens >= 20 AND lid.lang_pred = t.lang
+                         AND rep.top_bigram_frac <= CAST(0.05 AS DOUBLE)
+                         AND COALESCE(con.n_contaminated, 0) = 0, FALSE) AS keep
+         FROM tok t
+         LEFT JOIN lid USING (doc_id)
+         LEFT JOIN rep USING (doc_id)
+         LEFT JOIN con USING (doc_id)""",
 
     // Mirrors Sampling.tokenBudgetMixture(en 4000, de 2000, es 10000000,
     // zh 1000): integer-division thresholds from in-plan token totals, the
@@ -1434,6 +1558,71 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
          FROM documents GROUP BY md5(text)""",
+
+    // Mirrors Redact.redact over the in-plan constructed PII text: same
+    // Java∩RE2 patterns, counts on the original text, mask chain in
+    // url→email→ipv4→phone order with 'g' (DuckDB replaces first-only by
+    // default; Spark regexp_replace is always global).
+    "pii_redact" ->
+      """WITH p AS (SELECT c_custkey AS doc_id,
+           'doc ' || c_name
+           || CASE WHEN c_custkey % 3 = 0 THEN ' mail user' || CAST(c_custkey AS VARCHAR) || '@mail' || CAST(c_custkey % 7 AS VARCHAR) || '.example.com' ELSE '' END
+           || CASE WHEN c_custkey % 4 = 1 THEN ' call +86-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           || CASE WHEN c_custkey % 5 = 2 THEN ' host 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.' || CAST(c_custkey % 199 AS VARCHAR) ELSE '' END
+           || CASE WHEN c_custkey % 2 = 0 THEN ' see https://site' || CAST(c_custkey % 50 AS VARCHAR) || '.example.org/p/' || CAST(c_custkey AS VARCHAR) ELSE '' END
+           AS text FROM customer),
+         c AS (SELECT doc_id, text,
+           CAST(len(regexp_extract_all(text, 'https?://([A-Za-z0-9._%+-]+@)?[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}')) AS BIGINT) AS n_phone
+           FROM p)
+         SELECT doc_id, n_url, n_email, n_ipv4, n_phone,
+                n_url + n_email + n_ipv4 + n_phone AS n_pii,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text, 'https?://([A-Za-z0-9._%+-]+@)?[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?', '<URL>', 'g'),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+                  '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}', '<PHONE>', 'g') AS redacted_text
+         FROM c""",
+
+    // Mirrors DataQuality.blocklistFilter: row-local word stats, exact-int
+    // IEEE division, verdict at 0.05.
+    "blocklist_filter" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                      CAST(len(list_filter(ws, x -> x = 'slow' OR x = 'drop' OR x = 'fail' OR x = 'small')) AS BIGINT) AS n_blocked
+               FROM w)
+         SELECT doc_id, n_words, n_blocked,
+                CASE WHEN n_words > 0 THEN CAST(n_blocked AS DOUBLE) / CAST(n_words AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END AS blocked_frac,
+                (CASE WHEN n_words > 0 THEN CAST(n_blocked AS DOUBLE) / CAST(n_words AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END) <= CAST(0.05 AS DOUBLE) AS keep
+         FROM c""",
+
+    // Mirrors Quant.quantizeInt8: exact float->double casts, order-free max,
+    // floor-based half-up, integer code energy, SEQUENTIAL fold for the
+    // reconstruction-error sum (list_reduce init prepended per DuckDB 1.0).
+    "emb_quantize" ->
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+                    FROM embeddings),
+         s AS (SELECT vec_id, dv,
+                      list_aggregate(list_transform(dv, x -> abs(x)), 'max') / CAST(127 AS DOUBLE) AS scale
+               FROM d),
+         q AS (SELECT vec_id, dv, scale,
+                      list_transform(dv, x -> CASE WHEN scale > 0 THEN CAST(floor(x / scale + 0.5) AS INT) ELSE 0 END) AS codes
+               FROM s)
+         SELECT vec_id, CAST(len(dv) AS BIGINT) AS n_dims, scale,
+                list_reduce([CAST(0 AS BIGINT)] || list_transform(codes, c -> CAST(c AS BIGINT) * CAST(c AS BIGINT)),
+                            (a, b) -> a + b) AS code_energy,
+                list_reduce([CAST(0 AS DOUBLE)] ||
+                            list_transform(list_zip(dv, codes),
+                              p -> (p[1] - CAST(p[2] AS DOUBLE) * scale) * (p[1] - CAST(p[2] AS DOUBLE) * scale)),
+                            (a, b) -> a + b) AS recon_err
+         FROM q""",
 
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
