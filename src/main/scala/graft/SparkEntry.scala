@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ann.{Ann, Quant}
+import graft.ann.{Ann, Pq, Quant}
 import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
 import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Windows}
-import graft.quality.{Chunker, DataQuality, Decontam, Packer, Redact, Relevance}
+import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.TestData
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -470,6 +470,16 @@ object SparkEntry {
     "emb_quantize" -> ((s, dir) =>
       Quant.quantizeInt8(TestData(s, dir).embeddings, "vec_id", "embedding")),
 
+    // Corpus-fit bigram LM scoring (CCNet-style quality signal): mean
+    // conditional token probability under counts fit on the corpus itself.
+    // Log-free (each p is one IEEE division of exact integer counts; the
+    // doc sum is a sequential fold in position order), so the score gets a
+    // hash-exact oracle where a perplexity's ln would drift by 1 ulp.
+    "lm_bigram_score" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      LangModel.bigramScore(docs, docs, "doc_id", "text")
+    }),
+
     // Exact dedup by content hash.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(TestData(s, dir).documents, "doc_id", "text")),
@@ -544,6 +554,16 @@ object SparkEntry {
       Ann.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
         3, dims = 64, bits = 8)
         .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Product-quantization ADC top-k (lloydIters = 0 — the oracle-exact
+    // lane: value-predicate codebook seeds, fold-based L2 assignment with
+    // code-id tiebreak, sequential cross-subspace folds). The Lloyd-refined
+    // codebook path is recall-asserted in PqSpec.
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Pq.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        m = 8, dsub = 8, ksub = 16, lloydIters = 0)
     }),
 
     // IVF ANN with lloydIters = 0: the pure value-predicate quantizer +
@@ -1456,6 +1476,27 @@ object SparkEntry {
                 CAST(max(cnt) AS DOUBLE) / n_bigrams AS top_bigram_frac
          FROM c GROUP BY doc_id, n_words, n_distinct_words, n_bigrams""",
 
+    // Mirrors LangModel.bigramScore (self-scored): bigram counts, head
+    // counts off the aggregated model, one IEEE division per bigram, and a
+    // sequential fold of p in position order (list_reduce init prepended
+    // per DuckDB 1.0).
+    "lm_bigram_score" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         bg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       ws[CAST(i AS BIGINT)+1] AS w1, ws[CAST(i AS BIGINT)+2] AS w2
+                FROM w, unnest(range(0, len(ws)-1)) AS t(i)
+                WHERE len(ws) >= 2),
+         model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bg_cnt FROM bg GROUP BY w1, w2),
+         heads AS (SELECT w1, CAST(sum(bg_cnt) AS BIGINT) AS head_cnt FROM model GROUP BY w1),
+         pm AS (SELECT w1, w2, CAST(bg_cnt AS DOUBLE) / CAST(head_cnt AS DOUBLE) AS p
+                FROM model JOIN heads USING (w1)),
+         pr AS (SELECT doc_id, pos, p FROM bg JOIN pm USING (w1, w2))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                list_reduce([CAST(0 AS DOUBLE)] || list(p ORDER BY pos), (a, x) -> a + x)
+                  / CAST(count(*) AS DOUBLE) AS lm_score
+         FROM pr GROUP BY doc_id""",
+
     // Mirrors the corpus_gate composition — the langid / repetition /
     // decontam fragments above, joined on doc_id, one boolean verdict.
     "corpus_gate" ->
@@ -1792,6 +1833,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minHashLshOracle,
     "dedup_simhash" -> simHashOracle,
     "ann_ivf0_topk" -> ivf0Oracle,
+    "ann_pq_topk" -> pqOracle,
     "ann_ivf_topk" -> ivf1Oracle,
     "ann_lsh_topk" -> annLshOracle,
     "emb_near_dup_lsh" -> embLshOracle,
@@ -2020,5 +2062,59 @@ object SparkEntry {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored)
+        WHERE rank <= 5"""
+
+  /** Replays Pq.pqTopK(k=5, m=8, dsub=8, ksub=16, lloydIters=0): the
+    * value-predicate codebook seeds sliced per subspace, fold-L2 argmin
+    * assignment with code-id tiebreak (ROW_NUMBER), the per-query ADC
+    * table, and the two cross-subspace sums as sequential folds in sub
+    * order. Every double op mirrors the Spark plan 1:1. */
+  private lazy val pqOracle: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM c),
+        seeds AS (SELECT CAST(cid // stride AS INT) AS code, cv FROM c, par
+                  WHERE cid % stride = 0 AND cid < stride * 16),
+        cb AS (SELECT u.sub, seeds.code,
+                      list_transform(cv[u.sub*8+1 : u.sub*8+8], x -> CAST(x AS DOUBLE)) AS word
+               FROM seeds, unnest(range(0, 8)) AS u(sub)),
+        cs AS (SELECT cid, u.sub, cv[u.sub*8+1 : u.sub*8+8] AS sv
+               FROM c, unnest(range(0, 8)) AS u(sub)),
+        enc AS (SELECT cid, sub, code FROM (
+            SELECT cs.cid, cs.sub, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY cs.cid, cs.sub
+                     ORDER BY list_reduce([CAST(0 AS DOUBLE)] ||
+                         list_transform(list_zip(cs.sv, cb.word),
+                           z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])),
+                         (a, b) -> a + b) ASC, cb.code ASC) AS rn
+            FROM cs JOIN cb USING (sub)) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv,
+                     sqrt(list_reduce([CAST(0 AS DOUBLE)] ||
+                       list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b)) AS qn
+              FROM embeddings WHERE vec_id < 10),
+        qs AS (SELECT query_id, qn, u.sub, qv[u.sub*8+1 : u.sub*8+8] AS sv
+               FROM q, unnest(range(0, 8)) AS u(sub)),
+        adc AS (SELECT qs.query_id, qs.qn, qs.sub, cb.code,
+                       list_reduce([CAST(0 AS DOUBLE)] ||
+                         list_transform(list_zip(qs.sv, cb.word),
+                           z -> CAST(z[1] AS DOUBLE) * z[2]), (a, b) -> a + b) AS t,
+                       list_reduce([CAST(0 AS DOUBLE)] ||
+                         list_transform(cb.word, w -> w * w), (a, b) -> a + b) AS nn
+                FROM qs JOIN cb USING (sub)),
+        agg AS (SELECT a.query_id, e.cid, min(a.qn) AS qn,
+                       list_reduce([CAST(0 AS DOUBLE)] || list(a.t ORDER BY a.sub),
+                         (x, y) -> x + y) AS sum_t,
+                       list_reduce([CAST(0 AS DOUBLE)] || list(a.nn ORDER BY a.sub),
+                         (x, y) -> x + y) AS sum_nn
+                FROM enc e JOIN adc a ON e.sub = a.sub AND e.code = a.code
+                WHERE a.query_id <> e.cid
+                GROUP BY a.query_id, e.cid),
+        fin AS (SELECT query_id, cid AS neighbor_id,
+                       ROUND(sum_t / (qn * sqrt(sum_nn)), 6) AS score
+                FROM agg)
+        SELECT query_id, neighbor_id, rank, score FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM fin)
         WHERE rank <= 5"""
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.Sampling
-import graft.quality.{DataQuality, Decontam}
+import graft.quality.{DataQuality, Decontam, LangModel}
 import graft.sources.TestData
 
 /** Corpus-pipeline operators: decontamination overlap, repetition signals,
@@ -41,6 +41,30 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
     assert(r(0) === ((1L, 4L, 1L, 1L, 3L, 0.75, 1.0)))
     assert(r(1) === ((2L, 4L, 4L, 3L, 1L, 0.0, 1.0 / 3.0)))
+  }
+
+  test("lm score: mean conditional bigram probability, hand-checked") {
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // model: c(a,b)=2, c(b,a)=1, c(a,c)=1; heads a:3, b:1
+    val pba = 2.0 / 3.0 // p(b|a)
+    val pab = 1.0 / 1.0 // p(a|b)
+    val pca = 1.0 / 3.0 // p(c|a)
+    val r = LangModel.bigramScore(d, d, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "lm_score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // doc 1 folds p in position order: (a,b), (b,a), (a,b)
+    assert(r(0) === ((1L, 3L, (((0.0 + pba) + pab) + pba) / 3.0)))
+    assert(r(1) === ((2L, 1L, pca / 1.0)))
+  }
+
+  test("lm score: unseen bigrams drop; docs under 2 tokens are absent") {
+    val model = Seq((1L, "a b c")).toDF("doc_id", "text") // grams (a,b), (b,c)
+    val docs = Seq((7L, "a b z z"), (8L, "z")).toDF("doc_id", "text")
+    val r = LangModel.bigramScore(docs, model, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "lm_score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // doc 7: only (a,b) survives, p = 1.0; doc 8 has no bigrams at all
+    assert(r.toSeq === Seq((7L, 1L, 1.0)))
   }
 
   test("segment dedup: duplicate windows keep first occurrence, docs rebuild in order") {
