@@ -52,19 +52,27 @@ object Bench {
     // so the third decimal is noise — and ~80 queries × 1 char is the
     // difference between fitting the driver's 2000-char tail and not.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // The per-query map is capped by BYTE budget, slowest queries first:
-    // the map exists to show where time goes, so when the query count grows
-    // past what the driver's 2000-char tail can carry, dropping the
-    // fastest entries loses the least information. "omitted" reports how
-    // many sub-threshold entries were cut (0 until ~85 queries).
-    val entries = results.toSeq.sortBy { case (_, (v, _)) => -v }
-      .map { case (k, (v, _)) => s"\"" + k + "\":" + f2(v) }
-    val budget = 1600
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 2
-    for (e <- entries if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
-    val qs = kept.mkString("{", ",", "}")
-    val omitted = entries.size - kept.size
+    // Per-query maps stopped fitting the driver's 2000-char tail around 85
+    // queries, so the headline reports (a) EVERY family's summed seconds —
+    // no family is ever silently dropped — and (b) only the top-10 slowest
+    // individual queries. Both stay O(1)-sized as the query count grows.
+    def family(name: String): String =
+      if (name.startsWith("api")) "api"
+      else if (name.startsWith("ann") || name.startsWith("emb")) "ann"
+      else if (name.startsWith("dedup")) "dedup"
+      else if (name.startsWith("mm")) "mm"
+      else if (name.startsWith("dq")) "dq"
+      else if (Seq("text", "lm", "corpus", "blocklist", "pii", "decontam",
+        "pack", "sample", "quantiles").exists(name.startsWith)) "corpus"
+      else "core"
+    val fams = results.toSeq.groupBy { case (k, _) => family(k) }
+      .map { case (f, rs) => f -> rs.map(_._2._1).sum }
+      .toSeq.sortBy(-_._2)
+      .map { case (f, v) => "\"" + f + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    val qs = results.toSeq.sortBy { case (_, (v, _)) => -v }.take(10)
+      .map { case (k, (v, _)) => "\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // rows_per_sec counts only queries that produced rows; a failed query
     // (rows = -1 sentinel) contributes neither rows nor time, so a failure
@@ -75,7 +83,7 @@ object Bench {
     val failed = results.values.count { case (_, n) => n < 0 }
     val rps = if (okTime > 0) (okRows / okTime).round else -1L
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"rows_per_sec":$rps,"failed":$failed,"omitted":$omitted,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","families":$fams,"queries":$qs,"rows_per_sec":$rps,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     // The driver keeps only the last 2000 chars of stdout; warn (stderr, so
     // it can't displace the metric line) before truncation becomes possible.
     if (line.length > 1900)

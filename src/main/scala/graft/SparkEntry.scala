@@ -566,6 +566,15 @@ object SparkEntry {
         m = 8, dsub = 8, ksub = 16, lloydIters = 0)
     }),
 
+    // IVF-PQ (lloydIters = 0): coarse cells prune the scan, ADC scores
+    // PQ codes within probed cells only — the composed 100 TB ANN shape.
+    // Both quantizers seed by value predicate → fully SQL-replayable.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Pq.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+    }),
+
     // IVF ANN with lloydIters = 0: the pure value-predicate quantizer +
     // probe + exact re-rank — fully SQL-replayable, so this variant carries
     // the value oracle for the IVF plan shape (argmin = ROW_NUMBER).
@@ -592,6 +601,17 @@ object SparkEntry {
       val ids = TestData(s, dir).documents
         .select(col("doc_id").cast("long")).as[Long]
       Multimodal.decodePpm(Multimodal.syntheticPpm(ids)).toDF()
+    }),
+
+    // Compressed-codec round trip: PPM bytes → REAL gzip → REAL streaming
+    // gunzip → PPM decode. Same oracle formula as mm_decode — matching it
+    // proves the inflate path reproduced the original bytes distributed.
+    "mm_gzip" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Multimodal.decodePpm(Multimodal.gunzip(Multimodal.gzip(
+        Multimodal.syntheticPpm(ids)))).toDF()
     }),
 
     // Multimodal audio decode: REAL RIFF/WAVE (PCM16) chunk-walk → sample
@@ -735,6 +755,12 @@ object SparkEntry {
 
     // get_Indeces: the index half of the universe split (F2 predicate).
     "api_indeces" -> ((s, dir) => api(s, dir).getIndeces("1998-06-30")),
+
+    // get_industry_stocks: inverse lookup on the S5 industry dimension
+    // (a logged stub in the reference itself — implemented here), with the
+    // F1 tradable-universe restriction at the query date.
+    "api_industry_stocks" -> ((s, dir) =>
+      api(s, dir).getIndustryStocks("Banking", Some("1997-03-03"))),
 
     // get_all_trades_days: PTrade-compat alias of get_trade_days.
     "api_all_trade_days" -> ((s, dir) =>
@@ -974,6 +1000,11 @@ object SparkEntry {
     "api_ashares" ->
       s"""$MKT SELECT symbol, 'SEC-' || symbol AS stock_name FROM meta
           WHERE DATE '1997-03-03' BETWEEN listed_date AND de_listed_date""",
+
+    "api_industry_stocks" ->
+      s"""$MKT SELECT symbol FROM meta
+          WHERE ($industryCaseSql) = 'Banking'
+            AND DATE '1997-03-03' BETWEEN listed_date AND de_listed_date""",
 
     "api_index_stocks" ->
       s"""$MKT, smp AS (SELECT MIN(trade_date) AS sample_date FROM cal
@@ -1787,6 +1818,22 @@ object SparkEntry {
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height""",
 
+    // The gzip round trip must land on the same formula replay as
+    // mm_decode — byte-identical inflate is exactly what's being proven.
+    "mm_gzip" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(4 + doc_id % 5 AS INT) AS width,
+                      CAST(3 + doc_id % 4 AS INT) AS height
+                    FROM documents),
+         px AS (SELECT id, width, height,
+                  CAST(i % width AS BIGINT) AS x, CAST(i // width AS BIGINT) AS y
+                FROM d, unnest(range(0, width * height)) AS t(i))
+         SELECT id, width, height, COUNT(*) AS n_pixels,
+                CAST(SUM((id + 3*x + 7*y) % 256) AS DOUBLE) / COUNT(*) AS mean_r,
+                CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
+                CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
+         FROM px GROUP BY id, width, height""",
+
     // Replays Multimodal.syntheticWav's generation formula — the Spark
     // side must round-trip real RIFF bytes to reproduce these numbers.
     "mm_wav" ->
@@ -1834,6 +1881,7 @@ object SparkEntry {
     "dedup_simhash" -> simHashOracle,
     "ann_ivf0_topk" -> ivf0Oracle,
     "ann_pq_topk" -> pqOracle,
+    "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_ivf_topk" -> ivf1Oracle,
     "ann_lsh_topk" -> annLshOracle,
     "emb_near_dup_lsh" -> embLshOracle,
@@ -2062,6 +2110,76 @@ object SparkEntry {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored)
+        WHERE rank <= 5"""
+
+  /** Replays Pq.ivfPqTopK(k=5, nLists=16, nProbe=4, m=8, dsub=8, ksub=16,
+    * lloydIters=0): [[ivf0Oracle]]'s seed centroids / cell assignment /
+    * probes composed with [[pqOracle]]'s codebooks / encode / ADC — a
+    * corpus row is scored for a query iff its cell is in the query's probe
+    * set. Same fold discipline as both parents. */
+  private lazy val ivfPqOracle: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM c),
+        cent AS (SELECT cid AS centroid_id, cv AS centroid FROM c, par
+                 WHERE cid % stride = 0 AND cid < stride * 16),
+        assign AS (SELECT cid, centroid_id FROM (
+            SELECT c.cid, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                     ORDER BY -${cosSql("c.cv", "cent.centroid")} ASC, cent.centroid_id ASC) AS rn
+            FROM c CROSS JOIN cent) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv,
+                     sqrt(list_reduce([CAST(0 AS DOUBLE)] ||
+                       list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b)) AS qn
+              FROM embeddings WHERE vec_id < 10),
+        probes AS (SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY -${cosSql("q.qv", "cent.centroid")} ASC, cent.centroid_id ASC) AS pr
+            FROM q CROSS JOIN cent) WHERE pr <= 4),
+        seeds AS (SELECT CAST(cid // stride AS INT) AS code, cv FROM c, par
+                  WHERE cid % stride = 0 AND cid < stride * 16),
+        cb AS (SELECT u.sub, seeds.code,
+                      list_transform(cv[u.sub*8+1 : u.sub*8+8], x -> CAST(x AS DOUBLE)) AS word
+               FROM seeds, unnest(range(0, 8)) AS u(sub)),
+        cs AS (SELECT cid, u.sub, cv[u.sub*8+1 : u.sub*8+8] AS sv
+               FROM c, unnest(range(0, 8)) AS u(sub)),
+        enc AS (SELECT cid, sub, code FROM (
+            SELECT cs.cid, cs.sub, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY cs.cid, cs.sub
+                     ORDER BY list_reduce([CAST(0 AS DOUBLE)] ||
+                         list_transform(list_zip(cs.sv, cb.word),
+                           z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])),
+                         (a, b) -> a + b) ASC, cb.code ASC) AS rn
+            FROM cs JOIN cb USING (sub)) WHERE rn = 1),
+        qs AS (SELECT query_id, qn, u.sub, qv[u.sub*8+1 : u.sub*8+8] AS sv
+               FROM q, unnest(range(0, 8)) AS u(sub)),
+        adc AS (SELECT qs.query_id, qs.qn, qs.sub, cb.code,
+                       list_reduce([CAST(0 AS DOUBLE)] ||
+                         list_transform(list_zip(qs.sv, cb.word),
+                           z -> CAST(z[1] AS DOUBLE) * z[2]), (a, b) -> a + b) AS t,
+                       list_reduce([CAST(0 AS DOUBLE)] ||
+                         list_transform(cb.word, w -> w * w), (a, b) -> a + b) AS nn
+                FROM qs JOIN cb USING (sub)),
+        elig AS (SELECT e.cid, e.sub, e.code, p.query_id
+                 FROM enc e JOIN assign a ON e.cid = a.cid
+                 JOIN probes p ON a.centroid_id = p.centroid_id),
+        agg AS (SELECT el.query_id, el.cid, min(a.qn) AS qn,
+                       list_reduce([CAST(0 AS DOUBLE)] || list(a.t ORDER BY a.sub),
+                         (x, y) -> x + y) AS sum_t,
+                       list_reduce([CAST(0 AS DOUBLE)] || list(a.nn ORDER BY a.sub),
+                         (x, y) -> x + y) AS sum_nn
+                FROM elig el JOIN adc a ON el.query_id = a.query_id
+                  AND el.sub = a.sub AND el.code = a.code
+                WHERE el.query_id <> el.cid
+                GROUP BY el.query_id, el.cid),
+        fin AS (SELECT query_id, cid AS neighbor_id,
+                       ROUND(sum_t / (qn * sqrt(sum_nn)), 6) AS score
+                FROM agg)
+        SELECT query_id, neighbor_id, rank, score FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM fin)
         WHERE rank <= 5"""
 
   /** Replays Pq.pqTopK(k=5, m=8, dsub=8, ksub=16, lloydIters=0): the

@@ -141,6 +141,34 @@ object Ann {
     val cos: (Column, Column) => Column =
       if (foldCentroids) cosineFold else cosine
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    val centroids = ivfCentroids(corpus, id, vec, nLists, lloydIters, foldCentroids)
+    val cells = assignToNearest(c, centroids, cos).join(c, "cid")
+    // queries probe their nProbe nearest centroids
+    val probes = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", -cos(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist").asc, col("centroid_id").asc)))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "qv", "centroid_id")
+    val scored = probes.join(cells, "centroid_id")
+      .filter(col("query_id") =!= col("cid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** The IVF coarse quantizer alone: (centroid_id, centroid) — seed pick by
+    * value predicate, `lloydIters` refinement steps. Exposed so composed
+    * indexes ([[Pq.ivfPqTopK]]) share the exact cell structure [[ivfTopK]]
+    * probes. */
+  def ivfCentroids(corpus: DataFrame, id: String, vec: String, nLists: Int,
+                   lloydIters: Int = 0, foldCentroids: Boolean = false): DataFrame = {
+    val cos: (Column, Column) => Column =
+      if (foldCentroids) cosineFold else cosine
+    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
     val n = c.count()
     val stride = math.max(1L, n / nLists)
     // deterministic seed set: ids ≡ 0 (mod stride) AND id < stride·nLists —
@@ -176,22 +204,31 @@ object Ann {
             .select(col("centroid_id"),
               expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("centroid"))
     }
-    val cells = assignToNearest(c, centroids, cos).join(c, "cid")
-    // queries probe their nProbe nearest centroids
-    val probes = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    centroids
+  }
+
+  /** Cell assignment for an externally-built centroid set: (cid,
+    * centroid_id). Broadcast argmin — the corpus never shuffles. */
+  def assignCells(corpus: DataFrame, id: String, vec: String,
+                  centroids: DataFrame,
+                  foldCentroids: Boolean = false): DataFrame =
+    assignToNearest(corpus.select(col(id).as("cid"), col(vec).as("cv")),
+      centroids, if (foldCentroids) cosineFold else cosine)
+
+  /** Per-query probe set: the `nProbe` nearest cells — (query_id,
+    * centroid_id). */
+  def probeCells(queries: DataFrame, id: String, vec: String,
+                 centroids: DataFrame, nProbe: Int,
+                 foldCentroids: Boolean = false): DataFrame = {
+    val cos: (Column, Column) => Column =
+      if (foldCentroids) cosineFold else cosine
+    queries.select(col(id).as("query_id"), col(vec).as("qv"))
       .crossJoin(broadcast(centroids))
       .withColumn("dist", -cos(col("qv"), col("centroid")))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dist").asc, col("centroid_id").asc)))
       .filter(col("pr") <= nProbe)
-      .select("query_id", "qv", "centroid_id")
-    val scored = probes.join(cells, "centroid_id")
-      .filter(col("query_id") =!= col("cid"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cos"))
+      .select("query_id", "centroid_id")
   }
 
   /** Assign each corpus vector to its nearest centroid (broadcast argmin). */

@@ -99,30 +99,39 @@ object Pq {
       .groupBy("rid", "sub")
       .agg(AggExpressions.minByPair(col("code"), col("d"), col("code")).as("code"))
 
-  /** Exhaustive ADC top-k over PQ codes: for each query, the k corpus rows
-    * with the highest approximate cosine (self excluded). Ranking key is
-    * (round(score, 6) DESC, id ASC) — engine-independent near-tie order. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-             k: Int, m: Int, dsub: Int, ksub: Int = 16,
-             lloydIters: Int = 0): DataFrame = {
+  /** Corpus encoding: (cid, sub, code) — one code per (row, subspace).
+    * Broadcast codebook join + ONE shuffle of compact rows (the argmin
+    * partial-aggregates map-side). */
+  def encodeCorpus(corpus: DataFrame, id: String, vec: String,
+                   m: Int, dsub: Int, cb: DataFrame): DataFrame = {
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
-    // codebook feeds the encode join AND the ADC table — localCheckpoint
-    // stops the whole seed/refine derivation re-running per consumer
-    val cb = codebooks(corpus, id, vec, m, dsub, ksub, lloydIters).localCheckpoint()
-    val codes = encode(subvectors(c, "cid", "cv", m, dsub), cb)
-    // ADC table: per (query, sub, code) the query-side dot and the
-    // codeword's own energy (for |x̂|); qn = |q| rides along each row
+    encode(subvectors(c, "cid", "cv", m, dsub), cb)
+      .withColumnRenamed("rid", "cid")
+  }
+
+  /** ADC (asymmetric distance) table: per (query, sub, code), the query
+    * subvector's dot against the codeword (`t`) and the codeword's own
+    * energy (`nn`, for |x̂|); qn = |q| rides along each row. O(|Q|·m·ksub)
+    * rows — always broadcastable. */
+  private def adcTable(queries: DataFrame, id: String, vec: String,
+                       m: Int, dsub: Int, cb: DataFrame): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
       .withColumn("qn", sqrt(Ann.dotFold(col("qv"), col("qv"))))
     val qSubs = subvectors(q, "query_id", "qv", m, dsub)
       .join(q.select(col("query_id").as("rid"), col("qn")), "rid")
-    val adc = qSubs.join(broadcast(cb), Seq("sub"))
+    qSubs.join(broadcast(cb), Seq("sub"))
       .select(col("rid").as("query_id"), col("qn"), col("sub"), col("code"),
         Ann.dotFold(col("sv"), col("word")).as("t"),
         Ann.dotFold(col("word"), col("word")).as("nn"))
-    // score: both cross-subspace sums are sequential folds in sub order
-    // (float-determinism rule — never a groupBy SUM of doubles)
-    val scored = codes.join(broadcast(adc), Seq("sub", "code"))
+  }
+
+  /** Fold the per-subspace ADC terms into a cosine score and rank. Input
+    * columns: (query_id, cid, qn, sub, t, nn). Both cross-subspace sums are
+    * sequential folds in sub order (float-determinism rule — never a
+    * groupBy SUM of doubles). Ranking key (round(score, 6) DESC, id ASC)
+    * — engine-independent near-tie order. */
+  private def scoreAndRank(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined
       .filter(col("query_id") =!= col("cid"))
       .groupBy(col("query_id"), col("cid"))
       .agg(min(col("qn")).as("qn"),
@@ -136,5 +145,57 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** Exhaustive ADC top-k over PQ codes: for each query, the k corpus rows
+    * with the highest approximate cosine (self excluded). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             k: Int, m: Int, dsub: Int, ksub: Int = 16,
+             lloydIters: Int = 0): DataFrame = {
+    // codebook feeds the encode join AND the ADC table — localCheckpoint
+    // stops the whole seed/refine derivation re-running per consumer
+    val cb = codebooks(corpus, id, vec, m, dsub, ksub, lloydIters).localCheckpoint()
+    val codes = encodeCorpus(corpus, id, vec, m, dsub, cb)
+    val adc = adcTable(queries, id, vec, m, dsub, cb)
+    scoreAndRank(codes.join(broadcast(adc), Seq("sub", "code")), k)
+  }
+
+  /** IVF-PQ: the genuinely 100 TB ANN shape — an IVF coarse quantizer
+    * limits each query's scan to its `nProbe` probed cells, and within
+    * those cells scoring is compressed-domain ADC over PQ codes. Neither a
+    * full-corpus ADC scan (plain [[pqTopK]]) nor a full-vector re-rank
+    * ([[Ann.ivfTopK]]) ever happens: per query the work is
+    * ~(nProbe/nLists)·corpus rows × m table lookups.
+    *
+    * Codebooks encode RAW vectors (not per-cell residuals): the codebook
+    * derivation stays identical to [[codebooks]] and the whole index is
+    * two broadcast-sized artifacts (centroids + codebooks) plus two
+    * corpus-compact tables (cells: 16 B/row, codes: m+8 B/row). Residual
+    * encoding (FAISS's default, better recall at equal bits) is the
+    * documented extension — it changes only the encode/ADC inputs, not the
+    * plan shape.
+    *
+    * Plan shape: centroids, codebooks, probes, ADC all broadcast; the one
+    * corpus-sized join (codes ⋈ cells on cid) co-shuffles two compact
+    * tables; `lloydIters` = 0 is the oracle-exact lane (both quantizers
+    * seed by value predicate), refined codebooks/centroids are the
+    * recall path (PqSpec). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                k: Int, nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+                lloydIters: Int = 0): DataFrame = {
+    val centroids = Ann.ivfCentroids(corpus, id, vec, nLists, lloydIters)
+      .localCheckpoint()
+    val cells = Ann.assignCells(corpus, id, vec, centroids)
+    val probes = Ann.probeCells(queries, id, vec, centroids, nProbe)
+    val cb = codebooks(corpus, id, vec, m, dsub, ksub, lloydIters).localCheckpoint()
+    val codes = encodeCorpus(corpus, id, vec, m, dsub, cb)
+    val adc = adcTable(queries, id, vec, m, dsub, cb)
+    // eligibility: a corpus row is scored for a query iff its cell is
+    // probed by that query — the broadcast probes join prunes BEFORE the
+    // ADC join, so unprobed rows never expand per-query
+    val eligible = codes.join(cells, "cid").join(broadcast(probes), "centroid_id")
+    scoreAndRank(
+      eligible.join(broadcast(adc), Seq("query_id", "sub", "code")), k)
   }
 }

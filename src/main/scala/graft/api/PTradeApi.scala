@@ -140,6 +140,23 @@ final case class PTradeApi(views: MarketTables) {
   def getStockBlocks(securities: Seq[String]): DataFrame =
     views.industry.filter(col("symbol").isin(securities: _*))
 
+  /** get_industry_stocks (ptrade_data_api.py:648-657 — a logged stub
+    * returning `[]` in the reference; implemented here as the inverse
+    * lookup on the S5 industry dimension): symbols in one industry,
+    * restricted to the universe tradable at `date` when given (same F1
+    * listed/de-listed predicate as [[getAshares]]). */
+  def getIndustryStocks(industry: String, date: Option[String] = None): DataFrame = {
+    val inIndustry = views.industry
+      .filter(col("industry") === industry).select("symbol")
+    date.fold(inIndustry) { d =>
+      inIndustry.join(views.stockMetadata
+          .filter(lit(d).cast("date")
+            .between(col("listed_date"), col("de_listed_date")))
+          .select("symbol"),
+        "symbol")
+    }
+  }
+
   /** get_Ashares (F1): the tradable universe at a date — listed on or
     * before, not yet de-listed. */
   def getAshares(date: String): DataFrame =

@@ -117,6 +117,44 @@ object Multimodal {
     }
   }
 
+  /** Compressed-codec lane: gzip (RFC 1952) via `java.util.zip` — a REAL
+    * compressed container with a pure-JVM decoder, standing where
+    * JPEG/PNG/FLAC would in production (same plumbing: opaque binary in,
+    * per-partition streaming decode, bytes never leave the executor).
+    * One deflater/inflater per row keeps rows independent — a decode
+    * failure poisons one row, not the partition. */
+  def gzip(media: Dataset[PpmImage]): Dataset[PpmImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bos = new java.io.ByteArrayOutputStream(r.media.length / 2 + 64)
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(r.media); gz.close()
+        PpmImage(r.id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Streaming gunzip; malformed payloads are dropped (coerce-to-null
+    * engine rule, same stance as [[decodePpm]]). */
+  def gunzip(media: Dataset[PpmImage]): Dataset[PpmImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          val bos = new java.io.ByteArrayOutputStream(r.media.length * 2 + 64)
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          Some(PpmImage(r.id, bos.toByteArray))
+        } catch { case _: java.io.IOException => None }
+      }
+    }
+  }
+
   case class WavAudio(id: Long, media: Array[Byte])
   case class WavFeatures(id: Long, sample_rate: Int, n_samples: Long,
                          mean_amp: Double, peak_amp: Long)

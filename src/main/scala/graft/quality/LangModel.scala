@@ -40,10 +40,21 @@ object LangModel {
     * reduction (self-scoring never hits this; cross-corpus callers see the
     * coverage in `n_bigrams` vs their own token counts).
     *
-    * Returns (doc_id, n_bigrams, lm_score).
+    * CROSS-CORPUS CAVEAT (default `penalizeUnseen = false`): because
+    * unseen bigrams leave both the numerator AND the denominator, a mostly
+    * out-of-vocabulary doc with one high-probability covered bigram can
+    * outscore a fully in-distribution doc. Don't use the raw score as a
+    * quality filter across corpora — either gate on coverage (`n_bigrams`
+    * vs the doc's own token count − 1) or set `penalizeUnseen = true`,
+    * which divides by the doc's TOTAL bigram count instead (unseen mass
+    * counts as probability 0, the CCNet-perplexity-like stance).
+    *
+    * Returns (doc_id, n_bigrams, lm_score); `n_bigrams` is always the
+    * covered count, so coverage stays observable under either mode.
     */
   def bigramScore(docs: DataFrame, modelCorpus: DataFrame,
-                  id: String, text: String): DataFrame = {
+                  id: String, text: String,
+                  penalizeUnseen: Boolean = false): DataFrame = {
     val bigrams = bigramsOf(docs, id, text)
     // model: c(w1,w2) then c_head(w1) = Σ_w2 c(w1,w2), both off the same
     // aggregated (vocab²-sized) frame — the corpus is scanned once
@@ -58,11 +69,14 @@ object LangModel {
     bigrams.join(probModel, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
+        // n_total is constant per doc — min() just carries it through
+        min(col("n_total")).as("n_total"),
         // sequential fold in position order — float-sum determinism rule
         aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
           lit(0.0), (a, x) => a + x.getField("p")).as("sum_p"))
       .select(col("doc_id"), col("n_bigrams"),
-        (col("sum_p") / col("n_bigrams").cast("double")).as("lm_score"))
+        (col("sum_p") / (if (penalizeUnseen) col("n_total") else col("n_bigrams"))
+          .cast("double")).as("lm_score"))
   }
 
   /** (doc_id, pos, w1, w2) bigram rows; row-local, no shuffle. The word
@@ -74,12 +88,12 @@ object LangModel {
     val withWords = docs.select(col(id).as("doc_id"), TextFns.words(col(text)).as("ws"))
     val ws = col("ws")
     withWords.filter(size(ws) >= 2)
-      .select(col("doc_id"),
+      .select(col("doc_id"), (size(ws) - 1).cast("long").as("n_total"),
         posexplode_outer(transform(
           sequence(lit(0), size(ws) - 2),
           i => struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2"))))
           .as(Seq("pos", "bg")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+      .select(col("doc_id"), col("n_total"), col("pos").cast("long").as("pos"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
 }

@@ -124,6 +124,10 @@ object Relevance {
         i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
         .as("ngram"))
     val counts = grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+    // The partition-less window here triggers a `WindowExec: No Partition
+    // Defined` WARN — deliberately benign: it runs AFTER limit(k), over at
+    // most k (~20) rows, so the single-partition move is bounded by k, not
+    // the corpus. (TakeOrderedAndProject does the distributed heavy lift.)
     counts.orderBy(col("cnt").desc, col("ngram").asc).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("ngram").asc)).cast("long"))

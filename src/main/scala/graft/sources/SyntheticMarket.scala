@@ -30,6 +30,9 @@ final case class SyntheticMarket(spark: SparkSession, seed: Long = 42L,
   /** Unified wide daily frame (S1 contract): one row per symbol × trading
     * day with market + valuation + status columns. */
   def unifiedDaily: DataFrame = {
+    // Partition-less window (`WindowExec: No Partition Defined` WARN) is
+    // fine HERE only: the calendar is ~250 rows/year by construction —
+    // a dimension, never the fact table.
     val cal = calendar.withColumn("day_idx",
       row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("trade_date"))) - 1)
     val syms = spark.range(0, nSymbols.toLong)

@@ -67,6 +67,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.toSeq === Seq((7L, 1L, 1.0)))
   }
 
+  test("lm score: penalizeUnseen divides by total bigrams (cross-corpus mode)") {
+    val model = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // mostly-OOV doc: 3 bigrams, only (a,b) covered (p=1). Default mode
+    // scores it a perfect 1.0 — the caveat; penalized mode scores 1/3.
+    val docs = Seq((7L, "a b z z")).toDF("doc_id", "text")
+    val loose = LangModel.bigramScore(docs, model, "doc_id", "text")
+      .select("lm_score").as[Double].head()
+    val strict = LangModel.bigramScore(docs, model, "doc_id", "text",
+        penalizeUnseen = true)
+      .select("lm_score").as[Double].head()
+    assert(loose == 1.0 && strict == 1.0 / 3.0)
+    // self-scoring (full coverage): both modes agree
+    val a = LangModel.bigramScore(model, model, "doc_id", "text")
+      .select("lm_score").as[Double].head()
+    val b = LangModel.bigramScore(model, model, "doc_id", "text",
+        penalizeUnseen = true)
+      .select("lm_score").as[Double].head()
+    assert(a == b)
+  }
+
   test("segment dedup: duplicate windows keep first occurrence, docs rebuild in order") {
     // doc 1 and doc 2 share segment "a b"; doc 3 is entirely doc 1's content
     val d = Seq(

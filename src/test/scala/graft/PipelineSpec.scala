@@ -174,6 +174,26 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodePpm(bad).collect().isEmpty)
   }
 
+  test("gzip lane: RFC-1952 container, byte-exact inflate, junk dropped") {
+    val ids = spark.range(1, 21).as[Long]
+    val plain = Multimodal.syntheticPpm(ids).collect().map(p => p.id -> p.media).toMap
+    val packed = Multimodal.gzip(Multimodal.syntheticPpm(ids)).collect()
+    packed.foreach { p =>
+      // real gzip container: magic 1f 8b, deflate method 08
+      assert((p.media(0) & 0xff) == 0x1f && (p.media(1) & 0xff) == 0x8b
+        && p.media(2) == 8, s"id=${p.id} not a gzip stream")
+      assert(!java.util.Arrays.equals(p.media, plain(p.id)))
+    }
+    val back = Multimodal.gunzip(Multimodal.gzip(Multimodal.syntheticPpm(ids))).collect()
+    assert(back.length == 20)
+    back.foreach(p => assert(java.util.Arrays.equals(p.media, plain(p.id)),
+      s"id=${p.id} round trip not byte-exact"))
+    // non-gzip bytes are dropped (coerce-to-null stance), not crashed
+    val junk = Seq(Multimodal.PpmImage(1L, "not gzip".getBytes),
+      Multimodal.PpmImage(2L, Array[Byte](0x1f, 0x8b.toByte, 8, 0))).toDS()
+    assert(Multimodal.gunzip(junk).collect().isEmpty)
+  }
+
   test("WAV decoder round-trips RIFF bytes, walks extra chunks, drops junk") {
     val ids = spark.range(0, 20).as[Long]
     val feats = Multimodal.decodeWav(Multimodal.syntheticWav(ids)).collect()

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.{Ann, Pq}
+import graft.sources.TestData
+
+/** Product quantization: hand-checked encode, ADC recall vs brute force
+  * (the spec `SparkEntry` promises next to `ann_pq_topk`), Lloyd-refined
+  * recall, determinism, and plan shape (codebooks broadcast — the corpus is
+  * never on a build side). */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = TestData(spark, sf0001).embeddings
+
+  test("encode assigns each subvector to the L2-nearest codeword (hand case)") {
+    // dims=4, m=2, dsub=2, ksub=2. stride = 4/2 = 2 → seeds are ids {0, 2},
+    // codes {0, 1}. Codebook words per subspace are the seeds' halves:
+    //   sub 0: code 0 = (0,0), code 1 = (10,10)
+    //   sub 1: code 0 = (0,0), code 1 = (-10,-10)
+    val corpus = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(9f, 9f, 1f, 1f)),   // sub0 → code 1, sub1 → code 0
+      (2L, Array(10f, 10f, -10f, -10f)),
+      (3L, Array(1f, 1f, -9f, -9f))  // sub0 → code 0, sub1 → code 1
+    ).toDF("vec_id", "embedding")
+    val cb = Pq.codebooks(corpus, "vec_id", "embedding", m = 2, dsub = 2, ksub = 2)
+    val enc = Pq.encodeCorpus(corpus, "vec_id", "embedding", m = 2, dsub = 2, cb)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(enc == Set(
+      (0L, 0, 0), (0L, 1, 0),
+      (1L, 0, 1), (1L, 1, 0),
+      (2L, 0, 1), (2L, 1, 1),
+      (3L, 0, 0), (3L, 1, 1)))
+  }
+
+  test("pqTopK (lloydIters=0) recall vs brute force clears the floor") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Pq.pqTopK(embs, queries, "vec_id", "embedding", 5,
+        m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq.size == exact.size, "PQ must return k rows per query")
+    // The fixture embeddings are i.i.d. gaussian — no cluster structure for
+    // 16 codewords to exploit in an 8-dim subspace, so absolute recall is
+    // intrinsically low (~0.12 measured). The floor guards against
+    // regression to random (5/1000 ≈ 0.005), not against quantization loss.
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.08, s"PQ@seed-codebook recall $recall below floor")
+  }
+
+  test("Lloyd-refined codebooks don't lose recall and stay deterministic") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = Pq.pqTopK(embs, queries, "vec_id", "embedding", 5,
+        m = 8, dsub = 8, ksub = 16, lloydIters = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq0 = Pq.pqTopK(embs, queries, "vec_id", "embedding", 5,
+        m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lloyd = run()
+    val r0 = exact.intersect(pq0).size.toDouble / exact.size
+    val r1 = exact.intersect(lloyd).size.toDouble / exact.size
+    assert(r1 >= r0 - 0.1, s"Lloyd recall $r1 fell >0.1 below seed recall $r0")
+    assert(run() == lloyd, "Lloyd-refined pqTopK must be run-to-run identical")
+  }
+
+  test("ivfPqTopK = pqTopK restricted to probed cells (same ADC scores)") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val pq = Pq.pqTopK(embs, queries, "vec_id", "embedding", 5,
+      m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+    val ivfpq = Pq.ivfPqTopK(embs, queries, "vec_id", "embedding", 5,
+      nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+    // k rows per query: 4 of 16 probed cells hold far more than k rows
+    val counts = ivfpq.groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(counts.length == 10 && counts.forall(_._2 == 5L))
+    // the ADC score of a (query, neighbor) pair is cell-independent — any
+    // pair both variants rank must carry the identical score
+    val joined = ivfpq.as("a").join(pq.as("b"),
+      col("a.query_id") === col("b.query_id") &&
+        col("a.neighbor_id") === col("b.neighbor_id"))
+      .select(col("a.score").as("sa"), col("b.score").as("sb"))
+      .as[(Double, Double)].collect()
+    assert(joined.nonEmpty, "probed cells must overlap the full-scan top-k")
+    assert(joined.forall { case (a, b) => a == b },
+      "IVF-PQ must reuse the exact ADC scores of the full scan")
+    // determinism
+    val again = Pq.ivfPqTopK(embs, queries, "vec_id", "embedding", 5,
+        nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+      .collect().toSet
+    assert(ivfpq.collect().toSet == again)
+  }
+
+  test("plan: codebooks ride broadcast joins; corpus never sort-merge-joins") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val plan = Pq.pqTopK(embs, queries, "vec_id", "embedding", 5,
+      m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "codebook/ADC joins must broadcast the small side")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "the corpus must never be a sort-merge or cartesian side:\n" + plan)
+  }
+}

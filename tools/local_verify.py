@@ -31,6 +31,13 @@ def main(sf_dir, out_dir):
     names = sorted([d for d in os.listdir(out_dir)
                     if os.path.isdir(os.path.join(out_dir, d))])
     n_pass = n_fail = 0
+    # A registered query that crashed inside Verify leaves an oracle entry
+    # but no dumped parquet dir — that is a FAIL, not a silent omission
+    # (round 5 shipped a broken query precisely this way).
+    for name in sorted(set(oracle) - set(names)):
+        print(f"[FAIL] {name}: oracle present but no dumped output "
+              f"(query crashed in Verify?)")
+        n_fail += 1
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
