@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, Png}
 import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.TestData
@@ -575,6 +575,16 @@ object SparkEntry {
         nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
     }),
 
+    // Residual IVF-PQ (FAISS-default encoding): PQ quantizes v − centroid;
+    // cosine decomposes exactly over x̂ = c + ŵ via four broadcast tables.
+    // Recall beats the raw lane at equal bits (PqSpec).
+    "ann_ivfpq_res_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Pq.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0,
+        residual = true)
+    }),
+
     // IVF ANN with lloydIters = 0: the pure value-predicate quantizer +
     // probe + exact re-rank — fully SQL-replayable, so this variant carries
     // the value oracle for the IVF plan shape (argmin = ROW_NUMBER).
@@ -612,6 +622,16 @@ object SparkEntry {
         .select(col("doc_id").cast("long")).as[Long]
       Multimodal.decodePpm(Multimodal.gunzip(Multimodal.gzip(
         Multimodal.syntheticPpm(ids)))).toDF()
+    }),
+
+    // REAL PNG codec: deflate + all five PNG filter types + CRC-32 chunk
+    // walk, pure JVM. Matching the formula-replay oracle proves the zlib
+    // inflate AND every filter reconstruction ran correctly distributed.
+    "mm_png" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Png.decodePng(Png.syntheticPng(ids)).toDF()
     }),
 
     // Multimodal audio decode: REAL RIFF/WAVE (PCM16) chunk-walk → sample
@@ -1818,6 +1838,23 @@ object SparkEntry {
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height""",
 
+    // Replays syntheticPng's generation formula (dims differ from the PPM
+    // fixture); the Spark side must survive deflate → filters → CRC to hit
+    // these integers.
+    "mm_png" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(5 + doc_id % 6 AS INT) AS width,
+                      CAST(4 + doc_id % 5 AS INT) AS height
+                    FROM documents),
+         px AS (SELECT id, width, height,
+                  CAST(i % width AS BIGINT) AS x, CAST(i // width AS BIGINT) AS y
+                FROM d, unnest(range(0, width * height)) AS t(i))
+         SELECT id, width, height, COUNT(*) AS n_pixels,
+                CAST(SUM((id + 3*x + 7*y) % 256) AS DOUBLE) / COUNT(*) AS mean_r,
+                CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
+                CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
+         FROM px GROUP BY id, width, height""",
+
     // The gzip round trip must land on the same formula replay as
     // mm_decode — byte-identical inflate is exactly what's being proven.
     "mm_gzip" ->
@@ -1882,6 +1919,7 @@ object SparkEntry {
     "ann_ivf0_topk" -> ivf0Oracle,
     "ann_pq_topk" -> pqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
+    "ann_ivfpq_res_topk" -> ivfPqResOracle,
     "ann_ivf_topk" -> ivf1Oracle,
     "ann_lsh_topk" -> annLshOracle,
     "emb_near_dup_lsh" -> embLshOracle,
@@ -2175,6 +2213,110 @@ object SparkEntry {
                 GROUP BY el.query_id, el.cid),
         fin AS (SELECT query_id, cid AS neighbor_id,
                        ROUND(sum_t / (qn * sqrt(sum_nn)), 6) AS score
+                FROM agg)
+        SELECT query_id, neighbor_id, rank, score FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM fin)
+        WHERE rank <= 5"""
+
+  /** Replays Pq.ivfPqTopK(..., residual=true, lloydIters=0): residuals
+    * rv = cv − centroid per assigned cell, the mid-stride-offset codebook
+    * seeds (offset-0 seeds are the centroids themselves → all-zero
+    * residual codebook), residual encode, and the decomposed cosine
+    *   (q·c + Σ_s t) / (|q| · sqrt(|c|² + Σ_s e)),  e = 2·c_s·w + |w|²
+    * with both cross-subspace sums as sequential folds in sub order. */
+  private lazy val ivfPqResOracle: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride,
+                       GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) // 2 AS off
+                FROM c),
+        cent AS (SELECT cid AS centroid_id, cv AS centroid FROM c, par
+                 WHERE cid % stride = 0 AND cid < stride * 16),
+        assign AS (SELECT cid, centroid_id FROM (
+            SELECT c.cid, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                     ORDER BY -${cosSql("c.cv", "cent.centroid")} ASC, cent.centroid_id ASC) AS rn
+            FROM c CROSS JOIN cent) WHERE rn = 1),
+        resid AS (SELECT c.cid, a.centroid_id,
+                         list_transform(list_zip(c.cv, cent.centroid),
+                           z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS rv
+                  FROM c JOIN assign a ON c.cid = a.cid
+                  JOIN cent ON a.centroid_id = cent.centroid_id),
+        seeds AS (SELECT CAST((cid - off) // stride AS INT) AS code, rv
+                  FROM resid, par
+                  WHERE cid >= off AND (cid - off) % stride = 0
+                    AND cid < off + stride * 16),
+        cb AS (SELECT u.sub, seeds.code,
+                      rv[u.sub*8+1 : u.sub*8+8] AS word
+               FROM seeds, unnest(range(0, 8)) AS u(sub)),
+        cs AS (SELECT cid, u.sub, rv[u.sub*8+1 : u.sub*8+8] AS sv
+               FROM resid, unnest(range(0, 8)) AS u(sub)),
+        enc AS (SELECT cid, sub, code FROM (
+            SELECT cs.cid, cs.sub, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY cs.cid, cs.sub
+                     ORDER BY list_reduce([CAST(0 AS DOUBLE)] ||
+                         list_transform(list_zip(cs.sv, cb.word),
+                           z -> (z[1] - z[2]) * (z[1] - z[2])),
+                         (a, b) -> a + b) ASC, cb.code ASC) AS rn
+            FROM cs JOIN cb USING (sub)) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv,
+                     sqrt(list_reduce([CAST(0 AS DOUBLE)] ||
+                       list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b)) AS qn
+              FROM embeddings WHERE vec_id < 10),
+        probes AS (SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY -${cosSql("q.qv", "cent.centroid")} ASC, cent.centroid_id ASC) AS pr
+            FROM q CROSS JOIN cent) WHERE pr <= 4),
+        qs AS (SELECT query_id, qn, u.sub, qv[u.sub*8+1 : u.sub*8+8] AS sv
+               FROM q, unnest(range(0, 8)) AS u(sub)),
+        adc AS (SELECT qs.query_id, qs.qn, qs.sub, cb.code,
+                       list_reduce([CAST(0 AS DOUBLE)] ||
+                         list_transform(list_zip(qs.sv, cb.word),
+                           z -> CAST(z[1] AS DOUBLE) * z[2]), (a, b) -> a + b) AS t
+                FROM qs JOIN cb USING (sub)),
+        qcell AS (SELECT q.query_id, cent.centroid_id,
+                         list_reduce([CAST(0 AS DOUBLE)] ||
+                           list_transform(list_zip(q.qv, cent.centroid),
+                             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                           (a, b) -> a + b) AS qc,
+                         list_reduce([CAST(0 AS DOUBLE)] ||
+                           list_transform(cent.centroid,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           (a, b) -> a + b) AS cn2
+                  FROM q CROSS JOIN cent),
+        centsub AS (SELECT centroid_id, u.sub,
+                           centroid[u.sub*8+1 : u.sub*8+8] AS sv
+                    FROM cent, unnest(range(0, 8)) AS u(sub)),
+        ce AS (SELECT cs2.centroid_id, cs2.sub, cb.code,
+                      2.0 * list_reduce([CAST(0 AS DOUBLE)] ||
+                        list_transform(list_zip(cs2.sv, cb.word),
+                          z -> CAST(z[1] AS DOUBLE) * z[2]), (a, b) -> a + b)
+                      + list_reduce([CAST(0 AS DOUBLE)] ||
+                        list_transform(cb.word, w -> w * w), (a, b) -> a + b) AS e
+               FROM centsub cs2 JOIN cb USING (sub)),
+        elig AS (SELECT e.cid, e.sub, e.code, a.centroid_id, p.query_id
+                 FROM enc e JOIN assign a ON e.cid = a.cid
+                 JOIN probes p ON a.centroid_id = p.centroid_id),
+        agg AS (SELECT el.query_id, el.cid, min(a.qn) AS qn,
+                       min(qc.qc) AS qc, min(qc.cn2) AS cn2,
+                       list_reduce([CAST(0 AS DOUBLE)] || list(a.t ORDER BY a.sub),
+                         (x, y) -> x + y) AS sum_t,
+                       list_reduce([CAST(0 AS DOUBLE)] || list(ce.e ORDER BY ce.sub),
+                         (x, y) -> x + y) AS sum_e
+                FROM elig el
+                JOIN adc a ON el.query_id = a.query_id
+                  AND el.sub = a.sub AND el.code = a.code
+                JOIN ce ON el.centroid_id = ce.centroid_id
+                  AND el.sub = ce.sub AND el.code = ce.code
+                JOIN qcell qc ON el.query_id = qc.query_id
+                  AND el.centroid_id = qc.centroid_id
+                WHERE el.query_id <> el.cid
+                GROUP BY el.query_id, el.cid),
+        fin AS (SELECT query_id, cid AS neighbor_id,
+                       ROUND((qc + sum_t) / (qn * sqrt(cn2 + sum_e)), 6) AS score
                 FROM agg)
         SELECT query_id, neighbor_id, rank, score FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -61,18 +61,27 @@ object Pq {
 
   /** Per-subspace codebooks (sub, code, word: array<double>).
     *
-    * Seeds: the `ksub` vectors with id ≡ 0 (mod n/ksub) — the same value
-    * predicate as [[Ann.ivfTopK]]'s centroid pick, so the choice cannot
-    * depend on partition arrival order. `lloydIters` k-means steps refine
-    * each subspace independently (element mean per (sub, code, pos),
-    * `round(6)` to quantize partial-sum association noise away). */
+    * Seeds: the `ksub` vectors with id ≡ `seedOffset` (mod n/ksub) — a
+    * value predicate (like [[Ann.ivfTopK]]'s centroid pick), so the choice
+    * cannot depend on partition arrival order. `lloydIters` k-means steps
+    * refine each subspace independently (element mean per (sub, code,
+    * pos), `round(6)` to quantize partial-sum association noise away).
+    *
+    * `seedOffset` exists for the residual lane: with offset 0 the seeds
+    * are EXACTLY the rows [[Ann.ivfCentroids]] picks as coarse centroids,
+    * whose residuals are all-zero — a degenerate all-zero codebook. A
+    * mid-stride offset keeps the seed set disjoint from the centroid set
+    * while staying a pure value predicate. */
   def codebooks(corpus: DataFrame, id: String, vec: String, m: Int, dsub: Int,
-                ksub: Int, lloydIters: Int = 0): DataFrame = {
+                ksub: Int, lloydIters: Int = 0, seedOffset: Long = 0): DataFrame = {
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
     val n = c.count()
     val stride = math.max(1L, n / ksub)
-    val seeds = c.filter(col("cid") % stride === 0 && col("cid") < stride * ksub)
-      .select((col("cid") / stride).cast("int").as("code"), col("cv").as("v"))
+    val seeds = c.filter(col("cid") >= seedOffset
+        && (col("cid") - seedOffset) % stride === 0
+        && col("cid") < seedOffset + stride * ksub)
+      .select(((col("cid") - seedOffset) / stride).cast("int").as("code"),
+        col("cv").as("v"))
     var cb = subvectors(seeds.withColumnRenamed("code", "rid"), "rid", "v", m, dsub)
       .select(col("sub"), col("rid").cast("int").as("code"),
         transform(col("sv"), x => x.cast("double")).as("word"))
@@ -183,19 +192,96 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
                 k: Int, nLists: Int = 16, nProbe: Int = 4,
                 m: Int = 8, dsub: Int = 8, ksub: Int = 16,
-                lloydIters: Int = 0): DataFrame = {
+                lloydIters: Int = 0, residual: Boolean = false): DataFrame = {
     val centroids = Ann.ivfCentroids(corpus, id, vec, nLists, lloydIters)
       .localCheckpoint()
     val cells = Ann.assignCells(corpus, id, vec, centroids)
     val probes = Ann.probeCells(queries, id, vec, centroids, nProbe)
-    val cb = codebooks(corpus, id, vec, m, dsub, ksub, lloydIters).localCheckpoint()
-    val codes = encodeCorpus(corpus, id, vec, m, dsub, cb)
+    if (!residual) {
+      val cb = codebooks(corpus, id, vec, m, dsub, ksub, lloydIters).localCheckpoint()
+      val codes = encodeCorpus(corpus, id, vec, m, dsub, cb)
+      val adc = adcTable(queries, id, vec, m, dsub, cb)
+      // eligibility: a corpus row is scored for a query iff its cell is
+      // probed by that query — the broadcast probes join prunes BEFORE the
+      // ADC join, so unprobed rows never expand per-query
+      val eligible = codes.join(cells, "cid").join(broadcast(probes), "centroid_id")
+      scoreAndRank(
+        eligible.join(broadcast(adc), Seq("query_id", "sub", "code")), k)
+    } else ivfPqResidual(corpus, queries, id, vec, k, m, dsub, ksub,
+      lloydIters, centroids, cells, probes)
+  }
+
+  /** Residual IVF-PQ (the FAISS-default encoding): PQ quantizes
+    * r = v − c(cell) instead of v. Residuals are smaller in magnitude than
+    * raw vectors, so the same bit budget spends its codewords on a tighter
+    * ball — better reconstruction at equal m·log2(ksub) bits.
+    *
+    * Cosine decomposes exactly over the reconstruction x̂ = c + ŵ:
+    *   q·x̂  = q·c + Σ_s q_s·w_s                 (qc table + ADC t table)
+    *   |x̂|² = |c|² + Σ_s (2·c_s·w_s + |w_s|²)   (cn2 + cell-code e table)
+    * so scoring still never materializes x̂: per corpus row it is m + 1
+    * table lookups and two bounded folds. All four tables are
+    * broadcast-sized (|Q|·nLists, |Q|·m·ksub, nLists·m·ksub, nLists).
+    *
+    * Plan shape unchanged from the raw lane: the corpus pays the residual
+    * computation row-locally (one co-shuffle join with its cell
+    * assignment), one encode shuffle, one scoring shuffle. */
+  private def ivfPqResidual(corpus: DataFrame, queries: DataFrame,
+                            id: String, vec: String, k: Int,
+                            m: Int, dsub: Int, ksub: Int, lloydIters: Int,
+                            centroids: DataFrame, cells: DataFrame,
+                            probes: DataFrame): DataFrame = {
+    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    // residuals: row-local subtract after the compact cell-assignment join
+    val resid = c.join(cells, "cid")
+      .join(broadcast(centroids), "centroid_id")
+      .select(col("cid"), zip_with(col("cv"), col("centroid"),
+        (a, b) => a.cast("double") - b.cast("double")).as("rv"))
+      .localCheckpoint() // feeds codebook train (incl. its count), encode
+    // mid-stride seed offset: offset-0 seeds ARE the coarse centroids,
+    // whose residuals are all zero (degenerate codebook — measured recall
+    // half the raw lane's before this offset)
+    val stride = math.max(1L, resid.count() / ksub)
+    val cb = codebooks(resid, "cid", "rv", m, dsub, ksub, lloydIters,
+        seedOffset = stride / 2)
+      .localCheckpoint()
+    val codes = encodeCorpus(resid, "cid", "rv", m, dsub, cb)
     val adc = adcTable(queries, id, vec, m, dsub, cb)
-    // eligibility: a corpus row is scored for a query iff its cell is
-    // probed by that query — the broadcast probes join prunes BEFORE the
-    // ADC join, so unprobed rows never expand per-query
+    // per (query, cell): q·c and per cell: |c|²
+    val qcell = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        Ann.dotFold(col("qv"), col("centroid")).as("qc"),
+        Ann.dotFold(col("centroid"), col("centroid")).as("cn2"))
+    // per (cell, sub, code): the cross + self energy of the codeword
+    // against the cell centroid's matching slice
+    val centSubs = subvectors(
+      centroids.select(col("centroid_id").as("rid"), col("centroid").as("v")),
+      "rid", "v", m, dsub)
+    val ce = centSubs.join(broadcast(cb), Seq("sub"))
+      .select(col("rid").as("centroid_id"), col("sub"), col("code"),
+        (lit(2.0) * Ann.dotFold(col("sv"), col("word"))
+          + Ann.dotFold(col("word"), col("word"))).as("e"))
     val eligible = codes.join(cells, "cid").join(broadcast(probes), "centroid_id")
-    scoreAndRank(
-      eligible.join(broadcast(adc), Seq("query_id", "sub", "code")), k)
+    val joined = eligible
+      .join(broadcast(adc), Seq("query_id", "sub", "code"))
+      .join(broadcast(ce), Seq("centroid_id", "sub", "code"))
+      .join(broadcast(qcell), Seq("query_id", "centroid_id"))
+    val scored = joined
+      .filter(col("query_id") =!= col("cid"))
+      .groupBy(col("query_id"), col("cid"))
+      .agg(min(col("qn")).as("qn"), min(col("qc")).as("qc"),
+        min(col("cn2")).as("cn2"),
+        aggregate(array_sort(collect_list(struct(col("sub"), col("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("sum_t"),
+        aggregate(array_sort(collect_list(struct(col("sub"), col("e")))),
+          lit(0.0), (a, x) => a + x.getField("e")).as("sum_e"))
+      .withColumn("score", round((col("qc") + col("sum_t"))
+        / (col("qn") * sqrt(col("cn2") + col("sum_e"))), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("cid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
   }
 }

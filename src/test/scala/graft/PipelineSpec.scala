@@ -194,6 +194,36 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.gunzip(junk).collect().isEmpty)
   }
 
+  test("PNG codec: deflate+filters round-trip, CRC validation, junk dropped") {
+    import graft.multimodal.Png
+    val ids = spark.range(1, 21).as[Long]
+    // fixture heights reach 5+ → every image cycles all 5 filter types at
+    // least once; a wrong Sub/Up/Average/Paeth reconstruction breaks means
+    val feats = Png.decodePng(Png.syntheticPng(ids)).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.width == (5 + f.id % 6).toInt && f.height == (4 + f.id % 5).toInt)
+      val expB = (0 until f.height).map(y => (f.id + y) % 256).sum.toDouble / f.height
+      assert(math.abs(f.mean_b - expB) < 1e-12, s"id=${f.id} mean_b")
+      val expG = (0 until f.width).map(x => (2 * f.id + x) % 256).sum.toDouble / f.width
+      assert(math.abs(f.mean_g - expG) < 1e-12, s"id=${f.id} mean_g")
+    }
+    // the container is real PNG: signature + IHDR/IDAT/IEND chunk layout
+    val one = Png.syntheticPng(spark.range(7, 8).as[Long]).collect().head
+    assert((one.media(0) & 0xff) == 0x89 &&
+      new String(one.media, 1, 3, java.nio.charset.StandardCharsets.US_ASCII) == "PNG")
+    assert(new String(one.media, 12, 4) == "IHDR")
+    // flip one IDAT payload byte → CRC mismatch → row dropped, not wrong
+    val corrupt = one.media.clone()
+    corrupt(45) = (corrupt(45) ^ 0x55).toByte // inside the IDAT payload
+    val decoded = Png.decodePng(Seq(
+      Png.PngImage(1L, corrupt),
+      Png.PngImage(2L, "not a png at all".getBytes),
+      Png.PngImage(3L, one.media.take(30))).toDS()).collect()
+    assert(decoded.isEmpty, "corrupt/truncated/junk PNGs must drop, got " +
+      decoded.mkString(","))
+  }
+
   test("WAV decoder round-trips RIFF bytes, walks extra chunks, drops junk") {
     val ids = spark.range(0, 20).as[Long]
     val feats = Multimodal.decodeWav(Multimodal.syntheticWav(ids)).collect()

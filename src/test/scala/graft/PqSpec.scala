@@ -93,6 +93,27 @@ class PqSpec extends SparkSpec {
     assert(ivfpq.collect().toSet == again)
   }
 
+  test("residual encoding: deterministic, k rows, recall vs raw lane") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run(res: Boolean) = Pq.ivfPqTopK(embs, queries, "vec_id", "embedding", 5,
+        nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0,
+        residual = res)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val raw = run(res = false)
+    val resid = run(res = true)
+    assert(resid.size == 50, "5 rows per query under residual encoding")
+    val rRaw = exact.intersect(raw).size.toDouble / exact.size
+    val rRes = exact.intersect(resid).size.toDouble / exact.size
+    info(s"recall raw=$rRaw residual=$rRes")
+    // Residuals quantize a tighter ball, so recall should not drop; grant
+    // one-neighbor slack for tie noise on the structure-free fixture.
+    assert(rRes >= rRaw - 1.0 / exact.size,
+      s"residual recall $rRes fell below raw $rRaw")
+    assert(run(res = true) == resid, "residual lane must be deterministic")
+  }
+
   test("plan: codebooks ride broadcast joins; corpus never sort-merge-joins") {
     val queries = embs.filter(col("vec_id") < 10)
     val plan = Pq.pqTopK(embs, queries, "vec_id", "embedding", 5,
