@@ -379,6 +379,16 @@ object SparkEntry {
         "doc_id", "text", n = 5)
     }),
 
+    // Bloom-filter decontamination: the broadcast-bits scale lane — same
+    // bench slice, one-sided error (supersets the exact lane; spec-
+    // asserted). Md5Hash lanes → the bit positions replay in DuckDB.
+    "decontam_bloom" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      Decontam.bloomDecontam(docs, docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5, mBits = 1 << 18, kHashes = 3,
+        family = Dedup.Md5Hash)
+    }),
+
     // C4-style segment dedup: disjoint 8-token windows, global
     // first-occurrence keep, docs rebuilt from surviving segments.
     "dedup_segments" -> ((s, dir) =>
@@ -478,6 +488,16 @@ object SparkEntry {
     "lm_bigram_score" -> ((s, dir) => {
       val docs = TestData(s, dir).documents
       LangModel.bigramScore(docs, docs, "doc_id", "text")
+    }),
+
+    // Cross-corpus LM scoring in penalizeUnseen mode: the model fits on
+    // the doc_id % 50 == 0 slice only, so most docs have partial coverage
+    // and the denominator switch (covered → total bigrams) actually bites
+    // — the mode the cross-corpus caveat (LangModel.scala) prescribes.
+    "lm_bigram_xscore" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      LangModel.bigramScore(docs, docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", penalizeUnseen = true)
     }),
 
     // Exact dedup by content hash.
@@ -1471,6 +1491,8 @@ object SparkEntry {
     // Mirrors Decontam.ngramOverlap(n = 5, bench = doc_id % 50 == 0):
     // distinct 5-grams per doc, LEFT JOIN the distinct bench gram set,
     // integer hit counts and one IEEE division.
+    "decontam_bloom" -> bloomDecontamOracle,
+
     "decontam_ngram" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
                     FROM documents),
@@ -1546,6 +1568,28 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                 list_reduce([CAST(0 AS DOUBLE)] || list(p ORDER BY pos), (a, x) -> a + x)
                   / CAST(count(*) AS DOUBLE) AS lm_score
+         FROM pr GROUP BY doc_id""",
+
+    // The penalizeUnseen variant: model restricted to the bench slice,
+    // denominator = the doc's TOTAL bigram count (len(ws) − 1), unseen
+    // mass scoring zero. n_bigrams stays the covered count.
+    "lm_bigram_xscore" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         bg AS (SELECT doc_id, CAST(len(ws) - 1 AS BIGINT) AS n_total,
+                       CAST(i AS BIGINT) AS pos,
+                       ws[CAST(i AS BIGINT)+1] AS w1, ws[CAST(i AS BIGINT)+2] AS w2
+                FROM w, unnest(range(0, len(ws)-1)) AS t(i)
+                WHERE len(ws) >= 2),
+         model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bg_cnt FROM bg
+                   WHERE doc_id % 50 = 0 GROUP BY w1, w2),
+         heads AS (SELECT w1, CAST(sum(bg_cnt) AS BIGINT) AS head_cnt FROM model GROUP BY w1),
+         pm AS (SELECT w1, w2, CAST(bg_cnt AS DOUBLE) / CAST(head_cnt AS DOUBLE) AS p
+                FROM model JOIN heads USING (w1)),
+         pr AS (SELECT doc_id, n_total, pos, p FROM bg JOIN pm USING (w1, w2))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                list_reduce([CAST(0 AS DOUBLE)] || list(p ORDER BY pos), (a, x) -> a + x)
+                  / CAST(min(n_total) AS DOUBLE) AS lm_score
          FROM pr GROUP BY doc_id""",
 
     // Mirrors the corpus_gate composition — the langid / repetition /
@@ -1950,6 +1994,37 @@ object SparkEntry {
     * maxBucket=100, family=Md5Hash): per-doc shingle lists, 16 md5 lanes,
     * banding, the bucket-size cap, then exact-Jaccard verification of the
     * candidates (the same index shape as the ngramJaccard oracle). */
+  /** Replays Decontam.bloomDecontam(n=5, mBits=2^18, kHashes=3, bench =
+    * doc_id % 50 == 0, family=Md5Hash): distinct 5-grams and the same 3
+    * Kirsch–Mitzenmacher md5 lane positions per gram. The Spark side's
+    * packed-word test `(bits[pos DIV 64] & mask(pos)) = mask(pos)` is by
+    * construction equivalent to `pos ∈ {set positions}`, so the replay
+    * joins the distinct position set directly — identical verdicts, false
+    * positives included, without DuckDB's checked `<< 63` overflow. */
+  private lazy val bloomDecontamOracle: String = {
+    val m = 1 << 18
+    def pos(i: Int) = s"(${laneSql(i, "shingle")} % $m)"
+    val hit = (0 until 3).map(i => s"b$i.pos IS NOT NULL").mkString(" AND ")
+    val joins = (0 until 3).map(i =>
+      s"LEFT JOIN bpos b$i ON pe.p$i = b$i.pos").mkString("\n              ")
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                   FROM documents),
+        g AS (SELECT doc_id, list_distinct(list_transform(range(0, len(ws)-4),
+                       i -> array_to_string(ws[CAST(i AS BIGINT)+1 : CAST(i AS BIGINT)+5], ' '))) AS grams
+              FROM w WHERE len(ws) >= 5),
+        e AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+        b AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 50 = 0),
+        bpos AS (SELECT DISTINCT unnest([${pos(0)}, ${pos(1)}, ${pos(2)}]) AS pos FROM b),
+        pe AS (SELECT doc_id, ${pos(0)} AS p0, ${pos(1)} AS p1, ${pos(2)} AS p2
+               FROM e),
+        h AS (SELECT pe.doc_id, ($hit) AS hit
+              FROM pe $joins)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS flag_frac
+        FROM h GROUP BY doc_id"""
+  }
+
   private lazy val minHashLshOracle: String = {
     val bands = 4; val rpb = 4; val k = bands * rpb
     val sigCols = (0 until k).map(i =>

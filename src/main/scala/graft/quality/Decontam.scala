@@ -38,6 +38,63 @@ object Decontam {
         .as("grams"))
   }
 
+  /** Bloom-filter decontamination — the scale lane of [[ngramOverlap]].
+    *
+    * [[ngramOverlap]] broadcasts the RAW bench gram strings; fine while the
+    * eval set is thousands of docs, but a big held-out suite (every bench
+    * plus their paraphrase sets) can reach 10⁸+ distinct grams — too wide
+    * to broadcast as strings. This lane broadcasts `mBits` BITS instead:
+    * each bench gram sets `kHashes` positions (Kirsch–Mitzenmacher double
+    * hashing, same [[graft.dedup.Dedup.HashFamily]] lanes as minhash);
+    * packed into 64-bit words the filter is mBits/8 bytes — 2³⁰ bits =
+    * 128 MB covers ~10⁸ grams at 1% FP, still broadcastable.
+    *
+    * Probe cost per corpus gram: `kHashes` broadcast-hash joins on the
+    * word index (map-side, no shuffle) + row-local mask tests; the only
+    * corpus shuffle stays the final groupBy(doc_id). One-sided error:
+    * never misses a contaminated gram (spec-asserted superset of
+    * [[ngramOverlap]]); `flag_frac` can over-count by the FP rate, which
+    * is the right direction for a drop-list.
+    *
+    * Returns (doc_id, n_grams, n_flagged, flag_frac); `family = Md5Hash`
+    * makes every bit position SQL-replayable → full DuckDB oracle. */
+  def bloomDecontam(corpus: DataFrame, bench: DataFrame,
+                    id: String, text: String, n: Int,
+                    mBits: Int = 1 << 20, kHashes: Int = 3,
+                    family: graft.dedup.Dedup.HashFamily = graft.dedup.Dedup.XxHash): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits=$mBits must be a multiple of 64")
+    def posOf(i: Int): org.apache.spark.sql.Column =
+      pmod(family.lane(i, col("p")), lit(mBits.toLong))
+    // build: distinct bench grams → k positions each → bit_or-packed words
+    val benchG = distinctGrams(bench, id, text, n)
+      .select(explode_outer(col("grams")).as("shingle")).distinct()
+      .select(family.prep(col("shingle")).as("p"))
+    val bits = benchG
+      .select(explode(array((0 until kHashes).map(posOf): _*)).as("pos"))
+      .select(expr("pos DIV 64").as("idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy("idx").agg(expr("bit_or(mask)").as("bits"))
+    // probe: k broadcast joins on the word index, then row-local mask tests
+    // — a gram's verdict never leaves its row until the one doc_id shuffle
+    var g = distinctGrams(corpus, id, text, n)
+      .select(col("doc_id"), explode_outer(col("grams")).as("shingle"))
+      .select(col("doc_id"), family.prep(col("shingle")).as("p"))
+    for (i <- 0 until kHashes)
+      g = g.withColumn(s"pos_$i", posOf(i))
+        .withColumn(s"idx_$i", expr(s"pos_$i DIV 64"))
+        .join(broadcast(bits.select(col("idx").as(s"idx_$i"),
+          col("bits").as(s"bits_$i"))), Seq(s"idx_$i"), "left")
+    val hit = (0 until kHashes).map { i =>
+      val mask = expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos_$i % 64 AS INT))")
+      coalesce(col(s"bits_$i"), lit(0L)).bitwiseAND(mask) === mask
+    }.reduce(_ && _)
+    g.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("flag_frac",
+        col("n_flagged").cast("double") / col("n_grams"))
+  }
+
   def ngramOverlap(corpus: DataFrame, bench: DataFrame,
                    id: String, text: String, n: Int): DataFrame = {
     val corpusG = distinctGrams(corpus, id, text, n)

@@ -31,6 +31,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r === ((2L, 1L)))
   }
 
+  test("bloom decontam: no false negatives vs exact; FP rate bounded") {
+    val docs = TestData(spark, sf0001).documents
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val exact = Decontam.ngramOverlap(docs, bench, "doc_id", "text", n = 5)
+      .select("doc_id", "n_grams", "n_contaminated")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val bloom = Decontam.bloomDecontam(docs, bench, "doc_id", "text", n = 5,
+        mBits = 1 << 18, kHashes = 3)
+      .select("doc_id", "n_grams", "n_flagged")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bloom.keySet == exact.keySet)
+    var extra = 0L; var total = 0L
+    exact.foreach { case (id, (nG, nC)) =>
+      val (bG, bF) = bloom(id)
+      assert(bG == nG, s"doc $id gram count")
+      assert(bF >= nC, s"doc $id: bloom flagged $bF < exact $nC — false negative!")
+      extra += bF - nC; total += nG
+    }
+    // 2^18 bits / 3 hashes vs the sf0.001 bench gram set → FP well under 1%
+    assert(extra.toDouble / total < 0.01,
+      s"FP rate ${extra.toDouble / total} too high for mBits=2^18")
+    // Md5Hash family: same one-sided-error semantics, replayable lanes
+    val md5 = Decontam.bloomDecontam(docs, bench, "doc_id", "text", n = 5,
+        mBits = 1 << 18, kHashes = 3, family = graft.dedup.Dedup.Md5Hash)
+      .select("doc_id", "n_flagged").as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, (_, nC)) => assert(md5(id) >= nC) }
+  }
+
   test("repetition: degenerate doc scores high, diverse doc scores low") {
     val d = Seq(
       (1L, "spam spam spam spam"),   // 4 words 1 distinct; 3 bigrams all "spam spam"
