@@ -74,6 +74,9 @@ object Decontam {
       .select(expr("pos DIV 64").as("idx"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
       .groupBy("idx").agg(expr("bit_or(mask)").as("bits"))
+      // consumed by kHashes broadcast joins — materialize the (tiny) word
+      // table once instead of re-deriving the bench scan per lane
+      .localCheckpoint()
     // probe: k broadcast joins on the word index, then row-local mask tests
     // — a gram's verdict never leaves its row until the one doc_id shuffle
     var g = distinctGrams(corpus, id, text, n)
