@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
 import graft.multimodal.{Multimodal, Png}
-import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Windows}
+import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.TestData
 
@@ -219,6 +219,28 @@ object SparkEntry {
         Seq("okey"), salts = 8)
     }),
 
+    // Binned range join: global shipment volume in the week after each
+    // audited order — a pure interval-containment join (no equi-key),
+    // which Spark would otherwise plan as a BroadcastNestedLoop. The bin
+    // key makes it one co-shuffled equi-join; result ≡ the BETWEEN join.
+    // Intervals are the 1% audit sample: with ~250 points/day the TRUE
+    // pair count of the all-orders query is quadratic in SF (262 M pairs
+    // at sf0.1, 66 s measured) — a property of that query's semantics,
+    // not the operator; the audit framing keeps the result bounded.
+    "j8_range_join" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      val pts = t.lineitem.select(
+        datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("ship_day"))
+      val ivs = t.orders.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("lo"))
+        .withColumn("hi", col("lo") + lit(6L))
+      Joins.binnedRangeJoin(pts, ivs, "ship_day", "lo", "hi", bin = 7L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipments"))
+    }),
+
     // A1/SET3 distinct-union accumulation of a key pool.
     "a1_distinct_union" -> ((s, dir) => {
       val t = TestData(s, dir)
@@ -387,6 +409,24 @@ object SparkEntry {
       Decontam.bloomDecontam(docs, docs.filter(col("doc_id") % 50 === 0),
         "doc_id", "text", n = 5, mBits = 1 << 18, kHashes = 3,
         family = Dedup.Md5Hash)
+    }),
+
+    // Count–Min frequency estimation: bigram occurrence counts for the
+    // bench slice's grams, estimated from a 3×4096 sketch instead of the
+    // exact vocab-sized shuffle. Md5Hash lanes → bucket indexes replay in
+    // DuckDB, so the oracle matches estimates exactly, collisions and all.
+    "cms_ngram_counts" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      def grams(df: DataFrame): DataFrame = {
+        val w = df.select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+        w.filter(size(col("ws")) >= 2)
+          .select(explode_outer(transform(
+            sequence(lit(0), size(col("ws")) - 2),
+            i => concat_ws(" ", element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2)))).as("gram"))
+      }
+      Sketches.cmsCounts(grams(docs), grams(docs.filter(col("doc_id") % 50 === 0)),
+        "gram", width = 4096, depth = 3, family = Dedup.Md5Hash)
     }),
 
     // C4-style segment dedup: disjoint 8-token windows, global
@@ -1303,6 +1343,16 @@ object SparkEntry {
       """SELECT l_orderkey AS okey, l_linenumber, l_quantity, o_orderstatus
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
 
+    // The bin key is plan-internal — the result is the plain BETWEEN join.
+    "j8_range_join" ->
+      """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipments
+         FROM orders o JOIN lineitem l
+           ON date_diff('day', DATE '1970-01-01', l.l_shipdate)
+                BETWEEN date_diff('day', DATE '1970-01-01', o.o_orderdate)
+                    AND date_diff('day', DATE '1970-01-01', o.o_orderdate) + 6
+         WHERE o_orderkey % 100 = 0
+         GROUP BY o_orderkey""",
+
     "a1_distinct_union" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders
          UNION
@@ -1492,6 +1542,7 @@ object SparkEntry {
     // distinct 5-grams per doc, LEFT JOIN the distinct bench gram set,
     // integer hit counts and one IEEE division.
     "decontam_bloom" -> bloomDecontamOracle,
+    "cms_ngram_counts" -> cmsOracle,
 
     "decontam_ngram" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
@@ -2023,6 +2074,32 @@ object SparkEntry {
                CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
                CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS flag_frac
         FROM h GROUP BY doc_id"""
+  }
+
+  /** Replays Sketches.cmsCounts(width=4096, depth=3, family=Md5Hash) over
+    * all bigram occurrences, probing the bench slice's distinct bigrams:
+    * identical lane bucket indexes in both engines → identical counter
+    * cells → identical min-estimates, collisions included. */
+  private lazy val cmsOracle: String = {
+    val wth = 4096
+    def b(i: Int, s: String) = s"(${laneSql(i, s)} % $wth)"
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                   FROM documents),
+        bg AS (SELECT doc_id, ws[CAST(i AS BIGINT)+1] || ' ' || ws[CAST(i AS BIGINT)+2] AS gram
+               FROM w, unnest(range(0, len(ws)-1)) AS t(i)
+               WHERE len(ws) >= 2),
+        lanes AS (SELECT 0 AS d, ${b(0, "gram")} AS bk FROM bg
+                  UNION ALL SELECT 1, ${b(1, "gram")} FROM bg
+                  UNION ALL SELECT 2, ${b(2, "gram")} FROM bg),
+        sk AS (SELECT d, bk, CAST(count(*) AS BIGINT) AS c FROM lanes GROUP BY d, bk),
+        p AS (SELECT DISTINCT gram FROM bg WHERE doc_id % 50 = 0),
+        pb AS (SELECT gram, ${b(0, "gram")} AS b0, ${b(1, "gram")} AS b1,
+                      ${b(2, "gram")} AS b2 FROM p)
+        SELECT pb.gram AS item,
+               LEAST(COALESCE(s0.c, 0), COALESCE(s1.c, 0), COALESCE(s2.c, 0)) AS est_count
+        FROM pb LEFT JOIN sk s0 ON s0.d = 0 AND s0.bk = pb.b0
+                LEFT JOIN sk s1 ON s1.d = 1 AND s1.bk = pb.b1
+                LEFT JOIN sk s2 ON s2.d = 2 AND s2.bk = pb.b2"""
   }
 
   private lazy val minHashLshOracle: String = {

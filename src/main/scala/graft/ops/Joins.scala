@@ -126,6 +126,34 @@ object Joins {
       .unionByName(largeRest.join(smallRest, keys, joinType))
   }
 
+  /** Binned range join: rows of `points` paired with every `intervals` row
+    * whose [lo, hi] (inclusive, long-valued — days, seconds, ids…)
+    * contains the point.
+    *
+    * Spark's native plan for a pure range predicate is
+    * BroadcastNestedLoopJoin — O(|P|·|I|) comparisons, a scale-killer the
+    * moment neither side broadcasts. Binning turns it into one co-shuffled
+    * EQUI-join: each interval explodes to the `hi/bin − lo/bin + 1` bins it
+    * overlaps, each point lands in exactly ONE bin (`p div bin`), so a
+    * qualifying (point, interval) pair meets exactly once — the exact
+    * containment filter after the join needs no dedup pass.
+    *
+    * Pick `bin` ≈ the typical interval length: interval-side blowup stays
+    * ~2× while a bin holds ~(points per bin-width) rows — both sides stay
+    * balanced unless the DATA is skewed, in which case the bin key
+    * composes with [[saltedJoin]]. Columns of both inputs pass through. */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+                      pCol: String, loCol: String, hiCol: String,
+                      bin: Long): DataFrame = {
+    require(bin > 0, s"bin=$bin")
+    val p = points.withColumn("__bin", expr(s"$pCol DIV $bin"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$loCol DIV $bin"), expr(s"$hiCol DIV $bin"))))
+    p.join(iv, Seq("__bin"))
+      .filter(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** J4/J5 — upsert (last-wins dedup-merge): existing ∪ incoming, keep the
     * preferred row per key. `prefer` columns rank rows descending (e.g. a
     * batch-id or load timestamp); ties broken by column order.

@@ -73,4 +73,25 @@ class SkewJoinSpec extends SparkSpec {
       assert(viaSplit === expect, s"skewSplitJoin diverged (iteration $it)")
     }
   }
+
+  test("binnedRangeJoin: result ≡ naive BETWEEN join; pairs meet exactly once") {
+    // intervals deliberately span 0, 1, 2 and 3 bins at bin=10; points sit
+    // on bin edges, interval endpoints (inclusive both ends), and gaps
+    val pts = Seq(0L, 5L, 9L, 10L, 15L, 20L, 29L, 30L, 42L, 55L)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+    val ivs = Seq((100L, 0L, 0L), (101L, 5L, 9L), (102L, 8L, 12L),
+      (103L, 10L, 39L), (104L, 41L, 43L), (105L, 56L, 60L))
+      .toDF("iid", "lo", "hi")
+    val naive = pts.crossJoin(ivs)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    for (bin <- Seq(1L, 7L, 10L, 100L)) {
+      val binned = Joins.binnedRangeJoin(pts, ivs, "p", "lo", "hi", bin)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(binned === naive, s"bin=$bin diverged from the BETWEEN join")
+      // `===` on sorted seqs already proves no duplicate pair, but assert
+      // the multiset property explicitly for the multi-bin interval
+      assert(binned.distinct.size == binned.size, s"bin=$bin duplicated pairs")
+    }
+  }
 }
