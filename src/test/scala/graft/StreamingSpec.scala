@@ -145,4 +145,31 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dedup_out").count() == 3)
     } finally query.stop()
   }
+
+  test("streaming corpus gate: dedup + row-local signals + keep verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val query = graft.streaming.StreamCorpusGate
+      .gate(input.toDF(), "text", "ts", minTokens = 4, maxDupWordFrac = 0.5)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, "the quick brown fox jumps over the dog", t("2024-01-01 09:00:00")),
+        Doc(2L, "too short", t("2024-01-01 09:00:01")),               // token floor
+        Doc(3L, "spam spam spam spam spam spam", t("2024-01-01 09:00:02")), // repetition
+        Doc(4L, "the quick brown fox jumps over the dog", t("2024-01-01 09:00:03"))) // dup
+      query.processAllAvailable()
+      val rows = spark.table("gate_out")
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      // doc 4 (re-delivered payload) never surfaces; 2 and 3 surface with
+      // keep=false so a sink can route rejects; 1 is kept
+      assert(rows.keySet == Set(1L, 2L, 3L), s"got $rows")
+      assert(rows(1L) && !rows(2L) && !rows(3L))
+      val sig = spark.table("gate_out").filter(col("doc_id") === 1L)
+        .select("n_tokens", "lang_guess", "dup_word_frac")
+        .as[(Long, String, Double)].head()
+      assert(sig._1 == 8L && sig._2 == "en" && sig._3 == 0.125)
+    } finally query.stop()
+  }
 }
