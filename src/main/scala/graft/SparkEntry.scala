@@ -540,6 +540,27 @@ object SparkEntry {
         "doc_id", "text", penalizeUnseen = true)
     }),
 
+    // Perplexity-bucket partitioning: quartile the corpus by LM score for
+    // curriculum/mixture routing. Scale-shaped bucketing — quantile cut
+    // points broadcast, assignment row-local (NTILE would single-partition
+    // the corpus). The exact nearest-rank cuts are the oracle lane;
+    // production at 100 TB swaps in Quantiles.approx cuts, assignment
+    // unchanged.
+    "lm_buckets" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val scored = LangModel.bigramScore(docs, docs, "doc_id", "text")
+        .select(col("doc_id"), col("lm_score")).localCheckpoint()
+      val cuts = Quantiles.exactDisc(scored.withColumn("g", lit(1)),
+          "g", "lm_score", Seq(0.25, 0.5, 0.75))
+        .select("p25", "p50", "p75")
+      scored.crossJoin(broadcast(cuts))
+        .withColumn("bucket", (lit(1)
+          + when(col("lm_score") > col("p25"), 1).otherwise(0)
+          + when(col("lm_score") > col("p50"), 1).otherwise(0)
+          + when(col("lm_score") > col("p75"), 1).otherwise(0)).cast("long"))
+        .select("doc_id", "lm_score", "bucket")
+    }),
+
     // Exact dedup by content hash.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(TestData(s, dir).documents, "doc_id", "text")),
@@ -1620,6 +1641,41 @@ object SparkEntry {
                 list_reduce([CAST(0 AS DOUBLE)] || list(p ORDER BY pos), (a, x) -> a + x)
                   / CAST(count(*) AS DOUBLE) AS lm_score
          FROM pr GROUP BY doc_id""",
+
+    // Same lm_score derivation as lm_bigram_score, then nearest-rank
+    // quartile cuts and the row-local bucket compare. The cuts are
+    // SELECTED input values and lm_score is bit-exact (proven by the lm
+    // oracle), so the > comparisons agree across engines.
+    "lm_buckets" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         bg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       ws[CAST(i AS BIGINT)+1] AS w1, ws[CAST(i AS BIGINT)+2] AS w2
+                FROM w, unnest(range(0, len(ws)-1)) AS t(i)
+                WHERE len(ws) >= 2),
+         model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bg_cnt FROM bg GROUP BY w1, w2),
+         heads AS (SELECT w1, CAST(sum(bg_cnt) AS BIGINT) AS head_cnt FROM model GROUP BY w1),
+         pm AS (SELECT w1, w2, CAST(bg_cnt AS DOUBLE) / CAST(head_cnt AS DOUBLE) AS p
+                FROM model JOIN heads USING (w1)),
+         pr AS (SELECT doc_id, pos, p FROM bg JOIN pm USING (w1, w2)),
+         score AS (SELECT doc_id,
+                    list_reduce([CAST(0 AS DOUBLE)] || list(p ORDER BY pos), (a, x) -> a + x)
+                      / CAST(count(*) AS DOUBLE) AS lm_score
+                   FROM pr GROUP BY doc_id),
+         r AS (SELECT lm_score AS v,
+                      CAST(ROW_NUMBER() OVER (ORDER BY lm_score) AS BIGINT) AS rn,
+                      CAST(COUNT(*) OVER () AS BIGINT) AS n
+               FROM score),
+         cuts AS (SELECT
+                    MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.25) AS BIGINT) THEN v END) AS p25,
+                    MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT) THEN v END) AS p50,
+                    MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.75) AS BIGINT) THEN v END) AS p75
+                  FROM r)
+         SELECT doc_id, lm_score,
+                CAST(1 + (CASE WHEN lm_score > p25 THEN 1 ELSE 0 END)
+                       + (CASE WHEN lm_score > p50 THEN 1 ELSE 0 END)
+                       + (CASE WHEN lm_score > p75 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+         FROM score, cuts""",
 
     // The penalizeUnseen variant: model restricted to the bench slice,
     // denominator = the doc's TOTAL bigram count (len(ws) − 1), unseen

@@ -72,63 +72,73 @@ object Png {
     ids.map { id =>
       val w = (5 + id % 6).toInt
       val h = (4 + id % 5).toInt
-      val bpp = 3
-      val stride = w * bpp
-      val raw = Array.ofDim[Byte](h, stride)
+      val rgb = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          raw(y)(x * 3) = ((id + 3 * x + 7 * y) % 256).toByte
-          raw(y)(x * 3 + 1) = ((2 * id + x) % 256).toByte
-          raw(y)(x * 3 + 2) = ((id + y) % 256).toByte
+          val p = (y * w + x) * 3
+          rgb(p) = ((id + 3 * x + 7 * y) % 256).toByte
+          rgb(p + 1) = ((2 * id + x) % 256).toByte
+          rgb(p + 2) = ((id + y) % 256).toByte
           x += 1
         }
         y += 1
       }
-      val scan = new java.io.ByteArrayOutputStream(h * (1 + stride))
-      y = 0
-      while (y < h) {
-        val ft = y % 5
-        scan.write(ft)
-        val cur = raw(y)
-        val pri = if (y > 0) raw(y - 1) else new Array[Byte](stride)
-        var i = 0
-        while (i < stride) {
-          val x = cur(i) & 0xff
-          val a = if (i >= bpp) cur(i - bpp) & 0xff else 0 // left
-          val b = pri(i) & 0xff                            // up
-          val c = if (i >= bpp) pri(i - bpp) & 0xff else 0 // up-left
-          val f = ft match {
-            case 0 => x
-            case 1 => x - a
-            case 2 => x - b
-            case 3 => x - (a + b) / 2
-            case 4 => x - paeth(a, b, c)
-          }
-          scan.write(f & 0xff)
-          i += 1
-        }
-        y += 1
-      }
-      val defl = new java.util.zip.Deflater() // default = zlib wrapper
-      defl.setInput(scan.toByteArray); defl.finish()
-      val z = new java.io.ByteArrayOutputStream(scan.size() / 2 + 64)
-      val buf = new Array[Byte](8192)
-      while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
-      defl.end()
-      val ihdr = new java.io.ByteArrayOutputStream(13)
-      putBe32(ihdr, w.toLong); putBe32(ihdr, h.toLong)
-      ihdr.write(8)  // bit depth
-      ihdr.write(2)  // color type: truecolor RGB
-      ihdr.write(0); ihdr.write(0); ihdr.write(0) // compression/filter/interlace
-      val out = new java.io.ByteArrayOutputStream(z.size() + 64)
-      out.write(Signature)
-      out.write(chunk("IHDR", ihdr.toByteArray))
-      out.write(chunk("IDAT", z.toByteArray))
-      out.write(chunk("IEND", Array.emptyByteArray))
-      PngImage(id, out.toByteArray)
+      PngImage(id, encodeRgb(w, h, rgb))
     }
+  }
+
+  /** Encode raw 8-bit RGB pixels (row-major, 3 bytes/px) as a PNG, row y
+    * filtered with type y % 5 — every filter's encode side is exercised on
+    * any image taller than 4 rows. Driver- or executor-side (pure
+    * function); [[PipelineSpec]] property-tests decode∘encode = identity
+    * on arbitrary pixel data. */
+  def encodeRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != $w*$h*3")
+    val bpp = 3
+    val stride = w * bpp
+    val scan = new java.io.ByteArrayOutputStream(h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      scan.write(ft)
+      var i = 0
+      while (i < stride) {
+        val x = rgb(y * stride + i) & 0xff
+        val a = if (i >= bpp) rgb(y * stride + i - bpp) & 0xff else 0   // left
+        val b = if (y > 0) rgb((y - 1) * stride + i) & 0xff else 0      // up
+        val c = if (y > 0 && i >= bpp) rgb((y - 1) * stride + i - bpp) & 0xff
+                else 0                                                  // up-left
+        val f = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, c)
+        }
+        scan.write(f & 0xff)
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater() // default = zlib wrapper
+    defl.setInput(scan.toByteArray); defl.finish()
+    val z = new java.io.ByteArrayOutputStream(scan.size() / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    putBe32(ihdr, w.toLong); putBe32(ihdr, h.toLong)
+    ihdr.write(8)  // bit depth
+    ihdr.write(2)  // color type: truecolor RGB
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // compression/filter/interlace
+    val out = new java.io.ByteArrayOutputStream(z.size() + 64)
+    out.write(Signature)
+    out.write(chunk("IHDR", ihdr.toByteArray))
+    out.write(chunk("IDAT", z.toByteArray))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
   }
 
   /** REAL PNG decoder: signature check, chunk walk with CRC-32 validation

@@ -174,6 +174,30 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodePpm(bad).collect().isEmpty)
   }
 
+  test("PNG property: decode∘encode reproduces arbitrary pixel data") {
+    import graft.multimodal.Png
+    // seeded-random images: dims 1..12 (heights ≥5 cycle all 5 filters;
+    // the small ones cover the no-left/no-up defilter edges)
+    val rnd = new scala.util.Random(42)
+    val images = (0 until 25).map { i =>
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(12)
+      val rgb = new Array[Byte](w * h * 3); rnd.nextBytes(rgb)
+      (i.toLong, w, h, rgb)
+    }
+    val ds = images.map { case (id, w, h, rgb) =>
+      Png.PngImage(id, Png.encodeRgb(w, h, rgb)) }.toDS()
+    val out = Png.decodePng(ds).collect().map(f => f.id -> f).toMap
+    assert(out.size == images.size)
+    images.foreach { case (id, w, h, rgb) =>
+      val f = out(id)
+      assert(f.width == w && f.height == h && f.n_pixels == w.toLong * h)
+      def mean(ch: Int) = (0 until w * h).map(p => rgb(p * 3 + ch) & 0xff)
+        .sum.toDouble / (w * h)
+      assert(f.mean_r == mean(0) && f.mean_g == mean(1) && f.mean_b == mean(2),
+        s"id=$id ${w}x$h channel means diverged")
+    }
+  }
+
   test("gzip lane: RFC-1952 container, byte-exact inflate, junk dropped") {
     val ids = spark.range(1, 21).as[Long]
     val plain = Multimodal.syntheticPpm(ids).collect().map(p => p.id -> p.media).toMap
