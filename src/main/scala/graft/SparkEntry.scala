@@ -241,6 +241,18 @@ object SparkEntry {
         .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipments"))
     }),
 
+    // Hot-key split join: result ≡ plain join; the plan broadcasts the
+    // hot mass (keys with >N rows) and shuffles only the tail — the
+    // other standard skew treatment next to j7's salting.
+    "j9_split_join" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      val li = t.lineitem.select(col("l_orderkey").as("okey"),
+        col("l_linenumber"), col("l_quantity"))
+      Joins.skewSplitJoin(li,
+        t.orders.select(col("o_orderkey").as("okey"), col("o_orderstatus")),
+        Seq("okey"), Joins.hotKeys(li, Seq("okey"), minCount = 5L))
+    }),
+
     // A1/SET3 distinct-union accumulation of a key pool.
     "a1_distinct_union" -> ((s, dir) => {
       val t = TestData(s, dir)
@@ -1361,6 +1373,11 @@ object SparkEntry {
 
     // The salt is plan-internal — the result is the plain equi-join.
     "j7_salted_join" ->
+      """SELECT l_orderkey AS okey, l_linenumber, l_quantity, o_orderstatus
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    // The hot/tail split is plan-internal — same plain equi-join result.
+    "j9_split_join" ->
       """SELECT l_orderkey AS okey, l_linenumber, l_quantity, o_orderstatus
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
 
