@@ -241,6 +241,27 @@ object SparkEntry {
         .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipments"))
     }),
 
+    // TPC-H Q5 shape: 6-way join through the star (customer→orders→
+    // lineitem→supplier→nation→region) with the local-supplier predicate.
+    // Dims broadcast; the facts co-shuffle once on orderkey; the revenue
+    // sum takes the decimal route (float-determinism rule 1).
+    "q5_region_revenue" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"
+          && col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1997-01-01"))
+        .groupBy(col("n_name"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    }),
+
     // Hot-key split join: result ≡ plain join; the plan broadcasts the
     // hot mass (keys with >N rows) and shuffles only the tail — the
     // other standard skew treatment next to j7's salting.
@@ -1375,6 +1396,20 @@ object SparkEntry {
     "j7_salted_join" ->
       """SELECT l_orderkey AS okey, l_linenumber, l_quantity, o_orderstatus
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue
+         FROM customer
+           JOIN orders   ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation   ON s_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name""",
 
     // The hot/tail split is plan-internal — same plain equi-join result.
     "j9_split_join" ->
