@@ -594,6 +594,13 @@ object SparkEntry {
         .select("doc_id", "lm_score", "bucket")
     }),
 
+    // Source balancing: at most 10 docs per source, chosen by the
+    // deterministic hash order — the absolute cap that stops one domain
+    // flooding a pretraining mix (a RATE can't bound a hot source).
+    "sample_source_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(TestData(s, dir).documents
+        .select(col("doc_id"), col("source")), "source", "doc_id", cap = 10)),
+
     // Exact dedup by content hash.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(TestData(s, dir).documents, "doc_id", "text")),
@@ -1828,6 +1835,16 @@ object SparkEntry {
 
     // Mirrors Sampling.stratified(en→0.5, de→0.25, default 0.1) on key
     // doc_id: same 60-bit md5-prefix bucket as the Md5Hash lane family.
+    // Same md5-bucket ordering as the sampler family; ties break on the
+    // key, so the kept set replays exactly.
+    "sample_source_cap" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000,
+                             doc_id) AS rk
+           FROM documents) WHERE rk <= 10""",
+
     "sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,
                CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS bucket

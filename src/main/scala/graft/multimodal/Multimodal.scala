@@ -214,11 +214,18 @@ object Multimodal {
           var dataOff = -1; var dataLen = 0L
           while (i + 8 <= b.length) {
             val id = tag(i); val sz = u32(i + 4)
-            if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
-              fmtOk = u16(i + 8) == 1 && u16(i + 10) == 1 && u16(i + 22) == 16
-              rate = u32(i + 12).toInt
-            } else if (id == "data") { dataOff = i + 8; dataLen = sz }
-            i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+            // a forged 32-bit size (e.g. 0xFFFFFFF8) would go negative
+            // under .toInt and stall or reverse the walk — an infinite
+            // loop on a malformed row. Any size past the buffer ends the
+            // walk; the semantic checks below reject what's missing.
+            if (sz > (b.length - i - 8).toLong) i = b.length
+            else {
+              if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
+                fmtOk = u16(i + 8) == 1 && u16(i + 10) == 1 && u16(i + 22) == 16
+                rate = u32(i + 12).toInt
+              } else if (id == "data") { dataOff = i + 8; dataLen = sz }
+              i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+            }
           }
           if (!fmtOk || rate <= 0 || dataOff < 0 ||
               dataOff + dataLen > b.length || dataLen < 2) None

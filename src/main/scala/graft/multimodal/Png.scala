@@ -173,10 +173,19 @@ object Png {
                     if (len != 13) bad = true
                     else {
                       w = be32(b, i + 8).toInt; h = be32(b, i + 12).toInt
-                      // 8-bit truecolor, deflate, standard filters, no interlace
+                      // 8-bit truecolor, deflate, standard filters, no
+                      // interlace — AND sane dimensions: a forged header
+                      // claiming 2³¹-pixel rows would overflow
+                      // h·(1+3w) and crash the allocator below instead of
+                      // dropping. Decoded size is also bounded by what the
+                      // payload could possibly inflate to (~1032:1 max
+                      // deflate ratio ⇒ cheap upper bound via b.length),
+                      // so a 100-byte bomb can't request a 2 GB buffer.
                       headerOk = b(i + 16) == 8 && b(i + 17) == 2 &&
                         b(i + 18) == 0 && b(i + 19) == 0 && b(i + 20) == 0 &&
-                        w > 0 && h > 0
+                        w > 0 && h > 0 &&
+                        h.toLong * (1L + 3L * w) <= math.min(
+                          Int.MaxValue.toLong, 1100L * b.length)
                     }
                   case "IDAT" => idat.write(b, i + 8, len)
                   case "IEND" => done = true

@@ -75,6 +75,27 @@ object Sampling {
       .filter(hashBucket(col(key)) < col("threshold"))
   }
 
+  /** Per-group cap — "source balancing": keep at most `cap` rows per group
+    * (domain, crawl host, dump shard…), chosen by the same deterministic
+    * hash order as [[bernoulli]] (the kept subset is stable across runs,
+    * clusters, engines; ties broken by the key itself). Unlike a RATE,
+    * a cap bounds every group's contribution absolutely — the standard
+    * guard against a single domain flooding a pretraining mix.
+    *
+    * One shuffle on the group key; the rank window's state is one counter
+    * per group. A group with billions of rows still ranks — at that size
+    * pre-filter with [[bernoulli]] at a rate ≫ cap/|group| first (both
+    * selections are hash-ordered, so composition stays deterministic). */
+  def capPerGroup(df: DataFrame, group: String, key: String,
+                  cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(group))
+          .orderBy(hashBucket(col(key)), col(key))))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Reproducible global shuffle for training order: sort by a seeded hash
     * of the key — identical order on every run/cluster layout. A full sort
     * at 100 TB is real work (range partition + per-partition sort); that is

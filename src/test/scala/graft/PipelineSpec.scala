@@ -240,11 +240,35 @@ class PipelineSpec extends SparkSpec {
     // flip one IDAT payload byte → CRC mismatch → row dropped, not wrong
     val corrupt = one.media.clone()
     corrupt(45) = (corrupt(45) ^ 0x55).toByte // inside the IDAT payload
+    // decompression-bomb header: a CRC-VALID chunk sequence whose IHDR
+    // claims 2^24 x 2^24 pixels — must drop at header validation, not
+    // overflow h*(1+3w) and crash the scanline allocator
+    val bomb = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(be32(data.length.toLong))
+        val tb = typ.getBytes("US-ASCII")
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(tb); crc.update(data)
+        out.write(be32(crc.getValue))
+      }
+      out.write(one.media, 0, 8) // real signature
+      chunk("IHDR", be32(1L << 24) ++ be32(1L << 24) ++
+        Array[Byte](8, 2, 0, 0, 0))
+      chunk("IDAT", Array[Byte](1, 2, 3))
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
     val decoded = Png.decodePng(Seq(
       Png.PngImage(1L, corrupt),
       Png.PngImage(2L, "not a png at all".getBytes),
-      Png.PngImage(3L, one.media.take(30))).toDS()).collect()
-    assert(decoded.isEmpty, "corrupt/truncated/junk PNGs must drop, got " +
+      Png.PngImage(3L, one.media.take(30)),
+      Png.PngImage(4L, bomb)).toDS()).collect()
+    assert(decoded.isEmpty, "corrupt/truncated/junk/bomb PNGs must drop, got " +
       decoded.mkString(","))
   }
 
@@ -270,10 +294,16 @@ class PipelineSpec extends SparkSpec {
     assert(one.length == 1 && one.head.n_samples == 64 + 5 % 57)
     // malformed: bad magic, truncated data, stereo/non-PCM all dropped
     val stereo = orig.clone(); stereo(22) = 2 // channels = 2
+    // forged chunk size 0xFFFFFFF8: .toInt is -8, which once stalled the
+    // chunk walk in an infinite loop — must terminate and drop
+    val forged = orig.clone()
+    forged(16) = 0xf8.toByte; forged(17) = 0xff.toByte
+    forged(18) = 0xff.toByte; forged(19) = 0xff.toByte
     val bad = Seq(
       Multimodal.WavAudio(1L, "RIFFxxxxJUNK".getBytes),
       Multimodal.WavAudio(2L, orig.take(50)),
-      Multimodal.WavAudio(3L, stereo)).toDS()
+      Multimodal.WavAudio(3L, stereo),
+      Multimodal.WavAudio(4L, forged)).toDS()
     assert(Multimodal.decodeWav(bad).collect().isEmpty)
   }
 }

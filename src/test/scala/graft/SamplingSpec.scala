@@ -40,6 +40,27 @@ class SamplingSpec extends SparkSpec {
     assert(deRate > 0.05 && deRate < 0.4, s"de rate $deRate")
   }
 
+  test("capPerGroup: absolute per-group bound, deterministic, rate-composable") {
+    val capped = Sampling.capPerGroup(docs.select(col("doc_id"), col("source")),
+      "source", "doc_id", cap = 7)
+    val perGroup = capped.groupBy("source").count().as[(String, Long)].collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_._2 <= 7))
+    // groups smaller than the cap keep everything
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    perGroup.foreach { case (s, n) => assert(n == math.min(7L, sizes(s))) }
+    // deterministic: same kept set on re-run and after a repartition
+    val ids = capped.select("doc_id").as[Long].collect().toSet
+    val again = Sampling.capPerGroup(docs.repartition(13)
+        .select(col("doc_id"), col("source")), "source", "doc_id", cap = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == again)
+    // hash-order composition: the cap-5 set nests inside the cap-7 set
+    val tighter = Sampling.capPerGroup(docs.select(col("doc_id"), col("source")),
+        "source", "doc_id", cap = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tighter.subsetOf(ids))
+  }
+
   test("deterministicShuffle: identical order across runs, seed changes it") {
     val o1 = Sampling.deterministicShuffle(docs, "doc_id", 42L)
       .select("doc_id").as[Long].collect().toSeq
