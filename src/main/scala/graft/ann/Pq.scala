@@ -232,12 +232,17 @@ object Pq {
                             centroids: DataFrame, cells: DataFrame,
                             probes: DataFrame): DataFrame = {
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
-    // residuals: row-local subtract after the compact cell-assignment join
+    // residuals: row-local subtract after the compact cell-assignment
+    // join. Deliberately NOT checkpointed: this frame is CORPUS-sized
+    // (rows × dims doubles) and its consumers (codebook train + encode)
+    // each re-derive it as one broadcast-join chain over the scan —
+    // recomputing is cheaper than materializing the corpus, and the
+    // derivation is deterministic so both passes see identical values.
+    // (centroids/cb stay checkpointed — they are broadcast-sized.)
     val resid = c.join(cells, "cid")
       .join(broadcast(centroids), "centroid_id")
       .select(col("cid"), zip_with(col("cv"), col("centroid"),
         (a, b) => a.cast("double") - b.cast("double")).as("rv"))
-      .localCheckpoint() // feeds codebook train (incl. its count), encode
     // mid-stride seed offset: offset-0 seeds ARE the coarse centroids,
     // whose residuals are all zero (degenerate codebook — measured recall
     // half the raw lane's before this offset)
