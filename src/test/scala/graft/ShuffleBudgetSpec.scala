@@ -1,0 +1,56 @@
+package graft
+
+/** SCALE.md's shuffle-budget table, enforced mechanically: each headline
+  * query's physical plan must not contain more shuffle exchanges than its
+  * documented budget. A regression that sneaks an extra shuffle into a
+  * scan/join/agg (a lost broadcast, a mis-partitioned window chain) fails
+  * here at sf0.001 in seconds — long before the bench would surface it as
+  * a timing anomaly at 100× the data.
+  *
+  * Counting is textual over the executed-plan tree (the shared session
+  * runs AQE, whose wrapper node hides children from `collect`):
+  * `Exchange` lines minus `BroadcastExchange` lines — broadcasts are the
+  * POINT of the designs, not a cost to budget.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  private def shuffles(q: String): Int = {
+    val plan = SparkEntry.queries(q)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // \bExchange\b does not match inside BroadcastExchange/ReusedExchange
+    // (no word boundary mid-identifier), so this counts ONLY shuffles
+    "\\bExchange\\b".r.findAllIn(plan).size
+  }
+
+  // budget = measured count of the DESIGNED plan (see SCALE.md §"Shuffle
+  // budget"); an increase is a regression, a decrease is a free win worth
+  // reading about — both fail loudly so the table stays honest.
+  private val budgets = Map(
+    "q1_pricing_summary" -> 1,  // one groupBy
+    "q5_region_revenue" -> 1,   // dims broadcast; one agg shuffle
+    "j3_broadcast_lookup" -> 0, // pure broadcast lookup
+    "j6_asof" -> 1,             // single-shuffle tagged union
+    "a3_a4_windows" -> 1,       // key-partitioned window chain
+    "w1_last_n" -> 1,           // key-partitioned rank
+    "a6_resample_weekly" -> 1,  // one resample agg (MinMaxByPair lane)
+    "dedup_exact" -> 1,         // one shuffle on the content hash
+    "f4_p1_range_scan" -> 0,    // pushed-filter scan, no shuffle
+    "text_tokens" -> 0,         // row-local signals
+    "sample_stratified" -> 0,   // hash-threshold filter, no shuffle
+    "sample_source_cap" -> 1,   // per-group rank
+    // the localCheckpoint'ed filter/sketch builds run their own (bench-
+    // sized) shuffles eagerly outside this plan tree; the corpus-side
+    // plan measured here is the per-batch steady-state cost
+    "decontam_bloom" -> 1,      // final doc_id groupBy only
+    "cms_ngram_counts" -> 1     // probe distinct; lane joins broadcast
+  )
+
+  budgets.foreach { case (q, budget) =>
+    test(s"$q stays at $budget shuffle(s)") {
+      val n = shuffles(q)
+      assert(n == budget,
+        s"$q: $n shuffle exchanges, budget $budget — plan changed, " +
+          "re-audit (PlanAudit --plan) and update SCALE.md + this table")
+    }
+  }
+}
