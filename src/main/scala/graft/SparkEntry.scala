@@ -594,6 +594,13 @@ object SparkEntry {
         .select("doc_id", "lm_score", "bucket")
     }),
 
+    // Deterministic 80/10/10 split: a row's assignment is a pure function
+    // of its key — the val set stays the same val set across every
+    // rebuild, cluster, and engine.
+    "sample_split" -> ((s, dir) =>
+      Sampling.split(TestData(s, dir).documents.select(col("doc_id")),
+        "doc_id", trainRate = 0.8, valRate = 0.1)),
+
     // Source balancing: at most 10 docs per source, chosen by the
     // deterministic hash order — the absolute cap that stops one domain
     // flooding a pretraining mix (a RATE can't bound a hot source).
@@ -1835,6 +1842,13 @@ object SparkEntry {
 
     // Mirrors Sampling.stratified(en→0.5, de→0.25, default 0.1) on key
     // doc_id: same 60-bit md5-prefix bucket as the Md5Hash lane family.
+    "sample_split" ->
+      """SELECT doc_id,
+           CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < 800000 THEN 'train'
+                WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < 900000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
+
     // Same md5-bucket ordering as the sampler family; ties break on the
     // key, so the kept set replays exactly.
     "sample_source_cap" ->

@@ -75,6 +75,24 @@ object Sampling {
       .filter(hashBucket(col(key)) < col("threshold"))
   }
 
+  /** Deterministic train/val/test split: label each row by where its hash
+    * bucket falls in [0, trainRate·10⁶) / [.., +valRate·10⁶) / the rest.
+    * Same determinism contract as [[bernoulli]] — a row's split never
+    * changes across runs, clusters, or engines, which is what keeps a
+    * val set honest over months of dataset rebuilds. Row-local (no
+    * shuffle); rates are frozen into the plan. */
+  def split(df: DataFrame, key: String,
+            trainRate: Double, valRate: Double): DataFrame = {
+    require(trainRate >= 0 && valRate >= 0 && trainRate + valRate <= 1.0,
+      s"rates $trainRate/$valRate")
+    val t = math.round(trainRate * Scale)
+    val v = t + math.round(valRate * Scale)
+    df.withColumn("split",
+      when(hashBucket(col(key)) < t, "train")
+        .when(hashBucket(col(key)) < v, "val")
+        .otherwise("test"))
+  }
+
   /** Per-group cap — "source balancing": keep at most `cap` rows per group
     * (domain, crawl host, dump shard…), chosen by the same deterministic
     * hash order as [[bernoulli]] (the kept subset is stable across runs,
