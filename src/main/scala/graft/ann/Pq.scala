@@ -195,7 +195,10 @@ object Pq {
                 lloydIters: Int = 0, residual: Boolean = false): DataFrame = {
     val centroids = Ann.ivfCentroids(corpus, id, vec, nLists, lloydIters)
       .localCheckpoint()
-    val cells = Ann.assignCells(corpus, id, vec, centroids)
+    // cells is corpus-LENGTH but 16 B/row COMPACT (cid, centroid_id) —
+    // the shape that IS worth materializing (segment-dedup precedent):
+    // consumers would otherwise re-run the nLists× argmin expansion each
+    val cells = Ann.assignCells(corpus, id, vec, centroids).localCheckpoint()
     val probes = Ann.probeCells(queries, id, vec, centroids, nProbe)
     if (!residual) {
       val cb = codebooks(corpus, id, vec, m, dsub, ksub, lloydIters).localCheckpoint()

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join — the two-unbounded-inputs member of the
+  * join family (§2.9): each left event pairs with the right-stream rows
+  * carrying the same key whose timestamp falls in
+  * [leftTs, leftTs + window] (attribution, enrichment, request/response
+  * stitching).
+  *
+  * This is the ONLY join shape that survives two unbounded streams: the
+  * watermarks plus the range condition bound both sides' state — Spark
+  * can discard a buffered row the moment the opposite watermark passes
+  * the end of its join window, so state is O(rate × (window + lateness)),
+  * never O(stream). An equi-join without the range bound would buffer
+  * forever (Spark rejects it without watermark bounds for exactly that
+  * reason).
+  *
+  * Inner matches emit as soon as both sides arrive; the watermark governs
+  * state cleanup (and emission timing only for outer variants).
+  */
+object StreamJoin {
+
+  /** `left`/`right` must share ONLY the join key column name; all other
+    * columns pass through under their own names. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   window: String = "10 minutes",
+                   lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness)
+      .withColumnRenamed(key, "__rkey").alias("r")
+    l.join(r,
+        col(key) === col("__rkey") &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"))
+      .drop("__rkey")
+  }
+}

@@ -146,6 +146,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  case class Imp(ad_id: Long, its: Timestamp, slot: String)
+  case class Click(ad_id: Long, cts: Timestamp, cost: Double)
+
+  test("stream-stream interval join: click attributes within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      imps.toDF(), clicks.toDF(), "ad_id", "its", "cts",
+      window = "10 minutes", lateness = "5 minutes")
+    val query = joined
+      .select("ad_id", "slot", "cost")
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      imps.addData(
+        Imp(1L, t("2024-01-01 09:00:00"), "top"),
+        Imp(2L, t("2024-01-01 09:00:00"), "side"))
+      clicks.addData(
+        Click(1L, t("2024-01-01 09:05:00"), 0.5),  // in window → joins
+        Click(2L, t("2024-01-01 09:20:00"), 0.9),  // 20 min late → no
+        Click(3L, t("2024-01-01 09:01:00"), 0.7))  // no impression → no
+      query.processAllAvailable()
+      val rows = spark.table("attrib_out")
+        .as[(Long, String, Double)].collect().toSet
+      assert(rows == Set((1L, "top", 0.5)), s"got $rows")
+      // a second impression for ad 2 puts the late click in ITS window
+      imps.addData(Imp(2L, t("2024-01-01 09:15:00"), "footer"))
+      query.processAllAvailable()
+      val rows2 = spark.table("attrib_out")
+        .as[(Long, String, Double)].collect().toSet
+      assert(rows2 == Set((1L, "top", 0.5), (2L, "footer", 0.9)), s"got $rows2")
+    } finally query.stop()
+  }
+
   test("streaming corpus gate: dedup + row-local signals + keep verdict") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
