@@ -136,20 +136,30 @@ object Multimodal {
   }
 
   /** Streaming gunzip; malformed payloads are dropped (coerce-to-null
-    * engine rule, same stance as [[decodePpm]]). */
-  def gunzip(media: Dataset[PpmImage]): Dataset[PpmImage] = {
+    * engine rule, same stance as [[decodePpm]]). `maxBytes` caps the
+    * decompressed size per row: deflate expands up to ~1000:1, so without
+    * a cap a KB-sized bomb row would allocate GBs inside an executor —
+    * rows that blow the cap are dropped, not truncated (a truncated
+    * payload masquerading as valid is worse than an absent one). */
+  def gunzip(media: Dataset[PpmImage],
+             maxBytes: Int = 64 << 20): Dataset[PpmImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         try {
           val in = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(r.media))
-          val bos = new java.io.ByteArrayOutputStream(r.media.length * 2 + 64)
+          val bos = new java.io.ByteArrayOutputStream(
+            math.min(r.media.length * 2 + 64, maxBytes))
           val buf = new Array[Byte](8192)
           var n = in.read(buf)
-          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          var over = false
+          while (n >= 0 && !over) {
+            if (bos.size() + n > maxBytes) over = true
+            else { bos.write(buf, 0, n); n = in.read(buf) }
+          }
           in.close()
-          Some(PpmImage(r.id, bos.toByteArray))
+          if (over) None else Some(PpmImage(r.id, bos.toByteArray))
         } catch { case _: java.io.IOException => None }
       }
     }

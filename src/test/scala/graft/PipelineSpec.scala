@@ -216,6 +216,17 @@ class PipelineSpec extends SparkSpec {
     val junk = Seq(Multimodal.PpmImage(1L, "not gzip".getBytes),
       Multimodal.PpmImage(2L, Array[Byte](0x1f, 0x8b.toByte, 8, 0))).toDS()
     assert(Multimodal.gunzip(junk).collect().isEmpty)
+    // decompression bomb: 1 MB of zeros gzips to ~1 KB; with the output
+    // cap below the expansion, the row drops instead of allocating
+    val bombSrc = new Array[Byte](1 << 20)
+    val packedBomb = Multimodal.gzip(
+      Seq(Multimodal.PpmImage(9L, bombSrc)).toDS()).collect().head
+    assert(packedBomb.media.length < 16384, "gzip of zeros should be tiny")
+    assert(Multimodal.gunzip(Seq(packedBomb).toDS(), maxBytes = 1 << 16)
+      .collect().isEmpty, "over-cap payload must drop")
+    // and with an adequate cap the same payload round-trips
+    assert(Multimodal.gunzip(Seq(packedBomb).toDS(), maxBytes = 1 << 21)
+      .collect().head.media.length == (1 << 20))
   }
 
   test("PNG codec: deflate+filters round-trip, CRC validation, junk dropped") {

@@ -114,6 +114,21 @@ class PqSpec extends SparkSpec {
     assert(run(res = true) == resid, "residual lane must be deterministic")
   }
 
+  test("full probe (nProbe = nLists) collapses IVF-PQ to the exhaustive scan") {
+    // probing every cell makes the eligibility filter a no-op, so the
+    // composed index must return EXACTLY pqTopK's rows — same neighbors,
+    // same scores, same ranks. Catches any bug where the cells/probes
+    // plumbing drops or duplicates (query, row) pairs.
+    val queries = embs.filter(col("vec_id") < 10)
+    val full = Pq.ivfPqTopK(embs, queries, "vec_id", "embedding", 5,
+        nLists = 16, nProbe = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val scan = Pq.pqTopK(embs, queries, "vec_id", "embedding", 5,
+        m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(full == scan)
+  }
+
   test("plan: codebooks ride broadcast joins; corpus never sort-merge-joins") {
     val queries = embs.filter(col("vec_id") < 10)
     val plan = Pq.pqTopK(embs, queries, "vec_id", "embedding", 5,
