@@ -100,6 +100,16 @@ object SparkEntry {
       Projections.routedSplit(TestData(s, dir).lineitem, routes)("market")
     }),
 
+    // Wide→long unpivot (pandas melt): OHLC columns to (field, value)
+    // rows — builtin Dataset.unpivot (a Generate, row-local, no shuffle).
+    "p4_unpivot" -> ((s, dir) => {
+      TestData(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_quantity")),
+          "field", "value")
+    }),
+
     // F6 column reorder/ensure with typed-null backfill (pandas reindex).
     "f6_reindex" -> ((s, dir) => {
       Projections.reindexColumns(
@@ -1308,6 +1318,13 @@ object SparkEntry {
     "p2_routed_split" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS money, l_quantity AS volume
          FROM lineitem""",
+
+    "p4_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS field,
+                l_extendedprice AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_quantity' AS field,
+                l_quantity AS value FROM lineitem""",
 
     "f6_reindex" ->
       """SELECT o_orderkey, o_totalprice,
