@@ -165,11 +165,14 @@ object Ann {
     * indexes ([[Pq.ivfPqTopK]]) share the exact cell structure [[ivfTopK]]
     * probes. */
   def ivfCentroids(corpus: DataFrame, id: String, vec: String, nLists: Int,
-                   lloydIters: Int = 0, foldCentroids: Boolean = false): DataFrame = {
+                   lloydIters: Int = 0, foldCentroids: Boolean = false,
+                   knownN: Option[Long] = None): DataFrame = {
     val cos: (Column, Column) => Column =
       if (foldCentroids) cosineFold else cosine
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
-    val n = c.count()
+    // knownN lets composed indexes (Pq.ivfPqTopK) count the corpus ONCE and
+    // share it across every stride derivation instead of one job per caller
+    val n = knownN.getOrElse(Pq.taggedCount(c, "graft count: ivf centroid stride"))
     val stride = math.max(1L, n / nLists)
     // deterministic seed set: ids ≡ 0 (mod stride) AND id < stride·nLists —
     // a value predicate, so the pick cannot depend on partition arrival

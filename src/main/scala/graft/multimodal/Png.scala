@@ -161,7 +161,11 @@ object Png {
             var done = false
             while (!done && !bad && i + 12 <= b.length) {
               val len = be32(b, i).toInt
-              if (len < 0 || i + 12 + len > b.length) bad = true
+              // Overflow-safe bounds check: `i + 12 + len > b.length` wraps
+              // negative for forged len near 2³¹ and would pass; rewrite so
+              // both operands are non-negative (loop invariant guarantees
+              // b.length - i - 12 >= 0).
+              if (len < 0 || len > b.length - i - 12) bad = true
               else {
                 val typ = new String(b, i + 4, 4,
                   java.nio.charset.StandardCharsets.US_ASCII)
@@ -204,9 +208,13 @@ object Png {
               var off = 0
               while (off < expected && !infl.finished()) {
                 val n = infl.inflate(scan, off, expected - off)
-                if (n == 0 && infl.needsInput()) off = -1 // truncated stream
-                else if (off >= 0) off += n
-                if (off < 0) { infl.end(); throw new java.io.IOException("short") }
+                // All input was set up front, so n == 0 while unfinished
+                // means the stream is truncated (needsInput) or stalled on a
+                // preset dictionary (FDICT header → needsDictionary, which
+                // would otherwise spin this loop forever). Malformed either
+                // way: drop the row.
+                if (n == 0) { infl.end(); throw new java.io.IOException("stalled") }
+                off += n
               }
               val extra = !infl.finished() && infl.inflate(new Array[Byte](1)) > 0
               infl.end()
@@ -258,8 +266,10 @@ object Png {
             }
           }
         } catch {
-          case _: java.io.IOException => None
-          case _: java.util.zip.DataFormatException => None
+          // NonFatal, not just IO/DataFormat: a malformed payload must drop
+          // its own row (coerce-to-null rule), never fail the task — e.g. an
+          // ArrayIndexOutOfBounds from a corrupt offset is still one bad row.
+          case scala.util.control.NonFatal(_) => None
         }
       }
     }

@@ -283,6 +283,43 @@ class PipelineSpec extends SparkSpec {
       decoded.mkString(","))
   }
 
+  test("PNG adversarial: 2^31 chunk length and FDICT stream drop, not hang/crash") {
+    import graft.multimodal.Png
+    val sig = Png.syntheticPng(spark.range(7, 8).as[Long]).collect().head.media.take(8)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      be32(data.length.toLong) ++ tb ++ data ++ be32(crc.getValue)
+    }
+    // (a) forged chunk length 0x7FFFFFF0: `i + 12 + len` wraps negative, so a
+    // naive bounds check passes and crc.update walks off the array → AIOOBE
+    // kills the task. Must instead drop the row.
+    val forgedLen = sig ++ be32(0x7FFFFFF0L) ++ "IDAT".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    // (b) CRC-valid container whose IDAT is a zlib stream with FDICT set
+    // (0x78 0x20 header passes the %31 check): Inflater.inflate returns 0
+    // with needsDictionary()=true and needsInput()=false — a loop that only
+    // exits on needsInput spins forever. Must drop, promptly.
+    val fdictIdat = Array[Byte](0x78, 0x20) ++ be32(0xDEADBEEFL) ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val fdict = sig ++
+      chunk("IHDR", be32(4L) ++ be32(4L) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", fdictIdat) ++
+      chunk("IEND", Array.emptyByteArray)
+    val fut = scala.concurrent.Future {
+      Png.decodePng(Seq(
+        Png.PngImage(1L, forgedLen),
+        Png.PngImage(2L, fdict)).toDS()).collect()
+    }(scala.concurrent.ExecutionContext.global)
+    val out = scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration(60, "s"))
+    assert(out.isEmpty, s"adversarial PNGs must drop, got ${out.mkString(",")}")
+  }
+
   test("WAV decoder round-trips RIFF bytes, walks extra chunks, drops junk") {
     val ids = spark.range(0, 20).as[Long]
     val feats = Multimodal.decodeWav(Multimodal.syntheticWav(ids)).collect()
