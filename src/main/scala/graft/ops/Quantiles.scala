@@ -41,4 +41,41 @@ object Quantiles {
     df.groupBy(group).agg(
       count(lit(1)).as("n"),
       approx_percentile(col(value), array(ps.map(lit): _*), lit(accuracy)).as("qs"))
+
+  /** CORRECTNESS gate for the sketch lane: per (group, percentile), does the
+    * approx answer's TRUE rank interval intersect the nearest-rank target
+    * ±ε·n? Output (group, p_label, n, within) — the BOOLEAN bound check, not
+    * the estimate, is what the oracle replays (`TRUE` per row), so the gate
+    * is hash-stable across engines yet fails loudly the moment the sketch
+    * violates its rank-error guarantee (error ≤ n/accuracy; the check grants
+    * 2× slack, min 1 rank, to absorb the target-definition offset at tiny n).
+    *
+    * Plan shape at scale: the sketch agg is one partial-aggregated shuffle
+    * of constant state per group; the verification join broadcasts the tiny
+    * (groups × ps) answer frame back over one more scan + one compact agg
+    * shuffle — the verification is strictly cheaper than the exact lane's
+    * full per-group sort, and only the gate pays it. */
+  def approxRankCheck(df: DataFrame, group: String, value: String,
+                      ps: Seq[Double], accuracy: Int = 1000): DataFrame = {
+    val raw = df.select(col(group).as("g"), col(value).as("v"))
+    val labels = array(ps.map(p => lit(s"p${(p * 100).round}")): _*)
+    val pArr = array(ps.map(lit): _*)
+    val perP = approx(raw, "g", "v", ps, accuracy)
+      .select(col("g"), col("n"), posexplode(col("qs")).as(Seq("pi", "qv")))
+      .withColumn("p", element_at(pArr, col("pi") + 1))
+      .withColumn("p_label", element_at(labels, col("pi") + 1))
+    val ranks = raw.join(broadcast(perP), "g")
+      .groupBy("g", "p_label", "p", "n", "qv")
+      .agg(sum(when(col("v") < col("qv"), 1L).otherwise(0L)).as("below"),
+        sum(when(col("v") <= col("qv"), 1L).otherwise(0L)).as("at_or_below"))
+    // the answer's rank span is [below+1, at_or_below]; the target window is
+    // [target-eps, target+eps] with target = ceil(p·n) (nearest-rank, same
+    // definition as exactDisc)
+    val eps = greatest(lit(1L),
+      ceil(col("n") * lit(2.0) / lit(accuracy)).cast("long"))
+    val target = ceil(col("n").cast("double") * col("p")).cast("long")
+    ranks.select(col("g").as(group), col("p_label"), col("n"),
+      (col("below") + lit(1L) <= target + eps &&
+        col("at_or_below") >= target - eps).as("within"))
+  }
 }
