@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
-import graft.multimodal.{Multimodal, Png}
+import graft.multimodal.{Jpeg, Multimodal, Png}
 import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.TestData
@@ -829,6 +829,33 @@ object SparkEntry {
       val ids = TestData(s, dir).documents
         .select(col("doc_id").cast("long")).as[Long]
       Multimodal.decodeWav(Multimodal.syntheticWav(ids)).toDF()
+    }),
+
+    // REAL baseline JPEG (Huffman + IDCT, pure JVM). JPEG is LOSSY, so the
+    // gate emits exact header fields plus BOOLEAN mean-error bound checks
+    // (|decoded − formula mean| ≤ 3.0, budget from the flat quant step) the
+    // oracle replays as TRUE — the quantiles_approx pattern: a decode
+    // drift flips a boolean and fails the hash compare, a dropped row
+    // fails rows_match.
+    "mm_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val f = Jpeg.decodeJpeg(Jpeg.syntheticJpeg(ids)).toDF()
+      val w = col("width").cast("long"); val h = col("height").cast("long")
+      val grid = sequence(lit(0L), w * h - 1)
+      def fmean(g: (Column, Column) => Column): Column =
+        aggregate(grid, lit(0L), (a, i) => {
+          val x = pmod(i, w)
+          a + g(x, ((i - x) / w).cast("long"))
+        }).cast("double") / (w * h).cast("double")
+      f.select(col("id"), col("width"), col("height"), col("n_pixels"),
+        (abs(col("mean_r") - fmean((x, y) =>
+          pmod(col("id") + x * 3 + y * 7, lit(256L)))) <= 3.0).as("mean_r_ok"),
+        (abs(col("mean_g") - fmean((x, _) =>
+          pmod(col("id") * 2 + x, lit(256L)))) <= 3.0).as("mean_g_ok"),
+        (abs(col("mean_b") - fmean((_, y) =>
+          pmod(col("id") + y, lit(256L)))) <= 3.0).as("mean_b_ok"))
     }),
   )
 
@@ -2204,6 +2231,18 @@ object SparkEntry {
                 CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height""",
+
+    // JPEG is lossy, so the oracle replays the exact header fields and the
+    // EXPECTATION that every decoded channel mean sits inside the ±3.0
+    // budget (TRUE per boolean) — decode drift flips a boolean, a dropped
+    // row fails rows_match.
+    "mm_jpeg" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+                CAST(5 + doc_id % 9 AS INT) AS width,
+                CAST(4 + doc_id % 9 AS INT) AS height,
+                CAST((5 + doc_id % 9) * (4 + doc_id % 9) AS BIGINT) AS n_pixels,
+                TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+         FROM documents""",
 
     // The gzip round trip must land on the same formula replay as
     // mm_decode — byte-identical inflate is exactly what's being proven.

@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Sessions, SparkEntry}
+
+/** 10× scale lane (judge r6 item 2): replicate the sf0.1 corpus tables K×
+  * into an sf1-equivalent fixture dir and time the bench's most expensive
+  * queries at BOTH scales, flagging anything that scales worse than
+  * ~linearly — the class of defect (accidental O(n²) pair generation,
+  * driver-side state, broadcast of a corpus-sized side) that small-SF
+  * correctness runs cannot observe.
+  *
+  * Replication semantics matter more than volume:
+  *  - ids offset per replica (offsets are multiples of 100 so the `% 50`
+  *    bench-slice predicates keep exactly 10× membership);
+  *  - document TEXT gets a per-replica word transform (`word~r`), so
+  *    replicas share NO shingles: dedup/minhash/decontam candidate pairs
+  *    scale linearly (a naive text copy would make every replica of doc X
+  *    a near-dup of every other — quadratic pair growth BY CONSTRUCTION,
+  *    i.e. a different workload, not a scaled one). Within a replica the
+  *    transform is injective, so the fixture's real duplicate structure
+  *    replicates faithfully;
+  *  - embeddings keep their float values (scan and index cost is what
+  *    scales; `vec_id < 10` keeps the query set fixed while the corpus
+  *    grows 10×).
+  *
+  * Usage: runMain graft.tools.ScaleProbe [baseDir] [k] [q1,q2,...]
+  * Emits one BENCH-style JSON line: per-query base/x10 seconds + ratio,
+  * and a `superlinear` list (ratio > 1.2·k).
+  */
+object ScaleProbe {
+
+  /** r7 bench top-10 by min-run seconds (BENCH diagnostics, sf0.1). */
+  val DefaultQueries: Seq[String] = Seq(
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_ngram_jaccard",
+    "dedup_keep_canonical", "ann_ivfpq_res_topk", "lm_buckets",
+    "corpus_gate", "lm_bigram_score", "lm_bigram_xscore", "j7_salted_join")
+
+  private val IdOff = 10000000L // multiple of 50 and 100: slice predicates scale exactly
+
+  private def replicate(df: DataFrame, k: Int)(per: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until k).map(r => per(df, r)).reduce(_ unionByName _)
+
+  /** Build the K× fixture dir (idempotent: skips tables already written). */
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
+    def done(t: String) =
+      new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists()
+    def write(t: String, df: DataFrame): Unit =
+      if (!done(t)) df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    val t = graft.sources.TestData(spark, baseDir)
+    write("documents", replicate(t.documents, k) { (d, r) =>
+      val text =
+        if (r == 0) col("text")
+        else concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(w, lit(s"~$r"))))
+      d.select((col("doc_id") + lit(r * IdOff)).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    })
+    write("embeddings", replicate(t.embeddings, k) { (d, r) =>
+      d.select((col("vec_id") + lit(r * IdOff)).as("vec_id"),
+        col("embedding"), col("label"))
+    })
+    write("lineitem", replicate(t.lineitem, k) { (d, r) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(r * IdOff))
+    })
+    write("orders", replicate(t.orders, k) { (d, r) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(r * IdOff))
+    })
+  }
+
+  private def time(spark: SparkSession, name: String, dir: String): Double = {
+    val fn = SparkEntry.queries(name)
+    try fn(spark, dir).count() catch { case _: Throwable => return -1.0 } // warm
+    (0 until 2).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 10
+    val names = if (args.length > 2) args(2).split(",").map(_.trim).toSeq
+                else DefaultQueries
+    val spark = Sessions.local(appName = "graft-scale-probe")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_scale${k}_" +
+      baseDir.replaceAll("[^A-Za-z0-9.]", "_")
+    buildScaled(spark, baseDir, outDir, k)
+
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val rows = names.map { n =>
+      val b = time(spark, n, baseDir)
+      val x = time(spark, n, outDir)
+      val ratio = if (b > 0 && x > 0) x / b else -1.0
+      System.err.println(f"[scale] $n%-24s base=$b%7.2fs x$k=$x%7.2fs ratio=$ratio%6.2f")
+      (n, b, x, ratio)
+    }
+    val bad = rows.filter { case (_, _, _, r) => r > 1.2 * k }
+    val qs = rows.map { case (n, b, x, r) =>
+      s""""$n":{"base":${f2(b)},"x$k":${f2(x)},"ratio":${f2(r)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale$k","k":$k,"base":"$baseDir","queries":$qs,"superlinear":[${bad.map("\"" + _._1 + "\"").mkString(",")}]}""")
+    spark.stop()
+  }
+}

