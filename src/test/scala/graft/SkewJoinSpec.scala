@@ -74,6 +74,32 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("measured reducer-load caps: salted/split treatments flatten a 30% hot key") {
+    // tools/SkewProbe at spec scale — the PERF claim of saltedJoin /
+    // skewSplitJoin (per-reducer load cap), measured on real shuffles, not
+    // modeled. Deterministic: content-derived salts, no rand().
+    import graft.tools.SkewProbe
+    val n = 400000L; val nPart = 16; val ideal = n.toDouble / nPart
+    val large = SkewProbe.skewedLarge(spark, n, nKeys = 200, hotShare = 0.30)
+      .localCheckpoint()
+    val plainMax = SkewProbe.partitionLoads(large, nPart, Seq("k")).max
+    assert(plainMax >= (0.30 * n).toLong, // untreated: hot key → ONE reducer
+      s"hot reducer got $plainMax rows, expected the whole 30% hot mass")
+    val saltedDf = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(64L)))
+    val saltedMax = SkewProbe.partitionLoads(saltedDf, nPart, Seq("k", "__salt")).max
+    assert(saltedMax <= (2.0 * ideal).toLong,
+      s"salted max reducer load $saltedMax exceeds 2x ideal ($ideal)")
+    assert(saltedMax < plainMax / 2, "salting should at least halve the hot reducer")
+    val hot = Joins.hotKeys(large, Seq("k"), (ideal * 2).toLong)
+    val tail = large.join(broadcast(hot), Seq("k"), "left_anti").localCheckpoint()
+    val hotMass = n - tail.count()
+    assert(hotMass >= (0.30 * n).toLong, "hot-key detection missed the hot mass")
+    val tailMax = SkewProbe.partitionLoads(tail, nPart, Seq("k")).max
+    assert(tailMax <= (2.0 * ideal).toLong,
+      s"split-join tail max reducer load $tailMax exceeds 2x ideal ($ideal)")
+  }
+
   test("binnedRangeJoin: result ≡ naive BETWEEN join; pairs meet exactly once") {
     // intervals deliberately span 0, 1, 2 and 3 bins at bin=10; points sit
     // on bin edges, interval endpoints (inclusive both ends), and gaps
