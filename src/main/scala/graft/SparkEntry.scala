@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
-import graft.multimodal.{Jpeg, Multimodal, Png}
+import graft.multimodal.{Flac, Jpeg, Multimodal, Png}
 import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.TestData
@@ -546,6 +546,94 @@ object SparkEntry {
         .select("user_id", "left_id", "right_id")
     }),
 
+    // Streaming OHLCV bar builder, oracle-checked: ticks derived from the
+    // events fixture (integer-valued px/qty, so every sum is exact in
+    // double regardless of fold order) stream through the REAL windowed
+    // aggregation — watermark, append-mode state store, no-data-batch
+    // flush. Append mode only emits windows the final watermark has passed
+    // (watermark = max event-time ms − 601 s), so the oracle replays the
+    // same emission cutoff; the last ~10 min of bars stay in state, which
+    // is exactly the production semantics.
+    "stream_bars" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
+        .withColumnRenamed("ts", "ts_ns")
+      val ticks = ev.select(
+        concat(lit("S"), col("user_id") % 20).as("symbol"),
+        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"),
+        ((col("event_id") * 37) % 10000).cast("double").as("px"),
+        ((col("event_id") % 100) + 1).cast("double").as("qty"),
+        col("event_id").as("seq"))
+      graft.streaming.Replay.toBatch(
+        graft.streaming.BarBuilder.bars(ticks, "1 hour", "601 seconds",
+          seqCol = Some("seq")), "bars")
+        .select(col("symbol"), unix_micros(col("bar_start")).as("bar_start_us"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("money"), col("n_ticks"))
+    }),
+
+    // Streaming gap sessionizer (flatMapGroupsWithState custom state),
+    // oracle-checked: sessions CLOSED by a later event emit from the data
+    // batch; each user's final open session emits only if the event-time
+    // timeout fired (last_ms + gap behind the final watermark) — the
+    // oracle replays the same per-user cutoff. session_value replays the
+    // operator's sequential fold in (ms, value) order.
+    "stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
+        .withColumnRenamed("ts", "ts_ns")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts_ns DIV 1000")).as("ts"), col("value"))
+        .withWatermark("ts", "601 seconds")
+        .as[graft.streaming.StreamSessionizer.Event]
+      graft.streaming.Replay.toBatch(
+        graft.streaming.StreamSessionizer.sessions(ev, gapMs = 30L * 60 * 1000)
+          .toDF(), "sessions")
+    }),
+
+    // Streaming ingest dedup (dropDuplicatesWithinWatermark), isolated from
+    // the corpus gate: emitted columns are content-derived only, so the
+    // arrival-order-dependent survivor cannot leak into the compare.
+    "stream_dedup" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/documents.parquet"))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      graft.streaming.Replay.toBatch(
+        graft.streaming.StreamDedup.dropRedelivered(docs, "text", "ts"),
+        "dedup")
+        .select("content_hash", "content_len")
+    }),
+
+    // Incremental refresh ≡ full recompute (the lambda-equivalence claim,
+    // download_efficient.py:228-229): bars built from data before a
+    // NON-hour-aligned cutoff (so the boundary bar is stale/partial),
+    // upserted with a full recompute of the cutoff hour onward — last-wins
+    // prefers fresh — must equal bars over all data, which is what the
+    // oracle computes. Same tick derivation as stream_bars, batch mode
+    // (EliminateEventTimeWatermark drops the watermark on batch plans).
+    "stream_incr_refresh" -> ((s, dir) => {
+      val ticks = TestData(s, dir).events.select(
+        concat(lit("S"), col("user_id") % 20).as("symbol"),
+        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"),
+        ((col("event_id") * 37) % 10000).cast("double").as("px"),
+        ((col("event_id") % 100) + 1).cast("double").as("qty"),
+        col("event_id").as("seq"))
+      def brs(t: DataFrame) =
+        graft.streaming.BarBuilder.bars(t, "1 hour", "601 seconds", Some("seq"))
+      val cutUs = 1705708800000000L + 1800000000L // 2024-01-20 00:30 UTC
+      val hourUs = 1705708800000000L              // cutoff's hour start
+      val existing = brs(ticks.filter(unix_micros(col("ts")) < cutUs))
+      val fresh = brs(ticks.filter(unix_micros(col("ts")) >= hourUs))
+      graft.streaming.BarBuilder.incrementalRefresh(existing, fresh)
+        .select(col("symbol"), unix_micros(col("bar_start")).as("bar_start_us"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("money"), col("n_ticks"))
+    }),
+
     // Token-budget mixture: per-language budgets, rates derived from the
     // actual per-language token totals inside the plan (es capped at
     // keep-all, fr absent -> dropped).
@@ -829,6 +917,16 @@ object SparkEntry {
       val ids = TestData(s, dir).documents
         .select(col("doc_id").cast("long")).as[Long]
       Multimodal.decodeWav(Multimodal.syntheticWav(ids)).toDF()
+    }),
+
+    // REAL FLAC (rice-coded fixed/LPC prediction, CRC-8/16, pure JVM).
+    // Lossless: the oracle replays the generation formula exactly — one
+    // flipped bit anywhere in the encode→decode round trip fails the hash.
+    "mm_flac" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Flac.decodeFlac(Flac.syntheticFlac(ids)).toDF()
     }),
 
     // REAL baseline JPEG (Huffman + IDCT, pure JVM). JPEG is LOSSY, so the
@@ -1942,6 +2040,89 @@ object SparkEntry {
            AND r.us BETWEEN l.us AND l.us + 600000000
          WHERE l.event_id % 100 = 0""",
 
+    // Streaming bar builder: batch OHLCV over the same derived ticks,
+    // filtered to windows the final watermark passed (append-mode emission:
+    // watermark ms = floor(max event-time µs / 1000) − 601000; a window
+    // emits when its end ≤ watermark). Integer-valued px/qty make every
+    // sum order-free exact; open/close replay min_by/max_by(ts, seq) via
+    // unique-(tus, seq) row_number.
+    "stream_bars" ->
+      """WITH t AS (SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS symbol,
+                  epoch_ns(ts) // 1000 AS tus,
+                  CAST((event_id * 37) % 10000 AS DOUBLE) AS px,
+                  CAST(event_id % 100 + 1 AS DOUBLE) AS qty,
+                  event_id AS seq
+           FROM events),
+         b AS (SELECT *, (tus // 3600000000) * 3600000000 AS bar_start_us FROM t),
+         r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY symbol, bar_start_us ORDER BY tus, seq) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY symbol, bar_start_us ORDER BY tus DESC, seq DESC) AS rd
+               FROM b),
+         g AS (SELECT symbol, bar_start_us,
+                 MAX(CASE WHEN ra = 1 THEN px END) AS open,
+                 MAX(px) AS high, MIN(px) AS low,
+                 MAX(CASE WHEN rd = 1 THEN px END) AS close,
+                 SUM(qty) AS volume, SUM(px * qty) AS money,
+                 CAST(COUNT(*) AS BIGINT) AS n_ticks
+               FROM r GROUP BY symbol, bar_start_us),
+         wm AS (SELECT (MAX(epoch_ns(ts) // 1000000) - 601000) * 1000 AS wm_us FROM events)
+         SELECT symbol, bar_start_us, open, high, low, close, volume, money, n_ticks
+         FROM g, wm WHERE bar_start_us + 3600000000 <= wm_us""",
+
+    // Streaming sessionizer: the batch gap-sessionization (same strict->
+    // gap, ms precision) with the one-batch emission rule — every session
+    // except each user's last, plus the last iff its event-time timeout
+    // (end + gap) fell strictly behind the final watermark. session_value
+    // replays the operator's sequential (ms, value)-ordered fold.
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS tms, value FROM events),
+         m AS (SELECT *, CASE WHEN tms - LAG(tms) OVER w > 1800000
+                        OR LAG(tms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, value)),
+         s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+               FROM m),
+         g AS (SELECT user_id, sid, MIN(tms) AS start_ms, MAX(tms) AS end_ms,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 list_reduce([CAST(0 AS DOUBLE)] || list(value ORDER BY tms, value),
+                   (p, q) -> p + q) AS session_value
+               FROM s GROUP BY user_id, sid),
+         wm AS (SELECT MAX(epoch_ns(ts) // 1000000) - 601000 AS wm_ms FROM events),
+         lastg AS (SELECT user_id, MAX(end_ms) AS last_end FROM g GROUP BY user_id)
+         SELECT g.user_id, g.start_ms, g.end_ms, g.n_events, g.session_value
+         FROM g JOIN lastg USING (user_id), wm
+         WHERE g.end_ms < lastg.last_end OR g.end_ms + 1800000 < wm.wm_ms""",
+
+    // Streaming ingest dedup ≡ DISTINCT on the content key (one-batch
+    // replay: nothing is late, first arrival of each key emits).
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_hash,
+                CAST(length(text) AS BIGINT) AS content_len
+         FROM documents""",
+
+    // Incremental refresh ≡ full recompute: the oracle IS the full-data
+    // bar build — no emission filter, no cutoff. Any stale boundary bar
+    // the upsert failed to replace diverges here.
+    "stream_incr_refresh" ->
+      """WITH t AS (SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS symbol,
+                  epoch_ns(ts) // 1000 AS tus,
+                  CAST((event_id * 37) % 10000 AS DOUBLE) AS px,
+                  CAST(event_id % 100 + 1 AS DOUBLE) AS qty,
+                  event_id AS seq
+           FROM events),
+         b AS (SELECT *, (tus // 3600000000) * 3600000000 AS bar_start_us FROM t),
+         r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY symbol, bar_start_us ORDER BY tus, seq) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY symbol, bar_start_us ORDER BY tus DESC, seq DESC) AS rd
+               FROM b)
+         SELECT symbol, bar_start_us,
+                MAX(CASE WHEN ra = 1 THEN px END) AS open,
+                MAX(px) AS high, MIN(px) AS low,
+                MAX(CASE WHEN rd = 1 THEN px END) AS close,
+                SUM(qty) AS volume, SUM(px * qty) AS money,
+                CAST(COUNT(*) AS BIGINT) AS n_ticks
+         FROM r GROUP BY symbol, bar_start_us""",
+
     // Mirrors Sampling.tokenBudgetMixture(en 4000, de 2000, es 10000000,
     // zh 1000): integer-division thresholds from in-plan token totals, the
     // md5-prefix bucket membership of sample_stratified.
@@ -2259,6 +2440,21 @@ object SparkEntry {
                 CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height""",
+
+    // Replays the same generation formula as mm_wav — FLAC is lossless,
+    // so the Spark side must round-trip rice-coded prediction residuals
+    // and both CRCs bit-perfectly to reproduce these numbers.
+    "mm_flac" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+                      CAST(64 + doc_id % 57 AS BIGINT) AS n
+                    FROM documents),
+         sm AS (SELECT id, sample_rate, (id*31 + j*17) % 4096 - 2048 AS s
+                FROM d, unnest(range(0, n)) AS t(j))
+         SELECT id, sample_rate, COUNT(*) AS n_samples,
+                CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_amp,
+                MAX(ABS(s)) AS peak_amp
+         FROM sm GROUP BY id, sample_rate""",
 
     // Replays Multimodal.syntheticWav's generation formula — the Spark
     // side must round-trip real RIFF bytes to reproduce these numbers.

@@ -198,6 +198,61 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("FLAC property: decode∘encode reproduces arbitrary PCM bit-exactly") {
+    import graft.multimodal.Flac
+    val rnd = new scala.util.Random(1234)
+    // lengths spanning 1 frame, exact multiples of the 48-sample block, and
+    // ragged tails; full 16-bit sample range (worst-case rice residuals)
+    val clips = (0 until 20).map { i =>
+      val n = 1 + rnd.nextInt(300)
+      (i.toLong, Array.fill(n)(rnd.nextInt(65536) - 32768))
+    }
+    for (escape <- Seq(false, true)) {
+      val ds = clips.map { case (id, s) =>
+        Flac.FlacAudio(id, Flac.encode(s, 16000, blockSize = 48, escape)) }.toDS()
+      val out = Flac.decodeFlac(ds).collect().map(f => f.id -> f).toMap
+      assert(out.size == clips.size, s"escape=$escape dropped rows")
+      clips.foreach { case (id, s) =>
+        val f = out(id)
+        assert(f.n_samples == s.length && f.sample_rate == 16000)
+        assert(f.peak_amp == s.map(v => math.abs(v.toLong)).max, s"id=$id peak")
+        assert(f.mean_amp == s.map(_.toLong).sum.toDouble / s.length,
+          s"id=$id mean (escape=$escape)")
+      }
+    }
+  }
+
+  test("FLAC codec: real container, CRC validation, malformed dropped") {
+    import graft.multimodal.Flac
+    val ids = spark.range(1, 21).as[Long]
+    val feats = Flac.decodeFlac(Flac.syntheticFlac(ids)).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      val n = (64 + f.id % 57).toInt
+      val samples = (0 until n).map(j => ((f.id * 31 + j * 17) % 4096) - 2048)
+      assert(f.sample_rate == (8000 + (f.id % 4) * 4000).toInt && f.n_samples == n)
+      assert(f.mean_amp == samples.sum.toDouble / n && f.peak_amp == samples.map(math.abs).max,
+        s"id=${f.id} decoded features diverge from the generation formula")
+    }
+    val one = Flac.syntheticFlac(spark.range(7, 8).as[Long]).collect().head
+    assert(new String(one.media, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) == "fLaC")
+    // frame CRC protection: flipping one payload byte must drop the row,
+    // not return wrong samples
+    val corrupt = one.media.clone()
+    corrupt(corrupt.length - 20) = (corrupt(corrupt.length - 20) ^ 0x40).toByte
+    // forged 24-bit metadata length pointing past the buffer
+    val forged = one.media.clone()
+    forged(5) = 0x7f.toByte; forged(6) = 0xff.toByte
+    val bad = Seq(
+      Flac.FlacAudio(1L, corrupt),
+      Flac.FlacAudio(2L, "definitely not flac".getBytes),
+      Flac.FlacAudio(3L, one.media.take(40)),   // truncated mid-STREAMINFO
+      Flac.FlacAudio(4L, forged),
+      Flac.FlacAudio(5L, one.media.dropRight(3)) // truncated mid-frame
+    ).toDS()
+    assert(Flac.decodeFlac(bad).collect().isEmpty)
+  }
+
   test("gzip lane: RFC-1952 container, byte-exact inflate, junk dropped") {
     val ids = spark.range(1, 21).as[Long]
     val plain = Multimodal.syntheticPpm(ids).collect().map(p => p.id -> p.media).toMap
