@@ -472,6 +472,14 @@ object SparkEntry {
         "gram", width = 4096, depth = 3, family = Dedup.Md5Hash)
     }),
 
+    // HLL++ cardinality: bounded-register distinct counts per group — the
+    // cardinality twin of the CM sketch. Bound-check gate pattern: the
+    // oracle replays the exact count and TRUE; a sketch answer outside 10%
+    // relative error flips the boolean and fails the hash compare.
+    "hll_distinct" -> ((s, dir) =>
+      Sketches.hllBoundCheck(TestData(s, dir).lineitem,
+        Seq("l_returnflag"), "l_partkey")),
+
     // C4-style segment dedup: disjoint 8-token windows, global
     // first-occurrence keep, docs rebuilt from surviving segments.
     "dedup_segments" -> ((s, dir) =>
@@ -796,6 +804,13 @@ object SparkEntry {
     // Embedding cosine near-dup within label blocks.
     "emb_near_dup" -> ((s, dir) =>
       Ann.nearDupPairs(TestData(s, dir).embeddings, "vec_id", "embedding", "label", 0.4)),
+
+    // SemDeDup: IVF-cell-blocked semantic dedup — within each seeded
+    // k-means cell, vectors with a lower-id near-dup at cosine >= 0.5 are
+    // dropped. One keep verdict per vector.
+    "semdedup" -> ((s, dir) =>
+      Ann.semanticDedup(TestData(s, dir).embeddings, "vec_id", "embedding",
+        nLists = 16, threshold = 0.5)),
 
     // Self-contained embedding near-dup: LSH-signature blocks with a
     // capped-bucket guard (no caller-supplied block key).
@@ -1823,6 +1838,14 @@ object SparkEntry {
     "decontam_bloom" -> bloomDecontamOracle,
     "cms_ngram_counts" -> cmsOracle,
 
+    // HLL++ bound check: exact cardinality + the expectation the sketch
+    // landed inside the tolerance (quantiles_approx pattern).
+    "hll_distinct" ->
+      """SELECT l_returnflag,
+                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+                TRUE AS within_bound
+         FROM lineitem GROUP BY l_returnflag""",
+
     "decontam_ngram" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
                     FROM documents),
@@ -2502,6 +2525,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minHashLshOracle,
     "dedup_simhash" -> simHashOracle,
     "ann_ivf0_topk" -> ivf0Oracle,
+    "semdedup" -> semDedupOracle,
     "ann_pq_topk" -> pqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_ivfpq_res_topk" -> ivfPqResOracle,
@@ -2764,6 +2788,30 @@ object SparkEntry {
                       ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
           FROM scored)
         WHERE rank <= 5"""
+
+  /** Replays Ann.semanticDedup(nLists=16, threshold=0.5, maxCell=10000,
+    * lloydIters=0): [[ivf0Oracle]]'s seed centroids + cell assignment, the
+    * cell-size gate, within-cell lower-id near-dup pairs at ROUND(cos,6)
+    * >= 0.5, then the keep verdict per vector. */
+  private lazy val semDedupOracle: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM c),
+        cent AS (SELECT cid AS centroid_id, cv AS centroid FROM c, par
+                 WHERE cid % stride = 0 AND cid < stride * 16),
+        assign AS (SELECT cid, centroid_id FROM (
+            SELECT c.cid, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                     ORDER BY -${cosSql("c.cv", "cent.centroid")} ASC, cent.centroid_id ASC) AS rn
+            FROM c CROSS JOIN cent) WHERE rn = 1),
+        okc AS (SELECT centroid_id FROM assign GROUP BY centroid_id
+                HAVING COUNT(*) BETWEEN 2 AND 10000),
+        v AS (SELECT a.centroid_id, c.cid, c.cv
+              FROM assign a JOIN c ON a.cid = c.cid JOIN okc USING (centroid_id)),
+        dropped AS (SELECT DISTINCT b.cid AS vec_id
+                    FROM v a JOIN v b ON a.centroid_id = b.centroid_id AND a.cid < b.cid
+                    WHERE ROUND(${cosSql("a.cv", "b.cv")}, 6) >= 0.5)
+        SELECT vec_id, vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+        FROM embeddings"""
 
   private lazy val ivf0Oracle: String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),

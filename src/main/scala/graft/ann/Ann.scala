@@ -256,6 +256,36 @@ object Ann {
       .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster with the IVF coarse quantizer, then within each cell drop
+    * every vector that has a lower-id near-dup at cosine ≥ `threshold` —
+    * the embedding-space analogue of `Dedup.keepCanonical`.
+    *
+    * Scale posture: assignment is a broadcast argmin (the corpus never
+    * shuffles for it); the pair join is bounded by the cell structure
+    * (~n²/nLists comparisons total instead of n²), and cells above
+    * `maxCell` are skipped for pair generation — kept whole, the same
+    * stop-bucket stance as [[lshNearDupPairs]]/`minHashLsh`: a degenerate
+    * cell must not go quadratic at 100 TB. Returns (vec_id, keep).
+    */
+  def semanticDedup(vectors: DataFrame, id: String, vec: String,
+                    nLists: Int, threshold: Double, maxCell: Int = 10000,
+                    lloydIters: Int = 0): DataFrame = {
+    val centroids = ivfCentroids(vectors, id, vec, nLists, lloydIters)
+    val cells = assignCells(vectors, id, vec, centroids)
+    val v = vectors.select(col(id).as("vid"), col(vec).as("v"))
+      .join(cells.withColumnRenamed("cid", "vid"), "vid")
+    val ok = v.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxCell)).select("centroid_id")
+    val pairs = nearDupPairs(v.join(broadcast(ok), "centroid_id"),
+      "vid", "v", "centroid_id", threshold)
+    val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("d", lit(true))
+    vectors.select(col(id).as("vec_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("d").isNull.as("keep"))
+  }
+
   /** Self-contained embedding near-dup: blocks come from the seeded LSH
     * signature (no caller-supplied key), with a bucket-size cap — the same
     * stop-bucket stance as ngramJaccard's `maxDF`/minHashLsh's `maxBucket`:

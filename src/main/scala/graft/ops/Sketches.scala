@@ -61,4 +61,28 @@ object Sketches {
     val est = least((0 until depth).map(d => coalesce(col(s"c_$d"), lit(0L))): _*)
     q.select(col("item"), est.as("est_count"))
   }
+
+  /** HyperLogLog++ distinct-count bound check — the cardinality twin of
+    * [[cmsCounts]]: at 100 TB a per-group `COUNT(DISTINCT x)` shuffles one
+    * row per distinct value (vocabulary-shaped state), while Spark's
+    * `approx_count_distinct` (HLL++) caps state at 2^p registers per group
+    * regardless of cardinality, merged map-side like any algebraic agg.
+    *
+    * The sketch estimate itself is engine-specific, so the GATE emits the
+    * exact count (hash-comparable) plus a boolean asserting the sketch sat
+    * within `tol` relative error — the same bound-check pattern as
+    * `quantiles_approx`. Deterministic: HLL++ is hash-based, no rng. The
+    * exact count here is gate evidence; a production caller at scale uses
+    * the estimate alone and skips the distinct shuffle entirely.
+    */
+  def hllBoundCheck(df: DataFrame, keys: Seq[String], valueCol: String,
+                    rsd: Double = 0.02, tol: Double = 0.1): DataFrame = {
+    require(rsd > 0 && tol > 0, s"rsd=$rsd tol=$tol")
+    df.groupBy(keys.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as("est"),
+        countDistinct(col(valueCol)).as("n_exact"))
+      .select(keys.map(col) :+ col("n_exact") :+
+        (abs(col("est") - col("n_exact")) <= col("n_exact").cast("double") * tol)
+          .as("within_bound"): _*)
+  }
 }

@@ -126,6 +126,28 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "LSH-blocked pairs must be exact-cosine verified")
   }
 
+  test("semanticDedup: scaled copies drop, originals survive, cap disarms") {
+    // one-hot originals (pairwise cosine 0) + scaled copies (cosine exactly
+    // 1 with their original, and identical cell assignment — cosine to
+    // every centroid is scale-invariant)
+    val base = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i) 1.0f else 0.0f)) }
+    val copies = (0 until 3).map { i =>
+      (10L + i, Array.tabulate(8)(d => if (d == i) 2.0f else 0.0f)) }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val r = Ann.semanticDedup(df, "vec_id", "embedding", nLists = 2,
+        threshold = 0.99)
+      .as[(Long, Boolean)].collect().toMap
+    assert(r.size == 9)
+    assert((0 until 6).forall(i => r(i.toLong)), "originals must survive")
+    assert((0 until 3).forall(i => !r(10L + i)), "scaled copies must drop")
+    // stop-cell cap: cells above maxCell are kept whole, not deduped
+    val capped = Ann.semanticDedup(df, "vec_id", "embedding", nLists = 2,
+      threshold = 0.99, maxCell = 1)
+    assert(capped.as[(Long, Boolean)].collect().forall(_._2),
+      "over-cap cells must pass through undeduped")
+  }
+
   test("lshTopK returns verified-cosine neighbors from the query's bucket") {
     val out = Ann.lshTopK(embs, embs.limit(20), "vec_id", "embedding", 3, dims = 64, bits = 6)
     // bucketed search may miss, but whatever it returns must be well-formed

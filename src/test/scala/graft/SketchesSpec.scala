@@ -45,4 +45,24 @@ class SketchesSpec extends SparkSpec {
     // determinism under the xxhash production family
     assert(est(32) == narrow)
   }
+
+  test("hllBoundCheck: exact counts carried, sketch inside tolerance") {
+    // 3 groups with known cardinalities spanning the HLL++ sparse and
+    // dense regimes (42 / 1000 / 20000 distinct values)
+    val df = spark.range(42).select(lit("s").as("g"), col("id").as("v"))
+      .union(spark.range(1000).select(lit("m").as("g"), col("id").as("v")))
+      .union(spark.range(20000).select(lit("l").as("g"), col("id").as("v")))
+      .union(spark.range(500).select(lit("m").as("g"), col("id").as("v"))) // dups
+    val r = Sketches.hllBoundCheck(df, Seq("g"), "v")
+      .as[(String, Long, Boolean)].collect()
+      .map { case (k, n, b) => k -> ((n, b)) }.toMap
+    assert(r("s") == ((42L, true)) && r("m") == ((1000L, true)) &&
+      r("l") == ((20000L, true)))
+    // a deliberately hostile tolerance flags the bound column, proving the
+    // check can actually fail (the gate's TRUE oracle is falsifiable)
+    val tight = Sketches.hllBoundCheck(df.filter(col("g") === "l"), Seq("g"), "v",
+      rsd = 0.04, tol = 1e-6)
+    val (_, n, ok) = tight.as[(String, Long, Boolean)].collect().head
+    assert(n == 20000L && !ok, "1e-6 relative tolerance should not be met at 20k")
+  }
 }
