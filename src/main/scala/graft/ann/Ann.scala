@@ -272,15 +272,27 @@ object Ann {
                     nLists: Int, threshold: Double, maxCell: Int = 10000,
                     lloydIters: Int = 0): DataFrame = {
     val centroids = ivfCentroids(vectors, id, vec, nLists, lloydIters)
-    val cells = assignCells(vectors, id, vec, centroids)
+    // assignment inlined (vs assignCells + join-back) so the vector rides
+    // along with its cell label: the join-back alternative re-shuffles the
+    // corpus twice for data the assignment window already holds
     val v = vectors.select(col(id).as("vid"), col(vec).as("v"))
-      .join(cells.withColumnRenamed("cid", "vid"), "vid")
-    val ok = v.groupBy("centroid_id").agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, maxCell)).select("centroid_id")
-    val pairs = nearDupPairs(v.join(broadcast(ok), "centroid_id"),
-      "vid", "v", "centroid_id", threshold)
-    val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
-      .withColumn("d", lit(true))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", -cosine(col("v"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vid").orderBy(col("d").asc, col("centroid_id").asc)))
+      .filter(col("rn") === 1)
+    // grouped pair scan — the minhash/simhash stance: collect the (capped)
+    // cell once and compare row-locally instead of a self-join that scans
+    // the assignment twice. Member j drops iff some lower-id member i has
+    // cos ≥ threshold; the scan is O(cell²) compute but zero extra shuffle.
+    val cells = v.groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("vid"), col("v")))).as("m"))
+      .filter(size(col("m")).between(2, maxCell))
+    val dropped = cells.select(explode(filter(col("m"), (e, j) =>
+        exists(slice(col("m"), lit(1), j), p =>
+          round(cosine(p.getField("v"), e.getField("v")), 6) >= threshold)))
+        .as("e"))
+      .select(col("e.vid").as("vec_id"), lit(true).as("d"))
     vectors.select(col(id).as("vec_id"))
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("d").isNull.as("keep"))

@@ -42,7 +42,14 @@ class ShuffleBudgetSpec extends SparkSpec {
     // sized) shuffles eagerly outside this plan tree; the corpus-side
     // plan measured here is the per-batch steady-state cost
     "decontam_bloom" -> 1,      // final doc_id groupBy only
-    "cms_ngram_counts" -> 1     // probe distinct; lane joins broadcast
+    "cms_ngram_counts" -> 1,    // probe distinct; lane joins broadcast
+    // the exact-count leg is gate evidence; the production sketch alone
+    // is 1 (no distinct expansion)
+    "hll_distinct" -> 2,
+    // assignment window + cell collect + verdict join (2) — grouped pair
+    // scan, no self-join (was 10 with assignCells join-back + pair join)
+    "semdedup" -> 4,
+    "stream_incr_refresh" -> 3  // two bar aggs + upsert key window
   )
 
   budgets.foreach { case (q, budget) =>
