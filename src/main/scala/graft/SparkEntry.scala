@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
-import graft.multimodal.{Flac, Jpeg, Multimodal, Png}
+import graft.multimodal.{Flac, Gif, Jpeg, Multimodal, Png}
 import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.TestData
@@ -472,6 +472,17 @@ object SparkEntry {
         "gram", width = 4096, depth = 3, family = Dedup.Md5Hash)
     }),
 
+    // JSONL interchange: documents exported as gzip'd JSON Lines shards
+    // and read back under the schema contract must be value-identical to
+    // the parquet the oracle reads — proves the export/ingest lane loses
+    // nothing (unicode text, longs) through JSON encoding.
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val path = "/tmp/graft_jsonl/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.CorpusIO.writeJsonl(docs, path)
+      graft.sources.CorpusIO.readJsonl(s, path, docs.schema)
+    }),
+
     // HLL++ cardinality: bounded-register distinct counts per group — the
     // cardinality twin of the CM sketch. Bound-check gate pattern: the
     // oracle replays the exact count and TRUE; a sketch answer outside 10%
@@ -912,6 +923,27 @@ object SparkEntry {
       val ids = TestData(s, dir).documents
         .select(col("doc_id").cast("long")).as[Long]
       Multimodal.decodePpm(Multimodal.gunzip(Multimodal.gzip(
+        Multimodal.syntheticPpm(ids)))).toDF()
+    }),
+
+    // REAL GIF codec (LZW, pure JVM): palette-indexed pixels through a
+    // growing-dictionary variable-width LZW round trip; the oracle replays
+    // the pixel/palette formulas, so a single desynced code width or a
+    // wrong KwKwK expansion shifts a mean and fails the hash.
+    "mm_gif" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Gif.decodeGif(Gif.syntheticGif(ids)).toDF()
+    }),
+
+    // zstd round trip (the 100 TB corpus codec, via Spark's own zstd-jni):
+    // same formula-replay proof shape as mm_gzip.
+    "mm_zstd" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Multimodal.decodePpm(Multimodal.unzstd(Multimodal.zstd(
         Multimodal.syntheticPpm(ids)))).toDF()
     }),
 
@@ -1838,6 +1870,10 @@ object SparkEntry {
     "decontam_bloom" -> bloomDecontamOracle,
     "cms_ngram_counts" -> cmsOracle,
 
+    // The JSONL round trip must surface exactly what parquet holds.
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
     // HLL++ bound check: exact cardinality + the expectation the sketch
     // landed inside the tolerance (quantiles_approx pattern).
     "hll_distinct" ->
@@ -2447,6 +2483,39 @@ object SparkEntry {
                 CAST((5 + doc_id % 9) * (4 + doc_id % 9) AS BIGINT) AS n_pixels,
                 TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
          FROM documents""",
+
+    // Replays syntheticGif's pixel formula through the palette formulas
+    // (r=i, g=(2i)%256, b=255-i over index (id+3x+7y)%256) — integer sums,
+    // exact in both engines.
+    "mm_gif" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(5 + doc_id % 7 AS INT) AS width,
+                      CAST(4 + doc_id % 6 AS INT) AS height
+                    FROM documents),
+         px AS (SELECT id, width, height,
+                  (id + 3*(i % width) + 7*(i // width)) % 256 AS ci
+                FROM d, unnest(range(0, width * height)) AS t(i))
+         SELECT id, width, height, COUNT(*) AS n_pixels,
+                CAST(SUM(ci) AS DOUBLE) / COUNT(*) AS mean_r,
+                CAST(SUM((2*ci) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
+                CAST(SUM(255 - ci) AS DOUBLE) / COUNT(*) AS mean_b
+         FROM px GROUP BY id, width, height""",
+
+    // The zstd round trip lands on the same formula replay as mm_gzip —
+    // byte-identical decompress through the real zstd-jni lane.
+    "mm_zstd" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(4 + doc_id % 5 AS INT) AS width,
+                      CAST(3 + doc_id % 4 AS INT) AS height
+                    FROM documents),
+         px AS (SELECT id, width, height,
+                  CAST(i % width AS BIGINT) AS x, CAST(i // width AS BIGINT) AS y
+                FROM d, unnest(range(0, width * height)) AS t(i))
+         SELECT id, width, height, COUNT(*) AS n_pixels,
+                CAST(SUM((id + 3*x + 7*y) % 256) AS DOUBLE) / COUNT(*) AS mean_r,
+                CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
+                CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
+         FROM px GROUP BY id, width, height""",
 
     // The gzip round trip must land on the same formula replay as
     // mm_decode — byte-identical inflate is exactly what's being proven.

@@ -135,6 +135,37 @@ object Multimodal {
     }
   }
 
+  /** zstd compression lane — the codec a 100 TB corpus actually sits in
+    * (parquet/ORC page compression, shard archives). Row-local like
+    * [[gzip]]; uses the zstd-jni shipped in Spark's own classpath. */
+  def zstd(media: Dataset[PpmImage], level: Int = 3): Dataset[PpmImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => PpmImage(r.id, com.github.luben.zstd.Zstd.compress(r.media, level)))
+    }
+  }
+
+  /** zstd decompression; malformed rows drop (coerce-to-null). Bomb-safe
+    * by frame header: zstd frames declare their content size up front, so
+    * a row whose DECLARED size exceeds `maxBytes` — or that hides the size
+    * (streaming frames of unknown length: exactly how a bomb dodges a
+    * declared-size check) — is dropped before any allocation, and the
+    * one-shot decompress can never allocate past the declaration. */
+  def unzstd(media: Dataset[PpmImage],
+             maxBytes: Int = 64 << 20): Dataset[PpmImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val sz = com.github.luben.zstd.Zstd.getFrameContentSize(r.media)
+          if (sz < 0 || sz > maxBytes) None
+          else Some(PpmImage(r.id,
+            com.github.luben.zstd.Zstd.decompress(r.media, sz.toInt)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
   /** Streaming gunzip; malformed payloads are dropped (coerce-to-null
     * engine rule, same stance as [[decodePpm]]). `maxBytes` caps the
     * decompressed size per row: deflate expands up to ~1000:1, so without

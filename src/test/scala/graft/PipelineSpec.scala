@@ -306,6 +306,88 @@ class PipelineSpec extends SparkSpec {
       .collect().head.media.length == (1 << 20))
   }
 
+  test("GIF property: LZW round trip on random, constant, and reset-sized images") {
+    import graft.multimodal.Gif
+    val rnd = new scala.util.Random(77)
+    val imgs = Seq(
+      // 5600 random px: ~1 dict add/px → code width walks 9→12 AND the
+      // 4096-entry clear/reset fires mid-stream
+      (1L, 80, 70, Array.fill(80 * 70)(rnd.nextInt(256))),
+      (2L, 9, 5, Array.fill(45)(7)), // constant: pure KwKwK chain growth
+      (3L, 1, 1, Array(200)),
+      (4L, 13, 11, Array.tabulate(143)(i => i % 256)))
+    val ds = imgs.map { case (id, w, h, px) =>
+      Gif.GifImage(id, Gif.encode(w, h, px)) }.toDS()
+    val out = Gif.decodeGif(ds).collect().map(f => f.id -> f).toMap
+    assert(out.size == imgs.size, "no image may drop")
+    imgs.foreach { case (id, w, h, px) =>
+      val f = out(id)
+      assert(f.width == w && f.height == h && f.n_pixels == w.toLong * h)
+      def m(g: Int => Int) = px.map(g).sum.toDouble / px.length
+      assert(f.mean_r == m(i => i & 0xff), s"id=$id mean_r")
+      assert(f.mean_g == m(i => (2 * i) % 256), s"id=$id mean_g")
+      assert(f.mean_b == m(i => 255 - (i & 0xff)), s"id=$id mean_b")
+    }
+  }
+
+  test("GIF codec: fixture decode matches formula; malformed dropped") {
+    import graft.multimodal.Gif
+    val ids = spark.range(1, 21).as[Long]
+    val feats = Gif.decodeGif(Gif.syntheticGif(ids)).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      val w = (5 + f.id % 7).toInt; val h = (4 + f.id % 6).toInt
+      val cis = for { y <- 0 until h; x <- 0 until w }
+        yield ((f.id + 3 * x + 7 * y) % 256).toInt
+      assert(f.width == w && f.height == h)
+      assert(f.mean_r == cis.sum.toDouble / cis.size, s"id=${f.id} mean_r")
+      assert(f.mean_g == cis.map(c => (2 * c) % 256).sum.toDouble / cis.size)
+      assert(f.mean_b == cis.map(c => 255 - c).sum.toDouble / cis.size)
+    }
+    val one = Gif.syntheticGif(spark.range(7, 8).as[Long]).collect().head
+    assert(new String(one.media, 0, 6,
+      java.nio.charset.StandardCharsets.US_ASCII) == "GIF89a")
+    // layout: 6 header + 7 LSD + 768 GCT = 781 → GCE (8) → descriptor at
+    // 789, its packed byte at 798, LZW min-code 799, first sub-block 800
+    val interlaced = one.media.clone()
+    interlaced(798) = (interlaced(798) | 0x40).toByte // out of subset → drop
+    val forged = one.media.clone()
+    forged(800) = 0xff.toByte // sub-block length past the buffer
+    val bad = Seq(
+      Gif.GifImage(1L, "NOTAGIF".getBytes),
+      Gif.GifImage(2L, one.media.take(100)), // truncated mid-GCT
+      Gif.GifImage(3L, interlaced),
+      Gif.GifImage(4L, forged)).toDS()
+    assert(Gif.decodeGif(bad).collect().isEmpty)
+  }
+
+  test("zstd lane: byte-exact round trip, junk dropped, declared-size bomb guard") {
+    val ids = spark.range(1, 21).as[Long]
+    val plain = Multimodal.syntheticPpm(ids).collect().map(p => p.id -> p.media).toMap
+    val packed = Multimodal.zstd(Multimodal.syntheticPpm(ids)).collect()
+    packed.foreach { p =>
+      // real zstd frame: magic 28 B5 2F FD little-endian
+      assert((p.media(0) & 0xff) == 0x28 && (p.media(1) & 0xff) == 0xb5 &&
+        (p.media(2) & 0xff) == 0x2f && (p.media(3) & 0xff) == 0xfd,
+        s"id=${p.id} not a zstd frame")
+    }
+    val back = Multimodal.unzstd(Multimodal.zstd(Multimodal.syntheticPpm(ids))).collect()
+    assert(back.length == 20)
+    back.foreach(p => assert(java.util.Arrays.equals(p.media, plain(p.id)),
+      s"id=${p.id} round trip not byte-exact"))
+    val junk = Seq(Multimodal.PpmImage(1L, "not zstd".getBytes),
+      Multimodal.PpmImage(2L, Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte))).toDS()
+    assert(Multimodal.unzstd(junk).collect().isEmpty)
+    // declared-size guard: a 1 MB-of-zeros payload compresses tiny but
+    // DECLARES its size — under a smaller cap the row drops pre-allocation
+    val bomb = Multimodal.zstd(
+      Seq(Multimodal.PpmImage(9L, new Array[Byte](1 << 20))).toDS()).collect().head
+    assert(bomb.media.length < 4096, "zstd of zeros should be tiny")
+    assert(Multimodal.unzstd(Seq(bomb).toDS(), maxBytes = 1 << 16).collect().isEmpty)
+    assert(Multimodal.unzstd(Seq(bomb).toDS(), maxBytes = 1 << 21)
+      .collect().head.media.length == (1 << 20))
+  }
+
   test("PNG codec: deflate+filters round-trip, CRC validation, junk dropped") {
     import graft.multimodal.Png
     val ids = spark.range(1, 21).as[Long]
