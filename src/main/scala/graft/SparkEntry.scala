@@ -255,6 +255,26 @@ object SparkEntry {
     // lineitem→supplier→nation→region) with the local-supplier predicate.
     // Dims broadcast; the facts co-shuffle once on orderkey; the revenue
     // sum takes the decimal route (float-determinism rule 1).
+    // TPC-H Q3 (shipping priority): segment-filtered customer ⋈ orders ⋈
+    // lineitem, revenue per open order, top 10 — the classic
+    // filter-pushdown + join + TakeOrderedAndProject plan. Deterministic
+    // total order: revenue DESC, o_orderdate ASC, l_orderkey ASC.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      val agg = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") < lit("1996-07-01")
+          && col("l_shipdate") > lit("1996-07-01"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      agg.orderBy(col("revenue").desc, col("o_orderdate").asc,
+          col("l_orderkey").asc)
+        .limit(10)
+        .withColumn("o_orderdate", Coerce.normalize(col("o_orderdate")))
+    }),
+
     "q5_region_revenue" -> ((s, dir) => {
       val t = TestData(s, dir)
       t.customer
@@ -1649,6 +1669,25 @@ object SparkEntry {
     "j7_salted_join" ->
       """SELECT l_orderkey AS okey, l_linenumber, l_quantity, o_orderstatus
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    // Q3: same decimal-routed revenue; the 10-row cut replays the full
+    // deterministic order (revenue DESC, date ASC, orderkey ASC).
+    "q3_shipping_priority" ->
+      """WITH a AS (
+           SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                  o_orderpriority,
+                  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue
+           FROM customer
+             JOIN orders   ON c_custkey = o_custkey
+             JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+             AND l_shipdate  > TIMESTAMP '1996-07-01 00:00:00'
+           GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority)
+         SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
+         FROM a
+         ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+         LIMIT 10""",
 
     "q5_region_revenue" ->
       """SELECT n_name,

@@ -27,12 +27,20 @@ object Replay {
   // landing directory.
   private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** A directory containing (a copy of) the given local parquet file,
-    * suitable for `spark.readStream.parquet`. */
+  /** A directory containing (a copy of) the given local parquet file — or
+    * of a parquet DIRECTORY's data files (multi-part fixtures, e.g. the
+    * 10× scale lane) — suitable for `spark.readStream.parquet`. */
   def stagedDir(path: String): String = staged.getOrElseUpdate(path, {
     val src = java.nio.file.Paths.get(path)
     val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.copy(src, d.resolve(src.getFileName))
+    if (java.nio.file.Files.isDirectory(src)) {
+      val it = java.nio.file.Files.list(src).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(f, d.resolve(f.getFileName))
+      }
+    } else java.nio.file.Files.copy(src, d.resolve(src.getFileName))
     d.toString
   })
 

@@ -32,11 +32,12 @@ import graft.{Sessions, SparkEntry}
   */
 object ScaleProbe {
 
-  /** r7 bench top-10 by min-run seconds (BENCH diagnostics, sf0.1). */
+  /** r7 late-session bench top-10 by min-run seconds (sf0.1, 113-query
+    * surface — now includes the streaming replay and IVF-PQ tiers). */
   val DefaultQueries: Seq[String] = Seq(
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_ngram_jaccard",
-    "dedup_keep_canonical", "ann_ivfpq_res_topk", "lm_buckets",
-    "corpus_gate", "lm_bigram_score", "lm_bigram_xscore", "j7_salted_join")
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_canonical",
+    "dedup_ngram_jaccard", "stream_interval_join", "ann_ivfpq_res_topk",
+    "corpus_gate", "ann_ivfpq_topk", "lm_buckets", "ann_ivf_topk")
 
   private val IdOff = 10000000L // multiple of 50 and 100: slice predicates scale exactly
 
@@ -65,6 +66,13 @@ object ScaleProbe {
     })
     write("lineitem", replicate(t.lineitem, k) { (d, r) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(r * IdOff))
+    })
+    // events: user ids offset per replica so stream/session joins pair
+    // within a replica only — join output scales linearly, not k²
+    write("events", replicate(
+      spark.read.parquet(s"$baseDir/events.parquet"), k) { (d, r) =>
+      d.withColumn("event_id", col("event_id") + lit(r * IdOff))
+        .withColumn("user_id", col("user_id") + lit(r * IdOff))
     })
     write("orders", replicate(t.orders, k) { (d, r) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(r * IdOff))

@@ -28,6 +28,7 @@ class ShuffleBudgetSpec extends SparkSpec {
   private val budgets = Map(
     "q1_pricing_summary" -> 1,  // one groupBy
     "q5_region_revenue" -> 1,   // dims broadcast; one agg shuffle
+    "q3_shipping_priority" -> 1, // filtered dims broadcast; agg + TakeOrdered
     "j3_broadcast_lookup" -> 0, // pure broadcast lookup
     "j6_asof" -> 1,             // single-shuffle tagged union
     "a3_a4_windows" -> 1,       // key-partitioned window chain
