@@ -182,6 +182,13 @@ object Gif {
           val w = u16(pos + 5); val h = u16(pos + 7)
           val ipacked = b(pos + 9) & 0xff
           pos += 10
+          // dimension bomb: u16 dims allow 65535² ≈ 4G pixels from a
+          // 30-byte forgery — an OutOfMemoryError is FATAL and would kill
+          // the task instead of dropping the row. Same budget as Jpeg:
+          // global ceiling AND a bytes-proportional one (LZW expands ≲
+          // 4000:1 at 12-bit codes; 5000 px/byte is safely past it).
+          if (w <= 0 || h <= 0 ||
+              w.toLong * h > math.min(1L << 26, 5000L * b.length)) return None
           if ((ipacked & 0x40) != 0) return None // interlaced: out of subset
           if ((ipacked & 0x80) != 0) {           // local color table wins
             val n = 1 << ((ipacked & 7) + 1)

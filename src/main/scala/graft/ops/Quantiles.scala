@@ -35,11 +35,15 @@ object Quantiles {
     ranked.groupBy(group).agg(max(col("n")).as("n"), picks: _*)
   }
 
-  /** Sketch-based quantiles — the scale path (not oracle-comparable). */
+  /** Sketch-based quantiles — the scale path (not oracle-comparable).
+    * `n` counts NON-NULL values: approx_percentile ignores nulls, and a
+    * rank target computed over all rows would sit past the reachable rank
+    * range for any nullable column (the bound check would then fail on a
+    * sketch that meets its guarantee). */
   def approx(df: DataFrame, group: String, value: String,
              ps: Seq[Double], accuracy: Int = 10000): DataFrame =
     df.groupBy(group).agg(
-      count(lit(1)).as("n"),
+      count(col(value)).as("n"),
       approx_percentile(col(value), array(ps.map(lit): _*), lit(accuracy)).as("qs"))
 
   /** CORRECTNESS gate for the sketch lane: per (group, percentile), does the

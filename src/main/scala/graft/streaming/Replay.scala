@@ -44,15 +44,24 @@ object Replay {
     d.toString
   })
 
+  // last sink view per tag: the memory sink pins its whole result set in
+  // the driver until the temp view drops, so without eviction every bench
+  // warm+timed run and analysis pass would retain another full copy
+  private val lastView = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Start `stream` into an append-mode memory sink, process everything
     * available, stop, and return the sink table. The query name is unique
     * per call so repeated invocations (bench warm+timed runs, analysis
-    * specs) never collide on an active query. */
+    * specs) never collide on an active query; the PREVIOUS invocation's
+    * sink view for the same tag is dropped (its consumer is done by the
+    * time a new replay of the same gate starts). */
   def toBatch(stream: DataFrame, tag: String): DataFrame = {
     val name = s"graft_replay_${tag}_${ctr.incrementAndGet()}"
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
+    lastView.put(tag, name)
+      .foreach(old => stream.sparkSession.catalog.dropTempView(old))
     stream.sparkSession.table(name)
   }
 }

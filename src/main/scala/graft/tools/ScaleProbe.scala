@@ -57,8 +57,11 @@ object ScaleProbe {
         if (r == 0) col("text")
         else concat_ws(" ", transform(split(col("text"), " "),
           w => concat(w, lit(s"~$r"))))
+      // n_chars must track the transformed text — stale lengths would make
+      // n_chars-filtered queries a DIFFERENT workload at x10, not a scaled one
       d.select((col("doc_id") + lit(r * IdOff)).as("doc_id"), text.as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"),
+        (if (r == 0) col("n_chars") else length(text).cast("long")).as("n_chars"))
     })
     write("embeddings", replicate(t.embeddings, k) { (d, r) =>
       d.select((col("vec_id") + lit(r * IdOff)).as("vec_id"),

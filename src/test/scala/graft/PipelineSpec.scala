@@ -353,11 +353,17 @@ class PipelineSpec extends SparkSpec {
     interlaced(798) = (interlaced(798) | 0x40).toByte // out of subset → drop
     val forged = one.media.clone()
     forged(800) = 0xff.toByte // sub-block length past the buffer
+    // dimension bomb: u16 descriptor dims forged to 40000×50000 (≈2e9 px)
+    // must drop BEFORE the pixel-array allocation, not OOM the task
+    val bomb = one.media.clone()
+    bomb(794) = 0x40.toByte; bomb(795) = 0x9c.toByte // w = 40000 LE
+    bomb(796) = 0x50.toByte; bomb(797) = 0xc3.toByte // h = 50000 LE
     val bad = Seq(
       Gif.GifImage(1L, "NOTAGIF".getBytes),
       Gif.GifImage(2L, one.media.take(100)), // truncated mid-GCT
       Gif.GifImage(3L, interlaced),
-      Gif.GifImage(4L, forged)).toDS()
+      Gif.GifImage(4L, forged),
+      Gif.GifImage(5L, bomb)).toDS()
     assert(Gif.decodeGif(bad).collect().isEmpty)
   }
 
@@ -544,13 +550,29 @@ class PipelineSpec extends SparkSpec {
       m(at + 1) = 0xc2.toByte
       m
     }
+    // (d) DQT segments excised: a referenced-but-undefined quant table
+    // would dequantize by zero and emit plausible flat gray — must drop
+    val noDqt = {
+      var m = one.media.clone()
+      var at = (0 until m.length - 1).find(j =>
+        (m(j) & 0xff) == 0xff && (m(j + 1) & 0xff) == 0xdb)
+      while (at.isDefined) {
+        val j = at.get
+        val len = ((m(j + 2) & 0xff) << 8) | (m(j + 3) & 0xff)
+        m = m.take(j) ++ m.drop(j + 2 + len)
+        at = (0 until m.length - 1).find(j =>
+          (m(j) & 0xff) == 0xff && (m(j + 1) & 0xff) == 0xdb)
+      }
+      m
+    }
     val fut = scala.concurrent.Future {
       Jpeg.decodeJpeg(Seq(
         Jpeg.JpegImage(1L, bomb),
         Jpeg.JpegImage(2L, one.media.dropRight(one.media.length / 3)),
         Jpeg.JpegImage(3L, progressive),
         Jpeg.JpegImage(4L, "definitely not a jpeg".getBytes),
-        Jpeg.JpegImage(5L, one.media.take(2))).toDS()).collect()
+        Jpeg.JpegImage(5L, one.media.take(2)),
+        Jpeg.JpegImage(6L, noDqt)).toDS()).collect()
     }(scala.concurrent.ExecutionContext.global)
     val bad = scala.concurrent.Await.result(fut,
       scala.concurrent.duration.Duration(60, "s"))
