@@ -99,7 +99,7 @@ object Bench {
     def family(name: String): String =
       if (name.startsWith("api")) "api"
       else if (name.startsWith("ann") || name.startsWith("emb")) "ann"
-      else if (name.startsWith("dedup")) "dedup"
+      else if (name.startsWith("dedup") || name.startsWith("semdedup")) "dedup"
       else if (name.startsWith("mm")) "mm"
       else if (name.startsWith("dq")) "dq"
       else if (name.startsWith("stream")) "stream"
