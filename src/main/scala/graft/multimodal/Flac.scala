@@ -229,12 +229,15 @@ object Flac {
           val i = off + 2 + k
           x(i) - 2L * x(i - 1) + x(i - 2)
         }, len, 2, escape)
-      case 2 if len > 1 => // LPC order 1, coef [1], shift 0 (qlp precision 15)
+      case 2 if len > 1 => // LPC order 1, coef [2], shift 1 (qlp precision 15)
+        // predictor (2·x[i-1]) >> 1 = x[i-1]: same residuals as coef-1/
+        // shift-0, but the decoder's quantized-shift arithmetic — the path
+        // every real FLAC stream uses — carries live traffic
         w.writeBit(0); w.writeBits(0x3f & 0x20, 6); w.writeBit(0) // 0b100000 → order 1
         w.writeBits((x(off) & 0xffffL), 16)
         w.writeBits(14L, 4)  // precision - 1 = 14 → 15-bit coefficients
-        w.writeBits(0L, 5)   // shift
-        w.writeBits(1L, 15)  // coef = 1 → predictor x[i-1]
+        w.writeBits(1L, 5)   // shift
+        w.writeBits(2L, 15)  // coef = 2 → predictor (2·x[i-1]) >> 1
         writeRice(w, Array.tabulate(len - 1)(k => x(off + 1 + k) - x(off + k).toLong),
           len, 1, escape)
       case _ => // VERBATIM
