@@ -907,6 +907,19 @@ object SparkEntry {
         nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
     }),
 
+    // Build-once/serve-many IVF-PQ: first call per fixture dir builds and
+    // PERSISTS the index (codebooks/centroids/cells/codes parquet under
+    // tmpdir); this query then serves top-k from the stored artifacts —
+    // zero build jobs on the serve path (PqSpec listener assert). Same
+    // params as ann_ivfpq_topk, so results (and the oracle) are identical.
+    "ann_ivfpq_served" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val idx = Pq.cachedIndex(e, "vec_id", "embedding", dir,
+        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        5, nProbe = 4)
+    }),
+
     // Residual IVF-PQ (FAISS-default encoding): PQ quantizes v − centroid;
     // cosine decomposes exactly over x̂ = c + ŵ via four broadcast tables.
     // Recall beats the raw lane at equal bits (PqSpec).
@@ -2646,6 +2659,9 @@ object SparkEntry {
     "semdedup" -> semDedupOracle,
     "ann_pq_topk" -> pqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
+    // Served lane reads a pre-materialized index; the artifacts round-trip
+    // parquet bit-exactly, so the inline-build oracle replays it unchanged.
+    "ann_ivfpq_served" -> ivfPqOracle,
     "ann_ivfpq_res_topk" -> ivfPqResOracle,
     "ann_ivf_topk" -> ivf1Oracle,
     "ann_lsh_topk" -> annLshOracle,

@@ -40,6 +40,18 @@ import graft.functions.AggExpressions
   */
 object Pq {
 
+  /** A built IVF-PQ index (raw-vector encoding): two broadcast-sized
+    * artifacts (`centroids`: nLists rows, `codebooks`: m·ksub rows) plus two
+    * corpus-compact tables (`cells`: 16 B/row, `codes`: ~16 B/row × m).
+    * This is the build-once/serve-many unit: at 100 TB the index build
+    * (centroid/codebook training + corpus encode) dominates query cost, so
+    * it is built once ([[buildIndex]]), persisted ([[saveIndex]]), and every
+    * query serves from the stored artifacts ([[loadIndex]] +
+    * [[topKFromIndex]]) without touching the raw vector corpus. */
+  final case class PqIndex(centroids: DataFrame, codebooks: DataFrame,
+                           cells: DataFrame, codes: DataFrame,
+                           nLists: Int, m: Int, dsub: Int, ksub: Int)
+
   /** Run `body` (a counting action) under a named job description — the
     * PqSpec listener asserts the index build runs exactly one such job, and
     * the tag makes the count identifiable in the Spark UI. */
@@ -221,21 +233,105 @@ object Pq {
     // the shape that IS worth materializing (segment-dedup precedent):
     // consumers would otherwise re-run the nLists× argmin expansion each
     val cells = Ann.assignCells(corpus, id, vec, centroids).localCheckpoint()
-    val probes = Ann.probeCells(queries, id, vec, centroids, nProbe)
     if (!residual) {
       val cb = codebooks(corpus, id, vec, m, dsub, ksub, lloydIters,
         knownN = Some(n)).localCheckpoint()
       val codes = encodeCorpus(corpus, id, vec, m, dsub, cb)
-      val adc = adcTable(queries, id, vec, m, dsub, cb)
-      // eligibility: a corpus row is scored for a query iff its cell is
-      // probed by that query — the broadcast probes join prunes BEFORE the
-      // ADC join, so unprobed rows never expand per-query
-      val eligible = codes.join(cells, "cid").join(broadcast(probes), "centroid_id")
-      scoreAndRank(
-        eligible.join(broadcast(adc), Seq("query_id", "sub", "code")), k)
-    } else ivfPqResidual(corpus, queries, id, vec, k, m, dsub, ksub,
-      lloydIters, centroids, cells, probes, n)
+      topKFromIndex(PqIndex(centroids, cb, cells, codes, nLists, m, dsub, ksub),
+        queries, id, vec, k, nProbe)
+    } else {
+      val probes = Ann.probeCells(queries, id, vec, centroids, nProbe)
+      ivfPqResidual(corpus, queries, id, vec, k, m, dsub, ksub,
+        lloydIters, centroids, cells, probes, n)
+    }
   }
+
+  /** Build the raw-encoding IVF-PQ index WITHOUT running a query — the
+    * factored-out build half of [[ivfPqTopK]] (same single tagged counting
+    * job, same artifacts). */
+  def buildIndex(corpus: DataFrame, id: String, vec: String,
+                 nLists: Int = 16, m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+                 lloydIters: Int = 0): PqIndex = {
+    val n = taggedCount(corpus.select(col(id)), "graft count: ivfPq index build")
+    val centroids = Ann.ivfCentroids(corpus, id, vec, nLists, lloydIters,
+      knownN = Some(n)).localCheckpoint()
+    val cells = Ann.assignCells(corpus, id, vec, centroids).localCheckpoint()
+    val cb = codebooks(corpus, id, vec, m, dsub, ksub, lloydIters,
+      knownN = Some(n)).localCheckpoint()
+    val codes = encodeCorpus(corpus, id, vec, m, dsub, cb)
+    PqIndex(centroids, cb, cells, codes, nLists, m, dsub, ksub)
+  }
+
+  /** Serve a top-k query from an already-built index: probes, ADC table and
+    * scoring only — no counting job, no training, no corpus-vector scan
+    * (the raw vectors appear ONLY through the queries side; the corpus side
+    * is the compact codes ⋈ cells co-shuffle). PqSpec asserts the serve
+    * path runs ZERO tagged build counts. */
+  def topKFromIndex(idx: PqIndex, queries: DataFrame, id: String, vec: String,
+                    k: Int, nProbe: Int): DataFrame = {
+    val probes = Ann.probeCells(queries, id, vec, idx.centroids, nProbe)
+    val adc = adcTable(queries, id, vec, idx.m, idx.dsub, idx.codebooks)
+    // eligibility: a corpus row is scored for a query iff its cell is
+    // probed by that query — the broadcast probes join prunes BEFORE the
+    // ADC join, so unprobed rows never expand per-query
+    val eligible = idx.codes.join(idx.cells, "cid")
+      .join(broadcast(probes), "centroid_id")
+    scoreAndRank(eligible.join(broadcast(adc), Seq("query_id", "sub", "code")), k)
+  }
+
+  /** Persist an index as five parquet artifacts under `dir`. The two
+    * broadcast-sized frames coalesce to one file; the corpus-compact tables
+    * keep their parallelism (at 100 TB `codes`/`cells` are the only
+    * non-trivial writes and they shard like any fact table). `meta` carries
+    * the build parameters so [[loadIndex]] is self-describing. */
+  def saveIndex(idx: PqIndex, dir: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    idx.centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    idx.codebooks.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    idx.cells.write.mode(SaveMode.Overwrite).parquet(s"$dir/cells")
+    idx.codes.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+    val spark = idx.centroids.sparkSession
+    import spark.implicits._
+    Seq((idx.nLists, idx.m, idx.dsub, idx.ksub))
+      .toDF("n_lists", "m", "dsub", "ksub")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted index. One driver action (the one-row meta read);
+    * everything else stays a lazy parquet scan — serving never re-runs any
+    * build job. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    PqIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/codes"),
+      meta.getAs[Int]("n_lists"), meta.getAs[Int]("m"),
+      meta.getAs[Int]("dsub"), meta.getAs[Int]("ksub"))
+  }
+
+  // Build-once/serve-many for the gate queries: first use per (fixture dir,
+  // JVM) builds + persists the index under tmpdir, every later call LOADS
+  // the parquet artifacts (the MarketTables.cached pattern). Keyed on the
+  // source dir — the fixtures are immutable inputs.
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, PqIndex]
+
+  /** The persisted index for `corpus` read from fixture dir `key`, building
+    * and saving it on first use, serving from parquet thereafter. */
+  def cachedIndex(corpus: => DataFrame, id: String, vec: String, key: String,
+                  nLists: Int = 16, m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+                  lloydIters: Int = 0): PqIndex =
+    indexCache.getOrElseUpdate(key, {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_pq_index/" +
+        key.replaceAll("[^A-Za-z0-9.]", "_")
+      val built = buildIndex(corpus, id, vec, nLists, m, dsub, ksub, lloydIters)
+      saveIndex(built, root)
+      loadIndex(built.centroids.sparkSession, root)
+    })
+
+  /** Drop cached indexes (test hook). */
+  private[graft] def resetIndexCache(): Unit = indexCache.clear()
 
   /** Residual IVF-PQ (the FAISS-default encoding): PQ quantizes
     * r = v − c(cell) instead of v. Residuals are smaller in magnitude than
