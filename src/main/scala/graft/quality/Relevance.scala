@@ -40,7 +40,12 @@ object Relevance {
     * Returns (doc_id, term, tf, df, tfidf, rank).
     */
   def tfIdfTopTerms(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
-    val n = docs.count()
+    // N as a single-row broadcast aggregate INSIDE the plan (the bm25
+    // corpus-stats pattern) — no driver-side count() job, and at 100 TB no
+    // separate full pass over the corpus just to learn a scalar. The
+    // aggregate scans zero columns (count over an empty projection), so it
+    // is the cheapest possible pass and runs as part of the one query.
+    val nStats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = docs.select(col(id).as("doc_id"),
         TextFns.words(col(text)).as("ws"))
       .select(col("doc_id"), explode(col("ws")).as("term"))
@@ -55,8 +60,10 @@ object Relevance {
     // the exploded words
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nStats))
       .withColumn("tfidf",
-        col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
+        col("tf").cast("double") * (col("n_docs") / col("df").cast("double")))
+      .drop("n_docs")
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc))
