@@ -184,11 +184,15 @@ object Gif {
           pos += 10
           // dimension bomb: u16 dims allow 65535² ≈ 4G pixels from a
           // 30-byte forgery — an OutOfMemoryError is FATAL and would kill
-          // the task instead of dropping the row. Same budget as Jpeg:
-          // global ceiling AND a bytes-proportional one (LZW expands ≲
-          // 4000:1 at 12-bit codes; 5000 px/byte is safely past it).
+          // the task instead of dropping the row. Bytes-proportional budget:
+          // LZW's growth phase emits ~n²/2 px from ~1.5n bytes (≈n/3
+          // px/byte), topping out near ~2700 px/byte once the 12-bit table
+          // saturates — 5000 stays safely past any decodable stream. The
+          // global ceiling caps the int pixel plane at 1<<24 entries =
+          // 64 MB, bounding the transient allocation a forged-but-plausible
+          // header can force.
           if (w <= 0 || h <= 0 ||
-              w.toLong * h > math.min(1L << 26, 5000L * b.length)) return None
+              w.toLong * h > math.min(1L << 24, 5000L * b.length)) return None
           if ((ipacked & 0x40) != 0) return None // interlaced: out of subset
           if ((ipacked & 0x80) != 0) {           // local color table wins
             val n = 1 << ((ipacked & 7) + 1)

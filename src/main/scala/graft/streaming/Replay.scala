@@ -50,11 +50,17 @@ object Replay {
   private val lastView = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Start `stream` into an append-mode memory sink, process everything
-    * available, stop, and return the sink table. The query name is unique
-    * per call so repeated invocations (bench warm+timed runs, analysis
-    * specs) never collide on an active query; the PREVIOUS invocation's
-    * sink view for the same tag is dropped (its consumer is done by the
-    * time a new replay of the same gate starts). */
+    * available, stop, and return the sink table.
+    *
+    * CONTRACT — single consumer per tag, serialized: the returned frame
+    * lazily reads a temp view that is DROPPED as soon as the NEXT replay of
+    * the same tag starts. Callers must finish consuming (collect/write) the
+    * returned frame before invoking `toBatch` again with the same tag, and
+    * must not interleave replays of one tag across threads — a held frame
+    * read after the next replay begins fails with a missing-view error.
+    * Every current caller (Verify/Bench/specs run gates one at a time)
+    * satisfies this; the query name is unique per call so ACTIVE queries
+    * never collide even across tags. */
   def toBatch(stream: DataFrame, tag: String): DataFrame = {
     val name = s"graft_replay_${tag}_${ctr.incrementAndGet()}"
     val q = stream.writeStream.format("memory").queryName(name)

@@ -153,6 +153,17 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("approxRankCheck keeps a null group (null-safe verification join)") {
+    val df = (Seq.tabulate(50)(i => (Option("a"), i.toDouble)) ++
+      Seq.tabulate(50)(i => (Option.empty[String], i.toDouble)))
+      .toDF("g", "v")
+    val out = Quantiles.approxRankCheck(df, "g", "v", Seq(0.5))
+      .select("g", "within").as[(Option[String], Boolean)].collect()
+    assert(out.map(_._1).toSet == Set(Some("a"), None),
+      "the null group must survive the verification join")
+    assert(out.forall(_._2), "both groups' p50 must verify in-band")
+  }
+
   test("approx quantiles track exact within a loose tolerance (scale path)") {
     val li = TestData(spark, sf0001).lineitem
     val exact = Quantiles.exactDisc(li, "l_returnflag", "l_extendedprice", Seq(0.5))
