@@ -295,6 +295,47 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // TPC-H Q17 class: correlated scalar subquery (per-part average
+    // quantity threshold). Written as SQL so Catalyst's decorrelation
+    // (RewriteCorrelatedScalarSubquery → aggregate + join, and
+    // MergeScalarSubqueries fusing the twin aggregates) is what plans it —
+    // the shape every analytics user hits. Boundary exactness: the
+    // avg comparison is cross-multiplied (qty·5·cnt < Σqty) in DECIMAL so
+    // neither engine ever divides — no float/decimal-scale boundary drift.
+    "q17_small_qty" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g17_lineitem")
+      t.part.createOrReplaceTempView("g17_part")
+      s.sql("""
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+                 AS DECIMAL(25,6)) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM g17_lineitem l JOIN g17_part p ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND CAST(l_quantity AS DECIMAL(12,6)) * CAST(5 AS DECIMAL(2,0))
+              * CAST((SELECT COUNT(*) FROM g17_lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey) AS DECIMAL(12,0))
+            < (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,6)))
+                 AS DECIMAL(25,6))
+               FROM g17_lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")
+    }),
+
+    // NOT IN over a nullable subquery column — Catalyst's null-aware
+    // anti-join (BroadcastHashJoin LeftAnti, isNullAware=true). The
+    // subquery side is a single pruned bigint column, broadcast by
+    // REQUIREMENT (Spark has no shuffled null-aware anti) — viable at
+    // 100 TB exactly because it stays one column of the filtered dim.
+    "q22_not_in" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.customer.createOrReplaceTempView("g22_customer")
+      t.orders.createOrReplaceTempView("g22_orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM g22_customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM g22_orders
+           WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')""")
+    }),
+
     // Hot-key split join: result ≡ plain join; the plan broadcasts the
     // hot mass (keys with >N rows) and shuffles only the tail — the
     // other standard skew treatment next to j7's salting.
@@ -1725,6 +1766,30 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name""",
+
+    // Decorrelated replay of the Q17 scalar subqueries: the per-part
+    // (Σqty, cnt) CTE is exactly what Catalyst rewrites the correlated
+    // form into; the cross-multiplied DECIMAL predicate is division-free
+    // on both engines.
+    "q17_small_qty" ->
+      """WITH pa AS (
+           SELECT l_partkey,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(12,6))) AS DECIMAL(25,6)) AS sq,
+                  COUNT(*) AS cnt
+           FROM lineitem GROUP BY l_partkey)
+         SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem l
+           JOIN part p ON p_partkey = l_partkey
+           JOIN pa ON pa.l_partkey = l.l_partkey
+         WHERE p_brand = 'Brand#1'
+           AND CAST(l_quantity AS DECIMAL(12,6)) * CAST(5 AS DECIMAL(2,0)) * CAST(cnt AS DECIMAL(12,0)) < sq""",
+
+    "q22_not_in" ->
+      """SELECT c_custkey, c_mktsegment
+         FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')""",
 
     // The hot/tail split is plan-internal — same plain equi-join result.
     "j9_split_join" ->

@@ -50,8 +50,26 @@ class ShuffleBudgetSpec extends SparkSpec {
     // assignment window + cell collect + verdict join (2) — grouped pair
     // scan, no self-join (was 10 with assignCells join-back + pair join)
     "semdedup" -> 4,
-    "stream_incr_refresh" -> 3  // two bar aggs + upsert key window
+    "stream_incr_refresh" -> 3,  // two bar aggs + upsert key window
+    // decorrelated twin scalar subqueries: two per-partkey agg shuffles
+    // (both then BROADCAST back over the fact scan) + the final 1-row agg
+    "q17_small_qty" -> 3,
+    "q22_not_in" -> 0            // null-aware broadcast anti-join, no shuffle
   )
+
+  test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
+    val plan = SparkEntry.queries("q22_not_in")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "NOT IN must plan as a broadcast anti-join:\n" + plan)
+  }
+
+  test("q17_small_qty decorrelates to broadcast joins (no SMJ, no cartesian)") {
+    val plan = SparkEntry.queries("q17_small_qty")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "decorrelated Q17 must stay broadcast-joined:\n" + plan)
+  }
 
   budgets.foreach { case (q, budget) =>
     test(s"$q stays at $budget shuffle(s)") {
