@@ -554,6 +554,20 @@ object SparkEntry {
       graft.sources.CorpusIO.readJsonl(s, path, docs.schema)
     }),
 
+    // Same round-trip through ZSTD shards (the declared 100 TB corpus
+    // codec, SCALE.md): written via the zstd-jni Hadoop codec bridge,
+    // read back by `.zst` extension resolution.
+    "jsonl_zstd_roundtrip" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val path = jsonlStaged.getOrElseUpdate(dir + "#zstd", {
+        val p = s"/tmp/graft_jsonl_${ProcessHandle.current().pid()}/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_zstd"
+        graft.sources.CorpusIO.writeJsonlZstd(docs, p)
+        p
+      })
+      graft.sources.CorpusIO.readJsonl(s, path, docs.schema)
+    }),
+
     // HLL++ cardinality: bounded-register distinct counts per group — the
     // cardinality twin of the CM sketch. Bound-check gate pattern: the
     // oracle replays the exact count and TRUE; a sketch answer outside 10%
@@ -1999,6 +2013,9 @@ object SparkEntry {
 
     // The JSONL round trip must surface exactly what parquet holds.
     "jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    "jsonl_zstd_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
 
     // HLL++ bound check: exact cardinality + the expectation the sketch

@@ -54,4 +54,24 @@ class SinksSpec extends SparkSpec {
       date_format(col("date"), "yyyy-MM") === "1996-04").agg(sum("close")).as[Double].head()
     assert(otherB == otherA)
   }
+
+  test("zstd JSONL shards: .zst extension, real zstd frames, exact round-trip") {
+    val docs = graft.sources.TestData(spark, sf0001).documents
+      .select("doc_id", "text", "lang")
+    val path = tmp("jsonl-zstd")
+    graft.sources.CorpusIO.writeJsonlZstd(docs, path)
+    val shards = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(shards.nonEmpty && shards.forall(_.getName.endsWith(".json.zst")),
+      s"shards must carry the .zst extension: ${shards.map(_.getName).mkString(", ")}")
+    // zstd frame magic 0xFD2FB528 (little-endian on disk: 28 B5 2F FD) —
+    // proves the bytes are real zstd, not a mislabeled identity stream
+    val head = java.nio.file.Files.readAllBytes(shards.head.toPath).take(4)
+    assert(head.sameElements(Array(0x28, 0xb5, 0x2f, 0xfd).map(_.toByte)),
+      s"shard must start with the zstd magic, got ${head.map("%02x".format(_)).mkString(" ")}")
+    val back = graft.sources.CorpusIO.readJsonl(spark, path, docs.schema)
+      .as[(Long, String, String)].collect().toSet
+    assert(back == docs.as[(Long, String, String)].collect().toSet,
+      "zstd JSONL round-trip must be lossless")
+  }
 }
