@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns}
-import graft.multimodal.{Flac, Gif, Jpeg, Multimodal, Png}
+import graft.multimodal.{Flac, Gif, Jpeg, Multimodal, Png, Video}
 import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.TestData
@@ -1099,6 +1099,39 @@ object SparkEntry {
           pmod(col("id") * 2 + x, lit(256L)))) <= 3.0).as("mean_g_ok"),
         (abs(col("mean_b") - fmean((_, y) =>
           pmod(col("id") + y, lit(256L)))) <= 3.0).as("mean_b_ok"))
+    }),
+
+    // REAL video lane: MJPEG-in-AVI — the RIFF chunk walk (decodeWav
+    // idiom, nested LISTs) finds per-frame JPEG payloads, each decoded by
+    // the baseline Huffman+IDCT decoder. Per-frame rows; the booleans
+    // gate each decoded channel mean against the generation formula
+    // (mm_jpeg pattern). Budget ±4.0, not mm_jpeg's ±3.0: the blue channel
+    // is constant per ROW, so when (id + y + 2t) wraps 255→0 mid-image the
+    // 8×8 blocks see a full-scale horizontal edge and DCT ringing peaks —
+    // measured max error 3.05 over all 5000 sf0.1 ids × frames (r=2.65,
+    // g=1.60); 4.0 still fails a genuinely broken decode by an order of
+    // magnitude. A dimension/count lie or undecodable frame drops the row.
+    "mm_video" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      val f = Video.decodeMjpegAvi(Video.syntheticAvi(ids)).toDF()
+      val w = col("width").cast("long"); val h = col("height").cast("long")
+      val t = col("frame").cast("long")
+      val grid = sequence(lit(0L), w * h - 1)
+      def fmean(g: (Column, Column) => Column): Column =
+        aggregate(grid, lit(0L), (a, i) => {
+          val x = pmod(i, w)
+          a + g(x, ((i - x) / w).cast("long"))
+        }).cast("double") / (w * h).cast("double")
+      f.select(col("id"), col("frame"), col("n_frames"),
+        col("width"), col("height"),
+        (abs(col("mean_r") - fmean((x, y) =>
+          pmod(col("id") + x * 3 + y * 7 + t * 11, lit(256L)))) <= 4.0).as("mean_r_ok"),
+        (abs(col("mean_g") - fmean((x, _) =>
+          pmod(col("id") * 2 + x + t * 5, lit(256L)))) <= 4.0).as("mean_g_ok"),
+        (abs(col("mean_b") - fmean((_, y) =>
+          pmod(col("id") + y + t * 2, lit(256L)))) <= 4.0).as("mean_b_ok"))
     }),
   )
 
@@ -2627,6 +2660,19 @@ object SparkEntry {
                 CAST((5 + doc_id % 9) * (4 + doc_id % 9) AS BIGINT) AS n_pixels,
                 TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
          FROM documents""",
+
+    // Per-frame replay of the MJPEG-AVI fixture: frame index from the
+    // declared frame count, booleans expected TRUE (mm_jpeg lossy-gate
+    // pattern). A dropped/duplicated frame fails rows_match.
+    "mm_video" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(5 + doc_id % 9 AS INT) AS width,
+                      CAST(4 + doc_id % 9 AS INT) AS height,
+                      CAST(2 + doc_id % 4 AS INT) AS n_frames
+                    FROM documents)
+         SELECT id, CAST(t AS INT) AS frame, n_frames, width, height,
+                TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+         FROM d, unnest(range(0, n_frames)) AS u(t)""",
 
     // Replays syntheticGif's pixel formula through the palette formulas
     // (r=i, g=(2i)%256, b=255-i over index (id+3x+7y)%256) — integer sums,

@@ -579,6 +579,63 @@ class PipelineSpec extends SparkSpec {
     assert(bad.isEmpty, s"adversarial JPEGs must drop, got ${bad.mkString(",")}")
   }
 
+  test("MJPEG-AVI: per-frame decode matches formula; forged containers drop") {
+    import graft.multimodal.Video
+    val ids = spark.range(1, 13).as[Long]
+    val frames = Video.decodeMjpegAvi(Video.syntheticAvi(ids)).collect()
+    // every declared frame decodes: Σ (2 + id%4) over ids 1..12
+    assert(frames.length == (1L until 13L).map(id => 2 + id % 4).sum)
+    frames.foreach { f =>
+      assert(f.n_frames == (2 + f.id % 4).toInt && f.frame < f.n_frames)
+      assert(f.width == (5 + f.id % 9).toInt && f.height == (4 + f.id % 9).toInt)
+      def fm(g: (Long, Long) => Long): Double =
+        (for (y <- 0L until f.height; x <- 0L until f.width) yield g(x, y))
+          .sum.toDouble / (f.width * f.height)
+      val t = f.frame.toLong
+      // ±4.0, the gate's budget: row-constant blue wraps 255→0 mid-image
+      // for some (id, t) and the full-scale edge rings past 3 (measured
+      // max 3.05 across all sf0.1 ids; see the mm_video gate comment)
+      assert(math.abs(f.mean_r - fm((x, y) => (f.id + 3 * x + 7 * y + 11 * t) % 256)) <= 4.0,
+        s"id=${f.id} t=$t r")
+      assert(math.abs(f.mean_g - fm((x, _) => (2 * f.id + x + 5 * t) % 256)) <= 4.0,
+        s"id=${f.id} t=$t g")
+      assert(math.abs(f.mean_b - fm((_, y) => (f.id + y + 2 * t) % 256)) <= 4.0,
+        s"id=${f.id} t=$t b")
+    }
+    // adversarial containers, timeout-bounded (drop fast, never hang):
+    val one = Video.syntheticAvi(spark.range(3, 4).as[Long]).collect().head
+    val m = one.media
+    // (a) frame-count lie: avih claims one more frame than movi holds.
+    //     avih payload starts after RIFF(12) + LIST hdr(12) + 'avih'+size(8);
+    //     dwTotalFrames is at payload offset 16 → absolute 12+12+8+16
+    val countLie = { val c = m.clone(); c(48) = (c(48) + 1).toByte; c }
+    // (b) dimension lie: avih dwWidth (payload offset 32) disagrees with
+    //     the JPEG frames — decoded dims must invalidate the row
+    val dimLie = { val c = m.clone(); c(64) = (c(64) + 1).toByte; c }
+    // (c) forged frame-chunk size pointing past the buffer mid-movi
+    val forgedSize = {
+      val c = m.clone()
+      val at = (0 until c.length - 4).find(j =>
+        c(j) == '0'.toByte && c(j + 1) == '0'.toByte &&
+          c(j + 2) == 'd'.toByte && c(j + 3) == 'c'.toByte).get
+      c(at + 4) = 0xff.toByte; c(at + 5) = 0xff.toByte
+      c(at + 6) = 0xff.toByte; c(at + 7) = 0x7f.toByte
+      c
+    }
+    val fut = scala.concurrent.Future {
+      Video.decodeMjpegAvi(Seq(
+        Video.VideoRow(1L, countLie),
+        Video.VideoRow(2L, dimLie),
+        Video.VideoRow(3L, forgedSize),
+        Video.VideoRow(4L, m.dropRight(m.length / 2)), // truncated movi
+        Video.VideoRow(5L, "RIFFxxxxWAVE".getBytes),   // wrong RIFF type
+        Video.VideoRow(6L, Array[Byte](1, 2, 3))).toDS()).collect()
+    }(scala.concurrent.ExecutionContext.global)
+    val bad = scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration(60, "s"))
+    assert(bad.isEmpty, s"forged AVIs must drop, got ${bad.mkString(",")}")
+  }
+
   test("WAV decoder round-trips RIFF bytes, walks extra chunks, drops junk") {
     val ids = spark.range(0, 20).as[Long]
     val feats = Multimodal.decodeWav(Multimodal.syntheticWav(ids)).collect()
