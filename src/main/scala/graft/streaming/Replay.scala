@@ -49,19 +49,40 @@ object Replay {
   // warm+timed run and analysis pass would retain another full copy
   private val lastView = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Start `stream` into an append-mode memory sink, process everything
-    * available, stop, and return the sink table.
+  // last file-sink output per tag (same eviction idea, but disk)
+  private val lastDir = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Run `stream` to completion and return the append-mode result — the
+    * FILE-sink path (default since r8): `writeStream.format("parquet")`
+    * with a checkpoint, read back through the sink's `_spark_metadata`
+    * commit log (exactly the committed files, exactly once). Unlike the
+    * memory sink this never pins the result set in the driver, so replay
+    * fixtures can grow past driver memory — the production shape.
     *
-    * CONTRACT — single consumer per tag, serialized: the returned frame
-    * lazily reads a temp view that is DROPPED as soon as the NEXT replay of
-    * the same tag starts. Callers must finish consuming (collect/write) the
-    * returned frame before invoking `toBatch` again with the same tag, and
-    * must not interleave replays of one tag across threads — a held frame
-    * read after the next replay begins fails with a missing-view error.
-    * Every current caller (Verify/Bench/specs run gates one at a time)
-    * satisfies this; the query name is unique per call so ACTIVE queries
-    * never collide even across tags. */
+    * CONTRACT — single consumer per tag, serialized: the PREVIOUS replay's
+    * output directory for the same tag is deleted when a new replay of
+    * that tag starts; finish consuming the returned frame first, and don't
+    * interleave one tag across threads. Every current caller
+    * (Verify/Bench/specs run gates one at a time) satisfies this. */
   def toBatch(stream: DataFrame, tag: String): DataFrame = {
+    val spark = stream.sparkSession
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_replay_$tag").toString
+    val q = stream.writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    lastDir.put(tag, root).foreach(deleteRecursively)
+    spark.read.parquet(s"$root/out")
+  }
+
+  /** The r6–r7 DRIVER-memory sink path, kept as the harness cross-check
+    * (StreamingSpec asserts file ≡ memory on a gate): collects into an
+    * in-memory table behind a temp view. Same single-consumer-per-tag
+    * contract as [[toBatch]] — the previous view for a tag drops when a
+    * new replay of that tag starts. */
+  def toBatchMemory(stream: DataFrame, tag: String): DataFrame = {
     val name = s"graft_replay_${tag}_${ctr.incrementAndGet()}"
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -69,5 +90,14 @@ object Replay {
     lastView.put(tag, name)
       .foreach(old => stream.sparkSession.catalog.dropTempView(old))
     stream.sparkSession.table(name)
+  }
+
+  private def deleteRecursively(root: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 }

@@ -121,6 +121,29 @@ class StreamingSpec extends SparkSpec {
 
   case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
+  test("file-sink replay ≡ memory-sink replay on a watermarked gate stream") {
+    // The r8 default replay path writes a real parquet file sink (commit
+    // log, no driver retention); this pins its equivalence to the r6-r7
+    // driver-memory harness on an actual gate-shaped stream (watermark +
+    // dropDuplicatesWithinWatermark), so a sink-path bug can't silently
+    // shift the 6 streaming CORRECTNESS rows.
+    def stream() = {
+      val p = s"$sf0001/documents.parquet"
+      val sch = spark.read.parquet(p).schema
+      val docs = spark.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(p))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      graft.streaming.StreamDedup.dropRedelivered(docs, "text", "ts")
+        .select("content_hash", "content_len")
+    }
+    val file = graft.streaming.Replay.toBatch(stream(), "sinkcheck_f")
+      .as[(String, Long)].collect().toSeq.sorted
+    val mem = graft.streaming.Replay.toBatchMemory(stream(), "sinkcheck_m")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(file.nonEmpty && file == mem,
+      s"file-sink replay diverged: ${file.size} vs ${mem.size} rows")
+  }
+
   test("streaming dedup drops re-delivered payloads within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
