@@ -44,12 +44,17 @@ object ScaleProbe {
   private def replicate(df: DataFrame, k: Int)(per: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until k).map(r => per(df, r)).reduce(_ unionByName _)
 
-  /** Build the K× fixture dir (idempotent: skips tables already written). */
-  def buildScaled(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
+  /** Build the K× fixture dir (idempotent: skips tables already written).
+    * `tables` restricts which tables are materialized — at k=100 the
+    * replicated events/lineitem frames are 100M+ rows, pure waste when the
+    * probed queries only read documents + embeddings. */
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String, k: Int,
+                  tables: Set[String] = Set("documents", "embeddings",
+                    "lineitem", "events", "orders")): Unit = {
     def done(t: String) =
       new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists()
-    def write(t: String, df: DataFrame): Unit =
-      if (!done(t)) df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    def write(t: String, df: => DataFrame): Unit =
+      if (tables(t) && !done(t)) df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
     val t = graft.sources.TestData(spark, baseDir)
     write("documents", replicate(t.documents, k) { (d, r) =>
@@ -104,13 +109,15 @@ object ScaleProbe {
     val k = if (args.length > 1) args(1).toInt else 10
     val names = if (args.length > 2) args(2).split(",").map(_.trim).toSeq
                 else DefaultQueries
+    val tables = if (args.length > 3) args(3).split(",").map(_.trim).toSet
+                 else Set("documents", "embeddings", "lineitem", "events", "orders")
     val spark = Sessions.local(appName = "graft-scale-probe")
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
     val outDir = s"${sys.props("java.io.tmpdir")}/graft_scale${k}_" +
       baseDir.replaceAll("[^A-Za-z0-9.]", "_")
-    buildScaled(spark, baseDir, outDir, k)
+    buildScaled(spark, baseDir, outDir, k, tables)
 
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val rows = names.map { n =>
