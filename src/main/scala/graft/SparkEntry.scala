@@ -336,6 +336,26 @@ object SparkEntry {
            WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')""")
     }),
 
+    // TPC-H Q4 class: correlated EXISTS with a NON-equi predicate that
+    // references the outer row (ship > order date + 90d) — Catalyst
+    // decorrelates to a left-semi join with the range condition as a
+    // residual join filter, the third distinctive subquery plan shape
+    // next to q17's scalar aggregates and q22's null-aware anti.
+    "q4_order_priority" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.orders.createOrReplaceTempView("g4_orders")
+      t.lineitem.createOrReplaceTempView("g4_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_late
+        FROM g4_orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM g4_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY)
+        GROUP BY o_orderpriority""")
+    }),
+
     // Hot-key split join: result ≡ plain join; the plan broadcasts the
     // hot mass (keys with >N rows) and shuffles only the tail — the
     // other standard skew treatment next to j7's salting.
@@ -1837,6 +1857,16 @@ object SparkEntry {
          WHERE c_custkey NOT IN
            (SELECT o_custkey FROM orders
             WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')""",
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_late
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority""",
 
     // The hot/tail split is plan-internal — same plain equi-join result.
     "j9_split_join" ->

@@ -68,8 +68,21 @@ object ScaleProbe {
         col("lang"), col("source"),
         (if (r == 0) col("n_chars") else length(text).cast("long")).as("n_chars"))
     })
+    // embeddings replicate with DENSE ids (offset = base row count, not
+    // IdOff): the IVF/PQ coarse-quantizer and codebook seeds are value
+    // predicates on id strides computed from n — with sparse r·10⁷
+    // offsets only replica-0 ids land under stride·nLists, the index
+    // degenerates to ~1 cell, and the probe times a DIFFERENT (unindexed)
+    // workload. Dense ids keep the seed spread faithful at k×; the
+    // `vec_id < 10` query set still lives entirely in replica 0. (Caught
+    // r8: the degenerate index made ann_ivfpq_res_topk look FASTER at
+    // 100× — ratio 0.57 — because base cost is overhead-dominated.)
+    lazy val embOff = {
+      val cnt = t.embeddings.count()
+      ((cnt + 99) / 100) * 100 // multiple of 100, keeps % predicates exact
+    }
     write("embeddings", replicate(t.embeddings, k) { (d, r) =>
-      d.select((col("vec_id") + lit(r * IdOff)).as("vec_id"),
+      d.select((col("vec_id") + lit(r * embOff)).as("vec_id"),
         col("embedding"), col("label"))
     })
     write("lineitem", replicate(t.lineitem, k) { (d, r) =>

@@ -54,7 +54,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // decorrelated twin scalar subqueries: two per-partkey agg shuffles
     // (both then BROADCAST back over the fact scan) + the final 1-row agg
     "q17_small_qty" -> 3,
-    "q22_not_in" -> 0            // null-aware broadcast anti-join, no shuffle
+    "q22_not_in" -> 0,           // null-aware broadcast anti-join, no shuffle
+    // decorrelated EXISTS → semi join (broadcast at test SF; AQE flips to
+    // SMJ when the pruned build side outgrows broadcast) + final agg
+    "q4_order_priority" -> 1
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
