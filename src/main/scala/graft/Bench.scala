@@ -52,6 +52,9 @@ object Bench {
       val e = graft.sources.TestData(spark, sfDir).embeddings
       graft.ann.Pq.cachedIndex(e, "vec_id", "embedding", sfDir,
         nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+      graft.ann.Pq.cachedIndex(e, "vec_id", "embedding", sfDir,
+        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0,
+        residual = true)
     } catch { case _: Throwable => () }
     val idxSec = (System.nanoTime() - idxT0) / 1e9
     // Streaming HARNESS overhead, isolated (judge r7 item 8): an identity

@@ -995,6 +995,19 @@ object SparkEntry {
         5, nProbe = 4)
     }),
 
+    // Served RESIDUAL index: same build-once/serve-many shape for the
+    // FAISS-default encoding — the four artifacts round-trip parquet, the
+    // decomposed-cosine side tables (adc/qc/cn2/cross-energy) derive from
+    // queries + loaded centroids/codebooks at serve time, never the corpus.
+    "ann_ivfpq_res_served" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val idx = Pq.cachedIndex(e, "vec_id", "embedding", dir,
+        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0,
+        residual = true)
+      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        5, nProbe = 4)
+    }),
+
     // Residual IVF-PQ (FAISS-default encoding): PQ quantizes v − centroid;
     // cosine decomposes exactly over x̂ = c + ŵ via four broadcast tables.
     // Recall beats the raw lane at equal bits (PqSpec).
@@ -2821,6 +2834,7 @@ object SparkEntry {
     // parquet bit-exactly, so the inline-build oracle replays it unchanged.
     "ann_ivfpq_served" -> ivfPqOracle,
     "ann_ivfpq_res_topk" -> ivfPqResOracle,
+    "ann_ivfpq_res_served" -> ivfPqResOracle,
     "ann_ivf_topk" -> ivf1Oracle,
     "ann_lsh_topk" -> annLshOracle,
     "emb_near_dup_lsh" -> embLshOracle,

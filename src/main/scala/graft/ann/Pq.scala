@@ -50,7 +50,8 @@ object Pq {
     * [[topKFromIndex]]) without touching the raw vector corpus. */
   final case class PqIndex(centroids: DataFrame, codebooks: DataFrame,
                            cells: DataFrame, codes: DataFrame,
-                           nLists: Int, m: Int, dsub: Int, ksub: Int)
+                           nLists: Int, m: Int, dsub: Int, ksub: Int,
+                           residual: Boolean = false)
 
   /** Run `body` (a counting action) under a named job description — the
     * PqSpec listener asserts the index build runs exactly one such job, and
@@ -246,37 +247,53 @@ object Pq {
     }
   }
 
-  /** Build the raw-encoding IVF-PQ index WITHOUT running a query — the
-    * factored-out build half of [[ivfPqTopK]] (same single tagged counting
-    * job, same artifacts). */
+  /** Build an IVF-PQ index WITHOUT running a query — the factored-out
+    * build half of [[ivfPqTopK]] (same single tagged counting job, same
+    * artifacts). `residual = true` trains the codebooks on v − c(cell)
+    * (the FAISS-default encoding) — the four persisted frames are the
+    * same shapes either way, only their derivation differs. */
   def buildIndex(corpus: DataFrame, id: String, vec: String,
                  nLists: Int = 16, m: Int = 8, dsub: Int = 8, ksub: Int = 16,
-                 lloydIters: Int = 0): PqIndex = {
+                 lloydIters: Int = 0, residual: Boolean = false): PqIndex = {
     val n = taggedCount(corpus.select(col(id)), "graft count: ivfPq index build")
     val centroids = Ann.ivfCentroids(corpus, id, vec, nLists, lloydIters,
       knownN = Some(n)).localCheckpoint()
     val cells = Ann.assignCells(corpus, id, vec, centroids).localCheckpoint()
-    val cb = codebooks(corpus, id, vec, m, dsub, ksub, lloydIters,
-      knownN = Some(n)).localCheckpoint()
-    val codes = encodeCorpus(corpus, id, vec, m, dsub, cb)
-    PqIndex(centroids, cb, cells, codes, nLists, m, dsub, ksub)
+    if (!residual) {
+      val cb = codebooks(corpus, id, vec, m, dsub, ksub, lloydIters,
+        knownN = Some(n)).localCheckpoint()
+      val codes = encodeCorpus(corpus, id, vec, m, dsub, cb)
+      PqIndex(centroids, cb, cells, codes, nLists, m, dsub, ksub)
+    } else {
+      val (cb, codes) = residualCodebookAndCodes(corpus, id, vec,
+        m, dsub, ksub, lloydIters, centroids, cells, n)
+      PqIndex(centroids, cb, cells, codes, nLists, m, dsub, ksub,
+        residual = true)
+    }
   }
 
   /** Serve a top-k query from an already-built index: probes, ADC table and
     * scoring only — no counting job, no training, no corpus-vector scan
     * (the raw vectors appear ONLY through the queries side; the corpus side
-    * is the compact codes ⋈ cells co-shuffle). PqSpec asserts the serve
-    * path runs ZERO tagged build counts. */
+    * is the compact codes ⋈ cells co-shuffle — in the residual lane the
+    * extra qc/cn2/cross-energy tables derive from queries and centroids,
+    * still never the corpus). PqSpec asserts the serve path runs ZERO
+    * tagged build counts on both lanes. */
   def topKFromIndex(idx: PqIndex, queries: DataFrame, id: String, vec: String,
                     k: Int, nProbe: Int): DataFrame = {
     val probes = Ann.probeCells(queries, id, vec, idx.centroids, nProbe)
-    val adc = adcTable(queries, id, vec, idx.m, idx.dsub, idx.codebooks)
-    // eligibility: a corpus row is scored for a query iff its cell is
-    // probed by that query — the broadcast probes join prunes BEFORE the
-    // ADC join, so unprobed rows never expand per-query
-    val eligible = idx.codes.join(idx.cells, "cid")
-      .join(broadcast(probes), "centroid_id")
-    scoreAndRank(eligible.join(broadcast(adc), Seq("query_id", "sub", "code")), k)
+    if (idx.residual)
+      residualTopK(idx.centroids, idx.cells, idx.codebooks, idx.codes,
+        queries, id, vec, k, idx.m, idx.dsub, probes)
+    else {
+      val adc = adcTable(queries, id, vec, idx.m, idx.dsub, idx.codebooks)
+      // eligibility: a corpus row is scored for a query iff its cell is
+      // probed by that query — the broadcast probes join prunes BEFORE the
+      // ADC join, so unprobed rows never expand per-query
+      val eligible = idx.codes.join(idx.cells, "cid")
+        .join(broadcast(probes), "centroid_id")
+      scoreAndRank(eligible.join(broadcast(adc), Seq("query_id", "sub", "code")), k)
+    }
   }
 
   /** Persist an index as five parquet artifacts under `dir`. The two
@@ -292,8 +309,8 @@ object Pq {
     idx.codes.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
     val spark = idx.centroids.sparkSession
     import spark.implicits._
-    Seq((idx.nLists, idx.m, idx.dsub, idx.ksub))
-      .toDF("n_lists", "m", "dsub", "ksub")
+    Seq((idx.nLists, idx.m, idx.dsub, idx.ksub, idx.residual))
+      .toDF("n_lists", "m", "dsub", "ksub", "residual")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
   }
 
@@ -308,7 +325,8 @@ object Pq {
       spark.read.parquet(s"$dir/cells"),
       spark.read.parquet(s"$dir/codes"),
       meta.getAs[Int]("n_lists"), meta.getAs[Int]("m"),
-      meta.getAs[Int]("dsub"), meta.getAs[Int]("ksub"))
+      meta.getAs[Int]("dsub"), meta.getAs[Int]("ksub"),
+      meta.getAs[Boolean]("residual"))
   }
 
   // Build-once/serve-many for the gate queries: first use per (fixture dir,
@@ -321,11 +339,13 @@ object Pq {
     * and saving it on first use, serving from parquet thereafter. */
   def cachedIndex(corpus: => DataFrame, id: String, vec: String, key: String,
                   nLists: Int = 16, m: Int = 8, dsub: Int = 8, ksub: Int = 16,
-                  lloydIters: Int = 0): PqIndex =
-    indexCache.getOrElseUpdate(key, {
+                  lloydIters: Int = 0, residual: Boolean = false): PqIndex =
+    indexCache.getOrElseUpdate(s"$key#residual=$residual", {
       val root = s"${sys.props("java.io.tmpdir")}/graft_pq_index/" +
-        key.replaceAll("[^A-Za-z0-9.]", "_")
-      val built = buildIndex(corpus, id, vec, nLists, m, dsub, ksub, lloydIters)
+        key.replaceAll("[^A-Za-z0-9.]", "_") +
+        (if (residual) "_res" else "")
+      val built = buildIndex(corpus, id, vec, nLists, m, dsub, ksub,
+        lloydIters, residual)
       saveIndex(built, root)
       loadIndex(built.centroids.sparkSession, root)
     })
@@ -353,6 +373,20 @@ object Pq {
                             m: Int, dsub: Int, ksub: Int, lloydIters: Int,
                             centroids: DataFrame, cells: DataFrame,
                             probes: DataFrame, n: Long): DataFrame = {
+    val (cb, codes) = residualCodebookAndCodes(corpus, id, vec,
+      m, dsub, ksub, lloydIters, centroids, cells, n)
+    residualTopK(centroids, cells, cb, codes, queries, id, vec,
+      k, m, dsub, probes)
+  }
+
+  /** Residual-lane build half: train the codebooks on r = v − c(cell) and
+    * encode the corpus. Returns (codebooks, codes) — the two frames that,
+    * with centroids and cells, ARE the residual index. */
+  private def residualCodebookAndCodes(corpus: DataFrame, id: String,
+                                       vec: String, m: Int, dsub: Int,
+                                       ksub: Int, lloydIters: Int,
+                                       centroids: DataFrame, cells: DataFrame,
+                                       n: Long): (DataFrame, DataFrame) = {
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
     // residuals: row-local subtract after the compact cell-assignment
     // join. Deliberately NOT checkpointed: this frame is CORPUS-sized
@@ -375,6 +409,19 @@ object Pq {
         seedOffset = stride / 2, knownN = Some(n))
       .localCheckpoint()
     val codes = encodeCorpus(resid, "cid", "rv", m, dsub, cb)
+    (cb, codes)
+  }
+
+  /** Residual-lane scoring: decomposed-cosine ADC over probed cells. Pure
+    * function of the four index frames + queries — the SERVE path runs
+    * exactly this against loaded artifacts (the qc/cn2 and cell-code
+    * cross-energy tables are query- or centroid-derived, never
+    * corpus-derived, so serving touches no raw corpus vector). */
+  private def residualTopK(centroids: DataFrame, cells: DataFrame,
+                           cb: DataFrame, codes: DataFrame,
+                           queries: DataFrame, id: String, vec: String,
+                           k: Int, m: Int, dsub: Int,
+                           probes: DataFrame): DataFrame = {
     val adc = adcTable(queries, id, vec, m, dsub, cb)
     // per (query, cell): q·c and per cell: |c|²
     val qcell = queries.select(col(id).as("query_id"), col(vec).as("qv"))

@@ -176,19 +176,22 @@ class PqSpec extends SparkSpec {
 
   test("served index ≡ inline build: same rows, scores, ranks after parquet") {
     val queries = embs.filter(col("vec_id") < 10)
-    val inline = Pq.ivfPqTopK(embs, queries, "vec_id", "embedding", 5,
-        nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
-      .as[(Long, Long, Long, Double)].collect().toSet
-    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
-    Pq.saveIndex(Pq.buildIndex(embs, "vec_id", "embedding",
-      nLists = 16, m = 8, dsub = 8, ksub = 16), dir)
-    val idx = Pq.loadIndex(spark, dir)
-    assert((idx.nLists, idx.m, idx.dsub, idx.ksub) == (16, 8, 8, 16),
-      "meta must round-trip the build parameters")
-    val served = Pq.topKFromIndex(idx, queries, "vec_id", "embedding", 5, nProbe = 4)
-      .as[(Long, Long, Long, Double)].collect().toSet
-    assert(served == inline,
-      "serving from parquet artifacts must be bit-identical to the inline build")
+    for (res <- Seq(false, true)) {
+      val inline = Pq.ivfPqTopK(embs, queries, "vec_id", "embedding", 5,
+          nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0,
+          residual = res)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+      Pq.saveIndex(Pq.buildIndex(embs, "vec_id", "embedding",
+        nLists = 16, m = 8, dsub = 8, ksub = 16, residual = res), dir)
+      val idx = Pq.loadIndex(spark, dir)
+      assert((idx.nLists, idx.m, idx.dsub, idx.ksub, idx.residual) ==
+        (16, 8, 8, 16, res), "meta must round-trip the build parameters")
+      val served = Pq.topKFromIndex(idx, queries, "vec_id", "embedding", 5, nProbe = 4)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(served == inline,
+        s"serving (residual=$res) from parquet must be bit-identical to the inline build")
+    }
   }
 
   test("serve path runs ZERO build jobs (judge r7 item)") {
@@ -199,6 +202,9 @@ class PqSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("pq_idx_serve").toString
     Pq.saveIndex(Pq.buildIndex(embs, "vec_id", "embedding",
       nLists = 16, m = 8, dsub = 8, ksub = 16), dir)
+    val dirRes = java.nio.file.Files.createTempDirectory("pq_idx_serve_r").toString
+    Pq.saveIndex(Pq.buildIndex(embs, "vec_id", "embedding",
+      nLists = 16, m = 8, dsub = 8, ksub = 16, residual = true), dirRes)
     val queries = embs.filter(col("vec_id") < 10)
     val tagged = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val total = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -217,6 +223,10 @@ class PqSpec extends SparkSpec {
       val n = Pq.topKFromIndex(idx, queries, "vec_id", "embedding", 5, nProbe = 4)
         .count()
       assert(n == 50, "5 rows per query from the served index")
+      val idxRes = Pq.loadIndex(spark, dirRes)
+      val nRes = Pq.topKFromIndex(idxRes, queries, "vec_id", "embedding", 5, nProbe = 4)
+        .count()
+      assert(nRes == 50, "5 rows per query from the served residual index")
       var last = -1; var stable = 0; var waited = 0
       while (stable < 3 && waited < 10000) {
         Thread.sleep(100); waited += 100
