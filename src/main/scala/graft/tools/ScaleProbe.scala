@@ -98,6 +98,16 @@ object ScaleProbe {
     write("orders", replicate(t.orders, k) { (d, r) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(r * IdOff))
     })
+    // dimension tables copy UNreplicated — that is the faithful scaling
+    // (facts grow, dims don't): q17's per-part aggregate sees k× rows per
+    // part, q22's NOT IN keeps its dim-sized probe side. Copied (not
+    // symlinked) so the scaled dir is self-contained.
+    Seq("part", "customer", "supplier", "nation", "region").foreach { dim =>
+      if (tables(dim) && !done(dim) &&
+          new java.io.File(s"$baseDir/$dim.parquet").exists())
+        spark.read.parquet(s"$baseDir/$dim.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
+    }
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
