@@ -10,7 +10,7 @@ import graft.functions.{CodeConvert, Coerce, TextFns}
 import graft.multimodal.{Flac, Gif, Jpeg, Multimodal, Png, Video}
 import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
-import graft.sources.TestData
+import graft.sources.{Sinks, TestData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -337,6 +337,31 @@ object SparkEntry {
         WHERE c_custkey NOT IN
           (SELECT o_custkey FROM g22_orders
            WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')""")
+    }),
+
+    // Bucketed co-located join (the repeated-fact-join strategy at
+    // 100 TB): lineitem and orders are written ONCE per fixture as
+    // 16-bucket tables hash-bucketed on the order key; the join + per-key
+    // aggregation then run with ZERO shuffle exchanges — the scans
+    // themselves carry the hash partitioning (merge hint pins SMJ so the
+    // broadcast path can't mask the demonstration at test scale;
+    // plan-frozen at 0 in ShuffleBudgetSpec). Result ≡ the plain join.
+    "j10_bucketed_join" -> ((s, dir) => {
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      jsonlStaged.getOrElseUpdate(dir + "#bucketed", {
+        val root = s"/tmp/graft_bucketed_${ProcessHandle.current().pid()}/$key"
+        val t = TestData(s, dir)
+        Sinks.writeBucketed(t.lineitem.select("l_orderkey", "l_quantity"),
+          s"graft_li_$key", s"$root/lineitem", "l_orderkey")
+        Sinks.writeBucketed(t.orders.select("o_orderkey", "o_orderstatus"),
+          s"graft_ord_$key", s"$root/orders", "o_orderkey")
+        root
+      })
+      s.table(s"graft_li_$key")
+        .join(s.table(s"graft_ord_$key").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), decSum(col("l_quantity")).as("sum_qty"))
     }),
 
     // TPC-H Q4 class: correlated EXISTS with a NON-equi predicate that
@@ -1882,6 +1907,13 @@ object SparkEntry {
          WHERE c_custkey NOT IN
            (SELECT o_custkey FROM orders
             WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')""",
+
+    // Bucketing is plan-internal — the result is the plain join + agg.
+    "j10_bucketed_join" ->
+      """SELECT o_orderkey, o_orderstatus, count(*) AS n_items,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey, o_orderstatus""",
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_late

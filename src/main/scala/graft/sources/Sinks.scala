@@ -80,4 +80,19 @@ object Sinks {
       .partitionBy("p_month")
       .parquet(path)
   }
+
+  /** Bucketed fact sink: hash-bucket (and sort) by the join key so joins
+    * and aggregations on that key are CO-LOCATED — the scan itself reports
+    * the hash partitioning, and a join between two tables bucketed the
+    * same way runs with ZERO shuffle exchanges (the 100 TB strategy
+    * SCALE.md prescribes for repeated fact⋈fact joins; enforced by the
+    * j10_bucketed_join plan freeze). `saveAsTable` is required — bucket
+    * metadata lives in the catalog, not the parquet footer — with `path`
+    * keeping the data external to any warehouse dir. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int = 16): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
 }

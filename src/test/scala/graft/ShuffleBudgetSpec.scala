@@ -57,7 +57,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q22_not_in" -> 0,           // null-aware broadcast anti-join, no shuffle
     // decorrelated EXISTS → semi join (broadcast at test SF; AQE flips to
     // SMJ when the pruned build side outgrows broadcast) + final agg
-    "q4_order_priority" -> 1
+    "q4_order_priority" -> 1,
+    // bucketed co-located fact⋈fact join + same-key agg: the scans carry
+    // the hash partitioning, so join AND aggregation shuffle NOTHING
+    "j10_bucketed_join" -> 0
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
