@@ -95,4 +95,39 @@ object Sinks {
       .bucketBy(buckets, key).sortBy(key)
       .option("path", path)
       .saveAsTable(table)
+
+  /** Small-files compaction — the standard companion to streaming file
+    * sinks: micro-batches write a file per trigger per partition, and at
+    * 100 TB the resulting listing/open overhead dominates scans long
+    * before data volume does. Rewrites `path` into
+    * ceil(totalBytes / targetBytes) files (size-proportional, so an
+    * already-compact table is a near-no-op rewrite).
+    *
+    * Swap discipline: the compacted data is fully written to a staging
+    * dir FIRST, then swapped in with two renames (old → trash, staged →
+    * path) and the trash deleted last — the read plan never races its own
+    * overwrite (the `upsertPartitioned` hazard), and a crash mid-swap
+    * leaves a recoverable directory rather than a half-deleted table.
+    * Returns the resulting file count. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new java.io.File(path)
+    val dataFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val total = dataFiles.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val staged = s"$path.__compacting"
+    val trash = s"$path.__trash"
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.move(p, java.nio.file.Paths.get(trash))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staged), p)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(new java.io.File(trash))
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
 }

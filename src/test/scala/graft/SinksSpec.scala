@@ -55,6 +55,26 @@ class SinksSpec extends SparkSpec {
     assert(otherB == otherA)
   }
 
+  test("compact: shrinks a small-files table losslessly, staged swap") {
+    val docs = graft.sources.TestData(spark, sf0001).documents
+    val path = tmp("compact")
+    // simulate a streaming sink's sprawl: one file per micro-partition
+    docs.repartition(32).write.parquet(path)
+    val before = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(before >= 16, s"fixture should start fragmented, got $before files")
+    val expected = docs.as[(Long, String, String, String, Long)].collect().toSet
+    val after = graft.sources.Sinks.compact(spark, path)
+    assert(after < before && after >= 1,
+      s"compaction must shrink the file count ($before -> $after)")
+    val back = spark.read.parquet(path)
+      .as[(Long, String, String, String, Long)].collect().toSet
+    assert(back == expected, "compaction must be lossless")
+    // staging/trash dirs are gone — the swap completed
+    assert(!new java.io.File(s"$path.__compacting").exists())
+    assert(!new java.io.File(s"$path.__trash").exists())
+  }
+
   test("zstd JSONL shards: .zst extension, real zstd frames, exact round-trip") {
     val docs = graft.sources.TestData(spark, sf0001).documents
       .select("doc_id", "text", "lang")
