@@ -364,6 +364,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), decSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Magic-byte media router over a MIXED-format corpus (the real-world
+    // shape — crawled media never arrives format-sorted): doc_id % 8
+    // rotates every payload kind through the seven real codecs plus an
+    // opaque residue lane; ONE mapPartitions pass dispatches each row by
+    // container signature. The gate checks detection + decode routing
+    // (kind, dims, unit counts — all integers, exact); per-kind signal
+    // fidelity is already gated by the mm_* codec gates.
+    "mm_sniff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = TestData(s, dir).documents
+      val ids = docs.select(col("doc_id").cast("long")).as[Long]
+      def pick(m: Int) = ids.filter(_ % 8 == m)
+      def row(id: Long, media: Array[Byte]) =
+        Multimodal.MediaRow(id, media, "", 0, 0)
+      val mixed =
+        Jpeg.syntheticJpeg(pick(0)).map(r => row(r.id, r.media))
+          .union(Png.syntheticPng(pick(1)).map(r => row(r.id, r.media)))
+          .union(Gif.syntheticGif(pick(2)).map(r => row(r.id, r.media)))
+          .union(Multimodal.syntheticPpm(pick(3)).map(r => row(r.id, r.media)))
+          .union(Multimodal.syntheticWav(pick(4)).map(r => row(r.id, r.media)))
+          .union(Flac.syntheticFlac(pick(5)).map(r => row(r.id, r.media)))
+          .union(Video.syntheticAvi(pick(6)).map(r => row(r.id, r.media)))
+          .union(docs.filter(col("doc_id") % 8 === 7)
+            .select(col("doc_id").cast("long").as("id"),
+              encode(col("text"), "UTF-8").as("media"),
+              lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
+            .as[Multimodal.MediaRow])
+      Multimodal.sniffAndDecode(mixed).toDF()
+        .select("id", "kind", "width", "height", "n_units")
+    }),
+
     // TPC-H Q4 class: correlated EXISTS with a NON-equi predicate that
     // references the outer row (ship > order date + 90d) — Catalyst
     // decorrelates to a left-semi join with the range condition as a
@@ -1907,6 +1938,32 @@ object SparkEntry {
          WHERE c_custkey NOT IN
            (SELECT o_custkey FROM orders
             WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')""",
+
+    // Replays each kind's synthetic dims/units by doc_id % 8 — detection
+    // and routing are what's gated; integers only, exact both engines.
+    "mm_sniff" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+                CASE doc_id % 8 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                  WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'
+                  WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' ELSE 'opaque' END AS kind,
+                CAST(CASE doc_id % 8 WHEN 0 THEN 5 + doc_id % 9
+                  WHEN 1 THEN 5 + doc_id % 6 WHEN 2 THEN 5 + doc_id % 7
+                  WHEN 3 THEN 4 + doc_id % 5 WHEN 6 THEN 5 + doc_id % 9
+                  ELSE 0 END AS INT) AS width,
+                CAST(CASE doc_id % 8 WHEN 0 THEN 4 + doc_id % 9
+                  WHEN 1 THEN 4 + doc_id % 5 WHEN 2 THEN 4 + doc_id % 6
+                  WHEN 3 THEN 3 + doc_id % 4 WHEN 6 THEN 4 + doc_id % 9
+                  ELSE 0 END AS INT) AS height,
+                CAST(CASE doc_id % 8
+                  WHEN 0 THEN (5 + doc_id % 9) * (4 + doc_id % 9)
+                  WHEN 1 THEN (5 + doc_id % 6) * (4 + doc_id % 5)
+                  WHEN 2 THEN (5 + doc_id % 7) * (4 + doc_id % 6)
+                  WHEN 3 THEN (4 + doc_id % 5) * (3 + doc_id % 4)
+                  WHEN 4 THEN 64 + doc_id % 57
+                  WHEN 5 THEN 64 + doc_id % 57
+                  WHEN 6 THEN 2 + doc_id % 4
+                  ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_units
+         FROM documents""",
 
     // Bucketing is plan-internal — the result is the plain join + agg.
     "j10_bucketed_join" ->

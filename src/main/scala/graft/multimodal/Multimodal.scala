@@ -77,9 +77,11 @@ object Multimodal {
     * bytes never leave the executor. */
   def decodePpm(media: Dataset[PpmImage]): Dataset[PpmFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val b = r.media
+    media.mapPartitions(_.flatMap(r => decodeOnePpm(r.id, r.media)))
+  }
+
+  // per-row entry point shared with the magic-byte router ([[sniffAndDecode]])
+  private[multimodal] def decodeOnePpm(id: Long, b: Array[Byte]): Option[PpmFeatures] = {
         var i = 0
         // token reader: skips whitespace and # comments between header fields
         def nextToken(): String = {
@@ -108,13 +110,11 @@ object Multimodal {
                 sr += (b(p) & 0xff); sg += (b(p + 1) & 0xff); sb += (b(p + 2) & 0xff)
                 p += 3
               }
-              Some(PpmFeatures(r.id, w, h, n,
+              Some(PpmFeatures(id, w, h, n,
                 sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
             }
           }
         } catch { case _: NumberFormatException => None }
-      }
-    }
   }
 
   /** Compressed-codec lane: gzip (RFC 1952) via `java.util.zip` — a REAL
@@ -239,9 +239,11 @@ object Multimodal {
     * rule). Integer sums end-to-end → the features replay exactly in SQL. */
   def decodeWav(media: Dataset[WavAudio]): Dataset[WavFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val b = r.media
+    media.mapPartitions(_.flatMap(r => decodeOneWav(r.id, r.media)))
+  }
+
+  // per-row entry point shared with the magic-byte router ([[sniffAndDecode]])
+  private[multimodal] def decodeOneWav(rid: Long, b: Array[Byte]): Option[WavFeatures] = {
         def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
         def u32(i: Int): Long =
           (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
@@ -281,18 +283,76 @@ object Multimodal {
               if (math.abs(s) > peak) peak = math.abs(s)
               p += 2
             }
-            Some(WavFeatures(r.id, rate, n, sum.toDouble / n, peak))
+            Some(WavFeatures(rid, rate, n, sum.toDouble / n, peak))
           }
         }
-      }
+  }
+
+  /** One decoded row of a MIXED-format media column, uniform across
+    * kinds: images report (width, height, n_units = pixels), audio
+    * (n_units = samples, width/height 0), video (width, height,
+    * n_units = frames), opaque payloads (n_units = bytes). `signal` is the
+    * kind's natural mean (channel-mean average / mean amplitude / mean
+    * byte) — bounded per-kind by the per-codec gates, detection and
+    * routing by `mm_sniff`. */
+  case class SniffedMedia(id: Long, kind: String, width: Int, height: Int,
+                          n_units: Long, signal: Double)
+
+  /** Magic-byte router over EVERY real decoder in the lane — the piece
+    * that replaces the historical `decodeFeatures` stand-in: a mixed
+    * corpus media column (the real-world shape — crawled corpora never
+    * arrive format-sorted) decodes in ONE `mapPartitions` pass, each row
+    * dispatched by its container signature to the actual codec
+    * (JPEG/PNG/GIF/PPM/WAV/FLAC/MJPEG-AVI). Unknown signatures fall back
+    * to opaque byte statistics rather than dropping — at 100 TB you want
+    * the unrecognized residue COUNTED, not silently vanished; a malformed
+    * payload of a RECOGNIZED kind still drops (the per-codec
+    * coerce-to-null rule). */
+  def sniffAndDecode(media: Dataset[MediaRow]): Dataset[SniffedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r => sniffOne(r.id, r.media)))
+  }
+
+  private def startsWith(b: Array[Byte], at: Int, s: String): Boolean =
+    b.length >= at + s.length && s.indices.forall(j => b(at + j) == s.charAt(j).toByte)
+
+  private[multimodal] def sniffOne(id: Long, b: Array[Byte]): Option[SniffedMedia] = {
+    if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      Jpeg.decodeOne(id, b).map(f => SniffedMedia(id, "jpeg", f.width, f.height,
+        f.n_pixels, (f.mean_r + f.mean_g + f.mean_b) / 3.0))
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && startsWith(b, 1, "PNG"))
+      Png.decodeOne(id, b).map(f => SniffedMedia(id, "png", f.width, f.height,
+        f.n_pixels, (f.mean_r + f.mean_g + f.mean_b) / 3.0))
+    else if (startsWith(b, 0, "GIF8"))
+      Gif.decodeOne(id, b).map(f => SniffedMedia(id, "gif", f.width, f.height,
+        f.n_pixels, (f.mean_r + f.mean_g + f.mean_b) / 3.0))
+    else if (startsWith(b, 0, "P6"))
+      decodeOnePpm(id, b).map(f => SniffedMedia(id, "ppm", f.width, f.height,
+        f.n_pixels, (f.mean_r + f.mean_g + f.mean_b) / 3.0))
+    else if (startsWith(b, 0, "fLaC"))
+      Flac.decodeOne(id, b).map(f => SniffedMedia(id, "flac", 0, 0,
+        f.n_samples, f.mean_amp))
+    else if (startsWith(b, 0, "RIFF") && startsWith(b, 8, "WAVE"))
+      decodeOneWav(id, b).map(f => SniffedMedia(id, "wav", 0, 0,
+        f.n_samples, f.mean_amp))
+    else if (startsWith(b, 0, "RIFF") && startsWith(b, 8, "AVI ")) {
+      val frames = Video.decodeOneAvi(id, b)
+      if (frames.isEmpty) None
+      else Some(SniffedMedia(id, "avi", frames.head.width, frames.head.height,
+        frames.length.toLong,
+        frames.map(f => (f.mean_r + f.mean_g + f.mean_b) / 3.0).sum / frames.length))
+    } else {
+      // opaque fallback: counted, not vanished
+      var sum = 0L; var i = 0
+      while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
+      Some(SniffedMedia(id, "opaque", 0, 0, b.length.toLong,
+        if (b.length == 0) 0.0 else sum.toDouble / b.length))
     }
   }
 
-  /** STUB decoder: stands in for an image/audio decode + feature extraction.
-    * A real implementation would decode `media` per partition (reusing one
-    * native decoder instance per partition, not per row); the fake derives
-    * deterministic features from the raw bytes so the plumbing is testable.
-    */
+  /** Byte-stats lane (fingerprint + mean byte) — the pre-r8 stand-in,
+    * kept as the opaque-payload feature extractor and the plumbing spec's
+    * fixture. Real container decode lives in [[sniffAndDecode]]. */
   def decodeFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>

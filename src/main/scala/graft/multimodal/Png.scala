@@ -148,10 +148,13 @@ object Png {
     * or over-long pixel data — drops the row (coerce-to-null rule). */
   def decodePng(media: Dataset[PngImage]): Dataset[PngFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
+    media.mapPartitions(_.flatMap(r => decodeOne(r.id, r.media)))
+  }
+
+  // per-row entry point shared with the magic-byte router
+  // (Multimodal.sniffAndDecode) — one decoder, every container path
+  private[multimodal] def decodeOne(id: Long, b: Array[Byte]): Option[PngFeatures] = {
         try {
-          val b = r.media
           if (b.length < 8 || !java.util.Arrays.equals(
               java.util.Arrays.copyOfRange(b, 0, 8), Signature)) None
           else {
@@ -260,7 +263,7 @@ object Png {
                 }
                 val n = w.toLong * h
                 if (!filterOk) None
-                else Some(PngFeatures(r.id, w, h, n,
+                else Some(PngFeatures(id, w, h, n,
                   sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
               }
             }
@@ -271,7 +274,5 @@ object Png {
           // ArrayIndexOutOfBounds from a corrupt offset is still one bad row.
           case scala.util.control.NonFatal(_) => None
         }
-      }
-    }
   }
 }

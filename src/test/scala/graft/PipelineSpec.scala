@@ -636,6 +636,29 @@ class PipelineSpec extends SparkSpec {
     assert(bad.isEmpty, s"forged AVIs must drop, got ${bad.mkString(",")}")
   }
 
+  test("sniffAndDecode routes by magic, drops malformed recognized kinds, keeps opaque") {
+    import graft.multimodal.{Flac, Gif, Jpeg, Video}
+    def row(id: Long, media: Array[Byte]) =
+      Multimodal.MediaRow(id, media, "", 0, 0)
+    val one = spark.range(3, 4).as[Long]
+    val mixed = Seq(
+      row(0L, Jpeg.syntheticJpeg(one).collect().head.media),
+      row(1L, graft.multimodal.Png.syntheticPng(one).collect().head.media),
+      row(2L, Gif.syntheticGif(one).collect().head.media),
+      row(3L, Multimodal.syntheticPpm(one).collect().head.media),
+      row(4L, Multimodal.syntheticWav(one).collect().head.media),
+      row(5L, Flac.syntheticFlac(one).collect().head.media),
+      row(6L, Video.syntheticAvi(one).collect().head.media),
+      row(7L, "just some text bytes".getBytes),         // opaque: kept
+      row(8L, "P6\nnot numbers at all".getBytes),       // recognized kind, malformed: DROPPED
+      row(9L, Array[Byte](0xff.toByte, 0xd8.toByte, 0, 1)) // truncated jpeg: DROPPED
+    ).toDS()
+    val out = Multimodal.sniffAndDecode(mixed).collect().map(f => f.id -> f.kind).toMap
+    assert(out == Map(0L -> "jpeg", 1L -> "png", 2L -> "gif", 3L -> "ppm",
+      4L -> "wav", 5L -> "flac", 6L -> "avi", 7L -> "opaque"),
+      s"router output: $out")
+  }
+
   test("WAV decoder round-trips RIFF bytes, walks extra chunks, drops junk") {
     val ids = spark.range(0, 20).as[Long]
     val feats = Multimodal.decodeWav(Multimodal.syntheticWav(ids)).collect()
