@@ -597,6 +597,16 @@ object SparkEntry {
         family = Dedup.Md5Hash)
     }),
 
+    // Semantic decontamination: embedding-cosine overlap vs a broadcast
+    // bench slice — catches paraphrased eval leakage the n-gram lanes
+    // can't. Bench items in the corpus self-match at cos 1 (flagged, as
+    // required); round-then-max commutes, so the verdict is SQL-exact.
+    "decontam_semantic" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Decontam.semanticDecontam(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", threshold = 0.8)
+    }),
+
     // Count–Min frequency estimation: bigram occurrence counts for the
     // bench slice's grams, estimated from a 3×4096 sketch instead of the
     // exact vocab-sized shuffle. Md5Hash lanes → bucket indexes replay in
@@ -2186,6 +2196,21 @@ object SparkEntry {
     // distinct 5-grams per doc, LEFT JOIN the distinct bench gram set,
     // integer hit counts and one IEEE division.
     "decontam_bloom" -> bloomDecontamOracle,
+
+    // Replays the broadcast cosine pass: per corpus vector, the max
+    // rounded fold-cosine against the bench slice (monotone round ⇒ MAX
+    // commutes; fold order matches the Spark side — proven by ann_topk).
+    "decontam_semantic" ->
+      """WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id % 100 = 0),
+         s AS (SELECT e.vec_id,
+                 ROUND(
+                   list_reduce(list_transform(list_zip(e.embedding, b.bv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (x,y) -> x+y)
+                   / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))
+                    * sqrt(list_reduce(list_transform(b.bv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))), 6) AS cos
+               FROM embeddings e, b)
+         SELECT vec_id, MAX(cos) AS max_cos,
+                MAX(cos) >= 0.8 AS contaminated
+         FROM s GROUP BY vec_id""",
     "cms_ngram_counts" -> cmsOracle,
 
     // The JSONL round trip must surface exactly what parquet holds.

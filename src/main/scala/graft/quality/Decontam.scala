@@ -113,4 +113,35 @@ object Decontam {
       .withColumn("contam_frac",
         col("n_contaminated").cast("double") / col("n_grams"))
   }
+
+  /** Semantic decontamination — the EMBEDDING-space member of the family
+    * (next to the n-gram and Bloom lanes): flag every corpus item whose
+    * embedding reaches `threshold` cosine against ANY benchmark item.
+    * Paraphrased eval leakage shares no n-grams but sits next to the bench
+    * item in embedding space, which is why modern pipelines run both
+    * passes. A bench item present verbatim in the corpus self-matches at
+    * cosine 1 — flagged, as decontamination requires.
+    *
+    * Plan shape at 100 TB: the bench side is broadcast (eval sets are
+    * small by definition), the corpus streams through one codegen'd
+    * cosine pass ([[graft.functions.VecDotFloat]] via [[Ann.cosine]]),
+    * and the only shuffle is the per-item max — partial-aggregated
+    * map-side. Determinism: each cosine is an exact sequential fold,
+    * `round(·, 6)` is monotone so MAX commutes with it, and max itself is
+    * order-free — the verdict replays exactly in SQL.
+    *
+    * Returns (vec_id, max_cos, contaminated). */
+  def semanticDecontam(corpus: DataFrame, bench: DataFrame,
+                       id: String, vec: String,
+                       threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(col(vec).as("bv")))
+    corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
+      .crossJoin(b)
+      .select(col("vec_id"),
+        round(graft.ann.Ann.cosine(col("cv"), col("bv")), 6).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), col("max_cos"),
+        (col("max_cos") >= threshold).as("contaminated"))
+  }
 }

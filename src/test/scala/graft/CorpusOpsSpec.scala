@@ -59,6 +59,23 @@ class CorpusOpsSpec extends SparkSpec {
     exact.foreach { case (id, (_, nC)) => assert(md5(id) >= nC) }
   }
 
+  test("semantic decontam: verbatim + paraphrase flagged, orthogonal clean") {
+    // the n-gram lanes can't see a PARAPHRASE (no shared shingles); the
+    // embedding lane must — modeled here as a scaled copy (cosine exactly
+    // 1 with the bench vector, different "text")
+    val bench = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // bench item itself: flagged
+      (1L, Array(3.0f, 0.0f, 0.0f, 0.0f)),   // "paraphrase" (scaled): flagged
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal: clean
+      (3L, Array(1.0f, 1.0f, 0.0f, 0.0f)))   // cos ≈ 0.707 < 0.8: clean
+      .toDF("vec_id", "embedding")
+    val r = Decontam.semanticDecontam(corpus, bench, "vec_id", "embedding", 0.8)
+      .select("vec_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(r == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false), r.toString)
+  }
+
   test("repetition: degenerate doc scores high, diverse doc scores low") {
     val d = Seq(
       (1L, "spam spam spam spam"),   // 4 words 1 distinct; 3 bigrams all "spam spam"
