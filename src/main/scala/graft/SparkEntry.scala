@@ -723,11 +723,10 @@ object SparkEntry {
     // exactly the batch range join the oracle replays.
     "stream_interval_join" -> ((s, dir) => {
       val sch = s.read.parquet(s"$dir/events.parquet").schema
-      def ev = s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
-        .withColumnRenamed("ts", "ts_ns")
-        // micros via integer DIV (CLAUDE.md rule 5)
-        .withColumn("ets", timestamp_micros(expr("ts_ns DIV 1000")))
+      // type-adaptive ts contract (long-nanos or µs-timestamp fixtures)
+      def ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+        .withColumn("ets", col("ts"))
       val left = ev.filter(col("event_id") % 100 === 0)
         .select(col("user_id"), col("ets").as("lts"), col("event_id").as("left_id"))
       val right = ev
@@ -749,12 +748,11 @@ object SparkEntry {
     // is exactly the production semantics.
     "stream_bars" -> ((s, dir) => {
       val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
-        .withColumnRenamed("ts", "ts_ns")
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
       val ticks = ev.select(
         concat(lit("S"), col("user_id") % 20).as("symbol"),
-        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"),
+        col("ts"),
         ((col("event_id") * 37) % 10000).cast("double").as("px"),
         ((col("event_id") % 100) + 1).cast("double").as("qty"),
         col("event_id").as("seq"))
@@ -775,11 +773,9 @@ object SparkEntry {
     "stream_sessions" -> ((s, dir) => {
       import s.implicits._
       val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
-        .withColumnRenamed("ts", "ts_ns")
-        .select(col("user_id"),
-          timestamp_micros(expr("ts_ns DIV 1000")).as("ts"), col("value"))
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+        .select(col("user_id"), col("ts"), col("value"))
         .withWatermark("ts", "601 seconds")
         .as[graft.streaming.StreamSessionizer.Event]
       graft.streaming.Replay.toBatch(
@@ -811,7 +807,7 @@ object SparkEntry {
     "stream_incr_refresh" -> ((s, dir) => {
       val ticks = TestData(s, dir).events.select(
         concat(lit("S"), col("user_id") % 20).as("symbol"),
-        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"),
+        col("ts"),
         ((col("event_id") * 37) % 10000).cast("double").as("px"),
         ((col("event_id") % 100) + 1).cast("double").as("qty"),
         col("event_id").as("seq"))
@@ -1073,6 +1069,25 @@ object SparkEntry {
       val idx = Pq.cachedIndex(e, "vec_id", "embedding", dir,
         nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0,
         residual = true)
+      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        5, nProbe = 4)
+    }),
+
+    // Incremental index append — the daily-ingest shape at 100 TB: the
+    // index is BUILT (quantizer training + encode) on the old 80% of the
+    // corpus and PERSISTED; the new 20% is then appended to the stored
+    // artifacts ENCODE-ONLY (assign with stored centroids, encode with
+    // stored codebooks, parquet SaveMode.Append — zero training/counting
+    // jobs, PqSpec listener-asserted). Serving the grown index ≡ an index
+    // whose cells/codes cover the full corpus under old-trained quantizers,
+    // which is exactly what the oracle replays (train on vec_id % 5 <> 4,
+    // encode all).
+    "ann_ivfpq_append" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val idx = Pq.cachedAppendedIndex(
+        e.filter(col("vec_id") % 5 =!= 4), e.filter(col("vec_id") % 5 === 4),
+        "vec_id", "embedding", dir,
+        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
       Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         5, nProbe = 4)
     }),
@@ -2959,6 +2974,7 @@ object SparkEntry {
     // Served lane reads a pre-materialized index; the artifacts round-trip
     // parquet bit-exactly, so the inline-build oracle replays it unchanged.
     "ann_ivfpq_served" -> ivfPqOracle,
+    "ann_ivfpq_append" -> ivfPqOracleTrained("cid % 5 <> 4"),
     "ann_ivfpq_res_topk" -> ivfPqResOracle,
     "ann_ivfpq_res_served" -> ivfPqResOracle,
     "ann_ivf_topk" -> ivf1Oracle,
@@ -3277,10 +3293,17 @@ object SparkEntry {
     * probes composed with [[pqOracle]]'s codebooks / encode / ADC — a
     * corpus row is scored for a query iff its cell is in the query's probe
     * set. Same fold discipline as both parents. */
-  private lazy val ivfPqOracle: String =
+  /** Replays raw-lane IVF-PQ with quantizers trained on the `trainPred`
+    * subset of the corpus and EVERY corpus row assigned + encoded against
+    * them. `trainPred = "TRUE"` is the plain build; a proper subset replays
+    * [[graft.ann.Pq.appendToSavedIndex]] — old rows train, all rows encode
+    * (encoding is a pure function of the frozen artifacts, so
+    * append-then-serve ≡ train-on-old-encode-all). */
+  private def ivfPqOracleTrained(trainPred: String): String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
-        par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM c),
-        cent AS (SELECT cid AS centroid_id, cv AS centroid FROM c, par
+        tr AS (SELECT cid, cv FROM c WHERE $trainPred),
+        par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM tr),
+        cent AS (SELECT cid AS centroid_id, cv AS centroid FROM tr, par
                  WHERE cid % stride = 0 AND cid < stride * 16),
         assign AS (SELECT cid, centroid_id FROM (
             SELECT c.cid, cent.centroid_id,
@@ -3297,7 +3320,7 @@ object SparkEntry {
                    ROW_NUMBER() OVER (PARTITION BY q.query_id
                      ORDER BY -${cosSql("q.qv", "cent.centroid")} ASC, cent.centroid_id ASC) AS pr
             FROM q CROSS JOIN cent) WHERE pr <= 4),
-        seeds AS (SELECT CAST(cid // stride AS INT) AS code, cv FROM c, par
+        seeds AS (SELECT CAST(cid // stride AS INT) AS code, cv FROM tr, par
                   WHERE cid % stride = 0 AND cid < stride * 16),
         cb AS (SELECT u.sub, seeds.code,
                       list_transform(cv[u.sub*8+1 : u.sub*8+8], x -> CAST(x AS DOUBLE)) AS word
@@ -3341,6 +3364,8 @@ object SparkEntry {
                       ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
           FROM fin)
         WHERE rank <= 5"""
+
+  private lazy val ivfPqOracle: String = ivfPqOracleTrained("TRUE")
 
   /** Replays Pq.ivfPqTopK(..., residual=true, lloydIters=0): residuals
     * rv = cv − centroid per assigned cell, the mid-stride-offset codebook

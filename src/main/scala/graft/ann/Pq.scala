@@ -353,6 +353,79 @@ object Pq {
   /** Drop cached indexes (test hook). */
   private[graft] def resetIndexCache(): Unit = indexCache.clear()
 
+  /** Encode-only ingestion of `rows` against a FROZEN index: assign cells
+    * with the STORED centroids, encode with the STORED codebooks (the
+    * residual lane subtracts the stored centroid first — same derivation
+    * as [[residualCodebookAndCodes]], minus the training). Returns the
+    * (cells, codes) increments. The append path runs ZERO training,
+    * clustering, or counting jobs (no [[taggedCount]] anywhere —
+    * PqSpec listener-asserts), which is the whole point: at 100 TB the
+    * corpus grows daily and the quantizers are retrained rarely; ingestion
+    * must cost one encode pass over the NEW rows only. */
+  private def encodeForAppend(idx: PqIndex, rows: DataFrame,
+                              id: String, vec: String): (DataFrame, DataFrame) = {
+    val cellsNew = Ann.assignCells(rows, id, vec, idx.centroids)
+    if (!idx.residual)
+      (cellsNew, encodeCorpus(rows, id, vec, idx.m, idx.dsub, idx.codebooks))
+    else {
+      val c = rows.select(col(id).as("cid"), col(vec).as("cv"))
+      val resid = c.join(cellsNew, "cid")
+        .join(broadcast(idx.centroids), "centroid_id")
+        .select(col("cid"), zip_with(col("cv"), col("centroid"),
+          (a, b) => a.cast("double") - b.cast("double")).as("rv"))
+      (cellsNew, encodeCorpus(resid, "cid", "rv", idx.m, idx.dsub, idx.codebooks))
+    }
+  }
+
+  /** In-memory incremental append: frozen quantizers, grown corpus tables.
+    * `appendToIndex(buildIndex(old), new)` serves IDENTICALLY to an index
+    * whose cells/codes were encoded over old ∪ new with old-trained
+    * quantizers (PqSpec asserts bit-for-bit) — encoding is row-local given
+    * the artifacts, so append-then-serve ≡ encode-all-then-serve. */
+  def appendToIndex(idx: PqIndex, rows: DataFrame,
+                    id: String, vec: String): PqIndex = {
+    val (cellsNew, codesNew) = encodeForAppend(idx, rows, id, vec)
+    idx.copy(cells = idx.cells.unionByName(cellsNew),
+      codes = idx.codes.unionByName(codesNew))
+  }
+
+  /** PERSISTED incremental append — the daily-ingest shape: encode `rows`
+    * against the artifacts stored under `dir` and write the increments as
+    * NEW parquet shards (`SaveMode.Append`) beside the existing
+    * cells/codes files, which are never rewritten. Centroids/codebooks/meta
+    * are untouched. Returns the reloaded (grown) index. Caller contract:
+    * ids in `rows` must be disjoint from ids already indexed (same as any
+    * fact-table append). */
+  def appendToSavedIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         rows: DataFrame, id: String, vec: String): PqIndex = {
+    import org.apache.spark.sql.SaveMode
+    val idx = loadIndex(spark, dir)
+    val (cellsNew, codesNew) = encodeForAppend(idx, rows, id, vec)
+    cellsNew.write.mode(SaveMode.Append).parquet(s"$dir/cells")
+    codesNew.write.mode(SaveMode.Append).parquet(s"$dir/codes")
+    loadIndex(spark, dir)
+  }
+
+  /** Gate harness for the append lane: build + persist an index over
+    * `oldRows` once per (fixture, JVM), append `freshRows` to the SAVED
+    * artifacts, serve from the reloaded index thereafter. Cached so the
+    * append happens exactly once (a second append of the same rows would
+    * duplicate codes — the id-disjointness contract). */
+  def cachedAppendedIndex(oldRows: => DataFrame, freshRows: => DataFrame,
+                          id: String, vec: String, key: String,
+                          nLists: Int = 16, m: Int = 8, dsub: Int = 8,
+                          ksub: Int = 16, lloydIters: Int = 0,
+                          residual: Boolean = false): PqIndex =
+    indexCache.getOrElseUpdate(s"$key#append#residual=$residual", {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_pq_index/" +
+        key.replaceAll("[^A-Za-z0-9.]", "_") +
+        (if (residual) "_res" else "") + "_append"
+      val built = buildIndex(oldRows, id, vec, nLists, m, dsub, ksub,
+        lloydIters, residual)
+      saveIndex(built, root)
+      appendToSavedIndex(built.centroids.sparkSession, root, freshRows, id, vec)
+    })
+
   /** Residual IVF-PQ (the FAISS-default encoding): PQ quantizes
     * r = v − c(cell) instead of v. Residuals are smaller in magnitude than
     * raw vectors, so the same bit budget spends its codewords on a tighter

@@ -111,23 +111,43 @@ object Sinks {
     * Returns the resulting file count. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val dir = new java.io.File(path)
-    val dataFiles = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val total = dataFiles.map(_.length()).sum
-    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val staged = s"$path.__compacting"
-    val trash = s"$path.__trash"
-    spark.read.parquet(path).repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(staged)
-    val p = java.nio.file.Paths.get(path)
-    java.nio.file.Files.move(p, java.nio.file.Paths.get(trash))
-    java.nio.file.Files.move(java.nio.file.Paths.get(staged), p)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    // the table's own FileSystem — local, HDFS, or an object store; every
+    // list/rename below goes through this API, so compaction works wherever
+    // the sink wrote (the pre-r10 version walked java.io.File and silently
+    // only worked on local disk)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val qRoot = fs.makeQualified(root)
+    // RECURSIVE byte-summing: streaming sinks nest nothing, but a
+    // partitioned layout keeps its data in p_*=... subdirs — those used to
+    // sum to 0 bytes and collapse to one file. A flat rewrite would strip
+    // the partition directories anyway, so nested data is rejected loudly:
+    // compact each leaf partition directory instead.
+    val it = fs.listFiles(qRoot, true)
+    var total = 0L
+    var nested = false
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        total += st.getLen
+        if (st.getPath.getParent != qRoot) nested = true
+      }
     }
-    rm(new java.io.File(trash))
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    require(!nested,
+      s"compact($path): data files below the root (a partitioned layout) — " +
+        "a flat rewrite would destroy the partition dirs; compact each " +
+        "leaf partition directory instead")
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val staged = new Path(s"$path.__compacting")
+    val trash = new Path(s"$path.__trash")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    require(fs.rename(qRoot, trash), s"compact($path): rename to trash failed")
+    require(fs.rename(fs.makeQualified(staged), qRoot),
+      s"compact($path): staged swap-in failed — original preserved at $trash")
+    fs.delete(fs.makeQualified(trash), true)
+    fs.listStatus(qRoot)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -52,6 +52,23 @@ object Replay {
   // last file-sink output per tag (same eviction idea, but disk)
   private val lastDir = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Shuffle-partition count for replay micro-batches. Stateful streaming
+    * operators allocate ONE state store (+ RocksDB/HDFS commit per batch)
+    * PER shuffle partition, captured at query start into the checkpoint.
+    * Fixture-sized micro-batches at the session default (32) pay 32-way
+    * state-store open/commit + 32 file-sink tasks for ~10⁵ rows — pure
+    * overhead (the r8 bench regression). Replays scope the conf down to
+    * this constant around `start()`; production `writeStream` is untouched
+    * and sizes its state stores from the real session conf. */
+  val ReplayShufflePartitions = 4
+
+  private def withReplayConf[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, ReplayShufflePartitions)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Run `stream` to completion and return the append-mode result — the
     * FILE-sink path (default since r8): `writeStream.format("parquet")`
     * with a checkpoint, read back through the sink's `_spark_metadata`
@@ -68,13 +85,17 @@ object Replay {
     val spark = stream.sparkSession
     val root = java.nio.file.Files
       .createTempDirectory(s"graft_replay_$tag").toString
-    val q = stream.writeStream.format("parquet")
-      .option("path", s"$root/out")
-      .option("checkpointLocation", s"$root/chk")
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayConf(spark) {
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     lastDir.put(tag, root).foreach(deleteRecursively)
-    spark.read.parquet(s"$root/out")
+    // explicit schema: a replay whose watermark holds back every row
+    // commits ZERO files, and schema inference on an empty sink dir throws
+    spark.read.schema(stream.schema).parquet(s"$root/out")
   }
 
   /** The r6–r7 DRIVER-memory sink path, kept as the harness cross-check
@@ -84,9 +105,11 @@ object Replay {
     * new replay of that tag starts. */
   def toBatchMemory(stream: DataFrame, tag: String): DataFrame = {
     val name = s"graft_replay_${tag}_${ctr.incrementAndGet()}"
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayConf(stream.sparkSession) {
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     lastView.put(tag, name)
       .foreach(old => stream.sparkSession.catalog.dropTempView(old))
     stream.sparkSession.table(name)

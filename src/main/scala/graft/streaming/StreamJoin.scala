@@ -37,4 +37,35 @@ object StreamJoin {
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"))
       .drop("__rkey")
   }
+
+  /** LEFT OUTER interval join — a genuinely different state machine from
+    * the inner variant: a left row cannot be declared UNMATCHED until the
+    * right watermark has passed the END of its join window
+    * `[leftTs, leftTs + window]` (only then is "no right row will ever
+    * arrive in the window" a theorem), so null-extended rows emit on
+    * watermark advance, batches after their match window closes — while
+    * inner matches still emit as soon as both sides arrive. Spark's
+    * StreamingSymmetricHashJoinExec keeps the left row in state past its
+    * own watermark for exactly this interval, evicting on emission.
+    *
+    * One-batch replay caveat (the Replay gate): the watermark never
+    * advances DURING the single micro-batch, but the no-data batch after
+    * it advances the watermark to (max event time − lateness), so left
+    * rows whose window end is BEHIND that final watermark do emit their
+    * null-extended form — the batch-SQL oracle replays that cutoff the
+    * same way stream_bars replays its emission cutoff. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String,
+                            window: String = "10 minutes",
+                            lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness)
+      .withColumnRenamed(key, "__rkey").alias("r")
+    l.join(r,
+        col(key) === col("__rkey") &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"),
+        "left_outer")
+      .drop("__rkey")
+  }
 }
