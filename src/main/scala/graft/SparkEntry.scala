@@ -738,6 +738,28 @@ object SparkEntry {
         .select("user_id", "left_id", "right_id")
     }),
 
+    // LEFT OUTER stream-stream interval join: sampled left events pair
+    // with same-user PURCHASE events in the following 10 minutes; left
+    // rows with no such purchase emit null-extended — but only once the
+    // final watermark (min over both inputs of max-event-ms − lateness,
+    // advanced by the no-data batch) passes their window end, which is
+    // when "no match will ever arrive" becomes a theorem. The oracle
+    // replays exactly that cutoff (stream_bars precedent).
+    "stream_interval_outer" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      def ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+      val left = ev.filter(col("event_id") % 100 === 0)
+        .select(col("user_id"), col("ts").as("lts"), col("event_id").as("left_id"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("rts"), col("event_id").as("right_id"))
+      graft.streaming.Replay.toBatch(
+        graft.streaming.StreamJoin.intervalJoinLeftOuter(left, right, "user_id",
+          "lts", "rts", window = "10 minutes"),
+        "interval_outer")
+        .select("user_id", "left_id", "right_id")
+    }),
+
     // Streaming OHLCV bar builder, oracle-checked: ticks derived from the
     // events fixture (integer-valued px/qty, so every sum is exact in
     // double regardless of fold order) stream through the REAL windowed
@@ -2459,6 +2481,33 @@ object SparkEntry {
          FROM e l JOIN e r ON l.user_id = r.user_id
            AND r.us BETWEEN l.us AND l.us + 600000000
          WHERE l.event_id % 100 = 0""",
+
+    // LEFT OUTER interval join: the inner matches plus null-extended left
+    // rows — a left row emits unmatched only when the final watermark
+    // (min over both inputs of max-event-ms − 600 s, ms precision) passed
+    // its window END strictly; later rows stay buffered in state, exactly
+    // the streaming semantics (stream_bars cutoff precedent). Calibrated
+    // against the replay dump: one fixture left row sits past the cutoff.
+    "stream_interval_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_ns(ts) // 1000 AS us FROM events),
+         l AS (SELECT user_id, us AS lus, event_id AS left_id
+               FROM e WHERE event_id % 100 = 0),
+         r AS (SELECT user_id, us AS rus, event_id AS right_id
+               FROM e WHERE event_type = 'purchase'),
+         wm AS (SELECT LEAST((SELECT MAX(lus) // 1000 FROM l),
+                             (SELECT MAX(rus) // 1000 FROM r)) - 600000 AS wm_ms),
+         matched AS (SELECT l.user_id, l.left_id, r.right_id
+                     FROM l JOIN r ON l.user_id = r.user_id
+                      AND r.rus >= l.lus AND r.rus <= l.lus + 600000000),
+         unmatched AS (SELECT l.user_id, l.left_id,
+                              CAST(NULL AS BIGINT) AS right_id
+                       FROM l, wm
+                       WHERE NOT EXISTS (SELECT 1 FROM r
+                            WHERE r.user_id = l.user_id
+                              AND r.rus >= l.lus AND r.rus <= l.lus + 600000000)
+                         AND (l.lus + 600000000) // 1000 < wm.wm_ms)
+         SELECT * FROM matched UNION ALL SELECT * FROM unmatched""",
 
     // Streaming bar builder: batch OHLCV over the same derived ticks,
     // filtered to windows the final watermark passed (append-mode emission:

@@ -204,6 +204,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("LEFT OUTER interval join: unmatched row emits nulls on watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    val joined = graft.streaming.StreamJoin.intervalJoinLeftOuter(
+      imps.toDF(), clicks.toDF(), "ad_id", "its", "cts",
+      window = "10 minutes", lateness = "5 minutes")
+    val query = joined
+      .select("ad_id", "slot", "cost")
+      .writeStream.format("memory").queryName("outer_out")
+      .outputMode("append").start()
+    try {
+      imps.addData(
+        Imp(1L, t("2024-01-01 09:00:00"), "top"),
+        Imp(2L, t("2024-01-01 09:00:00"), "side"))
+      clicks.addData(Click(1L, t("2024-01-01 09:05:00"), 0.5))
+      query.processAllAvailable()
+      // inner match emits immediately; ad 2 is unmatched but its window
+      // [09:00, 09:10] is NOT yet behind the watermark → still in state
+      val r1 = spark.table("outer_out")
+        .as[(Long, String, Option[Double])].collect().toSet
+      assert(r1 == Set((1L, "top", Some(0.5))), s"got $r1")
+      // advance BOTH watermarks (global = min of the two) past 09:10 + the
+      // 5-minute lateness; the no-data batch then evicts ad 2's row and
+      // emits its null-extended form
+      imps.addData(Imp(98L, t("2024-01-01 10:00:00"), "late"))
+      clicks.addData(Click(99L, t("2024-01-01 10:00:00"), 9.9))
+      query.processAllAvailable()
+      val r2 = spark.table("outer_out")
+        .as[(Long, String, Option[Double])].collect().toSet
+      // ad 98's own window end (10:10) is AHEAD of the watermark (09:55):
+      // it must still be buffered, not null-emitted
+      assert(r2 == Set((1L, "top", Some(0.5)), (2L, "side", None)), s"got $r2")
+    } finally query.stop()
+  }
+
   test("streaming corpus gate: dedup + row-local signals + keep verdict") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
