@@ -415,6 +415,41 @@ object SparkEntry {
         GROUP BY o_orderpriority""")
     }),
 
+    // TPC-H Q20 class: an IN-subquery whose inner block itself nests a
+    // correlated scalar aggregate — the deepest member of the subquery
+    // family (q17 scalar / q22 null-aware anti / q4 exists). No partsupp
+    // fixture, so lineitem plays the supply role: suppliers in the
+    // NATION_1x group who, for some PROMO part, shipped >20% of that
+    // part's total 1995 quantity. The threshold is cross-multiplied in
+    // DECIMAL (sum·5 > total) so neither engine divides (q17 precedent).
+    "q20_part_supp" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.supplier.createOrReplaceTempView("g20_supplier")
+      t.nation.createOrReplaceTempView("g20_nation")
+      t.lineitem.createOrReplaceTempView("g20_lineitem")
+      t.part.createOrReplaceTempView("g20_part")
+      s.sql("""
+        SELECT s_suppkey, s_name
+        FROM g20_supplier JOIN g20_nation ON s_nationkey = n_nationkey
+        WHERE n_name LIKE 'NATION_1%'
+          AND s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM g20_lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM g20_part
+                                  WHERE p_type = 'PROMO')
+              AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,6)))
+                     AS DECIMAL(25,6)) * 5
+                 > (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,6)))
+                          AS DECIMAL(25,6))
+                    FROM g20_lineitem l2
+                    WHERE l2.l_partkey = l.l_partkey
+                      AND l2.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                      AND l2.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'))""")
+    }),
+
     // Hot-key split join: result ≡ plain join; the plan broadcasts the
     // hot mass (keys with >N rows) and shuffles only the tail — the
     // other standard skew treatment next to j7's salting.
@@ -2018,6 +2053,27 @@ object SparkEntry {
                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderkey, o_orderstatus""",
+
+    "q20_part_supp" ->
+      """SELECT s_suppkey, s_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name LIKE 'NATION_1%'
+           AND s_suppkey IN (
+             SELECT l.l_suppkey
+             FROM lineitem l
+             WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_type = 'PROMO')
+               AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+               AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+             GROUP BY l.l_suppkey, l.l_partkey
+             HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,6)))
+                      AS DECIMAL(25,6)) * 5
+                  > (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,6)))
+                           AS DECIMAL(25,6))
+                     FROM lineitem l2
+                     WHERE l2.l_partkey = l.l_partkey
+                       AND l2.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                       AND l2.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'))""",
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_late

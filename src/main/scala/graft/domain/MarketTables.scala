@@ -88,19 +88,28 @@ final case class MarketStore(spark: SparkSession, root: String) extends MarketTa
 }
 
 object MarketStore {
-  /** One writePartitioned/writeDim pass over every canonical view. */
+  /** One writePartitioned/writeDim pass over every canonical view.
+    * Per-table wall seconds go to stderr in the `[bench]` line pattern —
+    * the bench's `store_build` line is a black box otherwise, and its
+    * history of ±2× swings (r8: 62.9 s, r9: 36.4 s, same code) needed a
+    * per-table breakdown to attribute to box noise vs a real regression. */
   def materialize(views: MarketViews, root: String): MarketStore = {
-    Sinks.writePartitioned(views.bars, s"$root/bars")
-    Sinks.writePartitioned(views.valuation, s"$root/valuation")
-    Sinks.writeDim(views.calendar, s"$root/calendar")
-    Sinks.writeDim(views.exrightsEvents, s"$root/exrights_events")
-    Sinks.writeDim(views.exrightsAB, s"$root/exrights_ab")
-    Sinks.writeDim(views.adjFactors, s"$root/adj_factors")
-    Sinks.writeDim(views.fundamentals, s"$root/fundamentals")
-    Sinks.writeDim(views.fundamentalsAll, s"$root/fundamentals_all")
-    Sinks.writeDim(views.indexConstituents, s"$root/index_constituents")
-    Sinks.writeDim(views.stockMetadata, s"$root/stock_metadata")
-    Sinks.writeDim(views.industry, s"$root/industry")
+    def timed(name: String)(write: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      write
+      System.err.println(f"[bench] store_build/$name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
+    timed("bars")(Sinks.writePartitioned(views.bars, s"$root/bars"))
+    timed("valuation")(Sinks.writePartitioned(views.valuation, s"$root/valuation"))
+    timed("calendar")(Sinks.writeDim(views.calendar, s"$root/calendar"))
+    timed("exrights_events")(Sinks.writeDim(views.exrightsEvents, s"$root/exrights_events"))
+    timed("exrights_ab")(Sinks.writeDim(views.exrightsAB, s"$root/exrights_ab"))
+    timed("adj_factors")(Sinks.writeDim(views.adjFactors, s"$root/adj_factors"))
+    timed("fundamentals")(Sinks.writeDim(views.fundamentals, s"$root/fundamentals"))
+    timed("fundamentals_all")(Sinks.writeDim(views.fundamentalsAll, s"$root/fundamentals_all"))
+    timed("index_constituents")(Sinks.writeDim(views.indexConstituents, s"$root/index_constituents"))
+    timed("stock_metadata")(Sinks.writeDim(views.stockMetadata, s"$root/stock_metadata"))
+    timed("industry")(Sinks.writeDim(views.industry, s"$root/industry"))
     MarketStore(views.spark, root)
   }
 

@@ -135,13 +135,17 @@ object Decontam {
                        id: String, vec: String,
                        threshold: Double): DataFrame = {
     val b = broadcast(bench.select(col(vec).as("bv")))
+    // LEFT join on TRUE, not crossJoin (ADVICE r8): an EMPTY bench must
+    // yield every corpus item uncontaminated — a cross join would instead
+    // erase the corpus from the verdict. Same BroadcastNestedLoopJoin
+    // shape either way; for a non-empty bench the outputs are identical.
     corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
-      .crossJoin(b)
+      .join(b, lit(true), "left")
       .select(col("vec_id"),
         round(graft.ann.Ann.cosine(col("cv"), col("bv")), 6).as("cos"))
       .groupBy("vec_id")
       .agg(max(col("cos")).as("max_cos"))
       .select(col("vec_id"), col("max_cos"),
-        (col("max_cos") >= threshold).as("contaminated"))
+        coalesce(col("max_cos") >= threshold, lit(false)).as("contaminated"))
   }
 }

@@ -22,11 +22,15 @@ import org.apache.hadoop.io.compress._
   * partition-sized). `getDefaultExtension` is `.zst`, matching Hadoop's
   * native codec and the zstd CLI, so shards interoperate both ways.
   *
-  * Pooled [[Compressor]]/[[Decompressor]] types are `null`: the streams are
-  * self-contained (zstd-jni manages its native context per stream), and
-  * Hadoop's `CodecPool` treats a null type/instance as "codec pools
-  * nothing" (`borrow` on a null key and `returnDecompressor(null)` are
-  * both no-ops by contract).
+  * Pooled [[Compressor]]/[[Decompressor]] instances are DUMMIES (the
+  * pre-native `BZip2Codec` precedent): the streams are self-contained
+  * (zstd-jni manages its native context per stream), but the
+  * `CompressionCodec` contract implies non-null pooled types — consumers
+  * like SequenceFile writers call `CodecPool.getCompressor(codec)` and
+  * pass the instance back to `createOutputStream`, and a null type NPEs
+  * inside `CodecPool`. The dummies satisfy every pool lifecycle call
+  * (reset/end/reinit are no-ops) and throw only if something tries to
+  * drive the raw block API, which this stream-only codec never wires up.
   */
 final class ZstdShardCodec extends CompressionCodec with Configurable {
 
@@ -52,15 +56,51 @@ final class ZstdShardCodec extends CompressionCodec with Configurable {
                                  d: Decompressor): CompressionInputStream =
     createInputStream(in)
 
-  override def getCompressorType: Class[_ <: Compressor] = null
-  override def createCompressor(): Compressor = null
-  override def getDecompressorType: Class[_ <: Decompressor] = null
-  override def createDecompressor(): Decompressor = null
+  override def getCompressorType: Class[_ <: Compressor] =
+    classOf[ZstdShardCodec.DummyCompressor]
+  override def createCompressor(): Compressor =
+    new ZstdShardCodec.DummyCompressor
+  override def getDecompressorType: Class[_ <: Decompressor] =
+    classOf[ZstdShardCodec.DummyDecompressor]
+  override def createDecompressor(): Decompressor =
+    new ZstdShardCodec.DummyDecompressor
 
   override def getDefaultExtension: String = ".zst"
 }
 
 object ZstdShardCodec {
+
+  private def streamOnly = throw new UnsupportedOperationException(
+    "ZstdShardCodec is stream-only; the pooled block API is a lifecycle dummy")
+
+  /** Pool-lifecycle-safe dummy (BZip2DummyCompressor precedent): CodecPool
+    * may construct, reset, and return it; any data call throws. */
+  final class DummyCompressor extends Compressor {
+    override def setInput(b: Array[Byte], off: Int, len: Int): Unit = streamOnly
+    override def needsInput(): Boolean = false
+    override def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = streamOnly
+    override def getBytesRead: Long = 0L
+    override def getBytesWritten: Long = 0L
+    override def finish(): Unit = ()
+    override def finished(): Boolean = true
+    override def compress(b: Array[Byte], off: Int, len: Int): Int = streamOnly
+    override def reset(): Unit = ()
+    override def end(): Unit = ()
+    override def reinit(conf: Configuration): Unit = ()
+  }
+
+  /** Decompressor twin of [[DummyCompressor]]. */
+  final class DummyDecompressor extends Decompressor {
+    override def setInput(b: Array[Byte], off: Int, len: Int): Unit = streamOnly
+    override def needsInput(): Boolean = false
+    override def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = streamOnly
+    override def needsDictionary(): Boolean = false
+    override def getRemaining: Int = 0
+    override def finished(): Boolean = true
+    override def decompress(b: Array[Byte], off: Int, len: Int): Int = streamOnly
+    override def reset(): Unit = ()
+    override def end(): Unit = ()
+  }
 
   /** Write side: Spark's `CodecStreams` only ever calls write/close on the
     * returned stream; `finish` ends the zstd frame without closing the

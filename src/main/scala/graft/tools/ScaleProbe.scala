@@ -101,9 +101,12 @@ object ScaleProbe {
     // dimension tables copy UNreplicated — that is the faithful scaling
     // (facts grow, dims don't): q17's per-part aggregate sees k× rows per
     // part, q22's NOT IN keeps its dim-sized probe side. Copied (not
-    // symlinked) so the scaled dir is self-contained.
+    // symlinked) so the scaled dir is self-contained. ALWAYS copied
+    // regardless of the `tables` filter (ADVICE r8): the filter exists to
+    // skip 100M-row fact replication, but dims are trivially small and a
+    // scaled dir without them breaks any dim-joining probe query.
     Seq("part", "customer", "supplier", "nation", "region").foreach { dim =>
-      if (tables(dim) && !done(dim) &&
+      if (!done(dim) &&
           new java.io.File(s"$baseDir/$dim.parquet").exists())
         spark.read.parquet(s"$baseDir/$dim.parquet")
           .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")

@@ -87,8 +87,14 @@ object SkewProbe {
     val split = stats(partitionLoads(tail, nPart, Seq("k")), ideal)
 
     // --- wall time of the actual joins ------------------------------------
-    def noopCount(df: DataFrame): Long = df.select(count(lit(1))).first().getLong(0)
-    def withConfs(aqe: Boolean, skew: Boolean)(f: => Double): Double = {
+    // hash-fold EVERY column so the payload actually flows through the
+    // join's shuffle: a bare count(1) lets column pruning strip the
+    // payload, the hot partition becomes 600k copies of the same 8-byte
+    // key (compressing to ~nothing), and no byte-based skew threshold can
+    // ever see it — the pre-r10 AQE lane measured a payload-free join.
+    def noopCount(df: DataFrame): Long =
+      df.select(sum(xxhash64(df.columns.map(col): _*))).first().getLong(0)
+    def withConfs[A](aqe: Boolean, skew: Boolean)(f: => A): A = {
       spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew.toString)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -107,9 +113,58 @@ object SkewProbe {
     val tSplit = withConfs(aqe = false, skew = false) {
       time(noopCount(Joins.skewSplitJoin(large, small, Seq("k"), hot)))._2
     }
-    val tAqe = withConfs(aqe = true, skew = true) {
-      time(noopCount(large.join(small, Seq("k"))))._2
-    }
+    // AQE lanes report the join's ACTUAL skew-split metrics, not just wall
+    // time: at probe scale the hot partition (~10 MB) sits far below the
+    // default 256 MB skew threshold, so default-conf AQE never splits —
+    // any speedup there is partition coalescing, not skew treatment. The
+    // tuned lane drops the threshold so the split provably fires, which is
+    // the behavior a genuinely hot 100 TB partition gets under defaults.
+    def aqeLane(thresholdMb: Option[Int]): (Double, Long, Long) =
+      withConfs(aqe = true, skew = true) {
+        thresholdMb.foreach { mb =>
+          spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", s"${mb}m")
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            s"${math.max(1, mb / 4)}m")
+        }
+        try {
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+          val joined = large.join(small, Seq("k"))
+          val agg = joined.select(sum(xxhash64(joined.columns.map(col): _*)))
+          // collect() executes THIS QueryExecution — first() would wrap a
+          // limit(1) in a fresh one and leave agg's plan (and its AQE
+          // metrics) unexecuted
+          val (_, t) = time(agg.collect())
+          // QueryStageExec wrappers are LEAVES to collect(); recurse into
+          // their materialized plans or the AQEShuffleRead under the
+          // result stage is never reached
+          def expand(p: SparkPlan): Seq[SparkPlan] = {
+            val here = p.collect { case n => n }
+            here ++ here.flatMap {
+              case q: QueryStageExec => expand(q.plan)
+              case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+              case _ => Nil
+            }
+          }
+          val reads = expand(agg.queryExecution.executedPlan)
+            .collect { case r: AQEShuffleReadExec => r }
+          if (sys.env.contains("SKEW_PROBE_DEBUG"))
+            System.err.println(s"[skewprobe] reads=${reads.size}")
+          val skewed = reads.flatMap(_.metrics.get("numSkewedPartitions"))
+            .map(_.value).sum
+          val splits = reads.flatMap(_.metrics.get("numSkewedSplits"))
+            .map(_.value).sum
+          (t, skewed, splits)
+        } finally {
+          spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+          spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        }
+      }
+    val (tAqe, aqeSkewed, aqeSplits) = aqeLane(None)
+    val (tAqeTuned, tunedSkewed, tunedSplits) = aqeLane(Some(1))
 
     def j(name: String, s: (Long, Long, Double), extra: String = ""): String =
       f"""  "$name": {"max": ${s._1}, "p50": ${s._2}, "imbalance": ${s._3}%.2f$extra}"""
@@ -118,14 +173,18 @@ object SkewProbe {
         |%s,
         |%s,
         |%s,
-        |  "join_sec": {"plain_smj": %.2f, "salted": %.2f, "split": %.2f, "aqe_skew": %.2f}}"""
+        |  "join_sec": {"plain_smj": %.2f, "salted": %.2f, "split": %.2f, "aqe_default": %.2f, "aqe_tuned_1m": %.2f},
+        |  "aqe_default": {"skewed_partitions": %d, "skew_splits": %d},
+        |  "aqe_tuned_1m": {"skewed_partitions": %d, "skew_splits": %d}}"""
         .stripMargin.replace("\n", " "),
       Long.box(nRows), Int.box(nKeys), Double.box(hotShare), Int.box(salts),
       Int.box(nPart), Double.box(ideal),
       j("plain", plain), j("salted", salted),
       j("split_tail", split, f""", "hot_mass_broadcast": $hotMass"""),
       Double.box(tPlain), Double.box(tSalted), Double.box(tSplit),
-      Double.box(tAqe)))
+      Double.box(tAqe), Double.box(tAqeTuned),
+      Long.box(aqeSkewed), Long.box(aqeSplits),
+      Long.box(tunedSkewed), Long.box(tunedSplits)))
     spark.stop()
   }
 }

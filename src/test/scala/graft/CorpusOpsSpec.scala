@@ -74,6 +74,14 @@ class CorpusOpsSpec extends SparkSpec {
     val r = Decontam.semanticDecontam(corpus, bench, "vec_id", "embedding", 0.8)
       .select("vec_id", "contaminated").as[(Long, Boolean)].collect().toMap
     assert(r == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false), r.toString)
+    // an EMPTY bench means nothing is contaminated — every corpus item
+    // must survive with a false verdict, not vanish from the output
+    // (the pre-r10 crossJoin erased the corpus; ADVICE r8)
+    val empty = Decontam.semanticDecontam(corpus,
+        bench.filter(col("vec_id") < 0), "vec_id", "embedding", 0.8)
+      .select("vec_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(empty == Map(0L -> false, 1L -> false, 2L -> false, 3L -> false),
+      empty.toString)
   }
 
   test("repetition: degenerate doc scores high, diverse doc scores low") {

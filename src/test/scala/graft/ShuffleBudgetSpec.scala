@@ -55,6 +55,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (both then BROADCAST back over the fact scan) + the final 1-row agg
     "q17_small_qty" -> 3,
     "q22_not_in" -> 0,           // null-aware broadcast anti-join, no shuffle
+    // IN-subquery nesting a correlated scalar agg: two per-key agg
+    // shuffles (per-(supp,part) and per-part), everything else broadcast
+    "q20_part_supp" -> 2,
     // decorrelated EXISTS → semi join (broadcast at test SF; AQE flips to
     // SMJ when the pruned build side outgrows broadcast) + final agg
     "q4_order_priority" -> 1,
@@ -75,6 +78,14 @@ class ShuffleBudgetSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       "decorrelated Q17 must stay broadcast-joined:\n" + plan)
+  }
+
+  test("q20_part_supp decorrelates without a nested-loop join") {
+    val plan = SparkEntry.queries("q20_part_supp")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      "nested IN + correlated scalar agg must decorrelate to hash joins:\n" + plan)
   }
 
   budgets.foreach { case (q, budget) =>
