@@ -150,4 +150,28 @@ object Sinks {
     fs.listStatus(qRoot)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Partitioned-layout compaction: [[compact]] each LEAF partition
+    * directory (`p_month=.../`) independently. This is the shape streaming
+    * sinks + `partitionBy` actually produce, and per-leaf rewriting is the
+    * 100 TB discipline anyway — only the partitions that accumulated small
+    * files are touched (pass `leafFilter` to scope to recent months), each
+    * leaf swap is independent, and a crash affects at most one partition.
+    * Returns (leaf dir → resulting file count). */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetBytes: Long = 128L * 1024 * 1024,
+                         leafFilter: String => Boolean = _ => true): Map[String, Int] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def leaves(p: Path): Seq[Path] = {
+      val kids = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filterNot(_.getName.startsWith("_")) // _spark_metadata etc.
+      if (kids.isEmpty) Seq(p) else kids.toSeq.flatMap(leaves)
+    }
+    leaves(fs.makeQualified(root)).filterNot(_ == fs.makeQualified(root))
+      .filter(p => leafFilter(p.getName))
+      .map(leaf => leaf.toString -> compact(spark, leaf.toString, targetBytes))
+      .toMap
+  }
 }

@@ -75,6 +75,32 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(s"$path.__trash").exists())
   }
 
+  test("compact rejects partitioned layouts; compactPartitioned handles them") {
+    val docs = graft.sources.TestData(spark, sf0001).documents
+      .withColumn("p_lang", col("lang"))
+    val path = tmp("compact_part")
+    docs.repartition(8).write.partitionBy("p_lang").parquet(path)
+    // flat compact must refuse — a flat rewrite would strip the partition
+    // dirs (and the pre-r10 java.io walk summed 0 bytes → 1-file collapse)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sinks.compact(spark, path)
+    }
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    val expected = docs.as[(Long, String, String, String, Long, String)]
+      .collect().toSet
+    val perLeaf = graft.sources.Sinks.compactPartitioned(spark, path)
+    assert(perLeaf.nonEmpty && perLeaf.values.forall(_ >= 1))
+    assert(perLeaf.keys.forall(_.contains("p_lang=")), perLeaf.keys.toString)
+    val back = spark.read.parquet(path)
+      .select(docs.columns.map(col): _*)
+      .as[(Long, String, String, String, Long, String)].collect().toSet
+    assert(back == expected, "per-leaf compaction must preserve data + layout")
+    // scoped run touches only the selected leaf
+    val scoped = graft.sources.Sinks.compactPartitioned(spark, path,
+      leafFilter = _.endsWith("=en"))
+    assert(scoped.keySet.forall(_.endsWith("=en")) && scoped.size <= 1, scoped.toString)
+  }
+
   test("zstd JSONL shards: .zst extension, real zstd frames, exact round-trip") {
     val docs = graft.sources.TestData(spark, sf0001).documents
       .select("doc_id", "text", "lang")
