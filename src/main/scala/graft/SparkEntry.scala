@@ -1187,6 +1187,20 @@ object SparkEntry {
       Multimodal.decodePpm(Multimodal.syntheticPpm(ids)).toDF()
     }),
 
+    // Nearest-neighbor resize through the real PPM codec: encode → resize
+    // (integer source-index sampling, re-encoded P6 bytes) → decode. The
+    // fixed 8×6 target crosses BOTH up- and down-scale across the 4–8 ×
+    // 3–6 source dims. The oracle replays the generation formula AT THE
+    // SAMPLED coordinates ((x·sw) DIV 8, (y·sh) DIV 6), so an off-by-one
+    // in the index map shifts a channel mean and fails the hash.
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Multimodal.decodePpm(Multimodal.resizePpm(
+        Multimodal.syntheticPpm(ids), 8, 6)).toDF()
+    }),
+
     // Compressed-codec round trip: PPM bytes → REAL gzip → REAL streaming
     // gunzip → PPM decode. Same oracle formula as mm_decode — matching it
     // proves the inflate path reproduced the original bytes distributed.
@@ -1315,6 +1329,27 @@ object SparkEntry {
           pmod(col("id") * 2 + x + t * 5, lit(256L)))) <= 4.0).as("mean_g_ok"),
         (abs(col("mean_b") - fmean((_, y) =>
           pmod(col("id") + y + t * 2, lit(256L)))) <= 4.0).as("mean_b_ok"))
+    }),
+
+    // Frame sampling over the decoded MJPEG-AVI frames: keep every 2nd
+    // frame by index (frame 0 always). Row membership IS the gate — a
+    // stride slip emits/misses a frame row and fails rows_match; decode
+    // fidelity is mm_video's job, so only the integer identity columns
+    // flow here.
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val staged = jsonlStaged.getOrElseUpdate(dir + "#avi", {
+        val p = s"/tmp/graft_media_${ProcessHandle.current().pid()}/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_avi"
+        val ids = TestData(s, dir).documents
+          .select(col("doc_id").cast("long")).as[Long]
+        Video.syntheticAvi(ids).toDF().write.mode("overwrite").parquet(p)
+        p
+      })
+      Video.sampleFrames(
+        Video.decodeMjpegAvi(s.read.parquet(staged).as[Video.VideoRow]),
+        stride = 2)
+        .toDF().select("id", "frame", "n_frames", "width", "height")
     }),
   )
 
@@ -2921,6 +2956,25 @@ object SparkEntry {
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height""",
 
+    // Replays the PPM generation formula at the RESIZED sampling grid:
+    // source pixel (sx, sy) = ((x·sw) DIV 8, (y·sh) DIV 6) per dest (x, y)
+    // — the exact nearest-neighbor index map resizePpm computes.
+    "mm_resize" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(4 + doc_id % 5 AS BIGINT) AS sw,
+                      CAST(3 + doc_id % 4 AS BIGINT) AS sh
+                    FROM documents),
+         px AS (SELECT id, sw, sh,
+                  CAST(i % 8 AS BIGINT) AS x, CAST(i // 8 AS BIGINT) AS y
+                FROM d, unnest(range(0, 48)) AS t(i)),
+         sp AS (SELECT id, (x * sw) // 8 AS sx, (y * sh) // 6 AS sy FROM px)
+         SELECT id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+                CAST(48 AS BIGINT) AS n_pixels,
+                CAST(SUM((id + 3*sx + 7*sy) % 256) AS DOUBLE) / 48 AS mean_r,
+                CAST(SUM((2*id + sx) % 256) AS DOUBLE) / 48 AS mean_g,
+                CAST(SUM((id + sy) % 256) AS DOUBLE) / 48 AS mean_b
+         FROM sp GROUP BY id""",
+
     // Replays syntheticPng's generation formula (dims differ from the PPM
     // fixture); the Spark side must survive deflate → filters → CRC to hit
     // these integers.
@@ -2962,6 +3016,18 @@ object SparkEntry {
          SELECT id, CAST(t AS INT) AS frame, n_frames, width, height,
                 TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
          FROM d, unnest(range(0, n_frames)) AS u(t)""",
+
+    // Every-2nd-frame sampling over the same per-frame expansion — row
+    // membership is the whole check.
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(5 + doc_id % 9 AS INT) AS width,
+                      CAST(4 + doc_id % 9 AS INT) AS height,
+                      CAST(2 + doc_id % 4 AS INT) AS n_frames
+                    FROM documents)
+         SELECT id, CAST(t AS INT) AS frame, n_frames, width, height
+         FROM d, unnest(range(0, n_frames)) AS u(t)
+         WHERE t % 2 = 0""",
 
     // Replays syntheticGif's pixel formula through the palette formulas
     // (r=i, g=(2i)%256, b=255-i over index (id+3x+7y)%256) — integer sums,

@@ -80,8 +80,10 @@ object Multimodal {
     media.mapPartitions(_.flatMap(r => decodeOnePpm(r.id, r.media)))
   }
 
-  // per-row entry point shared with the magic-byte router ([[sniffAndDecode]])
-  private[multimodal] def decodeOnePpm(id: Long, b: Array[Byte]): Option[PpmFeatures] = {
+  /** P6 header parse: (width, height, payload offset), None on anything
+    * malformed — magic, maxval≠255, non-positive dims, short payload.
+    * Shared by the decode and resize lanes. */
+  private def parseP6(b: Array[Byte]): Option[(Int, Int, Int)] = {
         var i = 0
         // token reader: skips whitespace and # comments between header fields
         def nextToken(): String = {
@@ -100,22 +102,63 @@ object Multimodal {
             val h = nextToken().toInt
             val maxval = nextToken().toInt
             i += 1 // single whitespace byte after maxval per the P6 spec
-            val n = w.toLong * h
-            if (maxval != 255 || w <= 0 || h <= 0 || b.length - i < n * 3) None
-            else {
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var p = i
-              val end = i + n.toInt * 3
-              while (p < end) {
-                sr += (b(p) & 0xff); sg += (b(p + 1) & 0xff); sb += (b(p + 2) & 0xff)
-                p += 3
-              }
-              Some(PpmFeatures(id, w, h, n,
-                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
-            }
+            if (maxval != 255 || w <= 0 || h <= 0 || b.length - i < w.toLong * h * 3) None
+            else Some((w, h, i))
           }
         } catch { case _: NumberFormatException => None }
   }
+
+  // per-row entry point shared with the magic-byte router ([[sniffAndDecode]])
+  private[multimodal] def decodeOnePpm(id: Long, b: Array[Byte]): Option[PpmFeatures] =
+    parseP6(b).map { case (w, h, off) =>
+      val n = w.toLong * h
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = off
+      val end = off + n.toInt * 3
+      while (p < end) {
+        sr += (b(p) & 0xff); sg += (b(p + 1) & 0xff); sb += (b(p + 2) & 0xff)
+        p += 3
+      }
+      PpmFeatures(id, w, h, n, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+
+  /** REAL image resize (nearest-neighbor) on the PPM lane: parse → sample
+    * the source pixel at (sx, sy) = (x·srcW DIV dstW, y·srcH DIV dstH) →
+    * re-encode P6 bytes. Pure integer index arithmetic, so the resized
+    * image is an EXACT function of the source and the `mm_resize` oracle
+    * replays the generation formula at the sampled coordinates — up- and
+    * down-scale both covered (dst needn't divide src). Row-local
+    * mapPartitions; bytes never leave the executor; undecodable rows drop
+    * (coerce-to-null engine rule). Box/bilinear filtering would change
+    * only the kernel, not this plumbing. */
+  def resizePpm(media: Dataset[PpmImage], dstW: Int, dstH: Int): Dataset[PpmImage] = {
+    import media.sparkSession.implicits._
+    require(dstW > 0 && dstH > 0, s"resizePpm: bad target ${dstW}x$dstH")
+    media.mapPartitions(_.flatMap(r => resizeOnePpm(r.id, r.media, dstW, dstH)))
+  }
+
+  private[multimodal] def resizeOnePpm(id: Long, b: Array[Byte],
+                                       dstW: Int, dstH: Int): Option[PpmImage] =
+    parseP6(b).map { case (w, h, off) =>
+      val header = s"P6\n$dstW $dstH\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + dstW * dstH * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var p = header.length
+      var y = 0
+      while (y < dstH) {
+        val sy = y.toLong * h / dstH
+        var x = 0
+        while (x < dstW) {
+          val sx = x.toLong * w / dstW
+          val src = off + ((sy * w + sx) * 3).toInt
+          out(p) = b(src); out(p + 1) = b(src + 1); out(p + 2) = b(src + 2)
+          p += 3; x += 1
+        }
+        y += 1
+      }
+      PpmImage(id, out)
+    }
 
   /** Compressed-codec lane: gzip (RFC 1952) via `java.util.zip` — a REAL
     * compressed container with a pure-JVM decoder, standing where

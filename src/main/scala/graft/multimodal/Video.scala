@@ -116,6 +116,19 @@ object Video {
 
   // -------------------------------------------------------------- decoder
 
+  /** Frame sampling — the training-data shape (dense video → sparse frame
+    * set for captioning/embedding): keep every `stride`-th frame by frame
+    * INDEX (frame 0 always survives), a pure row-local filter that
+    * composes after [[decodeMjpegAvi]] so only kept frames' features flow
+    * downstream. At 100 TB the filter belongs INSIDE the decode loop
+    * (skip the Huffman work for dropped frames — the container walk
+    * already knows each frame's index before decoding it); kept here as a
+    * Dataset combinator so any frame source can use it. */
+  def sampleFrames(frames: Dataset[VideoFrame], stride: Int): Dataset[VideoFrame] = {
+    require(stride >= 1, s"sampleFrames: stride $stride")
+    frames.filter(f => f.frame % stride == 0)
+  }
+
   /** Decode MJPEG AVIs to per-frame channel means. Malformed container or
     * any undecodable/mismatched frame drops the row. */
   def decodeMjpegAvi(media: Dataset[VideoRow]): Dataset[VideoFrame] = {

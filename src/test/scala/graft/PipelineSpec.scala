@@ -196,6 +196,48 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodePpm(bad).collect().isEmpty)
   }
 
+  test("resizePpm: hand-checked nearest-neighbor map, identity resize, bad rows drop") {
+    // 2×2 source, pixels laid row-major: (0,0)=[10,11,12] (1,0)=[20,21,22]
+    //                                    (0,1)=[30,31,32] (1,1)=[40,41,42]
+    val src = "P6\n2 2\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42)
+    // upscale 2×2 → 4×2: sx = x·2 DIV 4 = {0,0,1,1} — each source pixel doubles
+    val up = Multimodal.resizePpm(
+      Seq(Multimodal.PpmImage(7L, src)).toDS(), 4, 2).collect()
+    assert(up.length == 1)
+    val expUp = "P6\n4 2\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](10, 11, 12, 10, 11, 12, 20, 21, 22, 20, 21, 22,
+        30, 31, 32, 30, 31, 32, 40, 41, 42, 40, 41, 42)
+    assert(java.util.Arrays.equals(up.head.media, expUp),
+      "4x2 upscale must duplicate each source column")
+    // downscale 2×2 → 1×1: sx = sy = 0 — top-left pixel survives
+    val down = Multimodal.resizePpm(
+      Seq(Multimodal.PpmImage(8L, src)).toDS(), 1, 1).collect()
+    val expDown = "P6\n1 1\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ Array[Byte](10, 11, 12)
+    assert(java.util.Arrays.equals(down.head.media, expDown))
+    // identity resize reproduces the source bytes exactly
+    val same = Multimodal.resizePpm(
+      Seq(Multimodal.PpmImage(9L, src)).toDS(), 2, 2).collect()
+    assert(java.util.Arrays.equals(same.head.media, src))
+    // undecodable input drops (coerce rule), and the output re-decodes
+    val bad = Seq(Multimodal.PpmImage(1L, "P6\n2 1\n255\nxy".getBytes)).toDS()
+    assert(Multimodal.resizePpm(bad, 4, 4).collect().isEmpty)
+    val redec = Multimodal.decodePpm(
+      Multimodal.resizePpm(Multimodal.syntheticPpm(spark.range(1, 11).as[Long]), 8, 6))
+      .collect()
+    assert(redec.length == 10 && redec.forall(f => f.width == 8 && f.height == 6))
+  }
+
+  test("sampleFrames keeps every stride-th frame index, frame 0 always") {
+    import graft.multimodal.Video
+    val frames = (0 until 5).map(t =>
+      Video.VideoFrame(1L, t, 5, 4, 3, 0.0, 0.0, 0.0)).toDS()
+    val kept = Video.sampleFrames(frames, 2).collect().map(_.frame).sorted
+    assert(kept.toSeq == Seq(0, 2, 4))
+    assert(Video.sampleFrames(frames, 1).count() == 5)
+  }
+
   test("PNG property: decode∘encode reproduces arbitrary pixel data") {
     import graft.multimodal.Png
     // seeded-random images: dims 1..12 (heights ≥5 cycle all 5 filters;
