@@ -1130,6 +1130,19 @@ object SparkEntry {
         5, nProbe = 4)
     }),
 
+    // Two-stage retrieval off the served index: ADC top-20 candidate pool
+    // per query (compressed-domain, probed cells only), then exact-cosine
+    // re-rank of just those candidates against their raw vectors — the
+    // quality serving shape. The raw corpus is only touched through a
+    // broadcast-candidate id lookup, never scanned for scoring.
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val idx = Pq.cachedIndex(e, "vec_id", "embedding", dir,
+        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+      Pq.topKReranked(idx, e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", 5, c = 20, nProbe = 4)
+    }),
+
     // Incremental index append — the daily-ingest shape at 100 TB: the
     // index is BUILT (quantizer training + encode) on the old 80% of the
     // corpus and PERSISTED; the new 20% is then appended to the stored
@@ -3146,6 +3159,7 @@ object SparkEntry {
     // parquet bit-exactly, so the inline-build oracle replays it unchanged.
     "ann_ivfpq_served" -> ivfPqOracle,
     "ann_ivfpq_append" -> ivfPqOracleTrained("cid % 5 <> 4"),
+    "ann_ivfpq_rerank" -> ivfPqRerankOracle,
     "ann_ivfpq_res_topk" -> ivfPqResOracle,
     "ann_ivfpq_res_served" -> ivfPqResOracle,
     "ann_ivf_topk" -> ivf1Oracle,
@@ -3471,6 +3485,14 @@ object SparkEntry {
     * (encoding is a pure function of the frozen artifacts, so
     * append-then-serve ≡ train-on-old-encode-all). */
   private def ivfPqOracleTrained(trainPred: String): String =
+    ivfPqOracleTrainedTail(trainPred,
+      """SELECT query_id, neighbor_id, rank, score FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM fin)
+        WHERE rank <= 5""")
+
+  private def ivfPqOracleTrainedTail(trainPred: String, tail: String): String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
         tr AS (SELECT cid, cv FROM c WHERE $trainPred),
         par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM tr),
@@ -3530,13 +3552,27 @@ object SparkEntry {
         fin AS (SELECT query_id, cid AS neighbor_id,
                        ROUND(sum_t / (qn * sqrt(sum_nn)), 6) AS score
                 FROM agg)
+        $tail"""
+
+  private lazy val ivfPqOracle: String = ivfPqOracleTrained("TRUE")
+
+  /** ADC top-20 candidates (same tie rule as the serve path) re-ranked by
+    * the exact sequential-fold cosine against raw embeddings. */
+  private lazy val ivfPqRerankOracle: String = ivfPqOracleTrainedTail("TRUE",
+    s""", cand AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id ASC) AS r
+            FROM fin) WHERE r <= 20),
+        ex AS (SELECT cd.query_id, cd.neighbor_id,
+                      ROUND(${cosSql("qe.embedding", "ne.embedding")}, 6) AS score
+               FROM cand cd
+               JOIN embeddings qe ON qe.vec_id = cd.query_id
+               JOIN embeddings ne ON ne.vec_id = cd.neighbor_id)
         SELECT query_id, neighbor_id, rank, score FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
-          FROM fin)
-        WHERE rank <= 5"""
-
-  private lazy val ivfPqOracle: String = ivfPqOracleTrained("TRUE")
+          FROM ex)
+        WHERE rank <= 5""")
 
   /** Replays Pq.ivfPqTopK(..., residual=true, lloydIters=0): residuals
     * rv = cv − centroid per assigned cell, the mid-stride-offset codebook

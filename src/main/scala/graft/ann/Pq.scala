@@ -296,6 +296,37 @@ object Pq {
     }
   }
 
+  /** Two-stage retrieval — the standard IVF-PQ serving shape when quality
+    * matters: stage 1 keeps the top `c` candidates per query by ADC over
+    * probed cells (c ≥ k, typically 3–10×k); stage 2 re-ranks ONLY those
+    * candidates by EXACT cosine against their raw vectors. The raw corpus
+    * is touched solely through a broadcast-candidate lookup of |Q|·c ids —
+    * never scanned for scoring — which is what makes exact-quality top-k
+    * affordable over a compressed 100 TB corpus (the compressed scan
+    * prunes, the exact pass pays only k·c rows per query).
+    *
+    * Determinism: the candidate set is the deterministic ADC ranking;
+    * exact scores are the sequential-fold cosine `round(·, 6)`, ranked
+    * (score DESC, id ASC) — fully SQL-replayable. */
+  def topKReranked(idx: PqIndex, queries: DataFrame, corpus: DataFrame,
+                   id: String, vec: String, k: Int, c: Int,
+                   nProbe: Int): DataFrame = {
+    require(c >= k, s"rerank candidate pool c=$c must be ≥ k=$k")
+    val cands = topKFromIndex(idx, queries, id, vec, c, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val nvecs = corpus.select(col(id).as("neighbor_id"), col(vec).as("nv"))
+    val qvecs = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    nvecs.join(broadcast(cands), "neighbor_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(Ann.cosine(col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
   /** Persist an index as five parquet artifacts under `dir`. The two
     * broadcast-sized frames coalesce to one file; the corpus-compact tables
     * keep their parallelism (at 100 TB `codes`/`cells` are the only

@@ -238,6 +238,42 @@ class PqSpec extends SparkSpec {
       s"serve path must run zero tagged build counts; saw [${tagged.asScala.mkString("; ")}]")
   }
 
+  test("two-stage rerank: exact scores, recall ≥ pure-ADC, corpus never SMJs") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val idx = Pq.buildIndex(embs, "vec_id", "embedding",
+      nLists = 16, m = 8, dsub = 8, ksub = 16)
+    val rr = Pq.topKReranked(idx, queries, embs, "vec_id", "embedding",
+      5, c = 20, nProbe = 4)
+    // exactness: every reranked score must equal the brute-force cosine of
+    // that exact pair (the approximation lives only in candidate RECALL)
+    val brute = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 1000)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("bscore"))
+    val joined = rr.join(brute, Seq("query_id", "neighbor_id"))
+      .select(col("score"), col("bscore")).as[(Double, Double)].collect()
+    assert(joined.length == 50, "every reranked pair must exist in brute top-1000")
+    assert(joined.forall { case (a, b) => a == b },
+      "stage-2 scores must BE the exact cosine, not an approximation")
+    // recall: reranking the top-20 ADC pool can only improve on taking
+    // ADC's own top-5 (same candidate information, exact ordering)
+    val exact5 = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adc5 = Pq.topKFromIndex(idx, queries, "vec_id", "embedding", 5, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rr5 = rr.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rAdc = exact5.intersect(adc5).size.toDouble / exact5.size
+    val rRr = exact5.intersect(rr5).size.toDouble / exact5.size
+    info(s"recall adc=$rAdc reranked=$rRr")
+    assert(rRr >= rAdc, s"reranked recall $rRr fell below pure-ADC $rAdc")
+    // plan: the STAGE-2 lookups broadcast (candidate ids + query vectors);
+    // the one SMJ inside stage 1 is the designed codes ⋈ cells co-shuffle.
+    // No cartesian anywhere, and the raw-vector corpus scan joins against
+    // a broadcast — assert both without forbidding the stage-1 co-shuffle.
+    val plan = rr.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian:\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "stage-2 candidate/query lookups must be broadcast joins:\n" + plan)
+  }
+
   test("incremental append ≡ encode-all under the frozen quantizers") {
     // The append contract: appendToIndex(buildIndex(old), new) must serve
     // IDENTICALLY to an index whose cells/codes cover old ∪ new encoded
