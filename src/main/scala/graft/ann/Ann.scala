@@ -81,7 +81,7 @@ object Ann {
   def lshSignature(vec: Column, dims: Int, bits: Int, seed: Long = 42L): Column = {
     val hp = hyperplanes(seed, bits, dims)
     val planes = (0 until bits).map { i =>
-      val coeffs = array(hp(i).map(lit): _*)
+      val coeffs = array(hp(i).toIndexedSeq.map(lit): _*)
       val s = aggregate(
         zip_with(vec, coeffs, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)

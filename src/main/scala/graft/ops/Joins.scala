@@ -92,7 +92,7 @@ object Joins {
     // task retry, unlike rand()/monotonically_increasing_id), and spreads
     // a hot key's rows uniformly
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

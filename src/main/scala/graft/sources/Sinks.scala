@@ -69,7 +69,7 @@ object Sinks {
     // small by construction.
     val merged = Joins.upsert(
       existing.withColumn("__batch", lit(0)),
-      fresh.select(existing.columns.map(col): _*).withColumn("__batch", lit(1)),
+      fresh.select(existing.columns.toIndexedSeq.map(col): _*).withColumn("__batch", lit(1)),
       keys, Seq(col("__batch"))).drop("__batch")
       .localCheckpoint()
     merged.withColumn("p_month", date_format(col(dateCol), "yyyy-MM"))

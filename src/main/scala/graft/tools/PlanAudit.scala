@@ -113,11 +113,11 @@ object Md5MinHashProbe2 {
     val shs = sh.filter(size(col("ws")) >= 3).select(col("doc_id"),
       transform(sequence(lit(0), size(col("ws")) - 3),
         i => concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2), element_at(col("ws"), i + 3))).as("shs"))
-    time("arrays only: sum of sizes")(println(shs.select(sum(size(col("shs")))).head))
+    time("arrays only: sum of sizes")(println(shs.select(sum(size(col("shs")))).head()))
     val rows = shs.select(col("doc_id"), explode(col("shs")).as("shingle"))
     time("explode, count only")(println(rows.count()))
     val withP = rows.withColumn("_p", fam.prep(col("shingle")))
-    time("digest per row")(println(withP.select(max(col("_p.h1"))).head))
+    time("digest per row")(println(withP.select(max(col("_p.h1"))).head()))
     val sigs = graft.dedup.Dedup.minHashSignatures(rows, 16, fam)
     time("signatures agg")(println(sigs.count()))
     time("signatures again")(println(sigs.count()))

@@ -79,7 +79,7 @@ object SkewProbe {
     // --- measured shuffle distributions -----------------------------------
     val plain = stats(partitionLoads(large, nPart, Seq("k")), ideal)
     val saltedDf = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)))
     val salted = stats(partitionLoads(saltedDf, nPart, Seq("k", "__salt")), ideal)
     val hot = Joins.hotKeys(large, Seq("k"), (ideal * 2).toLong).localCheckpoint()
     val tail = large.join(broadcast(hot), Seq("k"), "left_anti")
@@ -93,7 +93,7 @@ object SkewProbe {
     // key (compressing to ~nothing), and no byte-based skew threshold can
     // ever see it — the pre-r10 AQE lane measured a payload-free join.
     def noopCount(df: DataFrame): Long =
-      df.select(sum(xxhash64(df.columns.map(col): _*))).first().getLong(0)
+      df.select(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*))).first().getLong(0)
     def withConfs[A](aqe: Boolean, skew: Boolean)(f: => A): A = {
       spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew.toString)
@@ -131,7 +131,7 @@ object SkewProbe {
           import org.apache.spark.sql.execution.SparkPlan
           import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
           val joined = large.join(small, Seq("k"))
-          val agg = joined.select(sum(xxhash64(joined.columns.map(col): _*)))
+          val agg = joined.select(sum(xxhash64(joined.columns.toIndexedSeq.map(col): _*)))
           // collect() executes THIS QueryExecution — first() would wrap a
           // limit(1) in a fresh one and leave agg's plan (and its AQE
           // metrics) unexecuted
