@@ -642,6 +642,19 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.8)
     }),
 
+    // IVF-blocked semantic decontam — the lane for a LARGE bench: the
+    // bench clusters into cells (dense re-keyed ids so the value-predicate
+    // seeds spread), each corpus row scores only its 2 nearest cells'
+    // members. Deterministic end-to-end, so the approximation itself is
+    // oracle-replayed (the SQL blocks the same way).
+    "decontam_sem_blocked" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val bench = e.filter(col("vec_id") % 100 === 0)
+        .select(expr("vec_id DIV 100").as("vec_id"), col("embedding"))
+      Decontam.semanticDecontamBlocked(e, bench, "vec_id", "embedding",
+        threshold = 0.8, nLists = 4, nProbe = 2)
+    }),
+
     // Count–Min frequency estimation: bigram occurrence counts for the
     // bench slice's grams, estimated from a 3×4096 sketch instead of the
     // exact vocab-sized shuffle. Md5Hash lanes → bucket indexes replay in
@@ -2352,6 +2365,31 @@ object SparkEntry {
          SELECT vec_id, MAX(cos) AS max_cos,
                 MAX(cos) >= 0.8 AS contaminated
          FROM s GROUP BY vec_id""",
+    // Replays the blocking exactly: bench re-keyed dense, value-predicate
+    // centroid seeds, argmin cell assignment, per-corpus-row top-2 probe,
+    // candidates = probed cells' members, then the same max/threshold.
+    "decontam_sem_blocked" ->
+      s"""WITH b AS (SELECT vec_id // 100 AS bid, embedding AS bv
+                     FROM embeddings WHERE vec_id % 100 = 0),
+         par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 4) AS stride FROM b),
+         cent AS (SELECT bid AS centroid_id, bv AS centroid FROM b, par
+                  WHERE bid % stride = 0 AND bid < stride * 4),
+         bcell AS (SELECT bid, bv, centroid_id FROM (
+             SELECT b.bid, b.bv, cent.centroid_id,
+                    ROW_NUMBER() OVER (PARTITION BY b.bid
+                      ORDER BY -${cosSql("b.bv", "cent.centroid")} ASC, cent.centroid_id ASC) AS rn
+             FROM b CROSS JOIN cent) WHERE rn = 1),
+         probe AS (SELECT vec_id, cv, centroid_id FROM (
+             SELECT e.vec_id, e.embedding AS cv, cent.centroid_id,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                      ORDER BY -${cosSql("e.embedding", "cent.centroid")} ASC, cent.centroid_id ASC) AS pr
+             FROM embeddings e CROSS JOIN cent) WHERE pr <= 2),
+         cand AS (SELECT p.vec_id, ROUND(${cosSql("p.cv", "bc.bv")}, 6) AS cos
+                  FROM probe p JOIN bcell bc USING (centroid_id))
+         SELECT vec_id, MAX(cos) AS max_cos,
+                MAX(cos) >= 0.8 AS contaminated
+         FROM cand GROUP BY vec_id""",
+
     "cms_ngram_counts" -> cmsOracle,
 
     // The JSONL round trip must surface exactly what parquet holds.

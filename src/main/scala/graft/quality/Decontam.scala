@@ -148,4 +148,56 @@ object Decontam {
       .select(col("vec_id"), col("max_cos"),
         coalesce(col("max_cos") >= threshold, lit(false)).as("contaminated"))
   }
+
+  /** IVF-blocked semantic decontam — the scale lane for when the BENCH
+    * itself is large (a full eval-suite embedding set): cluster the bench
+    * into `nLists` cells (value-predicate seeds — deterministic, SQL-
+    * replayable), then each corpus row scores only the bench members of
+    * its `nProbe` nearest cells. Per-row work drops from |bench| dots to
+    * nLists + |bench|·nProbe/nLists — the [[graft.ann.Ann.semanticDedup]]
+    * blocking shape applied to decontamination.
+    *
+    * Approximation contract (same one-sidedness CAVEAT as SemDeDup, in
+    * the UNSAFE direction for a drop-list): a contaminated item whose
+    * best bench match lives outside its probed cells is missed, so probe
+    * generously — `nProbe = nLists` recovers the exact lane bit-for-bit
+    * (spec-asserted). Plan: centroids and bench cells broadcast; the
+    * corpus shuffles once on `vec_id` (probe-rank window), and the final
+    * per-item max reuses that partitioning — no second corpus exchange.
+    *
+    * Every cell contains at least its seed (a bench item is its own
+    * nearest centroid at cosine 1), so probed joins never drop a corpus
+    * row; an EMPTY bench yields every row uncontaminated (exact-lane
+    * semantics, via the one-row driver check on the broadcast-sized
+    * centroid frame). */
+  def semanticDecontamBlocked(corpus: DataFrame, bench: DataFrame,
+                              id: String, vec: String, threshold: Double,
+                              nLists: Int = 4, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ann.Ann
+    val centroids = Ann.ivfCentroids(bench, id, vec, nLists).localCheckpoint()
+    if (centroids.isEmpty) {
+      return corpus.select(col(id).as("vec_id"),
+        lit(null).cast("double").as("max_cos"), lit(false).as("contaminated"))
+    }
+    val bcells = Ann.assignCells(bench, id, vec, centroids)
+      .join(bench.select(col(id).as("cid"), col(vec).as("bv")), "cid")
+      .select(col("centroid_id"), col("bv"))
+    // probe ranking carries the corpus vector along (re-deriving probeCells
+    // + a join back on vec_id would shuffle the corpus twice)
+    val probed = corpus.select(col(id).as("vec_id"), col(vec).as("cv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", -Ann.cosine(col("cv"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d").asc, col("centroid_id").asc)))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id"), col("cv"), col("centroid_id"))
+    probed.join(broadcast(bcells), "centroid_id")
+      .select(col("vec_id"),
+        round(Ann.cosine(col("cv"), col("bv")), 6).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), col("max_cos"),
+        (col("max_cos") >= threshold).as("contaminated"))
+  }
 }

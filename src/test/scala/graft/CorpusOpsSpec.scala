@@ -84,6 +84,34 @@ class CorpusOpsSpec extends SparkSpec {
       empty.toString)
   }
 
+  test("blocked semantic decontam: full probe ≡ exact lane, verdicts one-sided, empty bench safe") {
+    val e = graft.sources.TestData(spark, sf0001).embeddings
+    val bench = e.filter(col("vec_id") % 100 === 0)
+      .select(expr("vec_id DIV 100").as("vec_id"), col("embedding"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "max_cos", "contaminated")
+        .as[(Long, Option[Double], Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = toMap(Decontam.semanticDecontam(e, bench, "vec_id", "embedding", 0.8))
+    // probing every cell recovers the exact lane bit-for-bit
+    val full = toMap(Decontam.semanticDecontamBlocked(e, bench,
+      "vec_id", "embedding", 0.8, nLists = 4, nProbe = 4))
+    assert(full == exact, "nProbe = nLists must equal the exact lane")
+    // blocked probing is one-sided: scores never exceed the exact max, so
+    // a blocked 'contaminated' verdict implies the exact one
+    val blocked = toMap(Decontam.semanticDecontamBlocked(e, bench,
+      "vec_id", "embedding", 0.8, nLists = 4, nProbe = 2))
+    assert(blocked.keySet == exact.keySet, "no corpus row may vanish")
+    blocked.foreach { case (id, (cos, verdict)) =>
+      assert(cos.get <= exact(id)._1.get + 1e-12, s"row $id scored above exact")
+      assert(!verdict || exact(id)._2, s"row $id: blocked verdict not one-sided")
+    }
+    // empty bench: every row survives, uncontaminated
+    val empty = toMap(Decontam.semanticDecontamBlocked(e,
+      bench.filter(col("vec_id") < 0), "vec_id", "embedding", 0.8))
+    assert(empty.size == exact.size && empty.values.forall(v => !v._2 && v._1.isEmpty))
+  }
+
   test("repetition: degenerate doc scores high, diverse doc scores low") {
     val d = Seq(
       (1L, "spam spam spam spam"),   // 4 words 1 distinct; 3 bigrams all "spam spam"
