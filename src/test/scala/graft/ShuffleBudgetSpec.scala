@@ -58,6 +58,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // IN-subquery nesting a correlated scalar agg: two per-key agg
     // shuffles (per-(supp,part) and per-part), everything else broadcast
     "q20_part_supp" -> 2,
+    // bench-sized cell-assignment window + ONE corpus probe-rank window
+    // (the per-item max reuses its partitioning — no second corpus
+    // exchange); centroids and bench cells broadcast
+    "decontam_sem_blocked" -> 2,
     // decorrelated EXISTS → semi join (broadcast at test SF; AQE flips to
     // SMJ when the pruned build side outgrows broadcast) + final agg
     "q4_order_priority" -> 1,
