@@ -181,6 +181,22 @@ object SparkEntry {
         .select("user_id", "event_id", "purchase_value", "click_value")
     }),
 
+    // J6 with a staleness bound: clicks older than one hour before the
+    // purchase null out instead of forward-filling forever — the
+    // fundamentals-join semantics at scale (quarter-old factor matches,
+    // decade-old must not). Same single-shuffle plan; the bound is a
+    // row-local filter on the filled payload.
+    "j6_asof_tol" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"), col("value").as("purchase_value"))
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns").as("cts"), col("value").as("click_value"))
+      Joins.asOfTolerance(purchases, clicks, Seq("user_id"), "ts_ns", "cts",
+          Seq("click_value"), Some(lit(3600L * 1000000000L)))
+        .select("user_id", "event_id", "purchase_value", "click_value")
+    }),
+
     // J1 multi-way index-aligned full-outer join (quarterly-frames merge shape).
     "j1_multiway_outer" -> ((s, dir) => {
       val ev = TestData(s, dir).events
@@ -1979,6 +1995,19 @@ object SparkEntry {
                     FROM events WHERE event_type = 'click')
          SELECT p.user_id, p.event_id, p.purchase_value, c.click_value
          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsn >= c.cts""",
+
+    "j6_asof_tol" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, epoch_ns(ts) AS cts, value AS click_value
+                    FROM events WHERE event_type = 'click'),
+              a AS (SELECT p.user_id, p.event_id, p.purchase_value,
+                           p.tsn, c.cts, c.click_value
+                    FROM p ASOF LEFT JOIN c
+                      ON p.user_id = c.user_id AND p.tsn >= c.cts)
+         SELECT user_id, event_id, purchase_value,
+                CASE WHEN tsn - cts <= 3600000000000 THEN click_value END AS click_value
+         FROM a""",
 
     "j1_multiway_outer" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS click_cnt,

@@ -29,7 +29,21 @@ object Joins {
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
-           rightCols: Seq[String]): DataFrame = {
+           rightCols: Seq[String]): DataFrame =
+    asOfTolerance(left, right, keys, leftTime, rightTime, rightCols, None)
+
+  /** [[asOf]] with a STALENESS BOUND: a match older than `tolerance`
+    * (leftTime − matchedRightTime > tolerance, in the time columns' own
+    * arithmetic — ns longs in the engine) nulls out instead of forward-
+    * filling forever. This is the semantics every fundamentals join
+    * actually wants at scale: a quarter-old factor may match, a
+    * decade-old one must not. Same single-shuffle tagged-union plan —
+    * the bound is a row-local post-filter on the filled payload (the
+    * matched right time rides inside the payload struct). */
+  def asOfTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    rightCols: Seq[String],
+                    tolerance: Option[Column]): DataFrame = {
     val leftCols = left.columns.toSeq
     // The right payload travels as ONE struct (non-null for every right row,
     // even when individual payload fields are null) so the forward fill
@@ -41,7 +55,8 @@ object Joins {
       .withColumn("__payload", lit(null))
     val taggedRight = leftCols.filterNot(keys.contains).foldLeft(
       right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
-        .withColumn("__payload", struct(rightCols.map(col): _*))
+        .withColumn("__payload",
+          struct((rightCols.map(col) :+ col(rightTime).as("__rt")): _*))
     )((d, c) => d.withColumn(c, lit(null)))
     val cols = keys ++ Seq("__t", "__side") ++ leftCols.filterNot(keys.contains) :+ "__payload"
     val unioned = taggedLeft.select(cols.map(col): _*)
@@ -49,8 +64,10 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = unioned.withColumn("__payload",
+    val filled0 = unioned.withColumn("__payload",
       last(col("__payload"), ignoreNulls = true).over(w))
+    val filled = tolerance.fold(filled0)(tol => filled0.withColumn("__payload",
+      when(col("__t") - col("__payload").getField("__rt") <= tol, col("__payload"))))
     val extracted = rightCols.foldLeft(filled) { (d, c) =>
       d.withColumn(c, col("__payload").getField(c))
     }

@@ -27,6 +27,22 @@ class OpsSpec extends SparkSpec {
     assert(out == (("l", None)))
   }
 
+  test("asOfTolerance nulls out matches older than the staleness bound") {
+    val left = Seq((1, 100L, "fresh"), (1, 200L, "stale"), (1, 40L, "exact"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1, 40L, 4.0)).toDF("k", "rt", "v")
+    val out = Joins.asOfTolerance(left, right, Seq("k"), "t", "rt", Seq("v"),
+        Some(lit(70L)))
+      .select("tag", "v").as[(String, Option[Double])].collect().toSet
+    // t=40: gap 0 ≤ 70 → match; t=100: gap 60 ≤ 70 → match;
+    // t=200: gap 160 > 70 → the forward-filled match nulls OUT
+    assert(out == Set(("exact", Some(4.0)), ("fresh", Some(4.0)), ("stale", None)))
+    // None tolerance ≡ plain asOf (the stale row keeps its fill)
+    val plain = Joins.asOfTolerance(left, right, Seq("k"), "t", "rt", Seq("v"), None)
+      .select("tag", "v").as[(String, Option[Double])].collect().toSet
+    assert(plain == Set(("exact", Some(4.0)), ("fresh", Some(4.0)), ("stale", Some(4.0))))
+  }
+
   test("upsert keeps the preferred (last-wins) row per key") {
     val existing = Seq((1, "old"), (2, "old")).toDF("k", "v").withColumn("batch", lit(0))
     val incoming = Seq((2, "new"), (3, "new")).toDF("k", "v").withColumn("batch", lit(1))
