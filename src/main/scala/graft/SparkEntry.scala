@@ -1191,6 +1191,21 @@ object SparkEntry {
         5, nProbe = 4)
     }),
 
+    // Residual-lane incremental append: same daily-ingest shape as
+    // ann_ivfpq_append but the frozen artifacts are the FAISS-default
+    // residual encoding — appended rows subtract the STORED centroid
+    // before encoding with the STORED residual codebooks.
+    "ann_ivfpq_res_append" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val idx = Pq.cachedAppendedIndex(
+        e.filter(col("vec_id") % 5 =!= 4), e.filter(col("vec_id") % 5 === 4),
+        "vec_id", "embedding", dir,
+        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0,
+        residual = true)
+      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        5, nProbe = 4)
+    }),
+
     // Residual IVF-PQ (FAISS-default encoding): PQ quantizes v − centroid;
     // cosine decomposes exactly over x̂ = c + ŵ via four broadcast tables.
     // Recall beats the raw lane at equal bits (PqSpec).
@@ -3228,6 +3243,7 @@ object SparkEntry {
     "ann_ivfpq_append" -> ivfPqOracleTrained("cid % 5 <> 4"),
     "ann_ivfpq_rerank" -> ivfPqRerankOracle,
     "ann_ivfpq_res_topk" -> ivfPqResOracle,
+    "ann_ivfpq_res_append" -> ivfPqResOracleTrained("cid % 5 <> 4"),
     "ann_ivfpq_res_served" -> ivfPqResOracle,
     "ann_ivf_topk" -> ivf1Oracle,
     "ann_lsh_topk" -> annLshOracle,
@@ -3647,12 +3663,21 @@ object SparkEntry {
     * residual codebook), residual encode, and the decomposed cosine
     *   (q·c + Σ_s t) / (|q| · sqrt(|c|² + Σ_s e)),  e = 2·c_s·w + |w|²
     * with both cross-subspace sums as sequential folds in sub order. */
-  private lazy val ivfPqResOracle: String =
+  private lazy val ivfPqResOracle: String = ivfPqResOracleTrained("TRUE")
+
+  /** Residual-lane twin of [[ivfPqOracleTrained]]: quantizers (coarse
+    * centroids + residual codebooks) train on the `trainPred` subset,
+    * every corpus row is assigned + residual-encoded against them —
+    * replaying residual [[graft.ann.Pq.appendToSavedIndex]]. Residuals of
+    * training rows are identical whether derived from the subset or the
+    * full corpus (same frozen centroids), so the seed rows coincide. */
+  private def ivfPqResOracleTrained(trainPred: String): String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        tr AS (SELECT cid, cv FROM c WHERE $trainPred),
         par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride,
                        GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) // 2 AS off
-                FROM c),
-        cent AS (SELECT cid AS centroid_id, cv AS centroid FROM c, par
+                FROM tr),
+        cent AS (SELECT cid AS centroid_id, cv AS centroid FROM tr, par
                  WHERE cid % stride = 0 AND cid < stride * 16),
         assign AS (SELECT cid, centroid_id FROM (
             SELECT c.cid, cent.centroid_id,
@@ -3667,7 +3692,7 @@ object SparkEntry {
         seeds AS (SELECT CAST((cid - off) // stride AS INT) AS code, rv
                   FROM resid, par
                   WHERE cid >= off AND (cid - off) % stride = 0
-                    AND cid < off + stride * 16),
+                    AND cid < off + stride * 16 AND ($trainPred)),
         cb AS (SELECT u.sub, seeds.code,
                       rv[u.sub*8+1 : u.sub*8+8] AS word
                FROM seeds, unnest(range(0, 8)) AS u(sub)),
