@@ -262,6 +262,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("resize property: arbitrary images resize to exactly the sampled pixels") {
+    // seeded-random source images and target dims (up, down, and equal);
+    // for every (dest x, y) the kernel must emit the source pixel at
+    // (x·sw DIV dw, y·sh DIV dh) — checked byte-for-byte via re-decode
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 25).map { i =>
+      val sw = 1 + rnd.nextInt(10); val sh = 1 + rnd.nextInt(10)
+      val dw = 1 + rnd.nextInt(10); val dh = 1 + rnd.nextInt(10)
+      val rgb = new Array[Byte](sw * sh * 3); rnd.nextBytes(rgb)
+      (i.toLong, sw, sh, dw, dh, rgb)
+    }
+    cases.foreach { case (id, sw, sh, dw, dh, rgb) =>
+      val header = s"P6\n$sw $sh\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val src = header ++ rgb
+      val out = Multimodal.resizePpm(
+        Seq(Multimodal.PpmImage(id, src)).toDS(), dw, dh).collect()
+      assert(out.length == 1, s"case $id dropped")
+      val got = out.head.media
+      val gotHeader = s"P6\n$dw $dh\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      assert(got.take(gotHeader.length).sameElements(gotHeader), s"case $id header")
+      for (y <- 0 until dh; x <- 0 until dw; ch <- 0 until 3) {
+        val sx = (x.toLong * sw / dw).toInt
+        val sy = (y.toLong * sh / dh).toInt
+        val expect = rgb((sy * sw + sx) * 3 + ch)
+        val actual = got(gotHeader.length + (y * dw + x) * 3 + ch)
+        assert(actual == expect,
+          s"case $id ${sw}x$sh→${dw}x$dh pixel ($x,$y) ch$ch: $actual != $expect")
+      }
+    }
+  }
+
   test("FLAC property: decode∘encode reproduces arbitrary PCM bit-exactly") {
     import graft.multimodal.Flac
     val rnd = new scala.util.Random(1234)
