@@ -466,6 +466,94 @@ object SparkEntry {
                       AND l2.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'))""")
     }),
 
+    // TPC-H Q2 class: correlated scalar MIN subquery used in an EQUALITY
+    // predicate — "the supplier offering the minimum price", the classic
+    // min-per-group-then-rejoin shape. The subquery repeats the outer's
+    // region-restricted join, so decorrelation has to plan a second
+    // multi-way join under the aggregate. Exactness: the predicate
+    // compares a stored double against MIN over stored doubles — no
+    // arithmetic, so the equality is bit-exact in both engines.
+    "q2_min_cost" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g2_lineitem")
+      t.part.createOrReplaceTempView("g2_part")
+      t.supplier.createOrReplaceTempView("g2_supplier")
+      t.nation.createOrReplaceTempView("g2_nation")
+      t.region.createOrReplaceTempView("g2_region")
+      s.sql("""
+        SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name,
+               l.l_extendedprice AS min_price
+        FROM g2_lineitem l
+          JOIN g2_part p ON p.p_partkey = l.l_partkey
+          JOIN g2_supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN g2_nation n ON n.n_nationkey = s.s_nationkey
+          JOIN g2_region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+          AND l.l_extendedprice =
+            (SELECT MIN(l2.l_extendedprice)
+             FROM g2_lineitem l2
+               JOIN g2_supplier s2 ON s2.s_suppkey = l2.l_suppkey
+               JOIN g2_nation n2 ON n2.n_nationkey = s2.s_nationkey
+               JOIN g2_region r2 ON r2.r_regionkey = n2.n_regionkey
+             WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')""")
+    }),
+
+    // TPC-H Q21 class: EXISTS and NOT EXISTS, BOTH correlated against the
+    // same fact table, with a supplier-inequality — and (absent
+    // receipt/commit dates in the fixtures) the lateness predicate
+    // correlates the NOT EXISTS on TWO outer tables (l1's order key and
+    // o's order date) at once. Catalyst plans the pair as a left-semi
+    // then null-filtering left-anti over the re-scanned lineitem — the
+    // hardest decorrelation shape in the subquery family (q17 scalar /
+    // q22 null-aware anti / q4 exists / q20 nested IN).
+    "q21_waiting" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.supplier.createOrReplaceTempView("g21_supplier")
+      t.lineitem.createOrReplaceTempView("g21_lineitem")
+      t.orders.createOrReplaceTempView("g21_orders")
+      t.nation.createOrReplaceTempView("g21_nation")
+      s.sql("""
+        SELECT s.s_name, count(*) AS numwait
+        FROM g21_supplier s
+          JOIN g21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+          JOIN g21_orders o ON o.o_orderkey = l1.l_orderkey
+          JOIN g21_nation n ON n.n_nationkey = s.s_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND n.n_name LIKE 'NATION_%'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+          AND EXISTS (SELECT 1 FROM g21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM g21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+        GROUP BY s.s_name""")
+    }),
+
+    // TPC-H Q15 class: scalar subquery over a DERIVED aggregate view (the
+    // revenue CTE appears twice — once as the join input, once under the
+    // global MAX), the MergeScalarSubqueries / CTE-reuse shape. Revenue
+    // goes decimal-route on both engines, so MAX-equality is exact.
+    "q15_top_supplier" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g15_lineitem")
+      t.supplier.createOrReplaceTempView("g15_supplier")
+      s.sql("""
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)
+                   AS total_revenue
+          FROM g15_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM g15_supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""")
+    }),
+
     // Hot-key split join: result ≡ plain join; the plan broadcasts the
     // hot mass (keys with >N rows) and shuffles only the tail — the
     // other standard skew treatment next to j7's salting.
@@ -2179,6 +2267,55 @@ object SparkEntry {
                      WHERE l2.l_partkey = l.l_partkey
                        AND l2.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
                        AND l2.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'))""",
+
+    "q2_min_cost" ->
+      """SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name,
+                l.l_extendedprice AS min_price
+         FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n ON n.n_nationkey = s.s_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey
+         WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+           AND l.l_extendedprice =
+             (SELECT MIN(l2.l_extendedprice)
+              FROM lineitem l2
+                JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+              WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')""",
+
+    "q21_waiting" ->
+      """SELECT s.s_name, count(*) AS numwait
+         FROM supplier s
+           JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+           JOIN orders o ON o.o_orderkey = l1.l_orderkey
+           JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE o.o_orderstatus = 'F'
+           AND n.n_name LIKE 'NATION_%'
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s.s_name""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey AS supplier_no,
+                  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)
+                    AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, r.total_revenue
+         FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+         WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_late

@@ -67,7 +67,20 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q4_order_priority" -> 1,
     // bucketed co-located fact⋈fact join + same-key agg: the scans carry
     // the hash partitioning, so join AND aggregation shuffle NOTHING
-    "j10_bucketed_join" -> 0
+    "j10_bucketed_join" -> 0,
+    // correlated-MIN equality (Q2 class): per-partkey min agg (1 shuffle)
+    // re-joined to the fact — the static plan SMJs that rejoin (2 more
+    // exchanges); at runtime AQE measures the agg side (one row per part)
+    // and flips it to broadcast
+    "q2_min_cost" -> 3,
+    // EXISTS + NOT EXISTS both correlated: semi + anti both broadcast
+    // (build sides are pruned orderkey/suppkey pairs); only the final
+    // per-supplier agg shuffles
+    "q21_waiting" -> 1,
+    // derived-view scalar MAX (Q15 class): rev agg under the join (1) +
+    // the same agg re-planned under the scalar subquery + its 1-row max
+    // (2) — ReusedExchange collapses the twin agg at runtime
+    "q15_top_supplier" -> 3
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
@@ -90,6 +103,16 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
       "nested IN + correlated scalar agg must decorrelate to hash joins:\n" + plan)
+  }
+
+  test("q21_waiting plans the correlated EXISTS/NOT EXISTS as semi + anti hash joins") {
+    val plan = SparkEntry.queries("q21_waiting")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      "double-correlated EXISTS pair must decorrelate to semi + anti joins:\n" + plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      "q21 must stay hash-joined:\n" + plan)
   }
 
   budgets.foreach { case (q, budget) =>
