@@ -197,6 +197,20 @@ object SparkEntry {
         .select("user_id", "event_id", "purchase_value", "click_value")
     }),
 
+    // J6 in the FORWARD direction: each click attaches the NEXT purchase
+    // at-or-after it (conversion attribution / trade→next-quote shape).
+    // Same single-shuffle tagged-union plan, walked over descending time.
+    "j6_asof_fwd" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_ns"), col("value").as("click_value"))
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns").as("pts"), col("value").as("purchase_value"))
+      Joins.asOfForward(clicks, purchases, Seq("user_id"), "ts_ns", "pts",
+          Seq("purchase_value"))
+        .select("user_id", "event_id", "click_value", "purchase_value")
+    }),
+
     // J1 multi-way index-aligned full-outer join (quarterly-frames merge shape).
     "j1_multiway_outer" -> ((s, dir) => {
       val ev = TestData(s, dir).events
@@ -2111,6 +2125,14 @@ object SparkEntry {
          SELECT user_id, event_id, purchase_value,
                 CASE WHEN tsn - cts <= 3600000000000 THEN click_value END AS click_value
          FROM a""",
+
+    "j6_asof_fwd" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) AS ctsn, value AS click_value
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, epoch_ns(ts) AS pts, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, c.event_id, c.click_value, p.purchase_value
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ctsn <= p.pts""",
 
     "j1_multiway_outer" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS click_cnt,

@@ -43,7 +43,29 @@ object Joins {
   def asOfTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
                     leftTime: String, rightTime: String,
                     rightCols: Seq[String],
-                    tolerance: Option[Column]): DataFrame = {
+                    tolerance: Option[Column]): DataFrame =
+    asOfDirected(left, right, keys, leftTime, rightTime, rightCols,
+      tolerance, forward = false)
+
+  /** FORWARD as-of join: for each left row, the single right row with the
+    * SMALLEST `rightTime` such that `rightTime >= leftTime` — the
+    * next-event direction (trade → next quote, impression → next
+    * conversion, signal → next bar open). Same single-shuffle tagged-union
+    * plan as [[asOf]], run over the reversed time order; `tolerance`
+    * bounds how far into the future a match may sit
+    * (matchedRightTime − leftTime > tolerance nulls out). */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightCols: Seq[String],
+                  tolerance: Option[Column] = None): DataFrame =
+    asOfDirected(left, right, keys, leftTime, rightTime, rightCols,
+      tolerance, forward = true)
+
+  private def asOfDirected(left: DataFrame, right: DataFrame, keys: Seq[String],
+                           leftTime: String, rightTime: String,
+                           rightCols: Seq[String],
+                           tolerance: Option[Column],
+                           forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // The right payload travels as ONE struct (non-null for every right row,
     // even when individual payload fields are null) so the forward fill
@@ -61,13 +83,20 @@ object Joins {
     val cols = keys ++ Seq("__t", "__side") ++ leftCols.filterNot(keys.contains) :+ "__payload"
     val unioned = taggedLeft.select(cols.map(col): _*)
       .unionByName(taggedRight.select(cols.map(col): _*))
+    // Backward walks time ascending and fills the latest right row seen;
+    // forward walks time DESCENDING and fills the earliest following right
+    // row. Either way right rows sort before left rows at the same
+    // timestamp (__side asc) so an equal-time right row is visible (<=/>=).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled0 = unioned.withColumn("__payload",
       last(col("__payload"), ignoreNulls = true).over(w))
+    val staleness =
+      if (forward) col("__payload").getField("__rt") - col("__t")
+      else col("__t") - col("__payload").getField("__rt")
     val filled = tolerance.fold(filled0)(tol => filled0.withColumn("__payload",
-      when(col("__t") - col("__payload").getField("__rt") <= tol, col("__payload"))))
+      when(staleness <= tol, col("__payload"))))
     val extracted = rightCols.foldLeft(filled) { (d, c) =>
       d.withColumn(c, col("__payload").getField(c))
     }

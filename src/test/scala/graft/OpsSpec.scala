@@ -43,6 +43,30 @@ class OpsSpec extends SparkSpec {
     assert(plain == Set(("exact", Some(4.0)), ("fresh", Some(4.0)), ("stale", Some(4.0))))
   }
 
+  test("asOfForward attaches earliest right row at or after left time, per key") {
+    val left = Seq((1, 10L, "l1"), (1, 20L, "l2"), (2, 5L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1, 10L, 100.0), (1, 15L, 150.0), (2, 3L, 900.0))
+      .toDF("k", "rt", "v")
+    val out = Joins.asOfForward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("k", "tag", "v").as[(Int, String, Option[Double])].collect().toSet
+    // l1: right@10 (>=, inclusive — NOT right@15); l2: nothing at or
+    // after 20; l3: right@3 is in the past → no match
+    assert(out == Set((1, "l1", Some(100.0)), (1, "l2", None), (2, "l3", None)))
+  }
+
+  test("asOfForward tolerance bounds how far ahead a match may sit") {
+    val left = Seq((1, 10L, "near"), (1, 80L, "far"), (1, 100L, "exact"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1, 100L, 7.0)).toDF("k", "rt", "v")
+    val out = Joins.asOfForward(left, right, Seq("k"), "t", "rt", Seq("v"),
+        Some(lit(30L)))
+      .select("tag", "v").as[(String, Option[Double])].collect().toSet
+    // t=100: gap 0 ≤ 30 → match; t=80: gap 20 ≤ 30 → match;
+    // t=10: gap 90 > 30 → the filled match nulls OUT
+    assert(out == Set(("exact", Some(7.0)), ("far", Some(7.0)), ("near", None)))
+  }
+
   test("upsert keeps the preferred (last-wins) row per key") {
     val existing = Seq((1, "old"), (2, "old")).toDF("k", "v").withColumn("batch", lit(0))
     val incoming = Seq((2, "new"), (3, "new")).toDF("k", "v").withColumn("batch", lit(1))
