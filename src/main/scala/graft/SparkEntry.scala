@@ -6,7 +6,7 @@ import graft.ann.{Ann, Pq, Quant}
 import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
-import graft.functions.{CodeConvert, Coerce, TextFns}
+import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
 import graft.multimodal.{Flac, Gif, Jpeg, Multimodal, Png, Video}
 import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
@@ -61,6 +61,15 @@ object SparkEntry {
     "rollup_revenue" -> ((s, dir) => {
       TestData(s, dir).orders
         .rollup(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderstatus"))
+        .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
+    // Beyond-reference: full CUBE grouping sets (all four (year, status)
+    // marginal combinations in one pass — Catalyst's Expand feeds a single
+    // aggregation, so the cube costs ONE shuffle, not 4 scans).
+    "cube_revenue" -> ((s, dir) => {
+      TestData(s, dir).orders
+        .cube(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderstatus"))
         .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
     }),
 
@@ -697,6 +706,15 @@ object SparkEntry {
         TextFns.regexTokenCount(col("text")).cast("long").as("re_tokens"))
     }),
 
+    // Trained subword tokenizer: corpus-frequency vocab (top-200 char
+    // 2..4-grams, count-desc/token-asc total order) + greedy longest-match
+    // encode — the WordPiece-inference shape. Training is one mergeable
+    // agg + top-K; encoding is row-local over the broadcast vocab.
+    "tok_subword" -> ((s, dir) => {
+      Tokenizer.trainAndEncode(TestData(s, dir).documents, "doc_id", "text",
+        minLen = 2, maxLen = 4, vocabSize = 200)
+    }),
+
     // Rolling polynomial fingerprint (order-sensitive document hash).
     "text_fingerprint" -> ((s, dir) => {
       TestData(s, dir).documents.select(
@@ -974,6 +992,26 @@ object SparkEntry {
     // Streaming ingest dedup (dropDuplicatesWithinWatermark), isolated from
     // the corpus gate: emitted columns are content-derived only, so the
     // arrival-order-dependent survivor cannot leak into the compare.
+    // Stream-static enrichment: the STATELESS streaming join — every event
+    // picks up its customer segment from a broadcast dim snapshot per
+    // micro-batch; users outside the dim get the unknown-member default
+    // (c_custkey % 3 == 0 is withheld so the default path provably fires).
+    "stream_enrich" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
+        .select("event_id", "user_id", "value")
+      val dim = TestData(s, dir).customer
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.streaming.Replay.toBatch(
+        graft.streaming.StreamEnrich.enrich(ev, dim, Seq("user_id"),
+          Map("c_mktsegment" -> lit("UNKNOWN"))),
+        "enrich")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("c_mktsegment").as("segment"))
+    }),
+
     "stream_dedup" -> ((s, dir) => {
       val sch = s.read.parquet(s"$dir/documents.parquet").schema
       val docs = s.readStream.schema(sch)
@@ -2024,6 +2062,13 @@ object SparkEntry {
          FROM orders
          GROUP BY ROLLUP(date_part('year', o_orderdate), o_orderstatus)""",
 
+    "cube_revenue" ->
+      """SELECT date_part('year', o_orderdate) AS order_year, o_orderstatus,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_orders
+         FROM orders
+         GROUP BY CUBE(date_part('year', o_orderdate), o_orderstatus)""",
+
     "q3_topk_revenue" ->
       """SELECT o_orderkey, o_orderdate,
                 CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue
@@ -2454,6 +2499,44 @@ object SparkEntry {
                 CAST(len(list_filter(string_split(text,' '), x -> length(x)>0)) AS BIGINT) AS ws_tokens,
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
          FROM documents""",
+
+    // Replays train-then-encode end to end: gram counts → top-200 cut
+    // (count DESC, token ASC — total order) → per-position longest match →
+    // the greedy walk as a recursive CTE over precomputed jump lengths
+    // (pos → pos + mlen). MATERIALIZED pins pg/m so the recursion doesn't
+    // re-derive them per iteration. All-integer + string equality — exact.
+    "tok_subword" ->
+      """WITH RECURSIVE d AS MATERIALIZED (
+           SELECT doc_id, text AS t, length(text) AS len FROM documents),
+         pos AS (SELECT doc_id, t, len, CAST(i AS INT) AS i
+                 FROM d, unnest(range(1, len + 1)) AS u(i)),
+         pg AS MATERIALIZED (
+           SELECT p.doc_id, p.i, CAST(n AS INT) AS n,
+                  substr(p.t, p.i, CAST(n AS INT)) AS g
+           FROM pos p, unnest([2,3,4]) AS nn(n)
+           WHERE p.i + n - 1 <= p.len),
+         vocab AS MATERIALIZED (
+           SELECT g AS token, COUNT(*) AS c FROM pg GROUP BY g
+           ORDER BY c DESC, g ASC LIMIT 200),
+         m AS MATERIALIZED (
+           SELECT pg.doc_id, pg.i, MAX(pg.n) AS mlen
+           FROM pg JOIN vocab v ON pg.g = v.token
+           GROUP BY pg.doc_id, pg.i),
+         w AS (SELECT doc_id, 1 AS pos, CAST(0 AS BIGINT) AS n_tok,
+                      CAST(0 AS BIGINT) AS n_multi, len FROM d
+               UNION ALL
+               SELECT w.doc_id, w.pos + COALESCE(m.mlen, 1), w.n_tok + 1,
+                      w.n_multi + CASE WHEN COALESCE(m.mlen, 1) > 1
+                                       THEN 1 ELSE 0 END, w.len
+               FROM w LEFT JOIN m ON m.doc_id = w.doc_id AND m.i = w.pos
+               WHERE w.pos <= w.len),
+         agg AS (SELECT doc_id, MAX(n_tok) AS n_tokens,
+                        MAX(n_multi) AS n_multi FROM w GROUP BY doc_id)
+         SELECT a.doc_id, a.n_tokens, a.n_multi,
+                CASE WHEN d.len = 0 THEN ''
+                     ELSE substr(d.t, 1, COALESCE(m1.mlen, 1)) END AS first_token
+         FROM agg a JOIN d ON d.doc_id = a.doc_id
+         LEFT JOIN m m1 ON m1.doc_id = a.doc_id AND m1.i = 1""",
 
     "text_fingerprint" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
@@ -2909,6 +2992,15 @@ object SparkEntry {
 
     // Streaming ingest dedup ≡ DISTINCT on the content key (one-batch
     // replay: nothing is late, first arrival of each key emits).
+    // Stream-static join is stateless: one batch ≡ the batch left join.
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.value,
+                COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+         FROM events e
+           LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                      WHERE c_custkey % 3 <> 0) c
+             ON e.user_id = c.c_custkey""",
+
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS content_hash,
                 CAST(length(text) AS BIGINT) AS content_len

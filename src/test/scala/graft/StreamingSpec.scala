@@ -169,6 +169,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  case class Ev(event_id: Long, user_id: Long, value: Double)
+
+  test("stream-static enrichment joins the dim per batch, defaults the unmatched") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "tier")
+    val enriched = graft.streaming.StreamEnrich.enrich(
+      input.toDF(), dim, Seq("user_id"), Map("tier" -> lit("UNKNOWN")))
+    val query = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(10L, 1L, 5.0), Ev(11L, 3L, 7.0))
+      query.processAllAvailable()
+      input.addData(Ev(12L, 2L, 9.0))
+      query.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select("event_id", "tier").as[(Long, String)].collect().toSet
+      // user 1 and 2 match the dim; user 3 takes the unknown-member default
+      assert(out == Set((10L, "GOLD"), (11L, "UNKNOWN"), (12L, "SILVER")))
+      // stateless: a stream-static join must not allocate state stores
+      assert(query.lastProgress.stateOperators.isEmpty,
+        s"stream-static join must be stateless: ${query.lastProgress}")
+    } finally query.stop()
+  }
+
   case class Imp(ad_id: Long, its: Timestamp, slot: String)
   case class Click(ad_id: Long, cts: Timestamp, cost: Double)
 
