@@ -314,4 +314,105 @@ object Ann {
       .filter(col("n").between(2, maxBucket)).select("blk")
     nearDupPairs(v.join(ok, "blk"), "vid", "v", "blk", threshold)
   }
+
+  // ------------------------------------------------------------ k-means||
+
+  /** Total quantizer cost of a centroid set over a corpus: Σ (1 − max
+    * cosine) — the spherical k-means objective the IVF cells minimize.
+    * Diagnostic/training metric (ScaleProbe-style evidence lane). */
+  def quantizerCost(corpus: DataFrame, id: String, vec: String,
+                    centroids: DataFrame): Double =
+    corpus.select(col(id).as("cid"), col(vec).as("cv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine(col("cv"), col("centroid")))
+      .groupBy("cid").agg(max(col("cos")).as("mx"))
+      .agg(sum(lit(1.0) - col("mx"))).head().getDouble(0)
+
+  /** k-means|| initialization (Bahmani et al., "Scalable k-means++",
+    * VLDB 2012) for the IVF coarse quantizer — the TRAINING-quality seed
+    * for the 100 TB path, where init runs on a uniform corpus sample and
+    * the value-predicate strided seed ([[ivfCentroids]]) can land inside
+    * one dense region when cluster mass is skewed.
+    *
+    * Spark shape: `rounds` passes, each one broadcast-argmax pass over the
+    * corpus (cost to the current seed set) + a DETERMINISTIC
+    * cost-proportional pick — inclusion is `md5(cid # round)`-thresholded
+    * (Sampling's replayable-bucket trick), never `rand()`, so retries,
+    * partitioning and re-runs cannot change the seed set. The ~`rounds ×
+    * oversample` candidates are then weighted by attracted-point counts
+    * and reduced to `k` on the driver with weighted greedy k-means++
+    * (candidate set is tiny; argmax tiebreaks on id). Distances are
+    * spherical (1 − cosine), matching the cell objective the quantizer
+    * serves.
+    *
+    * Returns (centroid_id, centroid) — drop-in for [[assignCells]] /
+    * [[probeCells]] / [[Pq]] training. Deterministic end to end.
+    */
+  def kmeansParallelInit(corpus: DataFrame, id: String, vec: String,
+                         k: Int, rounds: Int = 3,
+                         oversample: Int = 0): DataFrame = {
+    require(k > 0 && rounds > 0, "degenerate k-means|| parameters")
+    val l = if (oversample > 0) oversample else 2 * k
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(id).cast("long").as("cid"), col(vec).as("cv"))
+    // C₀: the vector with the smallest id — a value pick, not arrival order
+    var cand = c.orderBy(col("cid").asc).limit(1)
+      .select(col("cid").as("centroid_id"), col("cv").as("centroid"))
+      .localCheckpoint(eager = true)
+    for (r <- 0 until rounds) {
+      // cost of every point against the CURRENT seed set (broadcast argmax)
+      val costs = c.crossJoin(broadcast(cand))
+        .withColumn("cos", cosine(col("cv"), col("centroid")))
+        .groupBy(col("cid")).agg((lit(1.0) - max(col("cos"))).as("d"))
+      val total = math.max(costs.agg(sum(col("d"))).head().getDouble(0), 1e-12)
+      // include x with p = min(1, l·d(x)/Σd): replayable md5 threshold,
+      // salted per round so rounds draw independent coins
+      val frac = conv(substring(md5(concat(col("cid").cast("string"),
+        lit(s"#km$r"))), 1, 15), 16, 10).cast("double") / lit(1152921504606846976.0)
+      val picked = costs
+        .filter(frac < least(lit(1.0), lit(l.toDouble) * col("d") / lit(total)))
+        .join(c, "cid")
+        .select(col("cid").as("centroid_id"), col("cv").as("centroid"))
+      // localCheckpoint per round (CLAUDE.md rule 8): the candidate set is
+      // tiny but its lineage includes a corpus pass per round
+      cand = cand.unionByName(picked).dropDuplicates("centroid_id")
+        .localCheckpoint(eager = true)
+    }
+    // weight candidates by attracted mass, then reduce to k on the driver —
+    // the candidate set is ~rounds·l rows, driver-sized by construction
+    val weights = assignToNearest(c, cand, cosine)
+      .groupBy("centroid_id").agg(count(lit(1)).as("w"))
+    val rows = cand.join(weights, Seq("centroid_id"), "left")
+      .select(col("centroid_id"), col("centroid"), coalesce(col("w"), lit(0L)).as("w"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue).toArray,
+        r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.length >= k,
+      s"k-means|| produced ${rows.length} < $k candidates; raise rounds/oversample")
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // weighted greedy k-means++: heaviest first (id tiebreak), then argmax
+    // of weight · (1 − max cos to chosen)
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      rows.maxBy(r => (r._3, -r._1)))
+    val minCos = scala.collection.mutable.Map(
+      rows.map(r => r._1 -> cosD(r._2, chosen.head._2)): _*)
+    while (chosen.size < k) {
+      val next = rows.filterNot(r => chosen.exists(_._1 == r._1))
+        .maxBy(r => (r._3.toDouble * (1.0 - minCos(r._1)), -r._1.toDouble))
+      chosen += next
+      rows.foreach(r => minCos(r._1) = math.max(minCos(r._1), cosD(r._2, next._2)))
+    }
+    import spark.implicits._
+    // float-cast: every downstream consumer (assignCells/probeCells/Pq)
+    // reads array<float> through the codegen'd cosine
+    chosen.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((_, v, _), i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("centroid_id", "centroid")
+  }
 }
