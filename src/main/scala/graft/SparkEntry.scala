@@ -635,6 +635,19 @@ object SparkEntry {
           round(col("ma5"), 4).as("ma5"), round(col("ttm4"), 4).as("ttm4"))
     }),
 
+    // Pairwise trailing-window statistic: Pearson corr(qty, price) over the
+    // previous 5 shipments per supplier. Frame sums are sequential folds
+    // over the frame-ordered lists (rule-1 determinism); value columns ride
+    // in the order key because the fixtures contain fully-duplicated rows.
+    "w5_rolling_corr" -> ((s, dir) => {
+      Windows.rollingCorr(TestData(s, dir).lineitem,
+        Seq(col("l_suppkey")),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity")),
+        col("l_quantity"), col("l_extendedprice"), 5, "corr5")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "corr5")
+    }),
+
     // A6 weekly OHLCV bar synthesis via min_by/max_by (single groupBy, no window).
     "a6_resample_weekly" -> ((s, dir) => {
       val ev = TestData(s, dir).events
@@ -1064,6 +1077,13 @@ object SparkEntry {
     // Quantiles.approx is the documented sketch path at 100 TB.
     "quantiles_disc" -> ((s, dir) =>
       Quantiles.exactDisc(TestData(s, dir).lineitem,
+        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))),
+
+    // Interpolated (percentile_cont) quantiles — same window plan, but the
+    // value is COMPUTED: the oracle replays the identical IEEE expression
+    // tree (h = (n-1)p; lo + (hi-lo)·frac), so the doubles match exactly.
+    "quantiles_cont" -> ((s, dir) =>
+      Quantiles.exactCont(TestData(s, dir).lineitem,
         "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))),
 
     // The sketch lane's gate: rank-error bound check per (group, p). The
@@ -2448,6 +2468,32 @@ object SparkEntry {
                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ttm4
          FROM orders""",
 
+    // Mirrors Windows.rollingCorr: frame lists in identical order, the
+    // same left-fold sums, the same rational-form IEEE tree.
+    "w5_rolling_corr" ->
+      """WITH r AS (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+                  list(CAST(l_quantity AS DOUBLE)) OVER w AS lx,
+                  list(CAST(l_extendedprice AS DOUBLE)) OVER w AS ly
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+         s AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+                  CAST(len(lx) AS DOUBLE) AS nn,
+                  list_reduce([CAST(0 AS DOUBLE)] || lx, (a,b) -> a + b) AS sx,
+                  list_reduce([CAST(0 AS DOUBLE)] || ly, (a,b) -> a + b) AS sy,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(lx, v -> v * v), (a,b) -> a + b) AS sxx,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(ly, v -> v * v), (a,b) -> a + b) AS syy,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(list_zip(lx, ly), p -> p[1] * p[2]), (a,b) -> a + b) AS sxy
+               FROM r)
+         SELECT l_suppkey, l_orderkey, l_linenumber,
+                CASE WHEN nn * sxx - sx * sx > 0 AND nn * syy - sy * sy > 0
+                     THEN (nn * sxy - sx * sy)
+                          / (sqrt(nn * sxx - sx * sx) * sqrt(nn * syy - sy * sy))
+                END AS corr5
+         FROM s""",
+
     "a6_resample_weekly" ->
       """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS period,
                            value, epoch_ns(ts) AS tsn, event_id
@@ -3100,6 +3146,27 @@ object SparkEntry {
                 MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.9) AS BIGINT) THEN v END) AS p90,
                 MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.99) AS BIGINT) THEN v END) AS p99
          FROM r GROUP BY l_returnflag""",
+
+    // Mirrors Quantiles.exactCont's expression tree exactly: h=(n-1)p,
+    // lower/upper rank picks, then lo + (hi-lo)*frac in IEEE doubles.
+    "quantiles_cont" ->
+      """WITH r AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+             FROM lineitem),
+         a AS (SELECT l_returnflag, MAX(n) AS n,
+                MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN v END) AS lo0,
+                MAX(CASE WHEN rn = LEAST(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 2, n) THEN v END) AS hi0,
+                MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN v END) AS lo1,
+                MAX(CASE WHEN rn = LEAST(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 2, n) THEN v END) AS hi1,
+                MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 THEN v END) AS lo2,
+                MAX(CASE WHEN rn = LEAST(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 2, n) THEN v END) AS hi2
+               FROM r GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                lo0 + (hi0 - lo0) * (CAST(n - 1 AS DOUBLE) * 0.5 - floor(CAST(n - 1 AS DOUBLE) * 0.5)) AS p50,
+                lo1 + (hi1 - lo1) * (CAST(n - 1 AS DOUBLE) * 0.9 - floor(CAST(n - 1 AS DOUBLE) * 0.9)) AS p90,
+                lo2 + (hi2 - lo2) * (CAST(n - 1 AS DOUBLE) * 0.99 - floor(CAST(n - 1 AS DOUBLE) * 0.99)) AS p99
+         FROM a""",
 
     // The oracle encodes the EXPECTATION that the sketch meets its rank-
     // error bound: TRUE per (group, p). Everything else in the row (group,

@@ -35,6 +35,39 @@ object Quantiles {
     ranked.groupBy(group).agg(max(col("n")).as("n"), picks: _*)
   }
 
+  /** Exact INTERPOLATED quantiles per group — the `percentile_cont` /
+    * numpy-linear definition: h = (n−1)·p, result = v⌊h⌋ + (v⌊h⌋₊₁ −
+    * v⌊h⌋)·(h − ⌊h⌋) over the ascending order.
+    *
+    * Unlike [[exactDisc]] this COMPUTES a value, so cross-engine exactness
+    * depends on the expression tree: h, the fractional part, and the
+    * `lo + (hi − lo)·frac` form are each single IEEE-double operations
+    * that any engine evaluating the same tree reproduces bit-for-bit. The
+    * oracle replays this exact tree — do not swap in the algebraically
+    * equal `(1−f)·lo + f·hi`, which rounds differently. Same one-window
+    * plan (and the same full-sort price of exactness) as [[exactDisc]].
+    */
+  def exactCont(df: DataFrame, group: String, value: String,
+                ps: Seq[Double]): DataFrame = {
+    val ranked = df.select(col(group), col(value).cast("double").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(group).orderBy(col("v").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(group)).cast("long"))
+    def h(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
+    def loRank(p: Double): Column = floor(h(p)).cast("long") + 1
+    val picks = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(max(when(col("rn") === loRank(p), col("v"))).as(s"__lo$i"),
+        max(when(col("rn") === least(loRank(p) + 1, col("n")), col("v")))
+          .as(s"__hi$i"))
+    }
+    val agged = ranked.groupBy(group).agg(max(col("n")).as("n"), picks: _*)
+    val outs = ps.zipWithIndex.map { case (p, i) =>
+      (col(s"__lo$i") + (col(s"__hi$i") - col(s"__lo$i")) * (h(p) - floor(h(p))))
+        .as(s"p${(p * 100).round}")
+    }
+    agged.select(col(group) +: col("n") +: outs: _*)
+  }
+
   /** Sketch-based quantiles — the scale path (not oracle-comparable).
     * `n` counts NON-NULL values: approx_percentile ignores nulls, and a
     * rank target computed over all rows would sit past the reachable rank

@@ -46,6 +46,42 @@ object Windows {
     df.withColumn(as, sum(value).over(w))
   }
 
+  /** Trailing-window Pearson correlation of two series — the pairwise
+    * window statistic (beta/hedge-ratio precursor) the single-series
+    * A3/A4 windows can't express.
+    *
+    * Determinism (CLAUDE.md rule 1): the five frame sums (Σx, Σy, Σx²,
+    * Σy², Σxy) are SEQUENTIAL FOLDS over the frame-ordered value lists —
+    * never `sum().over` whose partial-sum association an engine may pick
+    * freely — and the correlation is the rational form
+    * (n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)), a fixed IEEE
+    * tree the SQL oracle replays with `list_reduce`. Degenerate frames
+    * (either variance 0, e.g. a 1-row frame) yield null. `order` must be
+    * a unique key per partition (append value tiebreakers — the fixtures
+    * contain fully duplicated rows).
+    */
+  def rollingCorr(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                  x: Column, y: Column, n: Int, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*).rowsBetween(-(n - 1), 0)
+    val fold0 = (l: Column) => aggregate(l, lit(0.0), (a, e) => a + e)
+    val foldSq = (l: Column) => aggregate(l, lit(0.0), (a, e) => a + e * e)
+    df.withColumn("__lx", collect_list(x.cast("double")).over(w))
+      .withColumn("__ly", collect_list(y.cast("double")).over(w))
+      .withColumn("__nn", size(col("__lx")).cast("double"))
+      .withColumn("__sx", fold0(col("__lx")))
+      .withColumn("__sy", fold0(col("__ly")))
+      .withColumn("__sxx", foldSq(col("__lx")))
+      .withColumn("__syy", foldSq(col("__ly")))
+      .withColumn("__sxy", fold0(zip_with(col("__lx"), col("__ly"), (a, b) => a * b)))
+      .withColumn(as, {
+        val num = col("__nn") * col("__sxy") - col("__sx") * col("__sy")
+        val dx = col("__nn") * col("__sxx") - col("__sx") * col("__sx")
+        val dy = col("__nn") * col("__syy") - col("__sy") * col("__sy")
+        when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy)))
+      })
+      .drop("__lx", "__ly", "__nn", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+
   /** W4/J4 — dedup keeping the first row per key under `order` ascending
     * (mootdx_fetcher.py:163 keep='first'). For keep='last' pass descending
     * order columns.

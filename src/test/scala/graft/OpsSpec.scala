@@ -67,6 +67,26 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(("exact", Some(7.0)), ("far", Some(7.0)), ("near", None)))
   }
 
+  test("rollingCorr: ±1 on perfectly (anti)correlated frames, null on degenerate") {
+    // x ascending; y = 2x (corr +1) for key a, y = -x (corr −1) for key b
+    val df = (1 to 6).flatMap(i => Seq(
+      ("a", i.toLong, i.toDouble, 2.0 * i),
+      ("b", i.toLong, i.toDouble, -i.toDouble))).toDF("k", "t", "x", "y")
+    val out = Windows.rollingCorr(df, Seq(col("k")), Seq(col("t")),
+        col("x"), col("y"), 3, "c")
+      .filter(col("t") >= 3).select("k", "t", "c")
+      .as[(String, Long, Double)].collect()
+    assert(out.filter(_._1 == "a").forall(r => math.abs(r._3 - 1.0) < 1e-12))
+    assert(out.filter(_._1 == "b").forall(r => math.abs(r._3 + 1.0) < 1e-12))
+    // 1-row frame and zero-variance series → null, not NaN/divide-by-zero
+    val deg = Seq(("c", 1L, 1.0, 5.0), ("c", 2L, 1.0, 7.0))
+      .toDF("k", "t", "x", "y")
+    val dc = Windows.rollingCorr(deg, Seq(col("k")), Seq(col("t")),
+        col("x"), col("y"), 3, "c")
+      .select("c").collect().map(r => r.isNullAt(0))
+    assert(dc.forall(identity), "constant-x frames must yield null corr")
+  }
+
   test("upsert keeps the preferred (last-wins) row per key") {
     val existing = Seq((1, "old"), (2, "old")).toDF("k", "v").withColumn("batch", lit(0))
     val incoming = Seq((2, "new"), (3, "new")).toDF("k", "v").withColumn("batch", lit(1))

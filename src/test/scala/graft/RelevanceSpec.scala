@@ -130,6 +130,44 @@ class RelevanceSpec extends SparkSpec {
     assert(row.getDouble(3) === 10.0) // ceil(10·0.99) = 10
   }
 
+  test("exactCont: linear interpolation on a known frame, endpoint exact") {
+    val d = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val q = Quantiles.exactCont(d, "grp", "v", Seq(0.5, 0.9, 1.0))
+    val row = q.select("n", "p50", "p90", "p100").head()
+    assert(row.getLong(0) === 10L)
+    assert(row.getDouble(1) === 5.5)  // h = 9·0.5 = 4.5 → 5 + 0.5·(6−5)
+    assert(row.getDouble(2) === 9.1)  // h = 9·0.9 = 8.1 → 9 + 0.1·(10−9)
+    assert(row.getDouble(3) === 10.0) // p=1: lo rank = n, hi capped at n
+  }
+
+  test("property: exactCont equals the numpy-linear definition") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val ps = Seq(0.5, 0.9)
+    val rows = Gen.listOfN(300,
+      Gen.zip(Gen.oneOf("a", "b"), Gen.choose(-1000, 1000).map(_ / 10.0)))
+    (0 until 3).foreach { it =>
+      val data = sample(rows, 11L + it)
+      val got = Quantiles.exactCont(data.toDF("g", "v"), "g", "v", ps)
+        .select("g", "p50", "p90")
+        .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+      data.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        def interp(p: Double) = {
+          val h = (sorted.length - 1).toDouble * p
+          val lo = math.floor(h).toInt
+          val hi = math.min(lo + 1, sorted.length - 1)
+          sorted(lo) + (sorted(hi) - sorted(lo)) * (h - math.floor(h))
+        }
+        val (_, p50, p90) = got(g)
+        assert((p50, p90) === ((interp(0.5), interp(0.9))),
+          s"group $g diverged (iteration $it)")
+      }
+    }
+  }
+
   test("property: exactDisc equals the sorted-sequence nearest-rank definition") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
