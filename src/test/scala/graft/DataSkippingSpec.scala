@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import graft.sources.Sinks
+
+/** Measured data-skipping evidence for the range-clustered layout: the
+  * SAME selective predicate over the SAME rows reads a fraction of the
+  * parquet row groups when files cover narrow key intervals, and the full
+  * table when the layout is hash-scattered. The scan node's output-row
+  * metric (rows surviving row-group pruning, before the residual filter)
+  * is the measurement — not wall time, which local-mode noise owns.
+  *
+  * Keys are LONGs: Spark's parquet filter conversion silently drops
+  * TIMESTAMP_NTZ predicates (they appear under `PushedFilters` but never
+  * reach the reader, measured in round 10), so clustering on the engine's
+  * `ts_ns`/integer keys is what actually skips — documented on
+  * [[Sinks.writeRangeClustered]].
+  */
+class DataSkippingSpec extends SparkSpec {
+
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    def expand(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case q: QueryStageExec => expand(q.plan)
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    val scans = expand(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no FileSourceScanExec found:\n" +
+      df.queryExecution.executedPlan)
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("range-clustered layout skips row groups a hash-scattered layout reads") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val total = li.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    // clustered: 8 files, each a narrow l_orderkey interval; scattered:
+    // 8 files hash-partitioned on an uncorrelated column — every file
+    // spans the full key range, so min/max stats prune nothing
+    Sinks.writeRangeClustered(li, s"$root/clustered", Seq("l_orderkey"), numFiles = 8)
+    li.repartition(8, col("l_suppkey"))
+      .write.parquet(s"$root/scattered")
+    val lowKeys = (c: DataFrame) => c.filter(col("l_orderkey") < 100)
+    val clustered = lowKeys(spark.read.parquet(s"$root/clustered"))
+    val scattered = lowKeys(spark.read.parquet(s"$root/scattered"))
+    // correctness first: layout never changes the result
+    val a = clustered.agg(count(lit(1)), sum("l_quantity")).head()
+    val b = scattered.agg(count(lit(1)), sum("l_quantity")).head()
+    assert(a == b, s"layouts disagree: $a vs $b")
+    // the measured skip: scattered reads everything, clustered a fraction
+    val cRows = scanRows(lowKeys(spark.read.parquet(s"$root/clustered")))
+    val sRows = scanRows(lowKeys(spark.read.parquet(s"$root/scattered")))
+    assert(sRows == total,
+      s"scattered layout should read all $total rows, read $sRows")
+    assert(cRows * 4 < sRows,
+      s"clustering skipped nothing: clustered=$cRows scattered=$sRows")
+  }
+
+  test("TIMESTAMP_NTZ caveat holds: an NTZ range predicate prunes no row groups") {
+    // the guard for the doc claim — if a Spark upgrade starts converting
+    // NTZ predicates, this fails and the caveat (plus the ts_ns guidance)
+    // should be revisited
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val total = li.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_skip_ntz").toString
+    Sinks.writeRangeClustered(li, s"$root/bydate", Seq("l_shipdate"), numFiles = 8)
+    val filtered = spark.read.parquet(s"$root/bydate")
+      .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1996-02-28")))
+    assert(scanRows(filtered) == total,
+      "NTZ predicates now reach the parquet reader — update writeRangeClustered docs")
+  }
+}
