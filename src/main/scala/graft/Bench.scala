@@ -139,7 +139,8 @@ object Bench {
       else if (name.startsWith("dq")) "dq"
       else if (name.startsWith("stream")) "stream"
       else if (Seq("text", "lm", "corpus", "blocklist", "pii", "decontam",
-        "pack", "sample", "quantiles", "cms").exists(name.startsWith)) "corpus"
+        "pack", "sample", "quantiles", "cms", "tok", "hll",
+        "jsonl").exists(name.startsWith)) "corpus"
       else "core"
     val fams = results.toSeq.groupBy { case (k, _) => family(k) }
       .map { case (f, rs) => f -> rs.map(_._2._1).sum }

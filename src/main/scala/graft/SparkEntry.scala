@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
 import graft.multimodal.{Flac, Gif, Jpeg, Multimodal, Png, Video}
-import graft.ops.{Aggregates, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
+import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
 
@@ -1205,6 +1205,24 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.resolveClusters(
         Dedup.ngramJaccard(TestData(s, dir).documents, "doc_id", "text", 3, 0.5, 100))),
+
+    // Fixed-point PageRank (3 iterations) over the bipartite
+    // customer↔supplier trade graph — the iterative-algorithm tier next to
+    // the connected-components fixpoint: integer fixed-point arithmetic
+    // makes every message sum associative, so the iteration is bit-exact
+    // in any engine and the oracle replays it with `//` (Graph.pageRank
+    // doc). localCheckpoint per round keeps lineage flat (rule 8).
+    "graph_pagerank" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      val pairs = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("c"),
+          concat(lit("S"), col("l_suppkey")).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = 3)
+    }),
 
     // Full dedup flow: near-dup pairs -> clusters -> keep canonical member.
     "dedup_keep_canonical" -> ((s, dir) => {
@@ -3264,6 +3282,8 @@ object SparkEntry {
            FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
          WHERE jaccard >= 0.5""",
 
+    "graph_pagerank" -> pageRankOracleSql(3),
+
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
                     FROM documents),
@@ -3572,6 +3592,39 @@ object SparkEntry {
   // These three oracles replay hash-heavy plans, so their SQL is built with
   // small Scala loops (16 minhash lanes, 32 simhash bits) instead of being
   // written out longhand.
+
+  /** DuckDB replay of [[graft.ops.Graph.pageRank]] with the iterations
+    * UNROLLED as CTE blocks (fixed iteration count ⇒ no recursion needed):
+    * same integer grid (Scale 10¹²), same `//` truncation points — the
+    * contrib split, the damping `(Σ·85)//100` (multiply first, one
+    * truncation), and the base `((Scale·15)//100)//n`. All BIGINT → exact. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val S = graft.ops.Graph.Scale
+    val head =
+      s"""WITH p AS (SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT c AS src, s AS dst FROM p
+               UNION ALL SELECT s AS src, c AS dst FROM p),
+         nodes AS (SELECT DISTINCT u AS node
+                   FROM (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+         r0 AS (SELECT node, $S // n AS rank_fp FROM nodes, nn)"""
+    val its = (1 to iters).map { i =>
+      s""",
+         m$i AS (SELECT e.dst, SUM(r.rank_fp // d.out_deg) AS msg
+                FROM e JOIN r${i - 1} r ON e.src = r.node
+                       JOIN deg d ON e.src = d.src
+                GROUP BY e.dst),
+         r$i AS (SELECT nodes.node,
+                  ($S * 15 // 100) // nn.n
+                    + (COALESCE(m$i.msg, 0) * 85) // 100 AS rank_fp
+                FROM nodes CROSS JOIN nn
+                LEFT JOIN m$i ON m$i.dst = nodes.node)"""
+    }.mkString
+    s"$head$its SELECT node, rank_fp FROM r$iters"
+  }
 
   /** DuckDB replay of [[Dedup.Md5Hash]].lane(i, s): Kirsch–Mitzenmacher
     * double hashing over one md5 digest — h1 + i·(h2 mod 2⁵⁵), where h1/h2
