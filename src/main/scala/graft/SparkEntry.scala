@@ -577,6 +577,101 @@ object SparkEntry {
         WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""")
     }),
 
+    // TPC-H Q13 class: OUTER join that must PRESERVE zero-match customers
+    // (the join predicate carries a non-key condition on the nullable
+    // side), then a second aggregation over the first's counts — the
+    // distribution-histogram shape. count(o_orderkey) counts only matched
+    // rows (nulls don't count), so never-ordered customers land in the
+    // c_count=0 bucket instead of vanishing — the semantic an inner join
+    // silently gets wrong. All-integer outputs: exact on any engine.
+    "q13_custdist" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.customer.createOrReplaceTempView("g13_customer")
+      t.orders.createOrReplaceTempView("g13_orders")
+      s.sql("""
+        WITH c_orders AS (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM g13_customer c LEFT OUTER JOIN g13_orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM c_orders GROUP BY c_count""")
+    }),
+
+    // TPC-H Q16 class: COUNT(DISTINCT) under grouping (plans as the
+    // two-phase Expand/partial-distinct aggregate — a plan shape no other
+    // gate exercises) composed with a NOT IN anti-join on the
+    // counted-distinct column itself. The fixtures have no partsupp, so
+    // lineitem plays the who-supplies-what role (q20 precedent).
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g16_lineitem")
+      t.part.createOrReplaceTempView("g16_part")
+      t.supplier.createOrReplaceTempView("g16_supplier")
+      s.sql("""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM g16_lineitem l JOIN g16_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'STANDARD'
+          AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM g16_supplier
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size""")
+    }),
+
+    // TPC-H Q18 class: IN-subquery over a grouped HAVING on the SAME fact
+    // the outer query aggregates — the large-volume-order shape. Catalyst
+    // plans the subquery as its own aggregate then semi-joins it back into
+    // the customer⋈orders⋈lineitem pipeline (contrast q20, where the IN
+    // nests a *correlated* scalar agg). Quantity sums go decimal-route on
+    // both engines; the HAVING threshold compares the DECIMAL directly —
+    // no division, no boundary (q17/q20 precedent).
+    "q18_large_orders" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.customer.createOrReplaceTempView("g18_customer")
+      t.orders.createOrReplaceTempView("g18_orders")
+      t.lineitem.createOrReplaceTempView("g18_lineitem")
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,6)))
+                   AS DECIMAL(25,6)) AS DOUBLE) AS sum_qty
+        FROM g18_customer
+          JOIN g18_orders ON c_custkey = o_custkey
+          JOIN g18_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM g18_lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,6))) > 150)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""")
+    }),
+
+    // TPC-H Q19 class: disjunction of per-block CONJUNCTIONS spanning both
+    // join sides — the predicate-pushdown stress test. Catalyst cannot
+    // push the mixed OR itself, but derives the per-side residues (the
+    // brand/size OR onto the part scan, the quantity OR onto lineitem) so
+    // both scans still prune before the join; the full disjunction then
+    // re-applies post-join. Revenue goes decimal-route (q15 pattern).
+    "q19_disjunctive" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g19_lineitem")
+      t.part.createOrReplaceTempView("g19_part")
+      s.sql("""
+        SELECT p.p_brand,
+               CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM g19_lineitem l JOIN g19_part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+        GROUP BY p.p_brand""")
+    }),
+
     // Hot-key split join: result ≡ plain join; the plan broadcasts the
     // hot mass (keys with >N rows) and shuffles only the tail — the
     // other standard skew treatment next to j7's salting.
@@ -867,6 +962,14 @@ object SparkEntry {
     "dedup_segments" -> ((s, dir) =>
       Dedup.dedupSegments(TestData(s, dir).documents, "doc_id", "text", segSize = 8)),
 
+    // Lee et al. sliding-window duplicated-span pass: an 8-token span
+    // occurring in ≥2 distinct docs at ANY alignment is duplicated; docs
+    // over 20% duplicated positions drop. Integer counts + a
+    // cross-multiplied verdict — exact on any engine.
+    "dedup_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(TestData(s, dir).documents, "doc_id", "text",
+        w = 8, minDocs = 2, maxDupPct = 20)),
+
     // Gopher-style repetition signals: duplicate-word and top-bigram
     // fractions per document.
     "text_repetition" -> ((s, dir) =>
@@ -1135,6 +1238,13 @@ object SparkEntry {
     // per-vector scale, sequential-fold reconstruction error.
     "emb_quantize" -> ((s, dir) =>
       Quant.quantizeInt8(TestData(s, dir).embeddings, "vec_id", "embedding")),
+
+    // JL random projection 64 → 8: md5-derived ±1 sign matrix (no stored
+    // state — any engine rebuilds it from the formula), one sequential
+    // fold per output coordinate. Row-local, shuffle-free.
+    "emb_rand_proj" -> ((s, dir) =>
+      Quant.randomProject(TestData(s, dir).embeddings, "vec_id", "embedding",
+        dOut = 8, dIn = 64)),
 
     // Corpus-fit bigram LM scoring (CCNet-style quality signal): mean
     // conditional token probability under counts fit on the corpus itself.
@@ -2422,6 +2532,54 @@ object SparkEntry {
          FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
          WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
 
+    "q13_custdist" ->
+      """WITH c_orders AS (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT OUTER JOIN orders o
+             ON c.c_custkey = o.o_custkey
+            AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM c_orders GROUP BY c_count""",
+
+    "q16_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+                count(DISTINCT l.l_suppkey) AS supplier_cnt
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand <> 'Brand#1'
+           AND p.p_type <> 'STANDARD'
+           AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                   WHERE s_acctbal < 0)
+         GROUP BY p.p_brand, p.p_type, p.p_size""",
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,6)))
+                    AS DECIMAL(25,6)) AS DOUBLE) AS sum_qty
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(12,6))) > 150)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""",
+
+    "q19_disjunctive" ->
+      """SELECT p.p_brand,
+                CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 20 AND 30)
+         GROUP BY p.p_brand""",
+
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_late
          FROM orders o
@@ -3200,6 +3358,24 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
          FROM documents GROUP BY md5(text)""",
 
+    // Mirrors Dedup.dupSpans(w=8, minDocs=2, maxDupPct=20): every
+    // position's 8-token span, doc frequency over distinct (doc, span)
+    // pairs, dup positions summed per doc, cross-multiplied verdict.
+    "dedup_dup_spans" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         e AS (SELECT doc_id, array_to_string(ws[CAST(i AS BIGINT)+1 : CAST(i AS BIGINT)+8], ' ') AS span
+               FROM w, unnest(range(0, len(ws)-7)) AS t(i) WHERE len(ws) >= 8),
+         pd AS (SELECT doc_id, span, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+         ds AS (SELECT span FROM pd GROUP BY span HAVING count(*) >= 2),
+         dd AS (SELECT pd.doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup_spans
+                FROM pd JOIN ds USING (span) GROUP BY 1)
+         SELECT w.doc_id, CAST(greatest(len(ws)-7, 0) AS BIGINT) AS n_spans,
+                COALESCE(n_dup_spans, 0) AS n_dup_spans,
+                (COALESCE(n_dup_spans, 0) * 100 < CAST(greatest(len(ws)-7, 0) AS BIGINT) * 20
+                 OR greatest(len(ws)-7, 0) = 0) AS keep
+         FROM w LEFT JOIN dd ON w.doc_id = dd.doc_id""",
+
     // Mirrors Redact.redact over the in-plan constructed PII text: same
     // Java∩RE2 patterns, counts on the original text, mask chain in
     // url→email→ipv4→phone order with 'g' (DuckDB replaces first-only by
@@ -3264,6 +3440,23 @@ object SparkEntry {
                               p -> (p[1] - CAST(p[2] AS DOUBLE) * scale) * (p[1] - CAST(p[2] AS DOUBLE) * scale)),
                             (a, b) -> a + b) AS recon_err
          FROM q""",
+
+    // Mirrors Quant.randomProject(dOut=8, dIn=64): the sign matrix is
+    // rebuilt from the md5("j,k") parity formula, each coordinate is the
+    // same init-0 sequential fold in input-dim order.
+    "emb_rand_proj" ->
+      """WITH sm AS (SELECT CAST(j AS BIGINT) AS out_dim,
+                            list(CASE WHEN CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ',' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+                                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+                                 ORDER BY k) AS signs
+                     FROM range(8) t1(j), range(64) t2(k) GROUP BY 1),
+         d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+               FROM embeddings)
+         SELECT vec_id, out_dim,
+                list_reduce([CAST(0 AS DOUBLE)] ||
+                            list_transform(list_zip(dv, signs), p -> p[1] * p[2]),
+                            (a, b) -> a + b) AS proj
+         FROM d, sm""",
 
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws

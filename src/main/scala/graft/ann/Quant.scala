@@ -66,4 +66,44 @@ object Quant {
             (x - q.cast("double") * col("scale"))),
         lit(0.0), (a, e) => a + e).as("recon_err"))
   }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas 2003
+    * database-friendly projections, the p=1/2 variant): the sign of cell
+    * (j, k) is a pure function of md5("j,k"), so the matrix needs no
+    * stored state, no RNG, and no seed handshake — ANY engine (or a
+    * re-run after a lost cluster) reconstructs the identical matrix from
+    * the formula. 15 hex chars = 60 bits, parity decides the sign. */
+  def jlSignMatrix(dOut: Int, dIn: Int): Array[Array[Double]] =
+    Array.tabulate(dOut, dIn) { (j, k) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j,$k".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Random-projection dimensionality reduction (dIn → dOut), the
+    * pre-ANN bandwidth lane: with sign projections, E[⟨Px, Py⟩/dOut] =
+    * ⟨x, y⟩, so cosine ranking survives the reduction to within JL
+    * distortion while the vector shrinks dIn/dOut ×.
+    *
+    * Returns (id, out_dim, proj) — one row per output coordinate.
+    * Determinism: each coordinate is a SEQUENTIAL fold in input-dim order
+    * over `x_k · s_jk` (float→double casts exact, ±1 multiplies exact, the
+    * fold order pinned), replayed verbatim by the oracle. Row-local plan:
+    * the sign matrix rides in the plan as literals (dOut·dIn doubles —
+    * kilobytes), the projection is one Project + posexplode, no shuffle,
+    * no UDF, fully codegen'd. */
+  def randomProject(embeddings: DataFrame, id: String, vec: String,
+                    dOut: Int, dIn: Int): DataFrame = {
+    val signs = jlSignMatrix(dOut, dIn)
+    val staged = embeddings.select(col(id), asDouble(col(vec)).as("dvec"))
+    val projections = array((0 until dOut).map { j =>
+      aggregate(
+        zip_with(col("dvec"), typedLit(signs(j).toSeq), (x, sgn) => x * sgn),
+        lit(0.0), (a, p) => a + p)
+    }: _*)
+    staged
+      .select(col(id), posexplode(projections).as(Seq("out_dim", "proj")))
+      .select(col(id), col("out_dim").cast("long").as("out_dim"), col("proj"))
+  }
 }

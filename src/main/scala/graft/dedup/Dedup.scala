@@ -400,4 +400,63 @@ object Dedup {
           sort_array(collect_list(struct(col("chunk_id"), col("chunk_text")))),
           s => s("chunk_text"))).as("cleaned_text"))
   }
+
+  /** Cross-document duplicated-span detection — the sliding-window
+    * exact-substring pass (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): a w-token span is *duplicated* when
+    * the identical span occurs in at least `minDocs` DISTINCT documents.
+    * Unlike [[dedupSegments]] (disjoint chunks, first-keeper rewrite),
+    * this scans EVERY position, so a span shared across docs is caught at
+    * any alignment — the boilerplate/template leak [[minHashLsh]]'s
+    * whole-doc similarity misses when the rest of the doc differs.
+    *
+    * Returns one row per input doc: (doc_id, n_spans, n_dup_spans, keep)
+    * where keep = docs whose duplicated fraction stays under
+    * `maxDupPct`% (span-less short docs always keep). All outputs are
+    * integer/boolean — the verdict replays exactly in any engine; the
+    * threshold compares cross-multiplied integers, never a fraction.
+    *
+    * Plan shape at corpus scale:
+    *  1. spans collapse ROW-LOCALLY to (doc_id, span, cnt) before moving —
+    *     the first shuffle carries one row per doc×distinct-span, not one
+    *     per position;
+    *  2. document frequency is a second agg over the already-distinct
+    *     pairs (one count per span — never a corpus-wide count-distinct);
+    *  3. the dup-span set joins back on the span key and re-collapses to
+    *     one row per doc, so the doc-level join input is tiny;
+    *  4. the final left join attaches counts to the full doc list (docs
+    *     with no dup span, or too short for any span, keep for free).
+    * The span strings themselves shuffle once; at 100 TB swap the span
+    * column for its md5 (same plan, 32 B keys) — kept raw here so the
+    * oracle replays string-equal. */
+  def dupSpans(docs: DataFrame, id: String, text: String,
+               w: Int = 8, minDocs: Int = 2, maxDupPct: Int = 20): DataFrame = {
+    val withWords = docs.select(col(id).as("doc_id"),
+      filter(split(col(text), " "), t => length(t) > 0).as("ws"))
+    val ws = col("ws")
+    val spans = transform(
+      sequence(lit(0), size(ws) - w),
+      i => concat_ws(" ", (0 until w).map(j => element_at(ws, i + j + 1)): _*))
+    val perDocSpan = withWords.filter(size(ws) >= w)
+      // explode_outer: same InferFiltersFromGenerate O(words²) trap as
+      // wordShingles — size(ws) >= w already guarantees ≥ 1 span.
+      .select(col("doc_id"), explode_outer(spans).as("span"))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(count(lit(1)).as("cnt"))
+    val dupSet = perDocSpan.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span"))
+    val dupPerDoc = perDocSpan.join(dupSet, Seq("span"))
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_dup_spans"))
+    withWords
+      .select(col("doc_id"),
+        greatest(size(ws) - (w - 1), lit(0)).cast("long").as("n_spans"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("keep",
+        col("n_dup_spans") * 100 < col("n_spans") * maxDupPct ||
+          col("n_spans") === 0)
+  }
 }

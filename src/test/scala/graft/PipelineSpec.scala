@@ -26,6 +26,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dupSpans: shared span caught at ANY alignment, counts exact, short docs keep") {
+    // A and B share the same 4-token span at DIFFERENT positions (the
+    // alignment case dedupSegments' disjoint chunks would miss); C is
+    // clean; D is too short for any span.
+    val d = Seq(
+      (1L, "the quick brown fox runs far away today"),     // span at pos 0
+      (2L, "yesterday morning the quick brown fox slept"), // span at pos 2
+      (3L, "completely different words in this one here"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpans(d, "doc_id", "text", w = 4, minDocs = 2, maxDupPct = 20)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // doc1: 8 words -> 5 spans; only "the quick brown fox" is shared
+    assert(r(0) == (1L, 5L, 1L, false))  // 1/5 = 20% not < 20% -> drops
+    assert(r(1) == (2L, 4L, 1L, false))  // 1/4 = 25% -> drops
+    assert(r(2) == (3L, 4L, 0L, true))
+    assert(r(3) == (4L, 0L, 0L, true))   // span-less doc always keeps
+  }
+
+  test("dupSpans: within-doc repetition alone is NOT duplication (minDocs is doc frequency)") {
+    val d = Seq(
+      (1L, "a b c d a b c d a b c d"), // the span repeats, but only here
+      (2L, "e f g h i j k l")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpans(d, "doc_id", "text", w = 4, minDocs = 2, maxDupPct = 20)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(r.forall(_._3 == 0L), s"no span occurs in 2 distinct docs: ${r.toSeq}")
+    assert(r.forall(_._4), "both docs keep")
+  }
+
   test("simhash distance 0 for identical docs, small for near-dups") {
     val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
                   (3L, "totally different words here now")).toDF("doc_id", "text")

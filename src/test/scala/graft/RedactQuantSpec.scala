@@ -72,4 +72,43 @@ class RedactQuantSpec extends SparkSpec {
     assert(stats._1 < 1e-3 && stats._1 > 0.0)
     assert(stats._2 > 0L)
   }
+
+  test("randomProject: matches the scalar fold over the md5 sign matrix exactly") {
+    val vec = Array(1.5f, -2.25f, 0.5f, 4.0f, -0.125f, 3.0f)
+    val d = Seq((7L, vec)).toDF("vec_id", "embedding")
+    val got = Quant.randomProject(d, "vec_id", "embedding", dOut = 3, dIn = 6)
+      .orderBy("out_dim").select("proj").as[Double].collect()
+    val signs = Quant.jlSignMatrix(3, 6)
+    val want = (0 until 3).map { j =>
+      vec.map(_.toDouble).zip(signs(j)).foldLeft(0.0) { case (a, (x, sgn)) => a + x * sgn }
+    }
+    // exact IEEE replay: same casts, same products, same fold order
+    assert(got.toSeq == want, s"${got.toSeq} vs $want")
+  }
+
+  test("randomProject: sign matrix is balanced-ish and preserves inner products in expectation") {
+    val m = Quant.jlSignMatrix(16, 64)
+    val plus = m.flatten.count(_ == 1.0)
+    // 1024 parity bits of md5 output: a wild imbalance means a broken parse
+    assert(plus > 400 && plus < 624, s"+1 count $plus of 1024")
+    // E[<Px,Py>]/dOut = <x,y>: sampled fixture pairs should land within JL
+    // distortion of the true inner product, on average
+    val embs = sources.TestData(spark, sf0001).embeddings.limit(40)
+    val p = Quant.randomProject(embs, "vec_id", "embedding", dOut = 16, dIn = 64)
+      .groupBy("vec_id").agg(collect_list(struct(col("out_dim"), col("proj"))).as("pv"))
+      .select(col("vec_id"), expr("transform(array_sort(pv), s -> s.proj)").as("pv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = embs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val ids = orig.keys.toSeq.sorted
+    val errs = for (i <- ids.indices; j <- i + 1 until ids.size) yield {
+      val t = dot(orig(ids(i)).map(_.toDouble), orig(ids(j)).map(_.toDouble))
+      val e = dot(p(ids(i)), p(ids(j))) / 16.0
+      math.abs(e - t)
+    }
+    val meanErr = errs.sum / errs.size
+    // unit-ish vectors: |<x,y>| <= 1; mean JL estimate error ~ 1/sqrt(16)
+    assert(meanErr < 0.5, s"mean inner-product estimate error $meanErr")
+  }
 }

@@ -80,7 +80,25 @@ class ShuffleBudgetSpec extends SparkSpec {
     // derived-view scalar MAX (Q15 class): rev agg under the join (1) +
     // the same agg re-planned under the scalar subquery + its 1-row max
     // (2) — ReusedExchange collapses the twin agg at runtime
-    "q15_top_supplier" -> 3
+    "q15_top_supplier" -> 3,
+    // outer-join histogram (Q13 class): per-customer count + the
+    // distribution re-agg; orders broadcast into the preserved-side join
+    "q13_custdist" -> 2,
+    // COUNT(DISTINCT) two-phase: partial distinct on (group, suppkey),
+    // final count; part + the NOT IN supplier build both broadcast
+    "q16_supplier_cnt" -> 2,
+    // IN-over-HAVING (Q18 class): the subquery's per-order agg, the
+    // outer per-(cust, order) agg, and the semi-join's build-side agg —
+    // dims broadcast throughout
+    "q18_large_orders" -> 3,
+    // disjunctive-predicate join (Q19 class): per-side OR residues push
+    // into BOTH scans, part broadcasts — only the final agg shuffles
+    "q19_disjunctive" -> 1,
+    // duplicated-span pass: (doc,span) collapse, span-DF agg, dup-set
+    // join reshuffle, per-doc re-collapse; the doc-level attach broadcasts
+    "dedup_dup_spans" -> 4,
+    // JL projection is row-local: one Project + posexplode, NO shuffle
+    "emb_rand_proj" -> 0
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
@@ -113,6 +131,24 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
       "q21 must stay hash-joined:\n" + plan)
+  }
+
+  test("q13_custdist keeps the zero-match-preserving outer join") {
+    val plan = SparkEntry.queries("q13_custdist")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftOuter"),
+      "Q13's histogram needs the outer join (c_count=0 bucket):\n" + plan)
+  }
+
+  test("q19_disjunctive pushes the per-side OR residue into the part scan") {
+    val plan = SparkEntry.queries("q19_disjunctive")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the derived part-side residue: Or(...EqualTo(p_brand...) pushed to
+    // the parquet source, so the scan prunes before the join
+    assert(plan.contains("PushedFilters") && plan.contains("Or(Or(And(EqualTo(p_brand"),
+      "the brand/size OR residue must reach the part scan's PushedFilters:\n" + plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "q19 must stay an equi-join with a residual filter:\n" + plan)
   }
 
   budgets.foreach { case (q, budget) =>
