@@ -577,6 +577,37 @@ object SparkEntry {
         WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""")
     }),
 
+    // TPC-H Q7 class: the SAME dimension joined TWICE under different
+    // roles (supplier's nation vs customer's nation) with a cross-side
+    // disjunctive pair predicate — Catalyst must keep the two nation scans
+    // distinct (no erroneous dedup), broadcast both, and can't push the
+    // pair OR to either side alone because each disjunct constrains BOTH
+    // join branches. Revenue goes decimal-route; year() is exact.
+    "q7_nation_volume" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g7_lineitem")
+      t.orders.createOrReplaceTempView("g7_orders")
+      t.customer.createOrReplaceTempView("g7_customer")
+      t.supplier.createOrReplaceTempView("g7_supplier")
+      t.nation.createOrReplaceTempView("g7_nation")
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(CAST(SUM(volume) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume
+              FROM g7_lineitem
+                JOIN g7_supplier ON s_suppkey = l_suppkey
+                JOIN g7_orders ON o_orderkey = l_orderkey
+                JOIN g7_customer ON c_custkey = o_custkey
+                JOIN g7_nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN g7_nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year""")
+    }),
+
     // TPC-H Q13 class: OUTER join that must PRESERVE zero-match customers
     // (the join predicate carries a non-key condition on the nullable
     // side), then a second aggregation over the first's counts — the
@@ -741,6 +772,17 @@ object SparkEntry {
           col("l_extendedprice"), col("l_quantity")),
         col("l_quantity"), col("l_extendedprice"), 5, "corr5")
         .select("l_suppkey", "l_orderkey", "l_linenumber", "corr5")
+    }),
+
+    // Trailing z-score anomaly flags: division/sqrt-free verdict
+    // (cross-multiplied squares), fixed-tree z value, fold-sum frames.
+    "w6_zscore" -> ((s, dir) => {
+      Windows.rollingZscore(TestData(s, dir).lineitem,
+        Seq(col("l_suppkey")),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity")),
+        col("l_extendedprice"), 8, 2.0, "z8")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "z8", "z8_outlier")
     }),
 
     // A6 weekly OHLCV bar synthesis via min_by/max_by (single groupBy, no window).
@@ -2532,6 +2574,23 @@ object SparkEntry {
          FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
          WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
 
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                CAST(CAST(SUM(volume) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
+                count(*) AS n_lines
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                      CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume
+               FROM lineitem
+                 JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN orders ON o_orderkey = l_orderkey
+                 JOIN customer ON c_custkey = o_custkey
+                 JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                 JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY supp_nation, cust_nation, l_year""",
+
     "q13_custdist" ->
       """WITH c_orders AS (
            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
@@ -2668,6 +2727,29 @@ object SparkEntry {
                      THEN (nn * sxy - sx * sy)
                           / (sqrt(nn * sxx - sx * sx) * sqrt(nn * syy - sy * sy))
                 END AS corr5
+         FROM s""",
+
+    // Mirrors Windows.rollingZscore(n=8, k=2): same fold sums, same fixed
+    // z tree, division-free cross-multiplied outlier verdict.
+    "w6_zscore" ->
+      """WITH r AS (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+                  CAST(l_extendedprice AS DOUBLE) AS xv,
+                  list(CAST(l_extendedprice AS DOUBLE)) OVER w AS lx
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+         s AS (SELECT l_suppkey, l_orderkey, l_linenumber, xv,
+                  CAST(len(lx) AS DOUBLE) AS nn,
+                  list_reduce([CAST(0 AS DOUBLE)] || lx, (a,b) -> a + b) AS sx,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(lx, v -> v * v), (a,b) -> a + b) AS sxx
+               FROM r)
+         SELECT l_suppkey, l_orderkey, l_linenumber,
+                CASE WHEN nn * sxx - sx * sx > 0
+                     THEN (xv * nn - sx) / sqrt(nn * sxx - sx * sx) END AS z8,
+                (nn * sxx - sx * sx > 0 AND
+                 (xv * nn - sx) * (xv * nn - sx) > 4.0 * (nn * sxx - sx * sx)) AS z8_outlier
          FROM s""",
 
     "a6_resample_weekly" ->

@@ -82,6 +82,42 @@ object Windows {
       .drop("__lx", "__ly", "__nn", "__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
 
+  /** Trailing-window z-score + outlier flag — the rolling anomaly signal
+    * (volatility-normalized move detection over a price/metric stream).
+    *
+    * Identity-normalized to avoid every boundary hazard:
+    *  - mean/std never materialize: z = (x·n − Σx)/√(n·Σx² − (Σx)²), one
+    *    FIXED IEEE tree both engines replay verbatim (sqrt is a correctly
+    *    rounded IEEE op — [[rollingCorr]]/`quantiles_cont` precedent);
+    *  - the outlier verdict is DIVISION- and SQRT-FREE: (x·n − Σx)² >
+    *    k²·(n·Σx² − (Σx)²) — pure products of sequentially-folded sums, so
+    *    the boolean can't drift even when z sits at the threshold;
+    *  - frame sums are sequential folds in frame order (rule 1), and the
+    *    caller's `order` must be a total order (rule 2: append the value
+    *    columns as final tiebreakers when the time key can tie).
+    * Degenerate frames (zero variance) yield null z and flag=false. */
+  def rollingZscore(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                    x: Column, n: Int, k: Double, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*).rowsBetween(-(n - 1), 0)
+    val fold0 = (l: Column) => aggregate(l, lit(0.0), (a, e) => a + e)
+    val foldSq = (l: Column) => aggregate(l, lit(0.0), (a, e) => a + e * e)
+    df.withColumn("__lx", collect_list(x.cast("double")).over(w))
+      .withColumn("__nn", size(col("__lx")).cast("double"))
+      .withColumn("__sx", fold0(col("__lx")))
+      .withColumn("__sxx", foldSq(col("__lx")))
+      .withColumn(as, {
+        val dev = x.cast("double") * col("__nn") - col("__sx")
+        val varN2 = col("__nn") * col("__sxx") - col("__sx") * col("__sx")
+        when(varN2 > 0, dev / sqrt(varN2))
+      })
+      .withColumn(s"${as}_outlier", {
+        val dev = x.cast("double") * col("__nn") - col("__sx")
+        val varN2 = col("__nn") * col("__sxx") - col("__sx") * col("__sx")
+        varN2 > 0 && dev * dev > lit(k * k) * varN2
+      })
+      .drop("__lx", "__nn", "__sx", "__sxx")
+  }
+
   /** W4/J4 — dedup keeping the first row per key under `order` ascending
     * (mootdx_fetcher.py:163 keep='first'). For keep='last' pass descending
     * order columns.

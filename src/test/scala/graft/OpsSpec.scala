@@ -87,6 +87,30 @@ class OpsSpec extends SparkSpec {
     assert(dc.forall(identity), "constant-x frames must yield null corr")
   }
 
+  test("rollingZscore: hand-checked value, threshold verdict, degenerate null") {
+    // frame [1,1,1,9] at t=4 (n=4): sx=12, sxx=84, mean=3, popstd=sqrt(12)
+    // z = (9·4 − 12)/sqrt(4·84 − 144) = 24/sqrt(192) = sqrt(3) ≈ 1.732
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 1.0), ("a", 4L, 9.0))
+      .toDF("k", "t", "x")
+    val out = Windows.rollingZscore(df, Seq(col("k")), Seq(col("t")),
+        col("x"), 4, 2.0, "z")
+      .filter(col("t") === 4).select("z", "z_outlier")
+      .as[(Double, Boolean)].head()
+    assert(math.abs(out._1 - math.sqrt(3.0)) < 1e-12)
+    assert(!out._2, "z=1.73 is under k=2")
+    // same spike with k=1.5 flips the verdict
+    val hot = Windows.rollingZscore(df, Seq(col("k")), Seq(col("t")),
+        col("x"), 4, 1.5, "z")
+      .filter(col("t") === 4).select("z_outlier").as[Boolean].head()
+    assert(hot, "z=1.73 exceeds k=1.5")
+    // constant frames → null z, false flag (never NaN)
+    val deg = Windows.rollingZscore(
+        Seq(("c", 1L, 5.0), ("c", 2L, 5.0)).toDF("k", "t", "x"),
+        Seq(col("k")), Seq(col("t")), col("x"), 3, 2.0, "z")
+      .select("z", "z_outlier").collect()
+    assert(deg.forall(r => r.isNullAt(0) && !r.getBoolean(1)))
+  }
+
   test("upsert keeps the preferred (last-wins) row per key") {
     val existing = Seq((1, "old"), (2, "old")).toDF("k", "v").withColumn("batch", lit(0))
     val incoming = Seq((2, "new"), (3, "new")).toDF("k", "v").withColumn("batch", lit(1))

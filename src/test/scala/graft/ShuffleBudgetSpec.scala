@@ -98,7 +98,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // join reshuffle, per-doc re-collapse; the doc-level attach broadcasts
     "dedup_dup_spans" -> 4,
     // JL projection is row-local: one Project + posexplode, NO shuffle
-    "emb_rand_proj" -> 0
+    "emb_rand_proj" -> 0,
+    // twin-role nation joins all broadcast; only the final agg shuffles
+    "q7_nation_volume" -> 1,
+    // one key-partitioned window chain (corr5 precedent)
+    "w6_zscore" -> 1
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
