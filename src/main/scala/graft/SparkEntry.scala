@@ -865,6 +865,13 @@ object SparkEntry {
         minLen = 2, maxLen = 4, vocabSize = 200)
     }),
 
+    // Real BPE merge training (8 rounds): corpus touched once for word
+    // freqs, then vocabulary-sized pair-count/argmax/rewrite rounds. The
+    // learned merge table (all integer counts + binary string tiebreaks)
+    // IS the model; the oracle unrolls the 8 rounds as CTE blocks.
+    "tok_bpe_merges" -> ((s, dir) =>
+      Tokenizer.trainBpe(TestData(s, dir).documents, "text", nMerges = 8)),
+
     // Rolling polynomial fingerprint (order-sensitive document hash).
     "text_fingerprint" -> ((s, dir) => {
       TestData(s, dir).documents.select(
@@ -3559,6 +3566,8 @@ object SparkEntry {
 
     "graph_pagerank" -> pageRankOracleSql(3),
 
+    "tok_bpe_merges" -> bpeOracleSql(8),
+
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
                     FROM documents),
@@ -3899,6 +3908,44 @@ object SparkEntry {
                 LEFT JOIN m$i ON m$i.dst = nodes.node)"""
     }.mkString
     s"$head$its SELECT node, rank_fp FROM r$iters"
+  }
+
+  /** DuckDB replay of [[graft.functions.Tokenizer.trainBpe]](nMerges):
+    * the merge rounds unroll as generated CTE blocks (pageRank
+    * precedent). chr(1) is the symbol separator; replace() is
+    * left-to-right non-overlapping in both engines, and the
+    * leading-separator encoding makes that exactly the scalar BPE merge
+    * application. All counts integer, tiebreaks binary-collated. */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val head =
+      """WITH wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+             FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+                   FROM documents)
+             WHERE NOT contains(w, chr(1))
+             GROUP BY w),
+         w0 AS (SELECT chr(1) || array_to_string(
+                    list_transform(range(1, length(word) + 1),
+                                   i -> substring(word, CAST(i AS INT), 1)),
+                    chr(1)) AS w, freq
+                FROM wf)"""
+    val rounds = (1 to nMerges).map { k =>
+      s""",
+         p$k AS (SELECT pr[1] AS lft, pr[2] AS rgt, CAST(sum(freq) AS BIGINT) AS cnt
+                 FROM (SELECT freq, unnest(list_zip(syms, syms[2:])) AS pr
+                       FROM (SELECT freq, list_filter(string_split(w, chr(1)), s -> length(s) > 0) AS syms
+                             FROM w${k - 1}))
+                 WHERE pr[2] IS NOT NULL
+                 GROUP BY 1, 2),
+         b$k AS (SELECT lft, rgt, cnt FROM p$k
+                 ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
+         w$k AS (SELECT replace(w, chr(1) || lft || chr(1) || rgt,
+                                chr(1) || lft || rgt) AS w, freq
+                 FROM w${k - 1}, b$k)"""
+    }.mkString
+    val out = (1 to nMerges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, lft, rgt, cnt AS pair_count FROM b$k"
+    }.mkString("\n         UNION ALL ")
+    s"$head$rounds\n         $out"
   }
 
   /** DuckDB replay of [[Dedup.Md5Hash]].lane(i, s): Kirsch–Mitzenmacher

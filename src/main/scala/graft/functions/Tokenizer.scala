@@ -99,4 +99,72 @@ object Tokenizer {
       .select("token").as[String].collect().toSeq
     encode(docs, idCol, textCol, vocab, minLen, maxLen)
   }
+
+  /** Classic BPE merge training (Sennrich et al. 2016) — the iterative
+    * pair-merge loop [[trainVocab]] deliberately skips, Spark-shaped so
+    * the corpus is touched ONCE:
+    *
+    *  1. one corpus pass builds the word-frequency table (the only
+    *     corpus-sized shuffle; its size is the VOCABULARY, not the data);
+    *  2. each word becomes a separator-prefixed symbol string
+    *     (`␁c₁␁c₂…` — every symbol carries its own leading separator, so a
+    *     single non-regex `replace` of `␁l␁r → ␁lr` applies a merge
+    *     left-to-right non-overlapping WITHOUT a per-row fold, and an odd
+    *     run like `a a a` merges to `aa a` exactly as the scalar
+    *     algorithm does);
+    *  3. each round counts adjacent symbol pairs weighted by word
+    *     frequency (one vocab-sized shuffle), takes the global argmax
+    *     under the TOTAL order (count DESC, left ASC, right ASC), and
+    *     rewrites the symbol strings. The argmax is one collected row per
+    *     round — control flow, not data flow.
+    *
+    * Everything is integer counts and binary string compares, so the
+    * merge table replays exactly in any engine; the oracle unrolls the
+    * rounds as generated CTE blocks (pageRank precedent). localCheckpoint
+    * per round keeps the lineage flat (rule: iterative algorithms
+    * checkpoint, or analysis goes superlinear).
+    *
+    * Returns (merge_rank, lft, rgt, pair_count) — the learned merge list
+    * IS the trained tokenizer model. */
+  def trainBpe(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val sep = "\u0001"
+    val wordFreq = docs
+      .select(explode(TextFns.words(col(textCol))).as("word"))
+      .filter(!col("word").contains(sep))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var vocab = wordFreq.select(
+      concat(lit(sep), array_join(
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), sep)).as("w"),
+      col("freq")).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val best = vocab
+        .select(col("freq"),
+          filter(split(col("w"), sep), s => length(s) > 0).as("syms"))
+        .select(col("freq"), explode(zip_with(
+          col("syms"), slice(col("syms"), lit(2), size(col("syms"))),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        // zip_with pads the tail pair with a null right — drop it
+        .filter(col("p.r").isNotNull)
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, l, rr, cnt))
+        vocab = vocab.select(
+          call_function("replace", col("w"),
+            lit(sep + l + sep + rr), lit(sep + l + rr)).as("w"),
+          col("freq")).localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "lft", "rgt", "pair_count")
+  }
 }

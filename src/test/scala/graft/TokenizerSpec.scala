@@ -49,4 +49,34 @@ class TokenizerSpec extends SparkSpec {
       .collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("trainBpe: hand-checked merge order on the classic low/lower corpus") {
+    import spark.implicits._
+    // word freqs: low×3, lower×2, lowest×1
+    val docs = Seq((1L, "low low lower lowest"), (2L, "low lower")).toDF("doc_id", "text")
+    val m = Tokenizer.trainBpe(docs, "text", nMerges = 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    // round 1: (l,o)=6 and (o,w)=6 tie -> lexicographic left tiebreak: (l,o)
+    assert(m(0) == (1L, "l", "o", 6L))
+    // round 2: (lo,w)=6 wins
+    assert(m(1) == (2L, "lo", "w", 6L))
+    // round 3: (low,e)=3 — "lower"×2 + "lowest"×1
+    assert(m(2) == (3L, "low", "e", 3L))
+    // round 4: (lowe,r)=2 vs (lowe,s)=1 and (s,t)=1 -> (lowe,r)
+    assert(m(3) == (4L, "lowe", "r", 2L))
+  }
+
+  test("trainBpe: odd symbol runs merge left-to-right non-overlapping") {
+    import spark.implicits._
+    // "aaa" has pairs (a,a)x2; after merging (a,a) the word must become
+    // [aa, a] (greedy scalar semantics), so round 2's top pair is (aa, a)
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m = Tokenizer.trainBpe(docs, "text", nMerges = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(m(0) == (1L, "a", "a", 4L))  // 2 adjacent pairs × 2 words
+    assert(m(1) == (2L, "aa", "a", 2L))
+    // after round 2 every word is one symbol — the loop stops early
+    val m3 = Tokenizer.trainBpe(docs, "text", nMerges = 5)
+    assert(m3.count() == 2L, "no pairs remain once aaa fully merges")
+  }
 }
