@@ -872,6 +872,13 @@ object SparkEntry {
     "tok_bpe_merges" -> ((s, dir) =>
       Tokenizer.trainBpe(TestData(s, dir).documents, "text", nMerges = 8)),
 
+    // BPE inference under the learned merges: ascending-rank replace
+    // chain (provably ≡ the priority loop — a rank-k merge only creates
+    // higher-rank pairs), row-local until the per-doc count.
+    "tok_bpe_encode" -> ((s, dir) =>
+      Tokenizer.trainAndEncodeBpe(TestData(s, dir).documents, "doc_id", "text",
+        nMerges = 8)),
+
     // Rolling polynomial fingerprint (order-sensitive document hash).
     "text_fingerprint" -> ((s, dir) => {
       TestData(s, dir).documents.select(
@@ -3568,6 +3575,8 @@ object SparkEntry {
 
     "tok_bpe_merges" -> bpeOracleSql(8),
 
+    "tok_bpe_encode" -> bpeEncodeOracleSql(8),
+
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
                     FROM documents),
@@ -3946,6 +3955,34 @@ object SparkEntry {
       s"SELECT CAST($k AS BIGINT) AS merge_rank, lft, rgt, cnt AS pair_count FROM b$k"
     }.mkString("\n         UNION ALL ")
     s"$head$rounds\n         $out"
+  }
+
+  /** DuckDB replay of [[graft.functions.Tokenizer.trainAndEncodeBpe]]:
+    * the training CTEs of [[bpeOracleSql]] (their b1..bN single-row merge
+    * tables), then every doc's words re-encoded by applying the merges in
+    * rank order — the same ascending replace chain, cross-joining the N
+    * one-row CTEs for the rule literals. */
+  private def bpeEncodeOracleSql(nMerges: Int): String = {
+    // reuse the training prelude verbatim (everything before the final SELECT)
+    val prelude = bpeOracleSql(nMerges).split("\n         SELECT CAST\\(1 AS BIGINT\\)")(0)
+    val chain = (1 to nMerges).foldLeft("enc0") { (acc, k) =>
+      s"replace($acc, chr(1) || b$k.lft || chr(1) || b$k.rgt, chr(1) || b$k.lft || b$k.rgt)"
+    }
+    val joins = (1 to nMerges).map(k => s"b$k").mkString(", ")
+    s"""$prelude,
+         dw AS (SELECT doc_id,
+                       chr(1) || array_to_string(
+                         list_transform(range(1, length(word) + 1),
+                                        i -> substring(word, CAST(i AS INT), 1)),
+                         chr(1)) AS enc0
+                FROM (SELECT doc_id,
+                             unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
+                      FROM documents)
+                WHERE NOT contains(word, chr(1))),
+         de AS (SELECT doc_id, $chain AS enc FROM dw, $joins)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(len(list_filter(string_split(enc, chr(1)), s -> length(s) > 0))) AS BIGINT) AS n_tokens
+         FROM de GROUP BY doc_id"""
   }
 
   /** DuckDB replay of [[Dedup.Md5Hash]].lane(i, s): Kirsch–Mitzenmacher

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Trained subword tokenizer: corpus-frequency vocabulary + greedy
@@ -166,5 +166,52 @@ object Tokenizer {
     }
     import spark.implicits._
     merges.result().toDF("merge_rank", "lft", "rgt", "pair_count")
+  }
+
+  /** BPE inference with a learned merge list: tokenize each doc's words by
+    * applying the merges IN RANK ORDER (one `replace` per rule over the
+    * separator encoding — ascending-rank application is equivalent to the
+    * textbook lowest-rank-first priority loop, because a rank-k merge can
+    * only create pairs whose symbols didn't exist before round k, i.e.
+    * pairs of rank > k; no revisit is ever needed). Row-local: the merge
+    * list is a handful of literals in the plan, the corpus streams through
+    * one Project — no shuffle until the per-doc count.
+    *
+    * Returns (doc_id, n_words, n_tokens): the corpus token accounting
+    * under the trained tokenizer (n_tokens ≤ characters; the compression
+    * ratio is the training-quality signal). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val sep = "\u0001"
+    val encoded = merges.foldLeft(
+      concat(lit(sep), array_join(
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), sep)): Column) {
+      case (c, (l, r)) =>
+        call_function("replace", c, lit(sep + l + sep + r), lit(sep + l + r))
+    }
+    docs
+      .select(col(idCol).as("doc_id"), explode(TextFns.words(col(textCol))).as("word"))
+      .filter(!col("word").contains(sep))
+      // stage the encoded symbol string as a named column BEFORE counting
+      // symbols (rule 3: a single-select formulation would re-inline the
+      // whole replace chain into the size() argument)
+      .select(col("doc_id"), encoded.as("enc"))
+      .select(col("doc_id"),
+        size(filter(split(col("enc"), sep), s => length(s) > 0)).cast("long").as("n_toks"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  /** Train-then-encode for BPE (the gate shape): merges learned from the
+    * corpus, then the corpus re-tokenized under them. */
+  def trainAndEncodeBpe(docs: DataFrame, idCol: String, textCol: String,
+                        nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = trainBpe(docs, textCol, nMerges)
+      .orderBy("merge_rank").select("lft", "rgt").as[(String, String)]
+      .collect().toSeq
+    bpeEncode(docs, idCol, textCol, merges)
   }
 }

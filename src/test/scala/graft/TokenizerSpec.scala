@@ -79,4 +79,19 @@ class TokenizerSpec extends SparkSpec {
     val m3 = Tokenizer.trainBpe(docs, "text", nMerges = 5)
     assert(m3.count() == 2L, "no pairs remain once aaa fully merges")
   }
+
+  test("bpeEncode: token counts under the learned merges are hand-exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower lowest"), (2L, "low lower")).toDF("doc_id", "text")
+    // 4 merges: (l,o) (lo,w) (low,e) (lowe,r) — so low→1, lower→1,
+    // lowest→[lowe,s,t]=3 tokens
+    val r = Tokenizer.trainAndEncodeBpe(docs, "doc_id", "text", nMerges = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r(0) == (1L, 4L, 6L), s"doc1: ${r(0)}")
+    assert(r(1) == (2L, 2L, 2L), s"doc2: ${r(1)}")
+    // zero merges = pure character tokenization
+    val r0 = Tokenizer.bpeEncode(docs, "doc_id", "text", Seq.empty)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r0(0) == (1L, 4L, 3 + 3 + 5 + 6L))
+  }
 }
