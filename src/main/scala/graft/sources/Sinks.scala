@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Joins
 
@@ -62,6 +62,54 @@ object Sinks {
       if (numFiles > 0) df.repartitionByRange(numFiles, keys.map(col): _*)
       else df.repartitionByRange(keys.map(col): _*)
     ranged.sortWithinPartitions(keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Z-ordered (Morton-interleaved) data-skipping layout — the multi-dim
+    * answer [[writeRangeClustered]]'s single sort key can't give: range
+    * clustering on key A makes every file span the FULL range of key B,
+    * so B-predicates prune nothing. Interleaving the bits of both keys'
+    * range-buckets puts rows close in (A, B) space into the same files —
+    * each file covers a narrow rectangle, and min/max row-group stats
+    * prune on EITHER dimension (measured in `DataSkippingSpec`).
+    *
+    * Bucketing shifts `v − min` down until it fits `bits` bits (one tiny
+    * agg for the bounds; layout-time driver work). Pure integer column
+    * ops — shifts and masks, no division, no UDF, exact at any key
+    * magnitude. The Morton code exists only during the write; files carry
+    * the original schema. */
+  def writeZOrdered(df: DataFrame, path: String, keyA: String, keyB: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    require(bits >= 1 && bits <= 21, "interleaved code must fit a long")
+    val b = df.agg(
+      min(col(keyA).cast("long")), max(col(keyA).cast("long")),
+      min(col(keyB).cast("long")), max(col(keyB).cast("long"))).head()
+    val (loA, hiA, loB, hiB) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val steps = Seq( // magic-number bit spread (x -> x with 0s interleaved)
+      (32, 0x00000000FFFFFFFFL), (16, 0x0000FFFF0000FFFFL),
+      (8, 0x00FF00FF00FF00FFL), (4, 0x0F0F0F0F0F0F0F0FL),
+      (2, 0x3333333333333333L), (1, 0x5555555555555555L))
+    def spread(c: Column): Column =
+      steps.foldLeft(c) { case (x, (sh, mask)) =>
+        (x.bitwiseOR(shiftleft(x, sh))).bitwiseAND(lit(mask)) }
+    // Normalize each key to EXACTLY `bits` effective bits — narrower keys
+    // shift UP, wider ones DOWN. Equal widths matter: if one key carries
+    // more significant bits than the other, the interleaved code's high
+    // bits are dominated by that key and the curve degenerates to a 1-D
+    // sort on it (measured: dim-B pruning vanished before this).
+    def bucket(c: Column, lo: Long, hi: Long): Column = {
+      val rangeBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(hi - lo, 1L))
+      val d = c.cast("long") - lit(lo)
+      if (rangeBits >= bits) shiftright(d, rangeBits - bits)
+      else shiftleft(d, bits - rangeBits)
+    }
+    val z = spread(bucket(col(keyA), loA, hiA))
+      .bitwiseOR(shiftleft(spread(bucket(col(keyB), loB, hiB)), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

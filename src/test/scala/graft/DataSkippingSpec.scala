@@ -61,6 +61,37 @@ class DataSkippingSpec extends SparkSpec {
       s"clustering skipped nothing: clustered=$cRows scattered=$sRows")
   }
 
+  test("z-order layout prunes on BOTH dims where 1-D clustering prunes on one") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val total = li.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_skip_z").toString
+    Sinks.writeRangeClustered(li, s"$root/byorder", Seq("l_orderkey"), numFiles = 16)
+    Sinks.writeZOrdered(li, s"$root/zorder", "l_orderkey", "l_partkey", numFiles = 16)
+    val (hiO, hiP) = (li.agg(max("l_orderkey")).head().getLong(0),
+      li.agg(max("l_partkey")).head().getLong(0))
+    val predA = (d: DataFrame) => d.filter(col("l_orderkey") < hiO / 16)
+    val predB = (d: DataFrame) => d.filter(col("l_partkey") < hiP / 16)
+    def read(sub: String) = spark.read.parquet(s"$root/$sub")
+    // correctness: layout never changes results, on either predicate
+    for (p <- Seq(predA, predB)) {
+      val a = p(read("byorder")).agg(count(lit(1)), sum("l_quantity")).head()
+      val z = p(read("zorder")).agg(count(lit(1)), sum("l_quantity")).head()
+      assert(a == z, s"layouts disagree: $a vs $z")
+    }
+    // 1-D layout: prunes hard on its sort key, reads EVERYTHING on the other
+    val oA = scanRows(predA(read("byorder")))
+    val oB = scanRows(predB(read("byorder")))
+    assert(oA * 4 < total, s"1-D layout should prune its own key: $oA/$total")
+    assert(oB == total, s"1-D layout can't prune the other key: $oB/$total")
+    // z-order: meaningful pruning on BOTH dims (the multi-dim trade:
+    // neither prunes as hard as a dedicated 1-D sort, both prune well)
+    val zA = scanRows(predA(read("zorder")))
+    val zB = scanRows(predB(read("zorder")))
+    assert(zA * 2 < total, s"z-order should prune dim A: $zA/$total")
+    assert(zB * 2 < total, s"z-order should prune dim B: $zB/$total")
+    info(s"rows read of $total — 1-D: A=$oA B=$oB; z-order: A=$zA B=$zB")
+  }
+
   test("TIMESTAMP_NTZ caveat holds: an NTZ range predicate prunes no row groups") {
     // the guard for the doc claim — if a Spark upgrade starts converting
     // NTZ predicates, this fails and the caveat (plus the ts_ns guidance)
