@@ -1161,6 +1161,23 @@ object SparkEntry {
           .toDF(), "sessions")
     }),
 
+    // Streaming z-score anomaly alerts: per-key bounded deque state
+    // (last n−1 values), every event emits one alert in its own batch —
+    // no watermark-gated emission, so the one-batch replay is exactly the
+    // batch window query (w6_zscore's tree over the events table).
+    "stream_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withWatermark("ts", "601 seconds")
+        .as[graft.streaming.StreamAnomaly.Event]
+      graft.streaming.Replay.toBatch(
+        graft.streaming.StreamAnomaly.zscores(ev, n = 8, k = 2.0).toDF(),
+        "anomaly")
+    }),
+
     // Streaming ingest dedup (dropDuplicatesWithinWatermark), isolated from
     // the corpus gate: emitted columns are content-derived only, so the
     // arrival-order-dependent survivor cannot leak into the compare.
@@ -3307,6 +3324,28 @@ object SparkEntry {
          SELECT g.user_id, g.start_ms, g.end_ms, g.n_events, g.session_value
          FROM g JOIN lastg USING (user_id), wm
          WHERE g.end_ms < lastg.last_end OR g.end_ms + 1800000 < wm.wm_ms""",
+
+    // Mirrors StreamAnomaly.zscores(n=8, k=2) under one-batch replay:
+    // every event alerts, so this is w6_zscore's tree on the events table
+    // keyed by user ordered by (event time, event_id).
+    "stream_anomaly" ->
+      """WITH r AS (
+           SELECT user_id, event_id, CAST(value AS DOUBLE) AS xv,
+                  list(CAST(value AS DOUBLE)) OVER w AS lx
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+         s AS (SELECT user_id, event_id, xv,
+                  CAST(len(lx) AS DOUBLE) AS nn,
+                  list_reduce([CAST(0 AS DOUBLE)] || lx, (a,b) -> a + b) AS sx,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(lx, v -> v * v), (a,b) -> a + b) AS sxx
+               FROM r)
+         SELECT user_id, event_id, CAST(nn AS BIGINT) AS n_frame,
+                CASE WHEN nn * sxx - sx * sx > 0
+                     THEN (xv * nn - sx) / sqrt(nn * sxx - sx * sx) END AS z,
+                (nn * sxx - sx * sx > 0 AND
+                 (xv * nn - sx) * (xv * nn - sx) > 4.0 * (nn * sxx - sx * sx)) AS outlier
+         FROM s""",
 
     // Streaming ingest dedup ≡ DISTINCT on the content key (one-batch
     // replay: nothing is late, first arrival of each key emits).

@@ -291,4 +291,45 @@ class StreamingSpec extends SparkSpec {
       assert(sig._1 == 8L && sig._2 == "en" && sig._3 == 0.125)
     } finally query.stop()
   }
+
+  test("streaming anomaly: frames carry across micro-batches, alerts hand-exact") {
+    import graft.streaming.StreamAnomaly
+    import graft.streaming.StreamAnomaly.Event
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamAnomaly.zscores(
+        input.toDS().withWatermark("ts", "0 seconds"), n = 4, k = 1.5)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: three flat values — no variance, null z, no alert
+      input.addData(
+        Event(1L, 10L, t("2024-01-01 09:00:00"), 1.0),
+        Event(1L, 11L, t("2024-01-01 09:01:00"), 1.0),
+        Event(1L, 12L, t("2024-01-01 09:02:00"), 1.0))
+      query.processAllAvailable()
+      // batch 2: the spike — its frame must include batch 1's tail
+      // ([1,1,1,9]: z = 24/sqrt(192) = sqrt(3) ≈ 1.732 > 1.5 → alert)
+      input.addData(Event(1L, 13L, t("2024-01-01 09:03:00"), 9.0))
+      query.processAllAvailable()
+      val rows = spark.table("anom_out")
+        .select("event_id", "n_frame", "z", "outlier")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getBoolean(3)))
+        .sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(10L, 11L, 12L, 13L))
+      assert(rows.take(3).forall(r => r._3.isNaN && !r._4),
+        "flat frames: null z, no alert")
+      assert(rows(3)._2 == 4L, "spike frame spans both batches")
+      assert(math.abs(rows(3)._3 - math.sqrt(3.0)) < 1e-12)
+      assert(rows(3)._4, "z=1.73 exceeds k=1.5")
+      // bounded state: a long run never grows the frame past n
+      input.addData((14L to 30L).map(i =>
+        Event(1L, i, t(f"2024-01-01 09:${i - 4}%02d:00"), i.toDouble)): _*)
+      query.processAllAvailable()
+      val frames = spark.table("anom_out").filter(col("event_id") >= 14L)
+        .select("n_frame").as[Long].collect()
+      assert(frames.forall(_ == 4L), "frame capped at n")
+    } finally query.stop()
+  }
 }
