@@ -1896,6 +1896,15 @@ object SparkEntry {
         .select("symbol", "date", "close", "ema12", "macd", "macd_signal", "rsi")
     }),
 
+    // Backtest acceptance metrics: the full strategy chain (fold-MA
+    // crossover → position → P&L) aggregated per symbol — trades,
+    // exposure, total P&L, Sharpe core, struct-fold max drawdown.
+    "api_backtest_metrics" -> ((s, dir) => {
+      val sig = graft.api.Backtest.dualMaSignals(mkt(s, dir).bars,
+        fast = 5, slow = 20, exact = true)
+      graft.api.Backtest.metrics(graft.api.Backtest.equityCurve(sig))
+    }),
+
     // get_stock_blocks: the S5 industry dimension per security.
     "api_stock_blocks" -> ((s, dir) =>
       api(s, dir).getStockBlocks(syms3 ++ Seq("000004.SZ", "000005.SZ", "000006.SZ"))),
@@ -2203,6 +2212,69 @@ object SparkEntry {
                  '{"industry": "' || $industryCaseSql
                    || '", "industryClassification": "sws_l1"}' AS blocks
           FROM meta WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')""",
+
+    // Mirrors Backtest.dualMaSignals(5,20,exact)+equityCurve+metrics:
+    // fold MAs, boolean crossover lag, last-non-hold position, ret/pnl,
+    // then one agg per symbol with fold sums + the struct-state drawdown.
+    // FIELD ORDER IN THE dd FOLD IS LOAD-BEARING: DuckDB's list_reduce
+    // may evaluate struct fields in order with IN-PLACE accumulator
+    // updates (observed plan-dependently in 1.0), so every field's reads
+    // must be of fields not yet overwritten: dd first (expanded formula —
+    // reads old dd/peak/cum only), then peak (old peak/cum), then cum.
+    // Under this order the result is identical whether the engine
+    // evaluates functionally or in place.
+    "api_backtest_metrics" ->
+      s"""$MKT,
+         mal AS (SELECT symbol, date, close,
+                   list(CAST(close AS DOUBLE)) OVER wf AS l5,
+                   list(CAST(close AS DOUBLE)) OVER ws AS l20
+                 FROM bars
+                 WINDOW wf AS (PARTITION BY symbol ORDER BY date
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                        ws AS (PARTITION BY symbol ORDER BY date
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         mm AS (SELECT symbol, date, close,
+                  list_reduce([CAST(0 AS DOUBLE)] || l5, (a,b) -> a + b) / len(l5) AS ma_fast,
+                  list_reduce([CAST(0 AS DOUBLE)] || l20, (a,b) -> a + b) / len(l20) AS ma_slow
+                FROM mal),
+         sg AS (SELECT *, CASE WHEN LAG(ma_fast > ma_slow) OVER w IS NULL THEN 'hold'
+                               WHEN (ma_fast > ma_slow) AND NOT LAG(ma_fast > ma_slow) OVER w THEN 'buy'
+                               WHEN NOT (ma_fast > ma_slow) AND LAG(ma_fast > ma_slow) OVER w THEN 'sell'
+                               ELSE 'hold' END AS signal
+                FROM mm WINDOW w AS (PARTITION BY symbol ORDER BY date)),
+         ps AS (SELECT *, last_value(CASE WHEN signal <> 'hold' THEN signal END IGNORE NULLS)
+                            OVER (PARTITION BY symbol ORDER BY date
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_sig
+                FROM sg),
+         pc AS (SELECT *, CASE WHEN last_sig = 'buy' THEN 1 ELSE 0 END AS position,
+                   LAG(CASE WHEN last_sig = 'buy' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY symbol ORDER BY date) AS held,
+                   close / LAG(close) OVER (PARTITION BY symbol ORDER BY date) - 1.0 AS ret
+                FROM ps),
+         pnl AS (SELECT symbol, date, signal, position,
+                   CASE WHEN held = 1 AND ret IS NOT NULL THEN ret ELSE 0.0 END AS daily_pnl
+                 FROM pc),
+         ag AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(CASE WHEN signal = 'buy' THEN 1 ELSE 0 END) AS BIGINT) AS n_buys,
+                   CAST(sum(position) AS BIGINT) AS days_long,
+                   list(daily_pnl ORDER BY date) AS lst
+                 FROM pnl GROUP BY symbol),
+         fo AS (SELECT symbol, n_days, n_buys, days_long,
+                   CAST(len(lst) AS DOUBLE) AS nn,
+                   list_reduce([CAST(0 AS DOUBLE)] || lst, (a,b) -> a + b) AS sx,
+                   list_reduce([CAST(0 AS DOUBLE)] || list_transform(lst, v -> v * v), (a,b) -> a + b) AS sxx,
+                   list_reduce([{'dd': CAST(0 AS DOUBLE), 'peak': CAST(0 AS DOUBLE), 'cum': CAST(0 AS DOUBLE)}] ||
+                     list_transform(lst, x -> {'dd': CAST(0 AS DOUBLE), 'peak': CAST(0 AS DOUBLE), 'cum': x}),
+                     (a, b) -> {'dd': greatest(a.dd, greatest(a.peak, a.cum + b.cum) - (a.cum + b.cum)),
+                                'peak': greatest(a.peak, a.cum + b.cum),
+                                'cum': a.cum + b.cum}) AS st
+                FROM ag)
+         SELECT symbol, n_days, n_buys, days_long,
+                st.cum AS total_pnl,
+                CASE WHEN nn * sxx - sx * sx > 0
+                     THEN sx / sqrt(nn * sxx - sx * sx) END AS sharpe_core,
+                st.dd AS max_drawdown
+         FROM fo""",
 
     "api_indicators" ->
       s"""$MKT, sel AS (SELECT symbol, date, close FROM bars

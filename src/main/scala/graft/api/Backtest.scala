@@ -18,12 +18,27 @@ object Backtest {
   /** Signal table: (symbol, date, close, ma_fast, ma_slow, signal) where
     * signal ∈ {buy, sell, hold}. Crossings compare today's MA relation with
     * yesterday's (lag) — exactly the reference's "金叉/死叉" rule. */
-  def dualMaSignals(bars: DataFrame, fast: Int = 5, slow: Int = 20): DataFrame = {
+  def dualMaSignals(bars: DataFrame, fast: Int = 5, slow: Int = 20,
+                    exact: Boolean = false): DataFrame = {
     val keys = Seq(col("symbol"))
     val ord = Seq(col("date"))
-    val withMa = Windows.movingAvg(
-      Windows.movingAvg(bars, keys, ord, col("close"), fast, "ma_fast"),
-      keys, ord, col("close"), slow, "ma_slow")
+    // exact = sequential-fold MAs (rule 1): the engine's windowed avg and
+    // DuckDB's disagree in summation order on arbitrary doubles, and a
+    // 1-ulp MA difference can FLIP a crossover compare — the oracle-gated
+    // path folds the frame list so both engines add in frame order.
+    def foldMa(df: DataFrame, n: Int, as: String): DataFrame = {
+      val w = Window.partitionBy(keys: _*).orderBy(ord: _*).rowsBetween(-(n - 1), 0)
+      val l = s"__l_$as"
+      df.withColumn(l, collect_list(col("close").cast("double")).over(w))
+        .withColumn(as,
+          aggregate(col(l), lit(0.0), (a, e) => a + e) / size(col(l)))
+        .drop(l)
+    }
+    val withMa =
+      if (exact) foldMa(foldMa(bars, fast, "ma_fast"), slow, "ma_slow")
+      else Windows.movingAvg(
+        Windows.movingAvg(bars, keys, ord, col("close"), fast, "ma_fast"),
+        keys, ord, col("close"), slow, "ma_slow")
     val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
     val above = col("ma_fast") > col("ma_slow")
     val prevAbove = lag(above, 1).over(w)
@@ -52,5 +67,49 @@ object Backtest {
     signals.withColumn("position", position)
       .withColumn("daily_pnl", when(held === 1 && ret.isNotNull, ret).otherwise(0.0))
       .withColumn("cum_pnl", sum(col("daily_pnl")).over(wCum))
+  }
+
+  /** Per-symbol acceptance metrics over an [[equityCurve]]: trade/exposure
+    * counts, total P&L, a Sharpe core, and max drawdown — ONE aggregation,
+    * every float via sequential folds so the whole report replays exactly:
+    *
+    *  - `sharpe_core = Σp / √(n·Σp² − (Σp)²)` — the identity-normalized
+    *    mean/popstd ratio ([[graft.ops.Windows.rollingZscore]] tree);
+    *    annualize by √252 downstream if desired;
+    *  - max drawdown runs a STRUCT-state fold (running cum, running peak,
+    *    max peak−cum). NB DuckDB's list_reduce was observed (1.0,
+    *    plan-dependently) updating the accumulator struct IN PLACE field
+    *    by field — the replay orders fields so none reads an
+    *    already-updated one (dd, peak, cum; dd's formula expanded), which
+    *    is evaluation-order-proof. See the `api_backtest_metrics` oracle
+    *    comment. */
+  def metrics(curve: DataFrame): DataFrame = {
+    val agg0 = curve.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_days"),
+      sum(when(col("signal") === "buy", 1L).otherwise(0L)).as("n_buys"),
+      sum(col("position").cast("long")).as("days_long"),
+      sort_array(collect_list(struct(col("date"), col("daily_pnl")))).as("lst0"))
+    val staged = agg0
+      .select(col("symbol"), col("n_days"), col("n_buys"), col("days_long"),
+        transform(col("lst0"), s => s.getField("daily_pnl")).as("lst"))
+      .select(col("symbol"), col("n_days"), col("n_buys"), col("days_long"),
+        size(col("lst")).cast("double").as("nn"),
+        aggregate(col("lst"), lit(0.0), (a, e) => a + e).as("sx"),
+        aggregate(col("lst"), lit(0.0), (a, e) => a + e * e).as("sxx"),
+        aggregate(col("lst"),
+          struct(lit(0.0).as("peak"), lit(0.0).as("dd"), lit(0.0).as("cum")),
+          (a, x) => {
+            val cumNew = a.getField("cum") + x
+            val peakNew = greatest(a.getField("peak"), cumNew)
+            struct(peakNew.as("peak"),
+              greatest(a.getField("dd"), peakNew - cumNew).as("dd"),
+              cumNew.as("cum"))
+          }).as("st"))
+    staged.select(col("symbol"), col("n_days"), col("n_buys"), col("days_long"),
+      col("st").getField("cum").as("total_pnl"),
+      when(col("nn") * col("sxx") - col("sx") * col("sx") > 0,
+        col("sx") / sqrt(col("nn") * col("sxx") - col("sx") * col("sx")))
+        .as("sharpe_core"),
+      col("st").getField("dd").as("max_drawdown"))
   }
 }

@@ -43,4 +43,24 @@ class BacktestSpec extends SparkSpec {
     val b = Backtest.equityCurve(Backtest.dualMaSignals(bars)).agg(sum("cum_pnl")).as[Double].head()
     assert(a == b)
   }
+
+  test("metrics: hand-checked drawdown, Sharpe core, and counts") {
+    // pnl path 1, -2, 0.5, -1, 3 → cum 1,-1,-.5,-1.5,1.5; peak path
+    // 1,1,1,1,1.5; max drawdown = 2.5; total = 1.5
+    val curve = Seq(
+      ("S", "2024-01-01", "buy", 1, 1.0), ("S", "2024-01-02", "hold", 1, -2.0),
+      ("S", "2024-01-03", "hold", 1, 0.5), ("S", "2024-01-04", "sell", 0, -1.0),
+      ("S", "2024-01-05", "buy", 1, 3.0)
+    ).toDF("symbol", "date", "signal", "position", "daily_pnl")
+    val m = Backtest.metrics(curve)
+      .select("n_days", "n_buys", "days_long", "total_pnl", "max_drawdown")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(m._1 == 5L && m._2 == 2L && m._3 == 4L)
+    assert(m._4 == 1.5 && m._5 == 2.5, s"got $m")
+    // degenerate: constant pnl → zero variance → null sharpe
+    val flat = Seq(("F", "2024-01-01", "hold", 0, 0.0),
+      ("F", "2024-01-02", "hold", 0, 0.0))
+      .toDF("symbol", "date", "signal", "position", "daily_pnl")
+    assert(Backtest.metrics(flat).select("sharpe_core").head().isNullAt(0))
+  }
 }
