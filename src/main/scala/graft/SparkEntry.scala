@@ -206,6 +206,20 @@ object SparkEntry {
         .select("user_id", "event_id", "purchase_value", "click_value")
     }),
 
+    // J6 NEAREST: each purchase takes the temporally closer click —
+    // backward or forward, tie to backward, 1 h bound both ways. One
+    // shuffle, two sorts; matched_side makes the pick auditable.
+    "j6_asof_nearest" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"), col("value").as("purchase_value"))
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns").as("cts"), col("value").as("click_value"))
+      Joins.asOfNearest(purchases, clicks, Seq("user_id"), "ts_ns", "cts",
+          Seq("click_value"), Some(lit(3600L * 1000000000L)))
+        .select("user_id", "event_id", "purchase_value", "click_value", "matched_side")
+    }),
+
     // J6 in the FORWARD direction: each click attaches the NEXT purchase
     // at-or-after it (conversion attribution / trade→next-quote shape).
     // Same single-shuffle tagged-union plan, walked over descending time.
@@ -2463,6 +2477,33 @@ object SparkEntry {
          SELECT user_id, event_id, purchase_value,
                 CASE WHEN tsn - cts <= 3600000000000 THEN click_value END AS click_value
          FROM a""",
+
+    // Mirrors Joins.asOfNearest(tol = 1 h): both ASOF directions, the
+    // in-tolerance nearer match wins, ties to backward.
+    "j6_asof_nearest" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, epoch_ns(ts) AS cts, value AS click_value
+                    FROM events WHERE event_type = 'click'),
+              b AS (SELECT p.user_id, p.event_id, p.purchase_value, p.tsn,
+                           c.cts AS bt, c.click_value AS bval
+                    FROM p ASOF LEFT JOIN c
+                      ON p.user_id = c.user_id AND p.tsn >= c.cts),
+              f AS (SELECT p.user_id, p.event_id,
+                           c.cts AS ft, c.click_value AS fval
+                    FROM p ASOF LEFT JOIN c
+                      ON p.user_id = c.user_id AND p.tsn <= c.cts),
+              j AS (SELECT b.user_id, b.event_id, b.purchase_value, b.tsn,
+                           b.bt, b.bval, f.ft, f.fval,
+                           (b.bt IS NOT NULL AND b.tsn - b.bt <= 3600000000000) AS bok,
+                           (f.ft IS NOT NULL AND f.ft - b.tsn <= 3600000000000) AS fok
+                    FROM b JOIN f ON b.event_id = f.event_id)
+         SELECT user_id, event_id, purchase_value,
+                CASE WHEN bok AND (NOT fok OR tsn - bt <= ft - tsn) THEN bval
+                     WHEN fok THEN fval END AS click_value,
+                CASE WHEN bok AND (NOT fok OR tsn - bt <= ft - tsn) THEN 'back'
+                     WHEN fok THEN 'fwd' END AS matched_side
+         FROM j""",
 
     "j6_asof_fwd" ->
       """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) AS ctsn, value AS click_value

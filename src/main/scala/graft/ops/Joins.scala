@@ -61,6 +61,59 @@ object Joins {
     asOfDirected(left, right, keys, leftTime, rightTime, rightCols,
       tolerance, forward = true)
 
+  /** NEAREST as-of join: each left row takes whichever right row is
+    * temporally closer — the latest at-or-before OR the earliest at-or-
+    * after — with ties to the backward match (at-or-before wins, the
+    * conservative no-lookahead default). `tolerance` bounds BOTH
+    * directions. The classic sensor-alignment/bar-snap semantics
+    * ([[asOf]] = backward only, [[asOfForward]] = forward only).
+    *
+    * Plan: the SAME tagged-union frame as [[asOf]], walked by TWO window
+    * fills over opposite time orders — one shuffle on the keys, two sorts
+    * (Catalyst reuses the exchange; the second window adds a sort, not a
+    * shuffle). Choice and distances are row-local integer compares.
+    * Output adds `matched_side` ('back'/'fwd', null when nothing in
+    * tolerance) so the pick is auditable. */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightCols: Seq[String],
+                  tolerance: Option[Column] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val taggedLeft = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null))
+    val taggedRight = leftCols.filterNot(keys.contains).foldLeft(
+      right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+        .withColumn("__payload",
+          struct((rightCols.map(col) :+ col(rightTime).as("__rt")): _*))
+    )((d, c) => d.withColumn(c, lit(null)))
+    val cols = keys ++ Seq("__t", "__side") ++ leftCols.filterNot(keys.contains) :+ "__payload"
+    val unioned = taggedLeft.select(cols.map(col): _*)
+      .unionByName(taggedRight.select(cols.map(col): _*))
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = unioned
+      .withColumn("__pb", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__pf", last(col("__payload"), ignoreNulls = true).over(wF))
+    val db = col("__t") - col("__pb").getField("__rt")
+    val df = col("__pf").getField("__rt") - col("__t")
+    val pbT = tolerance.fold(col("__pb"))(t => when(db <= t, col("__pb")))
+    val pfT = tolerance.fold(col("__pf"))(t => when(df <= t, col("__pf")))
+    val useB = pbT.isNotNull && (pfT.isNull || db <= df)
+    val chosen = filled
+      .withColumn("__chosen", when(useB, pbT).otherwise(pfT))
+      .withColumn("matched_side",
+        when(useB, lit("back")).when(pfT.isNotNull, lit("fwd")))
+    val extracted = rightCols.foldLeft(chosen) { (d, c) =>
+      d.withColumn(c, col("__chosen").getField(c))
+    }
+    extracted.filter(col("__side") === 1)
+      .drop("__t", "__side", "__payload", "__pb", "__pf", "__chosen")
+  }
+
   private def asOfDirected(left: DataFrame, right: DataFrame, keys: Seq[String],
                            leftTime: String, rightTime: String,
                            rightCols: Seq[String],

@@ -111,6 +111,26 @@ class OpsSpec extends SparkSpec {
     assert(deg.forall(r => r.isNullAt(0) && !r.getBoolean(1)))
   }
 
+  test("asOfNearest: nearer side wins, ties go backward, tolerance nulls both") {
+    val l = Seq((1L, 100L, "a"), (1L, 205L, "b"), (1L, 400L, "c"), (2L, 50L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 90L, 9.0), (1L, 210L, 21.0), (1L, 110L, 11.0))
+      .toDF("k", "rt", "v")
+    val out = Joins.asOfNearest(l, r, Seq("k"), "t", "rt", Seq("v"),
+        Some(lit(50L)))
+      .select("tag", "v", "matched_side")
+      .as[(String, Option[Double], Option[String])].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    // a@100: back 90 (d=10) vs fwd 110 (d=10) — TIE -> back
+    assert(out("a") == ((Some(9.0), Some("back"))))
+    // b@205: back 110 (d=95, out of tol) vs fwd 210 (d=5) -> fwd
+    assert(out("b") == ((Some(21.0), Some("fwd"))))
+    // c@400: nearest is 210, d=190 > 50 -> null both ways
+    assert(out("c") == ((None, None)))
+    // d@key 2: no right rows at all
+    assert(out("d") == ((None, None)))
+  }
+
   test("upsert keeps the preferred (last-wins) row per key") {
     val existing = Seq((1, "old"), (2, "old")).toDF("k", "v").withColumn("batch", lit(0))
     val incoming = Seq((2, "new"), (3, "new")).toDF("k", "v").withColumn("batch", lit(1))
