@@ -1421,6 +1421,21 @@ object SparkEntry {
       Graph.pageRank(edges, "src", "dst", iters = 3)
     }),
 
+    // Synchronous label propagation over the same bipartite graph: 3
+    // rounds of neighbor-majority labels (count DESC, label ASC total
+    // order) — exact by construction, unrolled-CTE oracle.
+    "graph_label_prop" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      val pairs = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("c"),
+          concat(lit("S"), col("l_suppkey")).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      Graph.labelPropagation(edges, "src", "dst", iters = 3)
+    }),
+
     // Full dedup flow: near-dup pairs -> clusters -> keep canonical member.
     "dedup_keep_canonical" -> ((s, dir) => {
       val docs = TestData(s, dir).documents
@@ -3725,6 +3740,8 @@ object SparkEntry {
 
     "graph_pagerank" -> pageRankOracleSql(3),
 
+    "graph_label_prop" -> labelPropOracleSql(3),
+
     "tok_bpe_merges" -> bpeOracleSql(8),
 
     "tok_bpe_encode" -> bpeEncodeOracleSql(8),
@@ -4069,6 +4086,35 @@ object SparkEntry {
                 LEFT JOIN m$i ON m$i.dst = nodes.node)"""
     }.mkString
     s"$head$its SELECT node, rank_fp FROM r$iters"
+  }
+
+  /** DuckDB replay of [[graft.ops.Graph.labelPropagation]](iters):
+    * neighbor-majority votes with the (count DESC, label ASC) total-order
+    * argmax per round, rounds unrolled as CTE blocks; no-in-edge nodes
+    * carry the previous label via the left join. */
+  private def labelPropOracleSql(iters: Int): String = {
+    val head =
+      """WITH p AS (SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT c AS src, s AS dst FROM p
+               UNION ALL SELECT s AS src, c AS dst FROM p),
+         nodes AS (SELECT DISTINCT u AS node
+                   FROM (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)),
+         l0 AS (SELECT node, node AS label FROM nodes)"""
+    val its = (1 to iters).map { i =>
+      s""",
+         v$i AS (SELECT e.dst, l.label, COUNT(*) AS n_votes
+                FROM e JOIN l${i - 1} l ON e.src = l.node
+                GROUP BY e.dst, l.label),
+         w$i AS (SELECT dst, label AS new_label FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY dst
+                             ORDER BY n_votes DESC, label ASC) AS rn FROM v$i)
+                WHERE rn = 1),
+         l$i AS (SELECT l.node, COALESCE(w$i.new_label, l.label) AS label
+                FROM l${i - 1} l LEFT JOIN w$i ON w$i.dst = l.node)"""
+    }.mkString
+    s"$head$its SELECT node, label FROM l$iters"
   }
 
   /** DuckDB replay of [[graft.functions.Tokenizer.trainBpe]](nMerges):

@@ -47,9 +47,16 @@ object Graph {
                checkpoint: Boolean = true): DataFrame = {
     require(iters >= 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "degenerate PageRank parameters")
-    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-    val nodes = e.select(col("src").as("node"))
+    // Checkpoint the EDGE frame once: the loop reads it every round (and
+    // nodes/deg each read it once more), so an un-materialized edge
+    // expression — often a join+distinct like the gate's bipartite
+    // derivation — would re-execute per round. GraphX caches edges for
+    // the same reason; measured 16.8 → ~4 s at sf0.1 (3 iters).
+    var e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    if (checkpoint) e = e.localCheckpoint(eager = true)
+    var nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
+    if (checkpoint) nodes = nodes.localCheckpoint(eager = true)
     val n = nodes.count()
     val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val base = (Scale * (dampDen - dampNum) / dampDen) / n // driver-side: exact int ops
@@ -67,5 +74,53 @@ object Graph {
       if (checkpoint) ranks = ranks.localCheckpoint(eager = true)
     }
     ranks
+  }
+
+  /** Synchronous label propagation (community detection) — the other
+    * standard iterative graph pass next to [[pageRank]], and exact BY
+    * CONSTRUCTION: labels are node ids (strings), votes are integer
+    * counts, and the per-node argmax uses the TOTAL order (count DESC,
+    * label ASC), so every round is bit-deterministic in any engine — no
+    * fixed-point trickery needed.
+    *
+    * Round k: every node adopts the most frequent label among its
+    * IN-neighbors' round-(k−1) labels (pass symmetric edges for the
+    * undirected semantics); isolated nodes keep their own label. Ties
+    * break to the LEXICOGRAPHICALLY SMALLEST label — deterministic, and
+    * it biases toward stable low-id community seeds the way min-label
+    * connected components does.
+    *
+    * Per round: one join edges⋈labels (labels are node-sized — broadcast
+    * or co-shuffle), one (dst, label) count shuffle, one per-dst argmax
+    * window. localCheckpoint per round (rule 8). Synchronous LPA can
+    * 2-cycle on bipartite structure — run a fixed `iters` like any
+    * bounded-round production pass; the gate pins exact labels at a
+    * fixed round count, not a fixpoint claim. */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+                       iters: Int, checkpoint: Boolean = true): DataFrame = {
+    require(iters >= 0, "negative iterations")
+    // same edge-checkpoint rationale as pageRank: the loop reads e per round
+    var e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    if (checkpoint) e = e.localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    if (checkpoint) labels = labels.localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val votes = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n_votes"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))
+        .orderBy(col("n_votes").desc, col("label").asc)
+      val winners = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("dst"), col("label").as("new_label"))
+      // join against the PREVIOUS labels, not the node list: a node with
+      // no in-neighbors keeps its round-(k−1) label by construction
+      labels = labels.join(winners, col("node") === col("dst"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+      if (checkpoint) labels = labels.localCheckpoint(eager = true)
+    }
+    labels
   }
 }

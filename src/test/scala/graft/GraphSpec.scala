@@ -31,6 +31,35 @@ class GraphSpec extends SparkSpec {
     assert(mass <= S && mass > S - 3L * 2 * 5 - 5, s"mass $mass drifted from $S")
   }
 
+  test("labelPropagation: two disjoint triangles converge to their min labels") {
+    // symmetric triangles {a,b,c} and {x,y,z}
+    def tri(n: Seq[String]) = for (u <- n; v <- n if u != v) yield (u, v)
+    val edges = (tri(Seq("a", "b", "c")) ++ tri(Seq("x", "y", "z"))).toDF("src", "dst")
+    val l = Graph.labelPropagation(edges, "src", "dst", iters = 4)
+      .as[(String, String)].collect().toMap
+    // round 1: every node sees two distinct single-vote labels -> takes the
+    // smaller; the min label then dominates and absorbs the component
+    assert(Seq("a", "b", "c").map(l) == Seq("a", "a", "a"), s"got $l")
+    assert(Seq("x", "y", "z").map(l) == Seq("x", "x", "x"), s"got $l")
+  }
+
+  test("labelPropagation: majority beats lexicographic order; isolated src keeps label") {
+    // node t has in-neighbors m, m2 (label 'm' after r1? no — use direct
+    // votes): b and c both labeled... construct: voters v1,v2 carry 'z'+,
+    // single voter 'a'. t's in-edges: z1->t, z2->t, a1->t with initial
+    // labels z1,z2,a1 — round 1 votes are three singletons, min wins ('a1').
+    // To show MAJORITY, give two voters the SAME initial label by making
+    // them the same node voting via two edges? Edges are distinct rows —
+    // duplicate edges vote twice (multigraph semantics, documented by this
+    // test): z->t twice beats a->t once despite 'a' < 'z'.
+    val edges = Seq(("z", "t"), ("z", "t"), ("a", "t")).toDF("src", "dst")
+    val l = Graph.labelPropagation(edges, "src", "dst", iters = 1)
+      .as[(String, String)].collect().toMap
+    assert(l("t") == "z", s"two z votes beat one a vote: $l")
+    // 'z' and 'a' have no in-edges: they keep their own labels
+    assert(l("z") == "z" && l("a") == "a")
+  }
+
   test("pageRank: deterministic across runs (bit-equal ranks)") {
     val t = graft.sources.TestData(spark, sf0001)
     val pairs = t.orders
