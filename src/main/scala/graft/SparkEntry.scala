@@ -591,6 +591,70 @@ object SparkEntry {
         WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""")
     }),
 
+    // TPC-H Q6 class: the pure pushed-predicate scan-aggregate — every
+    // filter (date range, discount band, quantity cap) reaches the
+    // parquet reader, no join, one partial-agg shuffle of ONE row per
+    // partition. The what-if revenue probe that benchmarks scan + pushdown
+    // and nothing else.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g6_lineitem")
+      s.sql("""
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM g6_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    }),
+
+    // TPC-H Q10 class: returned-item revenue, top-20 customers — the
+    // ranked-report star: fact filter (returnflag) + customer/nation
+    // broadcast dims + one agg + TakeOrderedAndProject (never a global
+    // sort). c_custkey tiebreak makes the cut a total order.
+    "q10_returned_items" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g10_lineitem")
+      t.orders.createOrReplaceTempView("g10_orders")
+      t.customer.createOrReplaceTempView("g10_customer")
+      t.nation.createOrReplaceTempView("g10_nation")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+               CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue
+        FROM g10_customer c
+          JOIN g10_orders o ON c.c_custkey = o.o_custkey
+          JOIN g10_lineitem l ON o.o_orderkey = l.l_orderkey
+          JOIN g10_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20""")
+    }),
+
+    // TPC-H Q11 class: a filter against TWO scalar subqueries over the
+    // same derived aggregate — "parts worth over 1.5× the AVERAGE part"
+    // (average-relative, so the cut stays meaningful at any SF, unlike
+    // Q11's absolute fraction which needs per-SF retuning). The compare
+    // is cross-multiplied in DECIMAL (v·cnt·10 > total·15): division-free,
+    // boundary-exact, and the twin subqueries share the CTE scan.
+    "q11_important_stock" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g11_lineitem")
+      s.sql("""
+        WITH pv AS (SELECT l_partkey,
+                      CAST(SUM(CAST(l_extendedprice * l_quantity
+                        AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS v
+                    FROM g11_lineitem GROUP BY l_partkey)
+        SELECT l_partkey, CAST(v AS DOUBLE) AS stock_value
+        FROM pv
+        WHERE v * (SELECT COUNT(*) FROM pv) * 10
+            > (SELECT SUM(v) FROM pv) * 15""")
+    }),
+
     // TPC-H Q7 class: the SAME dimension joined TWICE under different
     // roles (supplier's nation vs customer's nation) with a cross-side
     // disjunctive pair predicate — Catalyst must keep the two nation scans
@@ -2732,6 +2796,40 @@ object SparkEntry {
          SELECT s.s_suppkey, s.s_name, r.total_revenue
          FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
          WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount
+                  AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+                CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue
+         FROM customer c
+           JOIN orders o ON c.c_custkey = o.o_custkey
+           JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+         GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+
+    "q11_important_stock" ->
+      """WITH pv AS (SELECT l_partkey,
+                       CAST(SUM(CAST(l_extendedprice * l_quantity
+                         AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS v
+                     FROM lineitem GROUP BY l_partkey)
+         SELECT l_partkey, CAST(v AS DOUBLE) AS stock_value
+         FROM pv
+         WHERE v * (SELECT COUNT(*) FROM pv) * 10
+             > (SELECT SUM(v) FROM pv) * 15""",
 
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, l_year,

@@ -101,6 +101,16 @@ class ShuffleBudgetSpec extends SparkSpec {
     "emb_rand_proj" -> 0,
     // twin-role nation joins all broadcast; only the final agg shuffles
     "q7_nation_volume" -> 1,
+    // pure pushed-predicate scan-agg: every filter in PushedFilters,
+    // one single-row-per-partition partial-agg exchange
+    "q6_forecast_revenue" -> 1,
+    // ranked-report star: dims broadcast, one agg, TakeOrderedAndProject
+    // (never a global sort)
+    "q10_returned_items" -> 1,
+    // derived agg + TWO scalar subqueries over it: the static plan carries
+    // the per-part agg three times (main + count + sum subqueries) + the
+    // 1-row subquery aggs (5 static exchanges); ReusedExchange collapses the twins at runtime
+    "q11_important_stock" -> 5,
     // one key-partitioned window chain (corr5 precedent)
     "w6_zscore" -> 1
   )
