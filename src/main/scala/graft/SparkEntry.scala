@@ -1096,6 +1096,24 @@ object SparkEntry {
     "dedup_segments" -> ((s, dir) =>
       Dedup.dedupSegments(TestData(s, dir).documents, "doc_id", "text", segSize = 8)),
 
+    // Incremental LSH dedup (the daily-ingest shape, ANN-append twin):
+    // the 80% "existing" corpus is signed ONCE into parquet artifacts;
+    // the 20% batch dedups against the saved index + itself — per-batch
+    // work ∝ batch + touched buckets, old TEXT never re-read. Verdicts ≡
+    // the monolithic LSH run restricted to pairs touching the batch.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val idx = jsonlStaged.getOrElseUpdate(dir + "#lshidx", {
+        val root = s"/tmp/graft_lshidx_${ProcessHandle.current().pid()}/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        Dedup.buildLshIndex(docs.filter(col("doc_id") % 5 =!= 4),
+          "doc_id", "text", root)
+        root
+      })
+      Dedup.dedupAgainstIndex(s, idx,
+        docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
+    }),
+
     // Lee et al. sliding-window duplicated-span pass: an 8-token span
     // occurring in ≥2 distinct docs at ANY alignment is duplicated; docs
     // over 20% duplicated positions drop. Integer counts + a
@@ -4130,6 +4148,8 @@ object SparkEntry {
          FROM events GROUP BY CAST(ts AS DATE)""",
 
     "dedup_minhash_lsh" -> minHashLshOracle,
+
+    "dedup_incremental" -> dedupIncrementalOracle,
     "dedup_simhash" -> simHashOracle,
     "ann_ivf0_topk" -> ivf0Oracle,
     "semdedup" -> semDedupOracle,
@@ -4358,7 +4378,7 @@ object SparkEntry {
                 LEFT JOIN sk s2 ON s2.d = 2 AND s2.bk = pb.b2"""
   }
 
-  private lazy val minHashLshOracle: String = {
+  private lazy val minHashPairCtes: String = {
     val bands = 4; val rpb = 4; val k = bands * rpb
     val sigCols = (0 until k).map(i =>
       s"list_min(list_transform(shs, s -> ${laneSql(i, "s")})) AS sig_$i").mkString(",\n                ")
@@ -4388,15 +4408,37 @@ object SparkEntry {
         sz AS (SELECT doc_id, COUNT(*) AS c FROM gc GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
                   FROM gc a JOIN gc b ON a.sh2 = b.sh2 AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-        SELECT doc_a, doc_b, jaccard FROM (
-          SELECT c.doc_a, c.doc_b,
-                 ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
-                       / CAST(sa.c + sb.c - COALESCE(i.inter, 0) AS DOUBLE), 6) AS jaccard
-          FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-          JOIN sz sa ON c.doc_a = sa.doc_id JOIN sz sb ON c.doc_b = sb.doc_id)
-        WHERE jaccard >= 0.5"""
+                  GROUP BY 1, 2),
+        vp AS (SELECT doc_a, doc_b, jaccard FROM (
+                 SELECT c.doc_a, c.doc_b,
+                        ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                              / CAST(sa.c + sb.c - COALESCE(i.inter, 0) AS DOUBLE), 6) AS jaccard
+                 FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+                 JOIN sz sa ON c.doc_a = sa.doc_id JOIN sz sb ON c.doc_b = sb.doc_id)
+               WHERE jaccard >= 0.5)"""
   }
+
+  private lazy val minHashLshOracle: String =
+    s"$minHashPairCtes SELECT doc_a, doc_b, jaccard FROM vp"
+
+  /** Replays Dedup.buildLshIndex(old = doc_id%5<>4) +
+    * dedupAgainstIndex(new = doc_id%5==4): the incremental verdicts equal
+    * the MONOLITHIC pair computation restricted to pairs touching the
+    * batch — a new doc drops when a verified partner is existing (either
+    * direction) or a smaller-id new doc (pairs are a<b, so every
+    * doc_b-side pair counts; a doc_a-side pair counts only when the
+    * larger partner is existing). */
+  private lazy val dedupIncrementalOracle: String =
+    s"""$minHashPairCtes,
+        nd AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
+        pc AS (SELECT doc_id,
+                 (SELECT COUNT(*) FROM vp WHERE vp.doc_b = nd.doc_id)
+               + (SELECT COUNT(*) FROM vp
+                  WHERE vp.doc_a = nd.doc_id AND vp.doc_b % 5 <> 4) AS n_dup_partners
+               FROM nd)
+        SELECT doc_id, n_dup_partners > 0 AS is_dup,
+               CAST(n_dup_partners AS BIGINT) AS n_dup_partners
+        FROM pc"""
 
   /** Replays Dedup.simHashPairs(maxHamming=6, family=Md5Hash,
     * maxBucket=1000): 32 weighted bit sums per doc, high-16-bit banding

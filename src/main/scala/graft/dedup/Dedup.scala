@@ -401,6 +401,127 @@ object Dedup {
           s => s("chunk_text"))).as("cleaned_text"))
   }
 
+  /** Band-bucket rows (doc_id, band, bucket) from a signature frame —
+    * the LSH blocking key shared by [[minHashLsh]] and the incremental
+    * index below. */
+  private def bandBucketRows(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                             family: HashFamily): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        family.combine((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"sig_$i"))).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  private def lshArtifacts(docs: DataFrame, id: String, text: String,
+                           n: Int, bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+    val shing = wordShingles(docs, id, text, n)
+    val sigs = minHashSignatures(shing, bands * rowsPerBand, Md5Hash)
+    val buckets = bandBucketRows(sigs, bands, rowsPerBand, Md5Hash)
+    val shStore = shing.select(col("doc_id"), md5(col("shingle")).as("sh"))
+    (buckets, shStore)
+  }
+
+  /** Build + persist the incremental LSH dedup index: `buckets`
+    * (doc_id, band, bucket) and `shingles` (doc_id, md5(shingle)) as
+    * parquet under `dir` — the daily-ingest dedup shape ([[graft.ann.Pq]]
+    * served-index precedent): the corpus is signed ONCE, and every later
+    * batch dedups against the artifacts without touching old text. */
+  def buildLshIndex(docs: DataFrame, id: String, text: String, dir: String,
+                    n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): Unit = {
+    val (buckets, shStore) = lshArtifacts(docs, id, text, n, bands, rowsPerBand)
+    buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    shStore.write.mode("overwrite").parquet(s"$dir/shingles")
+    docs.sparkSession.createDataFrame(Seq((n, bands, rowsPerBand)))
+      .toDF("n", "bands", "rows_per_band")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append a batch's artifacts to a saved index (encode-only — no old
+    * doc is ever re-signed). Callers typically append only the KEPT docs
+    * from [[dedupAgainstIndex]]'s verdicts. */
+  def appendToLshIndex(docs: DataFrame, id: String, text: String, dir: String): Unit = {
+    val m = docs.sparkSession.read.parquet(s"$dir/meta").head()
+    val (buckets, shStore) =
+      lshArtifacts(docs, id, text, m.getInt(0), m.getInt(1), m.getInt(2))
+    buckets.write.mode("append").parquet(s"$dir/buckets")
+    shStore.write.mode("append").parquet(s"$dir/shingles")
+  }
+
+  /** Dedup an incoming batch AGAINST a saved index (plus within-batch):
+    * an incoming doc is a duplicate when a verified-Jaccard partner is an
+    * EXISTING doc (either direction) or a SMALLER-ID incoming doc (first
+    * occurrence in the batch wins — [[minHashLsh]]'s keep convention).
+    *
+    * Incremental plan shape — per-batch work ∝ batch + touched buckets,
+    * never the corpus:
+    *  1. incoming signatures/buckets computed fresh (same pure md5
+    *     formulas as build time, so a doc's buckets are identical
+    *     whichever side computed them);
+    *  2. the saved bucket table is SEMI-JOINED down to the batch's
+    *     (band, bucket) keys before anything else reads it;
+    *  3. bucket-size caps count the COMBINED membership (old + new) —
+    *     exactly the sizes a full rebuild would see, so verdicts match
+    *     the monolithic [[minHashLsh]] run restricted to pairs touching
+    *     the batch (spec-asserted);
+    *  4. exact-Jaccard verification reads old shingle sets from the
+    *     index, never old text.
+    *
+    * Returns one row per incoming doc: (doc_id, is_dup, n_dup_partners).
+    */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        incoming: DataFrame, id: String, text: String,
+                        threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (n, bands, rpb) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val incShing = wordShingles(incoming, id, text, n)
+    val incSigs = minHashSignatures(incShing, bands * rpb, Md5Hash)
+    val incBuckets = bandBucketRows(incSigs, bands, rpb, Md5Hash)
+      .localCheckpoint() // consumed twice (keys + members)
+    val keys = incBuckets.select("band", "bucket").distinct()
+    val oldMatched = spark.read.parquet(s"$dir/buckets")
+      .join(keys, Seq("band", "bucket"))
+      .withColumn("is_new", lit(false))
+    val members = incBuckets.withColumn("is_new", lit(true))
+      .unionByName(oldMatched)
+    val pairs = members.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(pairExpr(array_sort(col("ms")))).as("p"))
+      .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_a.is_new").as("a_new"),
+        col("p.doc_b.doc_id").as("doc_b"), col("p.doc_b.is_new").as("b_new"))
+      .filter(col("a_new") || col("b_new"))
+      .distinct()
+      .localCheckpoint()
+    val docsInPlay = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b"))).distinct()
+    val sh = spark.read.parquet(s"$dir/shingles")
+      .unionByName(incShing.select(col("doc_id"), md5(col("shingle")).as("sh")))
+      .join(broadcast(docsInPlay), Seq("doc_id"))
+      .withColumnRenamed("sh", "shingle")
+      .localCheckpoint()
+    val verified = verifyJaccardPrefiltered(
+      pairs.select("doc_a", "doc_b"), sh, threshold)
+      .join(pairs, Seq("doc_a", "doc_b"))
+    // drop rule: partner existing (either direction), or a smaller-id
+    // incoming partner (pairs are a<b, so a doc_b=d pair always counts;
+    // a doc_a=d pair counts only when the larger partner is existing)
+    val asB = verified.filter(col("b_new"))
+      .select(col("doc_b").as("doc_id"))
+    val asA = verified.filter(col("a_new") && !col("b_new"))
+      .select(col("doc_a").as("doc_id"))
+    val partners = asB.unionByName(asA)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_partners"))
+    incoming.select(col(id).as("doc_id"))
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"))
+      .withColumn("is_dup", col("n_dup_partners") > 0)
+      .select("doc_id", "is_dup", "n_dup_partners")
+  }
+
   /** Cross-document duplicated-span detection — the sliding-window
     * exact-substring pass (Lee et al. 2021, "Deduplicating Training Data
     * Makes Language Models Better"): a w-token span is *duplicated* when

@@ -26,6 +26,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH dedup ≡ monolithic pairs restricted to the batch; index appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
+    val old = docs.filter(col("doc_id") % 5 =!= 4)
+    val nw = docs.filter(col("doc_id") % 5 === 4)
+    Dedup.buildLshIndex(old, "doc_id", "text", dir)
+    val got = Dedup.dedupAgainstIndex(spark, dir, nw, "doc_id", "text")
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    // monolithic reference: full-corpus Md5 LSH pairs, drop rule applied
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 3, 4, 4, 0.5, 100,
+        Dedup.Md5Hash)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val isNew = (d: Long) => d % 5 == 4
+    val want = got.keySet.map { d =>
+      d -> pairs.exists { case (a, b) =>
+        (b == d) || (a == d && !isNew(b))
+      }
+    }.toMap
+    assert(got == want, s"diff: ${got.toSet.diff(want.toSet)}")
+    assert(got.values.exists(identity), "some batch dup must exist in the fixture")
+    // append the kept docs, then an exact copy of a kept doc must drop
+    val kept = nw.join(got.filter(!_._2).keys.toSeq.toDF("doc_id"), "doc_id")
+    Dedup.appendToLshIndex(kept, "doc_id", "text", dir)
+    val keptId = got.collectFirst { case (d, false) => d }.get
+    val copy = docs.filter(col("doc_id") === keptId)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val v2 = Dedup.dedupAgainstIndex(spark, dir, copy, "doc_id", "text")
+      .select("is_dup").as[Boolean].head()
+    assert(v2, "an exact copy of an appended doc must flag as dup")
+  }
+
   test("dupSpans: shared span caught at ANY alignment, counts exact, short docs keep") {
     // A and B share the same 4-token span at DIFFERENT positions (the
     // alignment case dedupSegments' disjoint chunks would miss); C is
