@@ -1730,6 +1730,16 @@ object SparkEntry {
         Multimodal.syntheticPpm(ids), 8, 6)).toDF()
     }),
 
+    // Average-hash image fingerprint: 8×8 NN sample, integer grayscale,
+    // cross-multiplied mean threshold (64·g > Σg), 64 bits as two 32-bit
+    // halves — the image near-dup primitive, all-integer oracle.
+    "mm_ahash" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Multimodal.aHashPpm(Multimodal.syntheticPpm(ids)).toDF()
+    }),
+
     // Compressed-codec round trip: PPM bytes → REAL gzip → REAL streaming
     // gunzip → PPM decode. Same oracle formula as mm_decode — matching it
     // proves the inflate path reproduced the original bytes distributed.
@@ -3985,6 +3995,33 @@ object SparkEntry {
                 CAST(SUM((2*id + sx) % 256) AS DOUBLE) / 48 AS mean_g,
                 CAST(SUM((id + sy) % 256) AS DOUBLE) / 48 AS mean_b
          FROM sp GROUP BY id""",
+
+    // Mirrors Multimodal.aHashPpm over syntheticPpm: the generation
+    // formula replayed AT the 8×8 sampled coordinates (mm_resize
+    // precedent), grayscale r+g+b, strict 64·g > Σg bits packed into two
+    // 32-bit halves.
+    "mm_ahash" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(4 + doc_id % 5 AS BIGINT) AS sw,
+                      CAST(3 + doc_id % 4 AS BIGINT) AS sh
+                    FROM documents),
+         cells AS (SELECT id, sw, sh, CAST(i AS BIGINT) AS i,
+                     ((CAST(i AS BIGINT) % 8) * sw) // 8 AS sx,
+                     ((CAST(i AS BIGINT) // 8) * sh) // 8 AS sy
+                   FROM d, unnest(range(0, 64)) AS t(i)),
+         g AS (SELECT id, i,
+                 (id + 3*sx + 7*sy) % 256 + (2*id + sx) % 256 + (id + sy) % 256 AS gray
+               FROM cells),
+         s AS (SELECT id, SUM(gray) AS tot FROM g GROUP BY id),
+         bits AS (SELECT g.id, g.i,
+                    CASE WHEN g.gray * 64 > s.tot THEN 1 ELSE 0 END AS b
+                  FROM g JOIN s ON g.id = s.id)
+         SELECT id, CAST(4 + id % 5 AS INT) AS width,
+                CAST(3 + id % 4 AS INT) AS height,
+                CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS hash_lo,
+                CAST(SUM(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+                CAST(SUM(b) AS BIGINT) AS n_set
+         FROM bits GROUP BY id""",
 
     // Replays syntheticPng's generation formula (dims differ from the PPM
     // fixture); the Spark side must survive deflate → filters → CRC to hit

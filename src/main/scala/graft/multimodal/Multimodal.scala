@@ -160,6 +160,50 @@ object Multimodal {
       PpmImage(id, out)
     }
 
+  case class AHash(id: Long, width: Int, height: Int,
+                   hash_lo: Long, hash_hi: Long, n_set: Long)
+
+  /** Average-hash perceptual image fingerprint (aHash) — the image
+    * near-dup primitive every multimodal training pipeline runs before
+    * minhash-style bucketing on the hashes: 8×8 nearest-neighbor sample
+    * (the SAME (x·w) DIV 8 map as [[resizePpm]]), integer grayscale
+    * r+g+b per cell, bit set when the cell outshines the mean.
+    *
+    * Exactness: the mean threshold is CROSS-MULTIPLIED (64·gray > Σgray —
+    * never a division), and bit 63 would overflow a signed 64-bit
+    * accumulator, so the 64 bits ship as two 32-bit halves (`hash_lo` =
+    * bits 0–31, `hash_hi` = bits 32–63, row-major y·8+x). All integers —
+    * the oracle replays the generation formula AT the sampled
+    * coordinates, like mm_resize. Row-local mapPartitions lane. */
+  def aHashPpm(media: Dataset[PpmImage]): Dataset[AHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseP6(r.media).map { case (w, h, off) =>
+        val gray = new Array[Long](64)
+        var s = 0L
+        var i = 0
+        while (i < 64) {
+          val sy = (i / 8).toLong * h / 8
+          val sx = (i % 8).toLong * w / 8
+          val p = off + ((sy * w + sx) * 3).toInt
+          val g = (r.media(p) & 0xff).toLong +
+            (r.media(p + 1) & 0xff) + (r.media(p + 2) & 0xff)
+          gray(i) = g; s += g; i += 1
+        }
+        var lo = 0L; var hi = 0L; var n = 0L
+        i = 0
+        while (i < 64) {
+          if (gray(i) * 64 > s) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            n += 1
+          }
+          i += 1
+        }
+        AHash(r.id, w, h, lo, hi, n)
+      }
+    })
+  }
+
   /** Compressed-codec lane: gzip (RFC 1952) via `java.util.zip` — a REAL
     * compressed container with a pure-JVM decoder, standing where
     * JPEG/PNG/FLAC would in production (same plumbing: opaque binary in,

@@ -216,6 +216,34 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.000001))
   }
 
+  test("aHash: brightness-shift invariant, constant image all-zero, copies collide") {
+    def ppm(id: Long, w: Int, h: Int, px: (Int, Int) => Int): Multimodal.PpmImage = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var p = header.length
+      for (y <- 0 until h; x <- 0 until w; _ <- 0 until 3) {
+        out(p) = px(x, y).toByte; p += 1
+      }
+      Multimodal.PpmImage(id, out)
+    }
+    val base = (x: Int, y: Int) => (x * 13 + y * 29) % 200
+    val imgs = Seq(
+      ppm(1L, 16, 16, base),
+      ppm(2L, 16, 16, (x, y) => base(x, y) + 40), // +40 brightness
+      ppm(3L, 16, 16, (_, _) => 77),              // constant
+      ppm(4L, 16, 16, base)                       // exact copy of 1
+    ).toDS()
+    val h = Multimodal.aHashPpm(imgs).collect().map(a => a.id -> a).toMap
+    // mean shifts with the pixels, so the bit pattern is unchanged
+    assert(h(1L).hash_lo == h(2L).hash_lo && h(1L).hash_hi == h(2L).hash_hi,
+      "aHash must be invariant to a uniform brightness shift")
+    assert(h(3L).n_set == 0L && h(3L).hash_lo == 0L && h(3L).hash_hi == 0L,
+      "no cell of a constant image strictly outshines the mean")
+    assert(h(1L) == h(4L).copy(id = 1L), "identical images collide")
+    assert(h(1L).n_set > 0L && h(1L).n_set < 64L, "non-trivial bit pattern")
+  }
+
   test("multimodal decode plumbing: schema, determinism, per-byte features") {
     val media = Multimodal.attachBinary(docs.limit(10), "doc_id", "text")
     assert(media.schema("media").dataType.typeName == "binary")
