@@ -972,6 +972,13 @@ object SparkEntry {
       Relevance.bm25(TestData(s, dir).documents, "doc_id", "text",
         Seq("data", "query", "spark"))),
 
+    // BM25 retrieval: three queries ranked against the corpus in ONE
+    // scan, per-query TakeOrdered top-10 under the (score, doc_id) total
+    // order — the batch search-evaluation shape.
+    "text_search_topk" -> ((s, dir) =>
+      Relevance.searchTopK(TestData(s, dir).documents, "doc_id", "text",
+        SearchQueries, k = 10)),
+
     // Corpus-wide bigram frequency top-k (TakeOrderedAndProject, no
     // global sort).
     "text_ngram_topk" -> ((s, dir) =>
@@ -3156,6 +3163,8 @@ object SparkEntry {
     // b = 0.75). Constants written as the same arithmetic as the Scala
     // plan (1.2 + 1.0, never 2.2) so both engines fold identical doubles;
     // components sum left-to-right in term order.
+    "text_search_topk" -> searchTopKOracle,
+
     "text_bm25" -> {
       def comp(t: String): String =
         s"""((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
@@ -4241,6 +4250,46 @@ object SparkEntry {
                 LEFT JOIN m$i ON m$i.dst = nodes.node)"""
     }.mkString
     s"$head$its SELECT node, rank_fp FROM r$iters"
+  }
+
+  /** The text_search_topk query set (shared by the gate and its oracle
+    * generator so the two can't drift). */
+  private val SearchQueries: Seq[(String, Seq[String])] = Seq(
+    "q_hashjoin" -> Seq("hash", "join"),
+    "q_vecscan" -> Seq("vector", "scan", "filter"),
+    "q_mergeorder" -> Seq("merge", "order"))
+
+  /** DuckDB replay of [[graft.quality.Relevance.searchTopK]](k=10):
+    * the text_bm25 component tree per query over the union term set, a
+    * ROW_NUMBER cut under the (score DESC, doc_id ASC) total order. */
+  private lazy val searchTopKOracle: String = {
+    val allTerms = SearchQueries.flatMap(_._2).distinct
+    def comp(t: String): String =
+      s"""((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
+          * (CAST(tf_$t AS DOUBLE) * (1.2 + 1.0))
+          / (CAST(tf_$t AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+    val tfCols = allTerms.map(t =>
+      s"CAST(len(list_filter(string_split(text,' '), x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n              ")
+    val dfCols = allTerms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(",\n              ")
+    val blocks = SearchQueries.map { case (qid, terms) =>
+      val score = terms.map(comp).mkString(" + ")
+      s"""SELECT query_id, doc_id, score, rank FROM (
+            SELECT '$qid' AS query_id, doc_id, $score AS score,
+                   ROW_NUMBER() OVER (ORDER BY $score DESC, doc_id ASC) AS rank
+            FROM base CROSS JOIN stats)
+          WHERE rank <= 10"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH base AS (SELECT doc_id,
+              CAST(len(list_filter(string_split(text,' '), x -> length(x)>0)) AS BIGINT) AS dl,
+              $tfCols
+            FROM documents),
+         stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+              $dfCols
+            FROM base)
+         $blocks"""
   }
 
   /** DuckDB replay of [[graft.ops.Graph.labelPropagation]](iters):

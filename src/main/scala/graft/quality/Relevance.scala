@@ -111,6 +111,50 @@ object Relevance {
         terms.map(component).reduce(_ + _).as("bm25"): _*)
   }
 
+  /** BM25 retrieval: rank the corpus against a SET of queries and keep
+    * the top `k` docs per query — the batch search-evaluation shape
+    * (building retrieval training pairs, nearest-neighbor text baselines).
+    *
+    * One corpus scan covers every query: per-doc term frequencies are
+    * computed for the UNION of all query terms (row-local), the single-row
+    * corpus stats broadcast, and each query's score column is [[bm25]]'s
+    * exact IEEE tree over its own terms. Per-query top-k plans as
+    * TakeOrderedAndProject under the (score DESC, doc_id ASC) total order
+    * — never a global sort — and the rank window runs on the tiny
+    * (queries × k) union. Ties on identical scores are doc_id-stable, so
+    * the cut replays exactly. */
+  def searchTopK(docs: DataFrame, id: String, text: String,
+                 queries: Seq[(String, Seq[String])], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val t = col(text)
+    val allTerms = queries.flatMap(_._2).distinct
+    val base = docs.select(
+      col(id).as("doc_id") +:
+        TextFns.wordCount(t).cast("long").as("dl") +:
+        allTerms.map(tm => TextFns.countWord(t, tm).cast("long").as(s"tf_$tm")): _*)
+      .localCheckpoint()
+    val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+      allTerms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    def component(tm: String): Column = {
+      val tf = col(s"tf_$tm").cast("double")
+      val dfc = col(s"df_$tm").cast("double")
+      val idf = (col("n").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0)
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    }
+    val scored = base.crossJoin(broadcast(stats))
+    val tops = queries.map { case (qid, terms) =>
+      scored.select(lit(qid).as("query_id"), col("doc_id"),
+          terms.map(component).reduce(_ + _).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    }.reduce(_ unionByName _)
+    tops.withColumn("rank", row_number().over(
+      Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)))
+  }
+
   /** Corpus-wide top-k word n-grams by occurrence count (duplicates within
     * a doc count). Total order (cnt desc, ngram asc) makes the cut and the
     * rank engine-independent.
