@@ -852,6 +852,25 @@ object SparkEntry {
         .select("l_suppkey", "l_orderkey", "l_linenumber", "corr5")
     }),
 
+    // The rank-function family under TIES (quantity is integer-valued, so
+    // peers are real): rank / dense_rank are integers; percent_rank =
+    // (rank−1)/(n−1) and cume_dist = peers_le/n are single exact-integer
+    // divisions — all tie-stable, so no row_number-style physical-order
+    // dependence leaks into the output. NTILE is deliberately absent: its
+    // tile assignment SPLITS peer groups by physical order.
+    "w7_rank_family" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g_w7_lineitem")
+      s.sql("""
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               PERCENT_RANK() OVER w AS prnk,
+               CUME_DIST() OVER w AS cdist
+        FROM g_w7_lineitem
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity)""")
+    }),
+
     // Trailing z-score anomaly flags: division/sqrt-free verdict
     // (cross-multiplied squares), fixed-tree z value, fold-sum frames.
     "w6_zscore" -> ((s, dir) => {
@@ -1056,6 +1075,16 @@ object SparkEntry {
       }
       Sketches.cmsCounts(grams(docs), grams(docs.filter(col("doc_id") % 50 === 0)),
         "gram", width = 4096, depth = 3, family = Dedup.Md5Hash)
+    }),
+
+    // CMS heavy hitters over the word stream: est-heavy (≥ 1/200 of
+    // tokens by sketch estimate) is a provable SUPERSET of truly-heavy;
+    // exact counts + cross-multiplied flags carry the evidence.
+    "cms_heavy_hitters" -> ((s, dir) => {
+      val words = TestData(s, dir).documents
+        .select(explode(TextFns.words(col("text"))).as("word"))
+      Sketches.heavyHitters(words, "word", width = 512, depth = 3,
+        phiNum = 1, phiDen = 200, family = Dedup.Md5Hash)
     }),
 
     // JSONL interchange: documents exported as gzip'd JSON Lines shards
@@ -3021,6 +3050,15 @@ object SparkEntry {
                 END AS corr5
          FROM s""",
 
+    "w7_rank_family" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+                RANK() OVER w AS rnk,
+                DENSE_RANK() OVER w AS drnk,
+                PERCENT_RANK() OVER w AS prnk,
+                CUME_DIST() OVER w AS cdist
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity)""",
+
     // Mirrors Windows.rollingZscore(n=8, k=2): same fold sums, same fixed
     // z tree, division-free cross-multiplied outlier verdict.
     "w6_zscore" ->
@@ -3275,6 +3313,8 @@ object SparkEntry {
          FROM cand GROUP BY vec_id""",
 
     "cms_ngram_counts" -> cmsOracle,
+
+    "cms_heavy_hitters" -> heavyHittersOracle,
 
     // The JSONL round trip must surface exactly what parquet holds.
     "jsonl_roundtrip" ->
@@ -4462,6 +4502,33 @@ object SparkEntry {
         FROM pb LEFT JOIN sk s0 ON s0.d = 0 AND s0.bk = pb.b0
                 LEFT JOIN sk s1 ON s1.d = 1 AND s1.bk = pb.b1
                 LEFT JOIN sk s2 ON s2.d = 2 AND s2.bk = pb.b2"""
+  }
+
+  /** Replays Sketches.heavyHitters(width=512, depth=3, φ=1/200,
+    * Md5Hash) over the word stream: same lanes/buckets as [[cmsOracle]],
+    * integer-multiplied φ compares. */
+  private lazy val heavyHittersOracle: String = {
+    def b(i: Int, s: String) = s"(${laneSql(i, s)} % 512)"
+    s"""WITH wr AS (SELECT unnest(list_filter(string_split(text,' '), x -> length(x)>0)) AS item
+                    FROM documents),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wr),
+        lanes AS (SELECT 0 AS d, ${b(0, "item")} AS bk FROM wr
+                  UNION ALL SELECT 1, ${b(1, "item")} FROM wr
+                  UNION ALL SELECT 2, ${b(2, "item")} FROM wr),
+        sk AS (SELECT d, bk, CAST(count(*) AS BIGINT) AS c FROM lanes GROUP BY d, bk),
+        di AS (SELECT DISTINCT item FROM wr),
+        pb AS (SELECT item, ${b(0, "item")} AS b0, ${b(1, "item")} AS b1,
+                      ${b(2, "item")} AS b2 FROM di),
+        est AS (SELECT pb.item,
+                  LEAST(COALESCE(s0.c, 0), COALESCE(s1.c, 0), COALESCE(s2.c, 0)) AS est_count
+                FROM pb LEFT JOIN sk s0 ON s0.d = 0 AND s0.bk = pb.b0
+                        LEFT JOIN sk s1 ON s1.d = 1 AND s1.bk = pb.b1
+                        LEFT JOIN sk s2 ON s2.d = 2 AND s2.bk = pb.b2),
+        ex AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_count FROM wr GROUP BY item)
+        SELECT e.item, e.est_count, x.exact_count,
+               (x.exact_count * 200 >= nn.n) AS exact_heavy
+        FROM est e JOIN ex x ON e.item = x.item CROSS JOIN nn
+        WHERE e.est_count * 200 >= nn.n"""
   }
 
   private lazy val minHashPairCtes: String = {

@@ -62,6 +62,28 @@ object Sketches {
     q.select(col("item"), est.as("est_count"))
   }
 
+  /** CMS heavy hitters: items whose SKETCH estimate reaches φ = phiNum/
+    * phiDen of the stream — the classic frequent-items pass with CMS's
+    * one-sided guarantee (estimates never undercount, so the est-heavy
+    * set is a SUPERSET of the true heavy set: no false negatives, ever).
+    * The emitted `exact_heavy` flag (cross-multiplied integers) carries
+    * the evidence; a production caller at 100 TB keeps only the sketch
+    * columns and probes a candidate set instead of the full vocabulary.
+    * φ compares are integer-multiplied — division-free. */
+  def heavyHitters(items: DataFrame, itemCol: String, width: Int, depth: Int,
+                   phiNum: Long, phiDen: Long,
+                   family: Dedup.HashFamily = Dedup.XxHash): DataFrame = {
+    require(phiNum > 0 && phiDen > 0, "degenerate threshold")
+    val n = items.count()
+    val est = cmsCounts(items, items.select(itemCol), itemCol, width, depth, family)
+    val exact = items.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("exact_count"))
+    est.filter(col("est_count") * phiDen >= lit(n) * phiNum)
+      .join(exact, Seq("item"))
+      .select(col("item"), col("est_count"), col("exact_count"),
+        (col("exact_count") * phiDen >= lit(n) * phiNum).as("exact_heavy"))
+  }
+
   /** HyperLogLog++ distinct-count bound check — the cardinality twin of
     * [[cmsCounts]]: at 100 TB a per-group `COUNT(DISTINCT x)` shuffles one
     * row per distinct value (vocabulary-shaped state), while Spark's

@@ -65,4 +65,26 @@ class SketchesSpec extends SparkSpec {
     val (_, n, ok) = tight.as[(String, Long, Boolean)].collect().head
     assert(n == 20000L && !ok, "1e-6 relative tolerance should not be met at 20k")
   }
+
+  test("heavyHitters: never a false negative; narrow width admits false positives") {
+    // 'a' x60, 'b' x30, c..z x1 each: N=114, phi=1/4 -> true heavies {a, b}?
+    // threshold N/4 = 28.5 -> a (60) and b (30) heavy, singles not
+    val items = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++
+      ('c' to 'z').map(_.toString)).toDF("w")
+    val wide = Sketches.heavyHitters(items, "w", width = 1024, depth = 3,
+        phiNum = 1, phiDen = 4, family = graft.dedup.Dedup.Md5Hash)
+      .as[(String, Long, Long, Boolean)].collect()
+    // no false negatives: every exact-heavy item is in the est-heavy output
+    assert(wide.filter(_._4).map(_._1).toSet == Set("a", "b"), wide.toSeq.toString)
+    // one-sided: est >= exact on every emitted row
+    assert(wide.forall(r => r._2 >= r._3))
+    // width=1: every item estimates to N -> ALL items emit, singles are
+    // the false positives the one-sided bound permits
+    val narrow = Sketches.heavyHitters(items, "w", width = 1, depth = 3,
+        phiNum = 1, phiDen = 4, family = graft.dedup.Dedup.Md5Hash)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(narrow.length == 26, "width 1 collapses every item onto one counter")
+    assert(narrow.count(!_._4) == 24, "24 false positives, zero false negatives")
+    assert(narrow.filter(_._4).map(_._1).toSet == Set("a", "b"))
+  }
 }
