@@ -1293,6 +1293,23 @@ object SparkEntry {
           .toDF(), "sessions")
     }),
 
+    // COMPLETE-mode running aggregate — the output mode the append-only
+    // file-sink gates can't exercise: an unbounded (no-watermark) per-type
+    // running total whose state is O(|event_type|); the converged final
+    // table of a one-batch replay ≡ the batch aggregate. Decimal-route
+    // sums keep the running float total exact (rule 1 applies to
+    // streaming state merges exactly as to groupBy).
+    "stream_running_totals" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
+        .select(col("event_type"), col("value"))
+      graft.streaming.Replay.toBatchMemory(
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value")),
+        "running_totals", outputMode = "complete")
+    }),
+
     // Streaming z-score anomaly alerts: per-key bounded deque state
     // (last n−1 values), every event emits one alert in its own batch —
     // no watermark-gated emission, so the one-batch replay is exactly the
@@ -3627,6 +3644,12 @@ object SparkEntry {
          SELECT g.user_id, g.start_ms, g.end_ms, g.n_events, g.session_value
          FROM g JOIN lastg USING (user_id), wm
          WHERE g.end_ms < lastg.last_end OR g.end_ms + 1800000 < wm.wm_ms""",
+
+    // Complete-mode convergence: the final table IS the batch aggregate.
+    "stream_running_totals" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type""",
 
     // Mirrors StreamAnomaly.zscores(n=8, k=2) under one-batch replay:
     // every event alerts, so this is w6_zscore's tree on the events table

@@ -103,11 +103,15 @@ object Replay {
     * in-memory table behind a temp view. Same single-consumer-per-tag
     * contract as [[toBatch]] — the previous view for a tag drops when a
     * new replay of that tag starts. */
-  def toBatchMemory(stream: DataFrame, tag: String): DataFrame = {
+  def toBatchMemory(stream: DataFrame, tag: String,
+                    outputMode: String = "append"): DataFrame = {
     val name = s"graft_replay_${tag}_${ctr.incrementAndGet()}"
     withReplayConf(stream.sparkSession) {
+      // complete/update modes exist only on the memory sink (the file
+      // sink is append-only) — which is exactly why this lane survives:
+      // a COMPLETE-mode replay's final table is the converged aggregate.
       val q = stream.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+        .outputMode(outputMode).start()
       try q.processAllAvailable() finally q.stop()
     }
     lastView.put(tag, name)

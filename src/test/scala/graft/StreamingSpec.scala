@@ -292,6 +292,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("complete-mode running totals CONVERGE across batches (update, not append)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .writeStream.format("memory").queryName("totals_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      q.processAllAvailable()
+      input.addData(("a", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("totals_out")
+        .as[(String, Long, Double)].collect().sortBy(_._1)
+      // complete mode REPLACES the table: 'a' appears once with the
+      // merged running state, never as two epoch rows
+      assert(rows.toSeq == Seq(("a", 3L, 7.0), ("b", 1L, 5.0)), rows.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("streaming anomaly: frames carry across micro-batches, alerts hand-exact") {
     import graft.streaming.StreamAnomaly
     import graft.streaming.StreamAnomaly.Event
