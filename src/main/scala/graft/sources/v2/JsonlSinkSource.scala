@@ -1,0 +1,157 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 WRITE connector — the other half of the custom-source
+  * story next to [[SyntheticMarketSource]]'s pushdown scan: a JSONL
+  * directory sink implementing the full two-phase commit protocol.
+  *
+  * ```
+  * df.write.format("graft.sources.v2.JsonlSinkSource")
+  *   .option("path", dir).mode("append").save()
+  * ```
+  *
+  * The contracts that matter on a real cluster:
+  *  - each task writes to a UNIQUE temp file (`_temp_<job>_<task>`), so
+  *    speculative/retried attempts never collide;
+  *  - `DataWriter.commit` reports the temp name to the driver; ONLY
+  *    `BatchWrite.commit` renames reported temps to visible
+  *    `part-*.jsonl` names — a job that dies mid-write leaves invisible
+  *    temps, never a torn table (the staged-swap discipline
+  *    `Sinks.compact` uses, here at the protocol level);
+  *  - `abort` (driver) and task `abort` delete their temps;
+  *  - the schema persists beside the data (`_schema.json`), read-back is
+  *    schema-as-contract like `CorpusIO` (no inference scan).
+  *
+  * Deliberately JSONL: the write PROTOCOL is the demonstration; parquet
+  * encoding would just re-wrap Spark's own writer. Append-only
+  * (`TableCapability.BATCH_WRITE`) — each job's parts carry a unique job
+  * id, so appends accumulate without clobbering.
+  */
+class JsonlSinkSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(Nil) // write-only source: schema always comes from the frame
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new JsonlSinkTable(schema, new CaseInsensitiveStringMap(properties))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final class JsonlSinkTable(schema0: StructType, opts: CaseInsensitiveStringMap)
+  extends Table with SupportsWrite {
+  override def name(): String = "graft_jsonl_sink"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = Option(opts.get("path"))
+      .orElse(Option(info.options.get("path")))
+      .getOrElse(throw new IllegalArgumentException("JsonlSinkSource: path option required"))
+    new JsonlWriteBuilder(path, info.schema(), info.queryId())
+  }
+}
+
+final class JsonlWriteBuilder(path: String, schema: StructType, queryId: String)
+  extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new JsonlBatchWrite(path, schema, queryId)
+  }
+}
+
+final case class JsonlCommit(tempName: String, rows: Long) extends WriterCommitMessage
+
+final class JsonlBatchWrite(path: String, schema: StructType, queryId: String)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonlWriterFactory(path, schema, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    // schema-as-contract beside the data (idempotent across appends)
+    val sf = new java.io.File(dir, "_schema.json")
+    if (!sf.exists())
+      java.nio.file.Files.write(sf.toPath, schema.json.getBytes("UTF-8"))
+    messages.zipWithIndex.foreach { case (m: JsonlCommit, i) =>
+      val from = new java.io.File(dir, m.tempName)
+      val to = new java.io.File(dir, s"part-$queryId-$i.jsonl")
+      if (!from.renameTo(to))
+        throw new java.io.IOException(s"commit rename failed: $from -> $to")
+    }
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_SUCCESS").toPath, Array.empty[Byte])
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case JsonlCommit(t, _) => new java.io.File(path, t).delete()
+      case _ =>
+    }
+}
+
+final class JsonlWriterFactory(path: String, schema: StructType, queryId: String)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JsonlDataWriter(path, schema, queryId, partitionId, taskId)
+}
+
+final class JsonlDataWriter(path: String, schema: StructType, queryId: String,
+                            partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  // unique per attempt: a retried task gets a fresh taskId, so the dead
+  // attempt's temp can never be committed or collided with
+  private val tempName = s"_temp_${queryId}_${partitionId}_$taskId"
+  private val file = { new java.io.File(path).mkdirs(); new java.io.File(path, tempName) }
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(file), java.nio.charset.StandardCharsets.UTF_8))
+  private var rows = 0L
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val b = new StringBuilder("{")
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) b.append(',')
+      b.append('"').append(esc(schema(i).name)).append("\":")
+      if (record.isNullAt(i)) b.append("null")
+      else schema(i).dataType match {
+        case LongType => b.append(record.getLong(i))
+        case IntegerType => b.append(record.getInt(i))
+        case DoubleType => b.append(record.getDouble(i))
+        case BooleanType => b.append(record.getBoolean(i))
+        case StringType => b.append('"').append(esc(record.getUTF8String(i).toString)).append('"')
+        case dt => throw new UnsupportedOperationException(
+          s"JsonlSinkSource: unsupported type $dt (column ${schema(i).name})")
+      }
+      i += 1
+    }
+    out.write(b.append('}').toString)
+    out.newLine()
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = { out.close(); JsonlCommit(tempName, rows) }
+  override def abort(): Unit = { out.close(); file.delete() }
+  override def close(): Unit = ()
+}

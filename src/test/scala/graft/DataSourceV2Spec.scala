@@ -54,6 +54,38 @@ class DataSourceV2Spec extends SparkSpec {
       .filter(col("symbol") === "000004.SZ").count() == 0)
   }
 
+  test("DSv2 write path: two-phase commit, schema contract, lossless round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_sink").toString
+    val df = Seq(
+      (1L, "plain", 1.5, true),
+      (2L, "esc \"quotes\"\nand\ttabs\\", -0.25, false),
+      (3L, null.asInstanceOf[String], 0.0, true)
+    ).toDF("id", "s", "v", "flag")
+    df.write.format("graft.sources.v2.JsonlSinkSource")
+      .option("path", dir).mode("append").save()
+    // commit protocol: visible parts + _SUCCESS + schema; no temps remain
+    val files = new java.io.File(dir).list().toSeq
+    assert(files.contains("_SUCCESS") && files.contains("_schema.json"))
+    assert(!files.exists(_.startsWith("_temp_")), s"uncommitted temps: $files")
+    // schema-as-contract read-back
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "_schema.json").toPath), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def readBack = spark.read.schema(schema).json(s"$dir/part-*.jsonl")
+    assert(readBack.collect().toSet == df.collect().toSet,
+      "round trip must be lossless incl. escapes and nulls")
+    // a stray temp (a dead writer attempt) is invisible to readers
+    java.nio.file.Files.write(new java.io.File(dir, "_temp_dead_0_99").toPath,
+      "{\"id\":999}".getBytes("UTF-8"))
+    assert(readBack.filter(col("id") === 999L).count() == 0)
+    // a second append accumulates (unique job ids — no clobbering)
+    Seq((10L, "second", 9.9, false)).toDF("id", "s", "v", "flag")
+      .write.format("graft.sources.v2.JsonlSinkSource")
+      .option("path", dir).mode("append").save()
+    assert(readBack.count() == 4)
+  }
+
   test("pushed-down rows agree with post-filter rows (source guarantees filters)") {
     val all = src.load().collect().toSet
     val viaPushdown = src.load().filter(col("symbol") === "000003.SS").collect().toSet
