@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 /** SCALE.md's shuffle-budget table, enforced mechanically: each headline
   * query's physical plan must not contain more shuffle exchanges than its
   * documented budget. A regression that sneaks an extra shuffle into a
@@ -163,6 +164,28 @@ class ShuffleBudgetSpec extends SparkSpec {
       "the brand/size OR residue must reach the part scan's PushedFilters:\n" + plan)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       "q19 must stay an equi-join with a residual filter:\n" + plan)
+  }
+
+  test("join-strategy hints: SHUFFLE_HASH avoids the sort SMJ pays") {
+    // the fact⋈fact strategy menu at 100 TB: SMJ sorts both sides (spill-
+    // safe, mergeable); SHJ skips both sorts when the build side fits a
+    // task's memory — worth pinning that the hint actually flips the plan
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+    val shj = li.join(ord.hint("shuffle_hash"),
+        li("l_orderkey") === ord("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(shj.contains("ShuffledHashJoin") && !shj.contains("SortMergeJoin"), shj)
+    val smj = li.join(ord.hint("merge"),
+        li("l_orderkey") === ord("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(smj.contains("SortMergeJoin"), smj)
+    // identical results either way, of course
+    val a = li.join(ord.hint("shuffle_hash"), li("l_orderkey") === ord("o_orderkey"))
+      .agg(count(lit(1)), sum("l_quantity")).head()
+    val b = li.join(ord.hint("merge"), li("l_orderkey") === ord("o_orderkey"))
+      .agg(count(lit(1)), sum("l_quantity")).head()
+    assert(a == b)
   }
 
   budgets.foreach { case (q, budget) =>
