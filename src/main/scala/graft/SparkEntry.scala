@@ -1658,6 +1658,27 @@ object SparkEntry {
         nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
     }),
 
+    // Recall@5 evaluation harness: the compressed-domain IVF-PQ top-5
+    // joined against ground-truth brute-force cosine top-5 — per-query
+    // INTEGER match counts, the metric every ANN deployment monitors.
+    // Composes two already-oracle-exact operators, so the eval itself
+    // replays exactly.
+    "ann_recall_eval" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val queries = e.filter(col("vec_id") < 10)
+      val approx = Pq.ivfPqTopK(e, queries, "vec_id", "embedding", 5,
+          nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(approx.join(exact, Seq("query_id", "neighbor_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("n_match")),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match_at_5"))
+    }),
+
     // Build-once/serve-many IVF-PQ: first call per fixture dir builds and
     // PERSISTS the index (codebooks/centroids/cells/codes parquet under
     // tmpdir); this query then serves top-k from the stored artifacts —
@@ -4264,6 +4285,7 @@ object SparkEntry {
     "semdedup" -> semDedupOracle,
     "ann_pq_topk" -> pqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
+    "ann_recall_eval" -> annRecallOracle,
     // Served lane reads a pre-materialized index; the artifacts round-trip
     // parquet bit-exactly, so the inline-build oracle replays it unchanged.
     "ann_ivfpq_served" -> ivfPqOracle,
@@ -4882,6 +4904,30 @@ object SparkEntry {
         $tail"""
 
   private lazy val ivfPqOracle: String = ivfPqOracleTrained("TRUE")
+
+  /** Recall@5 harness: the ADC top-5 (ivfPq tail) intersected with the
+    * exact-cosine top-5 (ann_topk's self-excluding shape), per-query
+    * integer match counts. */
+  private lazy val annRecallOracle: String = ivfPqOracleTrainedTail("TRUE",
+    s""", adc5 AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id ASC) AS r
+            FROM fin) WHERE r <= 5),
+        q2 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        cc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        bs AS (SELECT query_id, neighbor_id,
+                 ROUND(${cosSql("qv", "cv")}, 6) AS cos
+               FROM cc JOIN q2 ON query_id <> neighbor_id),
+        bt AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id ASC) AS r
+               FROM bs) WHERE r <= 5),
+        mt AS (SELECT adc5.query_id, COUNT(*) AS n
+               FROM adc5 JOIN bt ON adc5.query_id = bt.query_id
+                               AND adc5.neighbor_id = bt.neighbor_id
+               GROUP BY 1)
+        SELECT q2.query_id, CAST(COALESCE(mt.n, 0) AS BIGINT) AS n_match_at_5
+        FROM q2 LEFT JOIN mt ON q2.query_id = mt.query_id""")
 
   /** ADC top-20 candidates (same tie rule as the serve path) re-ranked by
     * the exact sequential-fold cosine against raw embeddings. */
