@@ -1428,6 +1428,13 @@ object SparkEntry {
         .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
         .select("doc_id", "lang", "bucket")),
 
+    // Quality-weighted sampling: keep probability ∝ n_chars (clamped to
+    // 400), verdict by integer cross-multiplication — no float ratio.
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weighted(TestData(s, dir).documents, "doc_id",
+          col("n_chars"), wMax = 400L, rate = 0.5)
+        .select("doc_id", "n_chars")),
+
     // PII scrub: detection counts + typed-token masking over a PII-bearing
     // text CONSTRUCTED in-plan from customer columns (the fixture corpus is
     // word-salad with no natural PII; both engines build the identical
@@ -3782,6 +3789,13 @@ object SparkEntry {
                     ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000,
                              doc_id) AS rk
            FROM documents) WHERE rk <= 10""",
+
+    // Mirrors Sampling.weighted(wMax=400, rate=0.5): bucket·wMax <
+    // clamp(n_chars)·500000, all integers.
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) * 400
+             < LEAST(GREATEST(n_chars, 0), 400) * 500000""",
 
     "sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,

@@ -31,6 +31,24 @@ object Sampling {
   def bernoulli(df: DataFrame, key: String, rate: Double): DataFrame =
     df.filter(hashBucket(col(key)) < math.round(rate * Scale))
 
+  /** WEIGHTED deterministic sampling — keep probability proportional to a
+    * per-row weight (quality score, token count, dedup multiplicity), the
+    * curation step between uniform [[bernoulli]] and the per-stratum
+    * lanes: keep iff bucket(key) · wMax < weight · rate · 10⁶.
+    *
+    * Integer cross-multiplication all the way (never weight/wMax as a
+    * float): the verdict is exact in any engine. Weights clamp to
+    * [0, wMax]; weight = wMax keeps with probability `rate`, weight 0
+    * never keeps. Row-local, retry/partitioning/engine independent, and
+    * rates nest the way [[bernoulli]]'s do (a row kept at rate r is kept
+    * at every r' > r). */
+  def weighted(df: DataFrame, key: String, weight: Column, wMax: Long,
+               rate: Double = 1.0): DataFrame = {
+    require(wMax > 0, "wMax must be positive")
+    val w = least(greatest(weight.cast("long"), lit(0L)), lit(wMax))
+    df.filter(hashBucket(col(key)) * wMax < w * math.round(rate * Scale))
+  }
+
   /** Per-stratum rates (e.g. downsample dominant languages, keep rare ones
     * whole); strata absent from `rates` get `defaultRate`. */
   def stratified(df: DataFrame, key: String, strata: String,

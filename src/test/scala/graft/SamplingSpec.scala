@@ -72,4 +72,22 @@ class SamplingSpec extends SparkSpec {
     assert(o1 !== o3)
     assert(o1.sorted === o3.sorted)
   }
+
+  test("weighted: zero never keeps, wMax ≡ bernoulli, weights and rates nest") {
+    val docs = graft.sources.TestData(spark, sf0001).documents
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").as[Long].collect().toSet
+    // weight 0 -> empty; weight = wMax at rate r ≡ uniform bernoulli(r)
+    assert(Sampling.weighted(docs, "doc_id", lit(0L), 100L, 0.9).count() == 0)
+    assert(ids(Sampling.weighted(docs, "doc_id", lit(100L), 100L, 0.4)) ==
+      ids(Sampling.bernoulli(docs, "doc_id", 0.4)))
+    // a row kept at weight w is kept at any w' >= w (same key, same rate)
+    val low = ids(Sampling.weighted(docs, "doc_id", col("n_chars") / 2, 400L, 0.5))
+    val high = ids(Sampling.weighted(docs, "doc_id", col("n_chars"), 400L, 0.5))
+    assert(low.subsetOf(high), s"${low.size} vs ${high.size}")
+    // rates nest too
+    val r3 = ids(Sampling.weighted(docs, "doc_id", col("n_chars"), 400L, 0.3))
+    val r6 = ids(Sampling.weighted(docs, "doc_id", col("n_chars"), 400L, 0.6))
+    assert(r3.subsetOf(r6) && r3.size < r6.size)
+  }
 }
