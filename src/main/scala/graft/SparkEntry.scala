@@ -1248,6 +1248,24 @@ object SparkEntry {
         .select("user_id", "left_id", "right_id")
     }),
 
+    // FULL OUTER interval join: both null-extension theorems, with their
+    // asymmetric cutoffs (left waits for its window END, right only for
+    // its own timestamp) replayed by the oracle.
+    "stream_interval_full" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      def ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+      val left = ev.filter(col("event_id") % 100 === 0)
+        .select(col("user_id"), col("ts").as("lts"), col("event_id").as("left_id"))
+      val right = ev.filter(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+        .select(col("user_id"), col("ts").as("rts"), col("event_id").as("right_id"))
+      graft.streaming.Replay.toBatch(
+        graft.streaming.StreamJoin.intervalJoinFullOuter(left, right, "user_id",
+          "lts", "rts", window = "10 minutes"),
+        "interval_full")
+        .select("user_id", "left_id", "right_id")
+    }),
+
     // Streaming OHLCV bar builder, oracle-checked: ticks derived from the
     // events fixture (integer-valued px/qty, so every sum is exact in
     // double regardless of fold order) stream through the REAL windowed
@@ -3619,6 +3637,37 @@ object SparkEntry {
                               AND r.rus >= l.lus AND r.rus <= l.lus + 600000000)
                          AND (l.lus + 600000000) // 1000 < wm.wm_ms)
          SELECT * FROM matched UNION ALL SELECT * FROM unmatched""",
+
+    // Full-outer replay: the left cutoff is the window END, the right
+    // cutoff is the row's OWN time (its matchers are at-or-before it).
+    "stream_interval_full" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_ns(ts) // 1000 AS us FROM events),
+         l AS (SELECT user_id, us AS lus, event_id AS left_id
+               FROM e WHERE event_id % 100 = 0),
+         r AS (SELECT user_id, us AS rus, event_id AS right_id
+               FROM e WHERE event_type = 'purchase' AND event_id % 20 = 0),
+         wm AS (SELECT LEAST((SELECT MAX(lus) // 1000 FROM l),
+                             (SELECT MAX(rus) // 1000 FROM r)) - 600000 AS wm_ms),
+         matched AS (SELECT l.user_id, l.left_id, r.right_id
+                     FROM l JOIN r ON l.user_id = r.user_id
+                      AND r.rus >= l.lus AND r.rus <= l.lus + 600000000),
+         unl AS (SELECT l.user_id, l.left_id,
+                        CAST(NULL AS BIGINT) AS right_id
+                 FROM l, wm
+                 WHERE NOT EXISTS (SELECT 1 FROM r
+                      WHERE r.user_id = l.user_id
+                        AND r.rus >= l.lus AND r.rus <= l.lus + 600000000)
+                   AND (l.lus + 600000000) // 1000 < wm.wm_ms),
+         unr AS (SELECT r.user_id, CAST(NULL AS BIGINT) AS left_id, r.right_id
+                 FROM r, wm
+                 WHERE NOT EXISTS (SELECT 1 FROM l
+                      WHERE l.user_id = r.user_id
+                        AND r.rus >= l.lus AND r.rus <= l.lus + 600000000)
+                   AND r.rus // 1000 < wm.wm_ms)
+         SELECT * FROM matched
+         UNION ALL SELECT * FROM unl
+         UNION ALL SELECT * FROM unr""",
 
     // Streaming bar builder: batch OHLCV over the same derived ticks,
     // filtered to windows the final watermark passed (append-mode emission:

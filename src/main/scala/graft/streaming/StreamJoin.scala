@@ -68,4 +68,30 @@ object StreamJoin {
         "left_outer")
       .drop("__rkey")
   }
+
+  /** FULL OUTER interval join — both null-extension theorems at once,
+    * and they are ASYMMETRIC: an unmatched LEFT row waits for the
+    * watermark to pass the END of its look-ahead window
+    * `[leftTs, leftTs + window]`, while an unmatched RIGHT row waits only
+    * for the watermark to pass its OWN timestamp (its potential matchers
+    * sit in `[rightTs − window, rightTs]` — all at-or-before it, so once
+    * the watermark passes rightTs no matcher can still arrive). The
+    * one-batch replay oracle encodes both cutoffs. The key column is
+    * emitted COALESCEd (a full-outer's key is null on exactly one side of
+    * each null-extended row). */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String,
+                            window: String = "10 minutes",
+                            lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness)
+      .withColumnRenamed(key, "__rkey").alias("r")
+    l.join(r,
+        col(key) === col("__rkey") &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"),
+        "full_outer")
+      .withColumn(key, coalesce(col(key), col("__rkey")))
+      .drop("__rkey")
+  }
 }

@@ -265,6 +265,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("FULL OUTER interval join: both expiry theorems, with their asymmetric cutoffs") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    val joined = graft.streaming.StreamJoin.intervalJoinFullOuter(
+      imps.toDF(), clicks.toDF(), "ad_id", "its", "cts",
+      window = "10 minutes", lateness = "5 minutes")
+    val query = joined
+      .select("ad_id", "slot", "cost")
+      .writeStream.format("memory").queryName("full_out")
+      .outputMode("append").start()
+    try {
+      imps.addData(
+        Imp(1L, t("2024-01-01 09:00:00"), "top"),   // will match
+        Imp(2L, t("2024-01-01 09:00:00"), "side"))  // never matched
+      clicks.addData(
+        Click(1L, t("2024-01-01 09:05:00"), 0.5),   // matches imp 1
+        Click(3L, t("2024-01-01 09:01:00"), 7.0))   // never matched
+      query.processAllAvailable()
+      val r1 = spark.table("full_out")
+        .as[(Option[Long], Option[String], Option[Double])].collect().toSet
+      assert(r1 == Set((Some(1L), Some("top"), Some(0.5))), s"got $r1")
+      // push the watermark far past everything: imp 2 null-extends (its
+      // window end 09:10 behind the watermark) AND click 3 null-extends
+      // (its own ts behind the watermark — the asymmetric cutoff)
+      imps.addData(Imp(98L, t("2024-01-01 10:00:00"), "late"))
+      clicks.addData(Click(99L, t("2024-01-01 10:00:00"), 9.9))
+      query.processAllAvailable()
+      val r2 = spark.table("full_out")
+        .as[(Option[Long], Option[String], Option[Double])].collect().toSet
+      assert(r2 == Set(
+        (Some(1L), Some("top"), Some(0.5)),
+        (Some(2L), Some("side"), None),
+        (Some(3L), None, Some(7.0))), s"got $r2")
+    } finally query.stop()
+  }
+
   test("streaming corpus gate: dedup + row-local signals + keep verdict") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
