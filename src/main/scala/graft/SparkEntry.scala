@@ -793,6 +793,55 @@ object SparkEntry {
         Seq("okey"), Joins.hotKeys(li, Seq("okey"), minCount = 5L))
     }),
 
+    // Ordered conversion funnel (view → click → purchase): each stage's
+    // timestamp is the EARLIEST event of that type at-or-after the
+    // previous stage WITHIN a 2 h conversion window — three dependent
+    // conditional-min aggregations, the
+    // product-analytics shape sessionization doesn't cover. All integer
+    // nanos; reached_stage makes the verdict scannable.
+    "events_funnel" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.events.createOrReplaceTempView("gf_events")
+      s.sql("""
+        WITH v AS (SELECT user_id,
+                     MIN(CASE WHEN event_type = 'view' THEN ts_ns END) AS v_ts
+                   FROM gf_events GROUP BY user_id),
+        c AS (SELECT e.user_id,
+                MIN(CASE WHEN e.event_type = 'click'
+                         AND e.ts_ns >= v.v_ts
+                         AND e.ts_ns <= v.v_ts + 7200000000000 THEN e.ts_ns END) AS c_ts
+              FROM gf_events e JOIN v ON e.user_id = v.user_id
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id,
+                MIN(CASE WHEN e.event_type = 'purchase'
+                         AND e.ts_ns >= c.c_ts
+                         AND e.ts_ns <= c.c_ts + 7200000000000 THEN e.ts_ns END) AS p_ts
+              FROM gf_events e JOIN c ON e.user_id = c.user_id
+              GROUP BY e.user_id)
+        SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+               CASE WHEN p.p_ts IS NOT NULL THEN 3
+                    WHEN c.c_ts IS NOT NULL THEN 2
+                    WHEN v.v_ts IS NOT NULL THEN 1 ELSE 0 END AS reached_stage
+        FROM v JOIN c ON v.user_id = c.user_id
+               JOIN p ON v.user_id = p.user_id""")
+    }),
+
+    // Cohort retention: users grouped by first-activity week, distinct
+    // active users counted per (cohort, week offset) — the
+    // week-over-week retention triangle, all integer counts.
+    "events_retention" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.events.createOrReplaceTempView("gr_events")
+      s.sql("""
+        WITH w AS (SELECT user_id, ts_ns DIV 604800000000000 AS wk
+                   FROM gr_events),
+        cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+        SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+               COUNT(DISTINCT w.user_id) AS n_active
+        FROM w JOIN cohort c ON w.user_id = c.user_id
+        GROUP BY c.cohort_wk, w.wk - c.cohort_wk""")
+    }),
+
     // A1/SET3 distinct-union accumulation of a key pool.
     "a1_distinct_union" -> ((s, dir) => {
       val t = TestData(s, dir)
@@ -3032,6 +3081,38 @@ object SparkEntry {
                        WHERE l.l_orderkey = o.o_orderkey
                          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
          GROUP BY o_orderpriority""",
+
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id,
+                      MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS v_ts
+                    FROM events GROUP BY user_id),
+         c AS (SELECT e.user_id,
+                 MIN(CASE WHEN e.event_type = 'click'
+                          AND epoch_ns(e.ts) >= v.v_ts
+                          AND epoch_ns(e.ts) <= v.v_ts + 7200000000000 THEN epoch_ns(e.ts) END) AS c_ts
+               FROM events e JOIN v ON e.user_id = v.user_id
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id,
+                 MIN(CASE WHEN e.event_type = 'purchase'
+                          AND epoch_ns(e.ts) >= c.c_ts
+                          AND epoch_ns(e.ts) <= c.c_ts + 7200000000000 THEN epoch_ns(e.ts) END) AS p_ts
+               FROM events e JOIN c ON e.user_id = c.user_id
+               GROUP BY e.user_id)
+         SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+                CASE WHEN p.p_ts IS NOT NULL THEN 3
+                     WHEN c.c_ts IS NOT NULL THEN 2
+                     WHEN v.v_ts IS NOT NULL THEN 1 ELSE 0 END AS reached_stage
+         FROM v JOIN c ON v.user_id = c.user_id
+                JOIN p ON v.user_id = p.user_id""",
+
+    "events_retention" ->
+      """WITH w AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk
+                    FROM events),
+         cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+         SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+                COUNT(DISTINCT w.user_id) AS n_active
+         FROM w JOIN cohort c ON w.user_id = c.user_id
+         GROUP BY c.cohort_wk, w.wk - c.cohort_wk""",
 
     // The hot/tail split is plan-internal — same plain equi-join result.
     "j9_split_join" ->
