@@ -1478,6 +1478,13 @@ object SparkEntry {
       Quantiles.exactCont(TestData(s, dir).lineitem,
         "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))),
 
+    // Robust scale: MAD = median(|x − median|) per group — two
+    // fixed-tree percentile passes, deviations are single IEEE
+    // subtractions, engine-exact end to end.
+    "quantiles_mad" -> ((s, dir) =>
+      Quantiles.madExact(TestData(s, dir).lineitem,
+        "l_returnflag", "l_extendedprice")),
+
     // The sketch lane's gate: rank-error bound check per (group, p). The
     // oracle replays TRUE per row — a sketch answer outside ±ε·n ranks
     // flips the boolean and fails the hash compare (judge r6 item 4).
@@ -3969,6 +3976,35 @@ object SparkEntry {
                 lo1 + (hi1 - lo1) * (CAST(n - 1 AS DOUBLE) * 0.9 - floor(CAST(n - 1 AS DOUBLE) * 0.9)) AS p90,
                 lo2 + (hi2 - lo2) * (CAST(n - 1 AS DOUBLE) * 0.99 - floor(CAST(n - 1 AS DOUBLE) * 0.99)) AS p99
          FROM a""",
+
+    // Mirrors Quantiles.madExact: the quantiles_cont p50 tree, deviations
+    // |v − med| as single subtractions, the same tree again over them.
+    "quantiles_mad" ->
+      """WITH r AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+             FROM lineitem),
+         a AS (SELECT l_returnflag, MAX(n) AS n,
+                MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN v END) AS lo0,
+                MAX(CASE WHEN rn = LEAST(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 2, n) THEN v END) AS hi0
+               FROM r GROUP BY l_returnflag),
+         m AS (SELECT l_returnflag, n,
+                lo0 + (hi0 - lo0) * (CAST(n - 1 AS DOUBLE) * 0.5 - floor(CAST(n - 1 AS DOUBLE) * 0.5)) AS med
+               FROM a),
+         d AS (SELECT r.l_returnflag, abs(r.v - m.med) AS dv
+               FROM r JOIN m ON r.l_returnflag = m.l_returnflag),
+         dr AS (SELECT l_returnflag, dv,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY dv) AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+                FROM d),
+         da AS (SELECT l_returnflag, MAX(n) AS n,
+                 MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN dv END) AS lo0,
+                 MAX(CASE WHEN rn = LEAST(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 2, n) THEN dv END) AS hi0
+                FROM dr GROUP BY l_returnflag)
+         SELECT da.l_returnflag, da.n,
+                m.med,
+                da.lo0 + (da.hi0 - da.lo0) * (CAST(da.n - 1 AS DOUBLE) * 0.5 - floor(CAST(da.n - 1 AS DOUBLE) * 0.5)) AS mad
+         FROM da JOIN m ON da.l_returnflag = m.l_returnflag""",
 
     // The oracle encodes the EXPECTATION that the sketch meets its rank-
     // error bound: TRUE per (group, p). Everything else in the row (group,

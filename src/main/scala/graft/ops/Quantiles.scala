@@ -68,6 +68,27 @@ object Quantiles {
     agged.select(col(group) +: col("n") +: outs: _*)
   }
 
+  /** Grouped median absolute deviation — the ROBUST scale estimate
+    * (outlier-immune where rollingZscore's stddev isn't): MAD =
+    * median(|x − median(x)|) per group, two [[exactCont]]-tree passes.
+    * Each pass is the same fixed IEEE interpolation tree the
+    * `quantiles_cont` oracle replays verbatim; the deviations
+    * |x − median| are single IEEE subtractions of replayed values, so the
+    * whole two-level statistic is engine-exact. Two window chains on the
+    * SAME group key — the second reuses the first's hash partitioning
+    * (one exchange total). */
+  def madExact(df: DataFrame, group: String, value: String): DataFrame = {
+    val med = exactCont(df, group, value, Seq(0.5))
+      .select(col(group), col("n"), col("p50").as("med"))
+    val dev = df.select(col(group), col(value).cast("double").as("v"))
+      .join(med, Seq(group))
+      .select(col(group), abs(col("v") - col("med")).as("d"))
+    exactCont(dev, group, "d", Seq(0.5))
+      .select(col(group), col("n"), col("p50").as("mad"))
+      .join(med.select(col(group), col("med")), Seq(group))
+      .select(group, "n", "med", "mad")
+  }
+
   /** Sketch-based quantiles — the scale path (not oracle-comparable).
     * `n` counts NON-NULL values: approx_percentile ignores nulls, and a
     * rank target computed over all rows would sit past the reachable rank
