@@ -2172,6 +2172,14 @@ object SparkEntry {
         .select("symbol", "date", "close", "ema12", "macd", "macd_signal", "rsi")
     }),
 
+    // Cross-symbol return correlation matrix (every-10th symbol keeps the
+    // pair count N²/2-bounded at both scales): date-co-shuffled return
+    // self-join, per-pair date-sorted fold sums, rational corr tree.
+    "api_corr_matrix" -> ((s, dir) => {
+      val b = mkt(s, dir).bars.filter(col("symbol").substr(6, 1) === "0")
+      graft.functions.Indicators.returnsCorrMatrix(b, minOverlap = 3)
+    }),
+
     // Backtest acceptance metrics: the full strategy chain (fold-MA
     // crossover → position → P&L) aggregated per symbol — trades,
     // exposure, total P&L, Sharpe core, struct-fold max drawdown.
@@ -2488,6 +2496,37 @@ object SparkEntry {
                  '{"industry": "' || $industryCaseSql
                    || '", "industryClassification": "sws_l1"}' AS blocks
           FROM meta WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')""",
+
+    // Mirrors Indicators.returnsCorrMatrix over the every-10th-symbol
+    // subset: same per-symbol LAG returns, date join, date-ordered list
+    // folds, rational corr tree (w5 precedent).
+    "api_corr_matrix" ->
+      s"""$MKT,
+         rets AS (SELECT symbol, date,
+                    close / LAG(close) OVER (PARTITION BY symbol ORDER BY date) - 1.0 AS ret
+                  FROM bars WHERE substr(symbol, 6, 1) = '0'),
+         rr AS (SELECT symbol, date, ret FROM rets WHERE ret IS NOT NULL),
+         pr AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.date,
+                       a.ret AS ra, b.ret AS rb
+                FROM rr a JOIN rr b ON a.date = b.date AND a.symbol < b.symbol),
+         ag AS (SELECT sym_a, sym_b,
+                  list(ra ORDER BY date) AS la, list(rb ORDER BY date) AS lb
+                FROM pr GROUP BY sym_a, sym_b),
+         st AS (SELECT sym_a, sym_b,
+                  CAST(len(la) AS BIGINT) AS n_days,
+                  CAST(len(la) AS DOUBLE) AS nn,
+                  list_reduce([CAST(0 AS DOUBLE)] || la, (x,y) -> x + y) AS sx,
+                  list_reduce([CAST(0 AS DOUBLE)] || lb, (x,y) -> x + y) AS sy,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(la, v -> v * v), (x,y) -> x + y) AS sxx,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(lb, v -> v * v), (x,y) -> x + y) AS syy,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(list_zip(la, lb), p -> p[1] * p[2]), (x,y) -> x + y) AS sxy
+                FROM ag WHERE len(la) >= 3)
+         SELECT sym_a, sym_b, n_days,
+                CASE WHEN nn * sxx - sx * sx > 0 AND nn * syy - sy * sy > 0
+                     THEN (nn * sxy - sx * sy)
+                          / (sqrt(nn * sxx - sx * sx) * sqrt(nn * syy - sy * sy))
+                END AS corr
+         FROM st""",
 
     // Mirrors Backtest.dualMaSignals(5,20,exact)+equityCurve+metrics:
     // fold MAs, boolean crossover lag, last-non-hold position, ret/pnl,

@@ -64,4 +64,50 @@ object Indicators {
         .when(sumL === 0.0, lit(100.0))
         .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + sumG / sumL)))
   }
+
+  /** Pairwise daily-return correlation matrix across symbols — the
+    * portfolio-construction primitive (risk models, hierarchical
+    * clustering, pairs selection).
+    *
+    * Plan shape: returns (one per-symbol window pass) self-join on DATE —
+    * a date-co-shuffled equi-join, so each date's N returns meet once and
+    * the pair explosion is N²/2 per date, never a full cross join. Pair
+    * stats follow [[graft.ops.Windows.rollingCorr]]'s determinism recipe:
+    * per-pair series collected and SORTED by date, sums as sequential
+    * folds, the rational corr tree. At thousands of symbols, block the
+    * matrix (or go Gramian) — N² pairs is the method's intrinsic output.
+    *
+    * Returns (sym_a, sym_b, n_days, corr) for pairs with ≥ `minOverlap`
+    * aligned return days; degenerate (zero-variance) series yield null. */
+  def returnsCorrMatrix(bars: DataFrame, minOverlap: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    val rets = bars
+      .withColumn("ret", col("close") / lag(col("close"), 1).over(w) - 1.0)
+      .filter(col("ret").isNotNull)
+      .select(col("symbol"), col("date"), col("ret"))
+    val a = rets.select(col("symbol").as("sym_a"), col("date"), col("ret").as("ra"))
+    val b = rets.select(col("symbol").as("sym_b"), col("date"), col("ret").as("rb"))
+    val fold0 = (l: Column) => aggregate(l, lit(0.0), (x, e) => x + e)
+    val foldSq = (l: Column) => aggregate(l, lit(0.0), (x, e) => x + e * e)
+    a.join(b, Seq("date")).filter(col("sym_a") < col("sym_b"))
+      .groupBy("sym_a", "sym_b")
+      .agg(sort_array(collect_list(struct(col("date"), col("ra"), col("rb")))).as("lst0"))
+      .select(col("sym_a"), col("sym_b"),
+        transform(col("lst0"), s => s.getField("ra")).as("la"),
+        transform(col("lst0"), s => s.getField("rb")).as("lb"))
+      .filter(size(col("la")) >= minOverlap)
+      .select(col("sym_a"), col("sym_b"),
+        size(col("la")).cast("long").as("n_days"),
+        col("la"), col("lb"),
+        size(col("la")).cast("double").as("nn"),
+        fold0(col("la")).as("sx"), fold0(col("lb")).as("sy"),
+        foldSq(col("la")).as("sxx"), foldSq(col("lb")).as("syy"),
+        fold0(zip_with(col("la"), col("lb"), (x, y) => x * y)).as("sxy"))
+      .select(col("sym_a"), col("sym_b"), col("n_days"), {
+        val num = col("nn") * col("sxy") - col("sx") * col("sy")
+        val dx = col("nn") * col("sxx") - col("sx") * col("sx")
+        val dy = col("nn") * col("syy") - col("sy") * col("sy")
+        when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))).as("corr")
+      })
+  }
 }
