@@ -113,7 +113,18 @@ class ShuffleBudgetSpec extends SparkSpec {
     // 1-row subquery aggs (5 static exchanges); ReusedExchange collapses the twins at runtime
     "q11_important_stock" -> 5,
     // one key-partitioned window chain (corr5 precedent)
-    "w6_zscore" -> 1
+    "w6_zscore" -> 1,
+    // three dependent conditional-min stages: each re-aggregates the fact
+    // joined to the previous stage's (broadcast) per-user row — 2
+    // exchanges per stage in the static plan
+    "events_funnel" -> 6,
+    // per-user cohort agg + the (cohort, offset) distinct + final count
+    "events_retention" -> 3,
+    // two percentile window chains + the deviation re-rank; the med
+    // attach joins broadcast
+    "quantiles_mad" -> 3,
+    // hash-threshold filter is row-local
+    "sample_weighted" -> 0
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
