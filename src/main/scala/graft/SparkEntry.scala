@@ -2180,6 +2180,14 @@ object SparkEntry {
       graft.functions.Indicators.returnsCorrMatrix(b, minOverlap = 3)
     }),
 
+    // Portfolio-level acceptance: equal-weight combine of every symbol's
+    // curve, then the same metric folds over the portfolio series.
+    "api_portfolio_metrics" -> ((s, dir) => {
+      val sig = graft.api.Backtest.dualMaSignals(mkt(s, dir).bars,
+        fast = 5, slow = 20, exact = true)
+      graft.api.Backtest.portfolioMetrics(graft.api.Backtest.equityCurve(sig))
+    }),
+
     // Backtest acceptance metrics: the full strategy chain (fold-MA
     // crossover → position → P&L) aggregated per symbol — trades,
     // exposure, total P&L, Sharpe core, struct-fold max drawdown.
@@ -2268,6 +2276,40 @@ object SparkEntry {
                   revenue,
                   floor(revenue / (n * 1000.0) * 1000000 + 0.5) / 1000000 AS roe
                 FROM fqr)"""
+
+  /** The dual-MA strategy P&L derivation (through the per-(symbol, date)
+    * `pnl` CTE) shared by the per-symbol and portfolio-level metric
+    * oracles — one text, so the two replays can't drift. */
+  private val backtestPnlCtes: String =
+    """mal AS (SELECT symbol, date, close,
+                   list(CAST(close AS DOUBLE)) OVER wf AS l5,
+                   list(CAST(close AS DOUBLE)) OVER ws AS l20
+                 FROM bars
+                 WINDOW wf AS (PARTITION BY symbol ORDER BY date
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                        ws AS (PARTITION BY symbol ORDER BY date
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         mm AS (SELECT symbol, date, close,
+                  list_reduce([CAST(0 AS DOUBLE)] || l5, (a,b) -> a + b) / len(l5) AS ma_fast,
+                  list_reduce([CAST(0 AS DOUBLE)] || l20, (a,b) -> a + b) / len(l20) AS ma_slow
+                FROM mal),
+         sg AS (SELECT *, CASE WHEN LAG(ma_fast > ma_slow) OVER w IS NULL THEN 'hold'
+                               WHEN (ma_fast > ma_slow) AND NOT LAG(ma_fast > ma_slow) OVER w THEN 'buy'
+                               WHEN NOT (ma_fast > ma_slow) AND LAG(ma_fast > ma_slow) OVER w THEN 'sell'
+                               ELSE 'hold' END AS signal
+                FROM mm WINDOW w AS (PARTITION BY symbol ORDER BY date)),
+         ps AS (SELECT *, last_value(CASE WHEN signal <> 'hold' THEN signal END IGNORE NULLS)
+                            OVER (PARTITION BY symbol ORDER BY date
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_sig
+                FROM sg),
+         pc AS (SELECT *, CASE WHEN last_sig = 'buy' THEN 1 ELSE 0 END AS position,
+                   LAG(CASE WHEN last_sig = 'buy' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY symbol ORDER BY date) AS held,
+                   close / LAG(close) OVER (PARTITION BY symbol ORDER BY date) - 1.0 AS ret
+                FROM ps),
+         pnl AS (SELECT symbol, date, signal, position,
+                   CASE WHEN held = 1 AND ret IS NOT NULL THEN ret ELSE 0.0 END AS daily_pnl
+                 FROM pc)"""
 
   /** DuckDB replay of MarketViews.industryName — generated from the same
     * sector list so the two can't drift. */
@@ -2538,37 +2580,38 @@ object SparkEntry {
     // reads old dd/peak/cum only), then peak (old peak/cum), then cum.
     // Under this order the result is identical whether the engine
     // evaluates functionally or in place.
+    // Portfolio replay: shared pnl prelude, per-date symbol-ordered fold
+    // divided by the total symbol count, then the single-row metric folds
+    // (same field-order-safe dd struct).
+    "api_portfolio_metrics" ->
+      s"""$MKT,
+$backtestPnlCtes,
+         nsym AS (SELECT CAST(COUNT(DISTINCT symbol) AS BIGINT) AS n FROM pnl),
+         pd AS (SELECT date,
+                  list_reduce([CAST(0 AS DOUBLE)] || list(daily_pnl ORDER BY symbol),
+                    (a,b) -> a + b) / CAST(nsym.n AS DOUBLE) AS pnl
+                FROM pnl, nsym GROUP BY date, nsym.n),
+         pl AS (SELECT list(pnl ORDER BY date) AS lst FROM pd),
+         fo AS (SELECT CAST(len(lst) AS BIGINT) AS n_days,
+                  CAST(len(lst) AS DOUBLE) AS nn,
+                  list_reduce([CAST(0 AS DOUBLE)] || lst, (a,b) -> a + b) AS sx,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(lst, v -> v * v), (a,b) -> a + b) AS sxx,
+                  list_reduce([{'dd': CAST(0 AS DOUBLE), 'peak': CAST(0 AS DOUBLE), 'cum': CAST(0 AS DOUBLE)}] ||
+                    list_transform(lst, x -> {'dd': CAST(0 AS DOUBLE), 'peak': CAST(0 AS DOUBLE), 'cum': x}),
+                    (a, b) -> {'dd': greatest(a.dd, greatest(a.peak, a.cum + b.cum) - (a.cum + b.cum)),
+                               'peak': greatest(a.peak, a.cum + b.cum),
+                               'cum': a.cum + b.cum}) AS st
+                FROM pl)
+         SELECT n_days, (SELECT n FROM nsym) AS n_symbols,
+                st.cum AS total_pnl,
+                CASE WHEN nn * sxx - sx * sx > 0
+                     THEN sx / sqrt(nn * sxx - sx * sx) END AS sharpe_core,
+                st.dd AS max_drawdown
+         FROM fo""",
+
     "api_backtest_metrics" ->
       s"""$MKT,
-         mal AS (SELECT symbol, date, close,
-                   list(CAST(close AS DOUBLE)) OVER wf AS l5,
-                   list(CAST(close AS DOUBLE)) OVER ws AS l20
-                 FROM bars
-                 WINDOW wf AS (PARTITION BY symbol ORDER BY date
-                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
-                        ws AS (PARTITION BY symbol ORDER BY date
-                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
-         mm AS (SELECT symbol, date, close,
-                  list_reduce([CAST(0 AS DOUBLE)] || l5, (a,b) -> a + b) / len(l5) AS ma_fast,
-                  list_reduce([CAST(0 AS DOUBLE)] || l20, (a,b) -> a + b) / len(l20) AS ma_slow
-                FROM mal),
-         sg AS (SELECT *, CASE WHEN LAG(ma_fast > ma_slow) OVER w IS NULL THEN 'hold'
-                               WHEN (ma_fast > ma_slow) AND NOT LAG(ma_fast > ma_slow) OVER w THEN 'buy'
-                               WHEN NOT (ma_fast > ma_slow) AND LAG(ma_fast > ma_slow) OVER w THEN 'sell'
-                               ELSE 'hold' END AS signal
-                FROM mm WINDOW w AS (PARTITION BY symbol ORDER BY date)),
-         ps AS (SELECT *, last_value(CASE WHEN signal <> 'hold' THEN signal END IGNORE NULLS)
-                            OVER (PARTITION BY symbol ORDER BY date
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_sig
-                FROM sg),
-         pc AS (SELECT *, CASE WHEN last_sig = 'buy' THEN 1 ELSE 0 END AS position,
-                   LAG(CASE WHEN last_sig = 'buy' THEN 1 ELSE 0 END)
-                     OVER (PARTITION BY symbol ORDER BY date) AS held,
-                   close / LAG(close) OVER (PARTITION BY symbol ORDER BY date) - 1.0 AS ret
-                FROM ps),
-         pnl AS (SELECT symbol, date, signal, position,
-                   CASE WHEN held = 1 AND ret IS NOT NULL THEN ret ELSE 0.0 END AS daily_pnl
-                 FROM pc),
+$backtestPnlCtes,
          ag AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
                    CAST(sum(CASE WHEN signal = 'buy' THEN 1 ELSE 0 END) AS BIGINT) AS n_buys,
                    CAST(sum(position) AS BIGINT) AS days_long,

@@ -112,4 +112,43 @@ object Backtest {
         .as("sharpe_core"),
       col("st").getField("dd").as("max_drawdown"))
   }
+
+  /** PORTFOLIO-level metrics: equal-weight combine of every symbol's
+    * curve — daily portfolio P&L is the symbol-ordered fold sum of that
+    * date's per-symbol P&Ls divided by the TOTAL symbol count (symbols
+    * without a bar that day hold cash = 0), then the same Sharpe-core /
+    * struct-fold drawdown over the date-ordered portfolio series. One
+    * row out; diversification shows up as portfolio |sharpe| typically
+    * exceeding the median single symbol's. */
+  def portfolioMetrics(curve: DataFrame): DataFrame = {
+    val n = curve.select(countDistinct(col("symbol"))).head().getLong(0)
+    val daily = curve.groupBy(col("date"))
+      .agg(sort_array(collect_list(struct(col("symbol"), col("daily_pnl")))).as("l0"))
+      .select(col("date"),
+        (aggregate(transform(col("l0"), s => s.getField("daily_pnl")),
+          lit(0.0), (a, x) => a + x) / lit(n.toDouble)).as("pnl"))
+    val staged = daily
+      .agg(sort_array(collect_list(struct(col("date"), col("pnl")))).as("lst0"))
+      .select(transform(col("lst0"), s => s.getField("pnl")).as("lst"))
+      .select(
+        size(col("lst")).cast("long").as("n_days"),
+        size(col("lst")).cast("double").as("nn"),
+        aggregate(col("lst"), lit(0.0), (a, e) => a + e).as("sx"),
+        aggregate(col("lst"), lit(0.0), (a, e) => a + e * e).as("sxx"),
+        aggregate(col("lst"),
+          struct(lit(0.0).as("peak"), lit(0.0).as("dd"), lit(0.0).as("cum")),
+          (a, x) => {
+            val cumNew = a.getField("cum") + x
+            val peakNew = greatest(a.getField("peak"), cumNew)
+            struct(peakNew.as("peak"),
+              greatest(a.getField("dd"), peakNew - cumNew).as("dd"),
+              cumNew.as("cum"))
+          }).as("st"))
+    staged.select(col("n_days"), lit(n).as("n_symbols"),
+      col("st").getField("cum").as("total_pnl"),
+      when(col("nn") * col("sxx") - col("sx") * col("sx") > 0,
+        col("sx") / sqrt(col("nn") * col("sxx") - col("sx") * col("sx")))
+        .as("sharpe_core"),
+      col("st").getField("dd").as("max_drawdown"))
+  }
 }
