@@ -255,4 +255,81 @@ object Sinks {
       .map(leaf => leaf.toString -> compact(spark, leaf.toString, targetBytes))
       .toMap
   }
+
+  // ------------------------------------------------------------ versioned table
+  // Atomic multi-file publication — the minimal snapshot-isolation story a
+  // parquet directory can't give by itself: a table rewrite touching many
+  // files is visible either completely or not at all. Layout:
+  //   root/v=<n>/...parquet      immutable snapshot directories
+  //   root/_latest               ONE small file naming the live version
+  // Writers stage a full new snapshot dir, then swap `_latest` via
+  // write-temp + rename (rename is the atomic primitive on HDFS and posix;
+  // object stores substitute a conditional put). Readers resolve `_latest`
+  // ONCE and read an immutable dir — a concurrent publish can't tear their
+  // scan, and old versions remain for time travel until vacuumed.
+
+  /** Publish `df` as the next version of the table at `root`; returns the
+    * new version number. The snapshot is fully written BEFORE the pointer
+    * moves. */
+  def publishVersion(spark: SparkSession, root: String, df: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(rootP)
+    val next = currentVersion(spark, root).getOrElse(-1L) + 1L
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$next")
+    val tmp = new Path(rootP, s"_latest.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(rootP, "_latest")
+    // rename-over: atomic on posix/HDFS; fall back to delete+rename where
+    // the FS refuses to clobber (the tiny non-atomic window still never
+    // exposes a PARTIAL snapshot — worst case a reader retries the pointer)
+    if (!fs.rename(tmp, ptr)) {
+      fs.delete(ptr, false)
+      if (!fs.rename(tmp, ptr))
+        throw new java.io.IOException(s"publish: pointer swap failed at $ptr")
+    }
+    next
+  }
+
+  /** The live version number, if the table has ever been published. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val ptr = new Path(new Path(root), "_latest")
+    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Read the LIVE snapshot (or a pinned `version` for time travel). The
+    * returned frame reads an immutable directory — concurrent publishes
+    * cannot tear it. */
+  def readVersioned(spark: SparkSession, root: String,
+                    version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"no published version at $root"))
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  /** Drop snapshots older than the newest `keep` (never the live one). */
+  def vacuumVersions(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    require(keep >= 1, "must keep at least the live version")
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(rootP).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.drop(2).toLong).sorted
+    val doomed = versions.dropRight(keep)
+    doomed.foreach(v => fs.delete(new Path(rootP, s"v=$v"), true))
+    doomed.toSeq
+  }
 }

@@ -120,4 +120,33 @@ class SinksSpec extends SparkSpec {
     assert(back == docs.as[(Long, String, String)].collect().toSet,
       "zstd JSONL round-trip must be lossless")
   }
+
+  test("versioned publish: atomic pointer swap, time travel, pinned readers, vacuum") {
+    import graft.sources.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_versions").toString
+    val v0data = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v0 = Sinks.publishVersion(spark, root, v0data)
+    assert(v0 == 0L && Sinks.currentVersion(spark, root).contains(0L))
+    // a reader that resolved the pointer BEFORE the next publish keeps an
+    // immutable snapshot — the new version can't tear it
+    val pinned = Sinks.readVersioned(spark, root)
+    val v1 = Sinks.publishVersion(spark, root,
+      Seq((1L, "a2"), (3L, "c")).toDF("k", "v"))
+    assert(v1 == 1L)
+    assert(pinned.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")),
+      "pre-publish reader must still see v0")
+    assert(Sinks.readVersioned(spark, root).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (3L, "c")), "fresh reader sees v1")
+    // explicit time travel
+    assert(Sinks.readVersioned(spark, root, Some(0L))
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // vacuum keeps the newest `keep` snapshots, never the live one
+    val v2 = Sinks.publishVersion(spark, root, Seq((9L, "z")).toDF("k", "v"))
+    val dropped = Sinks.vacuumVersions(spark, root, keep = 2)
+    assert(dropped == Seq(0L) && v2 == 2L)
+    assert(Sinks.readVersioned(spark, root).count() == 1)
+    assert(Sinks.readVersioned(spark, root, Some(1L)).count() == 2,
+      "kept version still time-travels")
+    intercept[Exception](Sinks.readVersioned(spark, root, Some(0L)).count())
+  }
 }
