@@ -1895,6 +1895,15 @@ object SparkEntry {
       Multimodal.aHashPpm(Multimodal.syntheticPpm(ids)).toDF()
     }),
 
+    // Gradient hash (dHash): adjacent-cell compares on a 9×8 sample —
+    // brightness AND contrast invariant; pure integer compares.
+    "mm_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Multimodal.dHashPpm(Multimodal.syntheticPpm(ids)).toDF()
+    }),
+
     // Compressed-codec round trip: PPM bytes → REAL gzip → REAL streaming
     // gunzip → PPM decode. Same oracle formula as mm_decode — matching it
     // proves the inflate path reproduced the original bytes distributed.
@@ -4371,6 +4380,30 @@ $backtestPnlCtes,
          bits AS (SELECT g.id, g.i,
                     CASE WHEN g.gray * 64 > s.tot THEN 1 ELSE 0 END AS b
                   FROM g JOIN s ON g.id = s.id)
+         SELECT id, CAST(4 + id % 5 AS INT) AS width,
+                CAST(3 + id % 4 AS INT) AS height,
+                CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS hash_lo,
+                CAST(SUM(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+                CAST(SUM(b) AS BIGINT) AS n_set
+         FROM bits GROUP BY id""",
+
+    // Mirrors Multimodal.dHashPpm: 9×8 sample (x over 9 columns), strict
+    // right-neighbor compares, same two-half packing.
+    "mm_dhash" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(4 + doc_id % 5 AS BIGINT) AS sw,
+                      CAST(3 + doc_id % 4 AS BIGINT) AS sh
+                    FROM documents),
+         cells AS (SELECT id, CAST(i AS BIGINT) AS i,
+                     ((CAST(i AS BIGINT) % 8) * sw) // 9 AS sxa,
+                     (((CAST(i AS BIGINT) % 8) + 1) * sw) // 9 AS sxb,
+                     ((CAST(i AS BIGINT) // 8) * sh) // 8 AS sy
+                   FROM d, unnest(range(0, 64)) AS t(i)),
+         g AS (SELECT id, i,
+                 (id + 3*sxa + 7*sy) % 256 + (2*id + sxa) % 256 + (id + sy) % 256 AS ga,
+                 (id + 3*sxb + 7*sy) % 256 + (2*id + sxb) % 256 + (id + sy) % 256 AS gb
+               FROM cells),
+         bits AS (SELECT id, i, CASE WHEN ga > gb THEN 1 ELSE 0 END AS b FROM g)
          SELECT id, CAST(4 + id % 5 AS INT) AS width,
                 CAST(3 + id % 4 AS INT) AS height,
                 CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS hash_lo,

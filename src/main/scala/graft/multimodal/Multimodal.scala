@@ -204,6 +204,37 @@ object Multimodal {
     })
   }
 
+  /** Difference-hash (dHash) — [[aHashPpm]]'s gradient sibling: a 9×8
+    * nearest-neighbor sample, bit i set when cell (x, y) is STRICTLY
+    * brighter than its right neighbor (x+1, y). Comparing ADJACENT cells
+    * instead of the global mean makes the hash invariant to brightness
+    * AND (monotone) contrast changes — the stronger perceptual-dup
+    * equivalence. All integer compares; same two-half packing. */
+  def dHashPpm(media: Dataset[PpmImage]): Dataset[AHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseP6(r.media).map { case (w, h, off) =>
+        def gray(gx: Long, gy: Long): Long = {
+          val sy = gy * h / 8
+          val sx = gx * w / 9
+          val p = off + ((sy * w + sx) * 3).toInt
+          (r.media(p) & 0xff).toLong + (r.media(p + 1) & 0xff) + (r.media(p + 2) & 0xff)
+        }
+        var lo = 0L; var hi = 0L; var n = 0L
+        var i = 0
+        while (i < 64) {
+          val (x, y) = (i % 8, i / 8)
+          if (gray(x, y) > gray(x + 1, y)) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            n += 1
+          }
+          i += 1
+        }
+        AHash(r.id, w, h, lo, hi, n)
+      }
+    })
+  }
+
   /** Compressed-codec lane: gzip (RFC 1952) via `java.util.zip` — a REAL
     * compressed container with a pure-JVM decoder, standing where
     * JPEG/PNG/FLAC would in production (same plumbing: opaque binary in,

@@ -244,6 +244,31 @@ class PipelineSpec extends SparkSpec {
     assert(h(1L).n_set > 0L && h(1L).n_set < 64L, "non-trivial bit pattern")
   }
 
+  test("dHash: invariant under NON-LINEAR monotone contrast where aHash flips") {
+    def ppm(id: Long, w: Int, h: Int, px: (Int, Int) => Int): Multimodal.PpmImage = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var p = header.length
+      for (y <- 0 until h; x <- 0 until w; _ <- 0 until 3) {
+        out(p) = px(x, y).toByte; p += 1
+      }
+      Multimodal.PpmImage(id, out)
+    }
+    // values in 0..15 so squaring stays in-byte and strictly monotone;
+    // mid-values near the mean are where aHash's global threshold flips
+    val base = (x: Int, y: Int) => (x * 3 + y * 5) % 16
+    val imgs = Seq(
+      ppm(1L, 16, 16, base),
+      ppm(2L, 16, 16, (x, y) => { val v = base(x, y); v * v })).toDS()
+    val dh = Multimodal.dHashPpm(imgs).collect().map(a => a.id -> a).toMap
+    assert(dh(1L).hash_lo == dh(2L).hash_lo && dh(1L).hash_hi == dh(2L).hash_hi,
+      "adjacent-cell ORDER survives any strictly monotone tone map")
+    val ah = Multimodal.aHashPpm(imgs).collect().map(a => a.id -> a).toMap
+    assert(ah(1L).hash_lo != ah(2L).hash_lo || ah(1L).hash_hi != ah(2L).hash_hi,
+      "the global-mean threshold should flip under squaring (else the test image is degenerate)")
+  }
+
   test("multimodal decode plumbing: schema, determinism, per-byte features") {
     val media = Multimodal.attachBinary(docs.limit(10), "doc_id", "text")
     assert(media.schema("media").dataType.typeName == "binary")
