@@ -1199,6 +1199,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
     }),
 
+    // The REWRITE half of the Lee et al. pass: duplicated 8-spans are
+    // EXCISED (a token survives iff no duplicated span covers it) and the
+    // cleaned text rebuilt — md5-pinned so the gate row stays narrow.
+    "dedup_strip_spans" -> ((s, dir) =>
+      Dedup.stripDupSpans(TestData(s, dir).documents, "doc_id", "text",
+        w = 8, minDocs = 2)),
+
     // Lee et al. sliding-window duplicated-span pass: an 8-token span
     // occurring in ≥2 distinct docs at ANY alignment is duplicated; docs
     // over 20% duplicated positions drop. Integer counts + a
@@ -4110,6 +4117,32 @@ $backtestPnlCtes,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
          FROM documents GROUP BY md5(text)""",
+
+    // Mirrors Dedup.stripDupSpans(w=8, minDocs=2): dup start positions
+    // per doc, indexed token filter (DuckDB lambda i is 1-BASED — i−1
+    // aligns with Spark's 0-based index), md5 of the rebuilt text.
+    "dedup_strip_spans" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         ps AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  array_to_string(ws[CAST(i AS BIGINT)+1 : CAST(i AS BIGINT)+8], ' ') AS span
+                FROM w, unnest(range(0, len(ws)-7)) AS t(i) WHERE len(ws) >= 8),
+         ds AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM ps)
+                GROUP BY span HAVING count(*) >= 2),
+         st AS (SELECT ps.doc_id, list(ps.pos ORDER BY ps.pos) AS starts
+                FROM ps JOIN ds USING (span) GROUP BY ps.doc_id),
+         j AS (SELECT w.doc_id, w.ws,
+                      COALESCE(st.starts, CAST([] AS BIGINT[])) AS starts
+               FROM w LEFT JOIN st ON w.doc_id = st.doc_id),
+         k AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                 list_filter(ws, (tk, i) ->
+                   len(list_filter(starts, s -> i-1 >= s AND i-1 <= s+7)) = 0) AS kept
+               FROM j)
+         SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+                -- DuckDB array_to_string of an EMPTY list is NULL; Spark's
+                -- concat_ws is '' — coalesce to match (fully-excised docs)
+                md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_hash
+         FROM k""",
 
     // Mirrors Dedup.dupSpans(w=8, minDocs=2, maxDupPct=20): every
     // position's 8-token span, doc frequency over distinct (doc, span)

@@ -522,6 +522,48 @@ object Dedup {
       .select("doc_id", "is_dup", "n_dup_partners")
   }
 
+  /** [[dupSpans]]'s REWRITE half — the full Lee et al. semantics: rather
+    * than dropping whole documents, REMOVE the duplicated spans and keep
+    * the rest. A token survives iff NO duplicated w-span covers it (a
+    * span starting at s covers positions s..s+w−1), so boilerplate
+    * excises at any alignment while the document's unique content stays.
+    *
+    * Plan shape: the same (doc,span) collapse + span-DF stages as
+    * [[dupSpans]], then dup START POSITIONS collect per doc (bounded by
+    * doc length) and a row-local indexed filter rebuilds the text — the
+    * final join moves the text ONCE.
+    *
+    * Returns (doc_id, n_tokens, n_kept, cleaned_hash) — the md5 keeps the
+    * gate row narrow while still pinning the rebuilt text byte-for-byte. */
+  def stripDupSpans(docs: DataFrame, id: String, text: String,
+                    w: Int = 8, minDocs: Int = 2): DataFrame = {
+    val withWords = docs.select(col(id).as("doc_id"),
+      filter(split(col(text), " "), t => length(t) > 0).as("ws"))
+    val ws = col("ws")
+    val spans = transform(
+      sequence(lit(0), size(ws) - w),
+      i => concat_ws(" ", (0 until w).map(j => element_at(ws, i + j + 1)): _*))
+    val posSpans = withWords.filter(size(ws) >= w)
+      .select(col("doc_id"), posexplode_outer(spans).as(Seq("pos", "span")))
+    val dupSet = posSpans.select("doc_id", "span").distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span"))
+    val dupStarts = posSpans.join(dupSet, Seq("span"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    withWords.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), ws,
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        filter(ws, (t, i) =>
+          !exists(col("starts"), s => i >= s && i <= s + (w - 1))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_hash"))
+  }
+
   /** Cross-document duplicated-span detection — the sliding-window
     * exact-substring pass (Lee et al. 2021, "Deduplicating Training Data
     * Makes Language Models Better"): a w-token span is *duplicated* when

@@ -75,6 +75,29 @@ class PipelineSpec extends SparkSpec {
     assert(r(3) == (4L, 0L, 0L, true))   // span-less doc always keeps
   }
 
+  test("stripDupSpans: excises the shared span at any alignment, keeps unique content") {
+    val d = Seq(
+      (1L, "UNIQUE1 the quick brown fox UNIQUE2"),      // span at pos 1
+      (2L, "the quick brown fox TAIL1 TAIL2 TAIL3"),    // span at pos 0
+      (3L, "totally different words here")               // untouched
+    ).toDF("doc_id", "text")
+    val r = Dedup.stripDupSpans(d, "doc_id", "text", w = 4, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().map(x => x._1 -> x).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // doc1: tokens 1..4 covered -> keeps UNIQUE1 UNIQUE2
+    assert(r(1L) == ((1L, 6L, 2L, h("UNIQUE1 UNIQUE2"))), r(1L).toString)
+    // doc2: tokens 0..3 covered -> keeps the tail
+    assert(r(2L) == ((2L, 7L, 3L, h("TAIL1 TAIL2 TAIL3"))))
+    // doc3: nothing duplicated -> byte-identical
+    assert(r(3L) == ((3L, 4L, 4L, h("totally different words here"))))
+    // a doc that IS the shared span excises to empty (md5(""))
+    val full = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val fr = Dedup.stripDupSpans(full, "doc_id", "text", w = 4, minDocs = 2)
+      .select("n_kept", "cleaned_hash").as[(Long, String)].collect()
+    assert(fr.forall(_ == ((0L, h("")))), fr.toSeq.toString)
+  }
+
   test("dupSpans: within-doc repetition alone is NOT duplication (minDocs is doc frequency)") {
     val d = Seq(
       (1L, "a b c d a b c d a b c d"), // the span repeats, but only here
