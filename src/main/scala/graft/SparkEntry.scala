@@ -1199,6 +1199,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
     }),
 
+    // Decontamination by EXCISION: bench 5-spans are removed from corpus
+    // docs (the higher-retention alternative to dropping contaminated
+    // docs); bench set broadcast, rebuild md5-pinned.
+    "decontam_strip" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      Decontam.stripBenchSpans(docs, docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // The REWRITE half of the Lee et al. pass: duplicated 8-spans are
     // EXCISED (a token survives iff no duplicated span covers it) and the
     // cleaned text rebuilt — md5-pinned so the gate row stays narrow.
@@ -4117,6 +4126,31 @@ $backtestPnlCtes,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
          FROM documents GROUP BY md5(text)""",
+
+    // Mirrors Decontam.stripBenchSpans(n=5, bench = doc_id%50==0): the
+    // strip-spans replay with the bench set as the dirty-span source.
+    "decontam_strip" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         bg AS (SELECT DISTINCT span FROM (
+                  SELECT unnest(list_distinct(list_transform(range(0, len(ws)-4),
+                           i -> array_to_string(ws[CAST(i AS BIGINT)+1 : CAST(i AS BIGINT)+5], ' ')))) AS span
+                  FROM w WHERE doc_id % 50 = 0 AND len(ws) >= 5)),
+         ps AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  array_to_string(ws[CAST(i AS BIGINT)+1 : CAST(i AS BIGINT)+5], ' ') AS span
+                FROM w, unnest(range(0, len(ws)-4)) AS t(i) WHERE len(ws) >= 5),
+         st AS (SELECT ps.doc_id, list(ps.pos ORDER BY ps.pos) AS starts
+                FROM ps JOIN bg USING (span) GROUP BY ps.doc_id),
+         j AS (SELECT w.doc_id, w.ws,
+                      COALESCE(st.starts, CAST([] AS BIGINT[])) AS starts
+               FROM w LEFT JOIN st ON w.doc_id = st.doc_id),
+         k AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                 list_filter(ws, (tk, i) ->
+                   len(list_filter(starts, s -> i-1 >= s AND i-1 <= s+4)) = 0) AS kept
+               FROM j)
+         SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+                md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_hash
+         FROM k""",
 
     // Mirrors Dedup.stripDupSpans(w=8, minDocs=2): dup start positions
     // per doc, indexed token filter (DuckDB lambda i is 1-BASED — i−1

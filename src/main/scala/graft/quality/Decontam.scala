@@ -98,6 +98,42 @@ object Decontam {
         col("n_flagged").cast("double") / col("n_grams"))
   }
 
+  /** Decontamination by EXCISION — remove the contaminated spans instead
+    * of dropping whole documents (the higher-retention variant of
+    * [[ngramOverlap]]'s verdict: a doc that merely QUOTES an eval item
+    * keeps its unique prose). A corpus token survives iff no n-span
+    * covering it appears in the bench set. Bench spans broadcast (eval
+    * sets are small); the corpus pass is per-doc local: indexed span
+    * probe + indexed token filter, the same rebuild shape as
+    * `Dedup.stripDupSpans`. Returns (doc_id, n_tokens, n_kept,
+    * cleaned_hash). */
+  def stripBenchSpans(corpus: DataFrame, bench: DataFrame,
+                      id: String, text: String, n: Int): DataFrame = {
+    val benchG = distinctGrams(bench, id, text, n)
+      .select(explode_outer(col("grams")).as("span")).distinct()
+    val withWords = corpus.select(col(id).as("doc_id"),
+      graft.functions.TextFns.words(col(text)).as("ws"))
+    val ws = col("ws")
+    val spans = transform(
+      sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+    val posSpans = withWords.filter(size(ws) >= n)
+      .select(col("doc_id"), posexplode_outer(spans).as(Seq("pos", "span")))
+    val dirty = posSpans.join(broadcast(benchG), Seq("span"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    withWords.join(dirty, Seq("doc_id"), "left")
+      .select(col("doc_id"), ws,
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        filter(ws, (t, i) =>
+          !exists(col("starts"), s => i >= s && i <= s + (n - 1))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_hash"))
+  }
+
   def ngramOverlap(corpus: DataFrame, bench: DataFrame,
                    id: String, text: String, n: Int): DataFrame = {
     val corpusG = distinctGrams(corpus, id, text, n)

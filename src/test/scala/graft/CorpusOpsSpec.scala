@@ -212,4 +212,20 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again === out.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("stripBenchSpans: quoted eval item excised, unique prose kept, bench doc empties") {
+    val bench = Seq((100L, "the exact eval question here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "INTRO the exact eval question here OUTRO1 OUTRO2"), // quotes the item
+      (2L, "no overlap with anything in the benchmark"),
+      (100L, "the exact eval question here")                    // the item itself
+    ).toDF("doc_id", "text")
+    val r = Decontam.stripBenchSpans(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, String)].collect().map(x => x._1 -> x).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(r(1L) == ((1L, 8L, 3L, h("INTRO OUTRO1 OUTRO2"))), r(1L).toString)
+    assert(r(2L)._3 == 7L && r(2L)._4 == h("no overlap with anything in the benchmark"))
+    assert(r(100L)._3 == 0L && r(100L)._4 == h(""))
+  }
 }
