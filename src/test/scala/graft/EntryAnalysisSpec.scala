@@ -26,4 +26,26 @@ class EntryAnalysisSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- qNames
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
+
+  test("every oracle references only fixture tables the driver registers") {
+    // the driver creates one DuckDB view per fixture parquet; a typo'd
+    // table name would only surface as a driver-side SQL error next round
+    // — catch it here. FROM/JOIN targets must be fixture tables or CTE
+    // names defined in the same statement.
+    val fixtures = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fromRe = "(?is)\\b(?:FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+    // CTE name forms: `name AS (`, `WITH [RECURSIVE] name AS (`,
+    // `name AS MATERIALIZED (`, and column-listed `name(c1, c2) AS (`
+    val cteRe = ("(?im)(?:^|,|\\(|\\bWITH\\b(?:\\s+RECURSIVE)?)\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(").r
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      val ctes = cteRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = refs -- ctes -- fixtures -
+        "unnest" - "range" - "read_parquet" // table functions
+      if (unknown.isEmpty) None else Some(s"$name: $unknown")
+    }
+    assert(bad.isEmpty, s"\nunknown oracle table refs:\n${bad.mkString("\n")}")
+  }
 }
