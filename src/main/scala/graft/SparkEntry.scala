@@ -1199,6 +1199,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
     }),
 
+    // Relational crosstab: source × language counts via pivot with an
+    // EXPLICIT value list (schema deterministic, no value-discovery job);
+    // absent cells coalesce to 0 so both engines agree. One Expand-free
+    // pivot aggregation shuffle.
+    "p5_crosstab" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val piv = TestData(s, dir).documents
+        .groupBy(col("source")).pivot("lang", langs).count()
+      piv.select(col("source") +:
+        langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+    }),
+
     // Decontamination by EXCISION: bench 5-spans are removed from corpus
     // docs (the higher-retention alternative to dropping contaminated
     // docs); bench set broadcast, rebuild md5-pinned.
@@ -4126,6 +4138,15 @@ $backtestPnlCtes,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
          FROM documents GROUP BY md5(text)""",
+
+    "p5_crosstab" ->
+      """SELECT source,
+                CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+         FROM documents GROUP BY source""",
 
     // Mirrors Decontam.stripBenchSpans(n=5, bench = doc_id%50==0): the
     // strip-spans replay with the bench set as the dirty-span source.
