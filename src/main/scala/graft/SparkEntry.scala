@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Flac, Gif, Jpeg, Multimodal, Png, Video}
+import graft.multimodal.{Bmp, Flac, Gif, Jpeg, Multimodal, Png, Video}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -428,7 +428,7 @@ object SparkEntry {
       import s.implicits._
       val docs = TestData(s, dir).documents
       val ids = docs.select(col("doc_id").cast("long")).as[Long]
-      def pick(m: Int) = ids.filter(_ % 8 == m)
+      def pick(m: Int) = ids.filter(_ % 9 == m)
       def row(id: Long, media: Array[Byte]) =
         Multimodal.MediaRow(id, media, "", 0, 0)
       val mixed =
@@ -439,7 +439,8 @@ object SparkEntry {
           .union(Multimodal.syntheticWav(pick(4)).map(r => row(r.id, r.media)))
           .union(Flac.syntheticFlac(pick(5)).map(r => row(r.id, r.media)))
           .union(Video.syntheticAvi(pick(6)).map(r => row(r.id, r.media)))
-          .union(docs.filter(col("doc_id") % 8 === 7)
+          .union(Bmp.syntheticBmp(pick(7)).map(r => row(r.id, r.media)))
+          .union(docs.filter(col("doc_id") % 9 === 8)
             .select(col("doc_id").cast("long").as("id"),
               encode(col("text"), "UTF-8").as("media"),
               lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
@@ -781,6 +782,100 @@ object SparkEntry {
         GROUP BY p.p_brand""")
     }),
 
+    // TPC-H Q8 class: the DEEPEST join tree in the plan-shape tier — an
+    // 8-way snowflake with nation joined in TWO roles (customer's nation
+    // routes through region for the market filter; supplier's nation is
+    // the share indicator), then a per-year market-share ratio. Share =
+    // nation volume / total volume as a division of two DECIMAL-exact
+    // doubles — IEEE division of identical inputs is bit-identical
+    // cross-engine (the hazard is only ever in the SUMS, which go
+    // decimal-route). At 100 TB: every dim side (part, customer,
+    // supplier, nation×2, region) broadcasts; lineitem⋈orders is the one
+    // co-shuffled fact join; the year/share agg is one exchange.
+    "q8_market_share" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g8_lineitem")
+      t.orders.createOrReplaceTempView("g8_orders")
+      t.customer.createOrReplaceTempView("g8_customer")
+      t.supplier.createOrReplaceTempView("g8_supplier")
+      t.part.createOrReplaceTempView("g8_part")
+      t.nation.createOrReplaceTempView("g8_nation")
+      t.region.createOrReplaceTempView("g8_region")
+      s.sql("""
+        SELECT o_year,
+               CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                                  ELSE CAST(0 AS DECIMAL(25,6)) END)
+                   AS DECIMAL(25,6)) AS DOUBLE)
+                 / CAST(CAST(SUM(volume) AS DECIMAL(25,6)) AS DOUBLE)
+                 AS mkt_share,
+               count(*) AS n_lines
+        FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
+                     n2.n_name AS supp_nation
+              FROM g8_part
+                JOIN g8_lineitem ON p_partkey = l_partkey
+                JOIN g8_supplier ON s_suppkey = l_suppkey
+                JOIN g8_orders ON l_orderkey = o_orderkey
+                JOIN g8_customer ON o_custkey = c_custkey
+                JOIN g8_nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN g8_region ON n1.n_regionkey = r_regionkey
+                JOIN g8_nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+                AND p_type = 'MEDIUM')
+        GROUP BY o_year""")
+    }),
+
+    // TPC-H Q12 class: two-group CASE aggregation over a fact-fact join —
+    // per ship class, how many lines belong to high- vs low-priority
+    // orders. The fixtures carry no l_shipmode/commitdate, so
+    // l_returnflag plays the ship-class role and the date window filters
+    // l_shipdate — the PLAN shape (join + conditional two-way counts in
+    // one aggregation pass, never two scans) is the point. All-integer
+    // outputs; sums BIGINT-cast on both sides (DuckDB widens SUM(int) to
+    // HUGEINT — the graph_pagerank lesson).
+    "q12_ship_priority" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g12_lineitem")
+      t.orders.createOrReplaceTempView("g12_orders")
+      s.sql("""
+        SELECT l_returnflag AS ship_class,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM g12_orders JOIN g12_lineitem ON o_orderkey = l_orderkey
+        WHERE l_linestatus = 'F'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag""")
+    }),
+
+    // TPC-H Q14 class: conditional-ratio aggregation — promo revenue as a
+    // share of total over one month, numerator and denominator summed in
+    // ONE pass via CASE (not two scans). Both sums go decimal-route, the
+    // ratio is a single double multiply+divide of the exact sums (IEEE
+    // bit-identical cross-engine); n_lines keeps the row verifiable even
+    // if the ratio were ever in doubt.
+    "q14_promo_effect" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g14_lineitem")
+      t.part.createOrReplaceTempView("g14_part")
+      s.sql("""
+        SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                   ELSE CAST(0 AS DECIMAL(25,6)) END)
+                 AS DECIMAL(25,6)) AS DOUBLE) * 100.0
+               / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)
+               AS promo_revenue,
+               count(*) AS n_lines
+        FROM g14_lineitem JOIN g14_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""")
+    }),
+
     // Hot-key split join: result ≡ plain join; the plan broadcasts the
     // hot mass (keys with >N rows) and shuffles only the tail — the
     // other standard skew treatment next to j7's salting.
@@ -942,6 +1037,21 @@ object SparkEntry {
         .withColumn("money", col("money").cast("decimal(25,6)").cast("double"))
     }),
 
+    // Intraday frequency, batch side: resampleBars is grain-agnostic, so
+    // the documented-but-reference-stubbed 1m/5m bar frequencies are one
+    // period expression away — market-wide 5-minute bars over the events
+    // ticks. The bucket id comes from integer DIV on ts_ns (rule 5: a
+    // double-routed division at 1e18 ns loses sub-ms precision).
+    "a6_resample_minute" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+      Aggregates.resampleBars(ev,
+          Seq.empty,
+          expr("ts_ns DIV 300000000000"),
+          Seq(col("ts_ns"), col("event_id")),
+          col("value"), lit(1L), dec(col("value")))
+        .withColumn("money", col("money").cast("decimal(25,6)").cast("double"))
+    }),
+
     // Gap-based sessionization (batch form of a streaming session window):
     // 30-minute inactivity gap per user, with per-session aggregates.
     "sessionize" -> ((s, dir) => {
@@ -1017,6 +1127,13 @@ object SparkEntry {
     // IS the model; the oracle unrolls the 8 rounds as CTE blocks.
     "tok_bpe_merges" -> ((s, dir) =>
       Tokenizer.trainBpe(TestData(s, dir).documents, "text", nMerges = 8)),
+
+    // The driver-local BPE trainer (one corpus job + in-memory merge
+    // loop — the production trainer shape): same merge sequence as
+    // trainBpe by construction, so it shares bpeOracleSql verbatim; the
+    // ~40× job saving is listener-asserted in TokenizerSpec.
+    "tok_bpe_local" -> ((s, dir) =>
+      Tokenizer.trainBpeLocal(TestData(s, dir).documents, "text", nMerges = 8)),
 
     // BPE inference under the learned merges: ascending-rank replace
     // chain (provably ≡ the priority loop — a rank-k merge only creates
@@ -1211,6 +1328,27 @@ object SparkEntry {
         langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
     }),
 
+    // ARBITRARY grouping sets — the level list ((rf,ls),(ls),()) is
+    // non-hierarchical (skips the (rf) level), so neither rollup nor cube
+    // (both already gated) can express it; still ONE Expand → ONE
+    // aggregation pass. GROUPING() flags disambiguate real NULL groups
+    // from subtotal rows; BIGINT-cast on both sides (the DuckDB HUGEINT
+    // lesson applies to GROUPING too).
+    "p6_grouping_sets" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g_p6_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,6)))
+                   AS DECIMAL(25,6)) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM g_p6_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())""")
+    }),
+
     // Decontamination by EXCISION: bench 5-spans are removed from corpus
     // docs (the higher-retention alternative to dropping contaminated
     // docs); bench set broadcast, rebuild md5-pinned.
@@ -1364,6 +1502,31 @@ object SparkEntry {
       graft.streaming.Replay.toBatch(
         graft.streaming.BarBuilder.bars(ticks, "1 hour", "601 seconds",
           seqCol = Some("seq")), "bars")
+        .select(col("symbol"), unix_micros(col("bar_start")).as("bar_start_us"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("money"), col("n_ticks"))
+    }),
+
+    // Intraday frequency, streaming side: the SAME bar builder at a
+    // 5-minute window — PTrade documents 1m/5m frequencies
+    // (PTrade_API_mini_Reference.md:1798) that the reference rejects
+    // (ptrade_data_api.py:58-62); here intraday is purely a windowLen
+    // parameter. Emission cutoff replays as in stream_bars (window end ≤
+    // final watermark); batch/stream parity is additionally spec-asserted
+    // against resampleBars at the same grain (StreamingSpec).
+    "stream_minute_bars" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+      val ticks = ev.select(
+        concat(lit("S"), col("user_id") % 20).as("symbol"),
+        col("ts"),
+        ((col("event_id") * 37) % 10000).cast("double").as("px"),
+        ((col("event_id") % 100) + 1).cast("double").as("qty"),
+        col("event_id").as("seq"))
+      graft.streaming.Replay.toBatch(
+        graft.streaming.BarBuilder.bars(ticks, "5 minutes", "601 seconds",
+          seqCol = Some("seq")), "bars5m")
         .select(col("symbol"), unix_micros(col("bar_start")).as("bar_start_us"),
           col("open"), col("high"), col("low"), col("close"),
           col("volume"), col("money"), col("n_ticks"))
@@ -1569,6 +1732,15 @@ object SparkEntry {
     // per-vector scale, sequential-fold reconstruction error.
     "emb_quantize" -> ((s, dir) =>
       Quant.quantizeInt8(TestData(s, dir).embeddings, "vec_id", "embedding")),
+
+    // SQ8 retrieval (FAISS scalar-quantizer flat scan): top-k by the
+    // descaled INTEGER code dot — the 4×-less-scan-bandwidth brute lane.
+    // Code dot exact in BIGINT; descale = two IEEE multiplies; ties on
+    // neighbor id. Recall floor vs exact brute is spec-asserted.
+    "ann_sq8_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Quant.int8TopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
 
     // JL random projection 64 → 8: md5-derived ±1 sign matrix (no stored
     // state — any engine rebuilds it from the formula), one sequential
@@ -1974,6 +2146,17 @@ object SparkEntry {
       Png.decodePng(Png.syntheticPng(ids)).toDF()
     }),
 
+    // REAL BMP decode (24-bpp BI_RGB: BGR byte order, 4-byte row padding,
+    // bottom-up AND top-down orientations, the pixel-offset FIELD honored)
+    // — the oracle replays the generation formula while the Spark path
+    // truly encodes and re-parses the padded container.
+    "mm_bmp" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Bmp.decodeBmp(Bmp.syntheticBmp(ids)).toDF()
+    }),
+
     // Multimodal audio decode: REAL RIFF/WAVE (PCM16) chunk-walk → sample
     // stats; oracle replays the generation formula (integer math, exact).
     "mm_wav" -> ((s, dir) => {
@@ -2181,6 +2364,21 @@ object SparkEntry {
 
     // get_Ashares: tradable universe at a date (F1).
     "api_ashares" -> ((s, dir) => api(s, dir).getAshares("1997-03-03")),
+
+    // get_stock_name / get_trading_day: PTrade doc functions the reference
+    // omits — the last data-side parity wins (VERDICT r10 item 6).
+    "api_stock_name" -> ((s, dir) => api(s, dir).getStockName(
+      Seq("000001.SZ", "000002.SZ", "000003.SZ"))),
+
+    // offsets −3 / 0 / +5 from a NON-trading anchor date (1996-06-15 is a
+    // weekend in the bar calendar) — exercises the anchor-back convention,
+    // zero, and both walk directions in one gate.
+    "api_trading_day" -> ((s, dir) => {
+      val a = api(s, dir)
+      Seq(-3, 0, 5).map(o => a.getTradingDay("1996-06-15", o)
+          .withColumn("offset", lit(o)))
+        .reduce(_ unionByName _)
+    }),
 
     // get_index_stocks: constituents at latest sample ≤ query date (S7).
     "api_index_stocks" -> ((s, dir) =>
@@ -2519,6 +2717,19 @@ object SparkEntry {
     "api_ashares" ->
       s"""$MKT SELECT symbol, 'SEC-' || symbol AS stock_name FROM meta
           WHERE DATE '1997-03-03' BETWEEN listed_date AND de_listed_date""",
+
+    "api_stock_name" ->
+      s"""$MKT SELECT symbol, 'SEC-' || symbol AS stock_name FROM meta
+          WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')""",
+
+    "api_trading_day" ->
+      s"""$MKT, ranked AS (SELECT trade_date,
+                 ROW_NUMBER() OVER (ORDER BY trade_date) AS rn FROM cal),
+          anchor AS (SELECT MAX(rn) AS arn FROM ranked
+                     WHERE trade_date <= DATE '1996-06-15')
+          SELECT trade_date, o AS offset
+          FROM ranked, anchor, (VALUES (-3),(0),(5)) AS t(o)
+          WHERE rn = arn + o""",
 
     "api_industry_stocks" ->
       s"""$MKT SELECT symbol FROM meta
@@ -3000,18 +3211,21 @@ $backtestPnlCtes,
     // and routing are what's gated; integers only, exact both engines.
     "mm_sniff" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
-                CASE doc_id % 8 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                CASE doc_id % 9 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'
-                  WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' ELSE 'opaque' END AS kind,
-                CAST(CASE doc_id % 8 WHEN 0 THEN 5 + doc_id % 9
+                  WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' WHEN 7 THEN 'bmp'
+                  ELSE 'opaque' END AS kind,
+                CAST(CASE doc_id % 9 WHEN 0 THEN 5 + doc_id % 9
                   WHEN 1 THEN 5 + doc_id % 6 WHEN 2 THEN 5 + doc_id % 7
                   WHEN 3 THEN 4 + doc_id % 5 WHEN 6 THEN 5 + doc_id % 9
+                  WHEN 7 THEN 6 + doc_id % 7
                   ELSE 0 END AS INT) AS width,
-                CAST(CASE doc_id % 8 WHEN 0 THEN 4 + doc_id % 9
+                CAST(CASE doc_id % 9 WHEN 0 THEN 4 + doc_id % 9
                   WHEN 1 THEN 4 + doc_id % 5 WHEN 2 THEN 4 + doc_id % 6
                   WHEN 3 THEN 3 + doc_id % 4 WHEN 6 THEN 4 + doc_id % 9
+                  WHEN 7 THEN 3 + doc_id % 6
                   ELSE 0 END AS INT) AS height,
-                CAST(CASE doc_id % 8
+                CAST(CASE doc_id % 9
                   WHEN 0 THEN (5 + doc_id % 9) * (4 + doc_id % 9)
                   WHEN 1 THEN (5 + doc_id % 6) * (4 + doc_id % 5)
                   WHEN 2 THEN (5 + doc_id % 7) * (4 + doc_id % 6)
@@ -3019,6 +3233,7 @@ $backtestPnlCtes,
                   WHEN 4 THEN 64 + doc_id % 57
                   WHEN 5 THEN 64 + doc_id % 57
                   WHEN 6 THEN 2 + doc_id % 4
+                  WHEN 7 THEN (6 + doc_id % 7) * (3 + doc_id % 6)
                   ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_units
          FROM documents""",
 
@@ -3198,6 +3413,56 @@ $backtestPnlCtes,
                 AND l.l_quantity BETWEEN 20 AND 30)
          GROUP BY p.p_brand""",
 
+    "q8_market_share" ->
+      """SELECT o_year,
+                CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(25,6)) END)
+                    AS DECIMAL(25,6)) AS DOUBLE)
+                  / CAST(CAST(SUM(volume) AS DECIMAL(25,6)) AS DOUBLE)
+                  AS mkt_share,
+                count(*) AS n_lines
+         FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                      CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
+                      n2.n_name AS supp_nation
+               FROM part
+                 JOIN lineitem ON p_partkey = l_partkey
+                 JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                 JOIN region ON n1.n_regionkey = r_regionkey
+                 JOIN nation n2 ON s_nationkey = n2.n_nationkey
+               WHERE r_name = 'ASIA'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+                 AND p_type = 'MEDIUM')
+         GROUP BY o_year""",
+
+    "q12_ship_priority" ->
+      """SELECT l_returnflag AS ship_class,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_linestatus = 'F'
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_returnflag""",
+
+    "q14_promo_effect" ->
+      """SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                    ELSE CAST(0 AS DECIMAL(25,6)) END)
+                  AS DECIMAL(25,6)) AS DOUBLE) * 100.0
+                / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)
+                AS promo_revenue,
+                count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""",
+
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_late
          FROM orders o
@@ -3369,6 +3634,24 @@ $backtestPnlCtes,
                 CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS money,
                 COUNT(*) AS n_rows
          FROM r GROUP BY user_id, period""",
+
+    "a6_resample_minute" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 300000000000 AS period,
+                           value, epoch_ns(ts) AS tsn, event_id
+                    FROM events),
+              r AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY period ORDER BY tsn, event_id) AS ra,
+                      ROW_NUMBER() OVER (PARTITION BY period ORDER BY tsn DESC, event_id DESC) AS rd
+                    FROM e)
+         SELECT period,
+                MAX(CASE WHEN ra = 1 THEN value END) AS open,
+                MAX(value) AS high,
+                MIN(value) AS low,
+                MAX(CASE WHEN rd = 1 THEN value END) AS close,
+                CAST(SUM(1) AS BIGINT) AS volume,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS money,
+                COUNT(*) AS n_rows
+         FROM r GROUP BY period""",
 
     "text_quality" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
@@ -3905,6 +4188,29 @@ $backtestPnlCtes,
          SELECT symbol, bar_start_us, open, high, low, close, volume, money, n_ticks
          FROM g, wm WHERE bar_start_us + 3600000000 <= wm_us""",
 
+    "stream_minute_bars" ->
+      """WITH t AS (SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS symbol,
+                  epoch_ns(ts) // 1000 AS tus,
+                  CAST((event_id * 37) % 10000 AS DOUBLE) AS px,
+                  CAST(event_id % 100 + 1 AS DOUBLE) AS qty,
+                  event_id AS seq
+           FROM events),
+         b AS (SELECT *, (tus // 300000000) * 300000000 AS bar_start_us FROM t),
+         r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY symbol, bar_start_us ORDER BY tus, seq) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY symbol, bar_start_us ORDER BY tus DESC, seq DESC) AS rd
+               FROM b),
+         g AS (SELECT symbol, bar_start_us,
+                 MAX(CASE WHEN ra = 1 THEN px END) AS open,
+                 MAX(px) AS high, MIN(px) AS low,
+                 MAX(CASE WHEN rd = 1 THEN px END) AS close,
+                 SUM(qty) AS volume, SUM(px * qty) AS money,
+                 CAST(COUNT(*) AS BIGINT) AS n_ticks
+               FROM r GROUP BY symbol, bar_start_us),
+         wm AS (SELECT (MAX(epoch_ns(ts) // 1000000) - 601000) * 1000 AS wm_us FROM events)
+         SELECT symbol, bar_start_us, open, high, low, close, volume, money, n_ticks
+         FROM g, wm WHERE bar_start_us + 300000000 <= wm_us""",
+
     // Streaming sessionizer: the batch gap-sessionization (same strict->
     // gap, ms precision) with the one-batch emission rule — every session
     // except each user's last, plus the last iff its event-time timeout
@@ -4148,6 +4454,17 @@ $backtestPnlCtes,
                 CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
          FROM documents GROUP BY source""",
 
+    "p6_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,6)))
+                    AS DECIMAL(25,6)) AS DOUBLE) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_linestatus), ())""",
+
     // Mirrors Decontam.stripBenchSpans(n=5, bench = doc_id%50==0): the
     // strip-spans replay with the bench set as the dirty-span source.
     "decontam_strip" ->
@@ -4299,6 +4616,32 @@ $backtestPnlCtes,
                             (a, b) -> a + b) AS proj
          FROM d, sm""",
 
+    // Mirrors Quant.int8TopK: same per-vector scale, same floor(x/s + 0.5)
+    // codes, BIGINT code dot (list_reduce with a prepended 0 init), score
+    // = CAST(dot AS DOUBLE) * qs * ns in the same multiply order.
+    "ann_sq8_topk" ->
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+                    FROM embeddings),
+         s AS (SELECT vec_id, dv,
+                      list_max(list_transform(dv, x -> abs(x))) / 127.0 AS sc
+               FROM d),
+         e AS (SELECT vec_id, sc,
+                      list_transform(dv, x -> CASE WHEN sc > 0.0
+                        THEN CAST(floor(x / sc + 0.5) AS INT) ELSE 0 END) AS codes
+               FROM s),
+         q AS (SELECT vec_id AS query_id, sc AS qs, codes AS qc FROM e WHERE vec_id < 10),
+         scd AS (SELECT query_id, vec_id AS neighbor_id,
+                  CAST(list_reduce([CAST(0 AS BIGINT)] ||
+                         list_transform(list_zip(qc, codes),
+                                        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)),
+                         (a, b) -> a + b) AS DOUBLE) * qs * e.sc AS score
+                FROM e JOIN q ON query_id <> vec_id)
+         SELECT query_id, neighbor_id, rank, score FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM scd)
+         WHERE rank <= 5""",
+
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
                     FROM documents),
@@ -4321,6 +4664,7 @@ $backtestPnlCtes,
     "graph_label_prop" -> labelPropOracleSql(3),
 
     "tok_bpe_merges" -> bpeOracleSql(8),
+    "tok_bpe_local" -> bpeOracleSql(8),
 
     "tok_bpe_encode" -> bpeEncodeOracleSql(8),
 
@@ -4516,6 +4860,21 @@ $backtestPnlCtes,
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height""",
 
+    "mm_bmp" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(6 + doc_id % 7 AS INT) AS width,
+                      CAST(3 + doc_id % 6 AS INT) AS height,
+                      (doc_id % 3 = 0) AS top_down
+                    FROM documents),
+         px AS (SELECT id, width, height, top_down,
+                  CAST(i % width AS BIGINT) AS x, CAST(i // width AS BIGINT) AS y
+                FROM d, unnest(range(0, width * height)) AS t(i))
+         SELECT id, width, height, top_down, COUNT(*) AS n_pixels,
+                CAST(SUM((id + 3*x + 7*y) % 256) AS DOUBLE) / COUNT(*) AS mean_r,
+                CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
+                CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
+         FROM px GROUP BY id, width, height, top_down""",
+
     // JPEG is lossy, so the oracle replays the exact header fields and the
     // EXPECTATION that every decoded channel mean sits inside the ±3.0
     // budget (TRUE per boolean) — decode drift flips a boolean, a dropped
@@ -4707,13 +5066,13 @@ $backtestPnlCtes,
          r0 AS (SELECT node, $S // n AS rank_fp FROM nodes, nn)"""
     val its = (1 to iters).map { i =>
       s""",
-         m$i AS (SELECT e.dst, SUM(r.rank_fp // d.out_deg) AS msg
+         m$i AS (SELECT e.dst, CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS msg
                 FROM e JOIN r${i - 1} r ON e.src = r.node
                        JOIN deg d ON e.src = d.src
                 GROUP BY e.dst),
          r$i AS (SELECT nodes.node,
-                  ($S * 15 // 100) // nn.n
-                    + (COALESCE(m$i.msg, 0) * 85) // 100 AS rank_fp
+                  CAST(($S * 15 // 100) // nn.n
+                    + (COALESCE(m$i.msg, 0) * 85) // 100 AS BIGINT) AS rank_fp
                 FROM nodes CROSS JOIN nn
                 LEFT JOIN m$i ON m$i.dst = nodes.node)"""
     }.mkString
@@ -4793,8 +5152,11 @@ $backtestPnlCtes,
     * the merge rounds unroll as generated CTE blocks (pageRank
     * precedent). chr(1) is the symbol separator; replace() is
     * left-to-right non-overlapping in both engines, and the
-    * leading-separator encoding makes that exactly the scalar BPE merge
-    * application. All counts integer, tiebreaks binary-collated. */
+    * DOUBLE-delimited encoding (`␁sym␁` per symbol, merge pattern
+    * `␁l␁␁r␁ → ␁lr␁`) makes that exactly the scalar BPE merge
+    * application — boundary-exact on BOTH sides, so a symbol that merely
+    * starts with `r` can't be falsely consumed (the r10 ADVICE bug).
+    * All counts integer, tiebreaks binary-collated. */
   private def bpeOracleSql(nMerges: Int): String = {
     val head =
       """WITH wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
@@ -4802,10 +5164,10 @@ $backtestPnlCtes,
                    FROM documents)
              WHERE NOT contains(w, chr(1))
              GROUP BY w),
-         w0 AS (SELECT chr(1) || array_to_string(
+         w0 AS (SELECT array_to_string(
                     list_transform(range(1, length(word) + 1),
-                                   i -> substring(word, CAST(i AS INT), 1)),
-                    chr(1)) AS w, freq
+                                   i -> chr(1) || substring(word, CAST(i AS INT), 1) || chr(1)),
+                    '') AS w, freq
                 FROM wf)"""
     val rounds = (1 to nMerges).map { k =>
       s""",
@@ -4817,8 +5179,8 @@ $backtestPnlCtes,
                  GROUP BY 1, 2),
          b$k AS (SELECT lft, rgt, cnt FROM p$k
                  ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
-         w$k AS (SELECT replace(w, chr(1) || lft || chr(1) || rgt,
-                                chr(1) || lft || rgt) AS w, freq
+         w$k AS (SELECT replace(w, chr(1) || lft || chr(1) || chr(1) || rgt || chr(1),
+                                chr(1) || lft || rgt || chr(1)) AS w, freq
                  FROM w${k - 1}, b$k)"""
     }.mkString
     val out = (1 to nMerges).map { k =>
@@ -4836,15 +5198,15 @@ $backtestPnlCtes,
     // reuse the training prelude verbatim (everything before the final SELECT)
     val prelude = bpeOracleSql(nMerges).split("\n         SELECT CAST\\(1 AS BIGINT\\)")(0)
     val chain = (1 to nMerges).foldLeft("enc0") { (acc, k) =>
-      s"replace($acc, chr(1) || b$k.lft || chr(1) || b$k.rgt, chr(1) || b$k.lft || b$k.rgt)"
+      s"replace($acc, chr(1) || b$k.lft || chr(1) || chr(1) || b$k.rgt || chr(1), chr(1) || b$k.lft || b$k.rgt || chr(1))"
     }
     val joins = (1 to nMerges).map(k => s"b$k").mkString(", ")
     s"""$prelude,
          dw AS (SELECT doc_id,
-                       chr(1) || array_to_string(
+                       array_to_string(
                          list_transform(range(1, length(word) + 1),
-                                        i -> substring(word, CAST(i AS INT), 1)),
-                         chr(1)) AS enc0
+                                        i -> chr(1) || substring(word, CAST(i AS INT), 1) || chr(1)),
+                         '') AS enc0
                 FROM (SELECT doc_id,
                              unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
                       FROM documents)

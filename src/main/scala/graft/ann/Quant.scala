@@ -67,6 +67,54 @@ object Quant {
         lit(0.0), (a, e) => a + e).as("recon_err"))
   }
 
+  /** Approximate top-k retrieval OVER the int8 codes (FAISS `SQ8` flat
+    * scan): score = (q̂·ĉ)·s_q·s_c — the integer code dot (exact in BIGINT)
+    * descaled by the two per-vector scales, which approximates ⟨q, c⟩ to
+    * quantization error. The 100 TB point is the scan: 1 B/dim instead of
+    * 4 B, so the brute-force lane reads 4× less corpus bandwidth at ~equal
+    * ranking quality (recall floor spec-asserted vs the exact brute lane).
+    *
+    * Plan shape = the brute-force lane's: the (bounded) query set
+    * broadcasts with its codes inlined, the corpus streams ONCE through
+    * the integer fold, one per-query rank window cuts top-k. In a real
+    * deployment the corpus side persists [[quantizeInt8]] output so the
+    * scan never touches floats; the gate quantizes inline (same formula,
+    * same verdicts) to stay self-contained.
+    *
+    * Determinism: the code dot is integer-exact; the descale is two IEEE
+    * multiplies on exact inputs; ties break on neighbor id — replayed
+    * verbatim in the oracle. */
+  def int8TopK(embeddings: DataFrame, queries: DataFrame,
+               id: String, vec: String, k: Int): DataFrame = {
+    def coded(df: DataFrame, side: String): DataFrame = df
+      .select(col(id).as(s"${side}_id"), asDouble(col(vec)).as("dvec"))
+      .select(col(s"${side}_id"), col("dvec"),
+        (array_max(transform(col("dvec"), x => abs(x))) / lit(127.0))
+          .as(s"${side}_scale"))
+      .select(col(s"${side}_id"), col(s"${side}_scale"),
+        transform(col("dvec"), x =>
+          when(col(s"${side}_scale") > 0.0,
+            floor(x / col(s"${side}_scale") + lit(0.5)).cast("int"))
+            .otherwise(lit(0))).as(s"${side}_codes"))
+    val c = coded(embeddings, "neighbor")
+    val q = coded(queries, "query")
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (aggregate(
+          zip_with(col("query_codes"), col("neighbor_codes"),
+            (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double")
+          * col("query_scale") * col("neighbor_scale")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
   /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas 2003
     * database-friendly projections, the p=1/2 variant): the sign of cell
     * (j, k) is a pure function of md5("j,k"), so the matrix needs no

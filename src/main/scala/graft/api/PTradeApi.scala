@@ -173,6 +173,32 @@ final case class PTradeApi(views: MarketTables) {
     ic.join(broadcast(latest), "sample_date").select("symbol")
   }
 
+  /** get_stock_name (PTrade_API_mini_Reference.md, get_stock_name — a doc
+    * function the reference also omits): the display-name projection of
+    * the metadata dim. */
+  def getStockName(securities: Seq[String]): DataFrame =
+    views.stockMetadata.filter(col("symbol").isin(securities: _*))
+      .select("symbol", "stock_name")
+
+  /** get_trading_day (PTrade_API_mini_Reference.md, get_trading_day — doc
+    * function, reference-omitted): the trading day `offset` positions from
+    * the anchor, where the anchor is the LAST trading day at or before
+    * `date` (the "current trading day" convention for non-trading dates).
+    * Negative offsets walk back, 0 returns the anchor. Empty result when
+    * the offset walks off the calendar.
+    *
+    * The global row_number is a single-partition window ON THE CALENDAR
+    * DIM — bounded by trading days (~250/year), never data-sized; the
+    * anchor rank broadcasts back. */
+  def getTradingDay(date: String, offset: Int): DataFrame = {
+    val ranked = views.calendar.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("trade_date"))))
+    val anchor = ranked.filter(col("trade_date") <= lit(date).cast("date"))
+      .agg(max(col("rn")).as("anchor_rn"))
+    ranked.join(broadcast(anchor), col("rn") === col("anchor_rn") + offset)
+      .select("trade_date")
+  }
+
   /** get_stock_info (K5 dim projection). */
   def getStockInfo(securities: Seq[String]): DataFrame =
     views.stockMetadata.filter(col("symbol").isin(securities: _*))

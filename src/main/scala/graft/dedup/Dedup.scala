@@ -496,10 +496,16 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     val docsInPlay = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b"))).distinct()
+      .union(pairs.select(col("doc_b"))) // no distinct: semi join dedups free
+    // LEFT SEMI, no broadcast hint: docsInPlay is DATA-DEPENDENT (2× the
+    // candidate-pair count) — a pathological ingest batch that matches many
+    // saved buckets would blow a forced broadcast at exactly the scale this
+    // operator exists for. AQE still broadcasts it when the runtime size is
+    // actually small (the common case); the semi-join also drops the join's
+    // payload-duplication risk outright.
     val sh = spark.read.parquet(s"$dir/shingles")
       .unionByName(incShing.select(col("doc_id"), md5(col("shingle")).as("sh")))
-      .join(broadcast(docsInPlay), Seq("doc_id"))
+      .join(docsInPlay, Seq("doc_id"), "left_semi")
       .withColumnRenamed("sh", "shingle")
       .localCheckpoint()
     val verified = verifyJaccardPrefiltered(

@@ -106,12 +106,17 @@ object Tokenizer {
     *
     *  1. one corpus pass builds the word-frequency table (the only
     *     corpus-sized shuffle; its size is the VOCABULARY, not the data);
-    *  2. each word becomes a separator-prefixed symbol string
-    *     (`␁c₁␁c₂…` — every symbol carries its own leading separator, so a
-    *     single non-regex `replace` of `␁l␁r → ␁lr` applies a merge
-    *     left-to-right non-overlapping WITHOUT a per-row fold, and an odd
-    *     run like `a a a` merges to `aa a` exactly as the scalar
-    *     algorithm does);
+    *  2. each word becomes a DOUBLE-delimited symbol string
+    *     (`␁c₁␁␁c₂␁…` — every symbol carries its own leading AND trailing
+    *     separator, so a single non-regex `replace` of `␁l␁␁r␁ → ␁lr␁`
+    *     applies a merge left-to-right non-overlapping WITHOUT a per-row
+    *     fold, an odd run like `a a a` merges to `aa a` exactly as the
+    *     scalar algorithm does, and — the part a leading-only encoding
+    *     gets WRONG — the pattern is boundary-exact on both sides: `␁a␁b`
+    *     would also match inside `␁a␁bc` (symbol `bc` merely STARTS with
+    *     `b`), where `␁a␁␁b␁` cannot (counterexample spec-pinned:
+    *     corpus {xbc×10, ab×5, abc×1} learns (b,c),(x,bc),(a,b) and must
+    *     encode "abc" as [a,bc], not fuse it);
     *  3. each round counts adjacent symbol pairs weighted by word
     *     frequency (one vocab-sized shuffle), takes the global argmax
     *     under the TOTAL order (count DESC, left ASC, right ASC), and
@@ -134,9 +139,10 @@ object Tokenizer {
       .filter(!col("word").contains(sep))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var vocab = wordFreq.select(
-      concat(lit(sep), array_join(
+      array_join(
         transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))), sep)).as("w"),
+          i => concat(lit(sep), col("word").substr(i, lit(1)), lit(sep))),
+        "").as("w"),
       col("freq")).localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var exhausted = false
@@ -160,11 +166,96 @@ object Tokenizer {
         merges += ((r.toLong, l, rr, cnt))
         vocab = vocab.select(
           call_function("replace", col("w"),
-            lit(sep + l + sep + rr), lit(sep + l + rr)).as("w"),
+            lit(sep + l + sep + sep + rr + sep), lit(sep + l + rr + sep)).as("w"),
           col("freq")).localCheckpoint()
       }
     }
     import spark.implicits._
+    merges.result().toDF("merge_rank", "lft", "rgt", "pair_count")
+  }
+
+  /** [[trainBpe]] with the merge loop DRIVER-LOCAL — the production shape
+    * (HF tokenizers / SentencePiece): the corpus is touched by exactly ONE
+    * Spark job (the word-frequency aggregation, whose output is bounded by
+    * the VOCABULARY, not the data), and the O(nMerges) loop then runs over
+    * the collected word table with zero further jobs. At nMerges=64 that
+    * is ~40× fewer Spark jobs than the per-merge distributed loop
+    * (measured in TokenizerSpec / docs/BPE_JOBS_r11.json); at a real 32k
+    * vocabulary it is the difference between 2 jobs and 64k.
+    *
+    * Provably the SAME merge sequence as [[trainBpe]]:
+    *  - the same double-delimited encoding and the same literal
+    *    left-to-right non-overlapping `String.replace` (Java, Spark and
+    *    DuckDB `replace` share that contract);
+    *  - the same total order (count DESC, left ASC, right ASC), with the
+    *    string comparison done over UTF-8 BYTES to match Spark/DuckDB
+    *    binary collation (Java's native String order is UTF-16-unit-wise,
+    *    which diverges beyond the BMP).
+    * Equivalence is spec-asserted merge-for-merge at nMerges=64.
+    *
+    * `maxLocalWords` bounds the collect: corpora whose distinct-word table
+    * exceeds it (rare even at 100 TB — natural-language vocabulary grows
+    * ~Heaps' law, but ids/urls can blow it up) must pre-filter or fall
+    * back to [[trainBpe]]. A compatible-batch distributed variant was
+    * measured and REJECTED: the provable batch rule (symbol-disjoint
+    * prefix + triple-count interference bound) averages batch size ~1.6 on
+    * this corpus — see SCALE.md §BPE. */
+  def trainBpeLocal(docs: DataFrame, textCol: String, nMerges: Int,
+                    maxLocalWords: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sep = ""
+    val wf: Array[(String, Long)] = docs
+      .select(explode(TextFns.words(col(textCol))).as("word"))
+      .filter(!col("word").contains(sep))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+    require(wf.length <= maxLocalWords,
+      s"trainBpeLocal: ${wf.length} distinct words exceeds maxLocalWords=" +
+        s"$maxLocalWords — pre-filter the vocabulary or use trainBpe")
+    // UTF-8-byte comparison = Spark/DuckDB binary collation
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var vocab = wf.map { case (w, f) =>
+      (w.map(c => s"$sep$c$sep").mkString, f) }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (w, f) =>
+        val syms = w.split(sep).filter(_.nonEmpty)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((l, rr), cnt) = pc.reduceLeft { (a, b) =>
+          val ((al, ar), ac) = a; val ((bl, br), bc) = b
+          if (ac != bc) { if (ac > bc) a else b }
+          else if (al != bl) { if (utf8Less(al, bl)) a else b }
+          else if (utf8Less(ar, br)) a else b
+        }
+        merges += ((r.toLong, l, rr, cnt))
+        val pat = sep + l + sep + sep + rr + sep
+        val rep = sep + l + rr + sep
+        vocab = vocab.map { case (w, f) => (w.replace(pat, rep), f) }
+        r += 1
+      }
+    }
     merges.result().toDF("merge_rank", "lft", "rgt", "pair_count")
   }
 
@@ -184,11 +275,13 @@ object Tokenizer {
                 merges: Seq[(String, String)]): DataFrame = {
     val sep = "\u0001"
     val encoded = merges.foldLeft(
-      concat(lit(sep), array_join(
+      array_join(
         transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))), sep)): Column) {
+          i => concat(lit(sep), col("word").substr(i, lit(1)), lit(sep))),
+        ""): Column) {
       case (c, (l, r)) =>
-        call_function("replace", c, lit(sep + l + sep + r), lit(sep + l + r))
+        call_function("replace", c,
+          lit(sep + l + sep + sep + r + sep), lit(sep + l + r + sep))
     }
     docs
       .select(col(idCol).as("doc_id"), explode(TextFns.words(col(textCol))).as("word"))

@@ -421,7 +421,7 @@ object Multimodal {
     * corpus media column (the real-world shape — crawled corpora never
     * arrive format-sorted) decodes in ONE `mapPartitions` pass, each row
     * dispatched by its container signature to the actual codec
-    * (JPEG/PNG/GIF/PPM/WAV/FLAC/MJPEG-AVI). Unknown signatures fall back
+    * (JPEG/PNG/GIF/PPM/BMP/WAV/FLAC/MJPEG-AVI). Unknown signatures fall back
     * to opaque byte statistics rather than dropping — at 100 TB you want
     * the unrecognized residue COUNTED, not silently vanished; a malformed
     * payload of a RECOGNIZED kind still drops (the per-codec
@@ -453,6 +453,9 @@ object Multimodal {
     else if (startsWith(b, 0, "RIFF") && startsWith(b, 8, "WAVE"))
       decodeOneWav(id, b).map(f => SniffedMedia(id, "wav", 0, 0,
         f.n_samples, f.mean_amp))
+    else if (Bmp.looksLikeBmp(b))
+      Bmp.decodeOne(id, b).map(f => SniffedMedia(id, "bmp", f.width, f.height,
+        f.n_pixels, (f.mean_r + f.mean_g + f.mean_b) / 3.0))
     else if (startsWith(b, 0, "RIFF") && startsWith(b, 8, "AVI ")) {
       val frames = Video.decodeOneAvi(id, b)
       if (frames.isEmpty) None

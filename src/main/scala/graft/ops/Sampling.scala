@@ -44,7 +44,11 @@ object Sampling {
     * at every r' > r). */
   def weighted(df: DataFrame, key: String, weight: Column, wMax: Long,
                rate: Double = 1.0): DataFrame = {
-    require(wMax > 0, "wMax must be positive")
+    // bucket < Scale and w ≤ wMax, so both cross-products are < wMax·Scale:
+    // bounding wMax keeps the Long arithmetic provably overflow-free (an
+    // overflow would silently FLIP keep verdicts, not crash — ANSI is off)
+    require(wMax > 0 && wMax <= Long.MaxValue / Scale,
+      s"wMax must be in (0, ${Long.MaxValue / Scale}] so bucket*wMax cannot overflow")
     val w = least(greatest(weight.cast("long"), lit(0L)), lit(wMax))
     df.filter(hashBucket(col(key)) * wMax < w * math.round(rate * Scale))
   }

@@ -276,7 +276,15 @@ object Sinks {
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(rootP)
-    val next = currentVersion(spark, root).getOrElse(-1L) + 1L
+    // next = max over EXISTING v=* dirs (not the _latest pointer): a writer
+    // that crashed after the snapshot write but before the pointer swap
+    // leaves an orphan v=N, and a pointer-derived next would recompute N and
+    // hit ErrorIfExists forever. Listing-derived next skips past orphans;
+    // they stay invisible (pointer never moved) until vacuumed.
+    val existing = fs.listStatus(rootP).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+    val next = (existing :+ -1L).max + 1L
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$next")
     val tmp = new Path(rootP, s"_latest.tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)

@@ -26,6 +26,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    temps, never a torn table (the staged-swap discipline
   *    `Sinks.compact` uses, here at the protocol level);
   *  - `abort` (driver) and task `abort` delete their temps;
+  *  - ALL IO goes through the Hadoop `FileSystem` resolved from the path's
+  *    scheme (the `Sinks.compact` precedent), never `java.io.File` — on a
+  *    real cluster temps must land in the shared store the driver renames
+  *    in, not on executor-local disks;
+  *  - non-finite doubles serialize as `null` (bare `NaN`/`Infinity` is
+  *    invalid JSON that a strict reader rejects line-wide);
   *  - the schema persists beside the data (`_schema.json`), read-back is
   *    schema-as-contract like `CorpusIO` (no inference scan).
   *
@@ -73,27 +79,45 @@ final class JsonlBatchWrite(path: String, schema: StructType, queryId: String)
     new JsonlWriterFactory(path, schema, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new java.io.File(path)
-    dir.mkdirs()
+    // Hadoop FileSystem API, not java.io.File (the Sinks.compact precedent):
+    // on a real cluster the tasks' temps live in a SHARED store (HDFS/S3A),
+    // not on executor-local disks, and the driver's rename must go through
+    // the same FS the executors wrote to.
+    val (fs, dir) = JsonlFs.resolve(path)
+    fs.mkdirs(dir)
     // schema-as-contract beside the data (idempotent across appends)
-    val sf = new java.io.File(dir, "_schema.json")
-    if (!sf.exists())
-      java.nio.file.Files.write(sf.toPath, schema.json.getBytes("UTF-8"))
+    val sf = new org.apache.hadoop.fs.Path(dir, "_schema.json")
+    if (!fs.exists(sf)) {
+      val out = fs.create(sf, true)
+      try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    }
     messages.zipWithIndex.foreach { case (m: JsonlCommit, i) =>
-      val from = new java.io.File(dir, m.tempName)
-      val to = new java.io.File(dir, s"part-$queryId-$i.jsonl")
-      if (!from.renameTo(to))
+      val from = new org.apache.hadoop.fs.Path(dir, m.tempName)
+      val to = new org.apache.hadoop.fs.Path(dir, s"part-$queryId-$i.jsonl")
+      if (!fs.rename(from, to))
         throw new java.io.IOException(s"commit rename failed: $from -> $to")
     }
-    java.nio.file.Files.write(
-      new java.io.File(dir, "_SUCCESS").toPath, Array.empty[Byte])
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, dir) = JsonlFs.resolve(path)
     messages.foreach {
-      case JsonlCommit(t, _) => new java.io.File(path, t).delete()
+      case JsonlCommit(t, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, t), false)
       case _ =>
     }
+  }
+}
+
+/** FS resolution shared by driver commit and executor writers: the
+  * FileSystem is derived FROM the path's scheme (file://, hdfs://, s3a://),
+  * so both sides talk to the same store. */
+private[v2] object JsonlFs {
+  def resolve(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
 }
 
 final class JsonlWriterFactory(path: String, schema: StructType, queryId: String)
@@ -109,9 +133,10 @@ final class JsonlDataWriter(path: String, schema: StructType, queryId: String,
   // unique per attempt: a retried task gets a fresh taskId, so the dead
   // attempt's temp can never be committed or collided with
   private val tempName = s"_temp_${queryId}_${partitionId}_$taskId"
-  private val file = { new java.io.File(path).mkdirs(); new java.io.File(path, tempName) }
+  private val (fs, dir) = JsonlFs.resolve(path)
+  private val tempPath = { fs.mkdirs(dir); new org.apache.hadoop.fs.Path(dir, tempName) }
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    new java.io.FileOutputStream(file), java.nio.charset.StandardCharsets.UTF_8))
+    fs.create(tempPath, true), java.nio.charset.StandardCharsets.UTF_8))
   private var rows = 0L
 
   private def esc(s: String): String = {
@@ -138,7 +163,11 @@ final class JsonlDataWriter(path: String, schema: StructType, queryId: String,
       else schema(i).dataType match {
         case LongType => b.append(record.getLong(i))
         case IntegerType => b.append(record.getInt(i))
-        case DoubleType => b.append(record.getDouble(i))
+        case DoubleType =>
+          // bare NaN/Infinity is invalid JSON — a strict reader rejects the
+          // whole line; non-finite maps to null (the ANSI-off convention)
+          val d = record.getDouble(i)
+          if (java.lang.Double.isFinite(d)) b.append(d) else b.append("null")
         case BooleanType => b.append(record.getBoolean(i))
         case StringType => b.append('"').append(esc(record.getUTF8String(i).toString)).append('"')
         case dt => throw new UnsupportedOperationException(
@@ -152,6 +181,6 @@ final class JsonlDataWriter(path: String, schema: StructType, queryId: String,
   }
 
   override def commit(): WriterCommitMessage = { out.close(); JsonlCommit(tempName, rows) }
-  override def abort(): Unit = { out.close(); file.delete() }
+  override def abort(): Unit = { out.close(); fs.delete(tempPath, false) }
   override def close(): Unit = ()
 }

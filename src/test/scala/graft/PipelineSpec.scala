@@ -332,6 +332,45 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodePpm(bad).collect().isEmpty)
   }
 
+  test("BMP codec: BGR padded rows, both orientations, forged headers drop") {
+    import graft.multimodal.Bmp
+    val ids = spark.range(1, 22).as[Long]
+    val feats = Bmp.decodeBmp(Bmp.syntheticBmp(ids)).collect()
+    assert(feats.length == 21)
+    feats.foreach { f =>
+      assert(f.width == (6 + f.id % 7).toInt && f.height == (3 + f.id % 6).toInt)
+      assert(f.top_down == (f.id % 3 == 0), s"id=${f.id} orientation flag")
+      assert(f.n_pixels == f.width.toLong * f.height)
+      // the mean must NOT depend on storage orientation: replay the
+      // generation formula (logical coordinates) for mean_b
+      val expB = (0 until f.height).map(y => (f.id + y) % 256).sum.toDouble / f.height
+      assert(math.abs(f.mean_b - expB) < 1e-12, s"id=${f.id} mean_b")
+    }
+    // hand-built 1×1 white BMP, bottom-up: row is 3 bytes + 1 pad byte
+    val tiny = new Array[Byte](54 + 4)
+    tiny(0) = 'B'; tiny(1) = 'M'
+    tiny(10) = 54; tiny(14) = 40; tiny(18) = 1; tiny(22) = 1
+    tiny(26) = 1; tiny(28) = 24
+    tiny(54) = 0xff.toByte; tiny(55) = 0xff.toByte; tiny(56) = 0xff.toByte
+    val one = Bmp.decodeBmp(Seq(Bmp.BmpImage(7L, tiny)).toDS()).collect()
+    assert(one.length == 1 && one.head.mean_r == 255.0 && !one.head.top_down)
+    // adversarial rows all DROP: claimed dims past the payload, 8-bpp,
+    // RLE compression, pixel offset past the buffer, truncation
+    def forge(mut: Array[Byte] => Unit): Bmp.BmpImage = {
+      val b = tiny.clone(); mut(b); Bmp.BmpImage(1L, b)
+    }
+    val bad = Seq(
+      forge(b => b(18) = 100), // width 100, payload 4 bytes
+      forge(b => b(28) = 8), // 8-bpp
+      forge(b => b(30) = 1), // BI_RLE8
+      forge(b => b(10) = 0x7f), // pixel offset past buffer
+      Bmp.BmpImage(5L, tiny.take(20)), // truncated header
+      forge { b => b(18) = 0xff.toByte; b(19) = 0xff.toByte
+        b(20) = 0x7f; b(22) = 0x7f } // dimension bomb
+    ).toDS()
+    assert(Bmp.decodeBmp(bad).collect().isEmpty)
+  }
+
   test("resizePpm: hand-checked nearest-neighbor map, identity resize, bad rows drop") {
     // 2×2 source, pixels laid row-major: (0,0)=[10,11,12] (1,0)=[20,21,22]
     //                                    (0,1)=[30,31,32] (1,1)=[40,41,42]

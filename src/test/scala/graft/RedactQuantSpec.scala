@@ -73,6 +73,22 @@ class RedactQuantSpec extends SparkSpec {
     assert(stats._2 > 0L)
   }
 
+  test("int8TopK: SQ8 retrieval holds a recall floor vs the exact brute lane") {
+    val e = sources.TestData(spark, sf0001).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val sq = Quant.int8TopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exact = graft.ann.Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(exact.size == 50 && sq.size == 50)
+    val recall = (sq & exact).size.toDouble / exact.size
+    // measured 0.98 on the unit-norm fixture (int8 error barely perturbs
+    // the ranking); 0.8 is the guard against a quantization regression
+    assert(recall >= 0.8, s"SQ8 recall@5 collapsed to $recall")
+  }
+
   test("randomProject: matches the scalar fold over the md5 sign matrix exactly") {
     val vec = Array(1.5f, -2.25f, 0.5f, 4.0f, -0.125f, 3.0f)
     val d = Seq((7L, vec)).toDF("vec_id", "embedding")

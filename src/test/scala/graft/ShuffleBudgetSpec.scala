@@ -102,6 +102,16 @@ class ShuffleBudgetSpec extends SparkSpec {
     "emb_rand_proj" -> 0,
     // twin-role nation joins all broadcast; only the final agg shuffles
     "q7_nation_volume" -> 1,
+    // deepest snowflake (8-way, nation in two roles): ALL seven dim sides
+    // broadcast — the lone exchange is the per-year share agg
+    "q8_market_share" -> 1,
+    // fact⋈fact with orders broadcast at test SF (shuffles on the order
+    // key at scale); the CASE two-way counts fold into ONE agg exchange
+    "q12_ship_priority" -> 1,
+    // part broadcasts; numerator+denominator share a single 1-row agg
+    "q14_promo_effect" -> 1,
+    // market-wide 5-minute resample: one MinMaxByPair HashAggregate
+    "a6_resample_minute" -> 1,
     // pure pushed-predicate scan-agg: every filter in PushedFilters,
     // one single-row-per-partition partial-agg exchange
     "q6_forecast_revenue" -> 1,
@@ -157,6 +167,17 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
       "q21 must stay hash-joined:\n" + plan)
+  }
+
+  test("q8_market_share broadcasts every dim of the 8-way snowflake") {
+    val plan = SparkEntry.queries("q8_market_share")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // seven broadcast sides: part, supplier, orders(test SF), customer,
+    // nation×2, region — lineitem is the only streamed side
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 6,
+      "q8's dims must broadcast, not shuffle:\n" + plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "q8 must stay hash-joined:\n" + plan)
   }
 
   test("q13_custdist keeps the zero-match-preserving outer join") {

@@ -149,4 +149,23 @@ class SinksSpec extends SparkSpec {
       "kept version still time-travels")
     intercept[Exception](Sinks.readVersioned(spark, root, Some(0L)).count())
   }
+
+  test("versioned publish: an orphan snapshot from a crashed writer never wedges the table") {
+    // r10 ADVICE (medium): a writer that dies AFTER writing v=N but BEFORE
+    // the pointer swap used to leave every later publish recomputing N and
+    // throwing ErrorIfExists forever. next must derive from the DIRECTORY
+    // LISTING, skipping past orphans; the orphan stays invisible to
+    // pointer-following readers.
+    import graft.sources.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_vorphan").toString
+    assert(Sinks.publishVersion(spark, root, Seq((1L, "a")).toDF("k", "v")) == 0L)
+    // simulate the crash: v=1 exists on disk, pointer still names v=0
+    Seq((2L, "orphan")).toDF("k", "v").write.parquet(s"$root/v=1")
+    assert(Sinks.currentVersion(spark, root).contains(0L))
+    val v = Sinks.publishVersion(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    assert(v == 2L, s"publish must skip the orphan, got v=$v")
+    assert(Sinks.readVersioned(spark, root).as[(Long, String)].collect().toSet ==
+      Set((3L, "c")), "live snapshot is the new publish, never the orphan")
+    assert(Sinks.currentVersion(spark, root).contains(2L))
+  }
 }

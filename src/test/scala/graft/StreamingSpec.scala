@@ -37,6 +37,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("minute-grain batch/stream parity: BarBuilder('5 minutes') ≡ resampleBars at the same bucket") {
+    // the intraday-frequency contract (PTrade 1m/5m): the SAME fixture
+    // ticks through (a) the streaming bar builder at a 5-minute window and
+    // (b) the batch resampler bucketed by ts DIV 5min must agree exactly
+    // on every EMITTED window (append mode withholds bars the final
+    // watermark hasn't passed — the production semantics, filtered here)
+    val p = s"$sf0001/events.parquet"
+    val sch = spark.read.parquet(p).schema
+    val ev = graft.sources.TestData.normalizeEventTs(
+      spark.readStream.schema(sch).parquet(graft.streaming.Replay.stagedDir(p)))
+    val ticks = ev.select(
+      concat(lit("S"), col("user_id") % 20).as("symbol"),
+      col("ts"),
+      ((col("event_id") * 37) % 10000).cast("double").as("px"),
+      ((col("event_id") % 100) + 1).cast("double").as("qty"),
+      col("event_id").as("seq"))
+    val streamed = graft.streaming.Replay.toBatchMemory(
+        BarBuilder.bars(ticks, "5 minutes", "601 seconds", seqCol = Some("seq")),
+        "bars5m_parity")
+      .select(col("symbol"), unix_micros(col("bar_start")).as("bus"),
+        col("open"), col("close"), col("volume"), col("n_ticks"))
+    val batchEv = graft.sources.TestData(spark, sf0001).events
+    val batch = graft.ops.Aggregates.resampleBars(
+        batchEv.select(
+          concat(lit("S"), col("user_id") % 20).as("symbol"),
+          expr("ts_ns DIV 1000").as("tus"),
+          ((col("event_id") * 37) % 10000).cast("double").as("px"),
+          ((col("event_id") % 100) + 1).cast("double").as("qty"),
+          col("event_id").as("seq")),
+        Seq(col("symbol")), (expr("tus DIV 300000000") * lit(300000000L)).as("bus"),
+        Seq(col("tus"), col("seq")), col("px"), col("qty"), col("px") * col("qty"))
+      .withColumnRenamed("period", "bus")
+      .select(col("symbol"), col("bus"), col("open"), col("close"),
+        col("volume"), col("n_rows").as("n_ticks"))
+    val cutoffUs = (batchEv.agg(max(expr("ts_ns DIV 1000000"))).head.getLong(0)
+      - 601000L) * 1000L
+    val emitted = batch.filter(col("bus") + 300000000L <= cutoffUs)
+    assert(streamed.count() > 500, "parity needs a real emitted surface")
+    assert(streamed.exceptAll(emitted).isEmpty && emitted.exceptAll(streamed).isEmpty,
+      "stream 5m bars must equal batch resample on emitted windows")
+  }
+
   case class SeqTick(symbol: String, ts: Timestamp, px: Double, qty: Double, seq: Long)
 
   test("BarBuilder same-timestamp ticks: seqCol breaks the open/close tie deterministically") {

@@ -80,6 +80,86 @@ class TokenizerSpec extends SparkSpec {
     assert(m3.count() == 2L, "no pairs remain once aaa fully merges")
   }
 
+  test("trainBpe: merge patterns are right-boundary-exact (r10 ADVICE counterexample)") {
+    import spark.implicits._
+    // corpus {xbc×10, ab×5, abc×1}: round1 (b,c)=11, round2 (x,bc)=10,
+    // round3 (a,b)=5. A leading-only separator encoding applies (a,b) to
+    // '␁a␁bc' (symbol bc merely STARTS with b) and fuses abc into ONE
+    // symbol; the double-delimited encoding keeps [a, bc], so round 4
+    // still finds the (a, bc)=1 pair.
+    val docs = Seq(
+      (1L, Seq.fill(10)("xbc").mkString(" ")),
+      (2L, Seq.fill(5)("ab").mkString(" ") + " abc")).toDF("doc_id", "text")
+    val m = Tokenizer.trainBpe(docs, "text", nMerges = 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(m(0) == (1L, "b", "c", 11L))
+    assert(m(1) == (2L, "x", "bc", 10L))
+    assert(m(2) == (3L, "a", "b", 5L))
+    assert(m(3) == (4L, "a", "bc", 1L), s"abc must stay [a,bc]: ${m(3)}")
+  }
+
+  test("bpeEncode: right-boundary exactness ('her' under (e,r),(h,e))") {
+    import spark.implicits._
+    // priority-loop semantics: (e,r) first → [h, er]; (h,e) then finds no
+    // adjacent (h,e) pair. A boundary-sloppy replace would match '␁h␁e'
+    // inside '␁h␁er' and emit the single token 'her'.
+    val docs = Seq((1L, "her")).toDF("doc_id", "text")
+    val r = Tokenizer.bpeEncode(docs, "doc_id", "text",
+        Seq("e" -> "r", "h" -> "e"))
+      .as[(Long, Long, Long)].collect()
+    assert(r.head == (1L, 1L, 2L), s"'her' must encode as [h, er]: ${r.head}")
+  }
+
+  test("trainBpeLocal ≡ trainBpe merge-for-merge at 64 merges, with ≥4× fewer jobs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def counted(f: => Array[(Long, String, String, Long)]): (Array[(Long, String, String, Long)], Int) = {
+      jobs.set(0)
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val r = f
+        // listener bus is async: poll until the counter is stable (PqSpec
+        // pattern)
+        var last = -1; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 10000) {
+          Thread.sleep(100); waited += 100
+          if (jobs.get() == last) stable += 1
+          else { stable = 0; last = jobs.get() }
+        }
+        (r, jobs.get())
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val (seq64, seqJobs) = counted {
+      Tokenizer.trainBpe(docs, "text", nMerges = 64)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    }
+    val (loc64, locJobs) = counted {
+      Tokenizer.trainBpeLocal(docs, "text", nMerges = 64)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    }
+    assert(seq64.toSeq == loc64.toSeq,
+      s"local merge sequence must be IDENTICAL to the distributed loop:\n" +
+        s"first diff: ${seq64.zip(loc64).find(p => p._1 != p._2)}")
+    assert(seq64.length == 64, s"corpus supports 64 merges, got ${seq64.length}")
+    assert(locJobs * 4 <= seqJobs,
+      s"driver-local training must save ≥4× jobs: local=$locJobs distributed=$seqJobs")
+  }
+
+  test("trainBpeLocal refuses vocabularies beyond maxLocalWords, loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.trainBpeLocal(docs, "text", nMerges = 2, maxLocalWords = 3)
+    }
+    assert(e.getMessage.contains("maxLocalWords"))
+  }
+
   test("bpeEncode: token counts under the learned merges are hand-exact") {
     import spark.implicits._
     val docs = Seq((1L, "low low lower lowest"), (2L, "low lower")).toDF("doc_id", "text")

@@ -21,6 +21,25 @@ def norm(v):
         return v
     return v
 
+def type_family(t):
+    """Collapse a DuckDB type string into the family the driver's hash
+    canonicalization distinguishes. Int widths are interchangeable (they
+    render identically), but HUGEINT/DECIMAL are NOT ints: they round-trip
+    through float64/object in arrow/pandas and hash differently."""
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL") or t == "HUGEINT":
+        return "decimal"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("STRUCT") or t.endswith("[]") or t.startswith("MAP"):
+        return "nested"
+    return t  # VARCHAR, BOOLEAN, DATE, BLOB, ... compare as-is
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -54,6 +73,21 @@ def main(sf_dir, out_dir):
         dcols = sorted(duck_rel.columns)
         if [c.lower() for c in scols] != [c.lower() for c in dcols]:
             print(f"[FAIL] {name}: columns differ: {scols} vs {dcols}")
+            n_fail += 1
+            continue
+        # Type-family drift check (r10 graph_pagerank lesson: DuckDB's
+        # SUM(BIGINT)→HUGEINT widening survives a value compare here but
+        # diverges in the driver's hash canonicalization). Both relations
+        # are DuckDB-side, so types share one vocabulary.
+        stypes = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
+        dtypes = dict(zip(duck_rel.columns, map(str, duck_rel.types)))
+        tmism = []
+        for sc, dc in zip(scols, dcols):
+            fs, fd = type_family(stypes[sc]), type_family(dtypes[dc])
+            if fs != fd:
+                tmism.append((sc, stypes[sc], dtypes[dc]))
+        if tmism:
+            print(f"[FAIL] {name}: type-family drift (spark vs oracle): {tmism}")
             n_fail += 1
             continue
         sq = spark_rel.project(", ".join(f'"{c}"' for c in scols))
