@@ -190,6 +190,22 @@ object SparkEntry {
         .select("user_id", "event_id", "purchase_value", "click_value")
     }),
 
+    // The SAME as-of semantics through the custom WHOLE-OPERATOR plan
+    // (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec, injected via
+    // SparkSessionExtensions): co-clustered + (key,time)-sorted children
+    // by planner contract, then a one-pass O(1)-state merge. Shares
+    // j6_asof's oracle verbatim; frame equality is spec-asserted.
+    "j6_asof_exec" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"), col("value").as("purchase_value"))
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns").as("cts"), col("value").as("click_value"))
+      graft.plans.AsOfJoinExec.asOfMerge(purchases, clicks, "user_id",
+          "ts_ns", "cts", Seq("click_value"))
+        .select("user_id", "event_id", "purchase_value", "click_value")
+    }),
+
     // J6 with a staleness bound: clicks older than one hour before the
     // purchase null out instead of forward-filling forever — the
     // fundamentals-join semantics at scale (quarter-old factor matches,
@@ -983,6 +999,77 @@ object SparkEntry {
           round(col("ma5"), 4).as("ma5"), round(col("ttm4"), 4).as("ttm4"))
     }),
 
+    // Time-RANGE window frame (30-day trailing revenue per supplier) —
+    // the frame type every ROWS gate can't cover: the frame is defined by
+    // the ORDER VALUE interval, so tied days share one frame and the sum
+    // is tie-order-free by construction (no tiebreak column — deliberate).
+    // Day index via datediff (integer); sums decimal-route.
+    "w8_range_frame" -> ((s, dir) => {
+      val li = TestData(s, dir).lineitem.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), lit("1995-01-01")).cast("long").as("day"),
+        col("l_extendedprice"))
+      Windows.rangeSum(li, Seq(col("l_suppkey")), col("day"), 29L,
+          dec(col("l_extendedprice")), "rev30")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("day"),
+          col("rev30").cast("decimal(25,6)").cast("double").as("rev30"))
+    }),
+
+    // INTERSECT (distinct set semantics) — plans as a left-semi over
+    // distincts, the set-op shape set1's EXCEPT doesn't cover.
+    "set2_intersect" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.customer.createOrReplaceTempView("g_s2_customer")
+      t.orders.createOrReplaceTempView("g_s2_orders")
+      s.sql("""
+        SELECT c_custkey AS custkey FROM g_s2_customer
+        WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM g_s2_orders
+        WHERE o_orderpriority = '1-URGENT'""")
+    }),
+
+    // EXCEPT ALL (MULTISET semantics — per-key multiplicity max(l−r, 0),
+    // kept as repeated rows): Catalyst plans it via the ReplicateRows
+    // generator, a plan node nothing else in the surface exercises.
+    "set3_except_all" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g_s3_lineitem")
+      s.sql("""
+        SELECT l_orderkey AS okey FROM g_s3_lineitem
+        EXCEPT ALL
+        SELECT l_orderkey FROM g_s3_lineitem WHERE l_returnflag = 'R'""")
+    }),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other — the join semantics a plain equi-join silently
+    // drops. Keys nulled via nullif so the fixture actually carries a
+    // NULL group; the aggregated row count per key pins both the matched
+    // and the null-null cardinalities.
+    "j11_nullsafe" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      val c = t.customer.select(nullif(col("c_nationkey"), lit(3)).as("k"))
+      val sup = t.supplier.select(nullif(col("s_nationkey"), lit(3)).as("k2"))
+      c.join(sup, col("k") <=> col("k2"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // Text normalization (the first stage of every corpus pipeline):
+    // lowercase, non-alphanumerics → space, whitespace collapse, trim.
+    // The normalized text is md5-pinned so the gate verifies the BYTES,
+    // not just the lengths; simple character classes behave identically
+    // under Java regex and RE2.
+    "text_normalize" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      TestData(s, dir).documents
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"),
+          length(col("norm")).cast("long").as("n_chars"),
+          md5(col("norm")).as("norm_md5"))
+    }),
+
     // Pairwise trailing-window statistic: Pearson corr(qty, price) over the
     // previous 5 shipments per supplier. Frame sums are sequential folds
     // over the frame-ordered lists (rule-1 determinism); value columns ride
@@ -1051,6 +1138,19 @@ object SparkEntry {
           col("value"), lit(1L), dec(col("value")))
         .withColumn("money", col("money").cast("decimal(25,6)").cast("double"))
     }),
+
+    // Fixed-width value histogram (the profiling primitive behind every
+    // "distribution of X" dashboard): bucket = floor(price/5000) — floor
+    // on the IEEE division, NEVER a bigint cast (Spark's cast truncates
+    // toward zero where DuckDB's ROUNDS — they'd disagree on every
+    // fractional value). Min/max carry stored doubles (no arithmetic).
+    "a7_histogram" -> ((s, dir) =>
+      TestData(s, dir).lineitem
+        .select(floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"),
+          col("l_extendedprice"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_rows"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"))),
 
     // Gap-based sessionization (batch form of a streaming session window):
     // 30-minute inactivity gap per user, with per-session aggregates.
@@ -1260,6 +1360,36 @@ object SparkEntry {
     // staged once per JVM under a pid-unique path: repeat constructions
     // (bench warm runs, analysis specs) reuse it, and concurrent sessions
     // on the same fixture can't overwrite each other mid-read.
+    // ORC round trip — Spark's OTHER bundled columnar format: schema,
+    // longs, doubles and strings all preserve exactly, so the read-back ≡
+    // the parquet source row-for-row (the oracle just reads documents).
+    "orc_roundtrip" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val path = jsonlStaged.getOrElseUpdate(dir + "#orc", {
+        val p = s"/tmp/graft_orc_${ProcessHandle.current().pid()}/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        docs.write.mode("overwrite").orc(p)
+        p
+      })
+      s.read.schema(docs.schema).orc(path)
+    }),
+
+    // CSV round trip (header + quoting) — the interchange format that
+    // actually LOSES information when mishandled: the read supplies the
+    // schema explicitly (schema-as-contract, CorpusIO convention — an
+    // inferred read would come back all-string) and must reproduce the
+    // source exactly through quote/escape handling.
+    "csv_roundtrip" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val path = jsonlStaged.getOrElseUpdate(dir + "#csv", {
+        val p = s"/tmp/graft_csv_${ProcessHandle.current().pid()}/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        docs.write.mode("overwrite").option("header", "true").csv(p)
+        p
+      })
+      s.read.schema(docs.schema).option("header", "true").csv(path)
+    }),
+
     "jsonl_roundtrip" -> ((s, dir) => {
       val docs = TestData(s, dir).documents
       val path = jsonlStaged.getOrElseUpdate(dir, {
@@ -3057,6 +3187,14 @@ $backtestPnlCtes,
          SELECT p.user_id, p.event_id, p.purchase_value, c.click_value
          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsn >= c.cts""",
 
+    "j6_asof_exec" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, epoch_ns(ts) AS cts, value AS click_value
+                    FROM events WHERE event_type = 'click')
+         SELECT p.user_id, p.event_id, p.purchase_value, c.click_value
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsn >= c.cts""",
+
     "j6_asof_tol" ->
       """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, value AS purchase_value
                     FROM events WHERE event_type = 'purchase'),
@@ -3585,6 +3723,45 @@ $backtestPnlCtes,
                 END AS corr5
          FROM s""",
 
+    "w8_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, day,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) OVER
+                  (PARTITION BY l_suppkey ORDER BY day
+                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(25,6)) AS DOUBLE) AS rev30
+         FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                      CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00',
+                                    l_shipdate) AS BIGINT) AS day
+               FROM lineitem)""",
+
+    "set2_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer
+         WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey FROM orders
+         WHERE o_orderpriority = '1-URGENT'""",
+
+    "set3_except_all" ->
+      """SELECT l_orderkey AS okey FROM lineitem
+         EXCEPT ALL
+         SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'""",
+
+    "j11_nullsafe" ->
+      """SELECT k, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM (SELECT nullif(c_nationkey, 3) AS k FROM customer) c
+         JOIN (SELECT nullif(s_nationkey, 3) AS k2 FROM supplier) s
+           ON c.k IS NOT DISTINCT FROM s.k2
+         GROUP BY k""",
+
+    "text_normalize" ->
+      """SELECT doc_id,
+                CAST(length(norm) AS BIGINT) AS n_chars,
+                md5(norm) AS norm_md5
+         FROM (SELECT doc_id,
+                      trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+               FROM documents)""",
+
     "w7_rank_family" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
                 RANK() OVER w AS rnk,
@@ -3634,6 +3811,13 @@ $backtestPnlCtes,
                 CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS money,
                 COUNT(*) AS n_rows
          FROM r GROUP BY user_id, period""",
+
+    "a7_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+                count(*) AS n_rows,
+                MIN(l_extendedprice) AS min_price,
+                MAX(l_extendedprice) AS max_price
+         FROM lineitem GROUP BY 1""",
 
     "a6_resample_minute" ->
       """WITH e AS (SELECT epoch_ns(ts) // 300000000000 AS period,
@@ -3871,6 +4055,12 @@ $backtestPnlCtes,
 
     // The JSONL round trip must surface exactly what parquet holds.
     "jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    "orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    "csv_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
 
     "jsonl_zstd_roundtrip" ->

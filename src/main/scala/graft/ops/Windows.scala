@@ -46,6 +46,19 @@ object Windows {
     df.withColumn(as, sum(value).over(w))
   }
 
+  /** Time-RANGE frame rolling sum — the frame type ROWS frames can't
+    * express: a row's frame is every row whose ORDER VALUE lies in
+    * [current − span, current], however many rows share a value. Ties
+    * share one frame, so the result is tie-order-free BY CONSTRUCTION —
+    * the one window family in this file that needs no tiebreak column.
+    * `order` must be numeric (days/seconds as integers — rule 5: derive
+    * it by integer arithmetic, never a double division). */
+  def rangeSum(df: DataFrame, keys: Seq[Column], order: Column, span: Long,
+               value: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order).rangeBetween(-span, 0)
+    df.withColumn(as, sum(value).over(w))
+  }
+
   /** Trailing-window Pearson correlation of two series — the pairwise
     * window statistic (beta/hedge-ratio precursor) the single-series
     * A3/A4 windows can't express.

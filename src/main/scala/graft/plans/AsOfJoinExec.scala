@@ -1,0 +1,185 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** WHOLE-OPERATOR custom plan: a merge-based AS-OF join as a first-class
+  * physical operator — extension ladder rung (c) from the build guidance
+  * (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`, registered via
+  * `SparkSessionExtensions`), completing the ladder next to the
+  * [[graft.functions.VecDotFloat]] expression (a) and the
+  * [[FoldDotProductToVecDot]] rewrite rule (b).
+  *
+  * Semantics (identical to [[graft.ops.Joins.asOf]], which stays the
+  * composed-operator lane): for each left row, attach the payload of the
+  * single right row with the greatest `rTime ≤ lTime` within equal keys;
+  * nulls when none exists. The two lanes share one DuckDB `ASOF LEFT
+  * JOIN` oracle, and a spec asserts frame-for-frame equality.
+  *
+  * Why a physical operator at 100 TB: the merge consumes BOTH sides in
+  * ONE pass with O(1) state per partition — no tagged-union row blowup,
+  * no window state, no payload forward-fill materialization. The planner
+  * contract does the heavy lifting declaratively:
+  *  - `requiredChildDistribution` co-clusters both sides on the key
+  *    (EnsureRequirements inserts/aligns the exchanges — at most one
+  *    shuffle per side, reusing any existing co-partitioning);
+  *  - `requiredChildOrdering` demands (key, time) sort within partitions
+  *    (EnsureRequirements inserts the sorts; spill-safe external sort);
+  *  - `doExecute` is then a trivially-correct linear merge.
+  *
+  * Contract (deliberately narrow for an exact operator): ONE key
+  * expression per side (any atomic type — compared by Catalyst's natural
+  * ordering), ONE integral time column per side read as Long (the
+  * engine's ts_ns convention; cast beforehand). NULL keys or times match
+  * nothing (SQL equality semantics). Right (key, time) pairs should be
+  * unique per the [[graft.ops.Joins.asOf]] determinism contract; with
+  * duplicates the LAST row in sort order wins — the same row the window
+  * lane picks.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        lKey: Expression, rKey: Expression,
+                        lTime: Expression, rTime: Expression,
+                        payload: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: one logical node, one physical translation. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoinPlan =>
+      AsOfJoinExec(j.lKey, j.rKey, j.lTime, j.rTime, j.payload,
+        planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(lKey: Expression, rKey: Expression,
+                        lTime: Expression, rTime: Expression,
+                        payload: Seq[Attribute],
+                        left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  // the merge preserves the left side's row distribution
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(lKey :: Nil) :: ClusteredDistribution(rKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(lKey, Ascending), SortOrder(lTime, Ascending)),
+    Seq(SortOrder(rKey, Ascending), SortOrder(rTime, Ascending)))
+
+  // we emit left rows in their incoming (key, time) order
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(lKey, Ascending), SortOrder(lTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val payloadAttrs = payload
+    val keyType = lKey.dataType
+    val (lk, rk, lt, rt) = (lKey, rKey, lTime, rTime)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk :: Nil, lOut)
+      val rKeyProj = UnsafeProjection.create(rk :: Nil, rOut)
+      val lTimeProj = UnsafeProjection.create(lt :: Nil, lOut)
+      val rTimeProj = UnsafeProjection.create(rt :: Nil, rOut)
+      val payloadProj = UnsafeProjection.create(payloadAttrs, rOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyType :: Nil)
+      val nullPayload = InternalRow.fromSeq(payloadAttrs.map(_ => null))
+      val joined = new JoinedRow
+
+      // right-side cursor state: the next unconsumed right row's key/time,
+      // and the best (latest ≤ lTime) payload seen for the CURRENT left key
+      var rHasNext = rIter.hasNext
+      var rKeyRow: UnsafeRow = null
+      var rTimeVal = 0L
+      var rTimeNull = false
+      var rPayload: UnsafeRow = null
+      def loadRight(): Unit = {
+        val row = rIter.next()
+        rKeyRow = rKeyProj(row).copy()
+        val t = rTimeProj(row)
+        rTimeNull = t.isNullAt(0)
+        rTimeVal = if (rTimeNull) 0L else t.getLong(0)
+        rPayload = payloadProj(row).copy()
+      }
+      if (rHasNext) loadRight()
+
+      var matchKey: UnsafeRow = null
+      var matchPayload: UnsafeRow = null
+
+      lIter.map { lRow =>
+        val lKeyRow = lKeyProj(lRow)
+        val lKeyNull = lKeyRow.isNullAt(0)
+        val ltRow = lTimeProj(lRow)
+        val lTimeNull = ltRow.isNullAt(0)
+        val lTimeVal = if (lTimeNull) 0L else ltRow.getLong(0)
+        // stale match from a previous key is never carried over
+        if (matchKey != null && keyOrd.compare(matchKey, lKeyRow) != 0) {
+          matchKey = null; matchPayload = null
+        }
+        if (!lKeyNull && !lTimeNull) {
+          // advance the right cursor through every row this left row may
+          // match: smaller keys, and equal keys at time ≤ lTime
+          var advancing = true
+          while (advancing && rHasNext) {
+            val c = if (rKeyRow.isNullAt(0)) -1 // null keys sort first, match nothing
+                    else keyOrd.compare(rKeyRow, lKeyRow)
+            if (c < 0) {
+              rHasNext = rIter.hasNext; if (rHasNext) loadRight() else rKeyRow = null
+            } else if (c == 0 && !rTimeNull && rTimeVal <= lTimeVal) {
+              matchKey = lKeyRow.copy()
+              matchPayload = rPayload
+              rHasNext = rIter.hasNext; if (rHasNext) loadRight() else rKeyRow = null
+            } else advancing = false
+          }
+        }
+        val payloadRow: InternalRow =
+          if (!lKeyNull && !lTimeNull && matchPayload != null) matchPayload
+          else nullPayload
+        resultProj(joined(lRow, payloadRow))
+      }
+    }
+  }
+}
+
+/** DataFrame-level entry point (resolves columns by name on the ANALYZED
+  * child plans, builds the custom node, returns it as a frame through the
+  * graftshim plan bridge). */
+object AsOfJoinExec {
+  def asOfMerge(left: DataFrame, right: DataFrame, key: String,
+                leftTime: String, rightTime: String,
+                rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftshim.PlanBridge
+    val lp = PlanBridge.analyzed(left)
+    val rp = PlanBridge.analyzed(right)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOfMerge: no column '$n' in ${p.output.map(_.name).mkString(",")}"))
+    val node = AsOfJoinPlan(lp, rp,
+      attr(lp, key), attr(rp, key),
+      attr(lp, leftTime), attr(rp, rightTime),
+      rightCols.map(attr(rp, _)))
+    PlanBridge.ofRows(left.sparkSession, node)
+  }
+}

@@ -74,6 +74,9 @@ object FoldDotProductToVecDot extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions` entry point registering the graft rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => FoldDotProductToVecDot)
+    // whole-operator extension (ladder rung c): the merge as-of join
+    extensions.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

@@ -34,7 +34,10 @@ class EntryAnalysisSpec extends SparkSpec {
     // names defined in the same statement.
     val fixtures = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    val fromRe = "(?is)\\b(?:FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+    // `(?<!DISTINCT\s)` keeps the null-safe comparator `IS NOT DISTINCT
+    // FROM alias.col` from reading as a table reference (j11_nullsafe).
+    val fromRe =
+      "(?is)\\b(?:(?<!DISTINCT\\s)FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
     // CTE name forms: `name AS (`, `WITH [RECURSIVE] name AS (`,
     // `name AS MATERIALIZED (`, and column-listed `name(c1, c2) AS (`
     val cteRe = ("(?im)(?:^|,|\\(|\\bWITH\\b(?:\\s+RECURSIVE)?)\\s*" +

@@ -134,7 +134,26 @@ class ShuffleBudgetSpec extends SparkSpec {
     // attach joins broadcast
     "quantiles_mad" -> 3,
     // hash-threshold filter is row-local
-    "sample_weighted" -> 0
+    "sample_weighted" -> 0,
+    // RANGE-frame window: one key-partitioned exchange, tie-shared frames
+    "w8_range_frame" -> 1,
+    // INTERSECT: distinct-semi over co-partitioned sides — one exchange
+    // pair counted as the aggregation's (AQE dedups the rest at test SF)
+    "set2_intersect" -> 1,
+    // EXCEPT ALL: per-key multiplicity agg + ReplicateRows generate
+    "set3_except_all" -> 1,
+    // null-safe equi-join hashes on the coalesced key + final agg
+    "j11_nullsafe" -> 1,
+    // row-local normalization, no shuffle
+    "text_normalize" -> 0,
+    // fixed-width binning is one partial-agged groupBy
+    "a7_histogram" -> 1,
+    // SQ8 scan: queries broadcast; the one exchange is the rank window
+    "ann_sq8_topk" -> 1,
+    // one Expand feeding ONE aggregation exchange — never per-level scans
+    "p6_grouping_sets" -> 1,
+    // row-local codec decode
+    "mm_bmp" -> 0
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
