@@ -1102,6 +1102,27 @@ object SparkEntry {
         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity)""")
     }),
 
+    // Window NAVIGATION family: lag / lead / first_value / nth_value over
+    // a fully-tiebroken order (rule 2: (l_orderkey, l_linenumber) repeats
+    // in the fixtures, so the value columns close the total order). Values
+    // pass through untouched (stored doubles) — exact in any engine. The
+    // default cumulative frame is RANGE-based, but under a UNIQUE total
+    // order RANGE ≡ ROWS, so first/nth can't see engine frame-shape
+    // differences.
+    "w9_lead_lag" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity"))
+      TestData(s, dir).lineitem.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
+        lead(col("l_extendedprice"), 1).over(w).as("next_price"),
+        first(col("l_extendedprice")).over(w).as("first_price"),
+        nth_value(col("l_extendedprice"), 3).over(w).as("third_price"))
+    }),
+
     // Trailing z-score anomaly flags: division/sqrt-free verdict
     // (cross-multiplied squares), fixed-tree z value, fold-sum frames.
     "w6_zscore" -> ((s, dir) => {
@@ -1872,6 +1893,16 @@ object SparkEntry {
       Quant.int8TopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
 
+    // Binary (1-bit sign) quantization retrieval: packed sign words,
+    // Hamming ranking via bit_count(xor) — the 32×-less-bandwidth extreme
+    // of the quantization ladder (float32 → 1 bit/dim). Integer-exact
+    // scores, id ties; recall floor vs exact brute is spec-asserted.
+    "ann_hamming_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Quant.binaryTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, dIn = 64)
+    }),
+
     // JL random projection 64 → 8: md5-derived ±1 sign matrix (no stored
     // state — any engine rebuilds it from the formula), one sequential
     // fold per output coordinate. Row-local, shuffle-free.
@@ -1980,6 +2011,18 @@ object SparkEntry {
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
       Graph.labelPropagation(edges, "src", "dst", iters = 3)
+    }),
+
+    // Per-node triangle counts over the near-dup pair graph (cluster
+    // cohesion: a clique-y dup cluster is triangle-dense, a chain of
+    // borderline matches is triangle-free) — the forward algorithm with
+    // degree orientation, the skew-proof triangle shape (Graph doc). The
+    // bipartite trade graph the other graph gates use has NO triangles by
+    // construction, so this gate runs on the doc-similarity graph.
+    "graph_triangles" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 100)
+      Graph.triangleCounts(pairs, "doc_a", "doc_b")
     }),
 
     // Full dedup flow: near-dup pairs -> clusters -> keep canonical member.
@@ -3771,6 +3814,16 @@ $backtestPnlCtes,
          FROM lineitem
          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity)""",
 
+    "w9_lead_lag" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                lag(l_extendedprice, 1) OVER w AS prev_price,
+                lead(l_extendedprice, 1) OVER w AS next_price,
+                first_value(l_extendedprice) OVER w AS first_price,
+                nth_value(l_extendedprice, 3) OVER w AS third_price
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity)""",
+
     // Mirrors Windows.rollingZscore(n=8, k=2): same fold sums, same fixed
     // z tree, division-free cross-multiplied outlier verdict.
     "w6_zscore" ->
@@ -4849,9 +4902,37 @@ $backtestPnlCtes,
            FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
          WHERE jaccard >= 0.5""",
 
+    "ann_hamming_topk" -> annHammingOracle,
+
     "graph_pagerank" -> pageRankOracleSql(3),
 
     "graph_label_prop" -> labelPropOracleSql(3),
+
+    // Triangle counting replayed in the id-ordered (a<b<c) formulation:
+    // the engine's degree ORIENTATION changes the join shape, not the
+    // triangle set, so the simplest correct SQL is the oracle. The pair
+    // CTEs replay ngramJaccard(3, 0.5, 100) verbatim.
+    "graph_triangles" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM w, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3),
+         sz AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY doc_id),
+         rare AS (SELECT g.* FROM g JOIN (
+                    SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM g GROUP BY sh)
+                    WHERE df BETWEEN 2 AND 100) d USING (sh)),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+               FROM rare a JOIN rare b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM (
+                 SELECT doc_a, doc_b,
+                        ROUND(CAST(inter AS DOUBLE) / CAST(sa.c + sb.c - inter AS DOUBLE), 6) AS jaccard
+                 FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+               WHERE jaccard >= 0.5),
+         t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e e1 JOIN e e2 ON e1.b = e2.a
+                         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         FROM (SELECT unnest([x, y, z]) AS node FROM t) GROUP BY node""",
 
     "tok_bpe_merges" -> bpeOracleSql(8),
     "tok_bpe_local" -> bpeOracleSql(8),
@@ -5572,6 +5653,30 @@ $backtestPnlCtes,
         SELECT doc_id, n_dup_partners > 0 AS is_dup,
                CAST(n_dup_partners AS BIGINT) AS n_dup_partners
         FROM pc"""
+
+  /** Replays [[graft.ann.Quant.binaryTopK]](k=5, dIn=64): the same packed
+    * 32-bit sign words (bit weights inlined as positive literals — the
+    * SimHash precedent), Hamming via bit_count(xor), id ties. */
+  private lazy val annHammingOracle: String = {
+    def word(w: Int): String = (0 until 32).map(j =>
+      s"CASE WHEN dv[${w * 32 + j + 1}] > 0.0 THEN ${1L << j} ELSE 0 END")
+      .mkString("\n                    + ")
+    s"""WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+                   FROM embeddings),
+       p AS (SELECT vec_id,
+                    CAST(${word(0)} AS BIGINT) AS w0,
+                    CAST(${word(1)} AS BIGINT) AS w1
+             FROM d),
+       q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM p WHERE vec_id < 10),
+       sc AS (SELECT query_id, vec_id AS neighbor_id,
+                     CAST(bit_count(xor(q0, w0)) + bit_count(xor(q1, w1)) AS BIGINT) AS hamming
+              FROM p JOIN q ON query_id <> vec_id)
+       SELECT query_id, neighbor_id, rank, hamming FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY hamming ASC, neighbor_id ASC) AS rank
+         FROM sc)
+       WHERE rank <= 5"""
+  }
 
   /** Replays Dedup.simHashPairs(maxHamming=6, family=Md5Hash,
     * maxBucket=1000): 32 weighted bit sums per doc, high-16-bit banding

@@ -115,6 +115,61 @@ object Quant {
         col("rank").cast("long").as("rank"), col("score"))
   }
 
+  /** Sign bits of a double-element vector packed into 32-bit words (as
+    * BIGINTs): word `w` holds dims [32w, 32w+31], bit `j` set iff
+    * `vec[32w+j] > 0`. 32 bits per word — not 64 — keeps every bit weight
+    * a POSITIVE literal (`1L << j`, j ≤ 31), so the same `CASE … + …` sum
+    * replays in any engine with checked BIGINT arithmetic (the
+    * [[graft.dedup.Dedup]] SimHash precedent; a 64-bit word's top bit is
+    * `Long.MinValue` and engines disagree on how to spell it). */
+  def signWords(vec: Column, dIn: Int): Seq[Column] =
+    (0 until (dIn + 31) / 32).map { w =>
+      (0 until 32).withFilter(j => w * 32 + j < dIn).map { j =>
+        when(element_at(vec, w * 32 + j + 1) > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+
+  /** Binary (1-bit sign) quantization retrieval — FAISS `BinaryFlat` /
+    * the RaBitQ-family storage extreme: each dim keeps only its sign, so a
+    * 64-dim float32 vector becomes 8 bytes and the brute scan reads 32×
+    * less corpus bandwidth than the exact lane. Ranking is by Hamming
+    * distance between packed sign words — `bit_count(xor)` per word, a
+    * handful of ALU ops per candidate, no float math in the scan at all.
+    * The recall loss vs exact cosine is the price (floor spec-asserted);
+    * the production shape pairs this with an exact re-rank of the
+    * surviving candidates (the [[graft.ann.Pq]] rerank pattern applies
+    * unchanged).
+    *
+    * Plan shape = the brute lanes': queries broadcast with their packed
+    * words inlined, the corpus streams once, one per-query rank window
+    * cuts top-k. Determinism: Hamming is exact integer; ties break on
+    * neighbor id — replayed verbatim by the oracle. */
+  def binaryTopK(embeddings: DataFrame, queries: DataFrame,
+                 id: String, vec: String, k: Int, dIn: Int): DataFrame = {
+    val nWords = (dIn + 31) / 32
+    def packed(df: DataFrame, side: String): DataFrame = {
+      val staged = df.select(col(id).as(s"${side}_id"), asDouble(col(vec)).as("dvec"))
+      staged.select(col(s"${side}_id") +:
+        signWords(col("dvec"), dIn).zipWithIndex.map { case (c, i) =>
+          c.as(s"${side}_w$i")
+        }: _*)
+    }
+    val c = packed(embeddings, "neighbor")
+    val q = packed(queries, "query")
+    val hamming = (0 until nWords).map { i =>
+      bit_count(col(s"query_w$i").bitwiseXOR(col(s"neighbor_w$i"))).cast("long")
+    }.reduce(_ + _)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), hamming.as("hamming"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("hamming"))
+  }
+
   /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas 2003
     * database-friendly projections, the p=1/2 variant): the sign of cell
     * (j, k) is a pure function of md5("j,k"), so the matrix needs no

@@ -72,4 +72,25 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(run() == run())
   }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node; C4 has none") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(k4, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(c4, "src", "dst").count() === 0L)
+  }
+
+  test("triangleCounts: invariant to edge direction, duplicates, self-loops") {
+    // triangle (1,2,3) + pendant 4, fed messy: reversed edges, dupes, a loop
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (3L, 4L), (4L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(messy, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

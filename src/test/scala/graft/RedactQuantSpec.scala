@@ -89,6 +89,47 @@ class RedactQuantSpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall@5 collapsed to $recall")
   }
 
+  test("binaryTopK: hand-checked sign packing and Hamming ranking") {
+    // dIn=4 -> one word; signs of (+,-,+,0) -> bits 0,2 -> 0b0101 = 5
+    val corpus = Seq(
+      (1L, Array(1.0f, -1.0f, 2.0f, 0.0f)),   // word 5
+      (2L, Array(1.0f, 1.0f, 2.0f, -1.0f)),   // word 0b0111 = 7
+      (3L, Array(-1.0f, -1.0f, -2.0f, 1.0f))) // word 0b1000 = 8
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 1L)
+    val got = Quant.binaryTopK(corpus, q, "vec_id", "embedding", k = 2, dIn = 4)
+      .orderBy("rank")
+      .select("neighbor_id", "rank", "hamming").as[(Long, Long, Long)].collect()
+    // vs 5: ham(7)=popcount(2)=1, ham(8)=popcount(13)=3
+    assert(got.toSeq === Seq((2L, 1L, 1L), (3L, 2L, 3L)))
+  }
+
+  test("binaryTopK: 1-bit retrieval holds a recall floor vs the exact brute lane") {
+    val e = sources.TestData(spark, sf0001).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val bin = Quant.binaryTopK(e, q, "vec_id", "embedding", 5, dIn = 64)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exact = graft.ann.Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(bin.size == 50 && exact.size == 50)
+    val recall = (bin & exact).size.toDouble / exact.size
+    // 1 bit/dim is the lossy extreme of the quantization ladder — the
+    // floor documents "still correlated with cosine", not SQ8-class recall
+    assert(recall >= 0.1, s"binary recall@5 collapsed to $recall")
+    // the PRODUCTION framing is candidate generation: Hamming top-50 must
+    // cover most of the exact top-5, so a cheap exact re-rank of the
+    // shortlist (the Pq.rerank pattern) recovers SQ8-class quality while
+    // the full scan stays 1 bit/dim
+    val cand = Quant.binaryTopK(e, q, "vec_id", "embedding", 50, dIn = 64)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val covered = (cand & exact).size.toDouble / exact.size
+    println(s"[spec] binary recall@5=$recall candidate-coverage@50=$covered")
+    assert(covered >= 0.5, s"Hamming shortlist stopped covering exact top-5: $covered")
+  }
+
   test("randomProject: matches the scalar fold over the md5 sign matrix exactly") {
     val vec = Array(1.5f, -2.25f, 0.5f, 4.0f, -0.125f, 3.0f)
     val d = Seq((7L, vec)).toDF("vec_id", "embedding")
