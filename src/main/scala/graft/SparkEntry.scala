@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Flac, Gif, Jpeg, Multimodal, Png, Video}
+import graft.multimodal.{Bmp, Flac, Gif, Jpeg, Multimodal, Png, Tiff, Video}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -444,7 +444,7 @@ object SparkEntry {
       import s.implicits._
       val docs = TestData(s, dir).documents
       val ids = docs.select(col("doc_id").cast("long")).as[Long]
-      def pick(m: Int) = ids.filter(_ % 9 == m)
+      def pick(m: Int) = ids.filter(_ % 10 == m)
       def row(id: Long, media: Array[Byte]) =
         Multimodal.MediaRow(id, media, "", 0, 0)
       val mixed =
@@ -456,7 +456,8 @@ object SparkEntry {
           .union(Flac.syntheticFlac(pick(5)).map(r => row(r.id, r.media)))
           .union(Video.syntheticAvi(pick(6)).map(r => row(r.id, r.media)))
           .union(Bmp.syntheticBmp(pick(7)).map(r => row(r.id, r.media)))
-          .union(docs.filter(col("doc_id") % 9 === 8)
+          .union(Tiff.syntheticTiff(pick(8)).map(r => row(r.id, r.media)))
+          .union(docs.filter(col("doc_id") % 10 === 9)
             .select(col("doc_id").cast("long").as("id"),
               encode(col("text"), "UTF-8").as("media"),
               lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
@@ -1770,6 +1771,26 @@ object SparkEntry {
         .select("content_hash", "content_len")
     }),
 
+    // Stream-STATIC enrichment join — the stateless streaming join shape
+    // (no watermark, no join state): each event picks up its user's
+    // profile from a broadcast static frame; LEFT join semantics so
+    // enrichment never drops an event. The profile derives from the same
+    // fixture's batch read, so the one-batch replay ≡ the plain batch
+    // join the oracle runs.
+    "stream_enrich" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+      val profile = graft.streaming.Enrich.userProfile(TestData(s, dir).events)
+      graft.streaming.Replay.toBatch(
+        graft.streaming.Enrich.withProfile(
+          ev.select("event_id", "user_id", "value"), profile, "user_id",
+          heavyAt = 67L),
+        "enrich")
+        .select("event_id", "user_id", "value", "n_events", "total_value",
+          "is_heavy")
+    }),
+
     // Incremental refresh ≡ full recompute (the lambda-equivalence claim,
     // download_efficient.py:228-229): bars built from data before a
     // NON-hour-aligned cutoff (so the boundary bar is stale/partial),
@@ -2330,6 +2351,18 @@ object SparkEntry {
       Bmp.decodeBmp(Bmp.syntheticBmp(ids)).toDF()
     }),
 
+    // REAL baseline TIFF decode (IFD tag walk under BOTH byte orders,
+    // left-justified SHORT-in-entry values, multi-strip layout with a
+    // short tail strip, PackBits on a third of the fixtures) — the oracle
+    // replays the generation formula while the Spark path truly encodes
+    // and re-parses the directory structure.
+    "mm_tiff" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Tiff.decodeTiff(Tiff.syntheticTiff(ids)).toDF()
+    }),
+
     // Multimodal audio decode: REAL RIFF/WAVE (PCM16) chunk-walk → sample
     // stats; oracle replays the generation formula (integer math, exact).
     "mm_wav" -> ((s, dir) => {
@@ -2487,6 +2520,13 @@ object SparkEntry {
       val v = mkt(s, dir)
       graft.quality.DataQuality.barInvariants(v.bars, v.calendar)
     }),
+
+    // Single-pass column profiler: one scan, one aggregation, stack-pivot
+    // to tidy per-column rows (exact multi-column COUNT(DISTINCT) via
+    // Expand — the documented cost of a hash-exact profile).
+    "dq_profile" -> ((s, dir) =>
+      graft.quality.DataQuality.profile(TestData(s, dir).lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
     // A6 monthly bar synthesis off daily bars (multi-frequency resample).
     "api_monthly_bars" -> ((s, dir) =>
@@ -2766,6 +2806,18 @@ object SparkEntry {
                    PARTITION BY symbol ORDER BY end_date
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(25,6)) AS DOUBLE) AS revenue_ttm
           FROM fund WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')""",
+
+    "dq_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+                   CAST(MIN($c) AS DOUBLE) AS min_val,
+                   CAST(MAX($c) AS DOUBLE) AS max_val
+            FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("\n UNION ALL \n")
+    },
 
     "dq_bars_invariants" ->
       s"""$MKT, wp AS (SELECT *, LAG(close) OVER (PARTITION BY symbol ORDER BY date) AS preclose
@@ -3392,21 +3444,22 @@ $backtestPnlCtes,
     // and routing are what's gated; integers only, exact both engines.
     "mm_sniff" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
-                CASE doc_id % 9 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                CASE doc_id % 10 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'
                   WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' WHEN 7 THEN 'bmp'
+                  WHEN 8 THEN 'tiff'
                   ELSE 'opaque' END AS kind,
-                CAST(CASE doc_id % 9 WHEN 0 THEN 5 + doc_id % 9
+                CAST(CASE doc_id % 10 WHEN 0 THEN 5 + doc_id % 9
                   WHEN 1 THEN 5 + doc_id % 6 WHEN 2 THEN 5 + doc_id % 7
                   WHEN 3 THEN 4 + doc_id % 5 WHEN 6 THEN 5 + doc_id % 9
-                  WHEN 7 THEN 6 + doc_id % 7
+                  WHEN 7 THEN 6 + doc_id % 7 WHEN 8 THEN 5 + doc_id % 8
                   ELSE 0 END AS INT) AS width,
-                CAST(CASE doc_id % 9 WHEN 0 THEN 4 + doc_id % 9
+                CAST(CASE doc_id % 10 WHEN 0 THEN 4 + doc_id % 9
                   WHEN 1 THEN 4 + doc_id % 5 WHEN 2 THEN 4 + doc_id % 6
                   WHEN 3 THEN 3 + doc_id % 4 WHEN 6 THEN 4 + doc_id % 9
-                  WHEN 7 THEN 3 + doc_id % 6
+                  WHEN 7 THEN 3 + doc_id % 6 WHEN 8 THEN 4 + doc_id % 5
                   ELSE 0 END AS INT) AS height,
-                CAST(CASE doc_id % 9
+                CAST(CASE doc_id % 10
                   WHEN 0 THEN (5 + doc_id % 9) * (4 + doc_id % 9)
                   WHEN 1 THEN (5 + doc_id % 6) * (4 + doc_id % 5)
                   WHEN 2 THEN (5 + doc_id % 7) * (4 + doc_id % 6)
@@ -3415,6 +3468,7 @@ $backtestPnlCtes,
                   WHEN 5 THEN 64 + doc_id % 57
                   WHEN 6 THEN 2 + doc_id % 4
                   WHEN 7 THEN (6 + doc_id % 7) * (3 + doc_id % 6)
+                  WHEN 8 THEN (5 + doc_id % 8) * (4 + doc_id % 5)
                   ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_units
          FROM documents""",
 
@@ -4522,6 +4576,16 @@ $backtestPnlCtes,
                 CAST(length(text) AS BIGINT) AS content_len
          FROM documents""",
 
+    // Stateless stream-static join: one-batch replay ≡ the batch join.
+    "stream_enrich" ->
+      """WITH prof AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6))
+                    AS DOUBLE) AS total_value
+              FROM events GROUP BY user_id)
+         SELECT e.event_id, e.user_id, e.value, p.n_events, p.total_value,
+                p.n_events >= 67 AS is_heavy
+         FROM events e LEFT JOIN prof p USING (user_id)""",
+
     // Incremental refresh ≡ full recompute: the oracle IS the full-data
     // bar build — no emission filter, no cutoff. Any stale boundary bar
     // the upsert failed to replace diverges here.
@@ -5145,6 +5209,24 @@ $backtestPnlCtes,
                 CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height, top_down""",
+
+    "mm_tiff" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(5 + doc_id % 8 AS INT) AS width,
+                      CAST(4 + doc_id % 5 AS INT) AS height,
+                      (doc_id % 2 = 0) AS big_endian,
+                      (doc_id % 3 = 0) AS packbits
+                    FROM documents),
+         px AS (SELECT id, width, height, big_endian, packbits,
+                  CAST((height + 2) // 3 AS INT) AS n_strips,
+                  CAST(i % width AS BIGINT) AS x, CAST(i // width AS BIGINT) AS y
+                FROM d, unnest(range(0, width * height)) AS t(i))
+         SELECT id, width, height, big_endian, packbits, n_strips,
+                COUNT(*) AS n_pixels,
+                CAST(SUM((id + 3*x + 7*y) % 256) AS DOUBLE) / COUNT(*) AS mean_r,
+                CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
+                CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
+         FROM px GROUP BY id, width, height, big_endian, packbits, n_strips""",
 
     // JPEG is lossy, so the oracle replays the exact header fields and the
     // EXPECTATION that every decoded channel mean sits inside the ±3.0

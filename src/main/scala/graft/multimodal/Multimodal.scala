@@ -456,6 +456,9 @@ object Multimodal {
     else if (Bmp.looksLikeBmp(b))
       Bmp.decodeOne(id, b).map(f => SniffedMedia(id, "bmp", f.width, f.height,
         f.n_pixels, (f.mean_r + f.mean_g + f.mean_b) / 3.0))
+    else if (Tiff.looksLikeTiff(b))
+      Tiff.decodeOne(id, b).map(f => SniffedMedia(id, "tiff", f.width, f.height,
+        f.n_pixels, (f.mean_r + f.mean_g + f.mean_b) / 3.0))
     else if (startsWith(b, 0, "RIFF") && startsWith(b, 8, "AVI ")) {
       val frames = Video.decodeOneAvi(id, b)
       if (frames.isEmpty) None

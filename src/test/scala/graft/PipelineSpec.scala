@@ -371,6 +371,54 @@ class PipelineSpec extends SparkSpec {
     assert(Bmp.decodeBmp(bad).collect().isEmpty)
   }
 
+  test("TIFF codec: both endians, multi-strip, PackBits round trip, forgeries drop") {
+    import graft.multimodal.Tiff
+    val ids = spark.range(1, 22).as[Long]
+    val feats = Tiff.decodeTiff(Tiff.syntheticTiff(ids)).collect()
+    assert(feats.length == 21)
+    feats.foreach { f =>
+      assert(f.width == (5 + f.id % 8).toInt && f.height == (4 + f.id % 5).toInt)
+      assert(f.big_endian == (f.id % 2 == 0) && f.packbits == (f.id % 3 == 0))
+      assert(f.n_strips == (f.height + 2) / 3)
+      // endianness/compression must not leak into pixel values: replay
+      // the generation formula for mean_b
+      val expB = (0 until f.height).map(y => (f.id + y) % 256).sum.toDouble / f.height
+      assert(math.abs(f.mean_b - expB) < 1e-12, s"id=${f.id} mean_b")
+    }
+
+    // PackBits round trip on arbitrary byte runs (real mixed run/literal
+    // streams) + the expansion cap refuses an over-claiming stream
+    val probe = Array.tabulate[Byte](300)(i =>
+      if (i % 17 < 9) (i % 5).toByte else 42.toByte)
+    val packed = Tiff.packBits(probe)
+    assert(Tiff.unpackBits(packed, 0, packed.length, 300).exists(_.sameElements(probe)))
+    assert(Tiff.unpackBits(packed, 0, packed.length, 100).isEmpty) // cap bites
+    // repeat-run bomb: 0x81 0xAA claims 128 output bytes, expect only 4
+    assert(Tiff.unpackBits(Array(0x81.toByte, 0xAA.toByte), 0, 2, 4).isEmpty)
+
+    // adversarial rows all DROP
+    // id=1: little-endian AND uncompressed (id%3 != 0), so the compression
+    // forge below really flips 1 -> 5 (id=3 would already have 0x05 as the
+    // PackBits low byte and the forge would be a no-op)
+    val good = Tiff.encodeOne(1L)
+    def forge(mut: Array[Byte] => Unit): Tiff.TiffImage = {
+      val b = good.clone(); mut(b); Tiff.TiffImage(1L, b)
+    }
+    val ifd = ((good(4) & 0xff) | ((good(5) & 0xff) << 8) |
+      ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24))
+    val bad = Seq(
+      forge(b => b(2) = 43), // wrong version magic
+      forge(b => b(4) = 0x7f), // IFD offset past the buffer
+      Tiff.TiffImage(5L, good.take(6)), // truncated header
+      // width entry (tag 256 = first) value -> dimension bomb
+      forge { b => b(ifd + 2 + 8) = 0xff.toByte; b(ifd + 2 + 9) = 0xff.toByte
+        b(ifd + 2 + 10) = 0x7f },
+      // compression entry (tag 259 = 4th) -> LZW (unsupported baseline ext)
+      forge(b => b(ifd + 2 + 3 * 12 + 8) = 5)
+    ).toDS()
+    assert(Tiff.decodeTiff(bad).collect().isEmpty)
+  }
+
   test("resizePpm: hand-checked nearest-neighbor map, identity resize, bad rows drop") {
     // 2×2 source, pixels laid row-major: (0,0)=[10,11,12] (1,0)=[20,21,22]
     //                                    (0,1)=[30,31,32] (1,1)=[40,41,42]
