@@ -1472,6 +1472,26 @@ object SparkEntry {
     // EXPLICIT value list (schema deterministic, no value-discovery job);
     // absent cells coalesce to 0 so both engines agree. One Expand-free
     // pivot aggregation shuffle.
+    // Semi-structured column extraction (C4 generalized): events.props is
+    // a JSON string; from_json with an EXPLICIT schema (inference on an
+    // unbounded corpus is a full extra scan) parses it in-plan — codegen'd
+    // JsonToStructs, row-local, no UDF. Malformed documents coerce to null
+    // (ANSI off), so the downstream agg sees them as missing, not a crash:
+    // the 100 TB posture for dirty semi-structured columns. Exact BIGINT
+    // aggregation over the extracted field.
+    "p7_json_extract" -> ((s, dir) => {
+      TestData(s, dir).events
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k").cast("long")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+    }),
+
     "p5_crosstab" -> ((s, dir) => {
       val langs = Seq("de", "en", "es", "fr", "zh")
       val piv = TestData(s, dir).documents
@@ -1701,6 +1721,33 @@ object SparkEntry {
       graft.streaming.Replay.toBatch(
         graft.streaming.StreamSessionizer.sessions(ev, gapMs = 30L * 60 * 1000)
           .toDF(), "sessions")
+    }),
+
+    // The BUILT-IN merging session window (the native operator next to
+    // the flatMapGroupsWithState sessionizer in stream_sessions — prefer
+    // the engine's operator when it expresses the semantics): sessions
+    // merge while consecutive-event gaps stay UNDER 30 min (strict — an
+    // exactly-gap-sized step starts a new session, because per-event
+    // windows [ts, ts+gap) abut without overlapping), session end = last
+    // event + gap. All µs-exact: the oracle replays the island detection
+    // on integer microseconds, never ms-rounded (a boundary-straddling
+    // round would flip a merge verdict). Append emission: the final
+    // watermark (max ts − 601 s) must pass the session END.
+    "stream_session_window" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+        .select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "601 seconds")
+      graft.streaming.Replay.toBatch(
+        ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            decSum(col("value")).as("session_value")),
+        "session_window")
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("session_value"))
     }),
 
     // COMPLETE-mode running aggregate — the output mode the append-only
@@ -4532,6 +4579,28 @@ $backtestPnlCtes,
          FROM g JOIN lastg USING (user_id), wm
          WHERE g.end_ms < lastg.last_end OR g.end_ms + 1800000 < wm.wm_ms""",
 
+    // Native merging session windows: µs-exact island detection (strict
+    // under-gap merge), end = last event + gap, emission once the final
+    // watermark passes the session end.
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
+         m AS (SELECT *, CASE WHEN tus - LAG(tus) OVER w >= 1800000000
+                        OR LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, value)),
+         s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+               FROM m),
+         g AS (SELECT user_id, sid, MIN(tus) AS start_us,
+                 MAX(tus) + 1800000000 AS end_us,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6))
+                   AS DOUBLE) AS session_value
+               FROM s GROUP BY user_id, sid),
+         wm AS (SELECT MAX(epoch_ns(ts) // 1000) - 601000000 AS wm_us FROM events)
+         SELECT g.user_id, g.start_us, g.end_us, g.n_events, g.session_value
+         FROM g, wm
+         WHERE g.end_us < wm.wm_us""",
+
     // Complete-mode convergence: the final table IS the batch aggregate.
     "stream_running_totals" ->
       """SELECT event_type, count(*) AS n_events,
@@ -4751,6 +4820,17 @@ $backtestPnlCtes,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
          FROM documents GROUP BY md5(text)""",
+
+    "p7_json_extract" ->
+      """WITH e AS (SELECT event_type,
+                          CAST(props ->> 'k' AS INTEGER) AS k
+                   FROM events)
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(COUNT(k) AS BIGINT) AS n_with_k,
+                CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+         FROM e GROUP BY event_type""",
 
     "p5_crosstab" ->
       """SELECT source,

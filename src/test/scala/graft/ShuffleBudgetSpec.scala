@@ -153,7 +153,24 @@ class ShuffleBudgetSpec extends SparkSpec {
     // one Expand feeding ONE aggregation exchange — never per-level scans
     "p6_grouping_sets" -> 1,
     // row-local codec decode
-    "mm_bmp" -> 0
+    "mm_bmp" -> 0,
+    // row-local codec decode (both endians, PackBits)
+    "mm_tiff" -> 0,
+    // one key-partitioned navigation window chain
+    "w9_lead_lag" -> 1,
+    // single-pass profile: multi-column exact distinct = Expand two-phase
+    "dq_profile" -> 2,
+    // extracted-field agg with one COUNT(DISTINCT): Expand two-phase
+    "p7_json_extract" -> 2,
+    // packed-word Hamming scan: queries broadcast; the one exchange is
+    // the per-query rank window
+    "ann_hamming_topk" -> 1,
+    // forward triangle counting DOWNSTREAM of the two checkpointed
+    // frames: at test SF the (tiny) oriented edge frame BROADCASTS into
+    // both the wedge and closing joins, so the lone exchange is the
+    // corner-explode agg; at scale the joins shuffle on node keys — the
+    // budget freezes the test-SF broadcast shape
+    "graph_triangles" -> 1
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
