@@ -1161,6 +1161,23 @@ object SparkEntry {
         .withColumn("money", col("money").cast("decimal(25,6)").cast("double"))
     }),
 
+    // 5-minute VWAP (the intraday twin of the resample tier): turnover
+    // and volume are EXACT BIGINT sums (px/qty derive integer-valued from
+    // event_id), so vwap is ONE IEEE division of exact integers — the
+    // only float op, identical in any engine. Bucket id via ts_ns DIV
+    // (rule 5). One partial-agged groupBy.
+    "a8_vwap" -> ((s, dir) =>
+      TestData(s, dir).events
+        .select(concat(lit("S"), col("user_id") % 20).as("symbol"),
+          expr("ts_ns DIV 300000000000").as("bucket"),
+          (((col("event_id") * 37) % 10000) * ((col("event_id") % 100) + 1))
+            .cast("long").as("pq"),
+          ((col("event_id") % 100) + 1).cast("long").as("q"))
+        .groupBy("symbol", "bucket")
+        .agg(sum(col("pq")).as("turnover"), sum(col("q")).as("volume"))
+        .withColumn("vwap",
+          col("turnover").cast("double") / col("volume").cast("double"))),
+
     // Fixed-width value histogram (the profiling primitive behind every
     // "distribution of X" dashboard): bucket = floor(price/5000) — floor
     // on the IEEE division, NEVER a bigint cast (Spark's cast truncates
@@ -2092,6 +2109,14 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 100)
       Graph.triangleCounts(pairs, "doc_a", "doc_b")
     }),
+
+    // Asymmetric near-dup: containment |A∩B|/min(|A|,|B|) catches a short
+    // doc embedded in a long one, which Jaccard structurally misses
+    // (Broder's resemblance/containment split). Shares ngramJaccard's
+    // inverted-index plan; only the final ratio differs.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(TestData(s, dir).documents, "doc_id", "text",
+        3, 0.8, 100)),
 
     // Full dedup flow: near-dup pairs -> clusters -> keep canonical member.
     "dedup_keep_canonical" -> ((s, dir) => {
@@ -3966,6 +3991,19 @@ $backtestPnlCtes,
                 COUNT(*) AS n_rows
          FROM r GROUP BY user_id, period""",
 
+    "a8_vwap" ->
+      """WITH t AS (SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS symbol,
+                          epoch_ns(ts) // 300000000000 AS bucket,
+                          CAST((event_id * 37) % 10000 AS BIGINT)
+                            * CAST(event_id % 100 + 1 AS BIGINT) AS pq,
+                          CAST(event_id % 100 + 1 AS BIGINT) AS q
+                   FROM events)
+         SELECT symbol, bucket,
+                CAST(SUM(pq) AS BIGINT) AS turnover,
+                CAST(SUM(q) AS BIGINT) AS volume,
+                CAST(SUM(pq) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS vwap
+         FROM t GROUP BY symbol, bucket""",
+
     "a7_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
                 count(*) AS n_rows,
@@ -5028,6 +5066,25 @@ $backtestPnlCtes,
                        ORDER BY score DESC, neighbor_id ASC) AS rank
            FROM scd)
          WHERE rank <= 5""",
+
+    // Same pair CTEs as dedup_ngram_jaccard; the final ratio is
+    // containment (÷ the SMALLER doc's shingle count, not the union).
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                    FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM w, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3),
+         sz AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY doc_id),
+         rare AS (SELECT g.* FROM g JOIN (
+                    SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM g GROUP BY sh)
+                    WHERE df BETWEEN 2 AND 100) d USING (sh)),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+               FROM rare a JOIN rare b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, containment FROM (
+           SELECT doc_a, doc_b,
+                  ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(sa.c, sb.c) AS DOUBLE), 6) AS containment
+           FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+         WHERE containment >= 0.8""",
 
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws

@@ -132,6 +132,34 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** N-gram CONTAINMENT pairs — the ASYMMETRIC near-dup verdict Jaccard
+    * structurally misses: a short document wholly embedded in a long one
+    * (quoted article, boilerplate-wrapped repost) has tiny Jaccard
+    * (|A∩B|/|A∪B| shrinks with the size gap) but containment
+    * |A∩B|/min(|A|,|B|) ≈ 1. Broder's (1997) resemblance/containment
+    * split; corpus pipelines need BOTH verdicts. Identical plan shape to
+    * [[ngramJaccard]] (shared inverted-index pair generation, df caps, no
+    * self-join) — only the final ratio differs, so the scale posture is
+    * already established. Returns (doc_a, doc_b, containment ≥ threshold). */
+  def ngramContainment(docs: DataFrame, id: String, text: String,
+                       n: Int = 3, threshold: Double = 0.8, maxDF: Int = 100): DataFrame = {
+    val sh = wordShingles(docs, id, text, n).localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, maxDF))
+      .select(explode(pairExpr(array_sort(col("ds")))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("containment",
+        round(col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** MinHash signatures: sig_i = min over shingles of lane-hash(i, shingle).
     * One groupBy per document; k hash lanes computed in a single pass over
     * a once-prepped hash column. */

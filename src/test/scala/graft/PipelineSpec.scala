@@ -26,6 +26,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ngramContainment: catches the asymmetric embedding Jaccard misses") {
+    // doc 2 (3 shingles) sits wholly inside doc 1 (18 shingles):
+    // jaccard = 3/18 ≈ 0.17 — invisible at the 0.5 gate — while
+    // containment = 3/min(18,3) = 1.0
+    val tiny = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "a b c d e"),
+      (3L, "z0 z1 z2 z3 z4 z5 z6 z7")).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccard(tiny, "doc_id", "text", 3, 0.5, 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val con = Dedup.ngramContainment(tiny, "doc_id", "text", 3, 0.9, 100)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.contains((1L, 2L)), "size-skewed pair must be sub-Jaccard")
+    assert(con.toSeq === Seq((1L, 2L, 1.0)),
+      s"containment must flag the embedded doc: ${con.toSeq}")
+  }
+
   test("incremental LSH dedup ≡ monolithic pairs restricted to the batch; index appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
     val old = docs.filter(col("doc_id") % 5 =!= 4)

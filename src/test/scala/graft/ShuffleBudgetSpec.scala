@@ -165,6 +165,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     // packed-word Hamming scan: queries broadcast; the one exchange is
     // the per-query rank window
     "ann_hamming_topk" -> 1,
+    // one partial-agged groupBy; turnover/volume exact BIGINT sums
+    "a8_vwap" -> 1,
     // forward triangle counting DOWNSTREAM of the two checkpointed
     // frames: at test SF the (tiny) oriented edge frame BROADCASTS into
     // both the wedge and closing joins, so the lone exchange is the
