@@ -92,6 +92,44 @@ class DataSkippingSpec extends SparkSpec {
     info(s"rows read of $total — 1-D: A=$oA B=$oB; z-order: A=$zA B=$zB")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact PARTITIONS at runtime") {
+    // the 100 TB star-join layout: the fact is hive-partitioned on the
+    // join key's granularity (here ship month) and the dim filter is only
+    // known at runtime — DPP injects a dynamic pruning subquery into the
+    // fact scan's PartitionFilters so unselected partitions are never
+    // LISTED, let alone read (static pruning can't do this: the filter is
+    // on the DIM, not the fact)
+    val root = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    li.write.partitionBy("ship_month").parquet(s"$root/fact")
+    val fact = spark.read.parquet(s"$root/fact")
+    import spark.implicits._
+    // the dim must be a STORED relation: a driver-local frame's filter
+    // constant-folds into the LocalRelation and PartitionPruning then
+    // sees no selective predicate to prune with (measured here)
+    fact.select(col("ship_month")).distinct()
+      .as[String].collect().sorted
+      .map(m => (m, m.substring(5, 7).toInt)).toSeq
+      .toDF("ship_month", "month_no")
+      .write.parquet(s"$root/dim")
+    val monthDim = spark.read.parquet(s"$root/dim")
+    val q = fact
+      .join(broadcast(monthDim.filter(col("month_no") === 3)), Seq("ship_month"))
+      .agg(sum(col("l_quantity").cast("decimal(25,6)")).as("qty"))
+    val got = q.collect().head.getDecimal(0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "fact scan must carry a dynamic pruning subquery:\n" + plan)
+    // partition-level proof: the FACT scan read only the March partitions
+    // (scanRows sums every file scan — the dim's rows must not count)
+    val read = scanRows(q) - monthDim.count()
+    val want = fact.filter(substring(col("ship_month"), 6, 2) === "03")
+    assert(read == want.count(), s"DPP read $read fact rows, expected only March's")
+    assert(got == want.agg(sum(col("l_quantity").cast("decimal(25,6)")))
+      .collect().head.getDecimal(0))
+  }
+
   test("TIMESTAMP_NTZ caveat holds: an NTZ range predicate prunes no row groups") {
     // the guard for the doc claim — if a Spark upgrade starts converting
     // NTZ predicates, this fails and the caveat (plus the ts_ns guidance)
