@@ -2110,6 +2110,13 @@ object SparkEntry {
       Graph.triangleCounts(pairs, "doc_a", "doc_b")
     }),
 
+    // Fuzzy (edit-distance) near-dup: Levenshtein over the 6-word head
+    // with first-2-words equality blocking — the character-level verdict
+    // the set-similarity family can't express; integer distance, block
+    // caps bound the pair explosion.
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(TestData(s, dir).documents, "doc_id", "text")),
+
     // Asymmetric near-dup: containment |A∩B|/min(|A|,|B|) catches a short
     // doc embedded in a long one, which Jaccard structurally misses
     // (Broder's resemblance/containment split). Shares ngramJaccard's
@@ -5066,6 +5073,22 @@ $backtestPnlCtes,
                        ORDER BY score DESC, neighbor_id ASC) AS rank
            FROM scd)
          WHERE rank <= 5""",
+
+    // Blocked Levenshtein replay: DuckDB ships the same edit-distance
+    // definition; blocks capped identically.
+    "dedup_edit_distance" ->
+      """WITH h AS (SELECT doc_id,
+                array_to_string(list_slice(list_filter(string_split(text,' '),
+                  x -> length(x)>0), 1, 6), ' ') AS head,
+                array_to_string(list_slice(list_filter(string_split(text,' '),
+                  x -> length(x)>0), 1, 2), ' ') AS blk
+              FROM documents),
+         ok AS (SELECT blk FROM h GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 50),
+         b AS (SELECT h.* FROM h JOIN ok USING (blk))
+         SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+                CAST(levenshtein(a.head, bb.head) AS BIGINT) AS edit_dist
+         FROM b a JOIN b bb ON a.blk = bb.blk AND a.doc_id < bb.doc_id
+         WHERE levenshtein(a.head, bb.head) <= 8""",
 
     // Same pair CTEs as dedup_ngram_jaccard; the final ratio is
     // containment (÷ the SMALLER doc's shingle count, not the union).

@@ -160,6 +160,41 @@ object Dedup {
       .select("doc_a", "doc_b", "containment")
   }
 
+  /** Edit-distance near-dup pairs over a SHORT derived field — the fuzzy-
+    * match family next to the set-similarity ones (Jaccard/containment
+    * see word SETS; Levenshtein sees ORDER and character-level edits, the
+    * verdict that catches typo-level variants). Never run on full texts:
+    * O(n·m) per comparison — the operator compares the head (first
+    * `headWords` words), the standard title/lead blocking field.
+    *
+    * Candidate generation is equality BLOCKING on the first `blockWords`
+    * words (the classic record-linkage design): the self-join keys on the
+    * block, so pairs only form inside blocks, and blocks larger than
+    * `maxBlock` are dropped loudly — the B² pair-explosion/skew guard the
+    * LSH bucket cap already established. Distance is an exact integer —
+    * bit-deterministic in any engine (DuckDB ships the same Levenshtein
+    * definition). Returns (doc_a, doc_b, edit_dist ≤ maxDist). */
+  def editDistancePairs(docs: DataFrame, id: String, text: String,
+                        headWords: Int = 6, blockWords: Int = 2,
+                        maxDist: Int = 8, maxBlock: Int = 50): DataFrame = {
+    val heads = docs
+      .select(col(id).as("doc_id"),
+        filter(split(col(text), " "), w => length(w) > 0).as("ws"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("ws"), 1, headWords)).as("head"),
+        concat_ws(" ", slice(col("ws"), 1, blockWords)).as("blk"))
+      .localCheckpoint() // read twice (sizes + both join sides)
+    val ok = heads.groupBy("blk").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBlock))
+      .select("blk")
+    val b = heads.join(ok, "blk")
+    b.as("a").join(b.as("bb"), col("a.blk") === col("bb.blk")
+        && col("a.doc_id") < col("bb.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"),
+        levenshtein(col("a.head"), col("bb.head")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** MinHash signatures: sig_i = min over shingles of lane-hash(i, shingle).
     * One groupBy per document; k hash lanes computed in a single pass over
     * a once-prepped hash column. */

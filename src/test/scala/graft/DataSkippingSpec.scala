@@ -130,6 +130,37 @@ class DataSkippingSpec extends SparkSpec {
       .collect().head.getDecimal(0))
   }
 
+  test("runtime bloom-filter join pruning fires on a shuffle join with a selective build") {
+    // DPP's complement for NON-partition columns: a selective dim filter
+    // turns into a bloom filter evaluated on the fact side BEFORE the
+    // join shuffle, so non-matching fact rows never cross the wire. The
+    // application-side threshold defaults to 10 GB (it exists to protect
+    // small scans from filter overhead) — probe-scaled to 0 here, the
+    // SkewProbe precedent: the REAL default would simply never fire at
+    // test SF, which proves nothing either way.
+    val conf = spark.conf
+    val savedApp = conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val savedBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        "fact side must carry the runtime bloom filter:\n" + plan.take(2000))
+      // semantics unchanged by the filter
+      val want = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey")).count()
+      assert(q.collect().head.getLong(0) == want)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", savedApp)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
   test("TIMESTAMP_NTZ caveat holds: an NTZ range predicate prunes no row groups") {
     // the guard for the doc claim — if a Spark upgrade starts converting
     // NTZ predicates, this fails and the caveat (plus the ts_ns guidance)

@@ -44,6 +44,22 @@ class PipelineSpec extends SparkSpec {
       s"containment must flag the embedded doc: ${con.toSeq}")
   }
 
+  test("editDistancePairs: hand-checked distances, blocking, and the block cap") {
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delto"),   // same block, dist 1 (a→o)
+      (3L, "alpha beta entirely different words here"), // same block, far head
+      (4L, "omega psi chi")).toDF("doc_id", "text")     // different block
+    val got = Dedup.editDistancePairs(tiny, "doc_id", "text",
+        headWords = 4, blockWords = 2, maxDist = 3, maxBlock = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1L)), s"got $got")
+    // cap: a block of maxBlock+1 docs generates NO pairs
+    val flood = (0 until 4).map(i => (10L + i, s"same same tail$i")).toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(flood, "doc_id", "text",
+      headWords = 3, blockWords = 2, maxDist = 99, maxBlock = 3).count() === 0L)
+  }
+
   test("incremental LSH dedup ≡ monolithic pairs restricted to the batch; index appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
     val old = docs.filter(col("doc_id") % 5 =!= 4)

@@ -167,6 +167,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "ann_hamming_topk" -> 1,
     // one partial-agged groupBy; turnover/volume exact BIGINT sums
     "a8_vwap" -> 1,
+    // blocked Levenshtein: block-size agg + the block self-join's
+    // co-partition (its twin side reuses the exchange); ok-filter
+    // broadcasts at test SF
+    "dedup_edit_distance" -> 2,
     // forward triangle counting DOWNSTREAM of the two checkpointed
     // frames: at test SF the (tiny) oriented edge frame BROADCASTS into
     // both the wedge and closing joins, so the lone exchange is the
