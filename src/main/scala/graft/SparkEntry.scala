@@ -1161,6 +1161,23 @@ object SparkEntry {
         .withColumn("money", col("money").cast("decimal(25,6)").cast("double"))
     }),
 
+    // Two-sample KS drift detector: the scaled statistic is an exact
+    // BIGINT max (no float CDF), d is one IEEE division, the drift
+    // verdict cross-multiplies in DECIMAL(38,0) (d_scaled² passes the
+    // BIGINT range). Two pairs gated: same-distribution (no drift) and a
+    // 1.1× shifted copy (drift) — both verdicts must hold exactly.
+    "quantiles_ks_drift" -> ((s, dir) => {
+      val li = TestData(s, dir).lineitem
+      val a = li.filter(col("l_returnflag") === "R")
+        .select(col("l_extendedprice").as("v"))
+      val b = li.filter(col("l_returnflag") === "N")
+        .select(col("l_extendedprice").as("v"))
+      val shifted = b.select((col("v") * 1.1).as("v"))
+      Quantiles.ksTest(a, b, "v").withColumn("pair", lit("same"))
+        .unionByName(
+          Quantiles.ksTest(a, shifted, "v").withColumn("pair", lit("shifted")))
+    }),
+
     // 5-minute VWAP (the intraday twin of the resample tier): turnover
     // and volume are EXACT BIGINT sums (px/qty derive integer-valued from
     // event_id), so vwap is ONE IEEE division of exact integers — the
@@ -2116,6 +2133,23 @@ object SparkEntry {
     // caps bound the pair explosion.
     "dedup_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(TestData(s, dir).documents, "doc_id", "text")),
+
+    // Snapshot CDC diff (the read-side complement of the versioned sink):
+    // keyed full-outer compare via per-row digests, one row per changed
+    // key with added/removed/changed. The new snapshot derives
+    // deterministically from orders (every 97th key removed, every 13th
+    // repriced, every 101st re-keyed in as an add).
+    "j12_snapshot_diff" -> ((s, dir) => {
+      val o = TestData(s, dir).orders
+      val neu = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+      Joins.snapshotDiff(o, neu, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+    }),
 
     // Asymmetric near-dup: containment |A∩B|/min(|A|,|B|) catches a short
     // doc embedded in a long one, which Jaccard structurally misses
@@ -3998,6 +4032,34 @@ $backtestPnlCtes,
                 COUNT(*) AS n_rows
          FROM r GROUP BY user_id, period""",
 
+    "quantiles_ks_drift" -> {
+      def one(bExpr: String, label: String) =
+        s"""SELECT n_a, n_b, d_scaled,
+                   CAST(d_scaled AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d,
+                   CAST(d_scaled AS DECIMAL(38,0)) * CAST(d_scaled AS DECIMAL(38,0)) >
+                     CAST(1.844164 AS DECIMAL(38,6)) * CAST(n_a + n_b AS DECIMAL(38,0))
+                       * CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) AS drift,
+                   '$label' AS pair
+            FROM (
+              WITH u AS (
+                SELECT l_extendedprice AS v, 1 AS ca, 0 AS cb FROM lineitem
+                WHERE l_returnflag = 'R'
+                UNION ALL
+                SELECT $bExpr AS v, 0 AS ca, 1 AS cb FROM lineitem
+                WHERE l_returnflag = 'N'),
+              pv AS (SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM u GROUP BY v),
+              c AS (SELECT
+                  SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+                  SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+                  SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+                FROM pv)
+              SELECT CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+                     CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_scaled
+              FROM c)"""
+      one("l_extendedprice", "same") + "\n UNION ALL \n" +
+        one("l_extendedprice * 1.1", "shifted")
+    },
+
     "a8_vwap" ->
       """WITH t AS (SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS symbol,
                           epoch_ns(ts) // 300000000000 AS bucket,
@@ -5073,6 +5135,34 @@ $backtestPnlCtes,
                        ORDER BY score DESC, neighbor_id ASC) AS rank
            FROM scd)
          WHERE rank <= 5""",
+
+    // The digest is an implementation detail — the oracle compares the
+    // columns directly (digest equality ⟺ value equality within an
+    // engine, and only the VERDICT crosses engines).
+    "j12_snapshot_diff" ->
+      """WITH oldt AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+                       FROM orders),
+         newt AS (SELECT o_orderkey, o_orderstatus,
+                         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                              ELSE o_totalprice END AS o_totalprice,
+                         o_orderpriority
+                  FROM orders WHERE o_orderkey % 97 <> 0
+                  UNION ALL
+                  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice,
+                         o_orderpriority
+                  FROM orders WHERE o_orderkey % 101 = 0)
+         SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                     WHEN n.o_orderkey IS NULL THEN 'removed'
+                     WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                           AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                           AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+                       THEN 'changed' END AS change
+         FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+         WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+                OR NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                    AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                    AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority))""",
 
     // Blocked Levenshtein replay: DuckDB ships the same edit-distance
     // definition; blocks capped identically.

@@ -270,4 +270,37 @@ object Joins {
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
   }
+
+  /** Snapshot DIFF (change-data-capture between two table versions — the
+    * read-side complement of [[graft.sources.Sinks.publishVersion]]'s
+    * write-side snapshots): keyed FULL OUTER compare emitting one row per
+    * changed key with `change ∈ {added, removed, changed}`. Non-key
+    * columns compare via a canonical per-row digest (md5 over
+    * `~`-delimited casts, nulls sentineled) so the comparison cost is one
+    * row-local hash per side instead of N column equalities carried
+    * through the join — and at 100 TB the digest can be PRECOMPUTED and
+    * stored with each snapshot, turning every later diff into a
+    * (key, 32 B) join that never rereads the wide payload.
+    *
+    * One co-partitioned full-outer shuffle on the key; unchanged keys are
+    * filtered AFTER the join (they never leave the executor). Both keys
+    * and digests are engine-replayable (md5 of the same canonical string
+    * — the Md5Hash lane precedent), so the gate hash-compares. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    def digested(df: DataFrame, tag: String): DataFrame =
+      df.select(keys.map(col) :+
+        md5(concat_ws("~",
+          compareCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*))
+          .as(s"${tag}_digest"): _*)
+    val o = digested(old, "old")
+    val n = digested(neu, "new")
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
 }

@@ -142,4 +142,45 @@ object Quantiles {
       (col("below") + lit(1L) <= target + eps &&
         col("at_or_below") >= target - eps).as("within"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+    * detector (did today's feature values drift from the training
+    * snapshot?), computed EXACTLY in integers: at every distinct value of
+    * the combined sample, D·n_a·n_b = |cumA·n_b − cumB·n_a| (cumulative
+    * counts are integers, so the scaled statistic is a BIGINT max — no
+    * float CDF anywhere). The reported `d` is one IEEE division of exact
+    * integers; the drift VERDICT is cross-multiplied in DECIMAL(38,0)
+    * (d_scaled² can pass 9.2·10¹⁸ — BIGINT would silently wrap):
+    * D > c·√((n_a+n_b)/(n_a·n_b))  ⟺  d_scaled² > c²·(n_a+n_b)·n_a·n_b,
+    * with c² carried as an exact decimal (α = 0.05 → c = 1.358,
+    * c² = 1.844164). Plan: one tagged union + per-value count agg + ONE
+    * value-ordered cumulative window (single partition over the DISTINCT
+    * values — value-cardinality-bounded, not row-bounded) + a 1-row max. */
+  def ksTest(a: DataFrame, b: DataFrame, value: String,
+             critSq: java.math.BigDecimal = new java.math.BigDecimal("1.844164")): DataFrame = {
+    val tagged = a.select(col(value).cast("double").as("v"),
+        lit(1L).as("ca"), lit(0L).as("cb"))
+      .unionByName(b.select(col(value).cast("double").as("v"),
+        lit(0L).as("ca"), lit(1L).as("cb")))
+      .filter(col("v").isNotNull)
+    val perValue = tagged.groupBy("v")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy() // unpartitioned full-frame totals
+    val cums = perValue.select(
+      sum(col("ca")).over(w).as("cum_a"), sum(col("cb")).over(w).as("cum_b"),
+      sum(col("ca")).over(total).as("n_a"), sum(col("cb")).over(total).as("n_b"))
+    cums
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .as("d_scaled"))
+      .select(col("n_a"), col("n_b"), col("d_scaled"),
+        (col("d_scaled").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("d"),
+        (col("d_scaled").cast("decimal(38,0)") * col("d_scaled").cast("decimal(38,0)") >
+          lit(critSq).cast("decimal(38,6)") * (col("n_a") + col("n_b")).cast("decimal(38,0)") *
+            col("n_a").cast("decimal(38,0)") * col("n_b").cast("decimal(38,0)"))
+          .as("drift"))
+  }
 }

@@ -198,4 +198,40 @@ class OpsSpec extends SparkSpec {
     val expected = Seq(1.1, 1.1 * 0.9, 1.1 * 0.9 * 1.25, 1.1 * 0.9 * 1.25 * 2.0)
     out.zip(expected).foreach { case (a, e) => assert(math.abs(a - e) < 1e-12 * e) }
   }
+
+  test("ksTest: identical samples D=0; disjoint samples D=1; verdicts flip") {
+    import graft.ops.Quantiles
+    def df(vals: Double*) = vals.map(Tuple1(_)).toDF("v")
+    val same = Quantiles.ksTest(df(1, 2, 3), df(1, 2, 3), "v")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(same === ((3L, 3L, 0L, 0.0, false)))
+    // A entirely below B: at v=2 cumA=2, cumB=0 → |2·2 − 0·2| = 4 = n_a·n_b.
+    // NB even D=1 is NOT significant at n=2 (16 < 1.844164·4·4 ≈ 29.5 —
+    // the exact two-sample p here is 1/3): the verdict respects power,
+    // it doesn't just threshold D
+    val far = Quantiles.ksTest(df(1, 2), df(3, 4), "v")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(far === ((2L, 2L, 4L, 1.0, false)),
+      s"D=1 at n=2 must stay under the critical value: $far")
+    // at n=10 the same full separation IS significant (10000 > 3688)
+    val powered = Quantiles.ksTest(df((1 to 10).map(_.toDouble): _*),
+        df((11 to 20).map(_.toDouble): _*), "v")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(powered === ((10L, 10L, 100L, 1.0, true)))
+    // shared values count into both CDFs at the same point
+    val mixed = Quantiles.ksTest(df(1, 2), df(2, 3), "v")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(mixed._3 === 2L && mixed._4 === 0.5) // max at v=1: |1·2 − 0·2| = 2
+  }
+
+  test("snapshotDiff: added/removed/changed verdicts; unchanged keys silent") {
+    import graft.ops.Joins
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "p")
+    val neu = Seq((1L, "a", 10.0), (2L, "b", 21.0), (4L, "d", 40.0))
+      .toDF("k", "s", "p")
+    val got = Joins.snapshotDiff(old, neu, Seq("k"), Seq("s", "p"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
 }

@@ -167,6 +167,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "ann_hamming_topk" -> 1,
     // one partial-agged groupBy; turnover/volume exact BIGINT sums
     "a8_vwap" -> 1,
+    // keyed full-outer digest compare: both sides co-partition on the key
+    "j12_snapshot_diff" -> 2,
+    // 2 legs × (per-value agg + the ordered cumulative window, which the
+    // unpartitioned totals window shares an exchange with) = 4
+    "quantiles_ks_drift" -> 4,
     // blocked Levenshtein: block-size agg + the block self-join's
     // co-partition (its twin side reuses the exchange); ok-filter
     // broadcasts at test SF
