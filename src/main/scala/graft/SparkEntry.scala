@@ -1298,6 +1298,19 @@ object SparkEntry {
       Tokenizer.trainAndEncodeBpe(TestData(s, dir).documents, "doc_id", "text",
         nMerges = 8)),
 
+    // WordPiece-style GREEDY longest-match inference over the BPE-trained
+    // vocabulary (merge products + corpus chars minus 'q', so <unk> is
+    // reachable) — the OTHER production tokenizer inference rule, provably
+    // different from BPE merge-order (greedy can strand a word that a
+    // different segmentation covers; spec-pinned). Walk runs on DISTINCT
+    // words only, broadcast back.
+    "tok_wordpiece_encode" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val vocab = Tokenizer.wordpieceVocab(docs, "text", nMerges = 8,
+        excludeChars = Set('q'))
+      Tokenizer.wordpieceEncode(docs, "doc_id", "text", vocab)
+    }),
+
     // Rolling polynomial fingerprint (order-sensitive document hash).
     "text_fingerprint" -> ((s, dir) => {
       TestData(s, dir).documents.select(
@@ -5253,6 +5266,8 @@ $backtestPnlCtes,
 
     "tok_bpe_encode" -> bpeEncodeOracleSql(8),
 
+    "tok_wordpiece_encode" -> wordpieceOracleSql(8),
+
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
                     FROM documents),
@@ -5790,6 +5805,53 @@ $backtestPnlCtes,
       s"SELECT CAST($k AS BIGINT) AS merge_rank, lft, rgt, cnt AS pair_count FROM b$k"
     }.mkString("\n         UNION ALL ")
     s"$head$rounds\n         $out"
+  }
+
+  /** DuckDB replay of [[graft.functions.Tokenizer.wordpieceEncode]] over
+    * [[graft.functions.Tokenizer.wordpieceVocab]]: the bpe oracle's merge
+    * CTEs build the vocabulary (products + corpus chars minus 'q'), then a
+    * recursive CTE walks each DISTINCT word greedily — the per-step choice
+    * is `MAX(lpad(len) || piece)` over prefix-matching pieces (one
+    * substring exists per length, so max-by-sortkey IS longest-match), a
+    * stuck word (max pos < length) collapses to one <unk>. */
+  private def wordpieceOracleSql(nMerges: Int): String = {
+    val prelude = bpeOracleSql(nMerges)
+      .split("\n         SELECT CAST\\(1 AS BIGINT\\)")(0)
+      .replaceFirst("WITH wf", "WITH RECURSIVE wf")
+    val prods = (1 to nMerges).map(k => s"SELECT lft || rgt AS piece FROM b$k")
+      .mkString("\n               UNION ")
+    s"""$prelude,
+         chars AS (SELECT DISTINCT substring(word, CAST(i AS INT), 1) AS piece
+                   FROM wf, unnest(range(1, length(word) + 1)) AS t(i)
+                   WHERE substring(word, CAST(i AS INT), 1) <> 'q'),
+         vocab AS (SELECT piece FROM chars UNION $prods),
+         steps(word, pos, ntoks) AS (
+           SELECT word, 0, 0 FROM wf
+           UNION ALL
+           SELECT word,
+                  pos + length(substr((SELECT MAX(lpad(CAST(length(piece) AS VARCHAR), 4, '0') || piece)
+                                       FROM vocab
+                                       WHERE substring(word, pos + 1, length(piece)) = piece), 5)),
+                  ntoks + 1
+           FROM steps
+           WHERE pos < length(word)
+             AND EXISTS (SELECT 1 FROM vocab
+                         WHERE substring(word, pos + 1, length(piece)) = piece)),
+         fin AS (SELECT word, MAX(pos) AS reached, MAX(ntoks) AS nt
+                 FROM steps GROUP BY word),
+         wtok AS (SELECT f.word,
+                    CASE WHEN f.reached = length(f.word) THEN f.nt ELSE 1 END AS word_toks,
+                    CASE WHEN f.reached = length(f.word) THEN 0 ELSE 1 END AS unk
+                  FROM fin f),
+         dw AS (SELECT doc_id, w AS word
+                FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+                      FROM documents)
+                WHERE NOT contains(w, chr(1)))
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                CAST(SUM(word_toks) AS BIGINT) AS n_tokens,
+                CAST(SUM(unk) AS BIGINT) AS n_unk
+         FROM dw JOIN wtok USING (word)
+         GROUP BY doc_id"""
   }
 
   /** DuckDB replay of [[graft.functions.Tokenizer.trainAndEncodeBpe]]:

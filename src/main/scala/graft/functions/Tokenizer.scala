@@ -204,7 +204,7 @@ object Tokenizer {
                     maxLocalWords: Int = 100000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sep = ""
+    val sep = "\u0001"
     val wf: Array[(String, Long)] = docs
       .select(explode(TextFns.words(col(textCol))).as("word"))
       .filter(!col("word").contains(sep))
@@ -294,6 +294,77 @@ object Tokenizer {
         size(filter(split(col("enc"), sep), s => length(s) > 0)).cast("long").as("n_toks"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  /** WordPiece-style GREEDY longest-match-first encoding — the other
+    * production tokenizer inference rule next to BPE's merge-order
+    * replay (BERT's tokenizer; provably different output on the same
+    * vocab, spec-pinned): at each position take the LONGEST vocab piece
+    * prefixing the remaining suffix; a position with no matching piece
+    * makes the WHOLE word one `<unk>` (partial pieces discarded — the
+    * standard WordPiece rule). At a fixed position only one substring
+    * exists per length, so "longest" needs no tiebreak.
+    *
+    * Scale shape: the walk runs over DISTINCT words only (the
+    * trainBpeLocal vocabulary-bound trick) and joins back broadcast —
+    * corpus cost is one explode + one broadcast join + one agg; the
+    * imperative loop touches a word-table-sized frame. Deterministic:
+    * string/int only, replayed by the oracle's recursive CTE. */
+  def wordpieceEncode(docs: DataFrame, idCol: String, textCol: String,
+                      vocab: Seq[String]): DataFrame = {
+    val sep = "\u0001"
+    val vset = vocab.toSet
+    val maxLen = if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+    def walk(word: String): (Long, Boolean) = {
+      var pos = 0
+      var toks = 0L
+      while (pos < word.length) {
+        var l = math.min(maxLen, word.length - pos)
+        var best = -1
+        while (l >= 1 && best < 0) {
+          if (vset.contains(word.substring(pos, pos + l))) best = l
+          l -= 1
+        }
+        if (best < 0) return (1L, true)
+        pos += best
+        toks += 1
+      }
+      (toks, false)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dw = docs
+      .select(col(idCol).as("doc_id"), explode(TextFns.words(col(textCol))).as("word"))
+      .filter(!col("word").contains(sep))
+    val perWord = dw.select("word").distinct().as[String]
+      .mapPartitions(_.map { w => val (t, u) = walk(w); (w, t, u) })
+      .toDF("word", "word_toks", "is_unk")
+    dw.join(broadcast(perWord), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("word_toks")).as("n_tokens"),
+        sum(when(col("is_unk"), 1L).otherwise(0L)).as("n_unk"))
+  }
+
+  /** The BPE-derived WordPiece vocabulary: every merge PRODUCT plus the
+    * corpus's single characters minus `excludeChars` (the excluded chars
+    * are how `<unk>` stays reachable — a full char set would make every
+    * word encodable by construction). Word collection is vocabulary-bound
+    * (same `maxLocalWords` contract as [[trainBpeLocal]]). */
+  def wordpieceVocab(docs: DataFrame, textCol: String, nMerges: Int,
+                     excludeChars: Set[Char]): Seq[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = trainBpeLocal(docs, textCol, nMerges)
+      .orderBy("merge_rank")
+      .select(concat(col("lft"), col("rgt")).as("p")).as[String].collect().toSeq
+    val words = docs
+      .select(explode(TextFns.words(col(textCol))).as("word"))
+      .filter(!col("word").contains("\u0001"))
+      .distinct().as[String].collect()
+    val chars = words.iterator.flatMap(_.iterator).filterNot(excludeChars)
+      .map(_.toString).toSet
+    (chars ++ merges).toSeq.sorted
   }
 
   /** Train-then-encode for BPE (the gate shape): merges learned from the

@@ -174,4 +174,31 @@ class TokenizerSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(r0(0) == (1L, 4L, 3 + 3 + 5 + 6L))
   }
+
+  test("wordpieceEncode: greedy longest-match, the stuck→unk rule, counts") {
+    // vocab {a, aa, ab}: "aab" greedily takes 'aa', strands on 'b' (not
+    // in vocab) → the WHOLE word is one <unk>, even though the
+    // segmentation [a, ab] covers it — the canonical greedy-vs-optimal
+    // divergence, and exactly WordPiece's documented behavior
+    val docs = Seq((1L, "aab ab aba"), (2L, "aa aa")).toDF("doc_id", "text")
+    val got = Tokenizer.wordpieceEncode(docs, "doc_id", "text",
+        Seq("a", "aa", "ab"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // doc1: aab→unk(1 tok), ab→[ab]=1, aba→[ab,a]=2 ⇒ 3 words, 4 toks, 1 unk
+    assert(got(0) === ((1L, 3L, 4L, 1L)), s"doc1: ${got(0)}")
+    // doc2: aa→[aa]=1 twice ⇒ 2 words, 2 toks, 0 unk
+    assert(got(1) === ((2L, 2L, 2L, 0L)), s"doc2: ${got(1)}")
+  }
+
+  test("wordpieceVocab: merge products + chars minus exclusions, unk reachable") {
+    val docs = Seq((1L, "low low lower"), (2L, "low qat")).toDF("doc_id", "text")
+    val vocab = Tokenizer.wordpieceVocab(docs, "text", nMerges = 2,
+      excludeChars = Set('q'))
+    assert(!vocab.contains("q"), "excluded char must not enter the vocab")
+    assert(vocab.exists(_.length > 1), "merge products must enter the vocab")
+    val enc = Tokenizer.wordpieceEncode(docs, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(enc(1)._4 === 1L, s"'qat' must be unk: ${enc(1)}")
+    assert(enc(0)._4 === 0L, s"q-free doc must have no unks: ${enc(0)}")
+  }
 }
