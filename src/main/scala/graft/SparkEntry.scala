@@ -1178,6 +1178,30 @@ object SparkEntry {
           Quantiles.ksTest(a, shifted, "v").withColumn("pair", lit("shifted")))
     }),
 
+    // Typed Aggregator rung of the custom-agg ladder: per-symbol OHLCV
+    // through Dataset.groupByKey + Aggregator[Tick, BarBuf, Bar] —
+    // compile-time-typed end to end (the API a case-class pipeline
+    // author reaches for); order-sensitive open/close resolve by the
+    // (tsNs, seq) total order carried in the buffer, turnover rides
+    // price-micros BIGINTs so merge order can't drift a float.
+    "a9_typed_bars" -> ((s, dir) => {
+      import s.implicits._
+      val ticks = TestData(s, dir).events.select(
+          concat(lit("S"), col("user_id") % 20).as("symbol"),
+          col("ts_ns").as("tsNs"), col("event_id").as("seq"),
+          ((col("event_id") * 37) % 10000).cast("double").as("px"),
+          ((col("event_id") % 100) + 1).as("qty"))
+        .as[(String, Long, Long, Double, Long)]
+      ticks.groupByKey(_._1)
+        .mapValues { case (_, ts, seq, px, qty) =>
+          graft.functions.TypedAggregators.Tick(ts, seq, px, qty) }
+        .agg(graft.functions.TypedAggregators.OhlcvAgg.toColumn)
+        .map { case (sym, b) => (sym, b.open, b.high, b.low, b.close,
+          b.volume, b.turnover_micros, b.n_ticks) }
+        .toDF("symbol", "open", "high", "low", "close", "volume",
+          "turnover_micros", "n_ticks")
+    }),
+
     // 5-minute VWAP (the intraday twin of the resample tier): turnover
     // and volume are EXACT BIGINT sums (px/qty derive integer-valued from
     // event_id), so vwap is ONE IEEE division of exact integers — the
@@ -4072,6 +4096,27 @@ $backtestPnlCtes,
       one("l_extendedprice", "same") + "\n UNION ALL \n" +
         one("l_extendedprice * 1.1", "shifted")
     },
+
+    "a9_typed_bars" ->
+      """WITH t AS (SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS symbol,
+                          epoch_ns(ts) AS tsn, event_id AS seq,
+                          CAST((event_id * 37) % 10000 AS DOUBLE) AS px,
+                          CAST(event_id % 100 + 1 AS BIGINT) AS qty
+                   FROM events),
+         w AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY tsn, seq) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY tsn DESC, seq DESC) AS rn_d
+               FROM t),
+         agg AS (SELECT symbol, MAX(px) AS high, MIN(px) AS low,
+                        CAST(SUM(qty) AS BIGINT) AS volume,
+                        CAST(SUM(CAST(px AS BIGINT) * 1000000 * qty) AS BIGINT) AS turnover_micros,
+                        CAST(COUNT(*) AS BIGINT) AS n_ticks
+                 FROM t GROUP BY symbol)
+         SELECT a.symbol, o.px AS open, a.high, a.low, c.px AS close,
+                a.volume, a.turnover_micros, a.n_ticks
+         FROM agg a
+           JOIN (SELECT symbol, px FROM w WHERE rn_a = 1) o USING (symbol)
+           JOIN (SELECT symbol, px FROM w WHERE rn_d = 1) c USING (symbol)""",
 
     "a8_vwap" ->
       """WITH t AS (SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS symbol,

@@ -56,4 +56,47 @@ class AggExpressionsSpec extends SparkSpec {
       .select("symbol", "period", "open", "close")
     assert(now.exceptAll(before).isEmpty && before.exceptAll(now).isEmpty)
   }
+
+  test("typed OhlcvAgg: hand bar, merge-order invariance, empty-side merge") {
+    import graft.functions.TypedAggregators._
+    val ticks = Seq(
+      Tick(30L, 3L, 7.0, 2L), Tick(10L, 1L, 5.0, 1L),
+      Tick(10L, 2L, 9.0, 4L), Tick(20L, 9L, 1.0, 3L))
+    // open = px at (10,1)=5, close = px at (30,3)=7, high 9, low 1,
+    // vol 10, turnover = (7e6·2)+(5e6·1)+(9e6·4)+(1e6·3) = 58e6
+    val want = Bar(5.0, 9.0, 1.0, 7.0, 10L, 58000000L, 4L)
+    // every permutation and every split point must produce the same bar
+    ticks.permutations.take(12).foreach { perm =>
+      (0 to perm.length).foreach { cut =>
+        val (l, r) = perm.splitAt(cut)
+        val got = OhlcvAgg.finish(OhlcvAgg.merge(
+          l.foldLeft(OhlcvAgg.zero)(OhlcvAgg.reduce),
+          r.foldLeft(OhlcvAgg.zero)(OhlcvAgg.reduce)))
+        assert(got === want, s"perm=$perm cut=$cut")
+      }
+    }
+  }
+
+  test("typed OhlcvAgg through groupByKey matches the SQL window derivation") {
+    val ev = sources.TestData(spark, sf0001).events
+    val ticks = ev.select(
+        concat(lit("S"), col("user_id") % 5).as("symbol"),
+        col("ts_ns").as("tsNs"), col("event_id").as("seq"),
+        ((col("event_id") * 37) % 100).cast("double").as("px"),
+        ((col("event_id") % 10) + 1).as("qty"))
+      .as[(String, Long, Long, Double, Long)]
+    import graft.functions.TypedAggregators._
+    val typed = ticks.groupByKey(_._1)
+      .mapValues { case (_, ts, seq, px, qty) => Tick(ts, seq, px, qty) }
+      .agg(OhlcvAgg.toColumn)
+      .map { case (s, b) => (s, b.open, b.close, b.volume, b.n_ticks) }
+      .collect().toSet
+    val sql = ticks.toDF("symbol", "tsNs", "seq", "px", "qty")
+      .groupBy("symbol").agg(
+        min_by(col("px"), struct(col("tsNs"), col("seq"))).as("open"),
+        max_by(col("px"), struct(col("tsNs"), col("seq"))).as("close"),
+        sum("qty").as("volume"), count(lit(1)).as("n"))
+      .as[(String, Double, Double, Long, Long)].collect().toSet
+    assert(typed === sql)
+  }
 }
