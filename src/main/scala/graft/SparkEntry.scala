@@ -466,6 +466,38 @@ object SparkEntry {
         .select("id", "kind", "width", "height", "n_units")
     }),
 
+    // TPC-H Q9 class (product-type profit): the 6-way fact-heavy snowflake
+    // grouped by (nation, year). The fixture has no partsupp, so
+    // ps_supplycost is a DERIVED deterministic analog — integer CENTS from
+    // (partkey, suppkey) ((p·31+s·17)%5000+100), so the per-row amount is
+    // pure row-local IEEE arithmetic identical in any engine, and the sum
+    // rides the q1 decimal route. The PLAN is the real thing: profit
+    // expression over a 5-join tree, dims broadcast, one agg exchange.
+    "q9_product_profit" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.lineitem.createOrReplaceTempView("g9_lineitem")
+      t.orders.createOrReplaceTempView("g9_orders")
+      t.supplier.createOrReplaceTempView("g9_supplier")
+      t.nation.createOrReplaceTempView("g9_nation")
+      t.part.createOrReplaceTempView("g9_part")
+      s.sql("""
+        SELECT nation, o_year,
+               CAST(CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - (CAST((l_partkey * 31 + l_suppkey * 17) % 5000 + 100 AS DOUBLE) / 100.0)
+                     * l_quantity AS amount
+          FROM g9_lineitem
+          JOIN g9_orders ON o_orderkey = l_orderkey
+          JOIN g9_supplier ON s_suppkey = l_suppkey
+          JOIN g9_nation ON n_nationkey = s_nationkey
+          JOIN g9_part ON p_partkey = l_partkey
+          WHERE p_type = 'PROMO')
+        GROUP BY nation, o_year""")
+    }),
+
     // TPC-H Q4 class: correlated EXISTS with a NON-equi predicate that
     // references the outer row (ship > order date + 90d) — Catalyst
     // decorrelates to a left-semi join with the range condition as a
@@ -3649,6 +3681,23 @@ $backtestPnlCtes,
                      WHERE l2.l_partkey = l.l_partkey
                        AND l2.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
                        AND l2.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'))""",
+
+    "q9_product_profit" ->
+      """SELECT nation, o_year,
+                CAST(CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_profit
+         FROM (
+           SELECT n_name AS nation,
+                  CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+                  l_extendedprice * (1 - l_discount)
+                    - (CAST((l_partkey * 31 + l_suppkey * 17) % 5000 + 100 AS DOUBLE) / 100.0)
+                      * l_quantity AS amount
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+           JOIN part ON p_partkey = l_partkey
+           WHERE p_type = 'PROMO')
+         GROUP BY nation, o_year""",
 
     "q2_min_cost" ->
       """SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name,

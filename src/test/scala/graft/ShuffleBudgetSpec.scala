@@ -102,6 +102,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "emb_rand_proj" -> 0,
     // twin-role nation joins all broadcast; only the final agg shuffles
     "q7_nation_volume" -> 1,
+    // 5-join profit tree (Q9 class): supplier/nation/part broadcast,
+    // orders broadcast at test SF (co-shuffles on the order key at
+    // scale); the (nation, year) agg is the lone exchange
+    "q9_product_profit" -> 1,
     // deepest snowflake (8-way, nation in two roles): ALL seven dim sides
     // broadcast — the lone exchange is the per-year share agg
     "q8_market_share" -> 1,
