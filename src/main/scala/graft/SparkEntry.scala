@@ -1921,6 +1921,25 @@ object SparkEntry {
         .select("content_hash", "content_len")
     }),
 
+    // Event-type transition matrix (the Markov view of user journeys —
+    // funnel's unordered cousin): per user, each event pairs with its
+    // successor under the (ts_ns, event_id) total order (rule 2/5), then
+    // one (from, to) count aggregation. Exact integers; one window
+    // exchange + one agg.
+    "events_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      TestData(s, dir).events
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+    }),
+
     // Stream-STATIC enrichment join — the stateless streaming join shape
     // (no watermark, no join state): each event picks up its user's
     // profile from a broadcast static frame; LEFT join semantics so
@@ -4858,6 +4877,17 @@ $backtestPnlCtes,
       """SELECT DISTINCT md5(text) AS content_hash,
                 CAST(length(text) AS BIGINT) AS content_len
          FROM documents""",
+
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id
+                    FROM events),
+         p AS (SELECT event_type AS from_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                        ORDER BY tsn, event_id) AS to_type
+               FROM e)
+         SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+         FROM p WHERE to_type IS NOT NULL
+         GROUP BY from_type, to_type""",
 
     // Stateless stream-static join: one-batch replay ≡ the batch join.
     "stream_enrich" ->
