@@ -1921,6 +1921,27 @@ object SparkEntry {
         .select("content_hash", "content_len")
     }),
 
+    // The BUILT-IN streaming dedup operator (dropDuplicatesWithinWatermark
+    // — the engine's bounded-state twin of StreamDedup.dropRedelivered,
+    // the session_window-vs-custom-sessionizer pattern again): state
+    // expires once the watermark passes a key's last sighting, which is
+    // exactly the redelivery horizon the custom lane enforces by hand.
+    // One-batch replay ≡ DISTINCT per key, so it shares stream_dedup's
+    // oracle verbatim.
+    "stream_dedup_wm" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/documents.parquet"))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+        .withWatermark("ts", "601 seconds")
+        .select(col("ts"), md5(col("text")).as("content_hash"),
+          length(col("text")).cast("long").as("content_len"))
+      graft.streaming.Replay.toBatch(
+        docs.dropDuplicatesWithinWatermark("content_hash"),
+        "dedup_wm")
+        .select("content_hash", "content_len")
+    }),
+
     // Event-type transition matrix (the Markov view of user journeys —
     // funnel's unordered cousin): per user, each event pairs with its
     // successor under the (ts_ns, event_id) total order (rule 2/5), then
@@ -4874,6 +4895,12 @@ $backtestPnlCtes,
              ON e.user_id = c.c_custkey""",
 
     "stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_hash,
+                CAST(length(text) AS BIGINT) AS content_len
+         FROM documents""",
+
+    // The built-in dedup operator produces the identical final set.
+    "stream_dedup_wm" ->
       """SELECT DISTINCT md5(text) AS content_hash,
                 CAST(length(text) AS BIGINT) AS content_len
          FROM documents""",
