@@ -2346,6 +2346,15 @@ object SparkEntry {
         m = 8, dsub = 8, ksub = 16, lloydIters = 0)
     }),
 
+    // OPQ-lite: signed-permutation rotation (exactly orthogonal, zero
+    // matrix cost) before the unchanged PQ pipeline — sub-spaces see
+    // decorrelated dimension mixes. Same oracle machinery, rotated source.
+    "ann_opq_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Pq.opqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+    }),
+
     // IVF-PQ (lloydIters = 0): coarse cells prune the scan, ADC scores
     // PQ codes within probed cells only — the composed 100 TB ANN shape.
     // Both quantizers seed by value predicate → fully SQL-replayable.
@@ -5795,6 +5804,8 @@ $backtestPnlCtes,
     "ann_ivf0_topk" -> ivf0Oracle,
     "semdedup" -> semDedupOracle,
     "ann_pq_topk" -> pqOracle,
+
+    "ann_opq_topk" -> opqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_recall_eval" -> annRecallOracle,
     // Served lane reads a pre-materialized index; the artifacts round-trip
@@ -6650,8 +6661,24 @@ $backtestPnlCtes,
     * assignment with code-id tiebreak (ROW_NUMBER), the per-query ADC
     * table, and the two cross-subspace sums as sequential folds in sub
     * order. Every double op mirrors the Spark plan 1:1. */
-  private lazy val pqOracle: String =
-    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+  private lazy val pqOracle: String = pqOracleFrom("embedding")
+
+  /** OPQ-lite replay: the SAME signed permutation the Spark op applies
+    * (generated by [[graft.ann.Quant.signedPermutation]] and inlined as
+    * literal list indices/negations), feeding the UNCHANGED PQ pipeline. */
+  private lazy val opqOracle: String = {
+    val (perm, signs) = graft.ann.Quant.signedPermutation(64)
+    val rot = "[" + (0 until 64).map { j =>
+      val e = s"embedding[${perm(j) + 1}]"
+      if (signs(j) < 0) s"-$e" else e
+    }.mkString(", ") + "]"
+    pqOracleFrom(rot)
+  }
+
+  /** [[pqOracle]] parameterized by the embedding SOURCE expression (the
+    * OPQ lane rotates it; the plain lane passes the column through). */
+  private def pqOracleFrom(srcExpr: String): String =
+    s"""WITH c AS (SELECT vec_id AS cid, $srcExpr AS cv FROM embeddings),
         par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM c),
         seeds AS (SELECT CAST(cid // stride AS INT) AS code, cv FROM c, par
                   WHERE cid % stride = 0 AND cid < stride * 16),
@@ -6668,9 +6695,9 @@ $backtestPnlCtes,
                            z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])),
                          (a, b) -> a + b) ASC, cb.code ASC) AS rn
             FROM cs JOIN cb USING (sub)) WHERE rn = 1),
-        q AS (SELECT vec_id AS query_id, embedding AS qv,
+        q AS (SELECT vec_id AS query_id, $srcExpr AS qv,
                      sqrt(list_reduce([CAST(0 AS DOUBLE)] ||
-                       list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       list_transform($srcExpr, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                        (a, b) -> a + b)) AS qn
               FROM embeddings WHERE vec_id < 10),
         qs AS (SELECT query_id, qn, u.sub, qv[u.sub*8+1 : u.sub*8+8] AS sv

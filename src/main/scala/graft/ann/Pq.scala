@@ -197,6 +197,24 @@ object Pq {
     scoreAndRank(codes.join(broadcast(adc), Seq("sub", "code")), k)
   }
 
+  /** OPQ-lite: a deterministic SIGNED-PERMUTATION rotation (exactly
+    * orthogonal — [[graft.ann.Quant.signedPermutation]] doc) applied to
+    * corpus and queries before the unchanged PQ pipeline. The OPQ idea
+    * (Ge et al. 2013: rotate so sub-spaces decorrelate before product
+    * quantization) at zero matrix cost; cosine in the rotated space IS
+    * cosine in the original (inner products preserved exactly up to FP
+    * reordering of the same multiplies), so scores remain comparable to
+    * the plain lane. Rotation is row-local and codegen'd — the scan shape
+    * is identical to [[pqTopK]]. */
+  def opqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, m: Int, dsub: Int, ksub: Int = 16,
+              lloydIters: Int = 0): DataFrame = {
+    val (perm, signs) = Quant.signedPermutation(m * dsub)
+    def rot(df: DataFrame): DataFrame =
+      df.withColumn(vec, Quant.rotateColumn(col(vec), perm, signs))
+    pqTopK(rot(corpus), rot(queries), id, vec, k, m, dsub, ksub, lloydIters)
+  }
+
   /** IVF-PQ: the genuinely 100 TB ANN shape — an IVF coarse quantizer
     * limits each query's scan to its `nProbe` probed cells, and within
     * those cells scoring is compressed-domain ADC over PQ codes. Neither a

@@ -170,6 +170,40 @@ object Quant {
         col("rank").cast("long").as("rank"), col("hamming"))
   }
 
+  /** Deterministic SIGNED PERMUTATION of dimension `d` — the cheapest
+    * exactly-orthogonal rotation there is (a permutation matrix with ±1
+    * entries): it preserves norms and inner products EXACTLY (every
+    * product term is the same float multiply, merely reordered), needs no
+    * stored state (md5 Fisher–Yates + md5 sign parities, the
+    * [[jlSignMatrix]] contract), and costs d moves per vector instead of
+    * a d×d multiply. The OPQ intuition at zero matrix cost: shuffling
+    * dimensions across PQ sub-spaces decorrelates what each sub-quantizer
+    * sees. Returns (perm, signs): rotated[j] = signs(j) · v(perm(j)). */
+  def signedPermutation(d: Int): (Array[Int], Array[Int]) = {
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    val perm = (0 until d).toArray
+    var i = d - 1
+    while (i >= 1) {
+      val j = (h(s"perm,$i") % (i + 1)).toInt
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+      i -= 1
+    }
+    val signs = Array.tabulate(d)(j => if (h(s"sign,$j") % 2 == 0) 1 else -1)
+    (perm, signs)
+  }
+
+  /** Apply a signed permutation to an array column (float element type is
+    * preserved — negation is exact in IEEE). Row-local, codegen'd. */
+  def rotateColumn(vec: Column, perm: Array[Int], signs: Array[Int]): Column =
+    array(perm.indices.map { j =>
+      val e = element_at(vec, perm(j) + 1)
+      if (signs(j) < 0) negate(e) else e
+    }: _*)
+
   /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas 2003
     * database-friendly projections, the p=1/2 variant): the sign of cell
     * (j, k) is a pure function of md5("j,k"), so the matrix needs no
