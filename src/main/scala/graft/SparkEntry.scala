@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Flac, Gif, Jpeg, Multimodal, Png, Tiff, Video}
+import graft.multimodal.{Bmp, Flac, Gif, H264Meta, Jpeg, Multimodal, Png, Tiff, Video}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -444,7 +444,7 @@ object SparkEntry {
       import s.implicits._
       val docs = TestData(s, dir).documents
       val ids = docs.select(col("doc_id").cast("long")).as[Long]
-      def pick(m: Int) = ids.filter(_ % 10 == m)
+      def pick(m: Int) = ids.filter(_ % 11 == m)
       def row(id: Long, media: Array[Byte]) =
         Multimodal.MediaRow(id, media, "", 0, 0)
       val mixed =
@@ -457,7 +457,8 @@ object SparkEntry {
           .union(Video.syntheticAvi(pick(6)).map(r => row(r.id, r.media)))
           .union(Bmp.syntheticBmp(pick(7)).map(r => row(r.id, r.media)))
           .union(Tiff.syntheticTiff(pick(8)).map(r => row(r.id, r.media)))
-          .union(docs.filter(col("doc_id") % 10 === 9)
+          .union(H264Meta.syntheticH264(pick(9)).map(r => row(r.id, r.media)))
+          .union(docs.filter(col("doc_id") % 11 === 10)
             .select(col("doc_id").cast("long").as("id"),
               encode(col("text"), "UTF-8").as("media"),
               lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
@@ -2594,6 +2595,17 @@ object SparkEntry {
       Tiff.decodeTiff(Tiff.syntheticTiff(ids)).toDF()
     }),
 
+    // H.264 METADATA lane: real Annex-B NAL walk + exp-Golomb SPS parse
+    // (emulation prevention stripped, display dims via the spec's chroma
+    // crop math) — the metadata pass a video corpus runs first; slice
+    // DECODE is the documented codec-ladder ceiling and stays out.
+    "mm_h264_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      H264Meta.decodeH264(H264Meta.syntheticH264(ids)).toDF()
+    }),
+
     // Multimodal audio decode: REAL RIFF/WAVE (PCM16) chunk-walk → sample
     // stats; oracle replays the generation formula (integer math, exact).
     "mm_wav" -> ((s, dir) => {
@@ -3675,22 +3687,24 @@ $backtestPnlCtes,
     // and routing are what's gated; integers only, exact both engines.
     "mm_sniff" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
-                CASE doc_id % 10 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                CASE doc_id % 11 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'
                   WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' WHEN 7 THEN 'bmp'
-                  WHEN 8 THEN 'tiff'
+                  WHEN 8 THEN 'tiff' WHEN 9 THEN 'h264'
                   ELSE 'opaque' END AS kind,
-                CAST(CASE doc_id % 10 WHEN 0 THEN 5 + doc_id % 9
+                CAST(CASE doc_id % 11 WHEN 0 THEN 5 + doc_id % 9
                   WHEN 1 THEN 5 + doc_id % 6 WHEN 2 THEN 5 + doc_id % 7
                   WHEN 3 THEN 4 + doc_id % 5 WHEN 6 THEN 5 + doc_id % 9
                   WHEN 7 THEN 6 + doc_id % 7 WHEN 8 THEN 5 + doc_id % 8
+                  WHEN 9 THEN (1 + doc_id % 4) * 16 - 2 * (doc_id % 3)
                   ELSE 0 END AS INT) AS width,
-                CAST(CASE doc_id % 10 WHEN 0 THEN 4 + doc_id % 9
+                CAST(CASE doc_id % 11 WHEN 0 THEN 4 + doc_id % 9
                   WHEN 1 THEN 4 + doc_id % 5 WHEN 2 THEN 4 + doc_id % 6
                   WHEN 3 THEN 3 + doc_id % 4 WHEN 6 THEN 4 + doc_id % 9
                   WHEN 7 THEN 3 + doc_id % 6 WHEN 8 THEN 4 + doc_id % 5
+                  WHEN 9 THEN (1 + doc_id % 3) * 16 - 2 * (doc_id % 2)
                   ELSE 0 END AS INT) AS height,
-                CAST(CASE doc_id % 10
+                CAST(CASE doc_id % 11
                   WHEN 0 THEN (5 + doc_id % 9) * (4 + doc_id % 9)
                   WHEN 1 THEN (5 + doc_id % 6) * (4 + doc_id % 5)
                   WHEN 2 THEN (5 + doc_id % 7) * (4 + doc_id % 6)
@@ -3700,6 +3714,7 @@ $backtestPnlCtes,
                   WHEN 6 THEN 2 + doc_id % 4
                   WHEN 7 THEN (6 + doc_id % 7) * (3 + doc_id % 6)
                   WHEN 8 THEN (5 + doc_id % 8) * (4 + doc_id % 5)
+                  WHEN 9 THEN 2 + (1 + doc_id % 3) + (doc_id % 5)
                   ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_units
          FROM documents""",
 
@@ -5634,6 +5649,16 @@ $backtestPnlCtes,
                 CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height, top_down""",
+
+    "mm_h264_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+                66 AS profile_idc, 30 AS level_idc,
+                CAST((1 + doc_id % 4) * 16 - 2 * (doc_id % 3) AS INT) AS width,
+                CAST((1 + doc_id % 3) * 16 - 2 * (doc_id % 2) AS INT) AS height,
+                CAST(2 + (1 + doc_id % 3) + (doc_id % 5) AS BIGINT) AS n_nal,
+                CAST(1 + doc_id % 3 AS BIGINT) AS n_idr,
+                CAST(doc_id % 5 AS BIGINT) AS n_nonidr
+         FROM documents""",
 
     "mm_tiff" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,

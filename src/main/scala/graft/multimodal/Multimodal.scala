@@ -459,6 +459,9 @@ object Multimodal {
     else if (Tiff.looksLikeTiff(b))
       Tiff.decodeOne(id, b).map(f => SniffedMedia(id, "tiff", f.width, f.height,
         f.n_pixels, (f.mean_r + f.mean_g + f.mean_b) / 3.0))
+    else if (H264Meta.looksLikeH264(b))
+      H264Meta.decodeOne(id, b).map(f => SniffedMedia(id, "h264", f.width,
+        f.height, f.n_nal, 0.0))
     else if (startsWith(b, 0, "RIFF") && startsWith(b, 8, "AVI ")) {
       val frames = Video.decodeOneAvi(id, b)
       if (frames.isEmpty) None

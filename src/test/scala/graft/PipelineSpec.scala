@@ -453,6 +453,44 @@ class PipelineSpec extends SparkSpec {
     assert(Tiff.decodeTiff(bad).collect().isEmpty)
   }
 
+  test("H264 metadata: emulation-prevention round trip, SPS crop math, forgeries drop") {
+    import graft.multimodal.H264Meta
+    // property: strip(add(x)) == x on 00-heavy payloads, and the encoded
+    // form never contains a start-code-emulating 00 00 0x (x ≤ 2) pattern
+    (0 until 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val raw = Array.fill(200)((rnd.nextInt(5) - 1).toByte)
+      val enc = H264Meta.addEmulationPrevention(raw)
+      assert(H264Meta.stripEmulationPrevention(enc).sameElements(raw), s"seed $seed")
+      (0 until enc.length - 2).foreach { i =>
+        assert(!(enc(i) == 0 && enc(i + 1) == 0 && (enc(i + 2) & 0xff) <= 2),
+          s"seed $seed: emulation pattern survived at $i")
+      }
+    }
+    val ids = spark.range(1, 22).as[Long]
+    val feats = H264Meta.decodeH264(H264Meta.syntheticH264(ids)).collect()
+    assert(feats.length == 21)
+    feats.foreach { f =>
+      assert(f.profile_idc == 66 && f.level_idc == 30)
+      assert(f.width == (1 + f.id % 4).toInt * 16 - 2 * (f.id % 3).toInt,
+        s"id=${f.id} crop math")
+      assert(f.height == (1 + f.id % 3).toInt * 16 - 2 * (f.id % 2).toInt)
+      assert(f.n_idr == 1 + f.id % 3 && f.n_nonidr == f.id % 5)
+      assert(f.n_nal == 2 + f.n_idr + f.n_nonidr)
+    }
+    // forgeries drop: truncation, PPS-first stream, exp-Golomb garbage SPS
+    val good = H264Meta.encodeOne(5L)
+    val notSps = good.clone(); notSps(4) = ((3 << 5) | 8).toByte
+    val garbage = good.clone() // poison the exp-Golomb region with zeros
+    (5 until 12).foreach(i => garbage(i) = 0)
+    val bad = Seq(
+      H264Meta.H264Clip(1L, good.take(6)),
+      H264Meta.H264Clip(2L, notSps),
+      H264Meta.H264Clip(3L, Array[Byte](1, 2, 3, 4)),
+      H264Meta.H264Clip(4L, garbage.take(13))).toDS()
+    assert(H264Meta.decodeH264(bad).collect().isEmpty)
+  }
+
   test("resizePpm: hand-checked nearest-neighbor map, identity resize, bad rows drop") {
     // 2×2 source, pixels laid row-major: (0,0)=[10,11,12] (1,0)=[20,21,22]
     //                                    (0,1)=[30,31,32] (1,1)=[40,41,42]
