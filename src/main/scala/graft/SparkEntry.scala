@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Flac, Gif, H264Meta, Jpeg, Multimodal, Png, Tiff, Video}
+import graft.multimodal.{Bmp, Flac, Gif, H264Meta, Jpeg, Mp4Meta, Multimodal, Png, Tiff, Video}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -444,7 +444,7 @@ object SparkEntry {
       import s.implicits._
       val docs = TestData(s, dir).documents
       val ids = docs.select(col("doc_id").cast("long")).as[Long]
-      def pick(m: Int) = ids.filter(_ % 11 == m)
+      def pick(m: Int) = ids.filter(_ % 12 == m)
       def row(id: Long, media: Array[Byte]) =
         Multimodal.MediaRow(id, media, "", 0, 0)
       val mixed =
@@ -458,7 +458,8 @@ object SparkEntry {
           .union(Bmp.syntheticBmp(pick(7)).map(r => row(r.id, r.media)))
           .union(Tiff.syntheticTiff(pick(8)).map(r => row(r.id, r.media)))
           .union(H264Meta.syntheticH264(pick(9)).map(r => row(r.id, r.media)))
-          .union(docs.filter(col("doc_id") % 11 === 10)
+          .union(Mp4Meta.syntheticMp4(pick(10)).map(r => row(r.id, r.media)))
+          .union(docs.filter(col("doc_id") % 12 === 11)
             .select(col("doc_id").cast("long").as("id"),
               encode(col("text"), "UTF-8").as("media"),
               lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
@@ -2595,6 +2596,18 @@ object SparkEntry {
       Tiff.decodeTiff(Tiff.syntheticTiff(ids)).toDF()
     }),
 
+    // MP4/ISO-BMFF METADATA lane (the container around the H.264 stream):
+    // length-prefixed box walk with the 64-bit largesize escape, nested
+    // moov/trak recursion by byte range, BOTH mvhd versions (field widths
+    // differ), 16.16 fixed-point tkhd dims (the classic off-by-65536×),
+    // exact-ms duration via integer DIV.
+    "mm_mp4_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Mp4Meta.decodeMp4(Mp4Meta.syntheticMp4(ids)).toDF()
+    }),
+
     // H.264 METADATA lane: real Annex-B NAL walk + exp-Golomb SPS parse
     // (emulation prevention stripped, display dims via the spec's chroma
     // crop math) — the metadata pass a video corpus runs first; slice
@@ -3687,24 +3700,26 @@ $backtestPnlCtes,
     // and routing are what's gated; integers only, exact both engines.
     "mm_sniff" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
-                CASE doc_id % 11 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                CASE doc_id % 12 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'
                   WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' WHEN 7 THEN 'bmp'
-                  WHEN 8 THEN 'tiff' WHEN 9 THEN 'h264'
+                  WHEN 8 THEN 'tiff' WHEN 9 THEN 'h264' WHEN 10 THEN 'mp4'
                   ELSE 'opaque' END AS kind,
-                CAST(CASE doc_id % 11 WHEN 0 THEN 5 + doc_id % 9
+                CAST(CASE doc_id % 12 WHEN 0 THEN 5 + doc_id % 9
                   WHEN 1 THEN 5 + doc_id % 6 WHEN 2 THEN 5 + doc_id % 7
                   WHEN 3 THEN 4 + doc_id % 5 WHEN 6 THEN 5 + doc_id % 9
                   WHEN 7 THEN 6 + doc_id % 7 WHEN 8 THEN 5 + doc_id % 8
                   WHEN 9 THEN (1 + doc_id % 4) * 16 - 2 * (doc_id % 3)
+                  WHEN 10 THEN 16 * (1 + doc_id % 4)
                   ELSE 0 END AS INT) AS width,
-                CAST(CASE doc_id % 11 WHEN 0 THEN 4 + doc_id % 9
+                CAST(CASE doc_id % 12 WHEN 0 THEN 4 + doc_id % 9
                   WHEN 1 THEN 4 + doc_id % 5 WHEN 2 THEN 4 + doc_id % 6
                   WHEN 3 THEN 3 + doc_id % 4 WHEN 6 THEN 4 + doc_id % 9
                   WHEN 7 THEN 3 + doc_id % 6 WHEN 8 THEN 4 + doc_id % 5
                   WHEN 9 THEN (1 + doc_id % 3) * 16 - 2 * (doc_id % 2)
+                  WHEN 10 THEN 16 * (1 + doc_id % 3)
                   ELSE 0 END AS INT) AS height,
-                CAST(CASE doc_id % 11
+                CAST(CASE doc_id % 12
                   WHEN 0 THEN (5 + doc_id % 9) * (4 + doc_id % 9)
                   WHEN 1 THEN (5 + doc_id % 6) * (4 + doc_id % 5)
                   WHEN 2 THEN (5 + doc_id % 7) * (4 + doc_id % 6)
@@ -3715,6 +3730,7 @@ $backtestPnlCtes,
                   WHEN 7 THEN (6 + doc_id % 7) * (3 + doc_id % 6)
                   WHEN 8 THEN (5 + doc_id % 8) * (4 + doc_id % 5)
                   WHEN 9 THEN 2 + (1 + doc_id % 3) + (doc_id % 5)
+                  WHEN 10 THEN 5 + (1 + doc_id % 2)
                   ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_units
          FROM documents""",
 
@@ -5649,6 +5665,17 @@ $backtestPnlCtes,
                 CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height, top_down""",
+
+    "mm_mp4_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+                CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+                CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+                CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+                CAST(1000 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+                CAST((500 * (1 + doc_id % 7)) * 1000
+                     // (1000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
+                CAST(5 + (1 + doc_id % 2) AS BIGINT) AS n_boxes
+         FROM documents""",
 
     "mm_h264_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,

@@ -462,6 +462,9 @@ object Multimodal {
     else if (H264Meta.looksLikeH264(b))
       H264Meta.decodeOne(id, b).map(f => SniffedMedia(id, "h264", f.width,
         f.height, f.n_nal, 0.0))
+    else if (Mp4Meta.looksLikeMp4(b))
+      Mp4Meta.decodeOne(id, b).map(f => SniffedMedia(id, "mp4", f.width,
+        f.height, f.n_boxes, 0.0))
     else if (startsWith(b, 0, "RIFF") && startsWith(b, 8, "AVI ")) {
       val frames = Video.decodeOneAvi(id, b)
       if (frames.isEmpty) None

@@ -491,6 +491,37 @@ class PipelineSpec extends SparkSpec {
     assert(H264Meta.decodeH264(bad).collect().isEmpty)
   }
 
+  test("MP4 metadata: box walk, largesize, fixed-point dims, forgeries drop") {
+    import graft.multimodal.Mp4Meta
+    val ids = spark.range(1, 22).as[Long]
+    val feats = Mp4Meta.decodeMp4(Mp4Meta.syntheticMp4(ids)).collect()
+    assert(feats.length == 21)
+    feats.foreach { f =>
+      assert(f.n_tracks == (1 + f.id % 2).toInt)
+      assert(f.width == 16 * (1 + f.id % 4).toInt, s"id=${f.id} 16.16 width")
+      assert(f.height == 16 * (1 + f.id % 3).toInt)
+      assert(f.timescale == 1000L * (1 + f.id % 3))
+      assert(f.duration_ms ==
+        500L * (1 + f.id % 7) * 1000L / (1000L * (1 + f.id % 3)))
+      assert(f.n_boxes == 5L + f.n_tracks)
+    }
+    // both mvhd versions and the largesize escape are really exercised
+    assert(feats.exists(_.id % 2 == 0) && feats.exists(_.id % 2 == 1))
+    assert(feats.exists(_.id % 3 == 0))
+
+    val good = Mp4Meta.encodeOne(6L) // v1 mvhd + largesize mdat
+    def forge(mut: Array[Byte] => Unit): Mp4Meta.Mp4Clip = {
+      val b = good.clone(); mut(b); Mp4Meta.Mp4Clip(1L, b)
+    }
+    val bad = Seq(
+      Mp4Meta.Mp4Clip(1L, good.take(10)), // truncated mid-header
+      forge(b => { b(0) = 0; b(1) = 0; b(2) = 0; b(3) = 4 }), // size < header
+      forge(b => { b(0) = 0x7f.toByte }), // size past the payload
+      Mp4Meta.Mp4Clip(2L, good.take(16)) // valid ftyp only — no moov
+    ).toDS()
+    assert(Mp4Meta.decodeMp4(bad).collect().isEmpty)
+  }
+
   test("resizePpm: hand-checked nearest-neighbor map, identity resize, bad rows drop") {
     // 2×2 source, pixels laid row-major: (0,0)=[10,11,12] (1,0)=[20,21,22]
     //                                    (0,1)=[30,31,32] (1,1)=[40,41,42]
