@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Flac, Gif, H264Meta, Jpeg, Mp4Meta, Multimodal, Png, Tiff, Video}
+import graft.multimodal.{Bmp, Flac, Gif, H264Meta, Jpeg, Mp4Meta, Multimodal, Png, TarShard, Tiff, Video}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -2594,6 +2594,18 @@ object SparkEntry {
       val ids = TestData(s, dir).documents
         .select(col("doc_id").cast("long")).as[Long]
       Tiff.decodeTiff(Tiff.syntheticTiff(ids)).toDF()
+    }),
+
+    // WebDataset-style TAR shard listing: real ustar parsing (OCTAL
+    // sizes, the spaces-counted header checksum VERIFIED per member,
+    // 512-block padding, zero-block terminator) + the pairing integrity
+    // check (every sample basename must carry the {jpg, txt} set) a
+    // sharded multimodal corpus needs before training reads it.
+    "mm_tar_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      TarShard.listTar(TarShard.syntheticTar(ids)).toDF()
     }),
 
     // MP4/ISO-BMFF METADATA lane (the container around the H.264 stream):
@@ -5665,6 +5677,21 @@ $backtestPnlCtes,
                 CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height, top_down""",
+
+    "mm_tar_meta" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                           CAST(2 + doc_id % 4 AS BIGINT) AS ns
+                    FROM documents),
+         per AS (SELECT id, ns, t.s,
+                   (100 + (id + t.s) % 50) + (10 + t.s % 7)
+                     + CASE WHEN t.s % 2 = 0 THEN 20 + t.s % 3 ELSE 0 END AS bytes,
+                   2 + CASE WHEN t.s % 2 = 0 THEN 1 ELSE 0 END AS members
+                 FROM d, unnest(range(0, ns)) AS t(s))
+         SELECT id, CAST(SUM(members) AS BIGINT) AS n_members,
+                CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+                CAST(MAX(ns) AS BIGINT) AS n_samples,
+                TRUE AS all_paired
+         FROM per GROUP BY id""",
 
     "mm_mp4_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,

@@ -522,6 +522,39 @@ class PipelineSpec extends SparkSpec {
     assert(Mp4Meta.decodeMp4(bad).collect().isEmpty)
   }
 
+  test("TAR shard listing: checksum verified, pairing verdict, forgeries drop") {
+    import graft.multimodal.TarShard
+    val ids = spark.range(1, 22).as[Long]
+    val feats = TarShard.listTar(TarShard.syntheticTar(ids)).collect()
+    assert(feats.length == 21)
+    feats.foreach { f =>
+      val ns = 2 + f.id % 4
+      assert(f.n_samples == ns && f.all_paired, s"id=${f.id}")
+      assert(f.n_members == 2 * ns + (ns + 1) / 2)
+    }
+    // an unpaired shard (a lone .jpg with no .txt) is REPORTED, not dropped
+    val lone = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(TarShard.headerFor("only.jpg", 4)); o.write("data".getBytes)
+      o.write(new Array[Byte](512 - 4)); o.write(new Array[Byte](1024))
+      TarShard.TarFile(9L, o.toByteArray)
+    }
+    val loneF = TarShard.listTar(Seq(lone).toDS()).collect()
+    assert(loneF.length == 1 && !loneF.head.all_paired
+      && loneF.head.n_members == 1L && loneF.head.total_bytes == 4L)
+    // forgeries drop: corrupted checksum, forged size, truncation
+    val good = TarShard.encodeOne(3L)
+    def forge(mut: Array[Byte] => Unit): TarShard.TarFile = {
+      val b = good.clone(); mut(b); TarShard.TarFile(1L, b)
+    }
+    val bad = Seq(
+      forge(b => b(0) = 'X'), // name byte changed → checksum mismatch
+      forge(b => System.arraycopy("77777777777".getBytes, 0, b, 124, 11)), // size bomb
+      TarShard.TarFile(2L, good.take(700)) // truncated mid-member
+    ).toDS()
+    assert(TarShard.listTar(bad).collect().isEmpty)
+  }
+
   test("resizePpm: hand-checked nearest-neighbor map, identity resize, bad rows drop") {
     // 2×2 source, pixels laid row-major: (0,0)=[10,11,12] (1,0)=[20,21,22]
     //                                    (0,1)=[30,31,32] (1,1)=[40,41,42]
