@@ -1118,6 +1118,17 @@ object SparkEntry {
         .select("l_suppkey", "l_orderkey", "l_linenumber", "corr5")
     }),
 
+    // Rolling OLS slope (beta): the regression member of the rolling-stat
+    // family — same fold sums as w5's corr, one division, no sqrt.
+    "w10_rolling_beta" -> ((s, dir) => {
+      Windows.rollingSlope(TestData(s, dir).lineitem,
+        Seq(col("l_suppkey")),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity")),
+        col("l_quantity"), col("l_extendedprice"), 5, "beta5")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "beta5")
+    }),
+
     // The rank-function family under TIES (quantity is integer-valued, so
     // peers are real): rank / dense_rank are integers; percent_rank =
     // (rank−1)/(n−1) and cume_dist = peers_le/n are single exact-integer
@@ -4087,6 +4098,28 @@ $backtestPnlCtes,
 
     // Mirrors Windows.rollingCorr: frame lists in identical order, the
     // same left-fold sums, the same rational-form IEEE tree.
+    "w10_rolling_beta" ->
+      """WITH r AS (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+                  list(CAST(l_quantity AS DOUBLE)) OVER w AS lx,
+                  list(CAST(l_extendedprice AS DOUBLE)) OVER w AS ly
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+         s AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+                  CAST(len(lx) AS DOUBLE) AS nn,
+                  list_reduce([CAST(0 AS DOUBLE)] || lx, (a,b) -> a + b) AS sx,
+                  list_reduce([CAST(0 AS DOUBLE)] || ly, (a,b) -> a + b) AS sy,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(lx, v -> v * v), (a,b) -> a + b) AS sxx,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(list_zip(lx, ly), p -> p[1] * p[2]), (a,b) -> a + b) AS sxy
+               FROM r)
+         SELECT l_suppkey, l_orderkey, l_linenumber,
+                CASE WHEN nn * sxx - sx * sx > 0
+                     THEN (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+                END AS beta5
+         FROM s""",
+
     "w5_rolling_corr" ->
       """WITH r AS (
            SELECT l_suppkey, l_orderkey, l_linenumber,

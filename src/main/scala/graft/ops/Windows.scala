@@ -95,6 +95,33 @@ object Windows {
       .drop("__lx", "__ly", "__nn", "__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
 
+  /** Trailing-window OLS slope (rolling beta — the regression member of
+    * the rolling-stat family next to [[rollingCorr]] and
+    * [[rollingZscore]]): slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), the
+    * SAME sequential fold sums as rollingCorr assembled into one fixed
+    * IEEE tree (one division, no sqrt), degenerate frames (zero x
+    * variance) → null. Determinism contract identical to rollingCorr:
+    * fold order pinned by the frame order, `order` must be total. */
+  def rollingSlope(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                   x: Column, y: Column, n: Int, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*).rowsBetween(-(n - 1), 0)
+    val fold0 = (l: Column) => aggregate(l, lit(0.0), (a, e) => a + e)
+    val foldSq = (l: Column) => aggregate(l, lit(0.0), (a, e) => a + e * e)
+    df.withColumn("__lx", collect_list(x.cast("double")).over(w))
+      .withColumn("__ly", collect_list(y.cast("double")).over(w))
+      .withColumn("__nn", size(col("__lx")).cast("double"))
+      .withColumn("__sx", fold0(col("__lx")))
+      .withColumn("__sy", fold0(col("__ly")))
+      .withColumn("__sxx", foldSq(col("__lx")))
+      .withColumn("__sxy", fold0(zip_with(col("__lx"), col("__ly"), (a, b) => a * b)))
+      .withColumn(as, {
+        val num = col("__nn") * col("__sxy") - col("__sx") * col("__sy")
+        val dx = col("__nn") * col("__sxx") - col("__sx") * col("__sx")
+        when(dx > 0, num / dx)
+      })
+      .drop("__lx", "__ly", "__nn", "__sx", "__sy", "__sxx", "__sxy")
+  }
+
   /** Trailing-window z-score + outlier flag — the rolling anomaly signal
     * (volatility-normalized move detection over a price/metric stream).
     *

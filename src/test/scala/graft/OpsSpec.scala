@@ -199,6 +199,24 @@ class OpsSpec extends SparkSpec {
     out.zip(expected).foreach { case (a, e) => assert(math.abs(a - e) < 1e-12 * e) }
   }
 
+  test("rollingSlope: exact line recovers its slope; constant x is null") {
+    import graft.ops.Windows
+    // y = 2x + 1 over x = 1..5: every ≥2-point frame has slope exactly 2
+    val line = (1 to 5).map(i => ("k", i, i.toDouble, 2.0 * i + 1))
+      .toDF("k", "t", "x", "y")
+    val got = Windows.rollingSlope(line, Seq(col("k")), Seq(col("t")),
+        col("x"), col("y"), 3, "b").orderBy("t")
+      .select("b").as[Option[Double]].collect()
+    assert(got(0).isEmpty, "1-point frame has no slope")
+    got.drop(1).foreach(b => assert(b.contains(2.0), s"slope drifted: $b"))
+    // zero x-variance frame → null
+    val const = Seq(("k", 1, 5.0, 1.0), ("k", 2, 5.0, 9.0)).toDF("k", "t", "x", "y")
+    val cb = Windows.rollingSlope(const, Seq(col("k")), Seq(col("t")),
+        col("x"), col("y"), 3, "b")
+      .select("b").as[Option[Double]].collect()
+    assert(cb.forall(_.isEmpty))
+  }
+
   test("ksTest: identical samples D=0; disjoint samples D=1; verdicts flip") {
     import graft.ops.Quantiles
     def df(vals: Double*) = vals.map(Tuple1(_)).toDF("v")
