@@ -2607,6 +2607,32 @@ object SparkEntry {
       Tiff.decodeTiff(Tiff.syntheticTiff(ids)).toDF()
     }),
 
+    // Schema EVOLUTION read: two parquet generations of the same table —
+    // the new one grew a column — merged with mergeSchema=true, the
+    // missing column null-filled for old files (the lakehouse migration
+    // shape; without mergeSchema the read would silently take ONE
+    // footer's schema). Staged once per fixture dir; the oracle replays
+    // the null-fill semantics straight off the fixture.
+    "src_schema_merge" -> ((s, dir) => {
+      val stage = s"/tmp/graft_schevo_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val marker = new java.io.File(s"$stage/_done")
+      if (!marker.exists()) {
+        val ev = TestData(s, dir).events
+        ev.filter(col("event_id") % 2 === 0)
+          .select("user_id", "value")
+          .write.mode("overwrite").parquet(s"$stage/gen=1")
+        ev.filter(col("event_id") % 2 === 1)
+          .select("user_id", "value", "event_type")
+          .write.mode("overwrite").parquet(s"$stage/gen=2")
+        marker.getParentFile.mkdirs(); marker.createNewFile()
+      }
+      s.read.option("mergeSchema", "true").parquet(stage)
+        .groupBy("event_type") // null for every gen=1 row
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(25,6)")).cast("decimal(25,6)")
+            .cast("double").as("sum_value"))
+    }),
+
     // WebDataset-style TAR shard listing: real ustar parsing (OCTAL
     // sizes, the spaces-counted header checksum VERIFIED per member,
     // 512-block padding, zero-block terminator) + the pairing integrity
@@ -5710,6 +5736,15 @@ $backtestPnlCtes,
                 CAST(SUM((2*id + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
                 CAST(SUM((id + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
          FROM px GROUP BY id, width, height, top_down""",
+
+    // Old-generation rows carry NULL for the added column.
+    "src_schema_merge" ->
+      """SELECT CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6))
+                  AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY CASE WHEN event_id % 2 = 1 THEN event_type END""",
 
     "mm_tar_meta" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
