@@ -2933,6 +2933,13 @@ object SparkEntry {
       graft.functions.Indicators.returnsCorrMatrix(b, minOverlap = 3)
     }),
 
+    // CAPM beta per symbol vs the equal-weight market return — O(N) where
+    // the corr matrix is O(N²); same symbol slice, same fold discipline.
+    "api_beta" -> ((s, dir) => {
+      val b = mkt(s, dir).bars.filter(col("symbol").substr(6, 1) === "0")
+      graft.functions.Indicators.betasVsMarket(b, minOverlap = 3)
+    }),
+
     // Portfolio-level acceptance: equal-weight combine of every symbol's
     // curve, then the same metric folds over the portfolio series.
     "api_portfolio_metrics" -> ((s, dir) => {
@@ -3320,6 +3327,37 @@ object SparkEntry {
     // Mirrors Indicators.returnsCorrMatrix over the every-10th-symbol
     // subset: same per-symbol LAG returns, date join, date-ordered list
     // folds, rational corr tree (w5 precedent).
+    // Market return = per-date mean of symbol-ORDERED return folds; beta
+    // via the rationalized slope tree over date-ordered aligned lists.
+    "api_beta" ->
+      s"""$MKT,
+         rets AS (SELECT symbol, date,
+                    close / LAG(close) OVER (PARTITION BY symbol ORDER BY date) - 1.0 AS ret
+                  FROM bars WHERE substr(symbol, 6, 1) = '0'),
+         rr AS (SELECT symbol, date, ret FROM rets WHERE ret IS NOT NULL),
+         mk AS (SELECT date,
+                  list_reduce([CAST(0 AS DOUBLE)] || list(ret ORDER BY symbol),
+                    (x, y) -> x + y) / CAST(COUNT(*) AS DOUBLE) AS rm
+                FROM rr GROUP BY date),
+         pr AS (SELECT r.symbol, r.date, r.ret, m.rm
+                FROM rr r JOIN mk m USING (date)),
+         ag AS (SELECT symbol,
+                  list(rm ORDER BY date) AS lx, list(ret ORDER BY date) AS ly
+                FROM pr GROUP BY symbol),
+         st AS (SELECT symbol,
+                  CAST(len(lx) AS BIGINT) AS n_days,
+                  CAST(len(lx) AS DOUBLE) AS nn,
+                  list_reduce([CAST(0 AS DOUBLE)] || lx, (x,y) -> x + y) AS sx,
+                  list_reduce([CAST(0 AS DOUBLE)] || ly, (x,y) -> x + y) AS sy,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(lx, v -> v * v), (x,y) -> x + y) AS sxx,
+                  list_reduce([CAST(0 AS DOUBLE)] || list_transform(list_zip(lx, ly), p -> p[1] * p[2]), (x,y) -> x + y) AS sxy
+                FROM ag WHERE len(lx) >= 3)
+         SELECT symbol, n_days,
+                CASE WHEN nn * sxx - sx * sx > 0
+                     THEN (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+                END AS beta
+         FROM st""",
+
     "api_corr_matrix" ->
       s"""$MKT,
          rets AS (SELECT symbol, date,

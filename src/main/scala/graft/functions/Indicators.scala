@@ -110,4 +110,45 @@ object Indicators {
         when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))).as("corr")
       })
   }
+
+  /** Per-symbol BETA against the equal-weight market return — the CAPM
+    * exposure next to [[returnsCorrMatrix]]'s pairwise view, and O(N)
+    * where the matrix is O(N²): one market series (per-date mean of the
+    * SORTED symbol returns — fold order pinned, the mean's division is
+    * one IEEE op on exact-fold inputs), one join back, one per-symbol
+    * slope via the [[graft.ops.Windows.rollingSlope]] rational tree over
+    * the full aligned window. Returns (symbol, n_days, beta); zero
+    * market variance → null. */
+  def betasVsMarket(bars: DataFrame, minOverlap: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    val rets = bars
+      .withColumn("ret", col("close") / lag(col("close"), 1).over(w) - 1.0)
+      .filter(col("ret").isNotNull)
+      .select(col("symbol"), col("date"), col("ret"))
+    val fold0 = (l: Column) => aggregate(l, lit(0.0), (x, e) => x + e)
+    val foldSq = (l: Column) => aggregate(l, lit(0.0), (x, e) => x + e * e)
+    val market = rets.groupBy("date")
+      .agg(sort_array(collect_list(struct(col("symbol"), col("ret")))).as("l"))
+      .select(col("date"),
+        (aggregate(col("l"), lit(0.0), (a, e) => a + e.getField("ret"))
+          / size(col("l")).cast("double")).as("rm"))
+    rets.join(market, "date")
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(struct(col("date"), col("ret"), col("rm")))).as("lst"))
+      .filter(size(col("lst")) >= minOverlap)
+      .select(col("symbol"),
+        size(col("lst")).cast("long").as("n_days"),
+        size(col("lst")).cast("double").as("nn"),
+        transform(col("lst"), s => s.getField("rm")).as("lx"),
+        transform(col("lst"), s => s.getField("ret")).as("ly"))
+      .select(col("symbol"), col("n_days"), col("nn"),
+        fold0(col("lx")).as("sx"), fold0(col("ly")).as("sy"),
+        foldSq(col("lx")).as("sxx"),
+        fold0(zip_with(col("lx"), col("ly"), (x, y) => x * y)).as("sxy"))
+      .select(col("symbol"), col("n_days"), {
+        val num = col("nn") * col("sxy") - col("sx") * col("sy")
+        val dx = col("nn") * col("sxx") - col("sx") * col("sx")
+        when(dx > 0, num / dx).as("beta")
+      })
+  }
 }

@@ -43,4 +43,22 @@ class IndicatorsSpec extends SparkSpec {
       .select("macd", "macd_signal").as[(Double, Double)].collect()
     assert(out.forall { case (m, s) => math.abs(m) < 1e-12 && math.abs(s) < 1e-12 })
   }
+
+  test("betasVsMarket: a 2x-levered symbol recovers its analytic beta") {
+    // retB = 2·retA exactly ⇒ market = 1.5·retA, beta_A = cov/var = 2/3,
+    // beta_B = 4/3 — pure identities, so equality is near-exact
+    val bars = Seq(
+      ("A", "2024-01-01", 100.0), ("A", "2024-01-02", 110.0),
+      ("A", "2024-01-03", 99.0), ("A", "2024-01-04", 108.9),
+      ("B", "2024-01-01", 100.0), ("B", "2024-01-02", 120.0),
+      ("B", "2024-01-03", 96.0), ("B", "2024-01-04", 115.2))
+      .toDF("symbol", "d", "close")
+      .select(col("symbol"), to_date(col("d")).as("date"), col("close"))
+    val betas = Indicators.betasVsMarket(bars, minOverlap = 3)
+      .select("symbol", "n_days", "beta")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(betas.map(_._2).forall(_ == 3L))
+    assert(math.abs(betas(0)._3 - 2.0 / 3.0) < 1e-9, s"beta_A: ${betas(0)}")
+    assert(math.abs(betas(1)._3 - 4.0 / 3.0) < 1e-9, s"beta_B: ${betas(1)}")
+  }
 }
