@@ -1588,6 +1588,16 @@ object SparkEntry {
     // EXPLICIT value list (schema deterministic, no value-discovery job);
     // absent cells coalesce to 0 so both engines agree. One Expand-free
     // pivot aggregation shuffle.
+    // Pattern EXTRACTION (regexp_extract_all + explode): pull every long
+    // token out of each document and rank the global vocabulary — the
+    // entity/hashtag-mining shape; Java and RE2 agree on this simple
+    // character-class pattern (the text_normalize precedent).
+    "text_extract_all" -> ((s, dir) =>
+      TestData(s, dir).documents
+        .select(explode(expr("regexp_extract_all(text, '[a-z]{7,}', 0)"))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_hits"))),
+
     // Semi-structured column extraction (C4 generalized): events.props is
     // a JSON string; from_json with an EXPLICIT schema (inference on an
     // unbounded corpus is a full extra scan) parses it in-plan — codegen'd
@@ -5240,6 +5250,12 @@ $backtestPnlCtes,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
          FROM documents GROUP BY md5(text)""",
+
+    "text_extract_all" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM (SELECT unnest(regexp_extract_all(text, '[a-z]{7,}')) AS token
+               FROM documents)
+         GROUP BY token""",
 
     "p7_json_extract" ->
       """WITH e AS (SELECT event_type,
