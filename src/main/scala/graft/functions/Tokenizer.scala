@@ -226,7 +226,12 @@ object Tokenizer {
       x.length < y.length
     }
     var vocab = wf.map { case (w, f) =>
-      (w.map(c => s"$sep$c$sep").mkString, f) }
+      // iterate CODE POINTS, not UTF-16 units: trainBpe's Spark
+      // length/substr lane counts code points, so splitting a surrogate
+      // pair here would seed a different symbol table on non-BMP text
+      // (emoji, supplementary CJK) and break the merge-sequence equivalence
+      (w.codePoints().toArray
+        .map(cp => sep + new String(Character.toChars(cp)) + sep).mkString, f) }
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var exhausted = false

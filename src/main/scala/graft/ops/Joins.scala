@@ -288,10 +288,19 @@ object Joins {
     * — the Md5Hash lane precedent), so the gate hash-compares. */
   def snapshotDiff(old: DataFrame, neu: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
+    // the digest input is collision-free by construction: each field is
+    // length-prefixed ("len:value", so boundary shifts like ("a|b","c") vs
+    // ("a","b|c") can't realign), NULL is the bare \u0000 sentinel (distinct
+    // from any length-prefixed value, which always starts with a digit), and
+    // fields join on \u0001 (the tokenizer's sep convention) — no printable
+    // delimiter a data value could contain
     def digested(df: DataFrame, tag: String): DataFrame =
       df.select(keys.map(col) :+
-        md5(concat_ws("~",
-          compareCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*))
+        md5(concat_ws("",
+          compareCols.map { c =>
+            val s = col(c).cast("string")
+            coalesce(concat(length(s).cast("string"), lit(":"), s), lit(" "))
+          }: _*))
           .as(s"${tag}_digest"): _*)
     val o = digested(old, "old")
     val n = digested(neu, "new")

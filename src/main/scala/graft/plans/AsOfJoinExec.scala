@@ -150,6 +150,12 @@ case class AsOfJoinExec(lKey: Expression, rKey: Expression,
               matchKey = lKeyRow.copy()
               matchPayload = rPayload
               rHasNext = rIter.hasNext; if (rHasNext) loadRight() else rKeyRow = null
+            } else if (c == 0 && rTimeNull) {
+              // NULL times match nothing, but they sort FIRST within the key
+              // (Ascending = nulls first): consume and discard, or the cursor
+              // stalls on them and every later valid right row of this key
+              // becomes unreachable
+              rHasNext = rIter.hasNext; if (rHasNext) loadRight() else rKeyRow = null
             } else advancing = false
           }
         }

@@ -59,31 +59,37 @@ final class JsonlSinkTable(schema0: StructType, opts: CaseInsensitiveStringMap)
     val path = Option(opts.get("path"))
       .orElse(Option(info.options.get("path")))
       .getOrElse(throw new IllegalArgumentException("JsonlSinkSource: path option required"))
-    new JsonlWriteBuilder(path, info.schema(), info.queryId())
+    // capture the SESSION Hadoop conf here (driver side, session active) so
+    // spark.hadoop.* settings — s3a credentials, endpoints, committer tuning
+    // — reach both the driver's commit FS and, as a serialized map, every
+    // executor writer's FS (a bare `new Configuration()` would ignore them)
+    new JsonlWriteBuilder(path, info.schema(), info.queryId(), JsonlFs.sessionConfMap())
   }
 }
 
-final class JsonlWriteBuilder(path: String, schema: StructType, queryId: String)
+final class JsonlWriteBuilder(path: String, schema: StructType, queryId: String,
+                              confMap: Map[String, String])
   extends WriteBuilder {
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new JsonlBatchWrite(path, schema, queryId)
+    override def toBatch: BatchWrite = new JsonlBatchWrite(path, schema, queryId, confMap)
   }
 }
 
 final case class JsonlCommit(tempName: String, rows: Long) extends WriterCommitMessage
 
-final class JsonlBatchWrite(path: String, schema: StructType, queryId: String)
+final class JsonlBatchWrite(path: String, schema: StructType, queryId: String,
+                            confMap: Map[String, String])
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(path, schema, queryId)
+    new JsonlWriterFactory(path, schema, queryId, confMap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // Hadoop FileSystem API, not java.io.File (the Sinks.compact precedent):
     // on a real cluster the tasks' temps live in a SHARED store (HDFS/S3A),
     // not on executor-local disks, and the driver's rename must go through
     // the same FS the executors wrote to.
-    val (fs, dir) = JsonlFs.resolve(path)
+    val (fs, dir) = JsonlFs.resolve(path, confMap)
     fs.mkdirs(dir)
     // schema-as-contract beside the data (idempotent across appends)
     val sf = new org.apache.hadoop.fs.Path(dir, "_schema.json")
@@ -101,7 +107,7 @@ final class JsonlBatchWrite(path: String, schema: StructType, queryId: String)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val (fs, dir) = JsonlFs.resolve(path)
+    val (fs, dir) = JsonlFs.resolve(path, confMap)
     messages.foreach {
       case JsonlCommit(t, _) =>
         fs.delete(new org.apache.hadoop.fs.Path(dir, t), false)
@@ -111,29 +117,44 @@ final class JsonlBatchWrite(path: String, schema: StructType, queryId: String)
 }
 
 /** FS resolution shared by driver commit and executor writers: the
-  * FileSystem is derived FROM the path's scheme (file://, hdfs://, s3a://),
-  * so both sides talk to the same store. */
+  * FileSystem is derived FROM the path's scheme (file://, hdfs://, s3a://)
+  * AND the SESSION Hadoop configuration (captured on the driver as a plain
+  * serializable map, replayed onto a fresh `Configuration` wherever the FS
+  * is opened), so both sides talk to the same store with the same
+  * credentials/endpoints. `Configuration.iterator` includes the loaded
+  * default resources, so the replayed map is complete on its own. */
 private[v2] object JsonlFs {
-  def resolve(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+  def sessionConfMap(): Map[String, String] = {
+    val c = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val it = c.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+  def resolve(path: String, confMap: Map[String, String]): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    confMap.foreach { case (k, v) => c.set(k, v) }
     val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+    (p.getFileSystem(c), p)
   }
 }
 
-final class JsonlWriterFactory(path: String, schema: StructType, queryId: String)
+final class JsonlWriterFactory(path: String, schema: StructType, queryId: String,
+                               confMap: Map[String, String])
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonlDataWriter(path, schema, queryId, partitionId, taskId)
+    new JsonlDataWriter(path, schema, queryId, partitionId, taskId, confMap)
 }
 
 final class JsonlDataWriter(path: String, schema: StructType, queryId: String,
-                            partitionId: Int, taskId: Long)
+                            partitionId: Int, taskId: Long,
+                            confMap: Map[String, String])
   extends DataWriter[InternalRow] {
 
   // unique per attempt: a retried task gets a fresh taskId, so the dead
   // attempt's temp can never be committed or collided with
   private val tempName = s"_temp_${queryId}_${partitionId}_$taskId"
-  private val (fs, dir) = JsonlFs.resolve(path)
+  private val (fs, dir) = JsonlFs.resolve(path, confMap)
   private val tempPath = { fs.mkdirs(dir); new org.apache.hadoop.fs.Path(dir, tempName) }
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     fs.create(tempPath, true), java.nio.charset.StandardCharsets.UTF_8))

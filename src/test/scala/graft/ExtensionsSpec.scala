@@ -83,6 +83,19 @@ class ExtensionsSpec extends SparkSpec {
     val outN = graft.plans.AsOfJoinExec.asOfMerge(ln, rn, "k", "t", "rt", Seq("v"))
       .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
     assert(outN === Map("x" -> Some(1.0), "nk" -> None, "nt" -> None))
+    // a null-TIME right row sorts FIRST within its key (Ascending = nulls
+    // first): the cursor must consume and discard it, or every later valid
+    // right row of the key is unreachable (the r11 ADVICE stall)
+    val lStall = Seq((1L, 10L, "p"), (1L, 20L, "q"), (2L, 10L, "r"))
+      .toDF("k", "t", "tag")
+    val rStall = Seq((Some(1L), Option.empty[Long], -1.0),
+        (Some(1L), Some(5L), 7.0), (Some(1L), Some(15L), 8.0),
+        (Some(2L), Option.empty[Long], -2.0))
+      .toDF("k", "rt", "v")
+    val outS = graft.plans.AsOfJoinExec.asOfMerge(lStall, rStall, "k", "t", "rt", Seq("v"))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+    assert(outS === Map("p" -> Some(7.0), "q" -> Some(8.0), "r" -> None),
+      "null-time right rows must be consumed, not stall the merge cursor")
   }
 
   test("double arrays and non-dot folds are NOT rewritten") {

@@ -252,4 +252,25 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
+
+  test("snapshotDiff digest is collision-free: boundary shifts and null-vs-literal differ") {
+    import graft.ops.Joins
+    // ("a~b","c") vs ("a","b~c"): same concatenation under any unescaped
+    // printable delimiter — the length prefix must split them
+    val o1 = Seq((1L, "a~b", "c")).toDF("k", "x", "y")
+    val n1 = Seq((1L, "a", "b~c")).toDF("k", "x", "y")
+    assert(Joins.snapshotDiff(o1, n1, Seq("k"), Seq("x", "y"))
+      .as[(Long, String)].collect().toMap === Map(1L -> "changed"))
+    // NULL vs a literal control-char/empty value must not collide with the
+    // null sentinel
+    val o2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "x")
+    val n2 = Seq((1L, Some(" ")), (2L, Some(""))).toDF("k", "x")
+    assert(Joins.snapshotDiff(o2, n2, Seq("k"), Seq("x"))
+      .as[(Long, String)].collect().toMap ===
+      Map(1L -> "changed", 2L -> "changed"))
+    // and the same content with delimiter-looking bytes stays silent
+    val same = Seq((1L, "ab", "7:x")).toDF("k", "x", "y")
+    assert(Joins.snapshotDiff(same, same, Seq("k"), Seq("x", "y")).count() === 0L)
+  }
 }

@@ -151,6 +151,24 @@ class TokenizerSpec extends SparkSpec {
       s"driver-local training must save ≥4× jobs: local=$locJobs distributed=$seqJobs")
   }
 
+  test("trainBpeLocal ≡ trainBpe beyond the BMP (surrogate pairs stay whole)") {
+    import spark.implicits._
+    // 😀 (U+1F600) and 𝕏 (U+1D54F) are surrogate PAIRS in UTF-16: a
+    // code-UNIT iteration would seed half-surrogate symbols and diverge
+    // from trainBpe's code-point substr lane
+    val docs = Seq((1L, "😀😀x 😀😀x 𝕏y𝕏y xy"), (2L, "😀x 𝕏y xy xy"))
+      .toDF("doc_id", "text")
+    val dist = Tokenizer.trainBpe(docs, "text", nMerges = 6)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    val loc = Tokenizer.trainBpeLocal(docs, "text", nMerges = 6)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(dist == loc,
+      s"non-BMP merge sequences must match:\n dist=$dist\n loc=$loc")
+    assert(dist.exists(m => m._2.codePointCount(0, m._2.length) < m._2.length
+        || m._3.codePointCount(0, m._3.length) < m._3.length),
+      s"test must actually exercise non-BMP merges: $dist")
+  }
+
   test("trainBpeLocal refuses vocabularies beyond maxLocalWords, loudly") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
