@@ -33,6 +33,13 @@ object SparkEntry {
   // READ/decode lane, not fixture synthesis, and media rides a real
   // parquet binary column like it would in production
   private val jsonlStaged = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Fixture dir → filesystem-safe staging segment. Leading underscores are
+    * stripped: a `/`-rooted dir would otherwise sanitize to `_root_...`,
+    * and Spark's hidden-path filter treats `_`-prefixed names as internal,
+    * emitting an advisory "All paths were ignored" WARN on every read
+    * resolution (3× per bench query — the r11 bench-tail noise). */
+  private def stagedSeg(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_").dropWhile(_ == '_')
 
   private def dec(c: Column) = c.cast("decimal(25,6)")
   private def decSum(c: Column) = sum(dec(c)).cast("decimal(25,6)").cast("double")
@@ -416,7 +423,7 @@ object SparkEntry {
     // broadcast path can't mask the demonstration at test scale;
     // plan-frozen at 0 in ShuffleBudgetSpec). Result ≡ the plain join.
     "j10_bucketed_join" -> ((s, dir) => {
-      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val key = stagedSeg(dir)
       jsonlStaged.getOrElseUpdate(dir + "#bucketed", {
         val root = s"/tmp/graft_bucketed_${ProcessHandle.current().pid()}/$key"
         val t = TestData(s, dir)
@@ -1505,7 +1512,7 @@ object SparkEntry {
       val docs = TestData(s, dir).documents
       val path = jsonlStaged.getOrElseUpdate(dir + "#orc", {
         val p = s"/tmp/graft_orc_${ProcessHandle.current().pid()}/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+          stagedSeg(dir)
         docs.write.mode("overwrite").orc(p)
         p
       })
@@ -1521,7 +1528,7 @@ object SparkEntry {
       val docs = TestData(s, dir).documents
       val path = jsonlStaged.getOrElseUpdate(dir + "#csv", {
         val p = s"/tmp/graft_csv_${ProcessHandle.current().pid()}/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+          stagedSeg(dir)
         docs.write.mode("overwrite").option("header", "true").csv(p)
         p
       })
@@ -1532,7 +1539,7 @@ object SparkEntry {
       val docs = TestData(s, dir).documents
       val path = jsonlStaged.getOrElseUpdate(dir, {
         val p = s"/tmp/graft_jsonl_${ProcessHandle.current().pid()}/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+          stagedSeg(dir)
         graft.sources.CorpusIO.writeJsonl(docs, p)
         p
       })
@@ -1546,7 +1553,7 @@ object SparkEntry {
       val docs = TestData(s, dir).documents
       val path = jsonlStaged.getOrElseUpdate(dir + "#zstd", {
         val p = s"/tmp/graft_jsonl_${ProcessHandle.current().pid()}/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "_zstd"
+          stagedSeg(dir) + "_zstd"
         graft.sources.CorpusIO.writeJsonlZstd(docs, p)
         p
       })
@@ -1575,7 +1582,7 @@ object SparkEntry {
       val docs = TestData(s, dir).documents
       val idx = jsonlStaged.getOrElseUpdate(dir + "#lshidx", {
         val root = s"/tmp/graft_lshidx_${ProcessHandle.current().pid()}/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+          stagedSeg(dir)
         Dedup.buildLshIndex(docs.filter(col("doc_id") % 5 =!= 4),
           "doc_id", "text", root)
         root
@@ -2741,7 +2748,7 @@ object SparkEntry {
       // media (the production shape), not per-evaluation re-encoding
       val staged = jsonlStaged.getOrElseUpdate(dir + "#avi", {
         val p = s"/tmp/graft_media_${ProcessHandle.current().pid()}/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "_avi"
+          stagedSeg(dir) + "_avi"
         val ids = TestData(s, dir).documents
           .select(col("doc_id").cast("long")).as[Long]
         Video.syntheticAvi(ids).toDF().write.mode("overwrite").parquet(p)
@@ -2775,7 +2782,7 @@ object SparkEntry {
       import s.implicits._
       val staged = jsonlStaged.getOrElseUpdate(dir + "#avi", {
         val p = s"/tmp/graft_media_${ProcessHandle.current().pid()}/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "_avi"
+          stagedSeg(dir) + "_avi"
         val ids = TestData(s, dir).documents
           .select(col("doc_id").cast("long")).as[Long]
         Video.syntheticAvi(ids).toDF().write.mode("overwrite").parquet(p)

@@ -28,7 +28,8 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(
+          s"[verify] $name failed: ${Option(e.getMessage).getOrElse(e.toString)}")
       }
       spark.catalog.clearCache() // drop per-query persisted intermediates
     }

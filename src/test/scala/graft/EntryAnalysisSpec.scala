@@ -16,7 +16,8 @@ class EntryAnalysisSpec extends SparkSpec {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try { fn(spark, sf0001).queryExecution.analyzed; None }
-        catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
+        catch { case e: Throwable => // getMessage is null for SOE/NPE — fall back to the class name
+          Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).take(200)}") }
     }
     assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
   }
