@@ -2890,6 +2890,13 @@ object SparkEntry {
         .select("symbol", "qdate", "end_date", "revenue", "roe")
     }),
 
+    // get_fundamentals year-range mode (ptrade_data_api.py:484-594 — the
+    // branch the reference implements as a stock × year × quarter LOOP;
+    // here one pushed scan): every quarterly report whose END date falls
+    // in the year range, original publication data.
+    "api_fundamentals_years" -> ((s, dir) =>
+      api(s, dir).getFundamentalsYears(syms3, 1995, 1996)),
+
     // get_stock_status: HALT/DELISTING flags at a date (F5 + J3).
     "api_stock_status" -> ((s, dir) => api(s, dir).getStockStatus("1997-03-03")),
 
@@ -3235,6 +3242,12 @@ object SparkEntry {
           SELECT g.symbol, g.qdate, f.end_date, f.revenue, f.roe, f.version
           FROM grid g ASOF LEFT JOIN fundv f
             ON g.symbol = f.symbol AND g.qdate >= f.publ_date""",
+
+    "api_fundamentals_years" ->
+      s"""$MKT
+          SELECT symbol, end_date, publ_date, revenue, roe FROM fund
+          WHERE symbol IN ('000001.SZ','000002.SZ','000003.SZ')
+            AND date_part('year', end_date) BETWEEN 1995 AND 1996""",
 
     "api_fund_annual_first" ->
       s"""$MKT, qd AS (SELECT MIN(trade_date) AS qdate FROM cal
