@@ -270,50 +270,104 @@ object Sinks {
 
   /** Publish `df` as the next version of the table at `root`; returns the
     * new version number. The snapshot is fully written BEFORE the pointer
-    * moves. */
+    * moves.
+    *
+    * CONCURRENT-WRITER CONTRACT (the Delta-log CAS shape, minimized):
+    *  1. Version numbers are claimed via `fs.create(..., overwrite=false)`
+    *     on a `v=N._claim` file — the one FS primitive that is atomic
+    *     test-and-set on HDFS/posix (object stores substitute a
+    *     conditional put). Exactly one racer wins each N; losers bump and
+    *     retry, so two publishers can NEVER interleave files inside one
+    *     snapshot directory (the check-then-write race `ErrorIfExists`
+    *     alone would leave open).
+    *  2. The `_latest` pointer advances MONOTONICALLY: each writer swaps
+    *     only while the pointer is below its own version and re-reads
+    *     after the swap, so racing swaps converge to max(version) — a
+    *     slower v=5 writer can no longer overwrite the pointer of a
+    *     faster v=6 writer (the r11 lost-update gap).
+    *  3. Next-version discovery still lists the directory (not the
+    *     pointer), and also considers claim files: a crashed claimant or
+    *     orphan snapshot can never wedge the table (r11 fix, kept).
+    * Readers are untouched: resolve `_latest` once, read an immutable dir. */
   def publishVersion(spark: SparkSession, root: String, df: DataFrame): Long = {
     import org.apache.hadoop.fs.Path
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(rootP)
-    // next = max over EXISTING v=* dirs (not the _latest pointer): a writer
-    // that crashed after the snapshot write but before the pointer swap
-    // leaves an orphan v=N, and a pointer-derived next would recompute N and
-    // hit ErrorIfExists forever. Listing-derived next skips past orphans;
-    // they stay invisible (pointer never moved) until vacuumed.
-    val existing = fs.listStatus(rootP).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("v="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
-    val next = (existing :+ -1L).max + 1L
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$next")
-    val tmp = new Path(rootP, s"_latest.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    val ptr = new Path(rootP, "_latest")
-    // rename-over: atomic on posix/HDFS; fall back to delete+rename where
-    // the FS refuses to clobber (the tiny non-atomic window still never
-    // exposes a PARTIAL snapshot — worst case a reader retries the pointer)
-    if (!fs.rename(tmp, ptr)) {
-      fs.delete(ptr, false)
-      if (!fs.rename(tmp, ptr))
-        throw new java.io.IOException(s"publish: pointer swap failed at $ptr")
+    val names = fs.listStatus(rootP).map(_.getPath.getName)
+    def vOf(n: String, suffix: String): Option[Long] =
+      if (n.startsWith("v=") && n.endsWith(suffix))
+        scala.util.Try(n.stripPrefix("v=").stripSuffix(suffix).toLong).toOption
+      else None
+    val seen = names.flatMap(n => vOf(n, "") orElse vOf(n, "._claim"))
+    var next = (seen :+ -1L).max + 1L
+    var attempts = 0
+    var claimed = false
+    while (!claimed) {
+      if (claimSlot(fs, new Path(rootP, s"v=$next._claim"))) claimed = true
+      else {
+        attempts += 1
+        if (attempts > 1000) throw new java.io.IOException(
+          s"publish: could not claim a version at $root after $attempts attempts")
+        next += 1 // another writer owns this N — take the next slot
+      }
     }
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$next")
+    // Publication = creating the version's MARKER file, exclusively. The
+    // "pointer" is max(_published/*): creation-only state converges to the
+    // max under ANY interleaving of racing writers — there is no
+    // read-modify-write window at all, which a single mutable `_latest`
+    // file cannot achieve without a true FS-level compare-and-swap (a blind
+    // rename-over lets a slower writer clobber a faster one's pointer).
+    fs.mkdirs(new Path(rootP, "_published"))
+    fs.create(new Path(rootP, s"_published/$next"), false).close()
     next
   }
 
-  /** The live version number, if the table has ever been published. */
+  /** Atomic exclusive creation of a claim file. On HDFS/object stores,
+    * `FileSystem.create(overwrite=false)` is the atomic primitive (namenode
+    * test-and-set / conditional put). On the LOCAL filesystem Hadoop's
+    * implementation is a non-atomic exists-check-then-create, so racing
+    * local writers could both "win" a slot (observed as a `_temporary`
+    * collision under the race spec); NIO `Files.createFile` (O_EXCL) is
+    * the posix-atomic equivalent, so local schemes route through it. */
+  private def claimSlot(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+        case _ => fs.create(p, false).close()
+      }
+      true
+    } catch { case _: java.io.IOException => false }
+
+  /** The live version number, if the table has ever been published: the
+    * max over `_published/` markers. Falls back to a legacy `_latest`
+    * pointer file for tables written before the marker scheme. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     import org.apache.hadoop.fs.Path
-    val ptr = new Path(new Path(root), "_latest")
-    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(ptr)) None
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val pubDir = new Path(rootP, "_published")
+    val markers =
+      if (fs.exists(pubDir))
+        fs.listStatus(pubDir).flatMap(s =>
+          scala.util.Try(s.getPath.getName.toLong).toOption)
+      else Array.empty[Long]
+    if (markers.nonEmpty) Some(markers.max)
     else {
-      val in = fs.open(ptr)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
-      } finally in.close()
+      val ptr = new Path(rootP, "_latest")
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+        } finally in.close()
+      }
     }
   }
 
@@ -327,17 +381,40 @@ object Sinks {
     spark.read.parquet(s"$root/v=$v")
   }
 
-  /** Drop snapshots older than the newest `keep` (never the live one). */
+  /** Drop snapshots older than the newest `keep` (never the live one),
+    * along with their publication markers and claim files. Unpublished
+    * orphan dirs (crashed writers) below the cutoff are swept too — they
+    * were never visible, and sweeping them keeps the root bounded. */
   def vacuumVersions(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     require(keep >= 1, "must keep at least the live version")
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
-    val versions = fs.listStatus(rootP).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("v="))
-      .map(_.drop(2).toLong).sorted
-    val doomed = versions.dropRight(keep)
-    doomed.foreach(v => fs.delete(new Path(rootP, s"v=$v"), true))
+    val published = currentVersion(spark, root).toSeq.flatMap { _ =>
+      val pubDir = new Path(rootP, "_published")
+      if (fs.exists(pubDir))
+        fs.listStatus(pubDir).flatMap(s =>
+          scala.util.Try(s.getPath.getName.toLong).toOption).toSeq.sorted
+      else // legacy table: fall back to snapshot-dir listing
+        fs.listStatus(rootP).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("v="))
+          .flatMap(n => scala.util.Try(n.drop(2).toLong).toOption).toSeq.sorted
+    }
+    val cutoff = published.dropRight(keep)
+    val doomed =
+      if (cutoff.isEmpty) cutoff
+      else { // sweep unpublished orphans below the newest doomed version too
+        val hi = cutoff.max
+        val all = fs.listStatus(rootP).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("v="))
+          .flatMap(n => scala.util.Try(n.drop(2).toLong).toOption)
+        (cutoff ++ all.filter(v => v <= hi && !published.takeRight(keep).contains(v))).distinct.sorted
+      }
+    doomed.foreach { v =>
+      fs.delete(new Path(rootP, s"v=$v"), true)
+      fs.delete(new Path(rootP, s"v=$v._claim"), false)
+      fs.delete(new Path(rootP, s"_published/$v"), false)
+    }
     doomed.toSeq
   }
 }
