@@ -278,26 +278,36 @@ object Dedup {
       .localCheckpoint()
     // shingle sets only for candidate docs — built semi-joined HERE so the
     // verify core doesn't re-derive docsInPlay and re-filter (that shape
-    // cost an extra distinct + broadcast join + barrier per call)
+    // cost an extra distinct + broadcast join + barrier per call).
+    // HINT-FREE left semi (r11 dedupAgainstIndex discipline,
+    // docs/DEDUP_INDEX_r11.json): the candidate set is bounded by a
+    // MULTIPLE of the capped pair count, not a constant, so a forced
+    // broadcast is a data-dependent OOM risk at 100 TB; cands is
+    // checkpointed, so AQE sees exact sizes and broadcasts exactly when
+    // actually small.
     val docsInPlay = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b"))).distinct()
     val sh = wordShingles(
-      docs.join(broadcast(docsInPlay.withColumnRenamed("doc_id", id)), id), id, text, n)
+      docs.join(docsInPlay.withColumnRenamed("doc_id", id), Seq(id), "left_semi"),
+      id, text, n)
       .localCheckpoint()
     verifyJaccardPrefiltered(cands, sh, threshold)
   }
 
   /** Exact Jaccard for given candidate pairs. The inverted index is first
-    * semi-joined down to candidate documents (broadcast — the candidate set
-    * is tiny relative to the corpus), then shared-shingle counts come from
-    * the same grouped pair-generation used upstream; only pairs present in
-    * `cands` are kept. No join ever touches the full corpus-sized index. */
+    * semi-joined down to candidate documents (HINT-FREE — the candidate
+    * set is usually tiny relative to the corpus, but it scales with the
+    * capped pair count, not a constant, so AQE decides broadcast vs
+    * shuffle from its measured size; r11 dedupAgainstIndex discipline),
+    * then shared-shingle counts come from the same grouped pair-generation
+    * used upstream; only pairs present in `cands` are kept. No join ever
+    * touches the full corpus-sized index. */
   def verifyJaccard(cands: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
     val docsInPlay = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b"))).distinct()
     // localCheckpoint: consumed twice (sizes + inter) and bounded by the
     // candidate-doc count, so the barrier is cheap and halves the work.
-    val sh = shingles.join(broadcast(docsInPlay), "doc_id").localCheckpoint()
+    val sh = shingles.join(docsInPlay, Seq("doc_id"), "left_semi").localCheckpoint()
     verifyJaccardPrefiltered(cands, sh, threshold)
   }
 
