@@ -69,8 +69,14 @@ final class SynTable(opts: CaseInsensitiveStringMap) extends Table with Supports
   }
 }
 
+/** Aggregate pushdown spec: group-by symbol or global, over the funcs the
+  * source can answer ARITHMETICALLY (count / min(date) / max(date) are pure
+  * functions of the pruned grid — O(1) per partition, zero rows generated). */
+final case class SynAggPush(bySymbol: Boolean, funcs: Seq[String])
+
 final class SynScanBuilder(opts: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = SyntheticMarketSource.schema
   private var pushed: Array[Filter] = Array.empty
@@ -78,6 +84,41 @@ final class SynScanBuilder(opts: CaseInsensitiveStringMap)
   private var symbolConflict = false // two different symbol equalities pushed
   private var minDate: Option[LocalDate] = None
   private var maxDate: Option[LocalDate] = None
+  private var limit: Option[Int] = None
+  private var aggPush: Option[SynAggPush] = None
+
+  /** PARTIAL limit pushdown (`isPartiallyPushed` stays true): each reader
+    * stops after `limit` rows, Spark keeps the global limit on top — the
+    * file-source discipline, correct under any partitioning. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays false, so
+    * Spark plans the final merge): supported shapes are global or
+    * GROUP BY symbol over COUNT(*) / MIN(date) / MAX(date). These never
+    * materialize a row — the synthetic grid's size and date bounds under
+    * the pushed filters are closed-form, so each partition answers from
+    * arithmetic alone. Spark only offers the aggregation when every filter
+    * was fully pushed, so accepted filters are already folded into the
+    * grid bounds this computes over. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def colName(e: VExpr): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val gb = agg.groupByExpressions.toSeq.map(colName)
+    val bySymbol = gb == Seq(Some("symbol"))
+    if (gb.nonEmpty && !bySymbol) return false
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if colName(m.column).contains("date") => Some("min_date")
+      case m: Max if colName(m.column).contains("date") => Some("max_date")
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty)) false
+    else { aggPush = Some(SynAggPush(bySymbol, funcs.flatten)); true }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -126,7 +167,7 @@ final class SynScanBuilder(opts: CaseInsensitiveStringMap)
     nDays = opts.getInt("nDays", 500),
     startDate = LocalDate.parse(Option(opts.get("startDate")).getOrElse("2020-01-01")),
     required = required, symbolEq = symbolEq, symbolConflict = symbolConflict,
-    minDate = minDate, maxDate = maxDate)
+    minDate = minDate, maxDate = maxDate, limit = limit, aggPush = aggPush)
 }
 
 final case class SynPartition(symStart: Int, symEnd: Int) extends InputPartition
@@ -134,10 +175,23 @@ final case class SynPartition(symStart: Int, symEnd: Int) extends InputPartition
 final class SynScan(seed: Long, nSymbols: Int, nDays: Int, startDate: LocalDate,
                     required: StructType, symbolEq: Option[String],
                     symbolConflict: Boolean,
-                    minDate: Option[LocalDate], maxDate: Option[LocalDate])
+                    minDate: Option[LocalDate], maxDate: Option[LocalDate],
+                    limit: Option[Int] = None, aggPush: Option[SynAggPush] = None)
   extends Scan with Batch with Serializable {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggPush match {
+    case None => required
+    case Some(SynAggPush(bySymbol, funcs)) =>
+      // scan output under aggregate pushdown = groupBy cols ++ agg cols
+      // (matched by POSITION and type by V2ScanRelationPushDown)
+      StructType(
+        (if (bySymbol) Seq(StructField("symbol", StringType, nullable = false)) else Nil) ++
+          funcs.map {
+            case "count" => StructField("count_star", LongType, nullable = false)
+            case "min_date" => StructField("min_date", DateType, nullable = true)
+            case "max_date" => StructField("max_date", DateType, nullable = true)
+          })
+  }
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -151,7 +205,15 @@ final class SynScan(seed: Long, nSymbols: Int, nDays: Int, startDate: LocalDate,
       }
     val slices = 8
     val step = math.max(1, math.ceil((hi - lo) / slices.toDouble).toInt)
-    (lo until hi by step).map(s => SynPartition(s, math.min(s + step, hi))).toArray
+    val parts = (lo until hi by step)
+      .map(s => SynPartition(s, math.min(s + step, hi))).toArray
+    // a GLOBAL pushed aggregate must produce at least one partial row even
+    // over an empty grid (COUNT(*) of nothing is 0, and the final merge is
+    // a SUM that would yield NULL from zero input rows) — keep one empty
+    // partition alive for it
+    if (parts.isEmpty && aggPush.exists(!_.bySymbol))
+      Array(SynPartition(0, 0))
+    else parts.asInstanceOf[Array[InputPartition]]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -159,9 +221,15 @@ final class SynScan(seed: Long, nSymbols: Int, nDays: Int, startDate: LocalDate,
     val dayLo = minDate.map(d => math.max(0L, d.toEpochDay - sdEpoch)).getOrElse(0L).toInt
     val dayHi = maxDate.map(d => math.min(nDays - 1L, d.toEpochDay - sdEpoch)).getOrElse(nDays - 1L).toInt
     val (s, req) = (seed, required.fieldNames.toSeq)
+    val (lim, agg) = (limit, aggPush)
     val _ = sd
-    (partition: InputPartition) => new SynReader(
-      partition.asInstanceOf[SynPartition], s, sdEpoch, dayLo, dayHi, req)
+    (partition: InputPartition) => agg match {
+      case Some(a) => new SynAggReader(
+        partition.asInstanceOf[SynPartition], sdEpoch, dayLo, dayHi, a)
+      case None => new SynReader(
+        partition.asInstanceOf[SynPartition], s, sdEpoch, dayLo, dayHi, req,
+        lim.getOrElse(Int.MaxValue))
+    }
   }
 }
 
@@ -180,15 +248,21 @@ object SynScan {
 }
 
 final class SynReader(p: SynPartition, seed: Long, startEpochDay: Long,
-                      dayLo: Int, dayHi: Int, required: Seq[String])
+                      dayLo: Int, dayHi: Int, required: Seq[String],
+                      limit: Int = Int.MaxValue)
   extends PartitionReader[InternalRow] {
   import SyntheticMarketSource.unit
 
   private var sym = p.symStart
   private var day = dayLo - 1
+  private var emitted = 0
   private val row = new GenericInternalRow(required.length)
 
   override def next(): Boolean = {
+    // partial limit pushdown: this partition stops generating after `limit`
+    // rows; Spark's retained global limit finishes the job
+    if (emitted >= limit) return false
+    emitted += 1
     day += 1
     if (day > dayHi) { day = dayLo; sym += 1 }
     if (sym >= p.symEnd || dayLo > dayHi) return false
@@ -207,6 +281,53 @@ final class SynReader(p: SynPartition, seed: Long, startEpochDay: Long,
     }
     true
   }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+/** Partial-aggregate reader: answers COUNT(*) / MIN(date) / MAX(date)
+  * (optionally per symbol) from ARITHMETIC over the pruned grid — O(1) per
+  * row emitted, zero data rows generated. A global aggregate emits exactly
+  * one partial row per partition (count may be 0 with null date bounds);
+  * a per-symbol aggregate emits one row per non-empty symbol group. */
+final class SynAggReader(p: SynPartition, startEpochDay: Long,
+                         dayLo: Int, dayHi: Int, agg: SynAggPush)
+  extends PartitionReader[InternalRow] {
+
+  private val daysInRange = (dayHi - dayLo + 1).max(0).toLong
+  private val width = (if (agg.bySymbol) 1 else 0) + agg.funcs.length
+  private val row = new GenericInternalRow(width)
+  private var sym = p.symStart - 1
+  private var emittedGlobal = false
+
+  override def next(): Boolean =
+    if (agg.bySymbol) {
+      if (daysInRange == 0) false
+      else {
+        sym += 1
+        if (sym >= p.symEnd) false
+        else { fill(Some(sym)); true }
+      }
+    } else if (emittedGlobal) false
+    else { emittedGlobal = true; fill(None); true }
+
+  private def fill(s: Option[Int]): Unit = {
+    var i = 0
+    s.foreach { k =>
+      row.update(0, UTF8String.fromString(SynScan.symbolName(k))); i = 1
+    }
+    val groups = s.fold((p.symEnd - p.symStart).toLong)(_ => 1L)
+    val cnt = daysInRange * groups
+    agg.funcs.foreach { f =>
+      row.update(i, f match {
+        case "count" => cnt
+        case "min_date" => if (cnt == 0) null else Int.box((startEpochDay + dayLo).toInt)
+        case "max_date" => if (cnt == 0) null else Int.box((startEpochDay + dayHi).toInt)
+      })
+      i += 1
+    }
+  }
+
   override def get(): InternalRow = row
   override def close(): Unit = ()
 }

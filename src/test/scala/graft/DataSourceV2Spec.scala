@@ -54,6 +54,64 @@ class DataSourceV2Spec extends SparkSpec {
       .filter(col("symbol") === "000004.SZ").count() == 0)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX absorbed into the scan, zero rows generated") {
+    // global shape: the scan's output IS the aggregate columns
+    val g = src.load()
+      .filter(col("date").between(lit("2020-01-10"), lit("2020-01-19")))
+      .agg(count(lit(1)).as("n"), min("date").as("lo"), max("date").as("hi"))
+    val plan = g.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates") ||
+      plan.contains("count_star") || plan.contains("COUNT"),
+      s"expected the aggregate absorbed into the BatchScan:\n$plan")
+    assert(g.as[(Long, String, String)].head() ==
+      ((20L * 10, "2020-01-10", "2020-01-19")))
+    // the scan emitted only PARTIAL-AGG rows (≤ one per partition), never
+    // the 200 data rows — the zero-rows-generated proof
+    val scanRows = g.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    assert(scanRows <= 8, s"scan must emit partial-agg rows only, got $scanRows")
+
+    // grouped shape: one arithmetic row per symbol
+    val per = src.load().groupBy("symbol")
+      .agg(count(lit(1)).as("n"), max("date").as("hi"))
+    assert(per.count() == 20)
+    assert(per.filter(col("n") =!= 50L).count() == 0)
+    // pushdown ≡ the unpushed Scala-side aggregation (equivalence check)
+    val unpushed = src.load().select("symbol", "date")
+      .groupBy("symbol").agg(count(lit(1)).as("n"), max("date").as("hi"))
+    assert(per.exceptAll(unpushed).isEmpty && unpushed.exceptAll(per).isEmpty)
+
+    // empty grid: pushed global COUNT(*) must still be 0, not NULL
+    val empty = src.load().filter(col("symbol") === "999999.SS")
+      .agg(count(lit(1)).as("n")).as[Long].head()
+    assert(empty == 0L)
+
+    // unsupported shape (SUM(close)) falls back to generating rows
+    val fallback = src.load().agg(sum("close").as("s"))
+    val fplan = fallback.queryExecution.executedPlan.toString()
+    assert(!fplan.contains("PushedAggregates") || fplan.contains("PushedAggregates: []"),
+      s"SUM(close) must NOT be claimed by the source:\n$fplan")
+    assert(fallback.as[Double].head() > 0.0)
+  }
+
+  test("limit pushdown: readers stop early, result honors the limit") {
+    val df = src.load().limit(7)
+    assert(df.count() == 7)
+    val collected = df.collect()
+    assert(collected.length == 7)
+    // per-partition cap: ≤ limit rows per partition across ≤ 8 partitions,
+    // instead of the 1000-row grid
+    val q = src.load().limit(7)
+    q.collect()
+    val scanRows = q.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    assert(scanRows <= 7L * 8, s"limit must cap reader output, got $scanRows")
+    // limit composes with pushed filters
+    val f = src.load().filter(col("symbol") === "000004.SZ").limit(3)
+    assert(f.count() == 3 &&
+      f.select("symbol").distinct().as[String].head() == "000004.SZ")
+  }
+
   test("DSv2 write path: two-phase commit, schema contract, lossless round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_sink").toString
     val df = Seq(
