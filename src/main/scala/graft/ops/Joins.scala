@@ -81,8 +81,13 @@ object Joins {
     val leftCols = left.columns.toSeq
     val taggedLeft = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
       .withColumn("__payload", lit(null))
+    // null-time rows match nothing in EITHER direction: null right times are
+    // excluded (they'd sort at an end of the partition and fill junk), and
+    // the per-row fills below are gated on the row's own time being present
+    // (the DifferentialSpec null-semantics contract, as in asOfDirected)
     val taggedRight = leftCols.filterNot(keys.contains).foldLeft(
-      right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+      right.filter(col(rightTime).isNotNull)
+        .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
         .withColumn("__payload",
           struct((rightCols.map(col) :+ col(rightTime).as("__rt")): _*))
     )((d, c) => d.withColumn(c, lit(null)))
@@ -96,8 +101,10 @@ object Joins {
       .orderBy(col("__t").desc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned
-      .withColumn("__pb", last(col("__payload"), ignoreNulls = true).over(wB))
-      .withColumn("__pf", last(col("__payload"), ignoreNulls = true).over(wF))
+      .withColumn("__pb", when(col("__t").isNotNull,
+        last(col("__payload"), ignoreNulls = true).over(wB)))
+      .withColumn("__pf", when(col("__t").isNotNull,
+        last(col("__payload"), ignoreNulls = true).over(wF)))
     val db = col("__t") - col("__pb").getField("__rt")
     val df = col("__pf").getField("__rt") - col("__t")
     val pbT = tolerance.fold(col("__pb"))(t => when(db <= t, col("__pb")))
@@ -128,8 +135,15 @@ object Joins {
     // row with rightTime == leftTime is visible to that left row (<=).
     val taggedLeft = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
       .withColumn("__payload", lit(null))
+    // NULL right times match NOTHING — and they must be EXCLUDED here, not
+    // merely ignored: ascending sort puts NULL `__t` at the partition head,
+    // so a null-time right row's (non-null) payload struct would forward-
+    // fill into every left row with no real match. Found by the
+    // DifferentialSpec fuzz — the composed-lane twin of the AsOfJoinExec
+    // null-time cursor stall.
     val taggedRight = leftCols.filterNot(keys.contains).foldLeft(
-      right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+      right.filter(col(rightTime).isNotNull)
+        .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
         .withColumn("__payload",
           struct((rightCols.map(col) :+ col(rightTime).as("__rt")): _*))
     )((d, c) => d.withColumn(c, lit(null)))
@@ -143,8 +157,12 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // NULL LEFT times also match nothing: such rows sort at the head (asc)
+    // or tail (desc) and would otherwise read whatever fill is in flight
+    // there — gate the fill on the row's own time being present.
     val filled0 = unioned.withColumn("__payload",
-      last(col("__payload"), ignoreNulls = true).over(w))
+      when(col("__t").isNotNull,
+        last(col("__payload"), ignoreNulls = true).over(w)))
     val staleness =
       if (forward) col("__payload").getField("__rt") - col("__t")
       else col("__t") - col("__payload").getField("__rt")

