@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Flac, Gif, H264Meta, Jpeg, Mp4Meta, Multimodal, Png, TarShard, Tiff, Video}
+import graft.multimodal.{Bmp, Flac, Gif, H264Meta, Jpeg, Mp4Meta, Multimodal, Png, TarShard, Tiff, Video, Zip}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -451,7 +451,7 @@ object SparkEntry {
       import s.implicits._
       val docs = TestData(s, dir).documents
       val ids = docs.select(col("doc_id").cast("long")).as[Long]
-      def pick(m: Int) = ids.filter(_ % 12 == m)
+      def pick(m: Int) = ids.filter(_ % 14 == m)
       def row(id: Long, media: Array[Byte]) =
         Multimodal.MediaRow(id, media, "", 0, 0)
       val mixed =
@@ -466,7 +466,9 @@ object SparkEntry {
           .union(Tiff.syntheticTiff(pick(8)).map(r => row(r.id, r.media)))
           .union(H264Meta.syntheticH264(pick(9)).map(r => row(r.id, r.media)))
           .union(Mp4Meta.syntheticMp4(pick(10)).map(r => row(r.id, r.media)))
-          .union(docs.filter(col("doc_id") % 12 === 11)
+          .union(Zip.syntheticZip(pick(11)).map(r => row(r.id, r.media)))
+          .union(TarShard.syntheticTar(pick(12)).map(r => row(r.id, r.media)))
+          .union(docs.filter(col("doc_id") % 14 === 13)
             .select(col("doc_id").cast("long").as("id"),
               encode(col("text"), "UTF-8").as("media"),
               lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
@@ -1230,6 +1232,23 @@ object SparkEntry {
           Quantiles.ksTest(a, shifted, "v").withColumn("pair", lit("shifted")))
     }),
 
+    // Two-sample chi-square homogeneity drift — the binned-count
+    // complement of the KS gate (KS sees CDF shape, χ² sees per-bin
+    // mass). Same pair framing: same-distribution (no drift) and the
+    // 1.1×-shifted copy (drift); crit = χ²₀.₀₅ for the fixture's ~19 df.
+    "quantiles_chi2_drift" -> ((s, dir) => {
+      val li = TestData(s, dir).lineitem
+      val a = li.filter(col("l_returnflag") === "R")
+        .select(col("l_extendedprice").as("v"))
+      val b = li.filter(col("l_returnflag") === "N")
+        .select(col("l_extendedprice").as("v"))
+      val shifted = b.select((col("v") * 1.1).as("v"))
+      Quantiles.chiSquareDrift(a, b, "v", 5000.0, 30.1435)
+        .withColumn("pair", lit("same"))
+        .unionByName(Quantiles.chiSquareDrift(a, shifted, "v", 5000.0, 30.1435)
+          .withColumn("pair", lit("shifted")))
+    }),
+
     // Typed Aggregator rung of the custom-agg ladder: per-symbol OHLCV
     // through Dataset.groupByKey + Aggregator[Tick, BarBuf, Bar] —
     // compile-time-typed end to end (the API a case-class pipeline
@@ -1311,6 +1330,12 @@ object SparkEntry {
 
   // ------------------------------------- LLM-data-pipeline operators (M7)
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Hashed-feature linear classifier inference (fastText-style quality
+    // gate): word → md5 bucket (hashing trick), score = fold-sum of
+    // bucket weights + bias, verdict = score > 0. Row-local, zero-shuffle.
+    "text_classify" -> ((s, dir) =>
+      Relevance.hashedLinearScore(TestData(s, dir).documents, "doc_id", "text")),
 
     // Text quality scoring: word/char counts, avg word length, stopword ratio.
     "text_quality" -> ((s, dir) => {
@@ -2697,6 +2722,21 @@ object SparkEntry {
       TarShard.listTar(TarShard.syntheticTar(ids)).toDF()
     }),
 
+    // ZIP shard lane (the TFDS/ImageNet container next to WebDataset's
+    // tar): REAL format walk — EOCD found by the backward comment scan,
+    // central directory as source of truth, local-header signatures
+    // verified at their claimed offsets, members INFLATED for real (raw
+    // deflate, nowrap) with CRC-32 and size verified against the
+    // directory; stored members, forged sizes, bombs and truncations all
+    // handled. Row-local mapPartitions; only formula-replayable counts
+    // flow out.
+    "mm_zip_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Zip.listZip(Zip.syntheticZip(ids)).toDF()
+    }),
+
     // MP4/ISO-BMFF METADATA lane (the container around the H.264 stream):
     // length-prefixed box walk with the 64-bit largesize escape, nested
     // moov/trak recursion by byte range, BOTH mvhd versions (field widths
@@ -3852,26 +3892,27 @@ $backtestPnlCtes,
     // and routing are what's gated; integers only, exact both engines.
     "mm_sniff" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
-                CASE doc_id % 12 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                CASE doc_id % 14 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'
                   WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' WHEN 7 THEN 'bmp'
                   WHEN 8 THEN 'tiff' WHEN 9 THEN 'h264' WHEN 10 THEN 'mp4'
+                  WHEN 11 THEN 'zip' WHEN 12 THEN 'tar'
                   ELSE 'opaque' END AS kind,
-                CAST(CASE doc_id % 12 WHEN 0 THEN 5 + doc_id % 9
+                CAST(CASE doc_id % 14 WHEN 0 THEN 5 + doc_id % 9
                   WHEN 1 THEN 5 + doc_id % 6 WHEN 2 THEN 5 + doc_id % 7
                   WHEN 3 THEN 4 + doc_id % 5 WHEN 6 THEN 5 + doc_id % 9
                   WHEN 7 THEN 6 + doc_id % 7 WHEN 8 THEN 5 + doc_id % 8
                   WHEN 9 THEN (1 + doc_id % 4) * 16 - 2 * (doc_id % 3)
                   WHEN 10 THEN 16 * (1 + doc_id % 4)
                   ELSE 0 END AS INT) AS width,
-                CAST(CASE doc_id % 12 WHEN 0 THEN 4 + doc_id % 9
+                CAST(CASE doc_id % 14 WHEN 0 THEN 4 + doc_id % 9
                   WHEN 1 THEN 4 + doc_id % 5 WHEN 2 THEN 4 + doc_id % 6
                   WHEN 3 THEN 3 + doc_id % 4 WHEN 6 THEN 4 + doc_id % 9
                   WHEN 7 THEN 3 + doc_id % 6 WHEN 8 THEN 4 + doc_id % 5
                   WHEN 9 THEN (1 + doc_id % 3) * 16 - 2 * (doc_id % 2)
                   WHEN 10 THEN 16 * (1 + doc_id % 3)
                   ELSE 0 END AS INT) AS height,
-                CAST(CASE doc_id % 12
+                CAST(CASE doc_id % 14
                   WHEN 0 THEN (5 + doc_id % 9) * (4 + doc_id % 9)
                   WHEN 1 THEN (5 + doc_id % 6) * (4 + doc_id % 5)
                   WHEN 2 THEN (5 + doc_id % 7) * (4 + doc_id % 6)
@@ -3883,6 +3924,8 @@ $backtestPnlCtes,
                   WHEN 8 THEN (5 + doc_id % 8) * (4 + doc_id % 5)
                   WHEN 9 THEN 2 + (1 + doc_id % 3) + (doc_id % 5)
                   WHEN 10 THEN 5 + (1 + doc_id % 2)
+                  WHEN 11 THEN 2 + doc_id % 3
+                  WHEN 12 THEN 2 * (2 + doc_id % 4) + (2 + doc_id % 4 + 1) // 2
                   ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_units
          FROM documents""",
 
@@ -4400,6 +4443,43 @@ $backtestPnlCtes,
         one("l_extendedprice * 1.1", "shifted")
     },
 
+    // Mirrors Quantiles.chiSquareDrift(binWidth=5000, crit=30.1435): floor
+    // binning (never a bigint cast of a double), exact BIGINT per-bin
+    // counts, each contribution one fixed IEEE expression, χ² a
+    // sequential fold in bin order (list_reduce, init-prepended).
+    "quantiles_chi2_drift" -> {
+      def one(bExpr: String, label: String) =
+        s"""SELECT t.n_a, t.n_b,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM pb_$label) AS n_bins,
+                   (SELECT list_reduce([CAST(0 AS DOUBLE)] || list(contrib ORDER BY bin),
+                                       (x, y) -> x + y) FROM c_$label) AS chi2,
+                   (SELECT list_reduce([CAST(0 AS DOUBLE)] || list(contrib ORDER BY bin),
+                                       (x, y) -> x + y) FROM c_$label) > 30.1435 AS drift,
+                   '$label' AS pair
+            FROM tt_$label t"""
+      def ctes(bExpr: String, label: String) =
+        s"""u_$label AS (
+              SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin, 1 AS ca, 0 AS cb
+              FROM lineitem WHERE l_returnflag = 'R'
+              UNION ALL
+              SELECT CAST(floor(($bExpr) / 5000.0) AS BIGINT), 0, 1
+              FROM lineitem WHERE l_returnflag = 'N'),
+            pb_$label AS (SELECT bin, CAST(SUM(ca) AS BIGINT) AS ca,
+                                 CAST(SUM(cb) AS BIGINT) AS cb
+                          FROM u_$label GROUP BY bin),
+            tt_$label AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                                 CAST(SUM(cb) AS BIGINT) AS n_b FROM pb_$label),
+            c_$label AS (SELECT bin,
+                   CAST(ca * n_b - cb * n_a AS DOUBLE) * CAST(ca * n_b - cb * n_a AS DOUBLE)
+                     / CAST((ca + cb) * n_a * n_b AS DOUBLE) AS contrib
+                 FROM pb_$label, tt_$label)"""
+      s"""WITH ${ctes("l_extendedprice", "same")},
+              ${ctes("l_extendedprice * 1.1", "shifted")}
+          ${one("l_extendedprice", "same")}
+          UNION ALL
+          ${one("l_extendedprice * 1.1", "shifted")}"""
+    },
+
     "a9_typed_bars" ->
       """WITH t AS (SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS symbol,
                           epoch_ns(ts) AS tsn, event_id AS seq,
@@ -4458,6 +4538,21 @@ $backtestPnlCtes,
                 CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS money,
                 COUNT(*) AS n_rows
          FROM r GROUP BY period""",
+
+    // Mirrors Relevance.hashedLinearScore(dims=64, bias=1): the same
+    // md5-hex→BIGINT bucket formula as emb_rand_proj, weight = b%7−3,
+    // integer sum over word occurrences.
+    "text_classify" ->
+      """WITH w AS (SELECT doc_id,
+                           unnest(list_filter(string_split(text,' '), x -> length(x)>0)) AS word
+                    FROM documents),
+         s AS (SELECT doc_id,
+                      CAST(SUM((CAST('0x' || substring(md5(word),1,15) AS BIGINT) % 64) % 7 - 3)
+                           AS BIGINT) AS ws
+               FROM w GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(s.ws, 0) + 1 AS score,
+                (COALESCE(s.ws, 0) + 1) > 0 AS positive
+         FROM documents d LEFT JOIN s USING (doc_id)""",
 
     "text_quality" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
@@ -5881,6 +5976,20 @@ $backtestPnlCtes,
                 CAST(SUM(bytes) AS BIGINT) AS total_bytes,
                 CAST(MAX(ns) AS BIGINT) AS n_samples,
                 TRUE AS all_paired
+         FROM per GROUP BY id""",
+
+    // Mirrors Zip.syntheticZip/listZip: n = 2 + id%3 members of
+    // 50 + (id+s)%40 bytes; even member indexes deflate, odd store.
+    "mm_zip_meta" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                           CAST(2 + doc_id % 3 AS BIGINT) AS n
+                    FROM documents),
+         per AS (SELECT id, n, 50 + (id + t.s) % 40 AS bytes
+                 FROM d, unnest(range(0, n)) AS t(s))
+         SELECT id, CAST(MAX(n) AS BIGINT) AS n_members,
+                CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+                CAST((MAX(n) + 1) // 2 AS BIGINT) AS n_deflated,
+                CAST(MAX(n) // 2 AS BIGINT) AS n_stored
          FROM per GROUP BY id""",
 
     "mm_mp4_meta" ->

@@ -471,7 +471,13 @@ object Multimodal {
       else Some(SniffedMedia(id, "avi", frames.head.width, frames.head.height,
         frames.length.toLong,
         frames.map(f => (f.mean_r + f.mean_g + f.mean_b) / 3.0).sum / frames.length))
-    } else {
+    } else if (Zip.looksLikeZip(b))
+      Zip.decodeOne(id, b).map(f => SniffedMedia(id, "zip", 0, 0,
+        f.n_members, f.total_bytes.toDouble / math.max(1L, f.n_members)))
+    else if (TarShard.looksLikeTar(b))
+      TarShard.decodeOne(id, b).map(f => SniffedMedia(id, "tar", 0, 0,
+        f.n_members, f.total_bytes.toDouble / math.max(1L, f.n_members)))
+    else {
       // opaque fallback: counted, not vanished
       var sum = 0L; var i = 0
       while (i < b.length) { sum += (b(i) & 0xff); i += 1 }

@@ -183,4 +183,44 @@ object Quantiles {
             col("n_a").cast("decimal(38,0)") * col("n_b").cast("decimal(38,0)"))
           .as("drift"))
   }
+
+  /** Two-sample CHI-SQUARE homogeneity drift over equal-width bins — the
+    * binned-count complement of [[ksTest]] (KS sees CDF shape, χ² sees
+    * per-bin mass; a swap of two bins' masses is invisible to KS's max but
+    * loud here). Bins via `floor(v / binWidth)` — floor, NEVER a bigint
+    * cast of a double (the a7_histogram engine-divergence lesson:
+    * Spark's cast truncates, DuckDB's rounds).
+    *
+    * Determinism: per-bin counts are exact BIGINTs; each bin's
+    * contribution ((aᵢ·N_b − bᵢ·N_a)² / ((aᵢ+bᵢ)·N_a·N_b)) is a fixed
+    * IEEE expression of those integers, and χ² is their SEQUENTIAL FOLD
+    * in bin order (rule 1: never a float `sum()` whose association the
+    * engine picks) — bit-identical cross-engine, so the verdict compare
+    * is deterministic even at the boundary. `(aᵢ+bᵢ)·N_a·N_b` stays in
+    * BIGINT range for samples to ~2M rows; beyond that pre-scale the
+    * counts. `crit` is the χ²₀.₀₅ critical value for the caller's df
+    * (bins−1). One shuffle (bin agg); the fold runs over the
+    * bin-cardinality-bounded list, not the rows. */
+  def chiSquareDrift(a: DataFrame, b: DataFrame, value: String,
+                     binWidth: Double, crit: Double): DataFrame = {
+    def bin(c: Column) = floor(c.cast("double") / binWidth).cast("long")
+    val tagged = a.select(bin(col(value)).as("bin"), lit(1L).as("ca"), lit(0L).as("cb"))
+      .unionByName(b.select(bin(col(value)).as("bin"), lit(0L).as("ca"), lit(1L).as("cb")))
+      .filter(col("bin").isNotNull)
+    val perBin = tagged.groupBy("bin")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val total = Window.partitionBy()
+    val withTotals = perBin.select(col("bin"), col("ca"), col("cb"),
+      sum(col("ca")).over(total).as("n_a"), sum(col("cb")).over(total).as("n_b"))
+    val diff = (col("ca") * col("n_b") - col("cb") * col("n_a")).cast("double")
+    val contrib = diff * diff /
+      ((col("ca") + col("cb")) * col("n_a") * col("n_b")).cast("double")
+    withTotals
+      .select(col("n_a"), col("n_b"), struct(col("bin"), contrib.as("c")).as("s"))
+      .groupBy("n_a", "n_b")
+      .agg(count(lit(1)).as("n_bins"),
+        aggregate(array_sort(collect_list(col("s"))), lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("chi2"))
+      .withColumn("drift", col("chi2") > crit)
+  }
 }

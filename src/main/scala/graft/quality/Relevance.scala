@@ -183,4 +183,29 @@ object Relevance {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("ngram").asc)).cast("long"))
   }
+
+  /** Hashed-feature linear classifier INFERENCE (the fastText-style
+    * quality-classifier serving shape every corpus pipeline runs): each
+    * word hashes into one of `dims` buckets (the hashing trick — no vocab
+    * table, O(1) memory at any corpus size), the doc score is the fold-sum
+    * of per-bucket weights over word OCCURRENCES plus a bias, and the
+    * verdict is `score > 0`. Entirely ROW-LOCAL — one projection, zero
+    * shuffles, codegen-friendly higher-order fold; at 100 TB this is a
+    * pure map over the corpus, exactly how a learned quality gate deploys.
+    *
+    * Weights here are a deterministic function of the bucket
+    * (`bucket % 7 − 3`, integers, engine-replayable — the md5 convention
+    * of [[graft.ann.Quant.randomProject]]); a TRAINED model drops in as a
+    * broadcast bucket→weight map without touching the plan shape. Integer
+    * arithmetic end to end, so the gate hash-compares exactly. */
+  def hashedLinearScore(docs: DataFrame, id: String, text: String,
+                        dims: Int = 64, bias: Long = 1L): DataFrame = {
+    def bucket(w: Column): Column =
+      pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(dims.toLong))
+    def weight(w: Column): Column = bucket(w) % 7 - 3
+    docs.select(col(id),
+        (aggregate(TextFns.words(col(text)), lit(0L), (acc, w) => acc + weight(w))
+          + bias).as("score"))
+      .withColumn("positive", col("score") > 0)
+  }
 }
