@@ -1412,6 +1412,15 @@ object SparkEntry {
       Tokenizer.wordpieceEncode(docs, "doc_id", "text", vocab)
     }),
 
+    // Unigram-LM (SentencePiece-style) Viterbi segmentation — the THIRD
+    // production tokenizer inference rule next to BPE's merge chain and
+    // WordPiece's greedy match: min-total-integer-cost segmentation with
+    // lexicographic (cost, pieces) tie-break packed into one DP value.
+    // Shared vocab constant renders into both engines.
+    "tok_unigram_viterbi" -> ((s, dir) =>
+      Tokenizer.unigramViterbi(TestData(s, dir).documents, "doc_id", "text",
+        UnigramVocab)),
+
     // Rolling polynomial fingerprint (order-sensitive document hash).
     "text_fingerprint" -> ((s, dir) => {
       TestData(s, dir).documents.select(
@@ -5747,6 +5756,44 @@ $backtestPnlCtes,
 
     "tok_wordpiece_encode" -> wordpieceOracleSql(8),
 
+    // Mirrors Tokenizer.unigramViterbi(UnigramVocab, unk=10, maxLen=3,
+    // maxWord=512): the packed-value DP replayed with a list_reduce whose
+    // accumulator is the best-prefix list (init via the leading [[0]]
+    // element — rule 9's no-init workaround), vocab CASE arms rendered
+    // from the same shared constant.
+    "tok_unigram_viterbi" -> {
+      def arms(len: Int) = UnigramVocab.filter(_._1.length == len)
+        .map { case (p, c) => s"WHEN '$p' THEN $c" }.mkString(" ")
+      def costCase(len: Int, sub: String) =
+        if (len == 1) s"COALESCE(CASE $sub ${arms(1)} END, 10)"
+        else s"CASE $sub ${arms(len)} END"
+      s"""WITH w AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '),
+                                   x -> length(x) > 0 AND length(x) <= 512)) AS word
+              FROM documents),
+          seg AS (SELECT doc_id,
+              list_reduce(
+                [[CAST(0 AS BIGINT)]] ||
+                  list_transform(range(1, length(word) + 1), x -> [CAST(x AS BIGINT)]),
+                (acc, el) -> acc || [least(
+                  acc[el[1]] + 1024 * ${costCase(1, "substring(word, CAST(el[1] AS INT), 1)")} + 1,
+                  CASE WHEN el[1] >= 2 THEN acc[el[1] - 1]
+                    + 1024 * ${costCase(2, "substring(word, CAST(el[1] - 1 AS INT), 2)")} + 1 END,
+                  CASE WHEN el[1] >= 3 THEN acc[el[1] - 2]
+                    + 1024 * ${costCase(3, "substring(word, CAST(el[1] - 2 AS INT), 3)")} + 1 END)]
+              )[length(word) + 1] AS p
+            FROM w),
+          agg AS (SELECT doc_id, CAST(SUM(p // 1024) AS BIGINT) AS total_cost,
+                         CAST(SUM(p % 1024) AS BIGINT) AS total_pieces,
+                         CAST(COUNT(*) AS BIGINT) AS n_words
+                  FROM seg GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(a.total_cost, 0) AS total_cost,
+                 COALESCE(a.total_pieces, 0) AS total_pieces,
+                 COALESCE(a.n_words, 0) AS n_words
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN agg a USING (doc_id)"""
+    },
+
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
                     FROM documents),
@@ -6243,6 +6290,19 @@ $backtestPnlCtes,
     "q_hashjoin" -> Seq("hash", "join"),
     "q_vecscan" -> Seq("vector", "scan", "filter"),
     "q_mergeorder" -> Seq("merge", "order"))
+
+  /** Shared unigram-LM vocabulary (piece → integer cost ≈ quantized
+    * −log p): rendered into the Spark map literal AND the DuckDB CASE
+    // arms, one constant so the two replays can't drift. Costs make
+    * multi-char pieces genuinely cheaper than their characters
+    * (2-char 9 < 16–20, 3-char 12 < 24–30), so the DP has real choices. */
+  private val UnigramVocab: Seq[(String, Int)] = Seq(
+    "e" -> 8, "a" -> 8,
+    "th" -> 9, "he" -> 9, "in" -> 9, "er" -> 9, "an" -> 9, "re" -> 9,
+    "on" -> 9, "at" -> 9, "en" -> 9, "nd" -> 9, "ti" -> 9, "es" -> 9,
+    "or" -> 9, "st" -> 9, "ar" -> 9, "te" -> 9, "ed" -> 9, "it" -> 9,
+    "the" -> 12, "ing" -> 12, "and" -> 12, "ion" -> 12, "ent" -> 12,
+    "for" -> 12)
 
   /** DuckDB replay of [[graft.quality.Relevance.searchTopK]](k=10):
     * the text_bm25 component tree per query over the union term set, a

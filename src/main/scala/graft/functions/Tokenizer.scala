@@ -383,4 +383,64 @@ object Tokenizer {
       .collect().toSeq
     bpeEncode(docs, idCol, textCol, merges)
   }
+
+  /** UNIGRAM-LM segmentation (the SentencePiece inference mode, next to
+    * BPE's merge chain and WordPiece's greedy longest-match): each word is
+    * segmented into the MINIMUM-TOTAL-COST sequence of vocabulary pieces
+    * by a Viterbi DP over positions; any single character is always
+    * available at `unkCost`, so segmentation never fails. Costs are
+    * INTEGERS (a real model's −log p(piece) quantized — the lane a trained
+    * SentencePiece model drops into), which makes the DP exact and
+    * engine-replayable.
+    *
+    * Tie-breaking is part of the contract: the DP state is the packed
+    * value `cost·1024 + pieces`, so minimization is lexicographic
+    * (cost, then FEWER pieces) — fully order-free. Words longer than
+    * `maxWordLen` are excluded (the packing needs pieces < 1024; URLs/ids
+    * beyond that aren't natural-language tokens anyway — same posture as
+    * trainBpeLocal's vocabulary guard).
+    *
+    * The whole DP is ONE higher-order fold per word inside a projection —
+    * row-local, zero shuffles before the per-doc aggregation, no UDF.
+    * Returns per doc: total_cost, total_pieces, n_words (docs with no
+    * eligible words report zeros). */
+  def unigramViterbi(docs: DataFrame, idCol: String, textCol: String,
+                     vocab: Seq[(String, Int)], unkCost: Int = 10,
+                     maxPieceLen: Int = 3, maxWordLen: Int = 512): DataFrame = {
+    require(vocab.forall(_._1.length <= maxPieceLen),
+      s"vocab pieces must be ≤ $maxPieceLen chars")
+    val vmap = map_from_arrays(
+      array(vocab.map(v => lit(v._1)): _*),
+      array(vocab.map(v => lit(v._2)): _*))
+    val words = docs
+      .select(col(idCol), explode_outer(TextFns.words(col(textCol))).as("w"))
+      .filter(col("w").isNotNull && length(col("w")) <= maxWordLen)
+    val w = col("w")
+    // acc(k) = packed best for prefix of length k−1 (1-based list); the
+    // fold extends it one position at a time, taking the least over every
+    // vocab piece (and the single-char unk) that could end at position i
+    val packed = element_at(
+      aggregate(sequence(lit(1), length(w)), array(lit(0L)), (acc, i) => {
+        val cands = (1 to maxPieceLen).map { L =>
+          val piece = w.substr(i - L + 1, lit(L))
+          val fromVocab = element_at(vmap, piece)
+          val cost = if (L == 1) coalesce(fromVocab, lit(unkCost)) else fromVocab
+          when(i >= L,
+            element_at(acc, (i - L + 1).cast("int")) + cost.cast("long") * 1024L + 1L)
+        }
+        concat(acc, array(least(cands: _*)))
+      }),
+      length(w) + 1)
+    val perWord = words.select(col(idCol), packed.as("p"))
+    docs.select(col(idCol)).distinct()
+      .join(perWord.groupBy(idCol).agg(
+          sum(shiftright(col("p"), 10)).as("total_cost"),
+          sum(pmod(col("p"), lit(1024L))).as("total_pieces"),
+          count(lit(1)).as("n_words")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total_cost"), lit(0L)).as("total_cost"),
+        coalesce(col("total_pieces"), lit(0L)).as("total_pieces"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"))
+  }
 }

@@ -169,6 +169,24 @@ class TokenizerSpec extends SparkSpec {
       s"test must actually exercise non-BMP merges: $dist")
   }
 
+  test("unigramViterbi: hand-checked DP, unk fallback, optimal beats greedy") {
+    import spark.implicits._
+    // "tha"(20) is a greedy trap: longest-match from the left would take
+    // tha+t = 30; the DP must find th+at = 18
+    val vocab = Seq("e" -> 8, "a" -> 8, "th" -> 9, "re" -> 9, "at" -> 9,
+      "the" -> 12, "tha" -> 20)
+    val docs = Seq((1L, "the threat xyz"), (2L, "that"), (3L, ""))
+      .toDF("doc_id", "text")
+    val byId = Tokenizer.unigramViterbi(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: the=12/1, threat=th|re|at=27/3, xyz=30/3 (all unk)
+    assert(byId(1L) == ((69L, 7L, 3L)), s"got ${byId(1L)}")
+    // doc 2: that = th+at = 18/2 — NOT the greedy tha+t = 30
+    assert(byId(2L) == ((18L, 2L, 1L)), s"got ${byId(2L)}")
+    // doc 3: no words → zeros, row still present
+    assert(byId(3L) == ((0L, 0L, 0L)))
+  }
+
   test("trainBpeLocal refuses vocabularies beyond maxLocalWords, loudly") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
