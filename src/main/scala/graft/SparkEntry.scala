@@ -984,6 +984,30 @@ object SparkEntry {
     // Cohort retention: users grouped by first-activity week, distinct
     // active users counted per (cohort, week offset) — the
     // week-over-week retention triangle, all integer counts.
+    // Multi-touch LINEAR attribution (the marketing-analytics shape the
+    // funnel's first-touch mins don't cover): every click by the same
+    // user within the 2 h window before a purchase shares the purchase
+    // value equally. Pair generation is the user-co-shuffled equi-join
+    // with a row-local time-band filter; credit = one IEEE division of
+    // the exact value by the window count, emitted at PAIR granularity so
+    // no float summation order exists. Integer nanos throughout (rule 5).
+    "events_attribution" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      t.events.createOrReplaceTempView("ga_events")
+      s.sql("""
+        WITH p AS (SELECT user_id, event_id AS purchase_id, ts_ns AS pts, value AS pvalue
+                   FROM ga_events WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, event_id AS click_id, ts_ns AS cts
+                   FROM ga_events WHERE event_type = 'click'),
+             pairs AS (SELECT p.user_id, p.purchase_id, p.pvalue, c.click_id
+                       FROM p JOIN c ON p.user_id = c.user_id
+                       WHERE c.cts < p.pts AND c.cts >= p.pts - 7200000000000)
+        SELECT user_id, purchase_id, click_id,
+               pvalue / COUNT(*) OVER (PARTITION BY purchase_id) AS credit,
+               CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touch
+        FROM pairs""")
+    }),
+
     "events_retention" -> ((s, dir) => {
       val t = TestData(s, dir)
       t.events.createOrReplaceTempView("gr_events")
@@ -2122,6 +2146,20 @@ object SparkEntry {
     "quantiles_disc" -> ((s, dir) =>
       Quantiles.exactDisc(TestData(s, dir).lineitem,
         "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))),
+
+    // Winsorization: clip values into the group's [p05, p95] nearest-rank
+    // band — row-preserving outlier treatment. The gate summarizes
+    // (cutoffs, clip counts, decimal-routed clipped sum) so the oracle
+    // stays compact; the operator itself returns the clipped rows.
+    "quantiles_winsorize" -> ((s, dir) =>
+      Quantiles.winsorize(TestData(s, dir).lineitem,
+          "l_returnflag", "l_extendedprice", 0.05, 0.95)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          max(col("cut_lo")).as("cut_lo"), max(col("cut_hi")).as("cut_hi"),
+          sum(when(col("clipped_low"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("clipped_high"), 1L).otherwise(0L)).as("n_hi"),
+          decSum(col("clipped")).as("sum_clipped"))),
 
     // Interpolated (percentile_cont) quantiles — same window plan, but the
     // value is COMPUTED: the oracle replays the identical IEEE expression
@@ -4214,6 +4252,22 @@ $backtestPnlCtes,
          FROM v JOIN c ON v.user_id = c.user_id
                 JOIN p ON v.user_id = p.user_id""",
 
+    // Same pair join over epoch_ns; the division replays the identical
+    // IEEE double / bigint expression.
+    "events_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+                           epoch_ns(ts) AS pts, value AS pvalue
+                    FROM events WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) AS cts
+                FROM events WHERE event_type = 'click'),
+          pairs AS (SELECT p.user_id, p.purchase_id, p.pvalue, c.click_id
+                    FROM p JOIN c ON p.user_id = c.user_id
+                    WHERE c.cts < p.pts AND c.cts >= p.pts - 7200000000000)
+          SELECT user_id, purchase_id, click_id,
+                 pvalue / COUNT(*) OVER (PARTITION BY purchase_id) AS credit,
+                 CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touch
+          FROM pairs""",
+
     "events_retention" ->
       """WITH w AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk
                     FROM events),
@@ -5358,6 +5412,27 @@ $backtestPnlCtes,
                 MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.9) AS BIGINT) THEN v END) AS p90,
                 MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.99) AS BIGINT) THEN v END) AS p99
          FROM r GROUP BY l_returnflag""",
+
+    // Mirrors Quantiles.winsorize(0.05, 0.95) + the gate's summary: the
+    // nearest-rank cutoff picks, then clip counts and the decimal-routed
+    // sum of least(greatest(v, lo), hi).
+    "quantiles_winsorize" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+             FROM lineitem),
+          cuts AS (SELECT l_returnflag,
+               MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.05) AS BIGINT) THEN v END) AS cut_lo,
+               MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.95) AS BIGINT) THEN v END) AS cut_hi
+             FROM r GROUP BY l_returnflag)
+          SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                 MAX(c.cut_lo) AS cut_lo, MAX(c.cut_hi) AS cut_hi,
+                 CAST(SUM(CASE WHEN l.l_extendedprice < c.cut_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+                 CAST(SUM(CASE WHEN l.l_extendedprice > c.cut_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+                 CAST(CAST(SUM(CAST(least(greatest(l.l_extendedprice, c.cut_lo), c.cut_hi)
+                                    AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_clipped
+          FROM lineitem l JOIN cuts c USING (l_returnflag)
+          GROUP BY l.l_returnflag""",
 
     // Mirrors Quantiles.exactCont's expression tree exactly: h=(n-1)p,
     // lower/upper rank picks, then lo + (hi-lo)*frac in IEEE doubles.

@@ -35,6 +35,34 @@ object Quantiles {
     ranked.groupBy(group).agg(max(col("n")).as("n"), picks: _*)
   }
 
+  /** WINSORIZATION — clip each value into its group's
+    * [p(lo), p(hi)] nearest-rank percentile band (the robust-statistics
+    * outlier treatment that PRESERVES row count where filtering drops
+    * rows; the standard pre-normalization step for heavy-tailed features).
+    * Cutoffs are [[exactDisc]]-style SELECTED values (never interpolated),
+    * so clipped values are existing data values and the whole op is
+    * float-exact. Returns the input rows plus `clipped` and the
+    * was-clipped direction flags. Plan: one rank window per group + one
+    * co-shuffled join of the 2-value cutoff row back onto the rows — at
+    * 100 TB the cutoff frame is group-cardinality-sized and AQE
+    * broadcasts it. */
+  def winsorize(df: DataFrame, group: String, value: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, s"pLo=$pLo must be < pHi=$pHi")
+    val ranked = df.select(col(group), col(value))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(group).orderBy(col(value).asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(group)).cast("long"))
+    val cuts = ranked.groupBy(group).agg(
+      max(when(col("rn") === ceil(col("n").cast("double") * pLo), col(value))).as("cut_lo"),
+      max(when(col("rn") === ceil(col("n").cast("double") * pHi), col(value))).as("cut_hi"))
+    df.join(cuts, group)
+      .withColumn("clipped",
+        least(greatest(col(value), col("cut_lo")), col("cut_hi")))
+      .withColumn("clipped_low", col(value) < col("cut_lo"))
+      .withColumn("clipped_high", col(value) > col("cut_hi"))
+  }
+
   /** Exact INTERPOLATED quantiles per group — the `percentile_cont` /
     * numpy-linear definition: h = (n−1)·p, result = v⌊h⌋ + (v⌊h⌋₊₁ −
     * v⌊h⌋)·(h − ⌊h⌋) over the ascending order.
