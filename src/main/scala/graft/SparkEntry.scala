@@ -1067,6 +1067,15 @@ object SparkEntry {
           round(col("ma5"), 4).as("ma5"), round(col("ttm4"), 4).as("ttm4"))
     }),
 
+    // EWMA — the RECURSIVE window no frame can express (every output
+    // depends on the whole prefix): sequential per-key fold, α = 0.25
+    // exactly representable so each step is a fixed IEEE tree.
+    "w11_ewma" -> ((s, dir) =>
+      Windows.ewma(mkt(s, dir).bars, Seq(col("symbol")), col("date"),
+          col("close"), 0.25, "ewma")
+        .select(col("symbol"), col("o").as("date"), col("v").as("close"),
+          col("ewma"))),
+
     // Time-RANGE window frame (30-day trailing revenue per supplier) —
     // the frame type every ROWS gate can't cover: the frame is defined by
     // the ORDER VALUE interval, so tied days share one frame and the sum
@@ -1991,6 +2000,37 @@ object SparkEntry {
         ev.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value")),
         "running_totals", outputMode = "complete")
+    }),
+
+    // STREAMING DRIFT MONITOR: per event-time hour, the value histogram
+    // (10 fixed bins) is scored against a literal reference shape — the
+    // production data-quality watchdog (does this hour's traffic still
+    // look like the corpus?). ONE windowed aggregation (fixed-bin
+    // conditional counts keep it to a single stateful op — a cascaded
+    // bin-then-window agg would be two, unsupported in append mode), then
+    // a stateless projection computes the squared-deviation score
+    // Σ(obs_b·1000 − ref_b·n)² in exact BIGINTs, verdict cross-multiplied
+    // (score > 5000·n²). Emission cutoff replays as in stream_bars.
+    "stream_drift" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+        .select(col("ts"), col("value"))
+        .withWatermark("ts", "601 seconds")
+      val bin = least(greatest(floor(col("value") / 50.0), lit(0.0)), lit(9.0)).cast("int")
+      val counts = (0 to 9).map(b =>
+        sum(when(bin === lit(b), 1L).otherwise(0L)).as(s"b$b"))
+      val agg = ev.groupBy(window(col("ts"), "1 hour"))
+        .agg(counts.head, counts.tail :+ count(lit(1)).as("n"): _*)
+      val score = (0 to 9).map { b =>
+        val d = col(s"b$b") * 1000L - lit(DriftRef(b)) * col("n")
+        d * d
+      }.reduce(_ + _)
+      graft.streaming.Replay.toBatch(
+        agg.select(unix_micros(col("window.start")).as("win_start_us"),
+          col("n"), score.as("score"),
+          (score > lit(5000L) * col("n") * col("n")).as("drift")),
+        "drift")
     }),
 
     // Streaming z-score anomaly alerts: per-key bounded deque state
@@ -4321,6 +4361,25 @@ $backtestPnlCtes,
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close
          FROM spine s LEFT JOIN dl ON s.user_id = dl.user_id AND s.d = dl.d""",
 
+    // Mirrors Windows.ewma(α=0.25): per-symbol date-ordered lists, the
+    // recursion replayed as a list_reduce building the running list
+    // (init via the leading empty-list element), s₀ = x₀,
+    // step = v·0.25 + prev·0.75 — the identical IEEE tree.
+    "w11_ewma" ->
+      s"""$MKT, g AS (SELECT symbol,
+                        list(date ORDER BY date) AS ds,
+                        list(CAST(close AS DOUBLE) ORDER BY date) AS vs
+                      FROM bars GROUP BY symbol),
+          r AS (SELECT symbol, ds, vs,
+                  list_reduce(
+                    [CAST([] AS DOUBLE[])] || list_transform(vs, v -> [v]),
+                    (acc, el) -> acc || [CASE WHEN len(acc) = 0 THEN el[1]
+                                         ELSE el[1] * 0.25 + acc[-1] * 0.75 END]) AS run
+                FROM g)
+          SELECT symbol, UNNEST(ds) AS date, UNNEST(vs) AS close,
+                 UNNEST(run) AS ewma
+          FROM r""",
+
     "a3_a4_windows" ->
       """SELECT o_custkey, o_orderkey,
                 ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
@@ -5245,6 +5304,26 @@ $backtestPnlCtes,
       """SELECT event_type, count(*) AS n_events,
                 CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type""",
+
+    // Mirrors stream_drift: hour windows off epoch µs, the same fixed-bin
+    // counts, BIGINT score vs the shared DriftRef literals, stream_bars'
+    // emission cutoff.
+    "stream_drift" -> {
+      val bins = (0 to 9).map(b =>
+        s"CAST(SUM(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS BIGINT) AS b$b").mkString(", ")
+      val score = (0 to 9).map(b =>
+        s"(b$b * 1000 - ${DriftRef(b)} * n) * (b$b * 1000 - ${DriftRef(b)} * n)").mkString(" + ")
+      s"""WITH t AS (SELECT epoch_ns(ts) // 1000 AS tus,
+                   CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT) AS bin
+                 FROM events),
+          w AS (SELECT (tus // 3600000000) * 3600000000 AS win_start_us, bin FROM t),
+          g AS (SELECT win_start_us, CAST(COUNT(*) AS BIGINT) AS n, $bins
+                FROM w GROUP BY win_start_us),
+          s AS (SELECT win_start_us, n, CAST($score AS BIGINT) AS score FROM g),
+          wm AS (SELECT (MAX(epoch_ns(ts) // 1000000) - 601000) * 1000 AS wm_us FROM events)
+          SELECT win_start_us, n, score, score > 5000 * n * n AS drift
+          FROM s, wm WHERE win_start_us + 3600000000 <= wm_us"""
+    },
 
     // Mirrors StreamAnomaly.zscores(n=8, k=2) under one-batch replay:
     // every event alerts, so this is w6_zscore's tree on the events table
@@ -6365,6 +6444,13 @@ $backtestPnlCtes,
     "q_hashjoin" -> Seq("hash", "join"),
     "q_vecscan" -> Seq("vector", "scan", "filter"),
     "q_mergeorder" -> Seq("merge", "order"))
+
+  /** Reference histogram shape for the streaming drift monitor (counts
+    * per 1000 over the 10 value/50 bins — the corpus's own geometric-ish
+    * decay, rounded): one constant rendered into both the streaming
+    * projection and the oracle SQL. */
+  private val DriftRef: Seq[Long] =
+    Seq(634L, 235L, 84L, 30L, 11L, 4L, 2L, 0L, 0L, 0L)
 
   /** Shared unigram-LM vocabulary (piece → integer cost ≈ quantized
     * −log p): rendered into the Spark map literal AND the DuckDB CASE

@@ -209,4 +209,34 @@ object Windows {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
     df.withColumn(as, lag(value, 1).over(w))
   }
+
+  /** Exponentially weighted moving average per key —
+    * sₜ = α·xₜ + (1−α)·sₜ₋₁, s₀ = x₀ (the quant-standard smoother the
+    * ROWS-frame windows can't express: its state is RECURSIVE, every
+    * output depends on the entire prefix).
+    *
+    * Determinism (rule 1): the recursion is a SEQUENTIAL FOLD over the
+    * key's (order, value) list in order — a fixed IEEE tree per step that
+    * any engine replays bit-for-bit; `sum().over` shapes don't exist
+    * here. Pick α exactly representable in binary (0.25, 0.5, 0.125…) so
+    * (1−α) is exact too.
+    *
+    * Plan: ONE groupBy shuffle; each key's history folds row-locally and
+    * posexplodes back. Per-key history must fit a row (bars/quarters per
+    * symbol — thousands); unbounded-history keys belong on
+    * [[graft.streaming]] state instead. `order` must be unique per key. */
+  def ewma(df: DataFrame, keys: Seq[Column], order: Column, value: Column,
+           alpha: Double, as: String): DataFrame = {
+    val grouped = df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(struct(order.as("o"), value.as("v")))).as("xs"))
+    val run = aggregate(col("xs"),
+      lit(Array.emptyDoubleArray),
+      (acc, x) => concat(acc, array(
+        when(size(acc) === 0, x.getField("v"))
+          .otherwise(x.getField("v") * alpha + element_at(acc, -1) * (1.0 - alpha)))))
+    grouped.withColumn("run", run)
+      .select((keys :+ posexplode(arrays_zip(col("xs"), col("run"))).as(Seq("pos", "z"))): _*)
+      .select((keys ++ Seq(
+        col("z.xs.o").as("o"), col("z.xs.v").as("v"), col("z.run").as(as))): _*)
+  }
 }
