@@ -333,6 +333,28 @@ object SparkEntry {
         .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipments"))
     }),
 
+    // INTERVAL × INTERVAL overlap join (j8's general form): per customer,
+    // finished orders' fulfillment windows overlapping open orders'
+    // windows. Binned co-shuffled equi-join; the emit-once-at-overlap-
+    // start rule dedupes WITHOUT a distinct shuffle. Day indexes +
+    // key-derived lengths keep everything integer.
+    "j13_interval_overlap" -> ((s, dir) => {
+      val o = TestData(s, dir).orders
+      def iv(status: String, tag: String) =
+        o.filter(col("o_orderstatus") === status)
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderkey").as(s"${tag}_key"),
+            datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+              .cast("long").as(s"${tag}_lo"))
+          .withColumn(s"${tag}_hi",
+            col(s"${tag}_lo") + col(s"${tag}_key") % 30 + 5)
+      Joins.intervalOverlapJoin(iv("F", "f"), iv("O", "o"), Seq("custkey"),
+          "f_lo", "f_hi", "o_lo", "o_hi", bin = 32L)
+        .select(col("custkey"), col("f_key"), col("o_key"),
+          (least(col("f_hi"), col("o_hi")) -
+            greatest(col("f_lo"), col("o_lo")) + 1L).as("overlap_days"))
+    }),
+
     // TPC-H Q5 shape: 6-way join through the star (customer→orders→
     // lineitem→supplier→nation→region) with the local-supplier predicate.
     // Dims broadcast; the facts co-shuffle once on orderkey; the revenue
@@ -4331,6 +4353,24 @@ $backtestPnlCtes,
                     AND date_diff('day', DATE '1970-01-01', o.o_orderdate) + 6
          WHERE o_orderkey % 100 = 0
          GROUP BY o_orderkey""",
+
+    // Bins + emit-once are plan-internal — the result is the plain
+    // overlap-predicate join per customer.
+    "j13_interval_overlap" ->
+      """WITH f AS (SELECT o_custkey AS custkey, o_orderkey AS f_key,
+                       CAST(date_diff('day', DATE '1992-01-01',
+                                      CAST(o_orderdate AS DATE)) AS BIGINT) AS f_lo
+                    FROM orders WHERE o_orderstatus = 'F'),
+          f2 AS (SELECT custkey, f_key, f_lo, f_lo + f_key % 30 + 5 AS f_hi FROM f),
+          o1 AS (SELECT o_custkey AS custkey, o_orderkey AS o_key,
+                       CAST(date_diff('day', DATE '1992-01-01',
+                                      CAST(o_orderdate AS DATE)) AS BIGINT) AS o_lo
+                 FROM orders WHERE o_orderstatus = 'O'),
+          o2 AS (SELECT custkey, o_key, o_lo, o_lo + o_key % 30 + 5 AS o_hi FROM o1)
+          SELECT f2.custkey, f_key, o_key,
+                 least(f_hi, o_hi) - greatest(f_lo, o_lo) + 1 AS overlap_days
+          FROM f2 JOIN o2 ON f2.custkey = o2.custkey
+          WHERE f_lo <= o_hi AND o_lo <= f_hi""",
 
     "a1_distinct_union" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders

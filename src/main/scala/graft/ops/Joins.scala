@@ -271,6 +271,32 @@ object Joins {
       .drop("__bin")
   }
 
+  /** INTERVAL × INTERVAL overlap join ([[binnedRangeJoin]]'s general
+    * form): pairs where [lLo,lHi] ∩ [rLo,rHi] ≠ ∅ within equal `keys`.
+    * Both sides explode to their overlapped bins and equi-join on
+    * (keys, bin); a matching pair meets in every bin BOTH intervals
+    * touch, so the join would duplicate — the emit-once rule keeps a
+    * pair only in the bin containing its OVERLAP START
+    * (`greatest(lLo, rLo) DIV bin` — exactly one bin per pair), which
+    * removes duplicates WITHOUT a distinct shuffle. All bounds are
+    * integer day/ns indexes (rule 5). Pick `bin` ≈ the typical interval
+    * length; compose the bin key with [[saltedJoin]] for skewed keys. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keys: Seq[String],
+                          lLo: String, lHi: String,
+                          rLo: String, rHi: String,
+                          bin: Long): DataFrame = {
+    require(bin > 0, s"bin=$bin")
+    val lb = left.withColumn("__bin",
+      explode(sequence(expr(s"$lLo DIV $bin"), expr(s"$lHi DIV $bin"))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(expr(s"$rLo DIV $bin"), expr(s"$rHi DIV $bin"))))
+    lb.join(rb, keys :+ "__bin")
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") === expr(s"greatest($lLo, $rLo) DIV $bin"))
+      .drop("__bin")
+  }
+
   /** J4/J5 — upsert (last-wins dedup-merge): existing ∪ incoming, keep the
     * preferred row per key. `prefer` columns rank rows descending (e.g. a
     * batch-id or load timestamp); ties broken by column order.

@@ -253,6 +253,26 @@ class OpsSpec extends SparkSpec {
     assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("intervalOverlapJoin: emit-once across bins ≡ naive overlap join, zero duplicates") {
+    import graft.ops.Joins
+    // intervals much longer than the bin (span many bins) so a matching
+    // pair meets in MANY bins — the emit-once rule must keep exactly one
+    val l = (1 to 40).map(i => (i % 3, i, (i * 7L) % 50, (i * 7L) % 50 + 1 + (i % 9) * 4L))
+      .toDF("k", "lid", "l_lo", "l_hi")
+    val r = (1 to 40).map(i => (i % 3, i, (i * 11L) % 50, (i * 11L) % 50 + 1 + (i % 7) * 5L))
+      .toDF("k", "rid", "r_lo", "r_hi")
+    val got = Joins.intervalOverlapJoin(l, r, Seq("k"),
+        "l_lo", "l_hi", "r_lo", "r_hi", bin = 3L)
+      .select("k", "lid", "rid").collect().map(_.toSeq).toSeq
+    val naive = l.join(r, "k")
+      .filter(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("k", "lid", "rid").collect().map(_.toSeq).toSeq
+    assert(got.size == got.distinct.size, "emit-once must leave no duplicates")
+    assert(got.sortBy(_.toString) == naive.sortBy(_.toString),
+      s"binned overlap join must equal the naive join: ${got.size} vs ${naive.size}")
+    assert(naive.nonEmpty && naive.size > 40, "test must exercise real overlap volume")
+  }
+
   test("snapshotDiff digest is collision-free: boundary shifts and null-vs-literal differ") {
     import graft.ops.Joins
     // ("a~b","c") vs ("a","b~c"): same concatenation under any unescaped
