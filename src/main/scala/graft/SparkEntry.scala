@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Flac, Gif, H264Meta, Jpeg, Mp4Meta, Multimodal, Png, TarShard, Tiff, Video, Zip}
+import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Jpeg, Mp4Meta, Multimodal, Png, TarShard, Tiff, Video, Zip}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -2844,6 +2844,18 @@ object SparkEntry {
       val ids = TestData(s, dir).documents
         .select(col("doc_id").cast("long")).as[Long]
       Zip.listZip(Zip.syntheticZip(ids)).toDF()
+    }),
+
+    // EXIF metadata lane: real JPEG marker walk to the APP1 Exif segment,
+    // full TIFF-IFD parse inside it (both endians, IFD0 → Exif sub-IFD
+    // pointer, inline LEFT-justified SHORTs vs at-offset ASCII, offsets
+    // relative to the TIFF header not the file) — orientation/dims/
+    // capture-time extraction without touching the entropy-coded image.
+    "mm_exif" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Exif.decodeExif(Exif.syntheticExifJpeg(ids)).toDF()
     }),
 
     // MP4/ISO-BMFF METADATA lane (the container around the H.264 stream):
@@ -6232,6 +6244,20 @@ $backtestPnlCtes,
                 CAST((MAX(n) + 1) // 2 AS BIGINT) AS n_deflated,
                 CAST(MAX(n) // 2 AS BIGINT) AS n_stored
          FROM per GROUP BY id""",
+
+    // Mirrors Exif.exifPayload: endian by id parity, orientation 1+id%8,
+    // SHORT dims, DateTimeOriginal at offset for id%3==0 (5 tags vs 4).
+    "mm_exif" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+                doc_id % 2 = 1 AS big_endian,
+                CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+                CAST(100 + doc_id % 50 AS BIGINT) AS exif_w,
+                CAST(80 + doc_id % 40 AS BIGINT) AS exif_h,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 4 END AS BIGINT) AS n_tags,
+                CASE WHEN doc_id % 3 = 0
+                  THEN '1997:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                       || ' 12:00:00' END AS datetime
+         FROM documents""",
 
     "mm_mp4_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,

@@ -555,6 +555,38 @@ class PipelineSpec extends SparkSpec {
     assert(TarShard.listTar(bad).collect().isEmpty)
   }
 
+  test("EXIF: both endians, inline vs at-offset values, forged pointers drop") {
+    import graft.multimodal.{Exif, Jpeg}
+    val ids = spark.range(1, 20).as[Long]
+    val feats = Exif.decodeExif(Exif.syntheticExifJpeg(ids)).collect()
+    assert(feats.length == 19)
+    feats.foreach { f =>
+      assert(f.big_endian == (f.id % 2 == 1), s"id=${f.id}")
+      assert(f.orientation == 1 + f.id % 8)
+      assert(f.exif_w == 100 + f.id % 50 && f.exif_h == 80 + f.id % 40)
+      if (f.id % 3 == 0)
+        assert(f.datetime.contains(f"1997:01:${1 + f.id % 28}%02d 12:00:00"))
+      else assert(f.datetime.isEmpty)
+    }
+    // the EXIF wrapper still decodes as a plain JPEG (APP1 is skippable)
+    val asJpeg = Jpeg.decodeJpeg(
+      Seq(Jpeg.JpegImage(7L, Exif.encodeOne(7L))).toDS()).collect()
+    assert(asJpeg.length == 1 && asJpeg.head.width == 5 + 7 % 9)
+    // forgeries drop, never crash: IFD pointer past the segment, truncated
+    // APP1 length, bad TIFF magic
+    val good = Exif.encodeOne(6L)
+    def forge(mut: Array[Byte] => Unit): Exif.ExifImage = {
+      val b = good.clone(); mut(b); Exif.ExifImage(1L, b)
+    }
+    // APP1 payload starts at 4 (after SOI+marker); TIFF header at 4+2+6=12
+    val bad = Seq(
+      forge { b => b(12 + 4) = 0x7f; b(12 + 5) = -1 }, // IFD0 offset forged huge
+      forge { b => b(12) = 'X' }, // endian magic broken
+      forge { b => b(4) = 0; b(5) = 8 } // APP1 length lies short (truncates TIFF)
+    ).toDS()
+    assert(Exif.decodeExif(bad).collect().isEmpty)
+  }
+
   test("ZIP shard listing: EOCD comment scan, real inflate + CRC, forgeries drop") {
     import graft.multimodal.Zip
     val ids = spark.range(1, 22).as[Long]
