@@ -2846,6 +2846,42 @@ object SparkEntry {
       Zip.listZip(Zip.syntheticZip(ids)).toDF()
     }),
 
+    // Frame-level audio features through the REAL WAV codec: per 32-sample
+    // frame, exact-integer energy (Σx²) and zero-crossing count — the
+    // VAD/energy-gating first pass of an audio-corpus pipeline. sqrt/RMS
+    // deliberately not taken (emit rational sufficient statistics).
+    "mm_audio_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Multimodal.wavFrameFeatures(Multimodal.syntheticWav(ids), 32).toDF()
+    }),
+
+    // K-hop reachability (bounded transitive closure) over a derived
+    // functional graph on 500 nodes: per source, distinct nodes within
+    // 3 directed hops. Frontier BFS — each round expands only the NEWLY
+    // discovered set (left-anti vs reached), never re-walking paths.
+    "graph_khop" -> ((s, dir) => {
+      val edges = TestData(s, dir).orders
+        .select((col("o_orderkey") % 500).as("src"),
+          ((col("o_orderkey") * 7 + 3) % 500).as("dst"))
+      val sources = edges.filter(col("src") % 50 === 0).select("src")
+      Graph.kHopCounts(edges, "src", "dst", sources, "src", k = 3)
+    }),
+
+    // Freshness monitoring: per-symbol staleness vs the market's latest
+    // bar date — the DQ watchdog a daily-ingest table needs (a feed that
+    // silently stopped shows up as days_behind, not as absence).
+    "dq_freshness" -> ((s, dir) => {
+      val b = mkt(s, dir).bars
+      val last = b.groupBy("symbol").agg(max(col("date")).as("last_date"))
+      val global = b.agg(max(col("date")).as("max_date"))
+      last.crossJoin(global)
+        .select(col("symbol"), col("last_date"),
+          datediff(col("max_date"), col("last_date")).cast("long").as("days_behind"))
+        .withColumn("stale", col("days_behind") > 7L)
+    }),
+
     // EXIF metadata lane: real JPEG marker walk to the APP1 Exif segment,
     // full TIFF-IFD parse inside it (both endians, IFD0 → Exif sub-IFD
     // pointer, inline LEFT-justified SHORTs vs at-offset ASCII, offsets
@@ -6244,6 +6280,49 @@ $backtestPnlCtes,
                 CAST((MAX(n) + 1) // 2 AS BIGINT) AS n_deflated,
                 CAST(MAX(n) // 2 AS BIGINT) AS n_stored
          FROM per GROUP BY id""",
+
+    // Mirrors syntheticWav's sample formula ((id·31+j·17)%4096 − 2048)
+    // framed at 32: the oracle recomputes the samples and the in-frame
+    // neighbor sign changes directly.
+    "mm_audio_frames" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                           CAST(64 + doc_id % 57 AS BIGINT) AS n
+                    FROM documents),
+          s AS (SELECT id, t.j, ((id * 31 + t.j * 17) % 4096) - 2048 AS x,
+                       t.j // 32 AS frame
+                FROM d, unnest(range(0, n)) AS t(j)),
+          p AS (SELECT id, frame, j, x,
+                       lead(x) OVER (PARTITION BY id, frame ORDER BY j) AS nx
+                FROM s)
+          SELECT id, frame, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+                 CAST(SUM(CASE WHEN nx IS NOT NULL AND
+                                    ((x < 0 AND nx >= 0) OR (x >= 0 AND nx < 0))
+                               THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+          FROM p GROUP BY id, frame""",
+
+    // The BFS is plan-internal — the oracle is the hop-bounded recursive
+    // closure with a final distinct count.
+    "graph_khop" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT o_orderkey % 500 AS src,
+                                     (o_orderkey * 7 + 3) % 500 AS dst
+                              FROM orders),
+          srcs AS (SELECT DISTINCT src AS source FROM e WHERE src % 50 = 0),
+          r(source, node, hop) AS (
+            SELECT source, source, 0 FROM srcs
+            UNION
+            SELECT r.source, e.dst, r.hop + 1
+            FROM r JOIN e ON r.node = e.src WHERE r.hop < 3)
+          SELECT source, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_reachable
+          FROM r GROUP BY source""",
+
+    "dq_freshness" ->
+      s"""$MKT, lastd AS (SELECT symbol, MAX(date) AS last_date FROM bars GROUP BY symbol),
+          gm AS (SELECT MAX(date) AS max_date FROM bars)
+          SELECT symbol, last_date,
+                 CAST(date_diff('day', last_date, max_date) AS BIGINT) AS days_behind,
+                 CAST(date_diff('day', last_date, max_date) AS BIGINT) > 7 AS stale
+          FROM lastd, gm""",
 
     // Mirrors Exif.exifPayload: endian by id parity, orientation 1+id%8,
     // SHORT dims, DateTimeOriginal at offset for id%3==0 (5 tags vs 4).

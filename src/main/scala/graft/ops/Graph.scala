@@ -176,4 +176,37 @@ object Graph {
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** K-HOP REACHABILITY (bounded transitive closure): for each source,
+    * the number of DISTINCT nodes reachable in ≤ k directed hops
+    * (source itself included — hop 0). The impact/blast-radius query
+    * (dependency fan-out, contagion reach) that single-shot joins can't
+    * express and full transitive closure can't afford.
+    *
+    * Frontier BFS as dataframes: each round expands only the NEWLY
+    * discovered frontier (left-anti against the reached set), so a node's
+    * edges are walked once per source that reaches it — never re-expanded
+    * (the naive k-fold self-join grows multiplicatively with path counts;
+    * this grows with the reachable SET). `localCheckpoint` per round
+    * (rule 8) keeps lineage flat. Exact integers end to end. */
+  def kHopCounts(edges: DataFrame, src: String, dst: String,
+                 sources: DataFrame, sourceCol: String, k: Int): DataFrame = {
+    require(k >= 0 && k <= 16, s"k=$k out of the sane bound")
+    val e = edges.select(col(src).as("__s"), col(dst).as("__d"))
+      .distinct().localCheckpoint()
+    var reached = sources.select(col(sourceCol).as("source"))
+      .distinct().withColumn("node", col("source")).localCheckpoint()
+    var frontier = reached
+    var h = 0
+    while (h < k) {
+      frontier = frontier.join(e, frontier("node") === e("__s"))
+        .select(col("source"), col("__d").as("node"))
+        .distinct()
+        .join(reached, Seq("source", "node"), "left_anti")
+        .localCheckpoint()
+      reached = reached.unionByName(frontier).localCheckpoint()
+      h += 1
+    }
+    reached.groupBy("source").agg(count(lit(1)).as("n_reachable"))
+  }
 }
