@@ -185,7 +185,18 @@ class ShuffleBudgetSpec extends SparkSpec {
     // both the wedge and closing joins, so the lone exchange is the
     // corner-explode agg; at scale the joins shuffle on node keys — the
     // budget freezes the test-SF broadcast shape
-    "graph_triangles" -> 1
+    "graph_triangles" -> 1,
+    // round-12 additions
+    "text_classify" -> 0,       // row-local hashed-linear fold
+    "mm_zip_meta" -> 0,         // row-local codec walk
+    "w11_ewma" -> 1,            // one per-key groupBy; fold row-local
+    // at test SF the exploded-bin sides BROADCAST (graph_triangles
+    // precedent — the budget freezes the test-SF shape); at scale the
+    // join co-shuffles on (keys, bin)
+    "j13_interval_overlap" -> 0,
+    // rank window + cutoff agg share one key exchange and the join-back
+    // broadcasts the group-sized cutoff frame
+    "quantiles_winsorize" -> 1
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
