@@ -2055,6 +2055,43 @@ object SparkEntry {
         "drift")
     }),
 
+    // STREAMING QUANTILES: per event-time hour a percentile SKETCH
+    // (approx_percentile state rides the streaming aggregation store),
+    // then the quantiles_approx rank-bound framing verifies each emitted
+    // window's p50/p90 against exact batch ranks — `within` flips on a
+    // genuine bound violation. Emission cutoff as in stream_bars.
+    "stream_quantiles" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+        .select(col("ts"), col("value"))
+        .withWatermark("ts", "601 seconds")
+      val appr = ev.groupBy(window(col("ts"), "1 hour"))
+        .agg(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.9)), lit(1000)).as("qs"),
+          count(lit(1)).as("wn"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("qs"), col("wn"))
+      val replayed = graft.streaming.Replay.toBatch(appr, "squant").localCheckpoint()
+      val raw = TestData(s, dir).events.select(
+        expr("(ts_ns DIV 1000 DIV 3600000000) * 3600000000").as("win_start_us"),
+        col("value").as("v"))
+      val perP = replayed.select(col("win_start_us"), col("wn"),
+          posexplode(col("qs")).as(Seq("pi", "qv")))
+        .withColumn("p", element_at(array(lit(0.5), lit(0.9)), col("pi") + 1))
+        .withColumn("p_label",
+          element_at(array(lit("p50"), lit("p90")), col("pi") + 1))
+      val ranks = raw.join(broadcast(perP), Seq("win_start_us"))
+        .groupBy("win_start_us", "p_label", "p", "wn", "qv")
+        .agg(sum(when(col("v") < col("qv"), 1L).otherwise(0L)).as("below"),
+          sum(when(col("v") <= col("qv"), 1L).otherwise(0L)).as("at_or_below"))
+      val eps = greatest(lit(1L), ceil(col("wn") * 2.0 / 1000).cast("long"))
+      val target = ceil(col("wn").cast("double") * col("p")).cast("long")
+      ranks.select(col("win_start_us"), col("p_label"), col("wn").as("n"),
+        (col("below") + lit(1L) <= target + eps &&
+          col("at_or_below") >= target - eps).as("within"))
+    }),
+
     // Streaming z-score anomaly alerts: per-key bounded deque state
     // (last n−1 values), every event emits one alert in its own batch —
     // no watermark-gated emission, so the one-batch replay is exactly the
@@ -2371,6 +2408,13 @@ object SparkEntry {
     // Source balancing: at most 10 docs per source, chosen by the
     // deterministic hash order — the absolute cap that stops one domain
     // flooding a pretraining mix (a RATE can't bound a hot source).
+    // Class-balanced downsampling: every source keeps exactly the MIN
+    // source's row count, selection hash-ordered — the training-mix
+    // equalizer; min size is an in-plan 1-row broadcast aggregate.
+    "sample_balanced" -> ((s, dir) =>
+      Sampling.balancePerGroup(TestData(s, dir).documents, "source", "doc_id")
+        .select("doc_id", "source")),
+
     "sample_source_cap" -> ((s, dir) =>
       Sampling.capPerGroup(TestData(s, dir).documents
         .select(col("doc_id"), col("source")), "source", "doc_id", cap = 10)),
@@ -5393,6 +5437,19 @@ $backtestPnlCtes,
                 CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type""",
 
+    // The bound framing: the oracle asserts the EXPECTATION (within=TRUE
+    // for every emitted window × p); window membership and counts are
+    // exact, and only a genuine sketch-bound violation diverges.
+    "stream_quantiles" ->
+      """WITH t AS (SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS win_start_us
+                    FROM events),
+          g AS (SELECT win_start_us, CAST(COUNT(*) AS BIGINT) AS n
+                FROM t GROUP BY win_start_us),
+          wm AS (SELECT (MAX(epoch_ns(ts) // 1000000) - 601000) * 1000 AS wm_us FROM events)
+          SELECT win_start_us, p_label, n, TRUE AS within
+          FROM g CROSS JOIN (VALUES ('p50'), ('p90')) pl(p_label), wm
+          WHERE win_start_us + 3600000000 <= wm_us""",
+
     // Mirrors stream_drift: hour windows off epoch µs, the same fixed-bin
     // counts, BIGINT score vs the shared DriftRef literals, stream_bars'
     // emission cutoff.
@@ -5550,6 +5607,17 @@ $backtestPnlCtes,
                     ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000,
                              doc_id) AS rk
            FROM documents) WHERE rk <= 10""",
+
+    // Mirrors Sampling.balancePerGroup: same md5 rank, cap = min group size.
+    "sample_balanced" ->
+      """WITH mn AS (SELECT MIN(c) AS m FROM (
+                       SELECT COUNT(*) AS c FROM documents GROUP BY source))
+         SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000,
+                             doc_id) AS rk
+           FROM documents), mn WHERE rk <= m""",
 
     // Mirrors Sampling.weighted(wMax=400, rate=0.5): bucket·wMax <
     // clamp(n_chars)·500000, all integers.

@@ -136,6 +136,26 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** CLASS-BALANCED downsampling: every group keeps exactly
+    * min(|group|) rows — the equalizer a biased training mix needs before
+    * a classifier sees it (the majority class otherwise swamps the loss).
+    * Selection within each group is hash-ordered ([[capPerGroup]]'s
+    * deterministic rank — reproducible on any cluster layout, no RNG
+    * state). The min group size is computed IN-PLAN (a 1-row broadcast
+    * aggregate, never a driver-side collect), so the whole op is one
+    * group-key shuffle + one rank window. */
+  def balancePerGroup(df: DataFrame, group: String, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val minSize = df.groupBy(group).agg(count(lit(1)).as("__gn"))
+      .agg(min(col("__gn")).as("__min"))
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(group))
+          .orderBy(hashBucket(col(key)), col(key))))
+      .crossJoin(broadcast(minSize))
+      .filter(col("__rk") <= col("__min"))
+      .drop("__rk", "__min")
+  }
+
   /** Reproducible global shuffle for training order: sort by a seeded hash
     * of the key — identical order on every run/cluster layout. A full sort
     * at 100 TB is real work (range partition + per-partition sort); that is
