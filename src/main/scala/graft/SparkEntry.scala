@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Jpeg, Mp4Meta, Multimodal, Png, TarShard, Tiff, Video, Zip}
+import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Jpeg, Mp4Meta, Multimodal, Npy, Png, TarShard, Tiff, Video, Zip}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -2924,6 +2924,19 @@ object SparkEntry {
         .select(col("symbol"), col("last_date"),
           datediff(col("max_date"), col("last_date")).cast("long").as("days_behind"))
         .withColumn("stale", col("days_behind") > 7L)
+    }),
+
+    // NumPy .npy tensor container — how embeddings ship from Python
+    // stacks: both header versions (v1 uint16 / v2 uint32 length), the
+    // dict-literal header parsed without eval, dtype gated to '<f4',
+    // shape validated against actual bytes + bomb cap, and
+    // fortran_order-AWARE indexing (the emitted off-diagonal element
+    // catches an order-ignoring reader that a layout-invariant sum hides).
+    "mm_npy" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Npy.decodeNpy(Npy.syntheticNpy(ids)).toDF()
     }),
 
     // EXIF metadata lane: real JPEG marker walk to the APP1 Exif segment,
@@ -6391,6 +6404,22 @@ $backtestPnlCtes,
                  CAST(date_diff('day', last_date, max_date) AS BIGINT) AS days_behind,
                  CAST(date_diff('day', last_date, max_date) AS BIGINT) > 7 AS stale
           FROM lastd, gm""",
+
+    // Mirrors Npy.encodeOne: dims/flags by id arithmetic, sum replayed
+    // over the (id + 3i + j) % 100 value formula, v_0_1 = (id+1) % 100.
+    "mm_npy" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                           CAST(2 + doc_id % 5 AS BIGINT) AS r,
+                           CAST(3 + doc_id % 4 AS BIGINT) AS c
+                    FROM documents)
+          SELECT id,
+                 CAST(CASE WHEN id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS version,
+                 MAX(r) AS rows, MAX(c) AS cols,
+                 BOOL_OR(id % 5 = 0) AS fortran,
+                 CAST(SUM((id + 3 * ti.i + tj.j) % 100) AS BIGINT) AS sum_vals,
+                 CAST((id + 1) % 100 AS BIGINT) AS v_0_1
+          FROM d, unnest(range(0, r)) AS ti(i), unnest(range(0, c)) AS tj(j)
+          GROUP BY id""",
 
     // Mirrors Exif.exifPayload: endian by id parity, orientation 1+id%8,
     // SHORT dims, DateTimeOriginal at offset for id%3==0 (5 tags vs 4).

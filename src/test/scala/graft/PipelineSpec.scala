@@ -555,6 +555,59 @@ class PipelineSpec extends SparkSpec {
     assert(TarShard.listTar(bad).collect().isEmpty)
   }
 
+  test("NPY: both header versions, fortran-order indexing, forgeries drop") {
+    import graft.multimodal.Npy
+    val ids = spark.range(1, 21).as[Long]
+    val feats = Npy.decodeNpy(Npy.syntheticNpy(ids)).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.version == (if (f.id % 2 == 0) 2 else 1))
+      assert(f.rows == 2 + f.id % 5 && f.cols == 3 + f.id % 4)
+      assert(f.fortran == (f.id % 5 == 0))
+      assert(f.v_0_1 == (f.id + 1) % 100,
+        s"id=${f.id}: layout-aware (0,1) read broken")
+      val want = (for (i <- 0L until f.rows; j <- 0L until f.cols)
+        yield (f.id + 3 * i + j) % 100).sum
+      assert(f.sum_vals == want)
+    }
+    // the fixture genuinely distinguishes layouts: on a fortran shard the
+    // byte at row-major index 1 is element (1,0) — an order-ignoring
+    // reader would emit (id+3)%100 instead of (id+1)%100
+    assert((5L + 3) % 100 != (5L + 1) % 100)
+    // forgeries drop: big-endian dtype, bomb shape, lying header length,
+    // truncated data
+    val good = Npy.syntheticNpy(Seq(7L).toDS()).collect().head.media
+    def forge(mut: Array[Byte] => Unit): Npy.NpyFile = {
+      val b = good.clone(); mut(b); Npy.NpyFile(1L, b)
+    }
+    val hdr = new String(good, 10, ((good(8) & 0xff) | ((good(9) & 0xff) << 8)), "US-ASCII")
+    val shapeAt = 10 + hdr.indexOf("'shape'")
+    // a WELL-FORMED 10-billion-element shape claim with 4 bytes of data:
+    // the element cap must fire before any allocation
+    val bomb = {
+      val dict = "{'descr': '<f4', 'fortran_order': False, 'shape': (99999, 99999), }"
+      val pad = (64 - (10 + dict.length + 1) % 64) % 64
+      val header = dict + (" " * pad) + "\n"
+      val o = java.nio.ByteBuffer.allocate(10 + header.length + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      o.put(0x93.toByte).put("NUMPY".getBytes("US-ASCII"))
+        .put(1.toByte).put(0.toByte).putShort(header.length.toShort)
+        .put(header.getBytes("US-ASCII")).putInt(0)
+      Npy.NpyFile(3L, o.array())
+    }
+    val bad = Seq(
+      forge(b => b(10 + hdr.indexOf("<f4")) = '>'), // big-endian dtype
+      forge { b => // mangled shape: unparseable dims drop
+        val i = shapeAt + "'shape': (".length
+        b(i) = 'x'
+      },
+      forge { b => b(8) = -1; b(9) = -1 }, // header length past the file
+      Npy.NpyFile(2L, good.dropRight(6)), // truncated data vs declared shape
+      bomb
+    ).toDS()
+    assert(Npy.decodeNpy(bad).collect().isEmpty)
+  }
+
   test("EXIF: both endians, inline vs at-offset values, forged pointers drop") {
     import graft.multimodal.{Exif, Jpeg}
     val ids = spark.range(1, 20).as[Long]
