@@ -3270,6 +3270,36 @@ object SparkEntry {
       graft.api.Backtest.metrics(graft.api.Backtest.equityCurve(sig))
     }),
 
+    // Sector (industry) daily returns: equal-constituent value-weighted
+    // return per (industry, date) — Σ(close−preclose)/Σpreclose, decimal-
+    // routed sums and ONE IEEE division (a mean of per-symbol ratios
+    // would be an order-sensitive float sum). The serving aggregate a
+    // sector dashboard reads.
+    "api_sector_returns" -> ((s, dir) => {
+      val v = mkt(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("date"))
+      val pr = v.bars.select(col("symbol"), col("date"), col("close"))
+        .withColumn("prev", lag(col("close"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      // close is an arbitrary double (px division) — decimal-casting it is
+      // the rule-1 boundary hazard (found by this gate's first run: a
+      // single half-way rounding disagreed between engines). The sums are
+      // SEQUENTIAL FOLDS in symbol order instead.
+      pr.join(broadcast(v.industry.select("symbol", "industry")), "symbol")
+        .groupBy("industry", "date")
+        .agg(count(lit(1)).as("n_symbols"),
+          sort_array(collect_list(struct(col("symbol"),
+            (col("close") - col("prev")).as("chg"),
+            col("prev").as("pv")))).as("xs"))
+        .select(col("industry"), col("date"), col("n_symbols"),
+          aggregate(col("xs"), lit(0.0),
+            (a, x) => a + x.getField("chg")).as("sum_chg"),
+          aggregate(col("xs"), lit(0.0),
+            (a, x) => a + x.getField("pv")).as("sum_prev"))
+        .withColumn("sector_ret", col("sum_chg") / col("sum_prev"))
+    }),
+
     // get_stock_blocks: the S5 industry dimension per security.
     "api_stock_blocks" -> ((s, dir) =>
       api(s, dir).getStockBlocks(syms3 ++ Seq("000004.SZ", "000005.SZ", "000006.SZ"))),
@@ -3591,6 +3621,22 @@ object SparkEntry {
       s"""$MKT SELECT symbol FROM meta
           WHERE ($industryCaseSql) = 'Banking'
             AND DATE '1997-03-03' BETWEEN listed_date AND de_listed_date""",
+
+    "api_sector_returns" ->
+      s"""$MKT, pr AS (SELECT symbol, date, close,
+                        lag(close) OVER (PARTITION BY symbol ORDER BY date) AS prev
+                      FROM bars),
+          j AS (SELECT ($industryCaseSql) AS industry, symbol, date, close, prev
+                FROM pr WHERE prev IS NOT NULL),
+          g AS (SELECT industry, date, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+                   list_reduce([CAST(0 AS DOUBLE)] || list(close - prev ORDER BY symbol),
+                               (a, b) -> a + b) AS sum_chg,
+                   list_reduce([CAST(0 AS DOUBLE)] || list(prev ORDER BY symbol),
+                               (a, b) -> a + b) AS sum_prev
+                FROM j GROUP BY industry, date)
+          SELECT industry, date, n_symbols, sum_chg, sum_prev,
+                 sum_chg / sum_prev AS sector_ret
+          FROM g""",
 
     "api_index_stocks" ->
       s"""$MKT, smp AS (SELECT MIN(trade_date) AS sample_date FROM cal
