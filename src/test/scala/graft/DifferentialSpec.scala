@@ -124,6 +124,24 @@ class DifferentialSpec extends SparkSpec {
         |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS rng2
         |FROM t""".stripMargin)
     compare(canon(got), want, s"windows (seed 4201, $CASES cases)")
+
+    // rank family under TIES (tord is deliberately tie-ful): rank /
+    // dense_rank / the tie-shared cumulative count are all determined by
+    // peer SETS, never peer order — the tie semantics must agree exactly
+    import org.apache.spark.sql.expressions.{Window => W}
+    val wt = W.partitionBy(col("cid"), col("k")).orderBy(col("tord"))
+    val ranks = df.select(col("cid"), col("k"), col("ord"),
+      rank().over(wt).cast("long").as("rk"),
+      dense_rank().over(wt).cast("long").as("drk"),
+      count(lit(1)).over(wt.rangeBetween(Long.MinValue, 0)).as("cum_peers"))
+    compare(canon(ranks), duck(Map("t" -> p),
+      """SELECT cid, k, ord,
+        |  rank() OVER (PARTITION BY cid, k ORDER BY tord) AS rk,
+        |  dense_rank() OVER (PARTITION BY cid, k ORDER BY tord) AS drk,
+        |  COUNT(*) OVER (PARTITION BY cid, k ORDER BY tord
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_peers
+        |FROM t""".stripMargin),
+      s"rank family under ties (seed 4201, $CASES cases)")
   }
 
   test(s"as-of family: backward / forward / tolerance / merge-exec over $CASES seeded cases") {
