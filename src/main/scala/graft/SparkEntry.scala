@@ -1098,6 +1098,35 @@ object SparkEntry {
         .select(col("symbol"), col("o").as("date"), col("v").as("close"),
           col("ewma"))),
 
+    // Exact rolling MEDIAN — the order statistic no frame aggregate can
+    // express (the frame must be sorted per row). Integer values, so the
+    // whole operator is float-free (rule 1 trivially satisfied); ordering
+    // carries the full rule-2 tiebreak chain ending in the value.
+    "w12_rolling_median" -> ((s, dir) => {
+      val li = TestData(s, dir).lineitem.filter(col("l_suppkey") % 20 === 0)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_quantity").cast("long").as("qty"))
+      Windows.rollingMedian(li, Seq(col("l_suppkey")),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("qty")),
+          col("qty"), 5, "med5")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "qty", "med5")
+    }),
+
+    // Sliding DISTINCT COUNT — COUNT(DISTINCT) OVER a moving frame, which
+    // Spark (and most engines) reject as a window aggregate: expressed as
+    // the de-duplicated frame list's size. Exact set arithmetic.
+    "w13_sliding_distinct" -> ((s, dir) => {
+      val li = TestData(s, dir).lineitem.filter(col("l_suppkey") % 20 === 1)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_partkey"))
+      Windows.slidingDistinct(li, Seq(col("l_suppkey")),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey")),
+          col("l_partkey"), 10, "d10")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "d10")
+    }),
+
     // Time-RANGE window frame (30-day trailing revenue per supplier) —
     // the frame type every ROWS gate can't cover: the frame is defined by
     // the ORDER VALUE interval, so tied days share one frame and the sum
@@ -2164,6 +2193,47 @@ object SparkEntry {
         .select("content_hash", "content_len")
     }),
 
+    // Streaming CDC apply: tombstone-aware per-key state machine
+    // (mapGroupsWithState, Update mode) — 'error' events are DELETE
+    // markers that reset the key's since-delete count/sum; everything
+    // else upserts. One-batch replay emits the final state per key, which
+    // the oracle replays as an after-last-tombstone ordered fold.
+    "stream_cdc" -> ((s, dir) => {
+      import s.implicits._
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+      val changes = ev.select(col("user_id"), col("ts_ns"), col("event_id"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+        .as[graft.streaming.StreamCdc.Change]
+      graft.streaming.Replay.toBatchMemory(
+        graft.streaming.StreamCdc.applyCdc(changes).toDF(), "cdc",
+        outputMode = "update")
+    }),
+
+    // Streaming top-k (trending items): watermarked tumbling-window
+    // counts in append mode, then a batch rank over the EMITTED windows —
+    // the lambda-free "top sellers per hour" serving shape. Emission
+    // cutoff replays as in stream_bars (window end ≤ final watermark).
+    "stream_topk" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+      val counts = ev.withWatermark("ts", "601 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("cnt"))
+      val emitted = graft.streaming.Replay.toBatch(counts, "topk")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("win_us"))
+        .orderBy(col("cnt").desc, col("event_type"))
+      emitted.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+    }),
+
     // Event-type transition matrix (the Markov view of user journeys —
     // funnel's unordered cousin): per user, each event pairs with its
     // successor under the (ts_ns, event_id) total order (rule 2/5), then
@@ -2181,6 +2251,22 @@ object SparkEntry {
         .groupBy(col("event_type").as("from_type"),
           col("next_type").as("to_type"))
         .agg(count(lit(1)).as("n_transitions"))
+    }),
+
+    // SCD-2 build (gaps-and-islands): collapse each user's event_type
+    // stream into validity intervals [valid_from, valid_to) — the
+    // snapshot→dimension-history derivation of a lakehouse pipeline.
+    // Order is ts_ns alone: the r10 fixture audit (and
+    // FixtureContractSpec) pin (user_id, ts) unique, so no tiebreak
+    // column is needed and interval bounds are raw order values.
+    "j14_scd2" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+        .select(col("user_id"), col("ts_ns"), col("event_type"))
+      Windows.changeIntervals(ev, Seq(col("user_id")), col("ts_ns"),
+          col("event_type"))
+        .select(col("user_id"), col("attr").as("event_type"),
+          col("valid_from"), col("valid_to"), col("n_rows"),
+          col("is_current"))
     }),
 
     // Stream-STATIC enrichment join — the stateless streaming join shape
@@ -2911,6 +2997,24 @@ object SparkEntry {
           ((col("o_orderkey") * 7 + 3) % 500).as("dst"))
       val sources = edges.filter(col("src") % 50 === 0).select("src")
       Graph.kHopCounts(edges, "src", "dst", sources, "src", k = 3)
+    }),
+
+    // Connected components (pointer-halving min-label) over a derived
+    // graph whose TRUE component structure is nontrivial by construction:
+    // 30-node blocks with EVEN step edges only, so each block splits into
+    // its even- and odd-position halves (parity is invariant under
+    // p → (p+2k) mod 30) — ~60 components the operator must separate
+    // exactly. Oracle = recursive transitive closure with a min-label
+    // reduction; the operator reaches the same fixpoint in O(log d)
+    // shuffle rounds.
+    "graph_cc" -> ((s, dir) => {
+      val base = TestData(s, dir).orders
+        .select((col("o_orderkey") % 900).as("n"),
+          (lit(2) + (col("o_orderkey") % 3) * 2).as("st"))
+        .distinct()
+      val edges = base.select(col("n").as("src"),
+        (col("n") - col("n") % 30 + (col("n") % 30 + col("st")) % 30).as("dst"))
+      Graph.connectedComponents(edges, "src", "dst")
     }),
 
     // Freshness monitoring: per-symbol staleness vs the market's latest
@@ -4571,6 +4675,32 @@ $backtestPnlCtes,
                  UNNEST(run) AS ewma
           FROM r""",
 
+    // Same sorted-frame indexing: lower median = element (len+1)//2
+    // (1-based) of the sorted trailing-5 list. Integer-only.
+    "w12_rolling_median" ->
+      """WITH f AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                           CAST(l_quantity AS BIGINT) AS qty
+                    FROM lineitem WHERE l_suppkey % 20 = 0),
+          r AS (SELECT l_suppkey, l_orderkey, l_linenumber, qty,
+                       list_sort(list(qty) OVER (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber, qty
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr
+                FROM f)
+          SELECT l_suppkey, l_orderkey, l_linenumber, qty,
+                 fr[(len(fr) + 1) // 2] AS med5
+          FROM r""",
+
+    "w13_sliding_distinct" ->
+      """WITH f AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                           l_partkey
+                    FROM lineitem WHERE l_suppkey % 20 = 1)
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+                 CAST(len(list_distinct(list(l_partkey) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT) AS d10
+          FROM f""",
+
     "a3_a4_windows" ->
       """SELECT o_custkey, o_orderkey,
                 ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
@@ -5573,6 +5703,50 @@ $backtestPnlCtes,
                 CAST(length(text) AS BIGINT) AS content_len
          FROM documents""",
 
+    // Final per-key CDC state: n_since/sum_since replay as the ordered
+    // fold over upserts AFTER the last tombstone (a delete row is never
+    // after the max delete ts, so the strict > filter is exact).
+    "stream_cdc" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+                           event_type = 'error' AS is_del,
+                           COALESCE(value, 0) AS value
+                    FROM events),
+          d AS (SELECT user_id, MAX(tsn) AS del_ts FROM e
+                WHERE is_del GROUP BY user_id),
+          j AS (SELECT e.user_id, e.tsn, e.event_id, e.value,
+                       (d.del_ts IS NULL OR e.tsn > d.del_ts) AS after_del
+                FROM e LEFT JOIN d USING (user_id)),
+          agg AS (SELECT user_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_ops,
+                    MAX(tsn) AS last_ts_ns,
+                    CAST(COUNT(*) FILTER (WHERE after_del) AS BIGINT) AS n_since,
+                    COALESCE(list(value ORDER BY tsn, event_id)
+                               FILTER (WHERE after_del),
+                             CAST([] AS DOUBLE[])) AS vs
+                  FROM j GROUP BY user_id)
+          SELECT user_id, n_ops, n_since,
+                 list_reduce([CAST(0 AS DOUBLE)] || vs, (a, b) -> a + b)
+                   AS sum_since,
+                 last_ts_ns, n_since > 0 AS live
+          FROM agg""",
+
+    // Window bucketing + the stream_bars emission cutoff, then the same
+    // (cnt DESC, event_type) rank — deterministic under count ties.
+    "stream_topk" ->
+      """WITH t AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type FROM events),
+          b AS (SELECT (tus // 3600000000) * 3600000000 AS win_us, event_type
+                FROM t),
+          g AS (SELECT win_us, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM b GROUP BY win_us, event_type),
+          wm AS (SELECT (MAX(epoch_ns(ts) // 1000000) - 601000) * 1000 AS wm_us
+                 FROM events),
+          em AS (SELECT g.* FROM g, wm WHERE win_us + 3600000000 <= wm_us),
+          r AS (SELECT win_us, event_type, cnt,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY win_us
+                         ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk
+                FROM em)
+          SELECT win_us, event_type, cnt, rnk FROM r WHERE rnk <= 3""",
+
     "events_transitions" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id
                     FROM events),
@@ -5583,6 +5757,29 @@ $backtestPnlCtes,
          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
          FROM p WHERE to_type IS NOT NULL
          GROUP BY from_type, to_type""",
+
+    // Gaps-and-islands replay: lag → change flag → prefix-sum island id →
+    // per-island bounds, then lead for the half-open upper bound.
+    "j14_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_type
+                    FROM events),
+          l AS (SELECT user_id, ts_ns, event_type,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                                 OR lag(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns)),
+          i AS (SELECT user_id, ts_ns, event_type,
+                       SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ns
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM l),
+          g AS (SELECT user_id, island, MIN(event_type) AS event_type,
+                       MIN(ts_ns) AS valid_from,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM i GROUP BY user_id, island)
+          SELECT user_id, event_type, valid_from,
+                 lead(valid_from) OVER w2 AS valid_to, n_rows,
+                 lead(valid_from) OVER w2 IS NULL AS is_current
+          FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)""",
 
     // Stateless stream-static join: one-batch replay ≡ the batch join.
     "stream_enrich" ->
@@ -6442,6 +6639,24 @@ $backtestPnlCtes,
             FROM r JOIN e ON r.node = e.src WHERE r.hop < 3)
           SELECT source, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_reachable
           FROM r GROUP BY source""",
+
+    // Ground truth by full transitive closure over the symmetrized edge
+    // set; component id = min reachable node. The operator reaches the
+    // same labels in O(log d) pointer-halving rounds.
+    "graph_cc" ->
+      """WITH RECURSIVE b AS (SELECT DISTINCT o_orderkey % 900 AS n,
+                                     2 + (o_orderkey % 3) * 2 AS st
+                              FROM orders),
+          ed AS (SELECT n AS src, n - n % 30 + (n % 30 + st) % 30 AS dst FROM b),
+          e AS (SELECT src, dst FROM ed
+                UNION SELECT dst AS src, src AS dst FROM ed),
+          r(node, lab) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT e.dst, r.lab FROM r JOIN e ON r.node = e.src)
+          SELECT CAST(node AS BIGINT) AS node,
+                 CAST(MIN(lab) AS BIGINT) AS component
+          FROM r GROUP BY node""",
 
     "dq_freshness" ->
       s"""$MKT, lastd AS (SELECT symbol, MAX(date) AS last_date FROM bars GROUP BY symbol),

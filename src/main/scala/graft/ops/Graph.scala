@@ -209,4 +209,27 @@ object Graph {
     }
     reached.groupBy("source").agg(count(lit(1)).as("n_reachable"))
   }
+
+  /** Connected components over an undirected edge list: every node is
+    * labeled with the MINIMUM node id of its component — the canonical
+    * deterministic component id (exact integers, no randomness, any
+    * engine agrees).
+    *
+    * Delegates to the pointer-halving min-label engine shared with the
+    * dedup cluster resolver ([[graft.dedup.Dedup.resolveClusters]]):
+    * per round, one edge propagation (label ← min over neighbors)
+    * COMPOSED with a label-of-label shortcut, so convergence is
+    * O(log diameter) shuffle rounds — the property that makes CC viable
+    * on 100 TB edge lists where plain propagation's O(diameter) rounds
+    * die on long chains (a path graph of 10⁶ nodes: 20 rounds vs 10⁶).
+    * Edges are symmetrized internally; pass each undirected edge once in
+    * either direction. Returns (`node`, `component`). Isolated nodes
+    * (absent from `edges`) don't appear — union them in as self-labeled
+    * if the caller's node universe is wider than the edge support. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIterations: Int = 30): DataFrame =
+    graft.dedup.Dedup.resolveClusters(
+        edges.select(col(src).as("doc_a"), col(dst).as("doc_b")),
+        maxIterations)
+      .select(col("doc_id").as("node"), col("label").as("component"))
 }

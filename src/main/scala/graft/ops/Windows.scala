@@ -239,4 +239,83 @@ object Windows {
       .select((keys ++ Seq(
         col("z.xs.o").as("o"), col("z.xs.v").as("v"), col("z.run").as(as))): _*)
   }
+
+  /** Exact rolling median (lower median) over the trailing `n` rows —
+    * the order statistic no frame-aggregate expresses: the frame must be
+    * SORTED per row, so the plan collects the frame list and indexes its
+    * sorted form. approx_percentile's sketch is the streaming/huge-frame
+    * answer; this is the exact small-frame one (n is a constant like 5
+    * or 21 — the frame list is O(n) per row, not per key).
+    *
+    * Determinism (rule 1): `value` should be integer-typed (or otherwise
+    * exactly representable) — sorting and element_at are then exact in
+    * any engine; no float sum exists in this operator at all. Lower
+    * median = element (size+1)/2 (1-based) of the sorted frame, so even
+    * frames take the smaller middle element — integer-only output.
+    * `order` must be unique per key (append value tiebreakers; rule 2).
+    *
+    * Plan: one shuffle on the partition key; the frame list rides the
+    * window buffer (bounded by n), sort_array + element_at are row-local.
+    */
+  def rollingMedian(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                    value: Column, n: Int, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*).rowsBetween(-(n - 1), 0)
+    val frame = sort_array(collect_list(value).over(w))
+    df.withColumn(as, element_at(frame, ((size(frame) + 1) / 2).cast("int")))
+  }
+
+  /** Sliding distinct count over the trailing `n` rows — COUNT(DISTINCT)
+    * as a window function, which Spark rejects outright (and most engines
+    * restrict): expressed as the size of the de-duplicated frame list.
+    * Exact by construction (set membership, no floats). Same bounded-frame
+    * cost model as [[rollingMedian]]; unbounded-window distinct belongs to
+    * HLL sketches ([[graft.ops.Sketches]]) instead. `order` must be
+    * unique per key (rule 2 tiebreakers). */
+  def slidingDistinct(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                      value: Column, n: Int, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*).rowsBetween(-(n - 1), 0)
+    df.withColumn(as, size(array_distinct(collect_list(value).over(w))).cast("long"))
+  }
+
+  /** Gaps-and-islands change intervals (SCD-2 build): collapse each key's
+    * ordered attribute stream into maximal runs of equal `attr` value and
+    * emit one validity interval per run — the snapshot→dimension-history
+    * derivation every lakehouse pipeline needs (the batch twin of a CDC
+    * merge).
+    *
+    * Returns one row per island: keys, `attr`, `valid_from` (first order
+    * value of the run), `valid_to` (the NEXT island's valid_from, null for
+    * the current run — half-open [from, to) convention), `n_rows` (run
+    * length), `is_current`.
+    *
+    * Exactness: island detection is lag + a running integer sum; interval
+    * bounds are order values verbatim — no float anywhere, so any engine
+    * replays it. `order` must be unique per key (rule 2); `attr` must be
+    * non-null (null-change semantics would need null-safe compare — keep
+    * the contract simple and loud).
+    *
+    * Plan: one shuffle on the key; both windows and the island groupBy
+    * reuse that partitioning (the groupBy keys extend the window
+    * partition keys, so Catalyst plans zero extra exchanges).
+    */
+  def changeIntervals(df: DataFrame, keys: Seq[Column], order: Column,
+                      attr: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order)
+    val flagged = df
+      .withColumn("__chg",
+        when(lag(attr, 1).over(w).isNull || lag(attr, 1).over(w) =!= attr, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__chg")).over(
+        Window.partitionBy(keys: _*).orderBy(order)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val islands = flagged.groupBy((keys :+ col("__island")): _*)
+      .agg(first(attr).as("attr"),
+        min(order).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+    val w2 = Window.partitionBy(keys: _*).orderBy(col("valid_from"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__island")
+  }
 }

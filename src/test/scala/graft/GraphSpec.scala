@@ -93,4 +93,22 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("connectedComponents labels every node with its component's min id") {
+    // two components: path 1-2-3 and edge 10-11; edges given one-directed
+    val e = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = Graph.connectedComponents(e, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on a long path within O(log d) rounds") {
+    // a 200-node path has diameter 199 — plain one-hop min propagation
+    // would need ~199 rounds; pointer-halving must close it well inside
+    // maxIterations = 12 (2^12 ≫ 199 with the halving compounding)
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graph.connectedComponents(path, "src", "dst", maxIterations = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 0L))
+  }
 }

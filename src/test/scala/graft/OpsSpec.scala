@@ -293,4 +293,46 @@ class OpsSpec extends SparkSpec {
     val same = Seq((1L, "ab", "7:x")).toDF("k", "x", "y")
     assert(Joins.snapshotDiff(same, same, Seq("k"), Seq("x", "y")).count() === 0L)
   }
+
+  test("rollingMedian: hand-checked frames; even frames take the LOWER middle") {
+    val df = Seq(("a", 1L, 5L), ("a", 2L, 1L), ("a", 3L, 4L), ("a", 4L, 2L),
+        ("a", 5L, 8L)).toDF("k", "t", "v")
+    val m3 = Windows.rollingMedian(df, Seq(col("k")), Seq(col("t")),
+        col("v"), 3, "m").orderBy("t").select("m").as[Long].collect().toSeq
+    // frames: [5] [1,5] [1,4,5] [1,2,4] [2,4,8]
+    assert(m3 == Seq(5L, 1L, 4L, 2L, 4L))
+    val m4 = Windows.rollingMedian(df, Seq(col("k")), Seq(col("t")),
+        col("v"), 4, "m").orderBy("t").select("m").as[Long].collect().toSeq
+    // frames: [5] [1,5] [1,4,5] [1,2,4,5] [1,2,4,8] -- size-4 frames pick
+    // element (4+1)/2 = 2 of the sorted list (lower median)
+    assert(m4 == Seq(5L, 1L, 4L, 2L, 2L))
+  }
+
+  test("slidingDistinct counts the de-duplicated trailing frame") {
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 2L), ("a", 4L, 1L),
+        ("a", 5L, 3L)).toDF("k", "t", "v")
+    val d = Windows.slidingDistinct(df, Seq(col("k")), Seq(col("t")),
+        col("v"), 3, "d").orderBy("t").select("d").as[Long].collect().toSeq
+    // frames: [1] [1,1] [1,1,2] [1,2,1] [2,1,3]
+    assert(d == Seq(1L, 1L, 2L, 2L, 3L))
+  }
+
+  test("changeIntervals: islands, half-open bounds, is_current on the last run") {
+    val df = Seq(("u", 1L, "a"), ("u", 2L, "a"), ("u", 3L, "b"),
+        ("u", 4L, "b"), ("u", 5L, "b"), ("u", 6L, "a")).toDF("k", "t", "v")
+    val out = Windows.changeIntervals(df, Seq(col("k")), col("t"), col("v"))
+      .select("attr", "valid_from", "valid_to", "n_rows", "is_current")
+      .as[(String, Long, Option[Long], Long, Boolean)].collect()
+      .sortBy(_._2).toSeq
+    // 'a' REAPPEARING after 'b' opens a new island (not merged with run 1)
+    assert(out == Seq(
+      ("a", 1L, Some(3L), 2L, false),
+      ("b", 3L, Some(6L), 3L, false),
+      ("a", 6L, None, 1L, true)))
+    val one = Seq(("u", 1L, "x"), ("u", 2L, "x")).toDF("k", "t", "v")
+    val o1 = Windows.changeIntervals(one, Seq(col("k")), col("t"), col("v"))
+      .select("attr", "valid_from", "valid_to", "n_rows", "is_current")
+      .as[(String, Long, Option[Long], Long, Boolean)].collect().toSeq
+    assert(o1 == Seq(("x", 1L, None, 2L, true)))
+  }
 }

@@ -431,4 +431,44 @@ class StreamingSpec extends SparkSpec {
       assert(frames.forall(_ == 4L), "frame capped at n")
     } finally query.stop()
   }
+
+  test("StreamCdc: tombstone resets state ACROSS micro-batches; in-batch disorder is sorted") {
+    import graft.streaming.StreamCdc
+    import graft.streaming.StreamCdc.Change
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val query = StreamCdc.applyCdc(input.toDS())
+      .toDF().writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    try {
+      // batch 1, deliberately OUT of ts order: key 1 upserts 2.0 then 1.0
+      // (sorted: 1.0 first); key 2 upserts then is tombstoned
+      input.addData(
+        Change(1L, 20L, 2L, "upsert", 2.0),
+        Change(1L, 10L, 1L, "upsert", 1.0),
+        Change(2L, 10L, 3L, "upsert", 9.0),
+        Change(2L, 20L, 4L, "delete", 0.0))
+      query.processAllAvailable()
+      val b1 = spark.table("cdc_out")
+        .select("user_id", "n_ops", "n_since", "sum_since", "live")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      assert(b1.contains((1L, 2L, 2L, 3.0, true)))
+      assert(b1.contains((2L, 2L, 0L, 0.0, false)), "tombstoned key is dead")
+      // batch 2: key 1 is tombstoned then re-upserted (state must RESET
+      // mid-batch, carrying n_ops across batches); key 2 resurrects
+      input.addData(
+        Change(1L, 30L, 5L, "delete", 0.0),
+        Change(1L, 40L, 6L, "upsert", 5.0),
+        Change(2L, 30L, 7L, "upsert", 7.0))
+      query.processAllAvailable()
+      // update-mode memory sink accumulates rows; the FINAL state per key
+      // is the row with the highest n_ops
+      val fin = spark.table("cdc_out")
+        .select("user_id", "n_ops", "n_since", "sum_since", "last_ts_ns", "live")
+        .as[(Long, Long, Long, Double, Long, Boolean)].collect()
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(fin(1L) == ((1L, 4L, 1L, 5.0, 40L, true)))
+      assert(fin(2L) == ((2L, 3L, 1L, 7.0, 30L, true)), "delete is not a permanent ban")
+    } finally query.stop()
+  }
 }
