@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Jpeg, Mp4Meta, Multimodal, Npy, Png, TarShard, Tiff, Video, Zip}
+import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mp3Meta, Mp4Meta, Multimodal, Npy, Png, TarShard, Tiff, Video, Zip}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -473,7 +473,7 @@ object SparkEntry {
       import s.implicits._
       val docs = TestData(s, dir).documents
       val ids = docs.select(col("doc_id").cast("long")).as[Long]
-      def pick(m: Int) = ids.filter(_ % 14 == m)
+      def pick(m: Int) = ids.filter(_ % 16 == m)
       def row(id: Long, media: Array[Byte]) =
         Multimodal.MediaRow(id, media, "", 0, 0)
       val mixed =
@@ -490,7 +490,9 @@ object SparkEntry {
           .union(Mp4Meta.syntheticMp4(pick(10)).map(r => row(r.id, r.media)))
           .union(Zip.syntheticZip(pick(11)).map(r => row(r.id, r.media)))
           .union(TarShard.syntheticTar(pick(12)).map(r => row(r.id, r.media)))
-          .union(docs.filter(col("doc_id") % 14 === 13)
+          .union(Ico.syntheticIco(pick(13)).map(r => row(r.id, r.media)))
+          .union(Mp3Meta.syntheticMp3(pick(14)).map(r => row(r.id, r.media)))
+          .union(docs.filter(col("doc_id") % 16 === 15)
             .select(col("doc_id").cast("long").as("id"),
               encode(col("text"), "UTF-8").as("media"),
               lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
@@ -3043,6 +3045,27 @@ object SparkEntry {
       Npy.decodeNpy(Npy.syntheticNpy(ids)).toDF()
     }),
 
+    // ICO multi-image container: directory walk with the 0 ⇒ 256 width
+    // byte convention, PNG entries through the full PNG decoder, DIB
+    // entries with the DOUBLED-height XOR+AND layout — one row per icon
+    // image. The oracle replays dims/kind/means from the entry formulas.
+    "mm_ico" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Ico.decodeIco(Ico.syntheticIco(ids)).toDF()
+    }),
+
+    // MP3 metadata lane: ID3v2 syncsafe skip + stride-computed MPEG-1
+    // Layer III frame walk (bitrate/samplerate tables, padding bit),
+    // measured VBR flag, exact integer µs duration.
+    "mm_mp3_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Mp3Meta.decodeMp3(Mp3Meta.syntheticMp3(ids)).toDF()
+    }),
+
     // EXIF metadata lane: real JPEG marker walk to the APP1 Exif segment,
     // full TIFF-IFD parse inside it (both endians, IFD0 → Exif sub-IFD
     // pointer, inline LEFT-justified SHORTs vs at-offset ASCII, offsets
@@ -4256,27 +4279,32 @@ $backtestPnlCtes,
     // and routing are what's gated; integers only, exact both engines.
     "mm_sniff" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
-                CASE doc_id % 14 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                CASE doc_id % 16 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'
                   WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' WHEN 7 THEN 'bmp'
                   WHEN 8 THEN 'tiff' WHEN 9 THEN 'h264' WHEN 10 THEN 'mp4'
-                  WHEN 11 THEN 'zip' WHEN 12 THEN 'tar'
+                  WHEN 11 THEN 'zip' WHEN 12 THEN 'tar' WHEN 13 THEN 'ico'
+                  WHEN 14 THEN 'mp3'
                   ELSE 'opaque' END AS kind,
-                CAST(CASE doc_id % 14 WHEN 0 THEN 5 + doc_id % 9
+                CAST(CASE doc_id % 16 WHEN 0 THEN 5 + doc_id % 9
                   WHEN 1 THEN 5 + doc_id % 6 WHEN 2 THEN 5 + doc_id % 7
                   WHEN 3 THEN 4 + doc_id % 5 WHEN 6 THEN 5 + doc_id % 9
                   WHEN 7 THEN 6 + doc_id % 7 WHEN 8 THEN 5 + doc_id % 8
                   WHEN 9 THEN (1 + doc_id % 4) * 16 - 2 * (doc_id % 3)
                   WHEN 10 THEN 16 * (1 + doc_id % 4)
+                  WHEN 13 THEN CASE WHEN doc_id % 5 = 0 THEN 256
+                               ELSE 4 + doc_id % 5 END
                   ELSE 0 END AS INT) AS width,
-                CAST(CASE doc_id % 14 WHEN 0 THEN 4 + doc_id % 9
+                CAST(CASE doc_id % 16 WHEN 0 THEN 4 + doc_id % 9
                   WHEN 1 THEN 4 + doc_id % 5 WHEN 2 THEN 4 + doc_id % 6
                   WHEN 3 THEN 3 + doc_id % 4 WHEN 6 THEN 4 + doc_id % 9
                   WHEN 7 THEN 3 + doc_id % 6 WHEN 8 THEN 4 + doc_id % 5
                   WHEN 9 THEN (1 + doc_id % 3) * 16 - 2 * (doc_id % 2)
                   WHEN 10 THEN 16 * (1 + doc_id % 3)
+                  WHEN 13 THEN CASE WHEN doc_id % 5 = 0 THEN 2
+                               ELSE 3 + (2 * doc_id) % 4 END
                   ELSE 0 END AS INT) AS height,
-                CAST(CASE doc_id % 14
+                CAST(CASE doc_id % 16
                   WHEN 0 THEN (5 + doc_id % 9) * (4 + doc_id % 9)
                   WHEN 1 THEN (5 + doc_id % 6) * (4 + doc_id % 5)
                   WHEN 2 THEN (5 + doc_id % 7) * (4 + doc_id % 6)
@@ -4290,6 +4318,8 @@ $backtestPnlCtes,
                   WHEN 10 THEN 5 + (1 + doc_id % 2)
                   WHEN 11 THEN 2 + doc_id % 3
                   WHEN 12 THEN 2 * (2 + doc_id % 4) + (2 + doc_id % 4 + 1) // 2
+                  WHEN 13 THEN 1 + doc_id % 3
+                  WHEN 14 THEN 3 + doc_id % 6
                   ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_units
          FROM documents""",
 
@@ -6681,6 +6711,60 @@ $backtestPnlCtes,
                  CAST((id + 1) % 100 AS BIGINT) AS v_0_1
           FROM d, unnest(range(0, r)) AS ti(i), unnest(range(0, c)) AS tj(j)
           GROUP BY id""",
+
+    // Mirrors Ico.entryShape/pixel: per-entry dims (256×2 on the
+    // fifth-id first entry), kind by (id+e) parity, means replayed from
+    // the +e-offset pixel formulas with one final division each.
+    "mm_ico" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                           CAST(1 + doc_id % 3 AS BIGINT) AS n
+                    FROM documents),
+          en AS (SELECT id, CAST(t.e AS INT) AS entry,
+                        CASE WHEN (id + t.e) % 2 = 0 THEN 'png' ELSE 'dib' END AS kind,
+                        CASE WHEN id % 5 = 0 AND t.e = 0 THEN 256
+                             ELSE CAST(4 + (id + t.e) % 5 AS INT) END AS width,
+                        CASE WHEN id % 5 = 0 AND t.e = 0 THEN 2
+                             ELSE CAST(3 + (2 * id + t.e) % 4 AS INT) END AS height
+                 FROM d, unnest(range(0, n)) AS t(e)),
+          px AS (SELECT id, entry, kind, width, height,
+                        CAST(i % width AS BIGINT) AS x,
+                        CAST(i // width AS BIGINT) AS y
+                 FROM en, unnest(range(0, width * height)) AS t2(i))
+          SELECT id, entry, kind, width, height, COUNT(*) AS n_pixels,
+                 CAST(SUM((id + entry + 3*x + 7*y) % 256) AS DOUBLE) / COUNT(*) AS mean_r,
+                 CAST(SUM((2*id + entry + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
+                 CAST(SUM((id + entry + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
+          FROM px GROUP BY id, entry, kind, width, height""",
+
+    // Mirrors Mp3Meta.encodeOne: frame count / samplerate / per-frame
+    // bitrate formulas, the kbps table as a 1-based list literal, exact
+    // integer-DIV duration.
+    "mm_mp3_meta" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                           CAST(3 + doc_id % 6 AS BIGINT) AS n
+                    FROM documents),
+          sr AS (SELECT id, n,
+                        CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                             ELSE 32000 END AS samplerate
+                 FROM d),
+          fr AS (SELECT id, n, samplerate,
+                        CASE WHEN id % 4 = 0 THEN 1 + id % 14
+                             ELSE 1 + (id + t.j) % 14 END AS bi
+                 FROM sr, unnest(range(0, n)) AS t(j)),
+          br AS (SELECT id, n, samplerate,
+                        [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                          [CAST(bi AS INT)] AS kbps
+                 FROM fr)
+          SELECT id, id % 2 = 0 AS has_id3,
+                 CAST(CASE WHEN id % 2 = 0 THEN 20 + id % 50 ELSE 0 END
+                   AS BIGINT) AS id3_size,
+                 MAX(n) AS n_frames,
+                 CAST(MAX(samplerate) AS BIGINT) AS samplerate,
+                 CAST(SUM(kbps) AS BIGINT) AS sum_kbps,
+                 COUNT(DISTINCT kbps) > 1 AS vbr,
+                 CAST(MAX(n) * 1152 * 1000000 // MAX(samplerate) AS BIGINT)
+                   AS duration_us
+          FROM br GROUP BY id""",
 
     // Mirrors Exif.exifPayload: endian by id parity, orientation 1+id%8,
     // SHORT dims, DateTimeOriginal at offset for id%3==0 (5 tags vs 4).

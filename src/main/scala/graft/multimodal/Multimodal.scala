@@ -549,6 +549,17 @@ object Multimodal {
     else if (TarShard.looksLikeTar(b))
       TarShard.decodeOne(id, b).map(f => SniffedMedia(id, "tar", 0, 0,
         f.n_members, f.total_bytes.toDouble / math.max(1L, f.n_members)))
+    else if (Ico.looksLikeIco(b)) {
+      val entries = Ico.decodeOne(id, b)
+      if (entries.isEmpty) None
+      else Some(SniffedMedia(id, "ico", entries.head.width,
+        entries.head.height, entries.length.toLong,
+        entries.map(f => (f.mean_r + f.mean_g + f.mean_b) / 3.0).sum
+          / entries.length))
+    }
+    else if (Mp3Meta.looksLikeMp3(b))
+      Mp3Meta.decodeOne(id, b).map(f => SniffedMedia(id, "mp3", 0, 0,
+        f.n_frames, f.sum_kbps.toDouble / f.n_frames))
     else {
       // opaque fallback: counted, not vanished
       var sum = 0L; var i = 0

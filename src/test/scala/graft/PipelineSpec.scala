@@ -1255,4 +1255,76 @@ class PipelineSpec extends SparkSpec {
       Multimodal.WavAudio(4L, forged)).toDS()
     assert(Multimodal.decodeWav(bad).collect().isEmpty)
   }
+
+  test("ICO container: 0⇒256 width byte, PNG and doubled-height DIB entries, forgeries drop") {
+    import graft.multimodal.Ico
+    val ids = spark.range(0, 21).as[Long]
+    val entries = Ico.decodeIco(Ico.syntheticIco(ids)).collect()
+    // every directory entry decodes (no silent drops on well-formed input)
+    assert(entries.length == (0L until 21L).map(1 + _ % 3).sum)
+    entries.foreach { f =>
+      val (kind, w, h) = Ico.entryShape(f.id, f.entry)
+      assert(f.kind == kind && f.width == w && f.height == h, s"id=${f.id}/${f.entry}")
+    }
+    // the 256-wide first entry on fifth ids REALLY took the 0-byte path
+    assert(entries.filter(f => f.id % 5 == 0 && f.entry == 0).forall(_.width == 256))
+    // both payload kinds present in volume
+    assert(entries.count(_.kind == "png") > 0 && entries.count(_.kind == "dib") > 0)
+    val raw = Ico.encodeOne(7L) // 2 entries: e0 dib, e1 png
+    def forge(mut: Array[Byte] => Unit): Ico.IcoFile = {
+      val b = raw.clone(); mut(b); Ico.IcoFile(7L, b)
+    }
+    // (a) forged directory width byte: payload cross-check drops THAT entry
+    val f1 = Ico.decodeIco(Seq(forge(b => b(6) = 99.toByte)).toDS()).collect()
+    assert(f1.length == 1 && f1.head.entry == 1, "lying width byte drops only its entry")
+    // (b) entry offset pointing past the file: entry drops, sibling survives
+    val f2 = Ico.decodeIco(Seq(forge { b =>
+      b(6 + 12) = -1; b(6 + 13) = -1; b(6 + 14) = 0; b(6 + 15) = 0
+    }).toDS()).collect()
+    assert(f2.length == 1 && f2.head.entry == 1)
+    // (c) truncated file: directory claims entries beyond the bytes → file drops
+    assert(Ico.decodeIco(Seq(Ico.IcoFile(7L, raw.take(20))).toDS()).collect().isEmpty)
+    // (d) DIB with an ODD biHeight (can't halve into XOR+AND) drops
+    val e0Off = 6 + 16 * 2
+    val f4 = Ico.decodeIco(Seq(forge(b => b(e0Off + 8) = 5.toByte)).toDS()).collect()
+    assert(f4.forall(_.entry == 1), "odd doubled-height DIB must drop")
+  }
+
+  test("MP3 walk: syncsafe ID3 skip, stride-computed frames, VBR flag, forgeries stop") {
+    import graft.multimodal.Mp3Meta
+    val ids = spark.range(0, 40).as[Long]
+    val infos = Mp3Meta.decodeMp3(Mp3Meta.syntheticMp3(ids)).collect()
+    assert(infos.length == 40)
+    infos.foreach { f =>
+      assert(f.n_frames == 3 + f.id % 6, s"id=${f.id}")
+      val sr = Seq(44100, 48000, 32000)((f.id % 3).toInt)
+      assert(f.samplerate == sr)
+      assert(f.has_id3 == (f.id % 2 == 0))
+      assert(f.id3_size == (if (f.id % 2 == 0) 20 + f.id % 50 else 0L))
+      // CBR every fourth id, measured not assumed (n_frames ≥ 3 > 1)
+      assert(f.vbr == (f.id % 4 != 0), s"id=${f.id} vbr")
+      assert(f.duration_us == f.n_frames * 1152L * 1000000L / sr)
+    }
+    val raw = Mp3Meta.encodeOne(2L) // has ID3 (even), VBR, 44100
+    def forge(mut: Array[Byte] => Unit): Mp3Meta.Mp3File = {
+      val b = raw.clone(); mut(b); Mp3Meta.Mp3File(2L, b)
+    }
+    // (a) syncsafe byte with the top bit set → malformed tag → drop
+    assert(Mp3Meta.decodeMp3(Seq(forge(b => b(9) = 0x80.toByte)).toDS())
+      .collect().isEmpty)
+    // (b) ID3 size claiming past the buffer → drop
+    assert(Mp3Meta.decodeMp3(Seq(forge(b => b(9) = 0x7f.toByte)).toDS())
+      .collect().isEmpty)
+    // (c) truncation mid-final-frame: the partial frame is NOT counted
+    val whole = Mp3Meta.decodeMp3(Seq(Mp3Meta.Mp3File(2L, raw)).toDS())
+      .collect().head
+    val cut = Mp3Meta.decodeMp3(Seq(Mp3Meta.Mp3File(2L, raw.dropRight(10))).toDS())
+      .collect().head
+    assert(cut.n_frames == whole.n_frames - 1)
+    // (d) a 'free format' bitrate index (0) stops the walk at that frame
+    val id3Len = 10 + whole.id3_size.toInt
+    val f5 = Mp3Meta.decodeMp3(Seq(forge(b =>
+      b(id3Len + 2) = (b(id3Len + 2) & 0x0f).toByte)).toDS()).collect()
+    assert(f5.isEmpty, "first frame free-format → zero frames → drop")
+  }
 }
