@@ -2716,6 +2716,20 @@ object SparkEntry {
           coalesce(col("n_match"), lit(0L)).as("n_match_at_5"))
     }),
 
+    // Ranking-quality tier above recall: nDCG@5 of the composed IVF-PQ
+    // lane vs the exact ranking (graded relevance 5..1 by true rank,
+    // shared-literal discounts, sequential DCG fold) + the rank of the
+    // first relevant hit. Recall counts overlap; nDCG weighs ORDER.
+    "ann_ndcg_eval" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val queries = e.filter(col("vec_id") < 10)
+      val approx = Pq.ivfPqTopK(e, queries, "vec_id", "embedding", 5,
+        nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+      val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+      Ann.ndcgEval(queries.select(col("vec_id").as("query_id")),
+        approx, exact, 5)
+    }),
+
     // Build-once/serve-many IVF-PQ: first call per fixture dir builds and
     // PERSISTS the index (codebooks/centroids/cells/codes parquet under
     // tmpdir); this query then serves top-k from the stored artifacts —
@@ -6974,6 +6988,7 @@ $backtestPnlCtes,
     "ann_opq_topk" -> opqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_recall_eval" -> annRecallOracle,
+    "ann_ndcg_eval" -> annNdcgOracle,
     // Served lane reads a pre-materialized index; the artifacts round-trip
     // parquet bit-exactly, so the inline-build oracle replays it unchanged.
     "ann_ivfpq_served" -> ivfPqOracle,
@@ -7710,6 +7725,61 @@ $backtestPnlCtes,
                GROUP BY 1)
         SELECT q2.query_id, CAST(COALESCE(mt.n, 0) AS BIGINT) AS n_match_at_5
         FROM q2 LEFT JOIN mt ON q2.query_id = mt.query_id""")
+
+  /** nDCG@5 replay: the ADC top-5 graded against the exact top-5
+    * (rel = 6 − exact_rank), discounts and IDCG interpolated from the
+    * SAME Scala-computed doubles [[graft.ann.Ann.ndcgDiscounts]] embeds
+    * in the operator (Double.toString round-trips), DCG as the ordered
+    * list_reduce fold. */
+  private lazy val annNdcgOracle: String = {
+    // literal form matters: a bare decimal literal parses as DECIMAL in
+    // DuckDB (decimal→double conversion is not correctly rounded — found
+    // as a 1-ulp dcg drift); an exponent suffix forces a DOUBLE parse,
+    // which round-trips Double.toString exactly
+    def dlit(x: Double): String = {
+      val s = java.lang.Double.toString(x)
+      if (s.contains("E")) s else s + "e0"
+    }
+    val w = graft.ann.Ann.ndcgDiscounts(5)
+    val idcg = dlit(graft.ann.Ann.idcgAt(5))
+    val wList = w.map(dlit).mkString("[", ", ", "]")
+    ivfPqOracleTrainedTail("TRUE",
+      s""", adc5 AS (SELECT query_id, neighbor_id, r AS pos FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS r
+              FROM fin) WHERE r <= 5),
+          q2 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          cc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          bs AS (SELECT query_id, neighbor_id,
+                   ROUND(${cosSql("qv", "cv")}, 6) AS cos
+                 FROM cc JOIN q2 ON query_id <> neighbor_id),
+          bt AS (SELECT query_id, neighbor_id, r AS exact_rank FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS r
+                 FROM bs) WHERE r <= 5),
+          gr AS (SELECT a.query_id, a.pos,
+                        CAST(COALESCE(6 - b.exact_rank, 0) AS BIGINT) AS rel
+                 FROM adc5 a LEFT JOIN bt b ON a.query_id = b.query_id
+                                           AND a.neighbor_id = b.neighbor_id),
+          per AS (SELECT query_id,
+                    list(rel ORDER BY pos) AS rels,
+                    list(pos ORDER BY pos) AS poss,
+                    MIN(CASE WHEN rel > 0 THEN pos END) AS first_rel_pos,
+                    CAST(COUNT(*) FILTER (WHERE rel > 0) AS BIGINT) AS n_rel
+                  FROM gr GROUP BY query_id),
+          mtr AS (SELECT query_id, n_rel, first_rel_pos,
+                    list_reduce([CAST(0 AS DOUBLE)] ||
+                      list_transform(list_zip(rels, poss),
+                        p -> CAST(p[1] AS DOUBLE) * ($wList)[CAST(p[2] AS INT)]),
+                      (a, b) -> a + b) AS dcg
+                  FROM per)
+          SELECT q2.query_id,
+                 COALESCE(mtr.n_rel, 0) AS n_rel_at_5,
+                 mtr.first_rel_pos,
+                 COALESCE(mtr.dcg, 0.0) AS dcg5,
+                 COALESCE(mtr.dcg, 0.0) / $idcg AS ndcg5
+          FROM q2 LEFT JOIN mtr ON q2.query_id = mtr.query_id""")
+  }
 
   /** ADC top-20 candidates (same tie rule as the serve path) re-ranked by
     * the exact sequential-fold cosine against raw embeddings. */

@@ -415,4 +415,70 @@ object Ann {
       .map { case ((_, v, _), i) => (i.toLong, v.map(_.toFloat)) }
       .toDF("centroid_id", "centroid")
   }
+
+  /** Position discounts 1/log₂(pos+1) for positions 1..k. Computed ONCE
+    * here and embedded into the SQL oracle as round-tripping decimal
+    * literals (`java.lang.Double.toString` guarantees parse-back to the
+    * same double) — the shared-literal-constant discipline that keeps an
+    * irrational-discount metric engine-exact. */
+  def ndcgDiscounts(k: Int): Array[Double] =
+    Array.tabulate(k)(i => 1.0 / (math.log(i + 2.0) / math.log(2.0)))
+
+  /** Ideal DCG@k when relevance grades are k, k−1, …, 1 at positions
+    * 1..k — a LEFT-associated fold of products, the same IEEE tree the
+    * oracle's interpolated expression evaluates. */
+  def idcgAt(k: Int): Double = {
+    val w = ndcgDiscounts(k)
+    var acc = 0.0
+    var i = 0
+    while (i < k) { acc += (k - i).toDouble * w(i); i += 1 }
+    acc
+  }
+
+  /** Ranking-quality eval (nDCG@k + first-relevant rank) of an
+    * approximate retrieval lane against the exact ranking — the metric
+    * tier above [[graft.ann.Pq]]'s recall eval: recall counts overlap,
+    * nDCG weighs WHERE the overlap landed (an ANN that returns the true
+    * top-5 in reverse order recalls 1.0 but loses nDCG).
+    *
+    * `approx`/`exact`: (query_id, neighbor_id, rank) frames with rank
+    * 1-based. Relevance grade of an approx hit = k+1 − exact_rank when
+    * the neighbor is in the exact top-k, else 0 (graded by how good the
+    * true neighbor is, the standard eval framing).
+    *
+    * Determinism (rule 1): DCG is a SEQUENTIAL fold over the position-
+    * ordered (rel · discount) terms — never an associativity-free sum —
+    * and the discounts/IDCG are shared literal constants, so the oracle
+    * replays every IEEE operation. One division for nDCG.
+    *
+    * Plan: both inputs are k rows/query; one equi-join + one groupBy on
+    * query_id — trivially scale-safe next to the retrieval itself. */
+  def ndcgEval(queries: DataFrame, approx: DataFrame, exact: DataFrame,
+               k: Int): DataFrame = {
+    val w = ndcgDiscounts(k)
+    val idcg = idcgAt(k)
+    val graded = approx
+      .select(col("query_id"), col("rank").cast("long").as("pos"),
+        col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("exact_rank")),
+        Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("pos"),
+        coalesce(lit(k.toLong + 1L) - col("exact_rank"), lit(0L)).as("rel"))
+    val per = graded.groupBy("query_id").agg(
+      sort_array(collect_list(struct(col("pos"), col("rel")))).as("xs"),
+      min(when(col("rel") > 0, col("pos"))).as("first_rel_pos"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
+    val wArr = array(w.map(lit(_)): _*)
+    val dcg = aggregate(col("xs"), lit(0.0),
+      (acc, x) => acc + x.getField("rel").cast("double") *
+        element_at(wArr, x.getField("pos").cast("int")))
+    queries.join(per, Seq("query_id"), "left")
+      .withColumn("dcg", coalesce(dcg, lit(0.0)))
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as(s"n_rel_at_$k"),
+        col("first_rel_pos"),
+        col("dcg").as(s"dcg$k"),
+        (col("dcg") / lit(idcg)).as(s"ndcg$k"))
+  }
 }

@@ -1327,4 +1327,36 @@ class PipelineSpec extends SparkSpec {
       b(id3Len + 2) = (b(id3Len + 2) & 0x0f).toByte)).toDS()).collect()
     assert(f5.isEmpty, "first frame free-format → zero frames → drop")
   }
+
+  test("ndcgEval: perfect ranking scores 1.0, reversal loses nDCG but not recall, miss scores 0") {
+    import graft.ann.Ann
+    def ranked(q: Long, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (n, i) => (q, n, (i + 1).toLong) }
+    val exact = ranked(1L, Seq(10, 11, 12, 13, 14)) ++
+      ranked(2L, Seq(20, 21, 22, 23, 24)) ++ ranked(3L, Seq(30, 31, 32, 33, 34))
+    // q1 approx = exact order; q2 approx = exact REVERSED (recall 5/5 both);
+    // q3 approx misses entirely
+    val approx = ranked(1L, Seq(10, 11, 12, 13, 14)) ++
+      ranked(2L, Seq(24, 23, 22, 21, 20)) ++ ranked(3L, Seq(90, 91, 92, 93, 94))
+    val qs = Seq(1L, 2L, 3L).toDF("query_id")
+    val out = Ann.ndcgEval(qs,
+        approx.toDF("query_id", "neighbor_id", "rank"),
+        exact.toDF("query_id", "neighbor_id", "rank"), 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 5L && out(1L).getDouble(4) == 1.0,
+      "perfect ranking is the IDCG")
+    assert(out(2L).getLong(1) == 5L, "reversal still has full recall")
+    val rev = out(2L).getDouble(4)
+    assert(rev > 0.5 && rev < 1.0, s"reversal must cost nDCG, got $rev")
+    assert(out(3L).getLong(1) == 0L && out(3L).getDouble(4) == 0.0 &&
+      out(3L).isNullAt(2), "total miss: zero metrics, null first-relevant rank")
+    // first_rel_pos: only position 3 relevant → 3
+    val one = Ann.ndcgEval(Seq(9L).toDF("query_id"),
+      ranked(9L, Seq(80, 81, 42, 82, 83)).toDF("query_id", "neighbor_id", "rank"),
+      ranked(9L, Seq(40, 41, 42, 43, 44)).toDF("query_id", "neighbor_id", "rank"),
+      5).collect().head
+    assert(one.getLong(2) == 3L)
+    // and its dcg is exactly rel(=3) · w(pos 3): the shared-literal tree
+    assert(one.getDouble(3) == 3.0 * Ann.ndcgDiscounts(5)(2))
+  }
 }
