@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mp3Meta, Mp4Meta, Multimodal, Npy, Png, TarShard, Tiff, Video, Zip}
+import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mp3Meta, Mp4Meta, Multimodal, Npy, Png, Srt, TarShard, Tiff, Video, Zip}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -1432,6 +1432,29 @@ object SparkEntry {
         TextFns.totalWordChars(t).cast("long").as("total_chars"),
         round(TextFns.totalWordChars(t).cast("double") / TextFns.wordCount(t).cast("double"), 6).as("avg_word_len"),
         TextFns.stopwordRatio(t, Seq("the", "a", "of", "and", "is")).as("stop_ratio"))
+    }),
+
+    // Readability scoring (Flesch reading ease + FK grade) — the quality
+    // filter dimension Gopher signals don't carry: exact integer
+    // sufficient statistics (words, vowel-group syllables, 8-word
+    // pseudo-sentences — the fixture has no punctuation), then the two
+    // standard score trees over e0-literal constants (the DuckDB
+    // DECIMAL-literal hazard) with two shared divisions.
+    "text_readability" -> ((s, dir) => {
+      val d = TestData(s, dir).documents
+        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      val stats = d.select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          TextFns.totalSyllablesFromWords(col("ws")).as("n_syllables"))
+        .withColumn("n_sentences", expr("(n_words + 7) div 8"))
+      val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+      val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+      stats.select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0,
+          lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
+        when(col("n_words") > 0,
+          lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
     }),
 
     // Language ID: deterministic marker-word argmax heuristic.
@@ -3046,6 +3069,25 @@ object SparkEntry {
         .withColumn("stale", col("days_behind") > 7L)
     }),
 
+    // Calendar-gap audit: per symbol, how many calendar days inside the
+    // symbol's own [first, last] span have NO bar, and the longest single
+    // gap — dq_freshness catches a feed that STOPPED; this catches one
+    // with holes in the middle. Exact integer day arithmetic.
+    "dq_calendar_gaps" -> ((s, dir) => {
+      val b = mkt(s, dir).bars.select(col("symbol"), col("date"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("date")
+      b.withColumn("gap",
+          datediff(col("date"), lag(col("date"), 1).over(w)) - 1)
+        .groupBy("symbol").agg(
+          min(col("date")).as("first_date"),
+          max(col("date")).as("last_date"),
+          count(lit(1)).as("n_days"),
+          (datediff(max(col("date")), min(col("date"))) + 1 - count(lit(1)))
+            .cast("long").as("n_missing"),
+          coalesce(max(col("gap")), lit(0)).cast("long").as("max_gap_days"))
+    }),
+
     // NumPy .npy tensor container — how embeddings ship from Python
     // stacks: both header versions (v1 uint16 / v2 uint32 length), the
     // dict-literal header parsed without eval, dtype gated to '<f4',
@@ -3078,6 +3120,16 @@ object SparkEntry {
       val ids = TestData(s, dir).documents
         .select(col("doc_id").cast("long")).as[Long]
       Mp3Meta.decodeMp3(Mp3Meta.syntheticMp3(ids)).toDF()
+    }),
+
+    // SubRip subtitle parse (comma-millisecond timestamps, multi-line cue
+    // text, per-cue validity) — the caption container video-text pairing
+    // pipelines align against. Exact integer milliseconds.
+    "mm_srt_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Srt.decodeSrt(Srt.syntheticSrt(ids)).toDF()
     }),
 
     // EXIF metadata lane: real JPEG marker walk to the APP1 Exif segment,
@@ -5053,6 +5105,32 @@ $backtestPnlCtes,
                 END AS stop_ratio
          FROM w""",
 
+    // Same integer sufficient statistics; the score constants use the e0
+    // DOUBLE-literal form (bare decimals parse as DECIMAL in DuckDB and
+    // convert with incorrect rounding — the ann_ndcg_eval lesson).
+    "text_readability" ->
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+                    FROM documents),
+          s AS (SELECT doc_id,
+                  CAST(len(ws) AS BIGINT) AS n_words,
+                  CAST((len(ws) + 7) // 8 AS BIGINT) AS n_sentences,
+                  CAST(list_reduce([0] || list_transform(ws,
+                         x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)),
+                       (a, b) -> a + b) AS BIGINT) AS n_syllables
+                FROM w)
+          SELECT doc_id, n_words, n_sentences, n_syllables,
+                 CASE WHEN n_words > 0 THEN
+                   206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                     - 84.6e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 END AS flesch,
+                 CASE WHEN n_words > 0 THEN
+                   0.39e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                     + 11.8e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                     - 15.59e0
+                 END AS fk_grade
+          FROM s""",
+
     "text_langid" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
                     FROM documents),
@@ -6710,6 +6788,19 @@ $backtestPnlCtes,
                  CAST(date_diff('day', last_date, max_date) AS BIGINT) > 7 AS stale
           FROM lastd, gm""",
 
+    "dq_calendar_gaps" ->
+      s"""$MKT, g AS (SELECT symbol, date,
+                        date_diff('day',
+                          lag(date) OVER (PARTITION BY symbol ORDER BY date),
+                          date) - 1 AS gap
+                      FROM bars)
+          SELECT symbol, MIN(date) AS first_date, MAX(date) AS last_date,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(date_diff('day', MIN(date), MAX(date)) + 1 - COUNT(*)
+                   AS BIGINT) AS n_missing,
+                 CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days
+          FROM g GROUP BY symbol""",
+
     // Mirrors Npy.encodeOne: dims/flags by id arithmetic, sum replayed
     // over the (id + 3i + j) % 100 value formula, v_0_1 = (id+1) % 100.
     "mm_npy" ->
@@ -6779,6 +6870,32 @@ $backtestPnlCtes,
                  CAST(MAX(n) * 1152 * 1000000 // MAX(samplerate) AS BIGINT)
                    AS duration_us
           FROM br GROUP BY id""",
+
+    // Mirrors Srt.encodeOne: cue duration/line-count formulas, text-char
+    // totals via reconstructing the same cue lines; starts ascend by
+    // construction so monotonic is TRUE (the spec covers the false case).
+    "mm_srt_meta" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                           CAST(2 + doc_id % 4 AS BIGINT) AS n
+                    FROM documents),
+          cue AS (SELECT id, t.j,
+                         t.j * 4000 + id % 1000 AS start_ms,
+                         1500 + (id + t.j) % 2000 AS dur,
+                         1 + (id + t.j) % 3 AS nl
+                  FROM d, unnest(range(0, n)) AS t(j)),
+          ln AS (SELECT id, j, start_ms, dur,
+                        CAST(length('w' || id || ' line' || j || ' t' || k.k)
+                          AS BIGINT) AS lc
+                 FROM cue, unnest(range(0, nl)) AS k(k)),
+          per AS (SELECT id, j, MAX(start_ms) AS s, MAX(dur) AS dur,
+                         SUM(lc) AS chars
+                  FROM ln GROUP BY id, j)
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS n_cues,
+                 CAST(SUM(dur) AS BIGINT) AS total_ms,
+                 CAST(SUM(chars) AS BIGINT) AS n_text_chars,
+                 CAST(MAX(s + dur) AS BIGINT) AS max_end_ms,
+                 TRUE AS monotonic
+          FROM per GROUP BY id""",
 
     // Mirrors Exif.exifPayload: endian by id parity, orientation 1+id%8,
     // SHORT dims, DateTimeOriginal at offset for id%3==0 (5 tags vs 4).

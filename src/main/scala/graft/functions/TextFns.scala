@@ -86,4 +86,14 @@ object TextFns {
       transform(words(text), w => (length(w) * 131 + ascii(w)).cast("long")),
       lit(0L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Syllable estimate for one word: vowel-group runs (the standard
+    * heuristic), floored at 1 so consonant-only tokens still count. */
+  def syllables(word: Column): Column =
+    greatest(regexp_count(word, lit("[aeiouy]+")), lit(1))
+
+  /** Exact total syllable estimate over a MATERIALIZED word array
+    * (rule 3): integer fold, order-free. */
+  def totalSyllablesFromWords(ws: Column): Column =
+    aggregate(transform(ws, w => syllables(w)), lit(0), (a, b) => a + b).cast("long")
 }

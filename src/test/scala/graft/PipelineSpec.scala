@@ -1328,6 +1328,49 @@ class PipelineSpec extends SparkSpec {
     assert(f5.isEmpty, "first frame free-format → zero frames → drop")
   }
 
+  test("SRT parse: CRLF, multi-line cues, comma timestamps; bad cues drop; monotonic flag") {
+    import graft.multimodal.Srt
+    // formulas round-trip through the real parser for a sweep of ids
+    val infos = Srt.decodeSrt(Srt.syntheticSrt(spark.range(0, 25).as[Long]))
+      .collect()
+    assert(infos.length == 25)
+    infos.foreach { f =>
+      val n = 2 + f.id % 4
+      assert(f.n_cues == n, s"id=${f.id}")
+      assert(f.total_ms == (0L until n).map(j => 1500 + (f.id + j) % 2000).sum)
+      assert(f.monotonic)
+    }
+    // hand-built file: CRLF line endings, a multi-line cue, an OUT-OF-ORDER
+    // cue (monotonic=false), a zero-length cue (drops), a malformed
+    // timestamp with a DOT millisecond separator (WebVTT form — drops)
+    val s = Seq(
+      "1", "00:00:10,000 --> 00:00:12,000", "line one", "line two", "",
+      "2", "00:00:05,000 --> 00:00:06,500", "early", "",
+      "3", "00:00:20,000 --> 00:00:20,000", "zero length", "",
+      "4", "00:00:30.000 --> 00:00:31.000", "dot millis", ""
+    ).mkString("\r\n")
+    val out = Srt.decodeSrt(Seq(Srt.SrtFile(1L, s)).toDS()).collect().head
+    assert(out.n_cues == 2L, "zero-length and dot-millis cues must drop")
+    assert(out.total_ms == 2000L + 1500L)
+    assert(out.n_text_chars == ("line one".length + "line two".length +
+      "early".length).toLong)
+    assert(out.max_end_ms == 12000L)
+    assert(!out.monotonic, "cue 2 starts before cue 1")
+    // a file with no valid cue drops entirely
+    assert(Srt.decodeSrt(Seq(Srt.SrtFile(2L, "not a subtitle")).toDS())
+      .collect().isEmpty)
+  }
+
+  test("readability statistics: hand-checked syllables and score trees") {
+    import graft.functions.TextFns
+    // "table" → a+e groups = 2 syllables; "qqq" floors at 1; "a" → 1
+    val df = Seq((1L, "table qqq a")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+    val got = df.select(TextFns.totalSyllablesFromWords(col("ws")).as("s"))
+      .as[Long].head()
+    assert(got == 4L)
+  }
+
   test("ndcgEval: perfect ranking scores 1.0, reversal loses nDCG but not recall, miss scores 0") {
     import graft.ann.Ann
     def ranked(q: Long, ids: Seq[Long]) =
