@@ -1129,6 +1129,25 @@ object SparkEntry {
         .select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "d10")
     }),
 
+    // RUNNING distinct count (cumulative users by day) — the unbounded
+    // twin of w13, planned the scale-safe way: running distinct ≡ cumsum
+    // of FIRST OCCURRENCES (one groupBy for per-user first day, one for
+    // per-day news, one tiny date-domain window) — never a growing
+    // distinct set per row. The final global window runs over #days rows.
+    "w14_running_distinct" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+        .select(col("user_id"), Coerce.normalize(col("ts")).as("d"))
+      val perDay = ev.groupBy("user_id").agg(min(col("d")).as("first_d"))
+        .groupBy(col("first_d")).agg(count(lit(1)).as("new_users"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("date"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      ev.select(col("d")).distinct()
+        .join(perDay, col("d") === col("first_d"), "left")
+        .select(col("d").as("date"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_distinct_users", sum(col("new_users")).over(w))
+    }),
+
     // Time-RANGE window frame (30-day trailing revenue per supplier) —
     // the frame type every ROWS gate can't cover: the frame is defined by
     // the ORDER VALUE interval, so tied days share one frame and the sum
@@ -2294,6 +2313,28 @@ object SparkEntry {
           col("is_current"))
     }),
 
+    // Point-in-time dimension lookup — the CONSUMER of the SCD-2 build:
+    // a tier dimension derived from purchase events (value bucket,
+    // islands-collapsed), then every event joined to the tier in effect
+    // at its timestamp. Intervals partition each key's timeline, so the
+    // lookup IS an as-of join on valid_from (one tagged-union shuffle —
+    // no interval-predicate join needed); events before the first
+    // purchase get a null tier.
+    "j15_scd2_lookup" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"),
+          floor(col("value") / lit(25.0)).as("tier"))
+      val dim = Windows.changeIntervals(purchases, Seq(col("user_id")),
+          col("ts_ns"), col("tier"))
+        .select(col("user_id"), col("valid_from"), col("attr").as("tier"))
+      Joins.asOf(ev.select("user_id", "ts_ns", "event_id"), dim,
+          Seq("user_id"), "ts_ns", "valid_from", Seq("tier"))
+        .select("user_id", "ts_ns", "event_id", "tier")
+    }),
+
     // Stream-STATIC enrichment join — the stateless streaming join shape
     // (no watermark, no join state): each event picks up its user's
     // profile from a broadcast static frame; LEFT join semantics so
@@ -2665,6 +2706,18 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => {
       val e = TestData(s, dir).embeddings
       Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Matryoshka-style PREFIX retrieval: cosine over only the first 16 of
+    // 64 dims — the truncated-embedding first stage modern nested-trained
+    // embedding stacks serve (4× less bandwidth per scan, same scan
+    // shape). Same exact fold + tie rules, sliced inputs.
+    "ann_prefix_topk" -> ((s, dir) => {
+      val pre = TestData(s, dir).embeddings
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      Ann.bruteForceTopK(pre, pre.filter(col("vec_id") < 10), "vec_id",
+          "embedding", 5)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -4797,6 +4850,19 @@ $backtestPnlCtes,
                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT) AS d10
           FROM f""",
 
+    // Running distinct replayed the same first-occurrence way.
+    "w14_running_distinct" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+          fo AS (SELECT user_id, MIN(d) AS first_d FROM e GROUP BY user_id),
+          nd AS (SELECT first_d, CAST(COUNT(*) AS BIGINT) AS new_users
+                 FROM fo GROUP BY first_d),
+          days AS (SELECT DISTINCT d FROM e)
+          SELECT days.d AS date, COALESCE(nd.new_users, 0) AS new_users,
+                 CAST(SUM(COALESCE(nd.new_users, 0)) OVER (ORDER BY days.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_distinct_users
+          FROM days LEFT JOIN nd ON days.d = nd.first_d""",
+
     "a3_a4_windows" ->
       """SELECT o_custkey, o_orderkey,
                 ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
@@ -5903,6 +5969,37 @@ $backtestPnlCtes,
                  lead(valid_from) OVER w2 IS NULL AS is_current
           FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)""",
 
+    // The tier dimension replays as islands over purchases; the lookup as
+    // an explicit half-open interval join (NOT DuckDB ASOF — its
+    // null-probe semantics differ from the house contract).
+    "j15_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+                           event_type, value
+                    FROM events),
+          p AS (SELECT user_id, ts_ns,
+                       CAST(floor(value / 25e0) AS BIGINT) AS tier
+                FROM e WHERE event_type = 'purchase'),
+          l AS (SELECT user_id, ts_ns, tier,
+                       CASE WHEN lag(tier) OVER w IS NULL
+                                 OR lag(tier) OVER w <> tier
+                            THEN 1 ELSE 0 END AS chg
+                FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns)),
+          i AS (SELECT user_id, ts_ns, tier,
+                       SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ns
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM l),
+          g AS (SELECT user_id, island, MIN(tier) AS tier,
+                       MIN(ts_ns) AS valid_from
+                FROM i GROUP BY user_id, island),
+          iv AS (SELECT user_id, tier, valid_from,
+                        lead(valid_from) OVER (PARTITION BY user_id
+                          ORDER BY valid_from) AS valid_to
+                 FROM g)
+          SELECT e.user_id, e.ts_ns, e.event_id, iv.tier
+          FROM e LEFT JOIN iv
+            ON e.user_id = iv.user_id AND iv.valid_from <= e.ts_ns
+               AND (iv.valid_to IS NULL OR e.ts_ns < iv.valid_to)""",
+
     // Stateless stream-static join: one-batch replay ≡ the batch join.
     "stream_enrich" ->
       """WITH prof AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -6554,6 +6651,22 @@ $backtestPnlCtes,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                 ROUND(
+                   list_reduce(list_transform(list_zip(qv, cv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (x,y) -> x+y)
+                   / (sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))
+                    * sqrt(list_reduce(list_transform(cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))), 6) AS cos
+               FROM c JOIN q ON query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, cos FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM s)
+         WHERE rank <= 5""",
+
+    // Same exact fold over the SLICED first-16 prefix on both sides.
+    "ann_prefix_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding[1:16] AS cv FROM embeddings),
          s AS (SELECT query_id, neighbor_id,
                  ROUND(
                    list_reduce(list_transform(list_zip(qv, cv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (x,y) -> x+y)
