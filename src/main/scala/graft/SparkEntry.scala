@@ -2185,11 +2185,12 @@ object SparkEntry {
     // Streaming ingest dedup (dropDuplicatesWithinWatermark), isolated from
     // the corpus gate: emitted columns are content-derived only, so the
     // arrival-order-dependent survivor cannot leak into the compare.
-    // Stream-static enrichment: the STATELESS streaming join — every event
-    // picks up its customer segment from a broadcast dim snapshot per
+    // Stream-static enrichment, DIM-DEFAULT variant (the unknown-member
+    // convention next to stream_enrich's profile join): every event picks
+    // up its customer segment from a broadcast dim snapshot per
     // micro-batch; users outside the dim get the unknown-member default
     // (c_custkey % 3 == 0 is withheld so the default path provably fires).
-    "stream_enrich" -> ((s, dir) => {
+    "stream_enrich_dim" -> ((s, dir) => {
       val sch = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(sch)
         .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
@@ -5869,10 +5870,9 @@ $backtestPnlCtes,
                  (xv * nn - sx) * (xv * nn - sx) > 4.0 * (nn * sxx - sx * sx)) AS outlier
          FROM s""",
 
-    // Streaming ingest dedup ≡ DISTINCT on the content key (one-batch
-    // replay: nothing is late, first arrival of each key emits).
-    // Stream-static join is stateless: one batch ≡ the batch left join.
-    "stream_enrich" ->
+    // Stream-static join is stateless: one batch ≡ the batch left join;
+    // withheld dim members take the UNKNOWN default.
+    "stream_enrich_dim" ->
       """SELECT e.event_id, e.user_id, e.value,
                 COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
          FROM events e

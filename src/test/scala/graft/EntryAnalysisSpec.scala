@@ -28,6 +28,29 @@ class EntryAnalysisSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
+  test("no duplicate gate keys in the SparkEntry source") {
+    // A Map literal silently keeps the LAST duplicate key, so a re-used
+    // gate name shadows an earlier query AND its oracle with no compile
+    // or runtime signal (round-12 precedent: a second "stream_enrich"
+    // made the new dim-default lane dead code). The Map can't see it —
+    // the source can.
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/SparkEntry.scala", "UTF-8")
+    val text = try src.mkString finally src.close()
+    val qKeyRe = """"([a-z0-9_]+)" -> \(\(s, dir\)""".r
+    def dups(keys: Seq[String]) =
+      keys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    val qDups = dups(qKeyRe.findAllMatchIn(text).map(_.group(1)).toSeq)
+    assert(qDups.isEmpty, s"duplicate query keys: $qDups")
+    // Any gate name bound more than twice (once as query, at most once as
+    // oracle) means a duplicate somewhere — regardless of entry layout.
+    val anyKeyRe = """"([a-z0-9_]+)" ->""".r
+    val counts = anyKeyRe.findAllMatchIn(text).map(_.group(1)).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val over = SparkEntry.queries.keySet.filter(k => counts.getOrElse(k, 0) > 2)
+    assert(over.isEmpty, s"gate names bound more than query+oracle: $over")
+  }
+
   test("every oracle references only fixture tables the driver registers") {
     // the driver creates one DuckDB view per fixture parquet; a typo'd
     // table name would only surface as a driver-side SQL error next round
