@@ -1395,6 +1395,17 @@ object SparkEntry {
         .withColumn("vwap",
           col("turnover").cast("double") / col("volume").cast("double"))),
 
+    // Gaps-and-islands streaks: per user, maximal runs of STRICTLY rising
+    // event values under the (ts_ns, event_id) total order — streak count,
+    // longest, and the length of the current (final) streak. All outputs
+    // are exact row counts; the break flag's CASE is identical in both
+    // engines so the island ids line up row-for-row.
+    "a10_streaks" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+      Windows.streaks(ev, Seq(col("user_id")),
+        Seq(col("ts_ns"), col("event_id")), col("value"))
+    }),
+
     // Fixed-width value histogram (the profiling primitive behind every
     // "distribution of X" dashboard): bucket = floor(price/5000) — floor
     // on the IEEE division, NEVER a bigint cast (Spark's cast truncates
@@ -3110,6 +3121,15 @@ object SparkEntry {
       Graph.connectedComponents(edges, "src", "dst")
     }),
 
+    // Co-occurrence graph construction (market-basket edges): part pairs
+    // bought together in ≥2 orders. The self-join co-shuffles on the
+    // basket key with C(n,2) fan-out bounded by TPC-H's ≤7-line orders;
+    // memberships are DISTINCT'd first so duplicate (order, part) lines
+    // never double-count a pair.
+    "graph_copurchase" -> ((s, dir) =>
+      Graph.cooccurrencePairs(TestData(s, dir).lineitem,
+        "l_orderkey", "l_partkey", minCount = 2L)),
+
     // Freshness monitoring: per-symbol staleness vs the market's latest
     // bar date — the DQ watchdog a daily-ingest table needs (a feed that
     // silently stopped shows up as days_behind, not as absence).
@@ -3385,6 +3405,15 @@ object SparkEntry {
     "dq_profile" -> ((s, dir) =>
       graft.quality.DataQuality.profile(TestData(s, dir).lineitem,
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Benford first-digit audit over order totals: per-digit observed
+    // counts vs the fixed per-mille expectation grid, deviations as exact
+    // integers (dev = 1000·obs − pm·N). First digit via the string
+    // rendering, not log₁₀ — decimal formatting agrees across engines
+    // where boundary logs need not.
+    "dq_benford" -> ((s, dir) =>
+      graft.quality.DataQuality.benfordAudit(TestData(s, dir).orders,
+        col("o_totalprice"))),
 
     // A6 monthly bar synthesis off daily bars (multi-frequency resample).
     "api_monthly_bars" -> ((s, dir) =>
@@ -3720,6 +3749,29 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(one).mkString("\n UNION ALL \n")
     },
+
+    // Benford replay: same string-rendered first digit, same per-mille
+    // literals, exact integer deviations. Window SUMs are BIGINT-cast
+    // (DuckDB widens SUM to HUGEINT — the graph_pagerank type-family
+    // lesson).
+    "dq_benford" ->
+      """WITH d AS (SELECT CAST(NULLIF(regexp_extract(
+                             CAST(o_totalprice AS VARCHAR), '[1-9]'), '')
+                           AS BIGINT) AS digit
+                    FROM orders),
+          c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+                FROM d WHERE digit IS NOT NULL GROUP BY digit),
+          dom(digit, expected_pm) AS (
+            VALUES (CAST(1 AS BIGINT), CAST(301 AS BIGINT)), (2, 176),
+                   (3, 125), (4, 97), (5, 79), (6, 67), (7, 58), (8, 51),
+                   (9, 46)),
+          j AS (SELECT dom.digit, dom.expected_pm,
+                       COALESCE(c.n_obs, CAST(0 AS BIGINT)) AS n_obs
+                FROM dom LEFT JOIN c USING (digit))
+          SELECT digit, n_obs, expected_pm,
+                 (1000 * n_obs) // CAST(SUM(n_obs) OVER () AS BIGINT) AS share_pm,
+                 1000 * n_obs - expected_pm * CAST(SUM(n_obs) OVER () AS BIGINT) AS dev
+          FROM j""",
 
     "dq_bars_invariants" ->
       s"""$MKT, wp AS (SELECT *, LAG(close) OVER (PARTITION BY symbol ORDER BY date) AS preclose
@@ -5119,6 +5171,28 @@ $backtestPnlCtes,
                 CAST(SUM(q) AS BIGINT) AS volume,
                 CAST(SUM(pq) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS vwap
          FROM t GROUP BY symbol, bucket""",
+
+    // Streak replay: identical break-flag CASE, cumulative island id,
+    // per-island row counts. arg_max picks the FINAL island (ids are
+    // unique per key so there's no tie to break).
+    "a10_streaks" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value
+                    FROM events),
+          f AS (SELECT user_id, ts_ns, event_id,
+                       CASE WHEN lag(value) OVER w IS NULL
+                                 OR value <= lag(value) OVER w
+                            THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+          s AS (SELECT user_id,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak
+                FROM f),
+          l AS (SELECT user_id, streak, CAST(COUNT(*) AS BIGINT) AS len
+                FROM s GROUP BY user_id, streak)
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+                 MAX(len) AS max_streak,
+                 arg_max(len, streak) AS last_streak
+          FROM l GROUP BY user_id""",
 
     "a7_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
@@ -6892,6 +6966,16 @@ $backtestPnlCtes,
           SELECT CAST(node AS BIGINT) AS node,
                  CAST(MIN(lab) AS BIGINT) AS component
           FROM r GROUP BY node""",
+
+    // Co-purchase pairs: DISTINCT memberships, oriented self-join, exact
+    // pair counts with the same ≥2 floor.
+    "graph_copurchase" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                    FROM lineitem),
+          p AS (SELECT a.i AS item_a, c.i AS item_b
+                FROM m a JOIN m c ON a.b = c.b AND a.i < c.i)
+          SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_baskets
+          FROM p GROUP BY item_a, item_b HAVING COUNT(*) >= 2""",
 
     "dq_freshness" ->
       s"""$MKT, lastd AS (SELECT symbol, MAX(date) AS last_date FROM bars GROUP BY symbol),

@@ -232,4 +232,33 @@ object Graph {
         edges.select(col(src).as("doc_a"), col(dst).as("doc_b")),
         maxIterations)
       .select(col("doc_id").as("node"), col("label").as("component"))
+
+  /** Co-occurrence graph construction: weighted item–item edges from a
+    * (basket, item) membership table — the market-basket / co-access /
+    * co-citation builder that feeds recommendation and related-items
+    * graphs. One self-join per basket with `a < b` orientation (each
+    * unordered pair once), then an exact count per pair; pairs below
+    * `minCount` drop.
+    *
+    * Scale: the join co-shuffles both sides on the basket key, so the
+    * fan-out per basket is C(n,2) of ITS OWN size — bounded when basket
+    * sizes are bounded (orders cap at 7 lineitems in TPC-H; carts/
+    * sessions in the hundreds). A power-law basket (one basket with 10⁶
+    * items) is the failure mode: cap it upstream with
+    * [[graft.quality.Sampling.capPerGroup]] before calling — same
+    * discipline as the dedup inverted-index df caps. Duplicate (basket,
+    * item) memberships are collapsed first so a re-ordered line never
+    * double-counts a pair.
+    */
+  def cooccurrencePairs(members: DataFrame, basket: String, item: String,
+                        minCount: Long): DataFrame = {
+    val m = members.select(col(basket).as("__b"), col(item).as("__i")).distinct()
+    val a = m.select(col("__b"), col("__i").as("item_a"))
+    val b = m.select(col("__b"), col("__i").as("item_b"))
+    a.join(b, Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minCount)
+  }
 }

@@ -318,4 +318,33 @@ object Windows {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__island")
   }
+
+  /** Gaps-and-islands streak statistics: the length distribution of maximal
+    * runs where `x` STRICTLY RISES between consecutive rows per key (the
+    * momentum/winning-streak audit every market and engagement pipeline
+    * carries). A run breaks whenever x ≤ its predecessor, so every row
+    * starts or extends exactly one streak and a key with n rows has
+    * between 1 and n streaks. Same two-pass island construction as
+    * [[changeIntervals]]: one shuffle on the key, a flag + running-sum
+    * window, then a per-island count — no self-join, no state beyond the
+    * window frame. Output: one row per key with the streak count, the
+    * longest streak, and the length of the final (current) streak.
+    */
+  def streaks(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+              x: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val cum = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = df
+      .withColumn("__brk",
+        when(lag(x, 1).over(w).isNull || x <= lag(x, 1).over(w), 1L)
+          .otherwise(0L))
+      .withColumn("__streak", sum(col("__brk")).over(cum))
+    val perStreak = flagged.groupBy((keys :+ col("__streak")): _*)
+      .agg(count(lit(1)).as("len"))
+    perStreak.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"),
+        max_by(col("len"), col("__streak")).as("last_streak"))
+  }
 }

@@ -150,4 +150,41 @@ object DataQuality {
         (col("__n") - col("n_present")).as("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
+
+  /** Benford per-mille expectations for first digits 1–9: round(1000 ·
+    * log₁₀(1 + 1/d)). Fixed literals (they sum to exactly 1000) so the
+    * operator and any replaying engine share the same grid — no runtime
+    * log. */
+  val BenfordPm: Seq[(Long, Long)] =
+    Seq(1L -> 301L, 2L -> 176L, 3L -> 125L, 4L -> 97L, 5L -> 79L,
+      6L -> 67L, 7L -> 58L, 8L -> 51L, 9L -> 46L)
+
+  /** Benford first-digit audit — the classic fabricated-data screen for a
+    * numeric column spanning magnitudes (amounts, volumes, populations).
+    * First significant digit comes from the STRING rendering (first
+    * [1-9] match) rather than log₁₀ arithmetic: decimal formatting is
+    * identical across engines while log-based extraction can misplace a
+    * value sitting on a power-of-ten boundary. One groupBy over the scan;
+    * the 9-row digit domain is a driver-local frame left-joined so absent
+    * digits report 0; deviations stay exact integers on the shared
+    * per-mille grid (`dev = 1000·obs − pm·N` — positive means
+    * over-represented). Emits one row per digit 1–9. */
+  def benfordAudit(df: DataFrame, x: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digit = regexp_extract(x.cast("string"), "[1-9]", 0).cast("long")
+    val counts = df.select(digit.as("digit"))
+      .filter(col("digit").isNotNull)
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val domain = BenfordPm.toDF("digit", "expected_pm")
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    domain.join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("__n", sum(col("n_obs")).over(all))
+      .select(col("digit"), col("n_obs"), col("expected_pm"),
+        expr("(1000 * n_obs) DIV __n").as("share_pm"),
+        (lit(1000L) * col("n_obs") - col("expected_pm") * col("__n"))
+          .as("dev"))
+  }
 }

@@ -111,4 +111,18 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(got.length == 200 && got.forall(_._2 == 0L))
   }
+
+  test("cooccurrencePairs: oriented once per pair, duplicate memberships collapsed") {
+    // basket 1: {a,b,c}; basket 2: {a,b} with a duplicated 'a' line;
+    // basket 3: {c} (no pairs). (a,b) co-occurs twice, others once.
+    val m = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "a"), (2L, "b"), (3L, "c")).toDF("b", "i")
+    val all = Graph.cooccurrencePairs(m, "b", "i", minCount = 1L)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(all == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    val floored = Graph.cooccurrencePairs(m, "b", "i", minCount = 2L)
+      .as[(String, String, Long)].collect()
+    assert(floored.toSeq == Seq(("a", "b", 2L)))
+  }
 }

@@ -335,4 +335,17 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, Option[Long], Long, Boolean)].collect().toSeq
     assert(o1 == Seq(("x", 1L, None, 2L, true)))
   }
+
+  test("streaks: strict rises split on equal values; singles count as length-1 streaks") {
+    // u: 1,2,2,3,1,5  → runs [1,2],[2,3],[1,5] = 3 streaks, max 2, last 2
+    // v: 5,4,3        → three length-1 runs (every step falls), last 1
+    val df = Seq(
+      ("u", 1L, 1.0), ("u", 2L, 2.0), ("u", 3L, 2.0), ("u", 4L, 3.0),
+      ("u", 5L, 1.0), ("u", 6L, 5.0),
+      ("v", 1L, 5.0), ("v", 2L, 4.0), ("v", 3L, 3.0)).toDF("k", "t", "x")
+    val got = Windows.streaks(df, Seq(col("k")), Seq(col("t")), col("x"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map("u" -> (3L, 2L, 2L), "v" -> (3L, 1L, 1L)))
+  }
 }

@@ -30,6 +30,22 @@ class QualitySpec extends SparkSpec {
     assert(p.getAs[Long]("b_nulls") == 1)
   }
 
+  test("benford audit: hand-counted digits, absent digits report zero, grid sums to 1000") {
+    assert(DataQuality.BenfordPm.map(_._2).sum == 1000L)
+    // values: first digits 1,1,1,2,9 — digit 3..8 absent; 0.5 contributes
+    // its first SIGNIFICANT digit (5)
+    val df = Seq(123.0, 1.9, 0.5, 19999.0, 2.2, 9.0).toDF("x")
+    val rows = DataQuality.benfordAudit(df, col("x"))
+      .select("digit", "n_obs", "expected_pm", "dev")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.size == 9)
+    assert(rows(1L)._2 == 3L && rows(2L)._2 == 1L && rows(5L)._2 == 1L &&
+      rows(9L)._2 == 1L && rows(3L)._2 == 0L)
+    // dev = 1000·obs − pm·N with N = 6: digit 1 → 3000 − 301·6 = 1194
+    assert(rows(1L)._4 == 1194L)
+    assert(rows(3L)._4 == -125L * 6L)
+  }
+
   test("pivot (matrix edge) round-trips back to the long shape") {
     val api = PTradeApi(views)
     val syms = Seq("000001.SZ", "000002.SZ", "000003.SZ")
