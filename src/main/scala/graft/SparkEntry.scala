@@ -1587,6 +1587,13 @@ object SparkEntry {
     "text_ngram_topk" -> ((s, dir) =>
       Relevance.ngramTopK(TestData(s, dir).documents, "text", n = 2, k = 20)),
 
+    // PMI collocation mining, rational form (no logs cross the engines):
+    // ratio = n_pair·N_uni² / (N_bi·c_a·c_b), support floor 5, ranked
+    // (ratio DESC, bigram ASC).
+    "text_collocations" -> ((s, dir) =>
+      Relevance.collocations(TestData(s, dir).documents, "text",
+        minCount = 5L, k = 20)),
+
     // Token-window chunking with overlap (chunkSize 32, overlap 8) —
     // shuffle-free generator, slice arithmetic replays in SQL.
     "text_chunks" -> ((s, dir) =>
@@ -2725,6 +2732,17 @@ object SparkEntry {
     // 64 dims — the truncated-embedding first stage modern nested-trained
     // embedding stacks serve (4× less bandwidth per scan, same scan
     // shape). Same exact fold + tie rules, sliced inputs.
+    // Attribute-filtered retrieval (PRE-filter): true top-5 of the
+    // eligible subset (vec_id ≡ 0 mod 3) — the predicate prunes the scan,
+    // never the result. Post-filtering an unfiltered top-k instead loses
+    // up to all k neighbors (spec-pinned).
+    "ann_filtered_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Ann.filteredTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+          "embedding", 5, col("vec_id") % 3 === 0)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     "ann_prefix_topk" -> ((s, dir) => {
       val pre = TestData(s, dir).embeddings
         .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
@@ -6138,6 +6156,31 @@ $backtestPnlCtes,
            FROM c)
          WHERE rank <= 20""",
 
+    // PMI replay: identical integer products, one IEEE division, same
+    // (ratio DESC, bigram ASC) total order.
+    "text_collocations" ->
+      """WITH w AS (SELECT list_filter(string_split(text,' '), x -> length(x)>0) AS ws FROM documents),
+         u AS (SELECT x AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+               FROM w, unnest(ws) AS t(x) GROUP BY x),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_uni FROM u),
+         g AS (SELECT ws[i] AS wa, ws[i+1] AS wb
+               FROM w, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+         totb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM g),
+         b AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS n_pair
+               FROM g GROUP BY wa, wb HAVING COUNT(*) >= 5),
+         s AS (SELECT wa || ' ' || wb AS bigram, n_pair,
+                      n_pair * n_uni * n_uni AS num,
+                      n_bi * ca.c1 * cb.c1 AS den
+               FROM b JOIN u ca ON b.wa = ca.w1 JOIN u cb ON b.wb = cb.w1
+               CROSS JOIN tot CROSS JOIN totb)
+         SELECT bigram, n_pair, num, den,
+                CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pmi_ratio, rank
+         FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+                 ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC,
+                          bigram ASC) AS BIGINT) AS rank
+               FROM s)
+         WHERE rank <= 20""",
+
     // Mirrors Sampling.stratified(en→0.5, de→0.25, default 0.1) on key
     // doc_id: same 60-bit md5-prefix bucket as the Md5Hash lane family.
     "sample_split" ->
@@ -6725,6 +6768,23 @@ $backtestPnlCtes,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                 ROUND(
+                   list_reduce(list_transform(list_zip(qv, cv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (x,y) -> x+y)
+                   / (sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))
+                    * sqrt(list_reduce(list_transform(cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))), 6) AS cos
+               FROM c JOIN q ON query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, cos FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM s)
+         WHERE rank <= 5""",
+
+    // Pre-filter replay: the predicate lands in the corpus CTE, the fold
+    // and tie rules are ann_topk's verbatim.
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+               WHERE vec_id % 3 = 0),
          s AS (SELECT query_id, neighbor_id,
                  ROUND(
                    list_reduce(list_transform(list_zip(qv, cv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (x,y) -> x+y)

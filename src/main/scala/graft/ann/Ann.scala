@@ -56,6 +56,22 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Attribute-filtered vector search — the serving shape behind every
+    * "nearest docs WHERE lang = 'en' AND source = X" call. This is the
+    * PRE-FILTER plan: the predicate restricts the corpus BEFORE scoring,
+    * so the result is the true top-k of the eligible subset and the
+    * predicate reaches the parquet scan (filter pushdown — the scan reads
+    * only matching row groups). The tempting alternative — run unfiltered
+    * top-k, then filter — is WRONG at any k: every surviving neighbor is
+    * correct but up to k of them disappear, and a query whose true
+    * neighbors all fail the predicate returns nothing (recall loss is
+    * unbounded; spec-pinned). For the IVF/PQ index path the same rule
+    * holds per cell: filter the posting lists, not the result.
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                   vec: String, k: Int, pred: Column): DataFrame =
+    bruteForceTopK(corpus.filter(pred), queries, id, vec, k)
+
   /** splitmix64 finalizer — the standard public-domain mixer (same math as
     * java.util.SplittableRandom). Runs at PLAN time only. */
   private def mix64(z0: Long): Long = {

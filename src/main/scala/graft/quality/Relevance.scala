@@ -184,6 +184,54 @@ object Relevance {
         Window.orderBy(col("cnt").desc, col("ngram").asc)).cast("long"))
   }
 
+  /** Top-k bigram collocations by pointwise mutual information — the
+    * phrase-mining pass that decides "new york" is a unit and "of the" is
+    * noise. PMI is kept in its RATIONAL form (the text_tfidf log-free
+    * trick): with P(ab)=n_pair/N_bi and P(w)=c_w/N_uni,
+    * ratio = n_pair·N_uni² / (N_bi·c_a·c_b) ranks identically to
+    * log-PMI (log is monotone) while both sides of the oracle compute
+    * the SAME two exact-integer products and ONE IEEE division — no
+    * cross-engine ln drift. `minCount` is the standard support floor
+    * (PMI of a hapax pair is pure noise and tops every list).
+    *
+    * Scale: two corpus passes (unigram + bigram counts, each one
+    * map-side-combined groupBy), two hash joins of pair counts against
+    * the vocab frame, totals as tiny in-plan aggregates (no eager
+    * count) — then TakeOrderedAndProject for the global top-k.
+    * Returns (bigram, n_pair, num, den, pmi_ratio, rank).
+    */
+  def collocations(docs: DataFrame, text: String, minCount: Long,
+                   k: Int): DataFrame = {
+    val withWords = docs.select(TextFns.words(col(text)).as("ws"))
+    val ws = col("ws")
+    val uni = withWords.filter(size(ws) >= 1)
+      .select(explode_outer(ws).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = withWords.filter(size(ws) >= 2)
+      .select(explode_outer(transform(sequence(lit(0), size(ws) - 2),
+        i => struct(element_at(ws, i + 1).as("wa"),
+          element_at(ws, i + 2).as("wb")))).as("p"))
+      .select(col("p.wa"), col("p.wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nUni = uni.agg(sum(col("c1")).as("n_uni"))
+    val nBi = withWords.agg(
+      sum(greatest(size(ws) - 1, lit(0))).cast("long").as("n_bi"))
+    val scored = bi
+      .join(uni.select(col("w").as("wa"), col("c1").as("c_a")), "wa")
+      .join(uni.select(col("w").as("wb"), col("c1").as("c_b")), "wb")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(concat_ws(" ", col("wa"), col("wb")).as("bigram"),
+        col("n_pair"),
+        (col("n_pair") * col("n_uni") * col("n_uni")).as("num"),
+        (col("n_bi") * col("c_a") * col("c_b")).as("den"))
+      .withColumn("pmi_ratio",
+        col("num").cast("double") / col("den").cast("double"))
+    scored.orderBy(col("pmi_ratio").desc, col("bigram").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi_ratio").desc, col("bigram").asc)).cast("long"))
+  }
+
   /** Hashed-feature linear classifier INFERENCE (the fastText-style
     * quality-classifier serving shape every corpus pipeline runs): each
     * word hashes into one of `dims` buckets (the hashing trick — no vocab

@@ -1416,6 +1416,25 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map("a" -> None, "b" -> Some(1L), "c" -> Some(2L), "d" -> Some(2L)))
   }
 
+  test("filtered retrieval: pre-filter is the subset's true top-k; post-filter loses neighbors") {
+    import graft.ann.Ann
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val pred = col("vec_id") % 3 === 0
+    val pre = Ann.filteredTopK(e, q, "vec_id", "embedding", 5, pred)
+      .select("query_id", "neighbor_id")
+    // the WRONG plan: unfiltered top-k, then filter the results
+    val post = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .filter(col("neighbor_id") % 3 === 0)
+      .select("query_id", "neighbor_id")
+    // every post-filter survivor is genuinely in the subset's top-k…
+    assert(post.exceptAll(pre).count() == 0L)
+    // …but pre returns the full 5 per query while post drops ~2/3 of them
+    assert(pre.count() == 50L)
+    val postN = post.count()
+    assert(postN < 30L, s"post-filter kept $postN — expected heavy loss")
+  }
+
   test("prefix retrieval keeps most of the full-rank top-5 on the fixture embeddings") {
     import graft.ann.Ann
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
