@@ -525,6 +525,9 @@ object Multimodal {
     else if (startsWith(b, 0, "RIFF") && startsWith(b, 8, "WAVE"))
       decodeOneWav(id, b).map(f => SniffedMedia(id, "wav", 0, 0,
         f.n_samples, f.mean_amp))
+    else if (startsWith(b, 0, "RIFF") && startsWith(b, 8, "WEBP"))
+      Webp.decodeOne(id, b).map(f => SniffedMedia(id, "webp", f.width,
+        f.height, f.n_chunks.toLong, 0.0))
     else if (Bmp.looksLikeBmp(b))
       Bmp.decodeOne(id, b).map(f => SniffedMedia(id, "bmp", f.width, f.height,
         f.n_pixels, (f.mean_r + f.mean_g + f.mean_b) / 3.0))

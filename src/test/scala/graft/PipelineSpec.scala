@@ -1213,11 +1213,12 @@ class PipelineSpec extends SparkSpec {
       row(6L, Video.syntheticAvi(one).collect().head.media),
       row(7L, "just some text bytes".getBytes),         // opaque: kept
       row(8L, "P6\nnot numbers at all".getBytes),       // recognized kind, malformed: DROPPED
-      row(9L, Array[Byte](0xff.toByte, 0xd8.toByte, 0, 1)) // truncated jpeg: DROPPED
+      row(9L, Array[Byte](0xff.toByte, 0xd8.toByte, 0, 1)), // truncated jpeg: DROPPED
+      row(10L, graft.multimodal.Webp.encodeOne(3L))     // third RIFF kind
     ).toDS()
     val out = Multimodal.sniffAndDecode(mixed).collect().map(f => f.id -> f.kind).toMap
     assert(out == Map(0L -> "jpeg", 1L -> "png", 2L -> "gif", 3L -> "ppm",
-      4L -> "wav", 5L -> "flac", 6L -> "avi", 7L -> "opaque"),
+      4L -> "wav", 5L -> "flac", 6L -> "avi", 7L -> "opaque", 10L -> "webp"),
       s"router output: $out")
   }
 
@@ -1288,6 +1289,40 @@ class PipelineSpec extends SparkSpec {
     val e0Off = 6 + 16 * 2
     val f4 = Ico.decodeIco(Seq(forge(b => b(e0Off + 8) = 5.toByte)).toDS()).collect()
     assert(f4.forall(_.entry == 1), "odd doubled-height DIB must drop")
+  }
+
+  test("WebP: all three bitstream forms decode, pad bytes and unknown chunks honored, forgeries drop") {
+    import graft.multimodal.Webp
+    val ids = spark.range(0, 24).as[Long]
+    val metas = Webp.decodeWebp(Webp.syntheticWebp(ids)).collect()
+    assert(metas.length == 24)
+    metas.foreach { m =>
+      val (kind, w, h, a, n) = Webp.shape(m.id)
+      assert(m.kind == kind && m.width == w && m.height == h &&
+        m.has_alpha == a && m.n_chunks == n, s"id=${m.id}")
+    }
+    // id 8: vp8x with the odd-sized XMP chunk between header and frame —
+    // 3 chunks walked means the pad byte and the skip both worked
+    assert(metas.find(_.id == 8L).exists(m => m.kind == "vp8x" && m.n_chunks == 3))
+    def forge(id: Long)(mut: Array[Byte] => Unit): Webp.WebpFile = {
+      val b = Webp.encodeOne(id); mut(b); Webp.WebpFile(id, b)
+    }
+    def decode(f: Webp.WebpFile) = Webp.decodeWebp(Seq(f).toDS()).collect()
+    // (a) RIFF size lie
+    assert(decode(forge(0L)(b => b(4) = (b(4) + 1).toByte)).isEmpty)
+    // (b) VP8 start-code corruption (id 0 is vp8: payload at 12+8, code at +3)
+    assert(decode(forge(0L)(b => b(12 + 8 + 3) = 0x00)).isEmpty)
+    // (c) nonzero VP8L version bits (id 1 is vp8l: LE32 at payload+1, top byte)
+    assert(decode(forge(1L)(b => b(12 + 8 + 4) = (b(12 + 8 + 4) | 0x20).toByte)).isEmpty)
+    // (d) vp8x canvas forged away from the inner frame (id 2: canvas w-1 at payload+4)
+    assert(decode(forge(2L)(b => b(12 + 8 + 4) = (b(12 + 8 + 4) + 1).toByte)).isEmpty)
+    // (e) truncation mid-chunk
+    val t = Webp.encodeOne(5L)
+    val tt = java.util.Arrays.copyOf(t, t.length - 3)
+    // fix the RIFF size so ONLY the chunk walk catches it
+    val sz = tt.length - 8
+    tt(4) = (sz & 0xff).toByte; tt(5) = ((sz >> 8) & 0xff).toByte
+    assert(decode(Webp.WebpFile(5L, tt)).isEmpty)
   }
 
   test("MP3 walk: syncsafe ID3 skip, stride-computed frames, VBR flag, forgeries stop") {
