@@ -1396,6 +1396,30 @@ object SparkEntry {
         .withColumn("vwap",
           col("turnover").cast("double") / col("volume").cast("double"))),
 
+    // Ratio-to-report: each nation's share of total order revenue — the
+    // percent-of-total shape every report carries. Revenue sums ride the
+    // decimal route; the share is ONE IEEE division of the double-cast
+    // exact sums (never decimal division — engines disagree on result
+    // scale). The total comes from a global window over the ~25-row
+    // nation aggregate (bounded by construction).
+    "a11_ratio_to_report" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      val rev = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).cast("decimal(25,6)").as("__rev"))
+      val all = org.apache.spark.sql.expressions.Window.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      // the total stays DECIMAL through the window (order-independent);
+      // doubles appear only at the final cast and the single division
+      rev.withColumn("__tot", sum(col("__rev")).over(all))
+        .select(col("n_name"), col("__rev").cast("double").as("revenue"),
+          (col("__rev").cast("double") / col("__tot").cast("double"))
+            .as("share"))
+    }),
+
     // Gaps-and-islands streaks: per user, maximal runs of STRICTLY rising
     // event values under the (ts_ns, event_id) total order — streak count,
     // longest, and the length of the current (final) streak. All outputs
@@ -2431,6 +2455,20 @@ object SparkEntry {
           sum(when(col("clipped_low"), 1L).otherwise(0L)).as("n_lo"),
           sum(when(col("clipped_high"), 1L).otherwise(0L)).as("n_hi"),
           decSum(col("clipped")).as("sum_clipped"))),
+
+    // Tukey IQR fences (boxplot rule): nearest-rank quartiles, three IEEE
+    // ops per fence, per-group outlier counts — the robust outlier screen
+    // next to winsorize's clip.
+    "quantiles_iqr_outliers" -> ((s, dir) =>
+      Quantiles.iqrOutliers(TestData(s, dir).lineitem,
+          "l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+          max(col("lo_fence")).as("lo_fence"),
+          max(col("hi_fence")).as("hi_fence"),
+          sum(when(col("is_low"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("is_high"), 1L).otherwise(0L)).as("n_high"))),
 
     // Interpolated (percentile_cont) quantiles — same window plan, but the
     // value is COMPUTED: the oracle replays the identical IEEE expression
@@ -5207,6 +5245,18 @@ $backtestPnlCtes,
                 CAST(SUM(pq) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS vwap
          FROM t GROUP BY symbol, bucket""",
 
+    // Ratio-to-report: decimal-exact nation sums, decimal window total,
+    // doubles only at the final casts and the one division.
+    "a11_ratio_to_report" ->
+      """WITH rev AS (SELECT n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS rev
+             FROM orders JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name)
+         SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+                CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share
+         FROM rev""",
+
     // Streak replay: identical break-flag CASE, cumulative island id,
     // per-island row counts. arg_max picks the FINAL island (ids are
     // unique per key so there's no tie to break).
@@ -6276,6 +6326,29 @@ $backtestPnlCtes,
                  CAST(CAST(SUM(CAST(least(greatest(l.l_extendedprice, c.cut_lo), c.cut_hi)
                                     AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_clipped
           FROM lineitem l JOIN cuts c USING (l_returnflag)
+          GROUP BY l.l_returnflag""",
+
+    // IQR fences: nearest-rank quartiles on the DOUBLE-cast value, the
+    // identical three-op fence tree, exact outlier counts.
+    "quantiles_iqr_outliers" ->
+      """WITH r AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+             FROM lineitem),
+          cuts AS (SELECT l_returnflag,
+               MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.25) AS BIGINT) THEN v END) AS q1,
+               MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.75) AS BIGINT) THEN v END) AS q3
+             FROM r GROUP BY l_returnflag),
+          f AS (SELECT l_returnflag, q1, q3,
+                       q1 - 1.5 * (q3 - q1) AS lo_fence,
+                       q3 + 1.5 * (q3 - q1) AS hi_fence
+                FROM cuts)
+          SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                 MAX(f.q1) AS q1, MAX(f.q3) AS q3,
+                 MAX(f.lo_fence) AS lo_fence, MAX(f.hi_fence) AS hi_fence,
+                 CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                 CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+          FROM lineitem l JOIN f USING (l_returnflag)
           GROUP BY l.l_returnflag""",
 
     // Mirrors Quantiles.exactCont's expression tree exactly: h=(n-1)p,

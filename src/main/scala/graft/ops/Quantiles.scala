@@ -63,6 +63,32 @@ object Quantiles {
       .withColumn("clipped_high", col(value) > col("cut_hi"))
   }
 
+  /** Tukey IQR fences — the boxplot outlier rule (flag x outside
+    * [q1 − k·IQR, q3 + k·IQR], k = 1.5 classically). Quartiles are
+    * nearest-rank SELECTED doubles ([[exactDisc]] discipline), so the
+    * fences are three IEEE operations (one subtract, one multiply, one
+    * add/sub each) on identical inputs — engine-exact, unlike
+    * stddev-based rules whose sums are order-dependent. Same plan shape
+    * as [[winsorize]]: one rank window, cutoffs joined back (AQE
+    * broadcasts the group-cardinality cut frame). Flags rows; callers
+    * aggregate or filter. */
+  def iqrOutliers(df: DataFrame, group: String, value: String,
+                  k: Double = 1.5): DataFrame = {
+    val ranked = df.select(col(group), col(value).cast("double").as("__v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(group).orderBy(col("__v").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(group)).cast("long"))
+    val cuts = ranked.groupBy(group).agg(
+      max(when(col("rn") === ceil(col("n").cast("double") * 0.25), col("__v"))).as("q1"),
+      max(when(col("rn") === ceil(col("n").cast("double") * 0.75), col("__v"))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo_fence", col("q1") - lit(k) * col("iqr"))
+      .withColumn("hi_fence", col("q3") + lit(k) * col("iqr"))
+    df.join(cuts, group)
+      .withColumn("is_low", col(value).cast("double") < col("lo_fence"))
+      .withColumn("is_high", col(value).cast("double") > col("hi_fence"))
+  }
+
   /** Exact INTERPOLATED quantiles per group — the `percentile_cont` /
     * numpy-linear definition: h = (n−1)·p, result = v⌊h⌋ + (v⌊h⌋₊₁ −
     * v⌊h⌋)·(h − ⌊h⌋) over the ascending order.
