@@ -3178,6 +3178,29 @@ object SparkEntry {
       Graph.connectedComponents(edges, "src", "dst")
     }),
 
+    // Hop-bounded multi-source shortest paths over a weighted two-rule
+    // graph (block edges + mod-37 long links, symmetric integer weights):
+    // dist from the nearest of seeds {0,1,2} within ≤6 hops. Exact
+    // BIGINT min-plus; the oracle enumerates every ≤6-hop path.
+    "graph_sssp" -> ((s, dir) => {
+      import s.implicits._
+      val base = TestData(s, dir).orders
+        .select((col("o_orderkey") % 900).as("n"),
+          (lit(2) + (col("o_orderkey") % 3) * 2).as("st"))
+        .distinct()
+      val e1 = base.select(col("n").as("src"),
+          (col("n") - col("n") % 30 + (col("n") % 30 + col("st")) % 30).as("dst"))
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+      val e2 = base.select(col("n").as("src"),
+          ((col("n") + 37) % 900).as("dst"))
+        .withColumn("w", lit(2L) + (col("src") + col("dst")) % 5)
+      val dir1 = e1.unionByName(e2)
+      val edges = dir1.unionByName(
+        dir1.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val sources = Seq(0L, 1L, 2L).toDF("node")
+      Graph.boundedSssp(edges, "src", "dst", "w", sources, maxHops = 6)
+    }),
+
     // Co-occurrence graph construction (market-basket edges): part pairs
     // bought together in ≥2 orders. The self-join co-shuffles on the
     // basket key with C(n,2) fan-out bounded by TPC-H's ≤7-line orders;
@@ -7115,6 +7138,29 @@ $backtestPnlCtes,
             SELECT e.dst, r.lab FROM r JOIN e ON r.node = e.src)
           SELECT CAST(node AS BIGINT) AS node,
                  CAST(MIN(lab) AS BIGINT) AS component
+          FROM r GROUP BY node""",
+
+    // Bounded SSSP ground truth: enumerate every ≤6-hop path from the
+    // seeds over the symmetrized two-rule edge set, then MIN per node.
+    // UNION dedups (node, dist, hops) states so the enumeration stays
+    // polynomial on this graph.
+    "graph_sssp" ->
+      """WITH RECURSIVE b AS (SELECT DISTINCT o_orderkey % 900 AS n,
+                                     2 + (o_orderkey % 3) * 2 AS st
+                              FROM orders),
+          e1 AS (SELECT n AS src, n - n % 30 + (n % 30 + st) % 30 AS dst FROM b),
+          e2 AS (SELECT n AS src, (n + 37) % 900 AS dst FROM b),
+          ed AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM e1
+                 UNION ALL SELECT src, dst, 2 + (src + dst) % 5 AS w FROM e2),
+          e AS (SELECT src, dst, w FROM ed
+                UNION SELECT dst AS src, src AS dst, w FROM ed),
+          r(node, dist, hops) AS (
+            SELECT s, 0, 0 FROM (VALUES (0), (1), (2)) t(s)
+            UNION
+            SELECT e.dst, r.dist + e.w, r.hops + 1
+            FROM r JOIN e ON r.node = e.src WHERE r.hops < 6)
+          SELECT CAST(node AS BIGINT) AS node,
+                 CAST(MIN(dist) AS BIGINT) AS dist
           FROM r GROUP BY node""",
 
     // Co-purchase pairs: DISTINCT memberships, oriented self-join, exact

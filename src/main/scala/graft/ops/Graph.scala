@@ -233,6 +233,50 @@ object Graph {
         maxIterations)
       .select(col("doc_id").as("node"), col("label").as("component"))
 
+  /** Hop-bounded multi-source shortest paths (Bellman–Ford with a
+    * FRONTIER): dist[n] after round h is exactly the cheapest ≤h-hop path
+    * from the nearest source — the bounded-closure semantics that keeps
+    * the operator deterministic and oracle-replayable (full SSSP's
+    * round count is data-dependent; a fixed `maxHops` is a contract).
+    * Each round relaxes only the nodes whose distance IMPROVED last
+    * round (the delta/frontier optimization — on a 100 TB edge list the
+    * frontier shrinks geometrically once the wave passes, so late rounds
+    * touch a sliver of the graph instead of re-relaxing everything);
+    * an empty frontier exits early with the identical result. Weights
+    * are integer (exact BIGINT min-plus — no float accumulation order).
+    * `edges` are taken as directed; symmetrize for undirected graphs.
+    * localCheckpoint per round (rule 8). Returns (node, dist) for every
+    * node reachable within `maxHops`.
+    */
+  def boundedSssp(edges: DataFrame, src: String, dst: String, w: String,
+                  sources: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col(src).as("__s"), col(dst).as("__d"),
+      col(w).as("__w"))
+    var dist = sources.select(col("node"), lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = dist
+    var h = 0
+    var done = false
+    while (h < maxHops && !done) {
+      val relaxed = frontier.join(e, col("node") === col("__s"))
+        .select(col("__d").as("node"), (col("dist") + col("__w")).as("dist"))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      val improved = relaxed
+        .join(dist.select(col("node"), col("dist").as("__old")),
+          Seq("node"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select("node", "dist").localCheckpoint()
+      if (improved.isEmpty) done = true
+      else {
+        dist = dist.unionByName(improved)
+          .groupBy("node").agg(min(col("dist")).as("dist")).localCheckpoint()
+        frontier = improved
+      }
+      h += 1
+    }
+    dist
+  }
+
   /** Co-occurrence graph construction: weighted item–item edges from a
     * (basket, item) membership table — the market-basket / co-access /
     * co-citation builder that feeds recommendation and related-items

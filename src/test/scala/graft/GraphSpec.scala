@@ -112,6 +112,19 @@ class GraphSpec extends SparkSpec {
     assert(got.length == 200 && got.forall(_._2 == 0L))
   }
 
+  test("boundedSssp: hop bound is a real contract; early exit matches full run") {
+    // 1→2 (w5), 2→3 (w1), 1→3 (w10): the cheap 2-hop route to 3 only
+    // appears once the hop budget admits it
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L)).toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("node")
+    def run(h: Int) = Graph.boundedSssp(e, "src", "dst", "w", src, h)
+      .as[(Long, Long)].collect().toMap
+    assert(run(1) == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    assert(run(2) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L))
+    // converged by round 2; rounds 3..10 exit early with the same answer
+    assert(run(10) == run(2))
+  }
+
   test("cooccurrencePairs: oriented once per pair, duplicate memberships collapsed") {
     // basket 1: {a,b,c}; basket 2: {a,b} with a duplicated 'a' line;
     // basket 3: {c} (no pairs). (a,b) co-occurs twice, others once.
