@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mp3Meta, Mp4Meta, Multimodal, Npy, Png, Srt, TarShard, Tiff, Video, Webp, Zip}
+import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mp3Meta, Mp4Meta, Multimodal, Npy, Pdf, Png, Srt, TarShard, Tiff, Video, Webp, Zip}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -473,7 +473,7 @@ object SparkEntry {
       import s.implicits._
       val docs = TestData(s, dir).documents
       val ids = docs.select(col("doc_id").cast("long")).as[Long]
-      def pick(m: Int) = ids.filter(_ % 17 == m)
+      def pick(m: Int) = ids.filter(_ % 18 == m)
       def row(id: Long, media: Array[Byte]) =
         Multimodal.MediaRow(id, media, "", 0, 0)
       val mixed =
@@ -493,7 +493,8 @@ object SparkEntry {
           .union(Ico.syntheticIco(pick(13)).map(r => row(r.id, r.media)))
           .union(Mp3Meta.syntheticMp3(pick(14)).map(r => row(r.id, r.media)))
           .union(Webp.syntheticWebp(pick(15)).map(r => row(r.id, r.media)))
-          .union(docs.filter(col("doc_id") % 17 === 16)
+          .union(Pdf.syntheticPdf(pick(16)).map(r => row(r.id, r.media)))
+          .union(docs.filter(col("doc_id") % 18 === 17)
             .select(col("doc_id").cast("long").as("id"),
               encode(col("text"), "UTF-8").as("media"),
               lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
@@ -3266,6 +3267,18 @@ object SparkEntry {
       Ico.decodeIco(Ico.syntheticIco(ids)).toDF()
     }),
 
+    // PDF metadata lane: the real random-access read discipline — enter
+    // from the END via startxref, jump to the xref table, walk EXACT
+    // 20-byte records (both legal EOL forms), verify every offset lands
+    // on its own object header, then resolve trailer → catalog → pages
+    // tree with /Size and /Count cross-checks.
+    "mm_pdf_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Pdf.decodePdf(Pdf.syntheticPdf(ids)).toDF()
+    }),
+
     // WebP metadata lane: real RIFF chunk walk (odd-size pad bytes,
     // unknown-chunk skip) over all three bitstream forms — VP8 lossy
     // (start code + 14-bit masked dims), VP8L lossless (LE bitstream,
@@ -4543,14 +4556,14 @@ $backtestPnlCtes,
     // and routing are what's gated; integers only, exact both engines.
     "mm_sniff" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
-                CASE doc_id % 17 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                CASE doc_id % 18 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'
                   WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' WHEN 7 THEN 'bmp'
                   WHEN 8 THEN 'tiff' WHEN 9 THEN 'h264' WHEN 10 THEN 'mp4'
                   WHEN 11 THEN 'zip' WHEN 12 THEN 'tar' WHEN 13 THEN 'ico'
-                  WHEN 14 THEN 'mp3' WHEN 15 THEN 'webp'
+                  WHEN 14 THEN 'mp3' WHEN 15 THEN 'webp' WHEN 16 THEN 'pdf'
                   ELSE 'opaque' END AS kind,
-                CAST(CASE doc_id % 17 WHEN 0 THEN 5 + doc_id % 9
+                CAST(CASE doc_id % 18 WHEN 0 THEN 5 + doc_id % 9
                   WHEN 1 THEN 5 + doc_id % 6 WHEN 2 THEN 5 + doc_id % 7
                   WHEN 3 THEN 4 + doc_id % 5 WHEN 6 THEN 5 + doc_id % 9
                   WHEN 7 THEN 6 + doc_id % 7 WHEN 8 THEN 5 + doc_id % 8
@@ -4559,8 +4572,9 @@ $backtestPnlCtes,
                   WHEN 13 THEN CASE WHEN doc_id % 5 = 0 THEN 256
                                ELSE 4 + doc_id % 5 END
                   WHEN 15 THEN 16 + doc_id % 31
+                  WHEN 16 THEN 400 + doc_id % 200
                   ELSE 0 END AS INT) AS width,
-                CAST(CASE doc_id % 17 WHEN 0 THEN 4 + doc_id % 9
+                CAST(CASE doc_id % 18 WHEN 0 THEN 4 + doc_id % 9
                   WHEN 1 THEN 4 + doc_id % 5 WHEN 2 THEN 4 + doc_id % 6
                   WHEN 3 THEN 3 + doc_id % 4 WHEN 6 THEN 4 + doc_id % 9
                   WHEN 7 THEN 3 + doc_id % 6 WHEN 8 THEN 4 + doc_id % 5
@@ -4569,8 +4583,9 @@ $backtestPnlCtes,
                   WHEN 13 THEN CASE WHEN doc_id % 5 = 0 THEN 2
                                ELSE 3 + (2 * doc_id) % 4 END
                   WHEN 15 THEN 9 + (2 * doc_id) % 17
+                  WHEN 16 THEN 500 + (3 * doc_id) % 300
                   ELSE 0 END AS INT) AS height,
-                CAST(CASE doc_id % 17
+                CAST(CASE doc_id % 18
                   WHEN 0 THEN (5 + doc_id % 9) * (4 + doc_id % 9)
                   WHEN 1 THEN (5 + doc_id % 6) * (4 + doc_id % 5)
                   WHEN 2 THEN (5 + doc_id % 7) * (4 + doc_id % 6)
@@ -4588,6 +4603,7 @@ $backtestPnlCtes,
                   WHEN 14 THEN 3 + doc_id % 6
                   WHEN 15 THEN CASE WHEN doc_id % 3 < 2 THEN 1
                                WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END
+                  WHEN 16 THEN 1 + doc_id % 4
                   ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_units
          FROM documents""",
 
@@ -7233,6 +7249,18 @@ $backtestPnlCtes,
                  CAST(SUM((2*id + entry + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
                  CAST(SUM((id + entry + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
           FROM px GROUP BY id, entry, kind, width, height""",
+
+    // Mirrors Pdf.shape: version/pages/dims formulas; n_objects counts
+    // catalog + pages + page objects + the Info extra on id ≡ 0 (mod 3).
+    "mm_pdf_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+                CASE WHEN doc_id % 2 = 0 THEN '1.4' ELSE '1.7' END AS version,
+                CAST(2 + (1 + doc_id % 4)
+                     + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_objects,
+                CAST(1 + doc_id % 4 AS INT) AS n_pages,
+                CAST(400 + doc_id % 200 AS INT) AS page_w,
+                CAST(500 + (3 * doc_id) % 300 AS INT) AS page_h
+         FROM documents""",
 
     // Mirrors Webp.shape: kind/dims/alpha/chunk-count formulas.
     "mm_webp_meta" ->

@@ -528,6 +528,9 @@ object Multimodal {
     else if (startsWith(b, 0, "RIFF") && startsWith(b, 8, "WEBP"))
       Webp.decodeOne(id, b).map(f => SniffedMedia(id, "webp", f.width,
         f.height, f.n_chunks.toLong, 0.0))
+    else if (Pdf.looksLikePdf(b))
+      Pdf.decodeOne(id, b).map(f => SniffedMedia(id, "pdf", f.page_w,
+        f.page_h, f.n_pages.toLong, 0.0))
     else if (Bmp.looksLikeBmp(b))
       Bmp.decodeOne(id, b).map(f => SniffedMedia(id, "bmp", f.width, f.height,
         f.n_pixels, (f.mean_r + f.mean_g + f.mean_b) / 3.0))

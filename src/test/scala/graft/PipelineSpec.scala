@@ -1325,6 +1325,41 @@ class PipelineSpec extends SparkSpec {
     assert(decode(Webp.WebpFile(5L, tt)).isEmpty)
   }
 
+  test("PDF: end-entry xref walk, 20-byte records, offset/size/count cross-checks, forgeries drop") {
+    import graft.multimodal.Pdf
+    val ids = spark.range(0, 30).as[Long]
+    val metas = Pdf.decodePdf(Pdf.syntheticPdf(ids)).collect()
+    assert(metas.length == 30)
+    metas.foreach { m =>
+      val (v, np, w, h) = Pdf.shape(m.id)
+      val nObj = 2 + np + (if (m.id % 3 == 0) 1 else 0)
+      assert(m.version == v && m.n_pages == np && m.page_w == w &&
+        m.page_h == h && m.n_objects == nObj, s"id=${m.id}")
+    }
+    def forge(id: Long)(mut: String => String): Pdf.PdfFile = {
+      val s = new String(Pdf.encodeOne(id), java.nio.charset.StandardCharsets.ISO_8859_1)
+      Pdf.PdfFile(id, mut(s).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    def decode(f: Pdf.PdfFile) = Pdf.decodePdf(Seq(f).toDS()).collect()
+    // (a) forged xref offset: record no longer lands on its object header
+    assert(decode(forge(4L)(s => {
+      val at = s.indexOf("0000000000 65535 f") + 20
+      s.substring(0, at) + "0000000007" + s.substring(at + 10)
+    })).isEmpty)
+    // (b) /Size lie in the trailer
+    assert(decode(forge(4L)(_.replace("/Size 4", "/Size 9"))).isEmpty)
+    // (c) /Count contradicting the Kids array
+    assert(decode(forge(4L)(_.replace("/Count 1", "/Count 2"))).isEmpty)
+    // (d) startxref pointing into the void
+    assert(decode(forge(4L)(s =>
+      s.replace(s"startxref\n${s.indexOf("xref")}", "startxref\n3"))).isEmpty)
+    // (e) truncation before the trailer
+    assert(decode({
+      val b = Pdf.encodeOne(4L)
+      Pdf.PdfFile(4L, java.util.Arrays.copyOf(b, b.length - 40))
+    }).isEmpty)
+  }
+
   test("MP3 walk: syncsafe ID3 skip, stride-computed frames, VBR flag, forgeries stop") {
     import graft.multimodal.Mp3Meta
     val ids = spark.range(0, 40).as[Long]
