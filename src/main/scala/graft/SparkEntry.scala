@@ -2634,6 +2634,32 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(TestData(s, dir).documents, "doc_id", "text")),
 
+    // URL canonicalization dedup: messy synthetic urls (case-shifted
+    // hosts, default ports, trailing slashes, fragments, utm params,
+    // shuffled query order) normalize to a canonical key; exact dedup on
+    // it. Cases 0 and 2 collide BY DESIGN (same page via two transports),
+    // case 3 collides across ids on the mod-10 query value.
+    "dedup_url" -> ((s, dir) => {
+      val urls = TestData(s, dir).documents.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+            concat(lit("HTTP://Example.COM:80/p/"),
+              expr("doc_id DIV 4").cast("string"), lit("/#frag")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://Example.com:443/p/"),
+              expr("doc_id DIV 4").cast("string"),
+              lit("?b=2&utm_source=x&a=1")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("http://example.com/p/"),
+              expr("doc_id DIV 4").cast("string")))
+          .otherwise(concat(lit("https://sub.example.com/q/?x="),
+            (col("doc_id") % 10).cast("string"), lit("&utm_campaign=z#top")))
+          .as("url"))
+      urls.select(TextFns.canonicalizeUrl(col("url")).as("canonical_url"),
+          col("doc_id"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+    }),
+
     // N-gram Jaccard near-dup pairs via inverted-index join with DF cap.
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(TestData(s, dir).documents, "doc_id", "text",
@@ -6453,6 +6479,39 @@ $backtestPnlCtes,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
          FROM documents GROUP BY md5(text)""",
+
+    // URL canonicalization replay: same synthesis CASE, same capture
+    // groups, same normalization steps (RE2-safe pattern on both sides).
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0 THEN 'HTTP://Example.COM:80/p/' || CAST(doc_id // 4 AS VARCHAR) || '/#frag'
+                 WHEN doc_id % 4 = 1 THEN 'https://Example.com:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&utm_source=x&a=1'
+                 WHEN doc_id % 4 = 2 THEN 'http://example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+                 ELSE 'https://sub.example.com/q/?x=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=z#top' END AS url
+          FROM documents),
+         p AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 2)) AS host,
+            regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS port,
+            regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 4), '/+$', '') AS path,
+            regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 5), '^\?', '') AS rawq
+          FROM u),
+         c AS (SELECT doc_id,
+            scheme || '://' || host ||
+            CASE WHEN (scheme = 'http' AND port = ':80')
+                   OR (scheme = 'https' AND port = ':443')
+                 THEN '' ELSE port END ||
+            path ||
+            CASE WHEN len(list_filter(string_split(rawq, '&'),
+                     x -> length(x) > 0 AND substring(x, 1, 4) <> 'utm_')) > 0
+                 THEN '?' || array_to_string(list_sort(list_filter(
+                        string_split(rawq, '&'),
+                        x -> length(x) > 0 AND substring(x, 1, 4) <> 'utm_')), '&')
+                 ELSE '' END AS canonical_url
+          FROM p)
+         SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+                MIN(doc_id) AS keep_id
+         FROM c GROUP BY canonical_url""",
 
     "text_extract_all" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS n_hits

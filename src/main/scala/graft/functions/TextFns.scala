@@ -96,4 +96,34 @@ object TextFns {
     * (rule 3): integer fold, order-free. */
   def totalSyllablesFromWords(ws: Column): Column =
     aggregate(transform(ws, w => syllables(w)), lit(0), (a, b) => a + b).cast("long")
+
+  /** URL canonicalization — the first dedup key every crawl pipeline
+    * computes (the same page arrives as `HTTP://Example.COM:80/a/?b=2&a=1`
+    * and `http://example.com/a?a=1&b=2`). Normalizations, each a pure
+    * column expression an oracle replays verbatim:
+    * scheme + host lowercased (path case is SIGNIFICANT and kept),
+    * default ports dropped (`:80` for http, `:443` for https — only for
+    * their own scheme), trailing path slashes stripped, the fragment
+    * dropped, `utm_*` tracking params removed, surviving query params
+    * SORTED (param order is transport noise). Unparseable urls → null
+    * (coerce-to-null). Regex is RE2-safe: one pattern, capture groups,
+    * no backreferences or lookarounds. */
+  def canonicalizeUrl(url: Column): Column = {
+    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?(#.*)?$"
+    def part(i: Int) = regexp_extract(url, pat, i)
+    val scheme = lower(part(1))
+    val host = lower(part(2))
+    val port = part(3)
+    val path = regexp_replace(part(4), "/+$", "")
+    val keepPort = when(
+      (scheme === "http" && port === ":80") ||
+        (scheme === "https" && port === ":443"), lit(""))
+      .otherwise(port)
+    val params = filter(split(regexp_replace(part(5), "^\\?", ""), "&"),
+      p => length(p) > 0 && substring(p, 1, 4) =!= "utm_")
+    val q = when(size(params) > 0,
+      concat(lit("?"), array_join(sort_array(params), "&"))).otherwise(lit(""))
+    when(part(2) === "", lit(null))
+      .otherwise(concat(scheme, lit("://"), host, keepPort, path, q))
+  }
 }

@@ -228,4 +228,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(2L)._3 == 7L && r(2L)._4 == h("no overlap with anything in the benchmark"))
     assert(r(100L)._3 == 0L && r(100L)._4 == h(""))
   }
+
+  test("canonicalizeUrl: each normalization rule, one probe each") {
+    import graft.functions.TextFns
+    val cases = Seq(
+      // host+scheme case-fold; default port drop; trailing slash; fragment
+      "HTTP://Example.COM:80/A/b/#frag" -> "http://example.com/A/b",
+      // https default port; utm strip; param sort; empty query collapse
+      "https://h.io:443/p?utm_source=x&b=2&a=1" -> "https://h.io/p?a=1&b=2",
+      "https://h.io/p?utm_a=1&utm_b=2" -> "https://h.io/p",
+      // NON-default port kept; path case kept
+      "http://h.io:8080/Path" -> "http://h.io:8080/Path",
+      // https with http's default port: kept (scheme-specific rule)
+      "https://h.io:80/x" -> "https://h.io:80/x",
+      // no path at all
+      "http://H.io" -> "http://h.io",
+      // unparseable → null
+      "not a url" -> null)
+    val got = cases.map(_._1).toDF("url")
+      .select(TextFns.canonicalizeUrl(col("url")).as("c"))
+      .as[Option[String]].collect().map(_.orNull)
+    assert(got.toSeq == cases.map(_._2), got.mkString("; "))
+  }
 }
