@@ -2053,6 +2053,29 @@ object SparkEntry {
           col("volume"), col("money"), col("n_ticks"))
     }),
 
+    // HOPPING (sliding) window aggregation — the window type the tier
+    // still lacked next to tumbling (stream_bars) and session
+    // (stream_session_window): 10-minute windows every 5 minutes, so
+    // each event lands in exactly 2 overlapping windows (the engine
+    // plans this as an explode over size/slide candidates). Exact
+    // BIGINT count + checksum per (window, type); append emission once
+    // the final watermark passes the window END, replayed in SQL as the
+    // stream_bars cutoff.
+    "stream_hopping" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+      val agg = ev
+        .withWatermark("ts", "601 seconds")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("event_id") % 100).cast("long")).as("checksum"))
+      graft.streaming.Replay.toBatch(agg, "hopping")
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n_events"), col("checksum"))
+    }),
+
     // Intraday frequency, streaming side: the SAME bar builder at a
     // 5-minute window — PTrade documents 1m/5m frequencies
     // (PTrade_API_mini_Reference.md:1798) that the reference rejects
@@ -5963,6 +5986,24 @@ $backtestPnlCtes,
          wm AS (SELECT (MAX(epoch_ns(ts) // 1000000) - 601000) * 1000 AS wm_us FROM events)
          SELECT symbol, bar_start_us, open, high, low, close, volume, money, n_ticks
          FROM g, wm WHERE bar_start_us + 3600000000 <= wm_us""",
+
+    // Hopping replay: each event explodes to its 2 slide-aligned window
+    // starts; same strict window-end ≤ watermark emission cutoff.
+    "stream_hopping" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type,
+                           event_id % 100 AS v
+                    FROM events),
+         w AS (SELECT ((tus // 300000000) - j) * 300000000 AS win_start_us,
+                      event_type, v
+               FROM e, unnest([0, 1]) AS t(j)),
+         g AS (SELECT win_start_us, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n_events,
+                      CAST(SUM(v) AS BIGINT) AS checksum
+               FROM w GROUP BY win_start_us, event_type),
+         wm AS (SELECT (MAX(epoch_ns(ts) // 1000000) - 601000) * 1000 AS wm_us
+                FROM events)
+         SELECT win_start_us, event_type, n_events, checksum
+         FROM g, wm WHERE win_start_us + 600000000 <= wm_us""",
 
     "stream_minute_bars" ->
       """WITH t AS (SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS symbol,

@@ -242,4 +242,56 @@ class DifferentialSpec extends SparkSpec {
       duck(views, "SELECT cid, v, s FROM a EXCEPT SELECT cid, v, s FROM b"),
       "except-distinct (seed 4203)")
   }
+
+  test(s"islands family: streaks / changeIntervals over $CASES seeded cases") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    val rnd = new scala.util.Random(4207)
+    val rows = (0 until CASES).flatMap { cid =>
+      (0 until 1 + rnd.nextInt(3)).flatMap { k =>
+        val n = 1 + rnd.nextInt(14)
+        // tiny value domain → plateaus, repeats, single-row islands
+        (0 until n).map(i => (cid, k, i, rnd.nextInt(6) - 3))
+      }
+    }
+    val df = rows.toDF("cid", "k", "ord", "x").localCheckpoint()
+    val keys = Seq(col("cid"), col("k"))
+    val p = stage(df, "isl")
+    compare(
+      canon(graft.ops.Windows.streaks(df, keys, Seq(col("ord")), col("x"))),
+      duck(Map("t" -> p),
+        """WITH f AS (SELECT cid, k, ord,
+          |    CASE WHEN lag(x) OVER w IS NULL OR x <= lag(x) OVER w
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM t WINDOW w AS (PARTITION BY cid, k ORDER BY ord)),
+          |s AS (SELECT cid, k,
+          |    SUM(brk) OVER (PARTITION BY cid, k ORDER BY ord
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+          |  FROM f),
+          |l AS (SELECT cid, k, st, CAST(COUNT(*) AS BIGINT) AS len
+          |  FROM s GROUP BY cid, k, st)
+          |SELECT cid, k, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+          |  MAX(len) AS max_streak, arg_max(len, st) AS last_streak
+          |FROM l GROUP BY cid, k""".stripMargin),
+      s"streaks (seed 4207, $CASES cases)")
+    val iv = graft.ops.Windows.changeIntervals(df, keys, col("ord"), col("x"))
+      .select(col("cid"), col("k"), col("attr"), col("valid_from"),
+        col("valid_to"), col("n_rows"), col("is_current").cast("int"))
+    compare(canon(iv),
+      duck(Map("t" -> p),
+        """WITH f AS (SELECT cid, k, ord, x,
+          |    CASE WHEN lag(x) OVER w IS NULL OR lag(x) OVER w <> x
+          |         THEN 1 ELSE 0 END AS chg
+          |  FROM t WINDOW w AS (PARTITION BY cid, k ORDER BY ord)),
+          |i AS (SELECT *, SUM(chg) OVER (PARTITION BY cid, k ORDER BY ord
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          |  FROM f),
+          |g AS (SELECT cid, k, isl, MIN(x) AS attr, MIN(ord) AS valid_from,
+          |    CAST(COUNT(*) AS BIGINT) AS n_rows
+          |  FROM i GROUP BY cid, k, isl)
+          |SELECT cid, k, attr, valid_from,
+          |  lead(valid_from) OVER w2 AS valid_to, n_rows,
+          |  CAST(lead(valid_from) OVER w2 IS NULL AS INT) AS is_current
+          |FROM g WINDOW w2 AS (PARTITION BY cid, k ORDER BY valid_from)""".stripMargin),
+      s"changeIntervals (seed 4207, $CASES cases)")
+  }
 }
