@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mp3Meta, Mp4Meta, Multimodal, Npy, Pdf, Png, Srt, TarShard, Tiff, Video, Webp, Zip}
+import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mp3Meta, Mp4Meta, Multimodal, Npy, Ogg, Pdf, Png, Srt, TarShard, Tiff, Video, Webp, Zip}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -473,7 +473,7 @@ object SparkEntry {
       import s.implicits._
       val docs = TestData(s, dir).documents
       val ids = docs.select(col("doc_id").cast("long")).as[Long]
-      def pick(m: Int) = ids.filter(_ % 18 == m)
+      def pick(m: Int) = ids.filter(_ % 19 == m)
       def row(id: Long, media: Array[Byte]) =
         Multimodal.MediaRow(id, media, "", 0, 0)
       val mixed =
@@ -494,7 +494,8 @@ object SparkEntry {
           .union(Mp3Meta.syntheticMp3(pick(14)).map(r => row(r.id, r.media)))
           .union(Webp.syntheticWebp(pick(15)).map(r => row(r.id, r.media)))
           .union(Pdf.syntheticPdf(pick(16)).map(r => row(r.id, r.media)))
-          .union(docs.filter(col("doc_id") % 18 === 17)
+          .union(Ogg.syntheticOgg(pick(17)).map(r => row(r.id, r.media)))
+          .union(docs.filter(col("doc_id") % 19 === 18)
             .select(col("doc_id").cast("long").as("id"),
               encode(col("text"), "UTF-8").as("media"),
               lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
@@ -3316,6 +3317,17 @@ object SparkEntry {
       Ico.decodeIco(Ico.syntheticIco(ids)).toDF()
     }),
 
+    // OGG metadata lane: page walk with segment LACING (255-run packet
+    // framing incl. the exact-multiple zero tail) and the OGG CRC-32
+    // (0x04c11db7 MSB-first, init 0, no xor — NOT the zlib CRC), verified
+    // per page with the CRC field zeroed; page sequence must increment.
+    "mm_ogg_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Ogg.decodeOgg(Ogg.syntheticOgg(ids)).toDF()
+    }),
+
     // PDF metadata lane: the real random-access read discipline — enter
     // from the END via startxref, jump to the xref table, walk EXACT
     // 20-byte records (both legal EOL forms), verify every offset lands
@@ -4605,14 +4617,14 @@ $backtestPnlCtes,
     // and routing are what's gated; integers only, exact both engines.
     "mm_sniff" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
-                CASE doc_id % 18 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                CASE doc_id % 19 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'
                   WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' WHEN 7 THEN 'bmp'
                   WHEN 8 THEN 'tiff' WHEN 9 THEN 'h264' WHEN 10 THEN 'mp4'
                   WHEN 11 THEN 'zip' WHEN 12 THEN 'tar' WHEN 13 THEN 'ico'
-                  WHEN 14 THEN 'mp3' WHEN 15 THEN 'webp' WHEN 16 THEN 'pdf'
+                  WHEN 14 THEN 'mp3' WHEN 15 THEN 'webp' WHEN 16 THEN 'pdf' WHEN 17 THEN 'ogg'
                   ELSE 'opaque' END AS kind,
-                CAST(CASE doc_id % 18 WHEN 0 THEN 5 + doc_id % 9
+                CAST(CASE doc_id % 19 WHEN 0 THEN 5 + doc_id % 9
                   WHEN 1 THEN 5 + doc_id % 6 WHEN 2 THEN 5 + doc_id % 7
                   WHEN 3 THEN 4 + doc_id % 5 WHEN 6 THEN 5 + doc_id % 9
                   WHEN 7 THEN 6 + doc_id % 7 WHEN 8 THEN 5 + doc_id % 8
@@ -4623,7 +4635,7 @@ $backtestPnlCtes,
                   WHEN 15 THEN 16 + doc_id % 31
                   WHEN 16 THEN 400 + doc_id % 200
                   ELSE 0 END AS INT) AS width,
-                CAST(CASE doc_id % 18 WHEN 0 THEN 4 + doc_id % 9
+                CAST(CASE doc_id % 19 WHEN 0 THEN 4 + doc_id % 9
                   WHEN 1 THEN 4 + doc_id % 5 WHEN 2 THEN 4 + doc_id % 6
                   WHEN 3 THEN 3 + doc_id % 4 WHEN 6 THEN 4 + doc_id % 9
                   WHEN 7 THEN 3 + doc_id % 6 WHEN 8 THEN 4 + doc_id % 5
@@ -4634,7 +4646,7 @@ $backtestPnlCtes,
                   WHEN 15 THEN 9 + (2 * doc_id) % 17
                   WHEN 16 THEN 500 + (3 * doc_id) % 300
                   ELSE 0 END AS INT) AS height,
-                CAST(CASE doc_id % 18
+                CAST(CASE doc_id % 19
                   WHEN 0 THEN (5 + doc_id % 9) * (4 + doc_id % 9)
                   WHEN 1 THEN (5 + doc_id % 6) * (4 + doc_id % 5)
                   WHEN 2 THEN (5 + doc_id % 7) * (4 + doc_id % 6)
@@ -4653,6 +4665,8 @@ $backtestPnlCtes,
                   WHEN 15 THEN CASE WHEN doc_id % 3 < 2 THEN 1
                                WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END
                   WHEN 16 THEN 1 + doc_id % 4
+                  WHEN 17 THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 5
+                               ELSE 6 END
                   ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_units
          FROM documents""",
 
@@ -7349,6 +7363,19 @@ $backtestPnlCtes,
                  CAST(SUM((2*id + entry + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
                  CAST(SUM((id + entry + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
           FROM px GROUP BY id, entry, kind, width, height""",
+
+    // Mirrors Ogg.shape: serial/pages/granule formulas; packets sum the
+    // per-page count over the page range.
+    "mm_ogg_meta" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                           CAST(1 + doc_id % 3 AS BIGINT) AS n
+                    FROM documents),
+          pk AS (SELECT id, CAST(SUM(1 + (id + t.p) % 3) AS BIGINT) AS n_packets
+                 FROM d, unnest(range(0, n)) AS t(p) GROUP BY id)
+          SELECT d.id, CAST(1000 + d.id % 97 AS BIGINT) AS serial,
+                 CAST(d.n AS INT) AS n_pages, pk.n_packets,
+                 (d.id + 1) * 1000 * d.n AS granule_last
+          FROM d JOIN pk USING (id)""",
 
     // Mirrors Pdf.shape: version/pages/dims formulas; n_objects counts
     // catalog + pages + page objects + the Info extra on id ≡ 0 (mod 3).

@@ -531,6 +531,9 @@ object Multimodal {
     else if (Pdf.looksLikePdf(b))
       Pdf.decodeOne(id, b).map(f => SniffedMedia(id, "pdf", f.page_w,
         f.page_h, f.n_pages.toLong, 0.0))
+    else if (Ogg.looksLikeOgg(b))
+      Ogg.decodeOne(id, b).map(f => SniffedMedia(id, "ogg", 0, 0,
+        f.n_packets, f.granule_last.toDouble / f.n_pages))
     else if (Bmp.looksLikeBmp(b))
       Bmp.decodeOne(id, b).map(f => SniffedMedia(id, "bmp", f.width, f.height,
         f.n_pixels, (f.mean_r + f.mean_g + f.mean_b) / 3.0))

@@ -1325,6 +1325,40 @@ class PipelineSpec extends SparkSpec {
     assert(decode(Webp.WebpFile(5L, tt)).isEmpty)
   }
 
+  test("OGG: lacing runs (incl. exact-255-multiple tail), OGG CRC verified, splices drop") {
+    import graft.multimodal.Ogg
+    val ids = spark.range(0, 24).as[Long]
+    val metas = Ogg.decodeOgg(Ogg.syntheticOgg(ids)).collect()
+    assert(metas.length == 24)
+    metas.foreach { m =>
+      val (ser, np, npk, g) = Ogg.shape(m.id)
+      assert(m.serial == ser && m.n_pages == np && m.n_packets == npk &&
+        m.granule_last == g, s"id=${m.id}")
+    }
+    // the OGG CRC is NOT the zlib CRC: same bytes, different checksums
+    val probe = "OggSrandom page bytes".getBytes
+    val zlib = new java.util.zip.CRC32()
+    zlib.update(probe)
+    assert(Ogg.oggCrc(probe, 0, probe.length) != zlib.getValue.toInt)
+    def forge(id: Long)(mut: Array[Byte] => Unit): Ogg.OggFile = {
+      val b = Ogg.encodeOne(id); mut(b); Ogg.OggFile(id, b)
+    }
+    def decode(f: Ogg.OggFile) = Ogg.decodeOgg(Seq(f).toDS()).collect()
+    // (a) any body byte flip breaks the page CRC
+    assert(decode(forge(2L)(b => b(b.length - 1) = (b(b.length - 1) ^ 1).toByte)).isEmpty)
+    // (b) spliced page sequence (id 2 has 3 pages; forge page 1's seq)
+    assert(decode(forge(2L) { b =>
+      // find the second page header and bump its sequence field
+      val second = { var i = 4; while (!(b(i) == 'O' && b(i+1) == 'g' && b(i+2) == 'g' && b(i+3) == 'S')) i += 1; i }
+      b(second + 18) = 9
+    }).isEmpty)
+    // (c) truncation mid-body
+    val t = Ogg.encodeOne(1L)
+    assert(decode(Ogg.OggFile(1L, java.util.Arrays.copyOf(t, t.length - 5))).isEmpty)
+    // (d) nonzero version byte
+    assert(decode(forge(1L)(b => b(4) = 1)).isEmpty)
+  }
+
   test("PDF: end-entry xref walk, 20-byte records, offset/size/count cross-checks, forgeries drop") {
     import graft.multimodal.Pdf
     val ids = spark.range(0, 30).as[Long]
