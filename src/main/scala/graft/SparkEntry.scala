@@ -1151,6 +1151,24 @@ object SparkEntry {
         .withColumn("cum_distinct_users", sum(col("new_users")).over(w))
     }),
 
+    // Conditional recency window ("events since the last purchase") — the
+    // session-feature shape: running MAX over a flagged row number gives
+    // the most recent marker position; the distance is a row-local
+    // subtraction. Purchase rows read 0; rows before any purchase are
+    // null (no marker yet). One shuffle on the key.
+    "w15_since_event" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val cum = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      TestData(s, dir).events
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("last_p",
+          max(when(col("event_type") === "purchase", col("rn"))).over(cum))
+        .select(col("user_id"), col("event_id"),
+          (col("rn") - col("last_p")).as("since_purchase"))
+    }),
+
     // Time-RANGE window frame (30-day trailing revenue per supplier) —
     // the frame type every ROWS gate can't cover: the frame is defined by
     // the ORDER VALUE interval, so tied days share one frame and the sum
@@ -1583,6 +1601,23 @@ object SparkEntry {
     // WordPiece's greedy match: min-total-integer-cost segmentation with
     // lexicographic (cost, pieces) tie-break packed into one DP value.
     // Shared vocab constant renders into both engines.
+    // Pad/truncate to fixed width (the training-loader batch-prep step):
+    // word-derived ids sliced to 16, zero-padded, digest of the padded
+    // row + kept counts. Row-local list arithmetic, no shuffle.
+    "tok_pad_truncate" -> ((s, dir) => {
+      val withWords = TestData(s, dir).documents
+        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      val withIds = withWords.select(col("doc_id"),
+        transform(col("ws"),
+          w => (length(w) * 131 + ascii(w)).cast("long")).as("ids"))
+      withIds.select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_orig"),
+        least(size(col("ids")), lit(16)).cast("long").as("n_kept"),
+        md5(concat_ws(",",
+          transform(Tokenizer.padTruncate(col("ids"), 16),
+            x => x.cast("string")))).as("row_digest"))
+    }),
+
     "tok_unigram_viterbi" -> ((s, dir) =>
       Tokenizer.unigramViterbi(TestData(s, dir).documents, "doc_id", "text",
         UnigramVocab)),
@@ -2528,6 +2563,33 @@ object SparkEntry {
 
     // Quality-weighted sampling: keep probability ∝ n_chars (clamped to
     // 400), verdict by integer cross-multiplication — no float ratio.
+    // Contrastive triplet mining (anchor / positive / negative) — the
+    // training-pair generator for embedding models: positive = the next
+    // doc in the anchor's own source (a weak same-domain pair), negative
+    // = a DETERMINISTIC pseudo-random other doc via a modular affine map
+    // over the dense id space (no rand(): rebuilds produce the same
+    // triplets — the sample_split discipline). Self-negatives remap to
+    // the next id; same-source negatives are kept but FLAGGED (hard
+    // negatives). One window + one co-shuffled lookup join.
+    "sample_triplets" -> ((s, dir) => {
+      val d = TestData(s, dir).documents.select(col("doc_id"), col("source"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val n = d.agg((max(col("doc_id")) + 1).as("__nd"))
+      val neg0 = (col("doc_id") * 7919 + 13) % col("__nd")
+      val withPos = d.withColumn("pos_id", lead(col("doc_id"), 1).over(w))
+        .filter(col("pos_id").isNotNull)
+        .crossJoin(broadcast(n))
+        .withColumn("neg_id",
+          when(neg0 === col("doc_id"), (neg0 + 1) % col("__nd"))
+            .otherwise(neg0))
+      withPos.join(
+          d.select(col("doc_id").as("neg_id"), col("source").as("neg_source")),
+          Seq("neg_id"))
+        .select(col("doc_id").as("anchor_id"), col("pos_id"), col("neg_id"),
+          (col("source") === col("neg_source")).as("is_hard"))
+    }),
+
     "sample_weighted" -> ((s, dir) =>
       Sampling.weighted(TestData(s, dir).documents, "doc_id",
           col("n_chars"), wMax = 400L, rate = 0.5)
@@ -5078,6 +5140,21 @@ $backtestPnlCtes,
                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT) AS d10
           FROM f""",
 
+    // Conditional recency replay: same flagged running max.
+    "w15_since_event" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+                           event_type
+                    FROM events),
+          r AS (SELECT user_id, event_id, event_type,
+                       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+          m AS (SELECT user_id, event_id, rn,
+                       MAX(CASE WHEN event_type = 'purchase' THEN rn END)
+                         OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_p
+                FROM r)
+          SELECT user_id, event_id, rn - last_p AS since_purchase FROM m""",
+
     // Running distinct replayed the same first-occurrence way.
     "w14_running_distinct" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
@@ -6400,6 +6477,23 @@ $backtestPnlCtes,
 
     // Mirrors Sampling.weighted(wMax=400, rate=0.5): bucket·wMax <
     // clamp(n_chars)·500000, all integers.
+    // Triplet replay: same lead window, same affine negative map with the
+    // self-remap, same hard-negative flag.
+    "sample_triplets" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+          n AS (SELECT MAX(doc_id) + 1 AS nd FROM d),
+          p AS (SELECT doc_id, source,
+                       lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pos_id
+                FROM d),
+          t AS (SELECT doc_id, source, pos_id,
+                       CASE WHEN (doc_id * 7919 + 13) % nd = doc_id
+                            THEN ((doc_id * 7919 + 13) % nd + 1) % nd
+                            ELSE (doc_id * 7919 + 13) % nd END AS neg_id
+                FROM p, n WHERE pos_id IS NOT NULL)
+          SELECT t.doc_id AS anchor_id, t.pos_id, t.neg_id,
+                 t.source = d2.source AS is_hard
+          FROM t JOIN d d2 ON t.neg_id = d2.doc_id""",
+
     "sample_weighted" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) * 400
@@ -6900,6 +6994,23 @@ $backtestPnlCtes,
     "tok_bpe_encode" -> bpeEncodeOracleSql(8),
 
     "tok_wordpiece_encode" -> wordpieceOracleSql(8),
+
+    // Pad/truncate replay: same id formula, slice, computed-count zero
+    // pad, same comma-joined digest.
+    "tok_pad_truncate" ->
+      """WITH w AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+             FROM documents),
+          i AS (SELECT doc_id,
+               list_transform(ws, x -> CAST(length(x) * 131 + ascii(x) AS BIGINT)) AS ids
+             FROM w)
+          SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_orig,
+                 CAST(least(len(ids), 16) AS BIGINT) AS n_kept,
+                 md5(array_to_string(list_transform(
+                   ids[1:16] || list_transform(range(16 - least(len(ids), 16)),
+                     x -> CAST(0 AS BIGINT)),
+                   x -> CAST(x AS VARCHAR)), ',')) AS row_digest
+          FROM i""",
 
     // Mirrors Tokenizer.unigramViterbi(UnigramVocab, unk=10, maxLen=3,
     // maxWord=512): the packed-value DP replayed with a list_reduce whose

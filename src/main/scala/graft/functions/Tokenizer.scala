@@ -443,4 +443,13 @@ object Tokenizer {
         coalesce(col("total_pieces"), lit(0L)).as("total_pieces"),
         coalesce(col("n_words"), lit(0L)).as("n_words"))
   }
+
+  /** Pad-or-truncate a token-id array to exactly `maxLen` — the batch-prep
+    * step every training loader runs (fixed-width tensors out of ragged
+    * token streams). Row-local list arithmetic (slice + computed-count
+    * repeat), no shuffle, replayable in SQL; the attention mask is implied
+    * by the kept-count the caller also emits. */
+  def padTruncate(ids: Column, maxLen: Int, padId: Long = 0L): Column =
+    concat(slice(ids, 1, maxLen),
+      array_repeat(lit(padId), lit(maxLen) - least(size(ids), lit(maxLen))))
 }
