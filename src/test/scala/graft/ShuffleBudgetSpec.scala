@@ -196,7 +196,38 @@ class ShuffleBudgetSpec extends SparkSpec {
     "j13_interval_overlap" -> 0,
     // rank window + cutoff agg share one key exchange and the join-back
     // broadcasts the group-sized cutoff frame
-    "quantiles_winsorize" -> 1
+    "quantiles_winsorize" -> 1,
+    // round-12 third-session additions
+    // one key window chain; both island groupBys reuse its partitioning
+    "a10_streaks" -> 1,
+    // membership distinct + basket co-partition + pair agg
+    "graph_copurchase" -> 3,
+    // digit groupBy + the 9-row domain window; domain join broadcasts
+    "dq_benford" -> 2,
+    // uni + bi aggs, two vocab joins (word-keyed co-partitions), then
+    // TakeOrderedAndProject — the vocab side stays a shuffle join on
+    // purpose (a 100 TB vocab is NOT broadcast-sized)
+    "text_collocations" -> 6,
+    // nation agg + the bounded 25-row total window
+    "a11_ratio_to_report" -> 2,
+    // winsorize's shape: rank window + cuts agg share one exchange
+    "quantiles_iqr_outliers" -> 1,
+    // first-day agg + per-day news + day domain distinct + date window
+    "w14_running_distinct" -> 4,
+    // interval build windows share the user exchange; as-of tagged union
+    "j15_scd2_lookup" -> 2,
+    // one key-partitioned window chain (rn + running max share it)
+    "w15_since_event" -> 1,
+    // source-keyed lead window + the negative lookup co-partition
+    "sample_triplets" -> 2,
+    // one groupBy on the canonical key; normalization is row-local
+    "dedup_url" -> 1,
+    // row-local list arithmetic
+    "tok_pad_truncate" -> 0,
+    // row-local codec walks
+    "mm_webp_meta" -> 0,
+    "mm_pdf_meta" -> 0,
+    "mm_ogg_meta" -> 0
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
