@@ -2089,6 +2089,22 @@ object SparkEntry {
           col("volume"), col("money"), col("n_ticks"))
     }),
 
+    // The Spark 4 transformWithState arbitrary-state API (successor to
+    // flatMapGroupsWithState, which the sessionizer/anomaly lanes cover):
+    // typed StatefulProcessor with a named ValueState, RocksDB-backed
+    // (the only provider the operator accepts — off-heap spillable state
+    // is what survives 10⁹ keys). Order-free fold (count + integer
+    // checksum); one-batch replay ≡ the batch groupBy.
+    "stream_twstate" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
+      graft.streaming.TwState.withRocksDb(s) {
+        graft.streaming.Replay.toBatch(
+          graft.streaming.TwState.runningCounts(ev), "twstate")
+      }
+    }),
+
     // HOPPING (sliding) window aggregation — the window type the tier
     // still lacked next to tumbling (stream_bars) and session
     // (stream_session_window): 10-minute windows every 5 minutes, so
@@ -6077,6 +6093,13 @@ $backtestPnlCtes,
          wm AS (SELECT (MAX(epoch_ns(ts) // 1000000) - 601000) * 1000 AS wm_us FROM events)
          SELECT symbol, bar_start_us, open, high, low, close, volume, money, n_ticks
          FROM g, wm WHERE bar_start_us + 3600000000 <= wm_us""",
+
+    // One-batch transformWithState replay: each key emits once with its
+    // converged totals — exactly the batch aggregate.
+    "stream_twstate" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(event_id % 100) AS BIGINT) AS checksum
+         FROM events GROUP BY user_id""",
 
     // Hopping replay: each event explodes to its 2 slide-aligned window
     // starts; same strict window-end ≤ watermark emission cutoff.

@@ -471,4 +471,25 @@ class StreamingSpec extends SparkSpec {
       assert(fin(2L) == ((2L, 3L, 1L, 7.0, 30L, true)), "delete is not a permanent ban")
     } finally query.stop()
   }
+
+  test("transformWithState: ValueState carries across batches; per-batch emissions accumulate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    graft.streaming.TwState.withRocksDb(spark) {
+      val query = graft.streaming.TwState.runningCounts(
+          input.toDF().toDF("user_id", "event_id"))
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, 3L), (1L, 7L), (2L, 105L))
+        query.processAllAvailable()
+        input.addData((1L, 200L)) // +0 checksum (200 % 100), count → 3
+        query.processAllAvailable()
+        val rows = spark.table("tws_out")
+          .as[(Long, Long, Long)].collect().toSet
+        // batch-1 emissions + batch-2 emission with CARRIED state
+        assert(rows == Set((1L, 2L, 10L), (2L, 1L, 5L), (1L, 3L, 10L)), rows.toString)
+      } finally query.stop()
+    }
+  }
 }
