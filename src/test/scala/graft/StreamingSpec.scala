@@ -472,6 +472,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch upsert sink: last-wins merge across batches; batch replay converges (exactly-once)") {
+    import graft.streaming.ForeachSink
+    implicit val sqlCtx = spark.sqlContext
+    case class Row2(symbol: String, date: java.sql.Date, px: Double)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val root = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val path = s"$root/table"
+    val input = MemoryStream[(String, java.sql.Date, Double)]
+    val query = ForeachSink.upsertStream(
+      input.toDF().toDF("symbol", "date", "px"), path, s"$root/chk",
+      Seq("symbol", "date"), "date")
+    try {
+      input.addData(("A", d("2024-01-02"), 10.0), ("B", d("2024-01-02"), 20.0))
+      query.processAllAvailable()
+      // batch 2: corrects A's row, adds one in ANOTHER month
+      input.addData(("A", d("2024-01-02"), 11.0), ("A", d("2024-02-05"), 12.0))
+      query.processAllAvailable()
+      def table() = spark.read.parquet(path)
+        .select("symbol", "date", "px")
+        .as[(String, java.sql.Date, Double)].collect().toSet
+      val want = Set(("A", d("2024-01-02"), 11.0), ("B", d("2024-01-02"), 20.0),
+        ("A", d("2024-02-05"), 12.0))
+      assert(table() == want, table().toString)
+      // at-least-once replay of batch 2 (the crash-recovery path): the
+      // idempotent merge must leave the table unchanged
+      ForeachSink.applyBatch(
+        Seq(("A", d("2024-01-02"), 11.0), ("A", d("2024-02-05"), 12.0))
+          .toDF("symbol", "date", "px"), path, Seq("symbol", "date"), "date")
+      assert(table() == want, "replayed batch must converge, not duplicate")
+    } finally query.stop()
+  }
+
   test("transformWithState: ValueState carries across batches; per-batch emissions accumulate") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
