@@ -151,6 +151,21 @@ object DataQuality {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** Attach IN-FLIGHT quality metrics to a frame via the Observation API:
+    * row count plus per-column null counts accumulate DURING whatever
+    * action consumes the frame — a write gets its DQ numbers for free,
+    * with NO second scan (at 100 TB a separate `nullProfile` pass costs a
+    * full table read). Metrics are aggregates over exactly the rows that
+    * flowed through this point of the plan, so attach BEFORE filters that
+    * shouldn't count. Read `obs.get` only after the action completes. */
+  def observed(df: DataFrame, name: String, cols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val nullCounts = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    (df.observe(obs, count(lit(1)).as("n_rows"), nullCounts: _*), obs)
+  }
+
   /** Benford per-mille expectations for first digits 1–9: round(1000 ·
     * log₁₀(1 + 1/d)). Fixed literals (they sum to exactly 1000) so the
     * operator and any replaying engine share the same grid — no runtime

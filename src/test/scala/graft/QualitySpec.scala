@@ -30,6 +30,18 @@ class QualitySpec extends SparkSpec {
     assert(p.getAs[Long]("b_nulls") == 1)
   }
 
+  test("observed: in-flight metrics see the full flow with no second scan; downstream filter doesn't shrink them") {
+    val df = Seq((Some(1.0), "a"), (None, "b"), (Some(3.0), "c"), (None, "d"))
+      .toDF("x", "s")
+    val (tapped, obs) = DataQuality.observed(df, "dq_tap", Seq("x"))
+    // the consuming action FILTERS; the tap still counts every row that
+    // flowed through the observe point
+    val kept = tapped.filter(col("x").isNotNull).count()
+    assert(kept == 2L)
+    val m = obs.get
+    assert(m("n_rows") == 4L && m("x_nulls") == 2L, m.toString)
+  }
+
   test("benford audit: hand-counted digits, absent digits report zero, grid sums to 1000") {
     assert(DataQuality.BenfordPm.map(_._2).sum == 1000L)
     // values: first digits 1,1,1,2,9 — digit 3..8 absent; 0.5 contributes
