@@ -3650,6 +3650,72 @@ object SparkEntry {
       graft.quality.DataQuality.profile(TestData(s, dir).lineitem,
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // Referential-integrity audit: orphan counts across the two FK edges
+    // a star schema lives on (lineitem→orders, orders→customer). LEFT
+    // ANTI joins — null-safe, and at scale each co-shuffles on its key
+    // (AQE broadcasts the dim side when it fits). One row per relation.
+    "dq_referential" -> ((s, dir) => {
+      val t = TestData(s, dir)
+      def audit(rel: String, child: DataFrame, key: Column,
+                parent: DataFrame, pkey: Column) = {
+        val orphans = child.join(parent, key === pkey, "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"))
+      }
+      audit("lineitem_orders", t.lineitem, col("l_orderkey"),
+          t.orders, col("o_orderkey"))
+        .unionByName(audit("orders_customer", t.orders, col("o_custkey"),
+          t.customer, col("c_custkey")))
+    }),
+
+    // RFM segmentation (recency / frequency / monetary) — the classic
+    // user-value partitioning: per-user exact R (integer days via ts_ns
+    // DIV), F (count), M (decimal-route purchase sum), then quartile
+    // CELLS via broadcast nearest-rank cuts (the lm_buckets discipline —
+    // never a global NTILE window over the user table; prod swaps in
+    // Quantiles.approx cuts). bucket = 1 + Σ(v > cut): integer adds of
+    // exact compares.
+    "events_rfm" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+      val perUser = ev.groupBy("user_id").agg(
+        max(col("ts_ns")).as("last_ns"),
+        count(lit(1)).as("f_events"),
+        sum(when(col("event_type") === "purchase",
+          dec(col("value"))).otherwise(dec(lit(0))))
+          .cast("decimal(25,6)").cast("double").as("m_value"))
+      val spine = perUser
+        .crossJoin(broadcast(ev.agg(max(col("ts_ns")).as("__mx"))))
+        .withColumn("r_days",
+          expr("(__mx - last_ns) DIV 86400000000000"))
+      def cuts(c: Column, as: String) = {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v").asc)
+        val ranked = spine.select(c.as("__v"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing))
+            .cast("long"))
+        ranked.agg(
+          max(when(col("rn") === ceil(col("n").cast("double") * 0.25), col("__v"))).as(s"${as}25"),
+          max(when(col("rn") === ceil(col("n").cast("double") * 0.50), col("__v"))).as(s"${as}50"),
+          max(when(col("rn") === ceil(col("n").cast("double") * 0.75), col("__v"))).as(s"${as}75"))
+      }
+      def bucket(c: Column, as: String) =
+        (lit(1) + (c > col(s"${as}25")).cast("int")
+          + (c > col(s"${as}50")).cast("int")
+          + (c > col(s"${as}75")).cast("int")).cast("long")
+      spine
+        .crossJoin(broadcast(cuts(col("r_days"), "r")))
+        .crossJoin(broadcast(cuts(col("f_events"), "f")))
+        .crossJoin(broadcast(cuts(col("m_value"), "m")))
+        .select(col("user_id"), col("r_days"), col("f_events"), col("m_value"),
+          bucket(col("r_days"), "r").as("r_q"),
+          bucket(col("f_events"), "f").as("f_q"),
+          bucket(col("m_value"), "m").as("m_q"))
+    }),
+
     // Benford first-digit audit over order totals: per-digit observed
     // counts vs the fixed per-mille expectation grid, deviations as exact
     // integers (dev = 1000·obs − pm·N). First digit via the string
@@ -3993,6 +4059,70 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(one).mkString("\n UNION ALL \n")
     },
+
+    // Orphan audit replay: NOT IN ≡ the anti join (fixture keys carry no
+    // nulls, where the two differ).
+    "dq_referential" ->
+      """SELECT 'lineitem_orders' AS relation,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+         UNION ALL
+         SELECT 'orders_customer',
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))""",
+
+    // RFM replay: same per-user aggregates, same nearest-rank cut picks,
+    // same 1 + Σ(v > cut) buckets.
+    "events_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_type, value
+                    FROM events),
+          u AS (SELECT user_id, MAX(ts_ns) AS last_ns,
+                       CAST(COUNT(*) AS BIGINT) AS f_events,
+                       CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(25,6))
+                           ELSE CAST(0 AS DECIMAL(25,6)) END) AS DECIMAL(25,6))
+                         AS DOUBLE) AS m_value
+                FROM e GROUP BY user_id),
+          mx AS (SELECT MAX(ts_ns) AS mxn FROM e),
+          s AS (SELECT u.*, (mxn - last_ns) // 86400000000000 AS r_days
+                FROM u, mx),
+          rr AS (SELECT r_days AS v,
+                        CAST(ROW_NUMBER() OVER (ORDER BY r_days) AS BIGINT) AS rn,
+                        CAST(COUNT(*) OVER () AS BIGINT) AS n FROM s),
+          rc AS (SELECT
+                   MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE)*0.25) AS BIGINT) THEN v END) AS r25,
+                   MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE)*0.50) AS BIGINT) THEN v END) AS r50,
+                   MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE)*0.75) AS BIGINT) THEN v END) AS r75
+                 FROM rr),
+          fr AS (SELECT f_events AS v,
+                        CAST(ROW_NUMBER() OVER (ORDER BY f_events) AS BIGINT) AS rn,
+                        CAST(COUNT(*) OVER () AS BIGINT) AS n FROM s),
+          fc AS (SELECT
+                   MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE)*0.25) AS BIGINT) THEN v END) AS f25,
+                   MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE)*0.50) AS BIGINT) THEN v END) AS f50,
+                   MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE)*0.75) AS BIGINT) THEN v END) AS f75
+                 FROM fr),
+          mr AS (SELECT m_value AS v,
+                        CAST(ROW_NUMBER() OVER (ORDER BY m_value) AS BIGINT) AS rn,
+                        CAST(COUNT(*) OVER () AS BIGINT) AS n FROM s),
+          mc AS (SELECT
+                   MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE)*0.25) AS BIGINT) THEN v END) AS m25,
+                   MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE)*0.50) AS BIGINT) THEN v END) AS m50,
+                   MAX(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE)*0.75) AS BIGINT) THEN v END) AS m75
+                 FROM mr)
+          SELECT user_id, r_days, f_events, m_value,
+                 CAST(1 + (CASE WHEN r_days > r25 THEN 1 ELSE 0 END)
+                        + (CASE WHEN r_days > r50 THEN 1 ELSE 0 END)
+                        + (CASE WHEN r_days > r75 THEN 1 ELSE 0 END) AS BIGINT) AS r_q,
+                 CAST(1 + (CASE WHEN f_events > f25 THEN 1 ELSE 0 END)
+                        + (CASE WHEN f_events > f50 THEN 1 ELSE 0 END)
+                        + (CASE WHEN f_events > f75 THEN 1 ELSE 0 END) AS BIGINT) AS f_q,
+                 CAST(1 + (CASE WHEN m_value > m25 THEN 1 ELSE 0 END)
+                        + (CASE WHEN m_value > m50 THEN 1 ELSE 0 END)
+                        + (CASE WHEN m_value > m75 THEN 1 ELSE 0 END) AS BIGINT) AS m_q
+          FROM s, rc, fc, mc""",
 
     // Benford replay: same string-rendered first digit, same per-mille
     // literals, exact integer deviations. Window SUMs are BIGINT-cast
