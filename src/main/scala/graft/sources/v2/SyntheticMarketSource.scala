@@ -167,17 +167,52 @@ final class SynScanBuilder(opts: CaseInsensitiveStringMap)
     nDays = opts.getInt("nDays", 500),
     startDate = LocalDate.parse(Option(opts.get("startDate")).getOrElse("2020-01-01")),
     required = required, symbolEq = symbolEq, symbolConflict = symbolConflict,
-    minDate = minDate, maxDate = maxDate, limit = limit, aggPush = aggPush)
+    minDate = minDate, maxDate = maxDate, limit = limit, aggPush = aggPush,
+    reportPartitioning = opts.getBoolean("reportPartitioning", false))
 }
 
 final case class SynPartition(symStart: Int, symEnd: Int) extends InputPartition
+
+/** Single-symbol partition carrying its key for
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * — the read-side twin of [[graft.sources.Sinks.writeBucketed]]: the SCAN
+  * declares its clustering, so a symbol-keyed aggregation (or a
+  * storage-partitioned join against an equally-reported source) plans with
+  * ZERO exchanges. */
+final case class SynKeyedPartition(sym: Int, symbolName: String)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(symbolName)))
+}
 
 final class SynScan(seed: Long, nSymbols: Int, nDays: Int, startDate: LocalDate,
                     required: StructType, symbolEq: Option[String],
                     symbolConflict: Boolean,
                     minDate: Option[LocalDate], maxDate: Option[LocalDate],
-                    limit: Option[Int] = None, aggPush: Option[SynAggPush] = None)
-  extends Scan with Batch with Serializable {
+                    limit: Option[Int] = None, aggPush: Option[SynAggPush] = None,
+                    reportPartitioning: Boolean = false)
+  extends Scan with Batch with Serializable
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** Partitioning is only CLAIMABLE when the plan keeps the key column
+    * and the scan emits plain rows: a symbol-pruned projection has no
+    * column the key expression could bind to, and a pushed aggregate
+    * reshapes the output. Keyed mode plans one partition per symbol —
+    * the claim must be TRUE, not merely cheap. */
+  private def keyed: Boolean =
+    reportPartitioning && aggPush.isEmpty &&
+      readSchema().fieldNames.contains("symbol")
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keyed)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("symbol")),
+        planInputPartitions().length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   override def readSchema(): StructType = aggPush match {
     case None => required
@@ -203,6 +238,10 @@ final class SynScan(seed: Long, nSymbols: Int, nDays: Int, startDate: LocalDate,
         case None if symbolEq.isDefined => (0, 0) // unknown symbol → empty
         case None => (0, nSymbols)
       }
+    if (keyed)
+      return (lo until hi)
+        .map(s => SynKeyedPartition(s, SynScan.symbolName(s)))
+        .toArray[InputPartition]
     val slices = 8
     val step = math.max(1, math.ceil((hi - lo) / slices.toDouble).toInt)
     val parts = (lo until hi by step)
@@ -223,12 +262,16 @@ final class SynScan(seed: Long, nSymbols: Int, nDays: Int, startDate: LocalDate,
     val (s, req) = (seed, required.fieldNames.toSeq)
     val (lim, agg) = (limit, aggPush)
     val _ = sd
-    (partition: InputPartition) => agg match {
-      case Some(a) => new SynAggReader(
-        partition.asInstanceOf[SynPartition], sdEpoch, dayLo, dayHi, a)
-      case None => new SynReader(
-        partition.asInstanceOf[SynPartition], s, sdEpoch, dayLo, dayHi, req,
-        lim.getOrElse(Int.MaxValue))
+    (partition: InputPartition) => {
+      val p = partition match {
+        case k: SynKeyedPartition => SynPartition(k.sym, k.sym + 1)
+        case sp: SynPartition => sp
+      }
+      agg match {
+        case Some(a) => new SynAggReader(p, sdEpoch, dayLo, dayHi, a)
+        case None => new SynReader(p, s, sdEpoch, dayLo, dayHi, req,
+          lim.getOrElse(Int.MaxValue))
+      }
     }
   }
 }

@@ -150,4 +150,34 @@ class DataSourceV2Spec extends SparkSpec {
     val viaScala = all.filter(_.getString(0) == "000003.SS")
     assert(viaPushdown == viaScala)
   }
+
+  test("reported partitioning: symbol-keyed aggregation plans with ZERO shuffles; results identical") {
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "\\bExchange\\b".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    val agg = (d: org.apache.spark.sql.DataFrame) =>
+      d.groupBy("symbol").agg(count(lit(1)).as("n"),
+        sum(col("volume")).as("v"))
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val keyed = agg(src.option("reportPartitioning", "true").load())
+      val plain = agg(src.load())
+      assert(shuffles(plain) >= 1, "baseline must shuffle on the group key")
+      assert(shuffles(keyed) == 0,
+        s"reported KeyGroupedPartitioning must satisfy the clustering:\n" +
+          keyed.queryExecution.executedPlan)
+      // the claim must also be TRUE: identical results both ways
+      val a = keyed.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = plain.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b && a.size == 20)
+      // pruning symbol away withdraws the claim rather than lying
+      val pruned = src.option("reportPartitioning", "true").load()
+        .select("close").agg(count(lit(1))).collect()
+      assert(pruned.head.getLong(0) == 20L * 50)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
 }
