@@ -175,6 +175,16 @@ class DataSourceV2Spec extends SparkSpec {
       val pruned = src.option("reportPartitioning", "true").load()
         .select("close").agg(count(lit(1))).collect()
       assert(pruned.head.getLong(0) == 20L * 50)
+      // storage-partitioned JOIN: two keyed scans co-join on symbol with
+      // zero exchanges (the connector-native answer to bucketed tables)
+      val left = agg(src.option("reportPartitioning", "true").load())
+      val right = src.option("reportPartitioning", "true").load()
+        .groupBy("symbol").agg(max(col("close")).as("mx"))
+      val spj = left.join(right, "symbol")
+      assert(shuffles(spj) == 0,
+        s"storage-partitioned join must not exchange:\n" +
+          spj.queryExecution.executedPlan)
+      assert(spj.count() == 20L)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
       case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
