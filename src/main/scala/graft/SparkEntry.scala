@@ -1601,6 +1601,21 @@ object SparkEntry {
     // WordPiece's greedy match: min-total-integer-cost segmentation with
     // lexicographic (cost, pieces) tie-break packed into one DP value.
     // Shared vocab constant renders into both engines.
+    // MapType round-trip (the one container type the surface hadn't
+    // exercised): per-doc word counts packed into a MAP column
+    // (map_from_entries), then exploded back to rows — the plan carries a
+    // real MapType through an exchange. Output ≡ plain word counts, which
+    // is exactly what makes it oracle-checkable.
+    "p8_map_explode" -> ((s, dir) => {
+      val withWords = TestData(s, dir).documents
+        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      withWords.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("w"), col("c")))).as("m"))
+        .select(col("doc_id"), explode(col("m")).as(Seq("word", "cnt")))
+    }),
+
     // Pad/truncate to fixed width (the training-loader batch-prep step):
     // word-derived ids sliced to 16, zero-padded, digest of the padded
     // row + kept counts. Row-local list arithmetic, no shuffle.
@@ -3611,6 +3626,22 @@ object SparkEntry {
     // The canonical bars derivation itself (A6 over the tick mapping).
     "api_bars" -> ((s, dir) => mkt(s, dir).bars),
 
+    // Drawdown SERIES (the curve behind api_backtest_metrics' max-dd
+    // scalar): running peak = windowed MAX (a SELECTED close — no
+    // arithmetic), dd = (close − peak)/peak as one subtraction + one
+    // IEEE division of replayed values. Close is a px-division double —
+    // rule 1 forbids decimal casts here; the pure selected-value +
+    // fixed-tree form is what keeps the series hash-exact.
+    "api_drawdown" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("date"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      mkt(s, dir).bars
+        .select(col("symbol"), col("date"), col("close"))
+        .withColumn("peak", max(col("close")).over(w))
+        .withColumn("dd", (col("close") - col("peak")) / col("peak"))
+    }),
+
     // get_price, fq=none: filter + project off the long bars table.
     "api_get_price" -> ((s, dir) =>
       api(s, dir).getPrice(syms3, "1996-01-01", "1996-12-31", Seq("close", "volume"))),
@@ -4013,6 +4044,18 @@ object SparkEntry {
 
     "api_bars" ->
       s"""$MKT SELECT symbol, date, open, high, low, close, volume, money FROM bars""",
+
+    // Drawdown series: selected-value running max + the identical
+    // subtract-then-divide tree.
+    "api_drawdown" ->
+      s"""$MKT SELECT symbol, date, close,
+                 MAX(close) OVER (PARTITION BY symbol ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+                 (close - MAX(close) OVER (PARTITION BY symbol ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 / MAX(close) OVER (PARTITION BY symbol ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dd
+          FROM bars""",
 
     "api_get_price" ->
       s"""$MKT SELECT symbol, date, close, volume FROM bars
@@ -7147,6 +7190,16 @@ $backtestPnlCtes,
     "tok_bpe_encode" -> bpeEncodeOracleSql(8),
 
     "tok_wordpiece_encode" -> wordpieceOracleSql(8),
+
+    // Map round-trip replay: the map is plan-internal; the observable
+    // result is per-doc word counts.
+    "p8_map_explode" ->
+      """WITH w AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+             FROM documents),
+          e AS (SELECT doc_id, x AS word FROM w, unnest(ws) AS t(x))
+          SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM e GROUP BY doc_id, word""",
 
     // Pad/truncate replay: same id formula, slice, computed-count zero
     // pad, same comma-joined digest.
