@@ -3681,6 +3681,22 @@ object SparkEntry {
       graft.quality.DataQuality.profile(TestData(s, dir).lineitem,
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // Write-path expectations (quarantine view): rows failing any named
+    // check, labeled with the comma-joined failed-check names in
+    // declaration order. NULL check results count as failures (an
+    // unevaluable expectation is not satisfied). The write split itself
+    // is spec-gated; this gate checks the labeling semantics.
+    "dq_expectations" -> ((s, dir) => {
+      val checks = Seq(
+        "qty_range" -> col("l_quantity").between(1, 45),
+        "disc_cap" -> (col("l_discount") <= 0.08),
+        "tax_cap" -> (col("l_tax") <= 0.07))
+      graft.quality.Expectations.violations(TestData(s, dir).lineitem, checks)
+        .filter(col("__violations") =!= "")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("__violations").as("violations"))
+    }),
+
     // Referential-integrity audit: orphan counts across the two FK edges
     // a star schema lives on (lineitem→orders, orders→customer). LEFT
     // ANTI joins — null-safe, and at scale each co-shuffles on its key
@@ -4102,6 +4118,21 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(one).mkString("\n UNION ALL \n")
     },
+
+    // Expectations replay: same coalesce-to-false per check, same
+    // declaration-ordered concat_ws (both engines skip NULL parts).
+    "dq_expectations" ->
+      """WITH v AS (SELECT l_orderkey, l_linenumber,
+            concat_ws(',',
+              CASE WHEN coalesce(l_quantity BETWEEN 1 AND 45, FALSE)
+                   THEN NULL ELSE 'qty_range' END,
+              CASE WHEN coalesce(l_discount <= 0.08, FALSE)
+                   THEN NULL ELSE 'disc_cap' END,
+              CASE WHEN coalesce(l_tax <= 0.07, FALSE)
+                   THEN NULL ELSE 'tax_cap' END) AS violations
+          FROM lineitem)
+         SELECT l_orderkey, l_linenumber, violations
+         FROM v WHERE violations <> ''""",
 
     // Orphan audit replay: NOT IN ≡ the anti join (fixture keys carry no
     // nulls, where the two differ).

@@ -42,6 +42,26 @@ class QualitySpec extends SparkSpec {
     assert(m("n_rows") == 4L && m("x_nulls") == 2L, m.toString)
   }
 
+  test("expectations: valid/quarantine split, null checks fail closed, reasons in declaration order") {
+    import graft.quality.Expectations
+    val df = Seq(
+      (1L, Some(10.0), "ok"),
+      (2L, Some(99.0), "too big"),
+      (3L, None: Option[Double], "null fails closed"),
+      (4L, Some(-1.0), "negative")).toDF("id", "x", "note")
+    val checks = Seq(
+      "x_max" -> (col("x") <= 50.0),
+      "x_pos" -> (col("x") >= 0.0))
+    val root = java.nio.file.Files.createTempDirectory("graft_exp").toString
+    val r = Expectations.writeWithExpectations(df, s"$root/ok", s"$root/bad", checks)
+    assert(r == Expectations.Result(1L, 3L))
+    val ok = spark.read.parquet(s"$root/ok").select("id").as[Long].collect()
+    assert(ok.toSeq == Seq(1L))
+    val bad = spark.read.parquet(s"$root/bad")
+      .select("id", "__violations").as[(Long, String)].collect().toMap
+    assert(bad == Map(2L -> "x_max", 3L -> "x_max,x_pos", 4L -> "x_pos"))
+  }
+
   test("benford audit: hand-counted digits, absent digits report zero, grid sums to 1000") {
     assert(DataQuality.BenfordPm.map(_._2).sum == 1000L)
     // values: first digits 1,1,1,2,9 — digit 3..8 absent; 0.5 contributes
