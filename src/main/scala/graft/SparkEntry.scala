@@ -1440,6 +1440,35 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // Pareto / revenue-concentration (the 80/20 audit): customers ranked
+    // by revenue, cumulative share in exact integer CENTS (decimal×100 is
+    // integral, so the whole curve is BIGINT arithmetic — cum·1000 DIV
+    // total per-mille, no float cumsum). Ordered-cumsum window runs over
+    // the customer-cardinality aggregate; ties break on the key. At
+    // billions of customers the curve is served from a percentile sketch
+    // instead — this is the exact lane.
+    "a12_pareto" -> ((s, dir) => {
+      // o_totalprice is a stored DOUBLE carrying a 2-dp value: ×100 is
+      // integer ± ulps, so floor(x·100 + 0.5) recovers exact cents in any
+      // engine (the Coerce.roundHalfUp floor trick — never a raw bigint
+      // cast, which truncates in Spark and rounds in DuckDB)
+      val rev = TestData(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents").desc, col("o_custkey").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val all = org.apache.spark.sql.expressions.Window.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      rev.withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("total", sum(col("cents")).over(all))
+        .select(col("o_custkey"), col("cents"),
+          expr("(cum * 1000) DIV total").as("cum_share_pm"),
+          (expr("(cum * 1000) DIV total") <= 800).as("in_top80"))
+    }),
+
     // Gaps-and-islands streaks: per user, maximal runs of STRICTLY rising
     // event values under the (ts_ns, event_id) total order — streak count,
     // longest, and the length of the current (final) streak. All outputs
@@ -5655,6 +5684,22 @@ $backtestPnlCtes,
          SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
                 CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share
          FROM rev""",
+
+    // Pareto replay: exact cents, same ordered cumsum, BIGINT-cast window
+    // sums (DuckDB widens to HUGEINT), same DIV per-mille.
+    "a12_pareto" ->
+      """WITH r AS (SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             FROM orders GROUP BY o_custkey),
+          c AS (SELECT o_custkey, cents,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total
+             FROM r)
+          SELECT o_custkey, cents,
+                 CAST((cum * 1000) // total AS BIGINT) AS cum_share_pm,
+                 (cum * 1000) // total <= 800 AS in_top80
+          FROM c""",
 
     // Streak replay: identical break-flag CASE, cumulative island id,
     // per-island row counts. arg_max picks the FINAL island (ids are
