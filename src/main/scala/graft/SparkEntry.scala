@@ -1693,6 +1693,37 @@ object SparkEntry {
     "text_ngram_topk" -> ((s, dir) =>
       Relevance.ngramTopK(TestData(s, dir).documents, "text", n = 2, k = 20)),
 
+    // Total-variation distance between two sources' WORD distributions —
+    // the text-domain drift audit next to the numeric chi²/KS gates
+    // (JS/KL need logs; TV = ½Σ|p−q| stays exact): cross-multiplied
+    // integers, numerator Σ|c₁·N₂ − c₂·N₁| over denominator 2·N₁·N₂,
+    // one IEEE division at the end. Full-outer vocab join so words
+    // exclusive to one source count their whole mass.
+    "text_tv_distance" -> ((s, dir) => {
+      val withWords = TestData(s, dir).documents
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), TextFns.words(col("text")).as("ws"))
+      val counts = withWords.select(col("source"), explode(col("ws")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      def side(src: String, as: String) = counts.filter(col("source") === src)
+        .select(col("w"), col("c").as(as))
+      val joined = side("src0", "c1").join(side("src1", "c2"), Seq("w"), "full_outer")
+        .select(coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      val all = org.apache.spark.sql.expressions.Window.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      joined
+        .withColumn("n1", sum(col("c1")).over(all))
+        .withColumn("n2", sum(col("c2")).over(all))
+        .withColumn("term", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(col("term")).as("tv_num"))
+        .withColumn("tv",
+          col("tv_num").cast("double")
+            / (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
+    }),
+
     // PMI collocation mining, rational form (no logs cross the engines):
     // ratio = n_pair·N_uni² / (N_bi·c_a·c_b), support floor 5, ranked
     // (ratio DESC, bigram ASC).
@@ -6691,6 +6722,28 @@ $backtestPnlCtes,
            SELECT ngram, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram ASC) AS BIGINT) AS rank
            FROM c)
          WHERE rank <= 20""",
+
+    // TV-distance replay: same cross-multiplied integer numerator, same
+    // single division; window sums BIGINT-cast (HUGEINT widening).
+    "text_tv_distance" ->
+      """WITH w AS (SELECT source,
+               list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+             FROM documents WHERE source IN ('src0', 'src1')),
+          c AS (SELECT source, x AS word, CAST(COUNT(*) AS BIGINT) AS c
+                FROM w, unnest(ws) AS t(x) GROUP BY source, x),
+          j AS (SELECT COALESCE(a.c, 0) AS c1, COALESCE(b.c, 0) AS c2
+                FROM (SELECT word, c FROM c WHERE source = 'src0') a
+                FULL OUTER JOIN (SELECT word, c FROM c WHERE source = 'src1') b
+                  USING (word)),
+          s AS (SELECT c1, c2,
+                       CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+                       CAST(SUM(c2) OVER () AS BIGINT) AS n2
+                FROM j)
+          SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+                 CAST(SUM(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS tv_num,
+                 CAST(CAST(SUM(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS DOUBLE)
+                   / (2.0 * CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) AS tv
+          FROM s""",
 
     // PMI replay: identical integer products, one IEEE division, same
     // (ratio DESC, bigram ASC) total order.
