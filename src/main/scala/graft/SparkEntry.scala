@@ -1469,6 +1469,28 @@ object SparkEntry {
           (expr("(cum * 1000) DIV total") <= 800).as("in_top80"))
     }),
 
+    // Gini coefficient over customer revenue — the scalar companion to
+    // a12's Pareto curve: G = 2·Σᵢ(i·xᵢ)/(n·Σx) − (n+1)/n over the
+    // ascending rank order (ties broken by key — the standard
+    // convention). Every accumulator is exact BIGINT (cents again);
+    // doubles appear only in the final fixed expression tree, replayed
+    // verbatim. Rank window over the customer-cardinality aggregate.
+    "a13_gini" -> ((s, dir) => {
+      val rev = TestData(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents").asc, col("o_custkey").asc)
+      rev.withColumn("rk", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("rk") * col("cents")).as("wsum"))
+        .withColumn("gini",
+          (lit(2.0) * col("wsum").cast("double"))
+            / (col("n") * col("s")).cast("double")
+            - (col("n") + 1).cast("double") / col("n").cast("double"))
+    }),
+
     // Gaps-and-islands streaks: per user, maximal runs of STRICTLY rising
     // event values under the (ts_ns, event_id) total order — streak count,
     // longest, and the length of the current (final) streak. All outputs
@@ -5715,6 +5737,24 @@ $backtestPnlCtes,
          SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
                 CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share
          FROM rev""",
+
+    // Gini replay: same cents, same rank order, BIGINT-cast sums, the
+    // identical final double tree.
+    "a13_gini" ->
+      """WITH r AS (SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             FROM orders GROUP BY o_custkey),
+          k AS (SELECT cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS rk
+             FROM r),
+          a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(cents) AS BIGINT) AS s,
+                       CAST(SUM(rk * cents) AS BIGINT) AS wsum
+                FROM k)
+          SELECT n, s, wsum,
+                 (2.0 * CAST(wsum AS DOUBLE)) / CAST(n * s AS DOUBLE)
+                   - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+          FROM a""",
 
     // Pareto replay: exact cents, same ordered cumsum, BIGINT-cast window
     // sums (DuckDB widens to HUGEINT), same DIV per-mille.
