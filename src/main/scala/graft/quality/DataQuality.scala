@@ -151,6 +151,40 @@ object DataQuality {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** Compressibility quality signal — the deflate-ratio filter corpus
+    * pipelines run next to the Gopher repetition heuristics: machine-
+    * generated/boilerplate text compresses far below natural prose, and
+    * near-random noise compresses above it, so both tails are drop
+    * candidates. Row-local deflate (one Deflater per row — a poisoned row
+    * never takes the partition), ratio = compressed/raw bytes. The exact
+    * byte count depends on the JVM's zlib, so this op is SPEC-gated
+    * (bounds + ordering properties), not hash-compared — the one class of
+    * operator whose output an independent engine cannot replay bit-exact.
+    * Empty docs → null (no ratio to speak of). */
+  def compressionRatio(df: DataFrame, text: String,
+                       as: String = "compress_ratio"): DataFrame = {
+    val spark = df.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(df.schema.add(as, "double"))
+    df.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](8192)
+      rows.map { r =>
+        val idx = r.fieldIndex(text)
+        val s = if (r.isNullAt(idx)) "" else r.getString(idx)
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val ratio: Any = if (raw.isEmpty) null else {
+          deflater.reset()
+          deflater.setInput(raw); deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          n.toDouble / raw.length
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ratio)
+      }
+    }(enc)
+  }
+
   /** Attach IN-FLIGHT quality metrics to a frame via the Observation API:
     * row count plus per-column null counts accumulate DURING whatever
     * action consumes the frame — a write gets its DQ numbers for free,

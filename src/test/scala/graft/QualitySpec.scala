@@ -62,6 +62,24 @@ class QualitySpec extends SparkSpec {
     assert(bad == Map(2L -> "x_max", 3L -> "x_max,x_pos", 4L -> "x_pos"))
   }
 
+  test("compression ratio: repetition compresses below prose, noise above; empty is null") {
+    val rep = ("spam " * 200).trim
+    val prose = "the quick brown fox jumps over the lazy dog and then reflects " +
+      "on market microstructure while the window function partitions quietly " +
+      "across a wide executor fleet near the shuffle boundary every evening"
+    val noise = new scala.util.Random(7).alphanumeric.take(600).mkString
+    val df = Seq((1L, rep), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("id", "text")
+    val got = DataQuality.compressionRatio(df, "text")
+      .select("id", "compress_ratio")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(4L).isEmpty)
+    val (r, p, n) = (got(1L).get, got(2L).get, got(3L).get)
+    assert(r < p && p < n, s"ordering violated: rep=$r prose=$p noise=$n")
+    assert(r < 0.1 && n > 0.5, s"tails out of band: rep=$r noise=$n")
+    assert(got.values.flatten.forall(v => v > 0.0 && v < 1.5))
+  }
+
   test("benford audit: hand-counted digits, absent digits report zero, grid sums to 1000") {
     assert(DataQuality.BenfordPm.map(_._2).sum == 1000L)
     // values: first digits 1,1,1,2,9 — digit 3..8 absent; 0.5 contributes
