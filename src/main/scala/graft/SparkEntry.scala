@@ -3708,6 +3708,20 @@ object SparkEntry {
     // The canonical bars derivation itself (A6 over the tick mapping).
     "api_bars" -> ((s, dir) => mkt(s, dir).bars),
 
+    // Daily most-active board ("today's top movers by turnover") — the
+    // per-date top-N serving query: one rank window partitioned by date
+    // (money DESC, symbol ASC ties), filter ≤ 3. At scale this is a
+    // per-partition top-k, never a global sort.
+    "api_top_turnover" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("date"))
+        .orderBy(col("money").desc, col("symbol").asc)
+      mkt(s, dir).bars
+        .select(col("date"), col("symbol"), col("money"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
     // Drawdown SERIES (the curve behind api_backtest_metrics' max-dd
     // scalar): running peak = windowed MAX (a SELECTED close — no
     // arithmetic), dd = (close − peak)/peak as one subtraction + one
@@ -4142,6 +4156,14 @@ object SparkEntry {
 
     "api_bars" ->
       s"""$MKT SELECT symbol, date, open, high, low, close, volume, money FROM bars""",
+
+    // Top-turnover board: same per-date rank and tie order.
+    "api_top_turnover" ->
+      s"""$MKT SELECT date, symbol, money,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY date
+                   ORDER BY money DESC, symbol ASC) AS BIGINT) AS rank
+          FROM bars
+          QUALIFY rank <= 3""",
 
     // Drawdown series: selected-value running max + the identical
     // subtract-then-divide tree.
