@@ -3492,6 +3492,16 @@ object SparkEntry {
       Ico.decodeIco(Ico.syntheticIco(ids)).toDF()
     }),
 
+    // Per-channel color histograms over the real PPM decode (the dataset
+    // color-stats pass before normalization): 8 fixed-width bins per
+    // channel, exact integer counts, one row per (image, bin).
+    "mm_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Multimodal.channelHistogram(Multimodal.syntheticPpm(ids), bins = 8).toDF()
+    }),
+
     // OGG metadata lane: page walk with segment LACING (255-run packet
     // framing incl. the exact-multiple zero tail) and the OGG CRC-32
     // (0x04c11db7 MSB-first, init 0, no xor — NOT the zlib CRC), verified
@@ -7871,6 +7881,26 @@ $backtestPnlCtes,
                  CAST(SUM((2*id + entry + x) % 256) AS DOUBLE) / COUNT(*) AS mean_g,
                  CAST(SUM((id + entry + y) % 256) AS DOUBLE) / COUNT(*) AS mean_b
           FROM px GROUP BY id, entry, kind, width, height""",
+
+    // Histogram replay: the pixel formulas binned with integer DIV,
+    // conditional counts against the crossed bin domain.
+    "mm_histogram" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(4 + doc_id % 5 AS INT) AS width,
+                      CAST(3 + doc_id % 4 AS INT) AS height
+                    FROM documents),
+         px AS (SELECT id,
+                  (id + 3*(i % width) + 7*(i // width)) % 256 AS r,
+                  (2*id + (i % width)) % 256 AS g,
+                  (id + (i // width)) % 256 AS bl
+                FROM d, unnest(range(0, width * height)) AS t(i)),
+         bins AS (SELECT CAST(x AS INT) AS bin FROM unnest(range(0, 8)) AS t(x))
+         SELECT id, bin,
+                CAST(SUM(CASE WHEN r // 32 = bin THEN 1 ELSE 0 END) AS BIGINT) AS r_count,
+                CAST(SUM(CASE WHEN g // 32 = bin THEN 1 ELSE 0 END) AS BIGINT) AS g_count,
+                CAST(SUM(CASE WHEN bl // 32 = bin THEN 1 ELSE 0 END) AS BIGINT) AS b_count
+         FROM px CROSS JOIN bins
+         GROUP BY id, bin""",
 
     // Mirrors Ogg.shape: serial/pages/granule formulas; packets sum the
     // per-page count over the page range.

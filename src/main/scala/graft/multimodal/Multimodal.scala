@@ -37,6 +37,8 @@ object Multimodal {
         lit(0).as("height")).as("meta"))
 
   case class PpmImage(id: Long, media: Array[Byte])
+  case class PpmHistRow(id: Long, bin: Int, r_count: Long, g_count: Long,
+                        b_count: Long)
   case class PpmFeatures(id: Long, width: Int, height: Int, n_pixels: Long,
                          mean_r: Double, mean_g: Double, mean_b: Double)
 
@@ -121,6 +123,34 @@ object Multimodal {
       }
       PpmFeatures(id, w, h, n, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
     }
+
+  /** Per-channel COLOR HISTOGRAMS over the real PPM decode — the dataset
+    * color-statistics pass CV pipelines run before normalization (channel
+    * means/stds come from exactly these exact integer bins). Row-local:
+    * one decode walk fills `bins` fixed-width counters per channel, then
+    * emits one row per (image, bin). Counts are exact integers, so the
+    * lane hash-compares cross-engine. Undecodable rows drop. */
+  def channelHistogram(media: Dataset[PpmImage], bins: Int = 8): Dataset[PpmHistRow] = {
+    import media.sparkSession.implicits._
+    require(256 % bins == 0, s"bins must divide 256, got $bins")
+    val width = 256 / bins
+    media.mapPartitions(_.flatMap { r =>
+      parseP6(r.media).toSeq.flatMap { case (w, h, off) =>
+        val cr = new Array[Long](bins)
+        val cg = new Array[Long](bins)
+        val cb = new Array[Long](bins)
+        var p = off
+        val end = off + w * h * 3
+        while (p < end) {
+          cr((r.media(p) & 0xff) / width) += 1
+          cg((r.media(p + 1) & 0xff) / width) += 1
+          cb((r.media(p + 2) & 0xff) / width) += 1
+          p += 3
+        }
+        (0 until bins).map(bin => PpmHistRow(r.id, bin, cr(bin), cg(bin), cb(bin)))
+      }
+    })
+  }
 
   /** REAL image resize (nearest-neighbor) on the PPM lane: parse → sample
     * the source pixel at (sx, sy) = (x·srcW DIV dstW, y·srcH DIV dstH) →
