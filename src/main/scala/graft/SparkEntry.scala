@@ -3718,6 +3718,31 @@ object SparkEntry {
     // The canonical bars derivation itself (A6 over the tick mapping).
     "api_bars" -> ((s, dir) => mkt(s, dir).bars),
 
+    // Realized volatility (20-day, zero-mean convention: rv = √Σr²) —
+    // closes the risk-metrics family next to beta/corr/slope/zscore/
+    // drawdown. Returns are one IEEE division each; the window sum is a
+    // SEQUENTIAL FOLD over the ordered 20-row frame (rule 1 — a plain
+    // window SUM of doubles is order-free only for the planner, not for
+    // IEEE); √ of identical doubles is identical.
+    "api_realized_vol" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("date"))
+      val fr = w.rowsBetween(-19, 0)
+      val fold = (l: Column) =>
+        aggregate(l, lit(0.0), (a, e) => a + e * e)
+      // the first row per symbol has a NULL return — drop it BEFORE the
+      // frame (Spark's collect_list skips nulls where DuckDB's list
+      // keeps them; filtering makes both frames identical)
+      mkt(s, dir).bars
+        .select(col("symbol"), col("date"), col("close"))
+        .withColumn("r", col("close") / lag(col("close"), 1).over(w) - 1.0)
+        .filter(col("r").isNotNull)
+        .withColumn("__lr", collect_list(col("r")).over(fr))
+        .select(col("symbol"), col("date"),
+          size(col("__lr")).cast("long").as("n_rets"),
+          sqrt(fold(col("__lr"))).as("rv20"))
+    }),
+
     // Daily most-active board ("today's top movers by turnover") — the
     // per-date top-N serving query: one rank window partitioned by date
     // (money DESC, symbol ASC ties), filter ≤ 3. At scale this is a
@@ -4166,6 +4191,21 @@ object SparkEntry {
 
     "api_bars" ->
       s"""$MKT SELECT symbol, date, open, high, low, close, volume, money FROM bars""",
+
+    // Realized-vol replay: same return division, null-return filter,
+    // ordered 20-frame list, sequential squared fold, √.
+    "api_realized_vol" ->
+      s"""$MKT, rr AS (SELECT symbol, date,
+                  close / lag(close) OVER (PARTITION BY symbol ORDER BY date) - 1.0 AS r
+                FROM bars),
+          f AS (SELECT symbol, date,
+                  list(r) OVER (PARTITION BY symbol ORDER BY date
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lr
+                FROM rr WHERE r IS NOT NULL)
+          SELECT symbol, date, CAST(len(lr) AS BIGINT) AS n_rets,
+                 sqrt(list_reduce([CAST(0 AS DOUBLE)] ||
+                   list_transform(lr, v -> v * v), (a, b) -> a + b)) AS rv20
+          FROM f""",
 
     // Top-turnover board: same per-date rank and tie order.
     "api_top_turnover" ->
