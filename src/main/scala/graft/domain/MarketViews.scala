@@ -78,21 +78,30 @@ final case class MarketViews(spark: SparkSession, dir: String) extends MarketTab
   def exrightsAB: DataFrame = {
     val ev = exrightsEvents.withColumn("cash",
       (((month(col("date")) + dayofmonth(col("date"))) % 5).cast("double")) * 0.1)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("symbol")).orderBy(col("date"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val eventAB = struct(
+    // O(n) per-key pass (graft.functions.{CumProdRun, AffineRunB}) — the
+    // r12 struct-fold over collect_list().over(unboundedPreceding) held
+    // every row's FULL event prefix (O(n²) memory per key; fine for dozens
+    // of ex-rights events, the pattern the r12 verdict flagged). Identical
+    // IEEE step sequence, so coefficients are bit-for-bit.
+    val packed = struct(col("date").as("__o"),
       (lit(1.0) / col("ratio")).as("a"),
-      ((lit(0.0) - col("cash")) / col("ratio")).as("b"))
-    val cum = aggregate(
-      collect_list(eventAB).over(w),
-      struct(lit(1.0).as("a"), lit(0.0).as("b")),
-      (acc, e) => struct(
-        (acc.getField("a") * e.getField("a")).as("a"),
-        (acc.getField("b") * e.getField("a") + e.getField("b")).as("b")))
-    ev.withColumn("cum", cum)
-      .select(col("symbol"), col("date"), col("ratio"), col("cash"),
-        col("cum.a").as("exer_forward_a"), col("cum.b").as("exer_forward_b"))
+      ((lit(0.0) - col("cash")) / col("ratio")).as("b"),
+      struct(ev.columns.map(col): _*).as("__r"))
+    ev.groupBy(col("symbol").as("__k"))
+      .agg(sort_array(collect_list(packed)).as("__xs"))
+      .withColumn("__runA", graft.functions.SeqFoldExpressions.cumProdRun(
+        transform(col("__xs"), x => x.getField("a"))))
+      .withColumn("__runB", graft.functions.SeqFoldExpressions.affineRunB(
+        transform(col("__xs"), x => x.getField("a")),
+        transform(col("__xs"), x => x.getField("b"))))
+      .select(posexplode(arrays_zip(col("__xs"), col("__runA"), col("__runB")))
+        .as(Seq("__p", "__z")))
+      .select(col("__z.__xs.__r.symbol").as("symbol"),
+        col("__z.__xs.__r.date").as("date"),
+        col("__z.__xs.__r.ratio").as("ratio"),
+        col("__z.__xs.__r.cash").as("cash"),
+        col("__z.__runA").as("exer_forward_a"),
+        col("__z.__runB").as("exer_forward_b"))
   }
 
   /** Backward adjust factors: running product of event ratios per symbol

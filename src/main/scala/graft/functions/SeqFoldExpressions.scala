@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for per-key RECURSIVE smoothers: given the
+  * key's full history as `array<double>`, emit the running EWMA series
+  * sₜ = α·xₜ + (1−α)·sₜ₋₁ (s₀ = x₀) in ONE pass with ONE output
+  * allocation.
+  *
+  * Why an expression and not `aggregate()`: the higher-order-function
+  * fold can only grow its accumulator array via `concat(acc, array(…))`,
+  * and Catalyst copies the accumulator on every step — O(n²) element
+  * copies per key in history length n (fine for 2,000 bars/symbol,
+  * a scale-killer for a 10⁵-event key). This expression is the O(n)
+  * formulation with the IDENTICAL IEEE step (`x*α + s*(1−α)`, `1−α`
+  * folded once), so results are bit-for-bit the old fold's.
+  *
+  * Null semantics match the fold it replaces: a null element poisons the
+  * state — that element and every later one emit null (the fold's
+  * `element_at(acc,-1)` went null and never recovered).
+  */
+case class EwmaRun(child: Expression, alpha: Double) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val oneMinus = 1.0 - alpha
+    // Optimistic PRIMITIVE pass (no boxing, no per-element GC pressure —
+    // a 10⁷-event key is GC-bound on Object[]): since the first null
+    // poisons every later element, the output is a primitive prefix
+    // followed by nulls — box only when a null actually appears.
+    val prim = new Array[Double](n)
+    var s = 0.0
+    var first = true
+    var i = 0
+    while (i < n && !xs.isNullAt(i)) {
+      val x = xs.getDouble(i)
+      s = if (first) x else x * alpha + s * oneMinus
+      first = false
+      prim(i) = s
+      i += 1
+    }
+    if (i == n) new GenericArrayData(prim)
+    else {
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < i) { out(j) = prim(j); j += 1 } // computed prefix
+      new GenericArrayData(out) // i..n-1 stay null (poisoned)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val prim = ctx.freshName("prim")
+      val boxed = ctx.freshName("boxed")
+      val first = ctx.freshName("first")
+      val a = alpha
+      val om = 1.0 - alpha
+      s"""
+         |int $n = $xs.numElements();
+         |double[] $prim = new double[$n];
+         |double $s = 0.0;
+         |boolean $first = true;
+         |int $i = 0;
+         |while ($i < $n && !$xs.isNullAt($i)) {
+         |  double $x = $xs.getDouble($i);
+         |  $s = $first ? $x : ($x * $a + $s * $om);
+         |  $first = false;
+         |  $prim[$i] = $s;
+         |  $i++;
+         |}
+         |if ($i == $n) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($prim);
+         |} else {
+         |  Object[] $boxed = new Object[$n];
+         |  for (int $j = 0; $j < $i; $j++) $boxed[$j] = $prim[$j];
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** O(n) running product over the key's ordered factor array — the exact
+  * cumprod's inner pass. IDENTICAL multiply sequence to the window fold it
+  * replaces (`aggregate(collect_list(factor).over(unboundedPreceding),
+  * 1.0, _*_)`): state starts at 1.0 and multiplies left-to-right, so
+  * results are bit-for-bit. Null semantics also match: `collect_list`
+  * SKIPPED null factors, so a null element leaves the state untouched and
+  * emits the running product so far (a leading null emits 1.0) — nulls
+  * are transparent, not poisoning (contrast [[EwmaRun]]).
+  */
+case class CumProdRun(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Double](n)
+    var s = 1.0
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) s = s * xs.getDouble(i)
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = $xs.numElements();
+         |double[] $arr = new double[$n];
+         |double $s = 1.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$xs.isNullAt($i)) $s = $s * $xs.getDouble($i);
+         |  $arr[$i] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** O(n) running AFFINE composition over the key's ordered event arrays —
+  * the adjust-coefficient fold (A,B) ∘ (a,b) = (A·a, B·a + b), state
+  * (1.0, 0.0). Emits the running B series; pair with [[CumProdRun]] over
+  * the `a` array for the running A (identical multiply sequence). Exactly
+  * the IEEE step sequence of the struct-accumulator window fold it
+  * replaces. Inputs are the a- and b-arrays of the SAME ordered events;
+  * null elements are skipped in both state updates (collect_list parity —
+  * a null never reaches the old fold), emitting the running value.
+  */
+case class AffineRunB(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val as = l.asInstanceOf[ArrayData]
+    val bs = r.asInstanceOf[ArrayData]
+    val n = math.min(as.numElements(), bs.numElements())
+    val out = new Array[Double](n)
+    var bc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!as.isNullAt(i) && !bs.isNullAt(i))
+        bc = bc * as.getDouble(i) + bs.getDouble(i)
+      out(i) = bc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (as, bs) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val bc = ctx.freshName("bc")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = java.lang.Math.min($as.numElements(), $bs.numElements());
+         |double[] $arr = new double[$n];
+         |double $bc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$as.isNullAt($i) && !$bs.isNullAt($i))
+         |    $bc = $bc * $as.getDouble($i) + $bs.getDouble($i);
+         |  $arr[$i] = $bc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SeqFoldExpressions {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+
+  /** Column wrapper for [[EwmaRun]]. */
+  def ewmaRun(xs: Column, alpha: Double): Column =
+    ColumnBridge.column(EwmaRun(ColumnBridge.expression(xs), alpha))
+
+  /** Column wrapper for [[CumProdRun]]. */
+  def cumProdRun(xs: Column): Column =
+    ColumnBridge.column(CumProdRun(ColumnBridge.expression(xs)))
+
+  /** Column wrapper for [[AffineRunB]]. */
+  def affineRunB(as: Column, bs: Column): Column =
+    ColumnBridge.column(
+      AffineRunB(ColumnBridge.expression(as), ColumnBridge.expression(bs)))
+}

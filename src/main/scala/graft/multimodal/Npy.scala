@@ -108,7 +108,12 @@ object Npy {
     if (dims.length != 2) return None // this lane handles matrices
     val (r, c) = (dims(0).toLongOption.getOrElse(return None),
       dims(1).toLongOption.getOrElse(return None))
-    if (r <= 0 || c <= 0 || r * c > MaxElems) return None // bomb cap
+    // bomb cap — gate EACH dim before multiplying: a forged shape like
+    // (2³², 2³²) wraps r*c to 0 in Long and would pass a product-only
+    // check, then index past the buffer. Per-dim ≤ MaxElems keeps the
+    // product ≤ MaxElems² ≪ Long.MaxValue, so the product test is exact.
+    if (r <= 0 || c <= 0 || r > MaxElems || c > MaxElems ||
+        r * c > MaxElems) return None
     val dataAt = dataPre + hLen
     if (dataAt + r * c * 4 > b.length) return None // shape lies about data
     val bb = java.nio.ByteBuffer.wrap(b)

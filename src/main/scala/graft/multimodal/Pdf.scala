@@ -81,9 +81,15 @@ object Pdf {
     media.mapPartitions(_.flatMap(r => decodeOne(r.id, r.media)))
   }
 
-  private def ascii(b: Array[Byte], from: Int, until: Int): String =
-    new String(b, from, math.max(0, math.min(until, b.length) - from),
+  private def ascii(b: Array[Byte], from: Int, until: Int): String = {
+    // clamp BOTH ends: a forged xref offset past EOF would otherwise hand
+    // `new String` a start beyond the array (IndexOutOfBounds fires before
+    // any startsWith can return false and kill the task instead of
+    // dropping the row)
+    val f = math.max(0, math.min(from, b.length))
+    new String(b, f, math.max(0, math.min(until, b.length) - f),
       StandardCharsets.ISO_8859_1)
+  }
 
   private[multimodal] def looksLikePdf(b: Array[Byte]): Boolean =
     b.length >= 16 && ascii(b, 0, 5) == "%PDF-" &&
@@ -97,7 +103,12 @@ object Pdf {
   private val PagesRefRe = """/Pages (\d+) 0 R""".r
   private val KidsRe = """/Kids \[([ 0-9R]*)\]""".r
 
-  private[multimodal] def decodeOne(id: Long, b: Array[Byte]): Option[PdfMeta] = {
+  /** Defense-in-depth wrapper: a malformed PDF must never kill the task —
+    * any residual parser exception coerces to a dropped row. */
+  private[multimodal] def decodeOne(id: Long, b: Array[Byte]): Option[PdfMeta] =
+    scala.util.Try(decodeOneUnsafe(id, b)).toOption.flatten
+
+  private def decodeOneUnsafe(id: Long, b: Array[Byte]): Option[PdfMeta] = {
     if (b.length < 16 || ascii(b, 0, 5) != "%PDF-") return None
     val version = ascii(b, 5, 8)
     // enter from the END: locate startxref in the tail window
@@ -140,11 +151,13 @@ object Pdf {
     // trailer dict follows the table
     val trailer = ascii(b, rec, math.min(b.length, rec + 256))
     if (!trailer.contains("trailer")) return None
-    val size = SizeRe.findFirstMatchIn(trailer).map(_.group(1).toInt)
-      .getOrElse(return None)
+    // toIntOption throughout: a >10-digit forged digit run must drop the
+    // row, not overflow-throw (the regexes only bound the charset)
+    val size = SizeRe.findFirstMatchIn(trailer)
+      .flatMap(_.group(1).toIntOption).getOrElse(return None)
     if (size != m) return None
-    val rootNum = RootRe.findFirstMatchIn(trailer).map(_.group(1).toInt)
-      .getOrElse(return None)
+    val rootNum = RootRe.findFirstMatchIn(trailer)
+      .flatMap(_.group(1).toIntOption).getOrElse(return None)
     if (rootNum < 1 || rootNum >= m) return None
     def objBody(num: Int): String = {
       val off = offsets(num - 1)
@@ -154,21 +167,30 @@ object Pdf {
     }
     val root = objBody(rootNum)
     if (!root.contains("/Type /Catalog")) return None
-    val pagesNum = PagesRefRe.findFirstMatchIn(root).map(_.group(1).toInt)
-      .getOrElse(return None)
+    val pagesNum = PagesRefRe.findFirstMatchIn(root)
+      .flatMap(_.group(1).toIntOption).getOrElse(return None)
     if (pagesNum < 1 || pagesNum >= m) return None
     val pages = objBody(pagesNum)
-    val count = CountRe.findFirstMatchIn(pages).map(_.group(1).toInt)
-      .getOrElse(return None)
+    val count = CountRe.findFirstMatchIn(pages)
+      .flatMap(_.group(1).toIntOption).getOrElse(return None)
     val kids = KidsRe.findFirstMatchIn(pages).map(_.group(1).trim)
       .getOrElse(return None)
-    val kidNums = kids.split(" ").grouped(3).map(_(0).toInt).toSeq
+    // each kid ref must be a well-formed `<num> 0 R` triple — an empty or
+    // R-leading /Kids array previously threw instead of dropping
+    val kidToks = if (kids.isEmpty) Array.empty[String] else kids.split(" ")
+    if (kidToks.length % 3 != 0) return None
+    val kidNums = kidToks.grouped(3).map { t =>
+      if (t(1) != "0" || t(2) != "R") return None
+      t(0).toIntOption.getOrElse(return None)
+    }.toSeq
     if (kidNums.length != count) return None // /Count must match the kids
+    if (kidNums.exists(k => k < 1 || k >= m)) return None
     val pageBodies = kidNums.map(objBody)
     if (!pageBodies.forall(_.contains("/Type /Page "))) return None
     val mb = MediaBoxRe.findFirstMatchIn(pageBodies.head)
       .getOrElse(return None)
-    Some(PdfMeta(id, version, m - 1, count, mb.group(1).toInt,
-      mb.group(2).toInt))
+    Some(PdfMeta(id, version, m - 1, count,
+      mb.group(1).toIntOption.getOrElse(return None),
+      mb.group(2).toIntOption.getOrElse(return None)))
   }
 }

@@ -55,16 +55,26 @@ object Aggregates {
 
   /** A5 exact variant — cumulative product as a sequential left fold over
     * the ordered factor prefix (`aggregate(collect_list(...) over w)`).
-    * Bit-deterministic (same multiply sequence on any engine), at the cost
-    * of materializing the per-key prefix — use only when the number of
-    * events per key is small (e.g. monthly ex-rights events); the log-sum
-    * form above is the scalable default. */
+    * Bit-deterministic (same multiply sequence on any engine). The r12
+    * formulation (`aggregate(collect_list(factor).over(unboundedPreceding),
+    * 1.0, _*_)`) materialized EVERY row's full prefix — O(n²) memory per
+    * key in history length n; this one groups the key's history once and
+    * runs the O(n) [[graft.functions.CumProdRun]] codegen pass (identical
+    * multiply sequence incl. the 1.0 init and collect_list's null-skipping,
+    * so results are bit-for-bit). History axis measured LINEAR in
+    * docs/SCALEHIST_r13.json. `order` should be unique per key (the packed
+    * sort breaks residual ties on (factor, full row) deterministically). */
   def cumProductExact(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                       factor: Column, as: String): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn(as,
-      aggregate(collect_list(factor).over(w), lit(1.0), (acc, x) => acc * x))
+    val orderFields = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val packed = struct(
+      (orderFields :+ factor.as("__f")) :+
+        struct(df.columns.map(col): _*).as("__r"): _*)
+    df.groupBy(keys: _*).agg(sort_array(collect_list(packed)).as("__xs"))
+      .withColumn("__run", graft.functions.SeqFoldExpressions.cumProdRun(
+        transform(col("__xs"), x => x.getField("__f"))))
+      .select(posexplode(arrays_zip(col("__xs"), col("__run"))).as(Seq("__p", "__z")))
+      .select(col("__z.__xs.__r.*"), col("__z.__run").as(as))
   }
 
   /** A1 — distinct-union accumulation: union of key scans → sorted distinct

@@ -340,10 +340,10 @@ object Joins {
     // delimiter a data value could contain
     def digested(df: DataFrame, tag: String): DataFrame =
       df.select(keys.map(col) :+
-        md5(concat_ws("",
+        md5(concat_ws("\u0001",
           compareCols.map { c =>
             val s = col(c).cast("string")
-            coalesce(concat(length(s).cast("string"), lit(":"), s), lit(" "))
+            coalesce(concat(length(s).cast("string"), lit(":"), s), lit("\u0000"))
           }: _*))
           .as(s"${tag}_digest"): _*)
     val o = digested(old, "old")

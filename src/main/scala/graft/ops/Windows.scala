@@ -221,19 +221,20 @@ object Windows {
     * here. Pick α exactly representable in binary (0.25, 0.5, 0.125…) so
     * (1−α) is exact too.
     *
-    * Plan: ONE groupBy shuffle; each key's history folds row-locally and
-    * posexplodes back. Per-key history must fit a row (bars/quarters per
-    * symbol — thousands); unbounded-history keys belong on
-    * [[graft.streaming]] state instead. `order` must be unique per key. */
+    * Plan: ONE groupBy shuffle; each key's history runs through the O(n)
+    * [[graft.functions.EwmaRun]] codegen expression (one pass, one output
+    * allocation — the `aggregate`+`concat` fold it replaced copied the
+    * accumulator array per step, O(n²) in history length) and posexplodes
+    * back. Per-key history must fit a row; truly unbounded-history keys
+    * belong on [[graft.streaming]] state instead — but the history axis
+    * is now linear (docs/SCALEHIST_r13.json). `order` must be unique per
+    * key. */
   def ewma(df: DataFrame, keys: Seq[Column], order: Column, value: Column,
            alpha: Double, as: String): DataFrame = {
     val grouped = df.groupBy(keys: _*)
       .agg(sort_array(collect_list(struct(order.as("o"), value.as("v")))).as("xs"))
-    val run = aggregate(col("xs"),
-      lit(Array.emptyDoubleArray),
-      (acc, x) => concat(acc, array(
-        when(size(acc) === 0, x.getField("v"))
-          .otherwise(x.getField("v") * alpha + element_at(acc, -1) * (1.0 - alpha)))))
+    val run = graft.functions.SeqFoldExpressions.ewmaRun(
+      transform(col("xs"), x => x.getField("v")), alpha)
     grouped.withColumn("run", run)
       .select((keys :+ posexplode(arrays_zip(col("xs"), col("run"))).as(Seq("pos", "z"))): _*)
       .select((keys ++ Seq(

@@ -223,8 +223,14 @@ object Relevance {
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .select(concat_ws(" ", col("wa"), col("wb")).as("bigram"),
         col("n_pair"),
-        (col("n_pair") * col("n_uni") * col("n_uni")).as("num"),
-        (col("n_bi") * col("c_a") * col("c_b")).as("den"))
+        // DECIMAL(38,0) products: N_uni² alone overflows Long past ~3e9
+        // total corpus words — far under the 100 TB posture. Decimal keeps
+        // the two products exact (the ksTest cross-multiply precedent);
+        // the single IEEE division below is unchanged.
+        (col("n_pair").cast("decimal(38,0)") * col("n_uni") * col("n_uni"))
+          .cast("decimal(38,0)").as("num"),
+        (col("n_bi").cast("decimal(38,0)") * col("c_a") * col("c_b"))
+          .cast("decimal(38,0)").as("den"))
       .withColumn("pmi_ratio",
         col("num").cast("double") / col("den").cast("double"))
     scored.orderBy(col("pmi_ratio").desc, col("bigram").asc).limit(k)

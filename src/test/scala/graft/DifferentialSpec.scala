@@ -294,4 +294,132 @@ class DifferentialSpec extends SparkSpec {
           |FROM g WINDOW w2 AS (PARTITION BY cid, k ORDER BY valid_from)""".stripMargin),
       s"changeIntervals (seed 4207, $CASES cases)")
   }
+
+  test(s"quantile family: disc / cont / winsorize / IQR / MAD / histogram over $CASES seeded cases") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    // the family where the a7 cast-vs-round and r12 pareto floor bugs
+    // lived: tiny tie-heavy groups, negatives, rank boundaries. Values are
+    // NON-NULL ints (the quantile ops' fixture contract; null ORDERING
+    // differs by engine definition, which is not a semantics hunt) and
+    // percentiles are quarter-grid, so every interpolated double is an
+    // exact .25 multiple — formatting never enters the comparison.
+    val rnd = new scala.util.Random(4213)
+    val rows = (0 until CASES).flatMap { cid =>
+      val n = 1 + rnd.nextInt(12)
+      val tight = rnd.nextBoolean() // tie-heavy half: values from a 11-wide range
+      (0 until n).map { i =>
+        val v = if (tight) rnd.nextInt(11) - 5 else rnd.nextInt(101) - 50
+        (cid.toLong, i.toLong, v.toLong)
+      }
+    }
+    val df = rows.toDF("gk", "i", "v").localCheckpoint()
+    val p = stage(df, "quant")
+    import graft.ops.Quantiles
+
+    val disc = Quantiles.exactDisc(df, "gk", "v", Seq(0.25, 0.5, 0.75))
+    compare(canon(disc), duck(Map("t" -> p),
+      """WITH r AS (SELECT gk, v,
+        |    ROW_NUMBER() OVER (PARTITION BY gk ORDER BY v ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY gk) AS n FROM t)
+        |SELECT gk, MAX(n) AS n,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.25) THEN v END) AS p25,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.5)  THEN v END) AS p50,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.75) THEN v END) AS p75
+        |FROM r GROUP BY gk""".stripMargin),
+      s"exactDisc (seed 4213, $CASES cases)")
+
+    val cont = Quantiles.exactCont(df, "gk", "v", Seq(0.25, 0.75))
+    compare(canon(cont), duck(Map("t" -> p),
+      """WITH r AS (SELECT gk, CAST(v AS DOUBLE) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY gk ORDER BY CAST(v AS DOUBLE) ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY gk) AS n FROM t),
+        |a AS (SELECT gk, MAX(n) AS n,
+        |  MAX(CASE WHEN rn = FLOOR((n-1) * 0.25) + 1 THEN v END) AS lo0,
+        |  MAX(CASE WHEN rn = LEAST(FLOOR((n-1) * 0.25) + 1 + 1, n) THEN v END) AS hi0,
+        |  MAX(CASE WHEN rn = FLOOR((n-1) * 0.75) + 1 THEN v END) AS lo1,
+        |  MAX(CASE WHEN rn = LEAST(FLOOR((n-1) * 0.75) + 1 + 1, n) THEN v END) AS hi1
+        |FROM r GROUP BY gk)
+        |SELECT gk, n,
+        |  lo0 + (hi0 - lo0) * ((n-1) * 0.25 - FLOOR((n-1) * 0.25)) AS p25,
+        |  lo1 + (hi1 - lo1) * ((n-1) * 0.75 - FLOOR((n-1) * 0.75)) AS p75
+        |FROM a""".stripMargin),
+      s"exactCont (seed 4213, $CASES cases)")
+
+    val win = Quantiles.winsorize(df, "gk", "v", 0.25, 0.75)
+      .select(col("gk"), col("i"), col("v"), col("cut_lo"), col("cut_hi"),
+        col("clipped"), col("clipped_low").cast("int").as("cl"),
+        col("clipped_high").cast("int").as("ch"))
+    compare(canon(win), duck(Map("t" -> p),
+      """WITH r AS (SELECT gk, v,
+        |    ROW_NUMBER() OVER (PARTITION BY gk ORDER BY v ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY gk) AS n FROM t),
+        |c AS (SELECT gk,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.25) THEN v END) AS cut_lo,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.75) THEN v END) AS cut_hi
+        |FROM r GROUP BY gk)
+        |SELECT t.gk, t.i, t.v, c.cut_lo, c.cut_hi,
+        |  LEAST(GREATEST(t.v, c.cut_lo), c.cut_hi) AS clipped,
+        |  CAST(t.v < c.cut_lo AS INT) AS cl,
+        |  CAST(t.v > c.cut_hi AS INT) AS ch
+        |FROM t JOIN c ON t.gk = c.gk""".stripMargin),
+      s"winsorize (seed 4213, $CASES cases)")
+
+    val iqr = Quantiles.iqrOutliers(df, "gk", "v")
+      .select(col("gk"), col("i"), col("v"), col("q1"), col("q3"),
+        col("lo_fence"), col("hi_fence"),
+        col("is_low").cast("int").as("il"), col("is_high").cast("int").as("ih"))
+    compare(canon(iqr), duck(Map("t" -> p),
+      """WITH r AS (SELECT gk, CAST(v AS DOUBLE) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY gk ORDER BY CAST(v AS DOUBLE) ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY gk) AS n FROM t),
+        |c AS (SELECT gk,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.25) THEN v END) AS q1,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.75) THEN v END) AS q3
+        |FROM r GROUP BY gk),
+        |f AS (SELECT gk, q1, q3,
+        |  q1 - 1.5 * (q3 - q1) AS lo_fence,
+        |  q3 + 1.5 * (q3 - q1) AS hi_fence FROM c)
+        |SELECT t.gk, t.i, t.v, f.q1, f.q3, f.lo_fence, f.hi_fence,
+        |  CAST(CAST(t.v AS DOUBLE) < f.lo_fence AS INT) AS il,
+        |  CAST(CAST(t.v AS DOUBLE) > f.hi_fence AS INT) AS ih
+        |FROM t JOIN f ON t.gk = f.gk""".stripMargin),
+      s"iqrOutliers (seed 4213, $CASES cases)")
+
+    val mad = Quantiles.madExact(df, "gk", "v")
+    compare(canon(mad), duck(Map("t" -> p),
+      """WITH r AS (SELECT gk, CAST(v AS DOUBLE) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY gk ORDER BY CAST(v AS DOUBLE) ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY gk) AS n FROM t),
+        |m0 AS (SELECT gk, MAX(n) AS n,
+        |  MAX(CASE WHEN rn = FLOOR((n-1) * 0.5) + 1 THEN v END) AS lo,
+        |  MAX(CASE WHEN rn = LEAST(FLOOR((n-1) * 0.5) + 1 + 1, n) THEN v END) AS hi
+        |FROM r GROUP BY gk),
+        |m AS (SELECT gk, n,
+        |  lo + (hi - lo) * ((n-1) * 0.5 - FLOOR((n-1) * 0.5)) AS med FROM m0),
+        |d AS (SELECT t.gk, ABS(CAST(t.v AS DOUBLE) - m.med) AS d
+        |      FROM t JOIN m ON t.gk = m.gk),
+        |r2 AS (SELECT gk, d,
+        |    ROW_NUMBER() OVER (PARTITION BY gk ORDER BY d ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY gk) AS n FROM d),
+        |m20 AS (SELECT gk, MAX(n) AS n,
+        |  MAX(CASE WHEN rn = FLOOR((n-1) * 0.5) + 1 THEN d END) AS lo,
+        |  MAX(CASE WHEN rn = LEAST(FLOOR((n-1) * 0.5) + 1 + 1, n) THEN d END) AS hi
+        |FROM r2 GROUP BY gk),
+        |m2 AS (SELECT gk, n,
+        |  lo + (hi - lo) * ((n-1) * 0.5 - FLOOR((n-1) * 0.5)) AS mad FROM m20)
+        |SELECT m2.gk, m2.n, m.med, m2.mad FROM m2 JOIN m ON m2.gk = m.gk""".stripMargin),
+      s"madExact (seed 4213, $CASES cases)")
+
+    // histogram binning on NEGATIVES — the exact a7 bug class: the bucket
+    // must be floor() of the IEEE division (cast truncates toward zero in
+    // Spark and ROUNDS in DuckDB; both are wrong replays of each other)
+    val hist = df.select(floor(col("v") / 7.0).cast("long").as("bucket"), col("v"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    compare(canon(hist), duck(Map("t" -> p),
+      """SELECT CAST(FLOOR(v / 7.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_rows, MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM t GROUP BY 1""".stripMargin),
+      s"histogram floor-div binning (seed 4213, $CASES cases)")
+  }
 }

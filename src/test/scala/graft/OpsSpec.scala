@@ -285,12 +285,12 @@ class OpsSpec extends SparkSpec {
     // null sentinel
     val o2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
       .toDF("k", "x")
-    val n2 = Seq((1L, Some(" ")), (2L, Some(""))).toDF("k", "x")
+    val n2 = Seq((1L, Some("\u0000")), (2L, Some(""))).toDF("k", "x")
     assert(Joins.snapshotDiff(o2, n2, Seq("k"), Seq("x"))
       .as[(Long, String)].collect().toMap ===
       Map(1L -> "changed", 2L -> "changed"))
     // and the same content with delimiter-looking bytes stays silent
-    val same = Seq((1L, "ab", "7:x")).toDF("k", "x", "y")
+    val same = Seq((1L, "a\u0001b", "7:x")).toDF("k", "x", "y")
     assert(Joins.snapshotDiff(same, same, Seq("k"), Seq("x", "y")).count() === 0L)
   }
 
@@ -347,5 +347,39 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(got == Map("u" -> (3L, 2L, 2L), "v" -> (3L, 1L, 1L)))
+  }
+
+  test("ewma: O(n) expression matches the recurrence by hand; nulls poison forward") {
+    // hand recurrence at alpha=0.25 (exactly representable; rule 1)
+    val df = Seq((1, 1L, 4.0), (1, 2L, 8.0), (1, 3L, 2.0), (2, 1L, 10.0))
+      .toDF("k", "t", "x")
+    val out = Windows.ewma(df, Seq(col("k")), col("t"), col("x"), 0.25, "s")
+      .select("k", "o", "s").as[(Int, Long, Double)].collect().toSet
+    val s2 = 8.0 * 0.25 + 4.0 * 0.75           // 5.0
+    val s3 = 2.0 * 0.25 + s2 * 0.75            // 4.25
+    assert(out == Set((1, 1L, 4.0), (1, 2L, s2), (1, 3L, s3), (2, 1L, 10.0)))
+
+    // a null value poisons its own and every LATER output for the key
+    // (the state goes null and never recovers — the old fold's contract)
+    val withNull = Seq((1, 1L, Some(4.0)), (1, 2L, None), (1, 3L, Some(2.0)))
+      .toDF("k", "t", "x")
+    val got = Windows.ewma(withNull, Seq(col("k")), col("t"), col("x"), 0.25, "s")
+      .select("o", "s").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(4.0), 2L -> None, 3L -> None))
+
+    // long-history smoke: 100k events on ONE key completes fast and the
+    // final state matches a driver-side fold (the O(n^2) concat fold this
+    // replaced would do ~5e9 element copies here)
+    val n = 100000
+    val big = spark.range(n).select(lit(1).as("k"), col("id").as("t"),
+      (col("id") % 7).cast("double").as("x"))
+    val last = Windows.ewma(big, Seq(col("k")), col("t"), col("x"), 0.25, "s")
+      .orderBy(desc("o")).select("s").as[Double].head()
+    var st = 0.0
+    (0 until n).foreach { i =>
+      val x = (i % 7).toDouble
+      st = if (i == 0) x else x * 0.25 + st * 0.75
+    }
+    assert(last == st)
   }
 }

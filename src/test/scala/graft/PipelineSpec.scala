@@ -603,7 +603,19 @@ class PipelineSpec extends SparkSpec {
       },
       forge { b => b(8) = -1; b(9) = -1 }, // header length past the file
       Npy.NpyFile(2L, good.dropRight(6)), // truncated data vs declared shape
-      bomb
+      bomb,
+      { // Long-overflow shape: (2³², 2³²) wraps r*c to 0 — the per-dim cap
+        // must reject BEFORE the product test can be fooled
+        val dict = "{'descr': '<f4', 'fortran_order': False, 'shape': (4294967296, 4294967296), }"
+        val pad = (64 - (10 + dict.length + 1) % 64) % 64
+        val header = dict + (" " * pad) + "\n"
+        val o = java.nio.ByteBuffer.allocate(10 + header.length + 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        o.put(0x93.toByte).put("NUMPY".getBytes("US-ASCII"))
+          .put(1.toByte).put(0.toByte).putShort(header.length.toShort)
+          .put(header.getBytes("US-ASCII")).putInt(0)
+        Npy.NpyFile(4L, o.array())
+      }
     ).toDS()
     assert(Npy.decodeNpy(bad).collect().isEmpty)
   }
@@ -1392,6 +1404,20 @@ class PipelineSpec extends SparkSpec {
       val b = Pdf.encodeOne(4L)
       Pdf.PdfFile(4L, java.util.Arrays.copyOf(b, b.length - 40))
     }).isEmpty)
+    // (f) in-use record offset PAST the file end: must drop, not throw
+    // (the landing check reads at the offset — clamped ascii returns "")
+    assert(decode(forge(4L)(s => {
+      val at = s.indexOf("0000000000 65535 f") + 20
+      s.substring(0, at) + "0009999999" + s.substring(at + 10)
+    })).isEmpty)
+    // (g) empty /Kids array: the kid parse must drop, not NumberFormat-throw
+    assert(decode(forge(4L)(s =>
+      s.replaceAll("""/Kids \[[^\]]*\]""", "/Kids [ ]"))).isEmpty)
+    // (h) R-leading (malformed triple) kids
+    assert(decode(forge(4L)(s =>
+      s.replaceAll("""/Kids \[[^\]]*\]""", "/Kids [ R 0 3 ]"))).isEmpty)
+    // (i) >10-digit /Size: toIntOption drops instead of overflow-throwing
+    assert(decode(forge(4L)(_.replace("/Size 4", "/Size 99999999999"))).isEmpty)
   }
 
   test("MP3 walk: syncsafe ID3 skip, stride-computed frames, VBR flag, forgeries stop") {

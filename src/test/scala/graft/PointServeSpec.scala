@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{PTradeApi, PointServe}
+import graft.domain.MarketViews
+
+/** The warm serving tier must answer EXACTLY what the DataFrame API
+  * answers — same rows, same values — for the three point-query shapes it
+  * serves (it exists to replace the per-call Spark round trip, not to
+  * approximate it). Compared against [[PTradeApi]] over the same views on
+  * the small fixture across range/empty/boundary cases. */
+class PointServeSpec extends SparkSpec {
+
+  private lazy val views = MarketViews(spark, sf0001)
+  private lazy val api = PTradeApi(views)
+  private lazy val ps = PointServe.load(views)
+  private val syms = Seq("000001.SZ", "000002.SZ", "000003.SZ")
+
+  test("price ≡ getPrice(fq=none) across symbols and ranges, incl. empty") {
+    for ((s0, e0) <- Seq(("1996-03-01", "1996-03-31"),
+                         ("1996-01-01", "1996-12-31"),
+                         ("1902-01-01", "1902-12-31"))) { // pre-history: empty
+      val viaSpark = api.getPrice(syms, s0, e0)
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7)))
+        .toSet
+      val viaServe = ps.price(syms, s0, e0)
+        .map(p => (p.symbol, p.date.toString, p.open, p.high, p.low, p.close,
+          p.volume, p.money))
+        .toSet
+      assert(viaServe == viaSpark, s"range [$s0,$e0]")
+    }
+    // unknown symbol: empty, no throw
+    assert(ps.price(Seq("999999.XX"), "1996-03-01", "1996-03-31").isEmpty)
+  }
+
+  test("fundamentalsAsOf ≡ getFundamentalsAsOf(mergeType=0), incl. the pre-publication null row") {
+    import spark.implicits._
+    for (q <- Seq("1996-06-03", "1997-01-06", "1996-01-02")) {
+      val qdates = Seq(q).toDF("qd").select(col("qd").cast("date").as("qdate"))
+      val viaSpark = api.getFundamentalsAsOf(syms, qdates)
+        .collect()
+        .map(r => (r.getString(0),
+          Option(r.getDate(2)).map(_.toString),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+        .toSet
+      val viaServe = ps.fundamentalsAsOf(syms, q)
+        .map(f => (f.symbol, f.endDate.map(_.toString), f.revenue, f.roe))
+        .toSet
+      assert(viaServe == viaSpark, s"qdate $q")
+    }
+  }
+
+  test("stockStatus ≡ getStockStatus for halt AND delist verdicts") {
+    for (d <- Seq("1996-06-03", "1997-03-03", "1999-12-31")) {
+      val viaSpark = api.getStockStatus(d)
+        .collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+        .toSet
+      val viaServe = ps.stockStatus(d)
+        .map(s => (s.symbol, s.isHalt, s.isDelisted))
+        .toSet
+      assert(viaServe == viaSpark, s"date $d")
+      assert(ps.haltedOn(d).map(_.symbol).toSet ==
+        viaSpark.filter(_._2).map(_._1))
+    }
+  }
+
+  test("warm per-call latency is point-read-class (sanity bound, not a bench)") {
+    ps.price(syms, "1996-03-01", "1996-03-31") // warm
+    ps.fundamentalsAsOf(syms, "1996-06-03")
+    ps.haltedOn("1997-03-03")
+    val t0 = System.nanoTime()
+    (0 until 100).foreach { _ =>
+      ps.price(syms, "1996-03-01", "1996-03-31")
+      ps.fundamentalsAsOf(syms, "1996-06-03")
+      ps.haltedOn("1997-03-03")
+    }
+    val perCallMs = (System.nanoTime() - t0) / 1e6 / 300
+    // generous CI bound — the bench measures the real number; this only
+    // guards against an accidental Spark action sneaking into the hot path
+    assert(perCallMs < 20.0, f"warm point call took $perCallMs%.2f ms")
+  }
+}

@@ -524,4 +524,53 @@ class StreamingSpec extends SparkSpec {
       } finally query.stop()
     }
   }
+
+  test("kill-and-resume: checkpoint restart converges to the uninterrupted run") {
+    import graft.streaming.Replay
+    import graft.sources.TestData
+    val path = s"$sf0001/events.parquet"
+    val raw = spark.read.parquet(path)
+    val nsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    }
+    val mm = TestData.normalizeEventTs(raw)
+      .agg(min(col("ts_ns")), max(col("ts_ns"))).head()
+    val splitNs = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 3 * 2
+    def transform(src: org.apache.spark.sql.DataFrame) = {
+      val ev = TestData.normalizeEventTs(src)
+      val ticks = ev.select(
+        concat(lit("S"), col("user_id") % 20).as("symbol"),
+        col("ts"),
+        ((col("event_id") * 37) % 10000).cast("double").as("px"),
+        ((col("event_id") % 100) + 1).cast("double").as("qty"),
+        col("event_id").as("seq"))
+      BarBuilder.bars(ticks, "1 hour", "601 seconds", seqCol = Some("seq"))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("symbol"), unix_micros(col("bar_start")).as("us"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("money"), col("n_ticks"))
+        .collect().map(_.mkString("|")).toSet
+
+    // uninterrupted single-run replay over the whole fixture
+    val sch = raw.schema
+    val oneShot = canon(Replay.toBatch(
+      transform(spark.readStream.schema(sch).parquet(Replay.stagedDir(path))),
+      "resume_oneshot"))
+
+    // killed-and-resumed run over the same fixture
+    val resumed = canon(Replay.toBatchResumed(
+      spark, path, nsExpr < lit(splitNs), transform, "resume_spec"))
+    assert(resumed == oneShot, "resumed run diverged from uninterrupted run")
+    assert(oneShot.nonEmpty)
+
+    // and the kill genuinely happened mid-stream: chunk A alone emits a
+    // strict non-empty subset (its watermark stops at maxA - delay)
+    val aOnly = canon(Replay.toBatchResumed(
+      spark, path, nsExpr < lit(splitNs),
+      src => transform(src.filter(nsExpr < lit(splitNs))), "resume_aonly"))
+    assert(aOnly.nonEmpty && aOnly.subsetOf(oneShot) && aOnly != oneShot,
+      s"split not mid-stream: |A|=${aOnly.size} |all|=${oneShot.size}")
+  }
 }
