@@ -3068,13 +3068,15 @@ object SparkEntry {
 
     // Graph-traversal ANN (the HNSW-class rung): per-cell kNN adjacency
     // built from the IVF blocking (2-cell multi-assignment stitches the
-    // cells), medoid entry points, 3-hop beam-8 search. Deterministic
+    // cells), medoid entry points, 5-hop beam-16 search at degree 12
+    // (recall@5 0.58 vs brute on this corpus — docs/ANN_TRADEOFF.json has
+    // the full hops x beam x degree curve up to 0.86). Deterministic
     // round(6)/id-tiebreak steps make the whole traversal SQL-replayable —
     // oracle-exact, not bound-checked.
     "ann_graph_topk" -> ((s, dir) => {
       val e = TestData(s, dir).embeddings
       graft.ann.GraphAnn.graphTopK(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 5, nLists = 16, degree = 6, beam = 8, hops = 3)
+        "vec_id", "embedding", 5, nLists = 16, degree = 12, beam = 16, hops = 5)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -8901,13 +8903,14 @@ $backtestPnlCtes,
           FROM scored)
         WHERE rank <= 5"""
 
-  /** Replays GraphAnn.graphTopK(k=5, nLists=16, degree=6, beam=8, hops=3):
-    * ivf0-style seed centroids, top-2 cell assignment, per-cell distinct
-    * pair scores → per-src top-6 edges, primary-assignment medoids, then
-    * the 3 beam rounds unrolled as CTEs (candidates = beam ∪ out-neighbors,
-    * self excluded, exact round(6) re-score, top-8 by (cos DESC, id ASC)). */
+  /** Replays GraphAnn.graphTopK(k=5, nLists=16, degree=12, beam=16,
+    * hops=5): ivf0-style seed centroids, top-2 cell assignment, per-cell
+    * distinct pair scores → per-src top-12 edges, primary-assignment
+    * medoids, then the 5 beam rounds unrolled as CTEs (candidates = beam ∪
+    * out-neighbors, self excluded, exact round(6) re-score, top-16 by
+    * (cos DESC, id ASC)). */
   private lazy val graphAnnOracle: String = {
-    val hops = (1 to 3).map { i =>
+    val hops = (1 to 5).map { i =>
       val prev = s"b${i - 1}"
       s"""cand$i AS (SELECT DISTINCT query_id, node FROM (
              SELECT query_id, node FROM $prev
@@ -8922,7 +8925,7 @@ $backtestPnlCtes,
           b$i AS (SELECT query_id, node FROM (
                   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, node ASC) AS rn FROM s$i)
-                  WHERE rn <= 8)"""
+                  WHERE rn <= 16)"""
     }.mkString(",\n")
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
         par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM c),
@@ -8940,7 +8943,7 @@ $backtestPnlCtes,
                   ON s.centroid_id = d.centroid_id AND s.cid <> d.cid),
         edges AS (SELECT src, dst FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-              ORDER BY score DESC, dst ASC) AS rn FROM prs) WHERE rn <= 6),
+              ORDER BY score DESC, dst ASC) AS rn FROM prs) WHERE rn <= 12),
         a1 AS (SELECT cid, centroid_id FROM (
             SELECT c.cid, cent.centroid_id,
                    ROW_NUMBER() OVER (PARTITION BY c.cid
@@ -8960,10 +8963,10 @@ $backtestPnlCtes,
             FROM q CROSS JOIN cent) WHERE pr = 1),
         b0 AS (SELECT qc.query_id, med.entry AS node FROM qc JOIN med USING (centroid_id)),
         $hops,
-        fin AS (SELECT b3.query_id, b3.node AS neighbor_id,
+        fin AS (SELECT b5.query_id, b5.node AS neighbor_id,
                        ROUND(${cosSql("q.qv", "c.cv")}, 6) AS cos
-                FROM b3 JOIN c ON b3.node = c.cid
-                     JOIN q ON b3.query_id = q.query_id)
+                FROM b5 JOIN c ON b5.node = c.cid
+                     JOIN q ON b5.query_id = q.query_id)
         SELECT query_id, neighbor_id, rank, cos FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank

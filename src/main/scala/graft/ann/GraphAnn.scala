@@ -126,6 +126,10 @@ object GraphAnn {
           Window.partitionBy("query_id").orderBy(col("cos").desc, col("node").asc)))
         .filter(col("rn") <= beam)
         .select("query_id", "node")
+        // rule 8: cut the per-hop lineage — the frontier is queries×beam
+        // rows, but its un-checkpointed plan NESTS one full join chain per
+        // hop and analysis goes superlinear in `hops`
+        .localCheckpoint()
     }
     frontier.join(c, frontier("node") === c("cid"))
       .join(broadcast(q), "query_id")

@@ -60,6 +60,21 @@ object AnnTradeoff {
       System.err.println(f"[tradeoff] nProbe=$nProbe%2d c=$c%4d recall@$k=$recall%.3f  ${sec}%.2fs")
       f"""{"n_probe":$nProbe,"c":$c,"recall_at_$k":$recall%.4f,"sec":$sec%.3f}"""
     }
+    // graph-traversal rung (r13): beam search over the per-cell kNN
+    // adjacency — hops × beam sweep. graphTopK builds the graph inside the
+    // call, so these cells price BUILD + SERVE together (the honest
+    // comparison for a one-shot batch; a standing deployment would reuse
+    // the adjacency across query batches like the served PQ index does).
+    val graphCells = for ((deg, hops, beam) <- Seq(
+        (6, 3, 8), (6, 5, 16), (12, 5, 16), (12, 8, 32), (16, 8, 32))) yield {
+      val (recall, sec) = timed {
+        graft.ann.GraphAnn.graphTopK(e, queries, "vec_id", "embedding", k,
+          nLists = 16, degree = deg, beam = beam, hops = hops)
+      }
+      System.err.println(f"[tradeoff] graph deg=$deg%2d hops=$hops beam=$beam%2d recall@$k=$recall%.3f  ${sec}%.2fs")
+      f"""{"degree":$deg,"hops":$hops,"beam":$beam,"recall_at_$k":$recall%.4f,"sec":$sec%.3f}"""
+    }
+
     // brute-force reference row (the quality ceiling and its price)
     val (bSec0, bSec) = {
       val f = graft.ann.Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k)
@@ -75,6 +90,10 @@ object AnnTradeoff {
          |  "brute_force_sec": ${"%.3f".format(bSec)},
          |  "cells": [
          |${cells.mkString("    ", ",\n    ", "")}
+         |  ],
+         |  "graph_cells_note": "GraphAnn beam search (nLists=16, degree=6): build+serve priced together per cell",
+         |  "graph_cells": [
+         |${graphCells.mkString("    ", ",\n    ", "")}
          |  ]
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get("docs/ANN_TRADEOFF.json"),
