@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mp3Meta, Mp4Meta, Multimodal, Npy, Ogg, Pdf, Png, Srt, TarShard, Tiff, Video, Webp, Zip}
+import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mkv, Mp3Meta, Mp4Meta, Multimodal, Npy, Ogg, Pdf, Png, Srt, TarShard, Tiff, Video, Webp, Zip}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -463,8 +463,8 @@ object SparkEntry {
     }),
 
     // Magic-byte media router over a MIXED-format corpus (the real-world
-    // shape — crawled media never arrives format-sorted): doc_id % 8
-    // rotates every payload kind through the seven real codecs plus an
+    // shape — crawled media never arrives format-sorted): doc_id % 20
+    // rotates every payload kind through the nineteen real codecs plus an
     // opaque residue lane; ONE mapPartitions pass dispatches each row by
     // container signature. The gate checks detection + decode routing
     // (kind, dims, unit counts — all integers, exact); per-kind signal
@@ -473,7 +473,7 @@ object SparkEntry {
       import s.implicits._
       val docs = TestData(s, dir).documents
       val ids = docs.select(col("doc_id").cast("long")).as[Long]
-      def pick(m: Int) = ids.filter(_ % 19 == m)
+      def pick(m: Int) = ids.filter(_ % 20 == m)
       def row(id: Long, media: Array[Byte]) =
         Multimodal.MediaRow(id, media, "", 0, 0)
       val mixed =
@@ -495,7 +495,8 @@ object SparkEntry {
           .union(Webp.syntheticWebp(pick(15)).map(r => row(r.id, r.media)))
           .union(Pdf.syntheticPdf(pick(16)).map(r => row(r.id, r.media)))
           .union(Ogg.syntheticOgg(pick(17)).map(r => row(r.id, r.media)))
-          .union(docs.filter(col("doc_id") % 19 === 18)
+          .union(Mkv.syntheticMkv(pick(18)).map(r => row(r.id, r.media)))
+          .union(docs.filter(col("doc_id") % 20 === 19)
             .select(col("doc_id").cast("long").as("id"),
               encode(col("text"), "UTF-8").as("media"),
               lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
@@ -1103,6 +1104,22 @@ object SparkEntry {
         .select(col("symbol"), col("o").as("date"), col("v").as("close"),
           col("ewma"))),
 
+    // One-sided CUSUM change-point statistic per user: deviations are
+    // exact integers ((event_id % 100) − 45, target folded in), the
+    // clip-at-zero recursion runs through the O(n) CusumRun expression,
+    // and alarm = cusum > 400. Everything integer-valued → SQL-exact.
+    "w16_cusum" -> ((s, dir) => {
+      // (user_id, ts_ns) is unique in the fixtures (r10 tie audit), so
+      // ts_ns alone is a valid per-key total order
+      val ev = TestData(s, dir).events
+        .select(col("user_id"), col("ts_ns"),
+          ((col("event_id") % 100) - 45).cast("double").as("x"))
+      Windows.cusum(ev, Seq(col("user_id")), col("ts_ns"), col("x"),
+          target = 0.0, h = 400.0)
+        .select(col("user_id"), col("o").as("ts_ns"), col("v").as("x"),
+          col("cusum"), col("alarm"))
+    }),
+
     // Exact rolling MEDIAN — the order statistic no frame aggregate can
     // express (the frame must be sorted per row). Integer values, so the
     // whole operator is float-free (rule 1 trivially satisfied); ordering
@@ -1416,6 +1433,32 @@ object SparkEntry {
         .withColumn("vwap",
           col("turnover").cast("double") / col("volume").cast("double"))),
 
+    // ANCHORED VWAP — the intraday execution benchmark in its standard
+    // form: cumulative turnover/volume from a session ANCHOR (the trading
+    // day) forward, not per-bucket (a8_vwap) and not windowed. Per
+    // (symbol, day): 5-minute bucket sums, then BIGINT running sums over
+    // the bucket order (integer window cumsum — order-free exact), ONE
+    // IEEE division per row at the end (rule 1).
+    "a14_anchored_vwap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol", "day").orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      TestData(s, dir).events
+        .select(concat(lit("S"), col("user_id") % 20).as("symbol"),
+          expr("ts_ns DIV 86400000000000").as("day"),
+          expr("ts_ns DIV 300000000000").as("bucket"),
+          (((col("event_id") * 37) % 10000) * ((col("event_id") % 100) + 1))
+            .cast("long").as("pq"),
+          ((col("event_id") % 100) + 1).cast("long").as("q"))
+        .groupBy("symbol", "day", "bucket")
+        .agg(sum(col("pq")).as("pq"), sum(col("q")).as("q"))
+        .select(col("symbol"), col("day"), col("bucket"),
+          sum(col("pq")).over(w).as("cum_turnover"),
+          sum(col("q")).over(w).as("cum_volume"))
+        .withColumn("vwap_anchored",
+          col("cum_turnover").cast("double") / col("cum_volume").cast("double"))
+    }),
+
     // Ratio-to-report: each nation's share of total order revenue — the
     // percent-of-total shape every report carries. Revenue sums ride the
     // decimal route; the share is ONE IEEE division of the double-cast
@@ -1529,6 +1572,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           min(col("tms")).as("start_ms"), max(col("tms")).as("end_ms"),
           decSum(col("value")).as("session_value"))
+    }),
+
+    // TOP-K SESSION PATHS — the behavioral-analytics staple one level up
+    // from pairwise transitions (events_transitions): the full ordered
+    // event_type sequence of each 30-minute session, ranked by frequency.
+    // Path strings assemble row-locally from the sorted per-session list
+    // ((tms, event_id) unique order — rule 2); the count is exact and the
+    // global top-20 is a TakeOrderedAndProject, never a full sort.
+    "events_path_topk" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+        .select(col("user_id"), col("event_id"), expr("ts_ns DIV 1000000").as("tms"),
+          col("event_type"))
+      val paths = Windows.sessionize(ev, Seq(col("user_id")), col("tms"),
+          30L * 60 * 1000, tiebreak = Seq(col("event_id")))
+        .groupBy("user_id", "session_id")
+        .agg(sort_array(collect_list(struct(col("tms"), col("event_id"),
+          col("event_type")))).as("xs"))
+        .select(concat_ws(">",
+          transform(col("xs"), x => x.getField("event_type"))).as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc).limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_sessions").desc, col("path").asc)).cast("long"))
     }),
 
     // §1.3 PTrade matrix shape: date × event_type pivot at the serving edge.
@@ -1687,6 +1754,13 @@ object SparkEntry {
     "tok_unigram_viterbi" -> ((s, dir) =>
       Tokenizer.unigramViterbi(TestData(s, dir).documents, "doc_id", "text",
         UnigramVocab)),
+
+    // Vocabulary coverage audit: per-doc OOV mass vs the top-1000 corpus
+    // vocab ((count DESC, word ASC) tie rule) — exact integer counts, one
+    // IEEE division, vocab broadcast back onto the token stream.
+    "tok_vocab_coverage" -> ((s, dir) =>
+      Tokenizer.vocabCoverage(TestData(s, dir).documents, "doc_id", "text",
+        vocabSize = 1000)),
 
     // Rolling polynomial fingerprint (order-sensitive document hash).
     "text_fingerprint" -> ((s, dir) => {
@@ -3632,6 +3706,18 @@ object SparkEntry {
       Mp4Meta.decodeMp4(Mp4Meta.syntheticMp4(ids)).toDF()
     }),
 
+    // MATROSKA/EBML METADATA lane (RFC 8794): variable-width-integer
+    // element walk — vint width from the leading set bit, IDs keep marker
+    // bits, sizes strip them, PADDED size encodings are legal, and the
+    // unknown-size vint is honored ONLY on the Segment (live-remux form).
+    // Video dims / timestamp scale / float duration → exact-ms integers.
+    "mm_mkv_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Mkv.decodeMkv(Mkv.syntheticMkv(ids)).toDF()
+    }),
+
     // H.264 METADATA lane: real Annex-B NAL walk + exp-Golomb SPS parse
     // (emulation prevention stripped, display dims via the spec's chroma
     // crop math) — the metadata pass a video corpus runs first; slice
@@ -5149,14 +5235,15 @@ $backtestPnlCtes,
     // and routing are what's gated; integers only, exact both engines.
     "mm_sniff" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
-                CASE doc_id % 19 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                CASE doc_id % 20 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'
                   WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' WHEN 7 THEN 'bmp'
                   WHEN 8 THEN 'tiff' WHEN 9 THEN 'h264' WHEN 10 THEN 'mp4'
                   WHEN 11 THEN 'zip' WHEN 12 THEN 'tar' WHEN 13 THEN 'ico'
                   WHEN 14 THEN 'mp3' WHEN 15 THEN 'webp' WHEN 16 THEN 'pdf' WHEN 17 THEN 'ogg'
+                  WHEN 18 THEN 'mkv'
                   ELSE 'opaque' END AS kind,
-                CAST(CASE doc_id % 19 WHEN 0 THEN 5 + doc_id % 9
+                CAST(CASE doc_id % 20 WHEN 0 THEN 5 + doc_id % 9
                   WHEN 1 THEN 5 + doc_id % 6 WHEN 2 THEN 5 + doc_id % 7
                   WHEN 3 THEN 4 + doc_id % 5 WHEN 6 THEN 5 + doc_id % 9
                   WHEN 7 THEN 6 + doc_id % 7 WHEN 8 THEN 5 + doc_id % 8
@@ -5166,8 +5253,9 @@ $backtestPnlCtes,
                                ELSE 4 + doc_id % 5 END
                   WHEN 15 THEN 16 + doc_id % 31
                   WHEN 16 THEN 400 + doc_id % 200
+                  WHEN 18 THEN 320 + 16 * (doc_id % 8)
                   ELSE 0 END AS INT) AS width,
-                CAST(CASE doc_id % 19 WHEN 0 THEN 4 + doc_id % 9
+                CAST(CASE doc_id % 20 WHEN 0 THEN 4 + doc_id % 9
                   WHEN 1 THEN 4 + doc_id % 5 WHEN 2 THEN 4 + doc_id % 6
                   WHEN 3 THEN 3 + doc_id % 4 WHEN 6 THEN 4 + doc_id % 9
                   WHEN 7 THEN 3 + doc_id % 6 WHEN 8 THEN 4 + doc_id % 5
@@ -5177,8 +5265,9 @@ $backtestPnlCtes,
                                ELSE 3 + (2 * doc_id) % 4 END
                   WHEN 15 THEN 9 + (2 * doc_id) % 17
                   WHEN 16 THEN 500 + (3 * doc_id) % 300
+                  WHEN 18 THEN 240 + 8 * (doc_id % 6)
                   ELSE 0 END AS INT) AS height,
-                CAST(CASE doc_id % 19
+                CAST(CASE doc_id % 20
                   WHEN 0 THEN (5 + doc_id % 9) * (4 + doc_id % 9)
                   WHEN 1 THEN (5 + doc_id % 6) * (4 + doc_id % 5)
                   WHEN 2 THEN (5 + doc_id % 7) * (4 + doc_id % 6)
@@ -5199,6 +5288,7 @@ $backtestPnlCtes,
                   WHEN 16 THEN 1 + doc_id % 4
                   WHEN 17 THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 5
                                ELSE 6 END
+                  WHEN 18 THEN 13 + 3 * (doc_id % 2)
                   ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_units
          FROM documents""",
 
@@ -5584,6 +5674,28 @@ $backtestPnlCtes,
                  UNNEST(run) AS ewma
           FROM r""",
 
+    // CUSUM: the clip-at-zero recursion replayed as a running-list fold
+    // (w11_ewma pattern); integer-valued states → exact.
+    "w16_cusum" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
+                           CAST((event_id % 100) - 45 AS DOUBLE) AS x
+                    FROM events),
+          g AS (SELECT user_id,
+                  list(ts_ns ORDER BY ts_ns) AS os,
+                  list(x ORDER BY ts_ns) AS vs
+                FROM e GROUP BY user_id),
+          r AS (SELECT user_id, os, vs,
+                  list_reduce(
+                    [CAST([] AS DOUBLE[])] || list_transform(vs, v -> [v]),
+                    (acc, el) -> acc || [GREATEST(0.0,
+                      CASE WHEN len(acc) = 0 THEN el[1]
+                           ELSE acc[-1] + el[1] END)]) AS run
+                FROM g)
+          SELECT user_id, UNNEST(os) AS ts_ns, UNNEST(vs) AS x,
+                 UNNEST(run) AS cusum,
+                 UNNEST(list_transform(run, s -> s > 400.0)) AS alarm
+          FROM r""",
+
     // Same sorted-frame indexing: lower median = element (len+1)//2
     // (1-based) of the sorted trailing-5 list. Integer-only.
     "w12_rolling_median" ->
@@ -5893,6 +6005,30 @@ $backtestPnlCtes,
                 CAST(SUM(q) AS BIGINT) AS volume,
                 CAST(SUM(pq) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS vwap
          FROM t GROUP BY symbol, bucket""",
+
+    // Anchored VWAP: BIGINT running sums from the day anchor; SUM().OVER
+    // on integers is order-free, so the window replay is exact.
+    "a14_anchored_vwap" ->
+      """WITH t AS (SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS symbol,
+                          epoch_ns(ts) // 86400000000000 AS day,
+                          epoch_ns(ts) // 300000000000 AS bucket,
+                          CAST((event_id * 37) % 10000 AS BIGINT)
+                            * CAST(event_id % 100 + 1 AS BIGINT) AS pq,
+                          CAST(event_id % 100 + 1 AS BIGINT) AS q
+                   FROM events),
+           g AS (SELECT symbol, day, bucket,
+                        CAST(SUM(pq) AS BIGINT) AS pq, CAST(SUM(q) AS BIGINT) AS q
+                 FROM t GROUP BY symbol, day, bucket)
+         SELECT symbol, day, bucket,
+                CAST(SUM(pq) OVER (PARTITION BY symbol, day ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_turnover,
+                CAST(SUM(q) OVER (PARTITION BY symbol, day ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_volume,
+                CAST(SUM(pq) OVER (PARTITION BY symbol, day ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / CAST(SUM(q) OVER (PARTITION BY symbol, day ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS vwap_anchored
+         FROM g""",
 
     // Ratio-to-report: decimal-exact nation sums, decimal window total,
     // doubles only at the final casts and the one division.
@@ -7538,6 +7674,25 @@ $backtestPnlCtes,
                    x -> CAST(x AS VARCHAR)), ',')) AS row_digest
           FROM i""",
 
+    "tok_vocab_coverage" ->
+      """WITH w AS (SELECT doc_id, x AS w
+             FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+                   FROM documents), unnest(ws) AS t(x)),
+          v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY w
+                ORDER BY c DESC, w ASC LIMIT 1000),
+          per AS (SELECT w.doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                    CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                  FROM w LEFT JOIN v ON w.w = v.w GROUP BY w.doc_id)
+          SELECT d.doc_id,
+                 COALESCE(per.n_tokens, 0) AS n_tokens,
+                 COALESCE(per.n_oov, 0) AS n_oov,
+                 CASE WHEN COALESCE(per.n_tokens, 0) > 0 THEN
+                   CAST(per.n_tokens - per.n_oov AS DOUBLE)
+                     / CAST(per.n_tokens AS DOUBLE) END AS coverage
+          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+
     // Mirrors Tokenizer.unigramViterbi(UnigramVocab, unk=10, maxLen=3,
     // maxWord=512): the packed-value DP replayed with a list_reduce whose
     // accumulator is the best-prefix list (init via the leading [[0]]
@@ -8139,6 +8294,16 @@ $backtestPnlCtes,
                 CAST(5 + (1 + doc_id % 2) AS BIGINT) AS n_boxes
          FROM documents""",
 
+    "mm_mkv_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+                CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+                CAST(320 + 16 * (doc_id % 8) AS INT) AS width,
+                CAST(240 + 8 * (doc_id % 6) AS INT) AS height,
+                CAST(1000000 * (1 + doc_id % 3) AS BIGINT) AS timestamp_scale,
+                CAST(500 * (1 + doc_id % 7) * (1 + doc_id % 3) AS BIGINT) AS duration_ms,
+                CAST(13 + 3 * (doc_id % 2) AS BIGINT) AS n_elements
+         FROM documents""",
+
     "mm_h264_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
                 66 AS profile_idc, 30 AS level_idc,
@@ -8301,6 +8466,35 @@ $backtestPnlCtes,
                 MIN(tms) AS start_ms, MAX(tms) AS end_ms,
                 CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS session_value
          FROM s GROUP BY user_id, session_id""",
+
+    // Session paths: sessionize CTEs + per-session ordered type list.
+    "events_path_topk" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms,
+                           event_type
+                    FROM events),
+         m AS (SELECT *,
+                 CASE WHEN tms - LAG(tms) OVER w > 1800000
+                        OR LAG(tms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+         s AS (SELECT *,
+                 CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+               FROM m),
+         p AS (SELECT array_to_string(
+                 list_transform(
+                   list_sort(list(
+                     lpad(CAST(tms AS VARCHAR), 14, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 14, '0')
+                       || event_type)),
+                   x -> x[29:]), '>') AS path
+               FROM s GROUP BY user_id, session_id),
+         g AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+               FROM p GROUP BY path)
+         SELECT path, n_sessions, rank FROM (
+           SELECT *, CAST(ROW_NUMBER() OVER (
+             ORDER BY n_sessions DESC, path ASC) AS BIGINT) AS rank FROM g)
+         WHERE rank <= 20""",
 
     "pivot_matrix" ->
       """SELECT CAST(ts AS DATE) AS date,

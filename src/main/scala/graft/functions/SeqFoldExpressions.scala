@@ -195,6 +195,62 @@ case class AffineRunB(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** O(n) one-sided CUSUM over the key's ordered deviations — the classic
+  * sequential change-point statistic (Page 1954): sₜ = max(0, sₜ₋₁ + xₜ),
+  * s₀ = 0, where xₜ is the already-centered deviation (value − target).
+  * The clip-at-zero makes the recursion irreducible to any windowed
+  * aggregate — same expression-not-fold rationale as [[EwmaRun]]. On
+  * integer-valued inputs every state is an exact integer in double, so
+  * the series replays bit-for-bit in any engine. Null elements leave the
+  * state untouched and emit the running value (collect_list-skip parity,
+  * like [[CumProdRun]]).
+  */
+case class CusumRun(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) {
+        s = s + xs.getDouble(i)
+        if (s < 0.0) s = 0.0
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = $xs.numElements();
+         |double[] $arr = new double[$n];
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$xs.isNullAt($i)) {
+         |    $s = $s + $xs.getDouble($i);
+         |    if ($s < 0.0) $s = 0.0;
+         |  }
+         |  $arr[$i] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SeqFoldExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -210,4 +266,8 @@ object SeqFoldExpressions {
   def affineRunB(as: Column, bs: Column): Column =
     ColumnBridge.column(
       AffineRunB(ColumnBridge.expression(as), ColumnBridge.expression(bs)))
+
+  /** Column wrapper for [[CusumRun]]. */
+  def cusumRun(xs: Column): Column =
+    ColumnBridge.column(CusumRun(ColumnBridge.expression(xs)))
 }

@@ -452,4 +452,33 @@ object Tokenizer {
   def padTruncate(ids: Column, maxLen: Int, padId: Long = 0L): Column =
     concat(slice(ids, 1, maxLen),
       array_repeat(lit(padId), lit(maxLen) - least(size(ids), lit(maxLen))))
+
+  /** VOCABULARY COVERAGE audit — the go/no-go check before committing a
+    * tokenizer vocab to a corpus: per document, how many token occurrences
+    * fall outside the top-`vocabSize` corpus vocabulary (the OOV mass that
+    * would become <unk>). Vocabulary = top words by (count DESC, word ASC)
+    * — the deterministic tie rule; built in-plan (one map-side-combined
+    * groupBy + TakeOrderedAndProject) and BROADCAST back onto the exploded
+    // token stream, so the whole audit is two corpus passes and zero
+    * corpus-sized shuffles. Returns (id, n_tokens, n_oov, coverage) —
+    * exact integers + ONE IEEE division (rule 1). Empty docs emit
+    * (0, 0, null). */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol), TextFns.words(col(textCol)).as("ws"))
+      .select(col(idCol), explode_outer(col("ws")).as("w"))
+    val vocab = toks.filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(vocabSize)
+      .select(col("w").as("vw"))
+    toks.join(broadcast(vocab), toks("w") === col("vw"), "left")
+      .groupBy(idCol)
+      .agg(count(col("w")).as("n_tokens"),
+        sum(when(col("w").isNotNull && col("vw").isNull, 1L).otherwise(0L))
+          .as("n_oov"))
+      .withColumn("coverage",
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("n_oov")).cast("double")
+            / col("n_tokens").cast("double")))
+  }
 }

@@ -599,6 +599,9 @@ object Multimodal {
     else if (Mp3Meta.looksLikeMp3(b))
       Mp3Meta.decodeOne(id, b).map(f => SniffedMedia(id, "mp3", 0, 0,
         f.n_frames, f.sum_kbps.toDouble / f.n_frames))
+    else if (Mkv.looksLikeMkv(b))
+      Mkv.decodeOne(id, b).map(f => SniffedMedia(id, "mkv", f.width,
+        f.height, f.n_elements, 0.0))
     else {
       // opaque fallback: counted, not vanished
       var sum = 0L; var i = 0

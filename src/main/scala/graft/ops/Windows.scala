@@ -241,6 +241,28 @@ object Windows {
         col("z.xs.o").as("o"), col("z.xs.v").as("v"), col("z.run").as(as))): _*)
   }
 
+  /** One-sided CUSUM per key — the sequential change-point statistic
+    * (Page 1954): sₜ = max(0, sₜ₋₁ + (xₜ − target)), alarm when sₜ > h.
+    * The clip-at-zero makes the recursion inexpressible as any frame
+    * aggregate (same class as [[ewma]]); the per-key history runs through
+    * the O(n) [[graft.functions.CusumRun]] codegen pass. With
+    * integer-valued x and target every state is exact, so the whole
+    * series (and the alarm booleans) replays bit-for-bit in SQL.
+    * Plan: ONE groupBy shuffle + row-local pass + posexplode. `order`
+    * must be unique per key (rule 2). */
+  def cusum(df: DataFrame, keys: Seq[Column], order: Column, value: Column,
+            target: Double, h: Double, as: String = "cusum"): DataFrame = {
+    val grouped = df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(struct(order.as("o"), value.as("v")))).as("xs"))
+    val run = graft.functions.SeqFoldExpressions.cusumRun(
+      transform(col("xs"), x => x.getField("v") - lit(target)))
+    grouped.withColumn("run", run)
+      .select((keys :+ posexplode(arrays_zip(col("xs"), col("run"))).as(Seq("pos", "z"))): _*)
+      .select((keys ++ Seq(
+        col("z.xs.o").as("o"), col("z.xs.v").as("v"),
+        col("z.run").as(as), (col("z.run") > h).as("alarm"))): _*)
+  }
+
   /** Exact rolling median (lower median) over the trailing `n` rows —
     * the order statistic no frame-aggregate expresses: the frame must be
     * SORTED per row, so the plan collects the frame list and indexes its

@@ -382,4 +382,17 @@ class OpsSpec extends SparkSpec {
     }
     assert(last == st)
   }
+
+  test("cusum: clip-at-zero recursion by hand; alarm crosses h; nulls transparent") {
+    val df = Seq((1, 1L, Some(5.0)), (1, 2L, Some(-9.0)), (1, 3L, Some(3.0)),
+      (1, 4L, None), (1, 5L, Some(4.0)))
+      .toDF("k", "t", "x")
+    val got = Windows.cusum(df, Seq(col("k")), col("t"), col("x"),
+        target = 0.0, h = 6.0)
+      .select("o", "cusum", "alarm").as[(Long, Double, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // s: max(0,5)=5; max(0,5-9)=0; max(0,0+3)=3; null -> stays 3; +4 -> 7 > h
+    assert(got == Map(1L -> (5.0, false), 2L -> (0.0, false),
+      3L -> (3.0, false), 4L -> (3.0, false), 5L -> (7.0, true)))
+  }
 }

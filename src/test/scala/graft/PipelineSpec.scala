@@ -1580,4 +1580,40 @@ class PipelineSpec extends SparkSpec {
     // signal. Assert the band: nonzero overlap, strictly below full.
     assert(overlap >= 1L && overlap < 50L, s"overlap $overlap out of plausible band")
   }
+
+  test("MKV/EBML walk: vint widths, padded sizes, unknown-size segment, forgeries drop") {
+    import graft.multimodal.Mkv
+    val ids = spark.range(0, 40).as[Long]
+    val feats = Mkv.decodeMkv(Mkv.syntheticMkv(ids)).collect()
+    assert(feats.length == 40)
+    feats.foreach { f =>
+      val (w, h, scale, durMs, nTracks, nElems) = Mkv.shape(f.id)
+      assert(f.width == w && f.height == h && f.timestamp_scale == scale &&
+        f.duration_ms == durMs && f.n_tracks == nTracks &&
+        f.n_elements == nElems, s"id=${f.id}")
+    }
+    // id%4==0 rows use the unknown-size segment, id%3==0 pad the Video
+    // size encoding — both decoded above; now the drop paths:
+    def decode(b: Array[Byte]) =
+      Mkv.decodeMkv(Seq(Mkv.MkvClip(1L, b)).toDS()).collect()
+    val good = Mkv.syntheticMkv(Seq(7L).toDS()).collect().head.media  // 7: known-size segment
+    // (a) truncation mid-element: size past EOF
+    assert(decode(java.util.Arrays.copyOf(good, good.length - 3)).isEmpty)
+    // (b) unknown-size vint on a NON-segment element: find the Info size
+    // byte and forge it to 0xff (Info id 0x1549A966 then 1-byte size)
+    val infoAt = {
+      var i = 0
+      while (!(i + 4 < good.length && (good(i) & 0xff) == 0x15 &&
+        (good(i + 1) & 0xff) == 0x49 && (good(i + 2) & 0xff) == 0xA9 &&
+        (good(i + 3) & 0xff) == 0x66)) i += 1
+      i
+    }
+    val forged = good.clone(); forged(infoAt + 4) = 0xff.toByte
+    assert(decode(forged).isEmpty)
+    // (c) zero leading byte where a vint id must start (width > 8: invalid)
+    val zeroId = good.clone(); zeroId(0) = 0
+    assert(decode(zeroId).isEmpty)
+    // (d) bogus magic routes nowhere
+    assert(decode("notanebmlstream!".getBytes("US-ASCII")).isEmpty)
+  }
 }
