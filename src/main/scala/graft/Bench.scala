@@ -55,6 +55,9 @@ object Bench {
       graft.ann.Pq.cachedIndex(e, "vec_id", "embedding", sfDir,
         nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0,
         residual = true)
+      // the graph rung's served artifacts too (ann_graph_served)
+      graft.ann.GraphAnn.cachedIndex(e, "vec_id", "embedding", sfDir,
+        nLists = 16, degree = 12)
     } catch { case _: Throwable => () }
     val idxSec = (System.nanoTime() - idxT0) / 1e9
     // Streaming HARNESS overhead, isolated (judge r7 item 8): an identity

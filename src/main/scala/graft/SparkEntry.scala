@@ -3154,6 +3154,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ...and the SERVED form of the same rung: adjacency + medoids +
+    // centroids + the shard's vectors persist as parquet artifacts (one
+    // build per fixture per JVM), queries beam-search from the loaded
+    // frames with ZERO build jobs (listener-asserted in PqSpec). Shares
+    // ann_graph_topk's oracle — serving must be bit-identical to inline.
+    "ann_graph_served" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val idx = graft.ann.GraphAnn.cachedIndex(e, "vec_id", "embedding", dir,
+        nLists = 16, degree = 12)
+      graft.ann.GraphAnn.topKFromIndex(idx, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, beam = 16, hops = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // LSH-bucketed ANN: seeded literal hyperplanes make the signature
     // replayable, so the scale path gets a full value oracle too.
     "ann_lsh_topk" -> ((s, dir) => {
@@ -8527,6 +8541,7 @@ $backtestPnlCtes,
     "ann_ivfpq_res_served" -> ivfPqResOracle,
     "ann_ivf_topk" -> ivf1Oracle,
     "ann_graph_topk" -> graphAnnOracle,
+    "ann_graph_served" -> graphAnnOracle,
     "ann_lsh_topk" -> annLshOracle,
     "emb_near_dup_lsh" -> embLshOracle,
   )

@@ -87,6 +87,106 @@ object GraphAnn {
       .select(col("centroid_id"), col("cid").as("entry"))
   }
 
+  /** Persisted graph index: the navigable structure (edges + medoid
+    * entries + coarse centroids for query routing) PLUS the serving copy
+    * of the vectors (beam re-scoring is exact, so a serving shard holds
+    * its vectors next to its adjacency — exactly how HNSW deployments
+    * ship). */
+  final case class GraphIndex(centroids: DataFrame, edges: DataFrame,
+                              medoids: DataFrame, vectors: DataFrame,
+                              nLists: Int, degree: Int)
+
+  /** One build pass → [[GraphIndex]] (the artifacts [[saveIndex]]
+    * persists; serving then never re-derives anything). */
+  def buildIndex(corpus: DataFrame, id: String, vec: String,
+                 nLists: Int = 16, degree: Int = 12): GraphIndex = {
+    val centroids = Ann.ivfCentroids(corpus, id, vec, nLists, lloydIters = 0)
+      .localCheckpoint()
+    GraphIndex(
+      centroids,
+      knnGraph(corpus, id, vec, nLists, degree, Some(centroids))
+        .select("src", "dst"),
+      cellMedoids(corpus, id, vec, nLists, Some(centroids)),
+      corpus.select(col(id).as("cid"), col(vec).as("cv")),
+      nLists, degree)
+  }
+
+  def saveIndex(idx: GraphIndex, dir: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    idx.centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    idx.edges.write.mode(SaveMode.Overwrite).parquet(s"$dir/edges")
+    idx.medoids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/medoids")
+    idx.vectors.write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
+    val spark = idx.centroids.sparkSession
+    import spark.implicits._
+    Seq((idx.nLists, idx.degree)).toDF("n_lists", "degree")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): GraphIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    GraphIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/edges"),
+      spark.read.parquet(s"$dir/medoids"),
+      spark.read.parquet(s"$dir/vectors"),
+      meta.getAs[Int]("n_lists"), meta.getAs[Int]("degree"))
+  }
+
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, GraphIndex]
+
+  /** Build+persist once per (key) per JVM; serve from parquet artifacts. */
+  def cachedIndex(corpus: => DataFrame, id: String, vec: String, key: String,
+                  nLists: Int = 16, degree: Int = 12): GraphIndex =
+    indexCache.getOrElseUpdate(key, {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_graph_index/" +
+        key.replaceAll("[^A-Za-z0-9.]", "_")
+      val done = new java.io.File(s"$root/meta/_SUCCESS").exists()
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (!done) saveIndex(buildIndex(corpus, id, vec, nLists, degree), root)
+      loadIndex(spark, root)
+    })
+
+  /** Beam search SERVING from a prebuilt [[GraphIndex]] — no centroid
+    * derivation, no edge build, no corpus count: every frame is a parquet
+    * read of the published artifacts. Bit-identical to [[graphTopK]] with
+    * the same parameters (the spec asserts it). */
+  def topKFromIndex(idx: GraphIndex, queries: DataFrame, id: String,
+                    vec: String, k: Int, beam: Int, hops: Int): DataFrame = {
+    require(k <= beam, s"k=$k must be <= beam=$beam")
+    val c = idx.vectors
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val qCell = Ann.probeCells(queries, id, vec, idx.centroids, nProbe = 1)
+    var frontier = qCell.join(broadcast(idx.medoids), "centroid_id")
+      .select(col("query_id"), col("entry").as("node"))
+    for (_ <- 0 until hops) {
+      val expanded = frontier
+        .join(idx.edges, frontier("node") === idx.edges("src"))
+        .select(col("query_id"), col("dst").as("node"))
+        .unionByName(frontier)
+        .distinct()
+      frontier = expanded
+        .filter(col("query_id") =!= col("node"))
+        .join(c, expanded("node") === c("cid"))
+        .join(broadcast(q), "query_id")
+        .withColumn("cos", round(Ann.cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos").desc, col("node").asc)))
+        .filter(col("rn") <= beam)
+        .select("query_id", "node")
+        .localCheckpoint()
+    }
+    frontier.join(c, frontier("node") === c("cid"))
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", round(Ann.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("node").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
   /** Beam-search top-k over the kNN graph. Returns
     * (query_id, neighbor_id, rank, cos). */
   def graphTopK(corpus: DataFrame, queries: DataFrame, id: String,

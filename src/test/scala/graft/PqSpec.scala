@@ -392,4 +392,43 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       "the corpus must never be a sort-merge or cartesian side:\n" + plan)
   }
+
+  test("graph index: served beam search ≡ inline, and the serve path runs zero tagged build jobs") {
+    import graft.ann.GraphAnn
+    val queries = embs.filter(col("vec_id") < 10)
+    val inline = GraphAnn.graphTopK(embs, queries, "vec_id", "embedding", 5,
+        nLists = 16, degree = 12, beam = 16, hops = 5)
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graph_idx_serve").toString
+    GraphAnn.saveIndex(GraphAnn.buildIndex(embs, "vec_id", "embedding",
+      nLists = 16, degree = 12), dir)
+    val tagged = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val total = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        total.incrementAndGet()
+        val d = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        if (d.startsWith("graft count:")) tagged.add(d)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val served = try {
+      val idx = GraphAnn.loadIndex(spark, dir)
+      val got = GraphAnn.topKFromIndex(idx, queries, "vec_id", "embedding", 5,
+          beam = 16, hops = 5)
+        .collect().map(_.toSeq).toSet
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(100); waited += 100
+        if (total.get() == last) stable += 1 else { stable = 0; last = total.get() }
+      }
+      got
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(served == inline, "served graph search diverged from inline")
+    import scala.jdk.CollectionConverters._
+    assert(tagged.asScala.isEmpty,
+      s"graph serve must run zero tagged build counts; saw [${tagged.asScala.mkString("; ")}]")
+  }
 }
