@@ -2021,6 +2021,15 @@ object SparkEntry {
     "dedup_segments" -> ((s, dir) =>
       Dedup.dedupSegments(TestData(s, dir).documents, "doc_id", "text", segSize = 8)),
 
+    // Content-defined chunking (rsync/FastCDC, word grain): boundaries
+    // where the trailing-4-word md5 fingerprint has its low 4 bits clear
+    // (expected chunk ≈ 16 words), so an insert re-chunks only to the
+    // next boundary; n_copies is the per-hash corpus count (the dedup
+    // signal). Row-local chunking + one window count.
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(TestData(s, dir).documents, "doc_id", "text",
+        window = 4, maskBits = 4)),
+
     // Incremental LSH dedup (the daily-ingest shape, ANN-append twin):
     // the 80% "existing" corpus is signed ONCE into parquet artifacts;
     // the 20% batch dedups against the saved index + itself — per-batch
@@ -2507,6 +2516,24 @@ object SparkEntry {
       graft.streaming.Replay.toBatch(
         graft.streaming.StreamAnomaly.zscores(ev, n = 8, k = 2.0).toDF(),
         "anomaly")
+    }),
+
+    // Streaming CUSUM change-point monitor (flatMapGroupsWithState with a
+    // SCALAR state — the O(1)-per-key shape that scales to 10⁹ keys where
+    // frame-carrying monitors can't). Deviations are the w16 integers;
+    // one-batch replay folds in (ts, event_id) order ≡ the batch twin.
+    "stream_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          ((col("event_id") % 100) - 45).cast("double").as("x"))
+        .withWatermark("ts", "601 seconds")
+        .as[graft.streaming.StreamCusum.Obs]
+      graft.streaming.Replay.toBatch(
+        graft.streaming.StreamCusum.cusum(ev, h = 400.0).toDF(),
+        "stream_cusum")
     }),
 
     // Streaming ingest dedup (dropDuplicatesWithinWatermark), isolated from
@@ -6445,6 +6472,29 @@ $backtestPnlCtes,
     // Mirrors Dedup.dedupSegments(segSize 8): disjoint 8-token windows,
     // first occurrence per distinct segment = row_number over
     // (doc_id, chunk_id), rebuild with order-preserving string_agg.
+    // CDC: same md5-first-byte window test, boundaries [0]||bnd||[n],
+    // 1-based inclusive slices == Spark's slice(ws, lo+1, hi-lo).
+    "dedup_cdc_chunks" ->
+      """WITH w AS (SELECT doc_id,
+               list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+             FROM documents),
+          b0 AS (SELECT doc_id, ws, len(ws) AS n,
+                   CASE WHEN len(ws) - 1 >= 4 THEN
+                     list_filter(range(4, len(ws)), i ->
+                       CAST('0x' || substring(md5(array_to_string(ws[i-3:i], ' ')), 1, 2) AS INT) % 16 = 0)
+                   ELSE [] END AS bnd
+                 FROM w),
+          b1 AS (SELECT doc_id, ws, [0] || bnd || [n] AS b FROM b0),
+          c AS (SELECT doc_id,
+                  CAST(j - 1 AS BIGINT) AS chunk_idx,
+                  CAST(b[j+1] - b[j] AS BIGINT) AS n_words,
+                  md5(array_to_string(ws[b[j]+1 : b[j+1]], ' ')) AS chunk_md5
+                FROM b1, unnest(range(1, len(b))) AS t(j)),
+          f AS (SELECT * FROM c WHERE n_words > 0)
+          SELECT doc_id, chunk_idx, n_words, chunk_md5,
+                 CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS BIGINT) AS n_copies
+          FROM f""",
+
     "dedup_segments" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
                     FROM documents),
@@ -6851,6 +6901,28 @@ $backtestPnlCtes,
     // Mirrors StreamAnomaly.zscores(n=8, k=2) under one-batch replay:
     // every event alerts, so this is w6_zscore's tree on the events table
     // keyed by user ordered by (event time, event_id).
+    // Streaming CUSUM: the batch fold replayed in the STREAM's in-batch
+    // order — (event-time ms, event_id), NOT ts_ns (the operator sorts by
+    // Timestamp.getTime, ms grain; event_id breaks the ms ties).
+    "stream_cusum" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms,
+                           CAST((event_id % 100) - 45 AS DOUBLE) AS x
+                    FROM events),
+          g AS (SELECT user_id,
+                  list(event_id ORDER BY tms, event_id) AS ids,
+                  list(x ORDER BY tms, event_id) AS vs
+                FROM e GROUP BY user_id),
+          r AS (SELECT user_id, ids, vs,
+                  list_reduce(
+                    [CAST([] AS DOUBLE[])] || list_transform(vs, v -> [v]),
+                    (acc, el) -> acc || [GREATEST(0.0,
+                      CASE WHEN len(acc) = 0 THEN el[1]
+                           ELSE acc[-1] + el[1] END)]) AS run
+                FROM g)
+          SELECT user_id, UNNEST(ids) AS event_id, UNNEST(run) AS cusum,
+                 UNNEST(list_transform(run, s -> s > 400.0)) AS alarm
+          FROM r""",
+
     "stream_anomaly" ->
       """WITH r AS (
            SELECT user_id, event_id, CAST(value AS DOUBLE) AS xv,

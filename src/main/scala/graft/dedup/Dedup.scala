@@ -474,6 +474,54 @@ object Dedup {
           s => s("chunk_text"))).as("cleaned_text"))
   }
 
+  /** CONTENT-DEFINED CHUNKING (the rsync/FastCDC discipline, word-grain):
+    * a chunk boundary falls after word i whenever the rolling fingerprint
+    * of the trailing `window` words has its low `maskBits` bits clear —
+    * so boundaries are a function of CONTENT, not position, and an insert
+    * near the front re-chunks only up to the next boundary (fixed-size
+    * segmentation — [[dedupSegments]] — shifts EVERY later segment; the
+    * spec pins the contrast). The fingerprint is the md5 first byte of
+    * the window text (the engine-portable Md5Hash family), expected chunk
+    * length = 2^maskBits words.
+    *
+    * Emits one row per chunk: (doc_id, chunk_idx, n_words, chunk_md5,
+    * n_copies) where n_copies counts the chunk hash across the corpus —
+    * the dedup signal storage systems act on. Everything up to n_copies
+    * is ROW-LOCAL higher-order expressions on a materialized word array
+    * (rule 3); n_copies is one hash-partitioned window count. */
+  def cdcChunks(docs: DataFrame, id: String, text: String,
+                window: Int = 4, maskBits: Int = 4): DataFrame = {
+    val mask = 1 << maskBits
+    val base = docs.select(col(id),
+      graft.functions.TextFns.words(col(text)).as("ws"))
+    val n = size(col("ws"))
+    // boundary candidates: word positions window..n-1 (1-based); guarded —
+    // Spark's sequence(a, b) runs DESCENDING when a > b, so an empty/short
+    // doc must short-circuit to an empty array, not a reversed range
+    val bnd = when(n - 1 >= window,
+      filter(sequence(lit(window), n - 1), i =>
+        conv(substring(md5(concat_ws(" ",
+          slice(col("ws"), i - window + 1, lit(window)))), 1, 2), 16, 10)
+          .cast("int") % mask === 0))
+      .otherwise(array().cast("array<int>"))
+    val b = concat(array(lit(0)), bnd, array(n))
+    val chunks = transform(sequence(lit(1), size(col("__b")) - 1), j =>
+      struct((j - 1).cast("long").as("chunk_idx"),
+        (element_at(col("__b"), j + 1) - element_at(col("__b"), j))
+          .cast("long").as("n_words"),
+        md5(concat_ws(" ", slice(col("ws"),
+          element_at(col("__b"), j) + 1,
+          element_at(col("__b"), j + 1) - element_at(col("__b"), j))))
+          .as("chunk_md5")))
+    val perChunk = base.withColumn("__b", b)
+      .select(col(id), explode(chunks).as("c"))
+      .select(col(id), col("c.chunk_idx"), col("c.n_words"), col("c.chunk_md5"))
+      .filter(col("n_words") > 0) // an empty doc's single empty chunk drops
+    perChunk.withColumn("n_copies",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("chunk_md5")).cast("long"))
+  }
+
   /** Band-bucket rows (doc_id, band, bucket) from a signature frame —
     * the LSH blocking key shared by [[minHashLsh]] and the incremental
     * index below. */

@@ -250,4 +250,30 @@ class CorpusOpsSpec extends SparkSpec {
       .as[Option[String]].collect().map(_.orNull)
     assert(got.toSeq == cases.map(_._2), got.mkString("; "))
   }
+
+  test("CDC chunking: insert near the front re-chunks only to the next boundary; fixed-size shifts everything") {
+    import graft.dedup.Dedup
+    val text = (1 to 200).map(i => s"w${i % 37}x$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "INSERTED " + text)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text")
+      .select("doc_id", "chunk_md5").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    // the CDC property: all chunks after the first boundary are content-
+    // anchored, so the shifted doc SHARES most chunk hashes with the
+    // original — only the prefix chunk(s) differ
+    val shared = chunks(1L).intersect(chunks(2L)).size
+    assert(shared >= chunks(1L).size - 2,
+      s"CDC should re-chunk only the prefix: shared=$shared of ${chunks(1L).size}")
+    // contrast: fixed-size 8-word segmentation shares (almost) NOTHING
+    // after a 1-word insert — every segment boundary shifts
+    val segs = graft.quality.Chunker.chunkByTokens(docs, "doc_id", "text", 8, 0)
+      .select(col("doc_id"), md5(col("chunk_text")).as("h")).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    assert(segs(1L).intersect(segs(2L)).size <= 1,
+      "fixed-size segmentation should share ~no segments after the insert")
+    // determinism + coverage: chunk word counts sum back to the doc length
+    val total = Dedup.cdcChunks(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1L).agg(sum("n_words")).head().getLong(0)
+    assert(total == 200L)
+  }
 }
