@@ -3195,6 +3195,21 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // Incremental graph-index APPEND (the ann_ivfpq_append twin and the
+    // real NSW insert discipline): centroids/medoids FROZEN from the old
+    // 80%, the fresh 20% gets per-cell top-degree edges BIDIRECTIONALLY
+    // (reverse copies make inserted nodes reachable), old→old adjacency
+    // untouched; serving from the appended artifacts runs zero build jobs.
+    "ann_graph_append" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val idx = graft.ann.GraphAnn.cachedAppendedIndex(
+        e.filter(col("vec_id") % 5 =!= 4), e.filter(col("vec_id") % 5 === 4),
+        "vec_id", "embedding", dir, nLists = 16, degree = 12)
+      graft.ann.GraphAnn.topKFromIndex(idx, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, beam = 16, hops = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // LSH-bucketed ANN: seeded literal hyperplanes make the signature
     // replayable, so the scale path gets a full value oracle too.
     "ann_lsh_topk" -> ((s, dir) => {
@@ -8614,6 +8629,7 @@ $backtestPnlCtes,
     "ann_ivf_topk" -> ivf1Oracle,
     "ann_graph_topk" -> graphAnnOracle,
     "ann_graph_served" -> graphAnnOracle,
+    "ann_graph_append" -> graphAnnAppendOracle,
     "ann_lsh_topk" -> annLshOracle,
     "emb_near_dup_lsh" -> embLshOracle,
   )
@@ -9190,8 +9206,10 @@ $backtestPnlCtes,
     * medoids, then the 5 beam rounds unrolled as CTEs (candidates = beam ∪
     * out-neighbors, self excluded, exact round(6) re-score, top-16 by
     * (cos DESC, id ASC)). */
-  private lazy val graphAnnOracle: String = {
-    val hops = (1 to 5).map { i =>
+  /** The shared 5-round beam CTE block (b0 must exist; `edges` is the
+    * adjacency CTE name; `c` carries (cid, cv); `q` the queries). */
+  private def graphBeamHops(nHops: Int): String =
+    (1 to nHops).map { i =>
       val prev = s"b${i - 1}"
       s"""cand$i AS (SELECT DISTINCT query_id, node FROM (
              SELECT query_id, node FROM $prev
@@ -9208,6 +9226,9 @@ $backtestPnlCtes,
                     ORDER BY cos DESC, node ASC) AS rn FROM s$i)
                   WHERE rn <= 16)"""
     }.mkString(",\n")
+
+  private lazy val graphAnnOracle: String = {
+    val hops = graphBeamHops(5)
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
         par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM c),
         cent AS (SELECT cid AS centroid_id, cv AS centroid FROM c, par
@@ -9236,6 +9257,83 @@ $backtestPnlCtes,
                      ORDER BY ROUND(${cosSql("c.cv", "cent.centroid")}, 6) DESC, c.cid ASC) AS rn
             FROM a1 JOIN c ON a1.cid = c.cid
                  JOIN cent ON a1.centroid_id = cent.centroid_id) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        qc AS (SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY -${cosSql("q.qv", "cent.centroid")} ASC, cent.centroid_id ASC) AS pr
+            FROM q CROSS JOIN cent) WHERE pr = 1),
+        b0 AS (SELECT qc.query_id, med.entry AS node FROM qc JOIN med USING (centroid_id)),
+        $hops,
+        fin AS (SELECT b5.query_id, b5.node AS neighbor_id,
+                       ROUND(${cosSql("q.qv", "c.cv")}, 6) AS cos
+                FROM b5 JOIN c ON b5.node = c.cid
+                     JOIN q ON b5.query_id = q.query_id)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM fin)
+        WHERE rank <= 5"""
+  }
+
+  /** Replays GraphAnn.cachedAppendedIndex(old = cid%5<>4) + topKFromIndex:
+    * centroids/medoids frozen from the OLD subset (stride from the OLD
+    * count), old→old edges built among old members only, each NEW node's
+    * top-12 edges ranked within its 2 cells over the FULL population and
+    * appended bidirectionally, then the shared 5-round beam block over the
+    * union adjacency. */
+  private lazy val graphAnnAppendOracle: String = {
+    val hops = graphBeamHops(5)
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        old AS (SELECT * FROM c WHERE cid % 5 <> 4),
+        nw AS (SELECT * FROM c WHERE cid % 5 = 4),
+        par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM old),
+        cent AS (SELECT cid AS centroid_id, cv AS centroid FROM old, par
+                 WHERE cid % stride = 0 AND cid < stride * 16),
+        a2old AS (SELECT cid, centroid_id FROM (
+            SELECT old.cid, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY old.cid
+                     ORDER BY -${cosSql("old.cv", "cent.centroid")} ASC, cent.centroid_id ASC) AS rn
+            FROM old CROSS JOIN cent) WHERE rn <= 2),
+        memold AS (SELECT a2old.centroid_id, old.cid, old.cv
+                   FROM a2old JOIN old ON a2old.cid = old.cid),
+        prsold AS (SELECT DISTINCT s.cid AS src, d.cid AS dst,
+                          ROUND(${cosSql("s.cv", "d.cv")}, 6) AS score
+                   FROM memold s JOIN memold d
+                     ON s.centroid_id = d.centroid_id AND s.cid <> d.cid),
+        eold AS (SELECT src, dst FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+              ORDER BY score DESC, dst ASC) AS rn FROM prsold) WHERE rn <= 12),
+        a2all AS (SELECT cid, centroid_id FROM (
+            SELECT c.cid, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                     ORDER BY -${cosSql("c.cv", "cent.centroid")} ASC, cent.centroid_id ASC) AS rn
+            FROM c CROSS JOIN cent) WHERE rn <= 2),
+        memall AS (SELECT a2all.centroid_id, c.cid, c.cv
+                   FROM a2all JOIN c ON a2all.cid = c.cid),
+        memnew AS (SELECT a2all.centroid_id, nw.cid AS src, nw.cv AS sv
+                   FROM a2all JOIN nw ON a2all.cid = nw.cid),
+        prsnew AS (SELECT DISTINCT m.src, d.cid AS dst,
+                          ROUND(${cosSql("m.sv", "d.cv")}, 6) AS score
+                   FROM memnew m JOIN memall d
+                     ON m.centroid_id = d.centroid_id AND m.src <> d.cid),
+        enew AS (SELECT src, dst FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+              ORDER BY score DESC, dst ASC) AS rn FROM prsnew) WHERE rn <= 12),
+        edges AS (SELECT src, dst FROM eold
+                  UNION ALL SELECT src, dst FROM enew
+                  UNION ALL SELECT dst AS src, src AS dst FROM enew),
+        a1old AS (SELECT cid, centroid_id FROM (
+            SELECT old.cid, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY old.cid
+                     ORDER BY -${cosSql("old.cv", "cent.centroid")} ASC, cent.centroid_id ASC) AS rn
+            FROM old CROSS JOIN cent) WHERE rn = 1),
+        med AS (SELECT centroid_id, cid AS entry FROM (
+            SELECT a1old.centroid_id, old.cid,
+                   ROW_NUMBER() OVER (PARTITION BY a1old.centroid_id
+                     ORDER BY ROUND(${cosSql("old.cv", "cent.centroid")}, 6) DESC, old.cid ASC) AS rn
+            FROM a1old JOIN old ON a1old.cid = old.cid
+                 JOIN cent ON a1old.centroid_id = cent.centroid_id) WHERE rn = 1),
         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         qc AS (SELECT query_id, centroid_id FROM (
             SELECT q.query_id, cent.centroid_id,

@@ -148,6 +148,72 @@ object GraphAnn {
       loadIndex(spark, root)
     })
 
+  /** INCREMENTAL INSERT into a SAVED graph index — the daily-ingest shape
+    * (the [[graft.ann.Pq.appendToSavedIndex]] twin, and the real NSW
+    * insert discipline modulo neighbor pruning): the coarse centroids are
+    * FROZEN artifacts (no training, no corpus count — zero tagged build
+    * jobs, spec-asserted), each new node is assigned to its top-2 cells,
+    * ranks its top-`degree` neighbors among that cell population
+    * (old + new), and the new edges land BIDIRECTIONALLY — the reverse
+    * copies are what make the inserted nodes REACHABLE (beam search only
+    * follows out-edges; an out-only append would be write-only storage).
+    * Old→old adjacency is untouched; old nodes may temporarily exceed
+    * `degree` (NSW prunes lazily — documented, not hidden). Cost is
+    * new×cell-occupancy scoring plus one artifact rewrite; old vectors
+    * are read (neighbor candidates), never re-scored against each other.
+    */
+  def appendToSavedIndex(dir: String, newNodes: DataFrame, id: String,
+                         vec: String): GraphIndex = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val idx = loadIndex(spark, dir)
+    val nv = newNodes.select(col(id).as("cid"), col(vec).as("cv"))
+    def assign2(nodes: DataFrame): DataFrame = nodes
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("d", -Ann.cosine(col("cv"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("d").asc, col("centroid_id").asc)))
+      .filter(col("rn") <= 2)
+      .select("cid", "centroid_id")
+    val allVectors = idx.vectors.unionByName(nv)
+    val memAll = assign2(allVectors).join(allVectors, "cid")
+    val memNew = assign2(nv).select(col("cid").as("src"), col("centroid_id"))
+      .join(nv.select(col("cid").as("src"), col("cv").as("sv")), "src")
+    val eNew = memNew
+      .join(memAll.select(col("centroid_id"), col("cid").as("dst"),
+        col("cv").as("dv")), Seq("centroid_id"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(Ann.cosine(col("sv"), col("dv")), 6).as("score"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("score").desc, col("dst").asc)))
+      .filter(col("rn") <= idx.degree)
+      .select("src", "dst")
+    val edges = idx.edges
+      .unionByName(eNew)
+      .unionByName(eNew.select(col("dst").as("src"), col("src").as("dst")))
+    // materialize BEFORE the rewrite: every frame below lazily reads the
+    // artifact files that saveIndex is about to overwrite (self-overwrite
+    // corrupts); localCheckpoint pins the data first
+    val appended = GraphIndex(idx.centroids.localCheckpoint(),
+      edges.localCheckpoint(), idx.medoids.localCheckpoint(),
+      allVectors.localCheckpoint(), idx.nLists, idx.degree)
+    saveIndex(appended, dir)
+    loadIndex(spark, dir)
+  }
+
+  /** Build-on-old + append-fresh, persisted once per key per JVM (the
+    * gate/bench entry for the append lane). */
+  def cachedAppendedIndex(oldRows: => DataFrame, freshRows: => DataFrame,
+                          id: String, vec: String, key: String,
+                          nLists: Int = 16, degree: Int = 12): GraphIndex =
+    indexCache.getOrElseUpdate(s"$key#append", {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_graph_index/" +
+        key.replaceAll("[^A-Za-z0-9.]", "_") + "_append"
+      saveIndex(buildIndex(oldRows, id, vec, nLists, degree), root)
+      appendToSavedIndex(root, freshRows, id, vec)
+    })
+
   /** Beam search SERVING from a prebuilt [[GraphIndex]] — no centroid
     * derivation, no edge build, no corpus count: every frame is a parquet
     * read of the published artifacts. Bit-identical to [[graphTopK]] with

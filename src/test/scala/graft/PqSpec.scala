@@ -431,4 +431,43 @@ class PqSpec extends SparkSpec {
     assert(tagged.asScala.isEmpty,
       s"graph serve must run zero tagged build counts; saw [${tagged.asScala.mkString("; ")}]")
   }
+
+  test("graph append: frozen artifacts, zero tagged jobs, inserted nodes REACHABLE via reverse edges") {
+    import graft.ann.GraphAnn
+    val old = embs.filter(col("vec_id") % 5 =!= 4)
+    val fresh = embs.filter(col("vec_id") % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("graph_idx_append").toString
+    GraphAnn.saveIndex(GraphAnn.buildIndex(old, "vec_id", "embedding",
+      nLists = 16, degree = 12), dir)
+    val tagged = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        if (d.startsWith("graft count:")) tagged.add(d)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val idx = try {
+      val got = GraphAnn.appendToSavedIndex(dir, fresh, "vec_id", "embedding")
+      got.edges.count() // materialize within the listener window
+      Thread.sleep(500)
+      got
+    } finally spark.sparkContext.removeSparkListener(l)
+    import scala.jdk.CollectionConverters._
+    assert(tagged.asScala.isEmpty,
+      s"append must never train/count; saw [${tagged.asScala.mkString("; ")}]")
+    // reverse edges exist: some OLD node points AT a new node
+    val newIds = fresh.select(col("vec_id")).as[Long].collect().toSet
+    val intoNew = idx.edges
+      .filter(!col("src").isin(newIds.toSeq: _*) &&
+        col("dst").isin(newIds.toSeq: _*)).count()
+    assert(intoNew > 0, "no old->new edges: inserted nodes unreachable")
+    // ...and beam search actually RETURNS inserted nodes for some query
+    val res = GraphAnn.topKFromIndex(idx, embs.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 5, beam = 16, hops = 5)
+    val newHits = res.filter(col("neighbor_id").isin(newIds.toSeq: _*)).count()
+    assert(newHits > 0, "no query reached an appended node")
+  }
 }
