@@ -227,7 +227,21 @@ class ShuffleBudgetSpec extends SparkSpec {
     // row-local codec walks
     "mm_webp_meta" -> 0,
     "mm_pdf_meta" -> 0,
-    "mm_ogg_meta" -> 0
+    "mm_ogg_meta" -> 0,
+    // round-13 additions
+    "w16_cusum" -> 1,           // one per-key groupBy; CusumRun row-local
+    // bucket groupBy + the (symbol, day) anchored window — different keys
+    "a14_anchored_vwap" -> 2,
+    // row-local chunking; the copy-count window is the lone exchange
+    "dedup_cdc_chunks" -> 1,
+    // vocab agg + doc agg; the vocab joins back as a broadcast
+    "tok_vocab_coverage" -> 2,
+    // sessionize window; session groupBy reuses the user partitioning
+    // (subset-key clustering); path groupBy; the rank-of-20 window rides
+    // the TakeOrdered single-partition result without a new exchange
+    "events_path_topk" -> 2,
+    // row-local codec walk
+    "mm_mkv_meta" -> 0
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
