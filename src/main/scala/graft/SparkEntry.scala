@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mkv, Mp3Meta, Mp4Meta, Multimodal, Npy, Ogg, Pdf, Png, Srt, TarShard, Tiff, Video, Webp, Zip}
+import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mkv, Mp3Meta, Mp4Meta, Multimodal, Npy, Ogg, Pdf, Png, Srt, TarShard, Tiff, Ttf, Video, Webp, Zip}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -463,8 +463,8 @@ object SparkEntry {
     }),
 
     // Magic-byte media router over a MIXED-format corpus (the real-world
-    // shape — crawled media never arrives format-sorted): doc_id % 20
-    // rotates every payload kind through the nineteen real codecs plus an
+    // shape — crawled media never arrives format-sorted): doc_id % 21
+    // rotates every payload kind through the twenty real codecs plus an
     // opaque residue lane; ONE mapPartitions pass dispatches each row by
     // container signature. The gate checks detection + decode routing
     // (kind, dims, unit counts — all integers, exact); per-kind signal
@@ -473,7 +473,7 @@ object SparkEntry {
       import s.implicits._
       val docs = TestData(s, dir).documents
       val ids = docs.select(col("doc_id").cast("long")).as[Long]
-      def pick(m: Int) = ids.filter(_ % 20 == m)
+      def pick(m: Int) = ids.filter(_ % 21 == m)
       def row(id: Long, media: Array[Byte]) =
         Multimodal.MediaRow(id, media, "", 0, 0)
       val mixed =
@@ -496,7 +496,8 @@ object SparkEntry {
           .union(Pdf.syntheticPdf(pick(16)).map(r => row(r.id, r.media)))
           .union(Ogg.syntheticOgg(pick(17)).map(r => row(r.id, r.media)))
           .union(Mkv.syntheticMkv(pick(18)).map(r => row(r.id, r.media)))
-          .union(docs.filter(col("doc_id") % 20 === 19)
+          .union(Ttf.syntheticTtf(pick(19)).map(r => row(r.id, r.media)))
+          .union(docs.filter(col("doc_id") % 21 === 20)
             .select(col("doc_id").cast("long").as("id"),
               encode(col("text"), "UTF-8").as("media"),
               lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
@@ -3774,6 +3775,18 @@ object SparkEntry {
       Mkv.decodeMkv(Mkv.syntheticMkv(ids)).toDF()
     }),
 
+    // TrueType/sfnt FONT TABLE walk: offset-table binary-search triplet
+    // verified (redundant with numTables — forgers get it wrong),
+    // tag-sorted directory, per-table BE-u32 checksums with the `head`
+    // checkSumAdjustment zeroed during the sum (THE classic sfnt trap),
+    // 0x5F0F3CF5 magic, metrics + glyph count out.
+    "mm_ttf_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      Ttf.decodeTtf(Ttf.syntheticTtf(ids)).toDF()
+    }),
+
     // H.264 METADATA lane: real Annex-B NAL walk + exp-Golomb SPS parse
     // (emulation prevention stripped, display dims via the spec's chroma
     // crop math) — the metadata pass a video corpus runs first; slice
@@ -5291,15 +5304,15 @@ $backtestPnlCtes,
     // and routing are what's gated; integers only, exact both engines.
     "mm_sniff" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
-                CASE doc_id % 20 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                CASE doc_id % 21 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'wav'
                   WHEN 5 THEN 'flac' WHEN 6 THEN 'avi' WHEN 7 THEN 'bmp'
                   WHEN 8 THEN 'tiff' WHEN 9 THEN 'h264' WHEN 10 THEN 'mp4'
                   WHEN 11 THEN 'zip' WHEN 12 THEN 'tar' WHEN 13 THEN 'ico'
                   WHEN 14 THEN 'mp3' WHEN 15 THEN 'webp' WHEN 16 THEN 'pdf' WHEN 17 THEN 'ogg'
-                  WHEN 18 THEN 'mkv'
+                  WHEN 18 THEN 'mkv' WHEN 19 THEN 'ttf'
                   ELSE 'opaque' END AS kind,
-                CAST(CASE doc_id % 20 WHEN 0 THEN 5 + doc_id % 9
+                CAST(CASE doc_id % 21 WHEN 0 THEN 5 + doc_id % 9
                   WHEN 1 THEN 5 + doc_id % 6 WHEN 2 THEN 5 + doc_id % 7
                   WHEN 3 THEN 4 + doc_id % 5 WHEN 6 THEN 5 + doc_id % 9
                   WHEN 7 THEN 6 + doc_id % 7 WHEN 8 THEN 5 + doc_id % 8
@@ -5310,8 +5323,9 @@ $backtestPnlCtes,
                   WHEN 15 THEN 16 + doc_id % 31
                   WHEN 16 THEN 400 + doc_id % 200
                   WHEN 18 THEN 320 + 16 * (doc_id % 8)
+                  WHEN 19 THEN 1000 + 24 * (doc_id % 5)
                   ELSE 0 END AS INT) AS width,
-                CAST(CASE doc_id % 20 WHEN 0 THEN 4 + doc_id % 9
+                CAST(CASE doc_id % 21 WHEN 0 THEN 4 + doc_id % 9
                   WHEN 1 THEN 4 + doc_id % 5 WHEN 2 THEN 4 + doc_id % 6
                   WHEN 3 THEN 3 + doc_id % 4 WHEN 6 THEN 4 + doc_id % 9
                   WHEN 7 THEN 3 + doc_id % 6 WHEN 8 THEN 4 + doc_id % 5
@@ -5323,7 +5337,7 @@ $backtestPnlCtes,
                   WHEN 16 THEN 500 + (3 * doc_id) % 300
                   WHEN 18 THEN 240 + 8 * (doc_id % 6)
                   ELSE 0 END AS INT) AS height,
-                CAST(CASE doc_id % 20
+                CAST(CASE doc_id % 21
                   WHEN 0 THEN (5 + doc_id % 9) * (4 + doc_id % 9)
                   WHEN 1 THEN (5 + doc_id % 6) * (4 + doc_id % 5)
                   WHEN 2 THEN (5 + doc_id % 7) * (4 + doc_id % 6)
@@ -5345,6 +5359,7 @@ $backtestPnlCtes,
                   WHEN 17 THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 5
                                ELSE 6 END
                   WHEN 18 THEN 13 + 3 * (doc_id % 2)
+                  WHEN 19 THEN 100 + doc_id % 50
                   ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_units
          FROM documents""",
 
@@ -8403,6 +8418,17 @@ $backtestPnlCtes,
                 CAST(1000000 * (1 + doc_id % 3) AS BIGINT) AS timestamp_scale,
                 CAST(500 * (1 + doc_id % 7) * (1 + doc_id % 3) AS BIGINT) AS duration_ms,
                 CAST(13 + 3 * (doc_id % 2) AS BIGINT) AS n_elements
+         FROM documents""",
+
+    "mm_ttf_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+                CAST(2 + doc_id % 2 AS INT) AS n_tables,
+                CAST(1000 + 24 * (doc_id % 5) AS INT) AS units_per_em,
+                CAST(100 + doc_id % 50 AS INT) AS n_glyphs,
+                CAST(-(doc_id % 100) AS INT) AS x_min,
+                CAST(-(doc_id % 80) AS INT) AS y_min,
+                CAST(1000 + doc_id % 200 AS INT) AS x_max,
+                CAST(900 + doc_id % 150 AS INT) AS y_max
          FROM documents""",
 
     "mm_h264_meta" ->

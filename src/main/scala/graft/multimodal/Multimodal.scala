@@ -602,6 +602,9 @@ object Multimodal {
     else if (Mkv.looksLikeMkv(b))
       Mkv.decodeOne(id, b).map(f => SniffedMedia(id, "mkv", f.width,
         f.height, f.n_elements, 0.0))
+    else if (Ttf.looksLikeTtf(b))
+      Ttf.decodeOne(id, b).map(f => SniffedMedia(id, "ttf", f.units_per_em,
+        0, f.n_glyphs.toLong, 0.0))
     else {
       // opaque fallback: counted, not vanished
       var sum = 0L; var i = 0

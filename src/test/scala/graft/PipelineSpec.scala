@@ -1616,4 +1616,45 @@ class PipelineSpec extends SparkSpec {
     // (d) bogus magic routes nowhere
     assert(decode("notanebmlstream!".getBytes("US-ASCII")).isEmpty)
   }
+
+  test("TTF/sfnt walk: search triplet, sorted tags, head-adjusted checksums, forgeries drop") {
+    import graft.multimodal.Ttf
+    val ids = spark.range(0, 40).as[Long]
+    val feats = Ttf.decodeTtf(Ttf.syntheticTtf(ids)).collect()
+    assert(feats.length == 40)
+    feats.foreach { f =>
+      val (nt, upem, ng, x0, y0, x1, y1) = Ttf.shape(f.id)
+      assert(f.n_tables == nt && f.units_per_em == upem && f.n_glyphs == ng &&
+        f.x_min == x0 && f.y_min == y0 && f.x_max == x1 && f.y_max == y1,
+        s"id=${f.id}")
+    }
+    def decode(b: Array[Byte]) =
+      Ttf.decodeTtf(Seq(Ttf.TtfFile(1L, b)).toDS()).collect()
+    val good = Ttf.syntheticTtf(Seq(7L).toDS()).collect().head.media
+    // (a) corrupt one payload byte: that table's checksum must fail
+    val flip = good.clone(); flip(good.length - 1) = (flip(good.length - 1) ^ 0x5a).toByte
+    assert(decode(flip).isEmpty)
+    // (b) forge searchRange (redundant with numTables — must be verified)
+    val sr = good.clone(); sr(7) = (sr(7) ^ 0x10).toByte
+    assert(decode(sr).isEmpty)
+    // (c) break the tag sort: swap the first two directory tags
+    val swap = good.clone()
+    (0 until 16).foreach { i =>
+      val t = swap(12 + i); swap(12 + i) = swap(28 + i); swap(28 + i) = t
+    }
+    assert(decode(swap).isEmpty)
+    // (d) head magic forged
+    val hm = good.clone()
+    // find head offset from the (sorted-first) head record
+    val headOff = (((hm(12 + 8) & 0xff) << 24) | ((hm(12 + 9) & 0xff) << 16) |
+      ((hm(12 + 10) & 0xff) << 8) | (hm(12 + 11) & 0xff))
+    hm(headOff + 12) = 0x00
+    assert(decode(hm).isEmpty)
+    // (e) truncation
+    assert(decode(java.util.Arrays.copyOf(good, good.length - 5)).isEmpty)
+    // (f) the head checkSumAdjustment field is FREE to change (it is
+    // zeroed during the sum) — decode must still succeed
+    val adj = good.clone(); adj(headOff + 8) = 0x7f.toByte
+    assert(decode(adj).nonEmpty, "adjustment bytes must not break the checksum")
+  }
 }
