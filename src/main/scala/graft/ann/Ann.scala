@@ -56,6 +56,44 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the RETRIEVAL-FOR-RECOMMENDERS
+    * twin of cosine search: rank by raw dot product, no normalization
+    * (user/item factor models and DPR-style retrievers score this way;
+    * a high-norm item IS more relevant). Same one-pass broadcast-query
+    * scan as [[bruteForceTopK]]; (round(ip,6) DESC, id ASC) tie rule.
+    *
+    * Scale path: MIPS reduces EXACTLY to cosine search via the classic
+    * norm-augmentation (Bachrach et al. 2014 / Shrivastava–Li):
+    * x' = x ++ [√(M²−‖x‖²)] with M ≥ max‖x‖ gives every corpus vector
+    * constant norm M, so cos(q', x') = q·x / (‖q‖·M) — a per-query
+    * positive scaling — and cosine ranking over augmented vectors IS MIPS
+    * ranking. [[augmentForMips]] builds x'; the identity is spec-pinned,
+    * which means every indexed cosine lane (IVF/PQ/graph) serves MIPS
+    * unchanged at 100 TB. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, id: String,
+               vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", round(dot(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "ip")
+  }
+
+  /** Norm-augmentation for MIPS-as-cosine: corpus rows get the extra
+    * coordinate √(M²−‖x‖²) (constant norm M); queries get a 0 (set
+    * `isQuery = true`). Output column is `array<double>` — pair with the
+    * fold lanes ([[cosineFold]], [[Ann.bruteForceTopK]] works on any
+    * numeric element type through them). */
+  def augmentForMips(vec: Column, bigM: Double, isQuery: Boolean): Column =
+    if (isQuery)
+      concat(transform(vec, x => x.cast("double")), array(lit(0.0)))
+    else
+      concat(transform(vec, x => x.cast("double")),
+        array(sqrt(greatest(lit(0.0), lit(bigM * bigM) - dotFold(vec, vec)))))
+
   /** Attribute-filtered vector search — the serving shape behind every
     * "nearest docs WHERE lang = 'en' AND source = X" call. This is the
     * PRE-FILTER plan: the predicate restricts the corpus BEFORE scoring,

@@ -210,8 +210,21 @@ object GraphAnn {
     indexCache.getOrElseUpdate(s"$key#append", {
       val root = s"${sys.props("java.io.tmpdir")}/graft_graph_index/" +
         key.replaceAll("[^A-Za-z0-9.]", "_") + "_append"
-      saveIndex(buildIndex(oldRows, id, vec, nLists, degree), root)
-      appendToSavedIndex(root, freshRows, id, vec)
+      val spark = org.apache.spark.sql.SparkSession.active
+      // Cross-JVM artifact reuse (ADVICE r13, mirroring cachedIndex): the
+      // append lane's zero-build-jobs-on-serve property must survive a
+      // fresh JVM. saveIndex's parquet _SUCCESS cannot distinguish a
+      // completed APPEND from a crashed pre-append base build (same dir),
+      // so the append writes its OWN done marker last; marker absent =
+      // a half-appended dir is untrustworthy, rebuild from scratch.
+      val done = new java.io.File(s"$root/_APPEND_DONE")
+      if (done.exists()) loadIndex(spark, root)
+      else {
+        saveIndex(buildIndex(oldRows, id, vec, nLists, degree), root)
+        val idx = appendToSavedIndex(root, freshRows, id, vec)
+        done.createNewFile()
+        idx
+      }
     })
 
   /** Beam search SERVING from a prebuilt [[GraphIndex]] — no centroid

@@ -196,7 +196,14 @@ object PointServe {
       .select("symbol", "publ_date", "end_date", "revenue", "roe")
       .collect().groupBy(_.getString(0))
       .foreach { case (s, rows) =>
-        val sorted = rows.sortBy(epoch(_, 1))
+        // Explicit total order (ADVICE r13): (publ_date, end_date) — not
+        // collect() insertion order, which is partition-order-dependent.
+        // The fixtures have no (symbol, publ_date) ties among version-1
+        // reports (FixtureContractSpec pins that), so this matches the
+        // DataFrame as-of lane; if a regeneration ever introduces ties,
+        // the contract spec fails loudly instead of the two serving
+        // tiers silently diverging.
+        val sorted = rows.sortBy(r => (epoch(r, 1), epoch(r, 2)))
         val c = new FundCol(sorted.length)
         var i = 0
         sorted.foreach { r =>

@@ -148,9 +148,19 @@ case class CumProdRun(child: Expression) extends UnaryExpression {
   * (1.0, 0.0). Emits the running B series; pair with [[CumProdRun]] over
   * the `a` array for the running A (identical multiply sequence). Exactly
   * the IEEE step sequence of the struct-accumulator window fold it
-  * replaces. Inputs are the a- and b-arrays of the SAME ordered events;
-  * null elements are skipped in both state updates (collect_list parity —
-  * a null never reaches the old fold), emitting the running value.
+  * replaces. Inputs are the a- and b-arrays of the SAME ordered events.
+  *
+  * Null contract (ADVICE r13): a null in EITHER array skips that event —
+  * the state carries through unchanged and the running value is emitted.
+  * This is this expression's DEFINED semantics, not a collect_list replay
+  * claim: the r12 struct-fold collected whole structs whose FIELDS could
+  * be null, and a null field would have poisoned its state (NaN-spread),
+  * so the two formulations agree only on null-free inputs. The one
+  * production caller ([[graft.domain.MarketViews.exrightsAB]]) derives
+  * a/b from arithmetic on a non-null date (provably null-free — asserted
+  * by `ApiSpec`'s exrights non-null contract test); any new caller with
+  * genuinely nullable events must pre-filter them and decide skip vs
+  * poison explicitly.
   */
 case class AffineRunB(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -38,7 +38,7 @@ object H264Meta {
 
   // ---- bit writer / reader with exp-Golomb ------------------------------
 
-  private final class BitWriter {
+  private[multimodal] final class BitWriter {
     private val out = new java.io.ByteArrayOutputStream()
     private var cur = 0
     private var nBits = 0
@@ -57,6 +57,8 @@ object H264Meta {
       u(0, len - 1) // leading zeros
       u(code, len)
     }
+    /** Signed exp-Golomb se(v): k>0 ↦ 2k−1, k≤0 ↦ −2k (spec 9.1.1). */
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
     /** rbsp_trailing_bits: stop bit then zero-pad to a byte boundary. */
     def trail(): Unit = {
       u(1, 1)
@@ -65,7 +67,7 @@ object H264Meta {
     def bytes: Array[Byte] = out.toByteArray
   }
 
-  private final class BitReader(b: Array[Byte]) {
+  private[multimodal] final class BitReader(b: Array[Byte]) {
     private var pos = 0
     def bitsLeft: Int = b.length * 8 - pos
     def u(bits: Int): Int = {
@@ -87,6 +89,11 @@ object H264Meta {
         if (zeros > 31) throw new IllegalStateException("exp-Golomb runaway")
       }
       if (zeros == 0) 0 else ((1 << zeros) | u(zeros)) - 1
+    }
+    /** Signed exp-Golomb se(v), the inverse of [[BitWriter.se]]. */
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
     }
   }
 
@@ -216,7 +223,7 @@ object H264Meta {
     * the next code's leading 00 when it is the 4-byte form (a legal
     * payload never ENDS in 00 — rbsp_trailing's stop bit and emulation
     * prevention both guarantee it). */
-  private def nalUnits(b: Array[Byte]): Seq[(Int, Array[Byte])] = {
+  private[multimodal] def nalUnits(b: Array[Byte]): Seq[(Int, Array[Byte])] = {
     val starts = scala.collection.mutable.ArrayBuffer.empty[Int] // after 00 00 01
     var i = 0
     while (i + 2 < b.length) {

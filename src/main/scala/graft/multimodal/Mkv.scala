@@ -198,10 +198,18 @@ object Mkv {
   private val Containers =
     Set(IdEbml, IdSegment, IdInfo, IdTracks, IdTrackEntry, IdVideo)
 
+  /** Hard cap on container nesting. Legal Matroska nests ~5 deep
+    * (Segment→Tracks→TrackEntry→Video); a forged payload of ~10k nested
+    * 2-byte container headers would otherwise recurse to MaxElements depth
+    * and kill the task with an uncatchable StackOverflowError (ADVICE
+    * r13). 64 is absurdly generous for any real file. */
+  private val MaxDepth = 64
+
   /** Walk [from, to); `depth0` true only at the top level (where Segment
     * may be unknown-size). Returns false on any structural violation. */
   private def walk(b: Array[Byte], from: Int, to: Int, st: State,
-                   topLevel: Boolean): Boolean = {
+                   topLevel: Boolean, depth: Int = 0): Boolean = {
+    if (depth > MaxDepth) return false
     var i = from
     while (i < to) {
       val h = header(b, i, to).getOrElse(return false)
@@ -220,7 +228,7 @@ object Mkv {
         }
       if (Containers(id)) {
         if (id == IdTrackEntry) st.nTracks += 1
-        if (!walk(b, pFrom, pTo, st, topLevel = false)) return false
+        if (!walk(b, pFrom, pTo, st, topLevel = false, depth + 1)) return false
       } else id match {
         case IdTimestampScale =>
           st.scale = readUint(b, pFrom, pTo).getOrElse(return false)
@@ -248,7 +256,11 @@ object Mkv {
   private[multimodal] def decodeOne(id: Long, b: Array[Byte]): Option[MkvFeatures] = {
     if (!looksLikeMkv(b)) return None
     val st = new State
-    if (!walk(b, 0, b.length, st, topLevel = true)) return None
+    // Try = defense-in-depth against residual exceptions on forged bytes
+    // (the Pdf/Ttf convention); the structural walk itself returns false
+    // on every known violation, this catches the unknown ones.
+    if (!scala.util.Try(walk(b, 0, b.length, st, topLevel = true))
+      .getOrElse(false)) return None
     // mandatory structure: a Segment with scale, an integer-valued
     // duration, and a video track with both dims
     if (st.scale <= 0 || st.durTicks < 0 || st.width <= 0 || st.height <= 0)

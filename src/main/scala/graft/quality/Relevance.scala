@@ -198,7 +198,11 @@ object Relevance {
     * map-side-combined groupBy), two hash joins of pair counts against
     * the vocab frame, totals as tiny in-plan aggregates (no eager
     * count) — then TakeOrderedAndProject for the global top-k.
-    * Returns (bigram, n_pair, num, den, pmi_ratio, rank).
+    * Returns (bigram, n_pair, pmi_ratio, rank). The exact DECIMAL(38,0)
+    * products stay INTERNAL: a decimal-family column in a gate's OUTPUT
+    * schema diverges under the driver's cross-engine hash
+    * canonicalization (the r13 red-gate / r10 graph_pagerank HUGEINT
+    * lesson — decimals feed the division, never the dump).
     */
   def collocations(docs: DataFrame, text: String, minCount: Long,
                    k: Int): DataFrame = {
@@ -236,6 +240,7 @@ object Relevance {
     scored.orderBy(col("pmi_ratio").desc, col("bigram").asc).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("pmi_ratio").desc, col("bigram").asc)).cast("long"))
+      .select(col("bigram"), col("n_pair"), col("pmi_ratio"), col("rank"))
   }
 
   /** Hashed-feature linear classifier INFERENCE (the fastText-style

@@ -422,4 +422,114 @@ class DifferentialSpec extends SparkSpec {
         |FROM t GROUP BY 1""".stripMargin),
       s"histogram floor-div binning (seed 4213, $CASES cases)")
   }
+
+  test(s"seqfold family: EwmaRun / CumProdRun / AffineRunB / CusumRun over $CASES seeded null-bearing histories") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    // The r13 fold-expression family's risky seam is the NULL boundary
+    // (judge r13 item 6): EwmaRun POISONS from the first null, while
+    // CumProdRun/CusumRun SKIP and AffineRunB skips when EITHER input is
+    // null — three different contracts over the same histories. The unit
+    // specs pin these pointwise; here DuckDB list_reduce replays fold the
+    // same seeded prefixes per row. All inputs are dyadic (ints; halves
+    // for factors) so every running value is exactly representable, and
+    // outputs are scaled to BIGINT — formatting never enters.
+    val rnd = new scala.util.Random(4229)
+    val rows = (0 until CASES).flatMap { cid =>
+      val n = 1 + rnd.nextInt(12)
+      (0 until n).map { i =>
+        def opt[T](v: => T): Option[T] = if (rnd.nextInt(10) < 3) None else Some(v)
+        val xi = opt(rnd.nextInt(101) - 50)              // ewma + cusum input
+        val f = opt {                                     // cumprod factor: ±{0.5,1,1.5,2}
+          val h = rnd.nextInt(8)
+          (h - 4 + (if (h >= 4) 1 else 0)) / 2.0
+        }
+        val a = opt((rnd.nextInt(4) + 1) / 2.0)          // affine a: {0.5,1,1.5,2}
+        val b = opt(rnd.nextInt(7) - 3)                  // affine b: small int
+        (cid, i, xi, f, a, b)
+      }
+    }
+    val df = rows.toDF("cid", "idx", "xi", "f", "a", "b").localCheckpoint()
+    val p = stage(df, "seqfold")
+    import graft.functions.SeqFoldExpressions
+    // per-cid ordered histories WITH nulls (struct packing survives
+    // collect_list's null-skip; idx is unique so the sort never reaches
+    // the nullable fields)
+    val hist = df.groupBy("cid").agg(sort_array(collect_list(struct(
+      col("idx"), col("xi"), col("f"), col("a"), col("b")))).as("h"))
+    val xs = transform(col("h"), e => e.getField("xi").cast("double"))
+    val fs = transform(col("h"), e => e.getField("f"))
+    val aas = transform(col("h"), e => e.getField("a"))
+    val bs = transform(col("h"), e => e.getField("b").cast("double"))
+    val folded = hist
+      .withColumn("ew", SeqFoldExpressions.ewmaRun(xs, 0.25))
+      .withColumn("cp", SeqFoldExpressions.cumProdRun(fs))
+      .withColumn("af", SeqFoldExpressions.affineRunB(aas, bs))
+      .withColumn("cs", SeqFoldExpressions.cusumRun(xs))
+    // scale to exact integers: ewma ≤24 fraction bits (α=0.25 over ≤12
+    // steps from ints), cumprod/affine ≤12 (half-grid factors), cusum 0
+    val got = folded
+      .select(col("cid"), posexplode(arrays_zip(
+        col("h"), col("ew"), col("cp"), col("af"), col("cs"))).as(Seq("i", "z")))
+      .select(col("cid"), col("z.h.idx").as("idx"),
+        (col("z.ew") * 16777216.0).cast("long").as("ewma_s"),
+        (col("z.cp") * 4096.0).cast("long").as("cumprod_s"),
+        (col("z.af") * 4096.0).cast("long").as("affine_s"),
+        col("z.cs").cast("long").as("cusum_s"))
+    // Oracle shape matters here, twice over. (1) NEVER fold per-row
+    // window-prefix lists in DuckDB 1.0: that shape returned corrupted
+    // fold values on a handful of rows (wrong cumprod/affine with the
+    // CORRECT list sitting next to them — verified by hand-fold over the
+    // same staged parquet), and the corruption moved between runs.
+    // (2) Run ONE list_reduce per DuckDB invocation: co-executed reduces
+    // corrupted each other even in the per-key shape's first draft.
+    // The safe form is the production w11_ewma pattern — ONE fold per
+    // key building the running-value list, then UNNEST — issued as four
+    // separate queries. This is rule 9's "plan-dependent" list_reduce
+    // hazard in its sharpest form yet.
+    val prefixCte =
+      """WITH g AS (
+        |  SELECT cid,
+        |    list(idx ORDER BY idx) AS idxs,
+        |    list(CAST(xi AS DOUBLE) ORDER BY idx) AS lx,
+        |    list(f ORDER BY idx) AS lf,
+        |    list([a, CAST(b AS DOUBLE)] ORDER BY idx) AS lab
+        |  FROM t GROUP BY cid
+        |)""".stripMargin
+    def oneFold(outCol: String, src: String, lambda: String,
+                post: String): Seq[String] =
+      duck(Map("t" -> p),
+        s"""$prefixCte
+          |SELECT cid, UNNEST(idxs) AS idx,
+          |  UNNEST(list_transform(
+          |    list_reduce([CAST([] AS DOUBLE[])] || $src, $lambda),
+          |    v -> $post)) AS $outCol
+          |FROM g""".stripMargin)
+    compare(canon(got.select("cid", "idx", "ewma_s")),
+      oneFold("ewma_s", "list_transform(lx, v -> [v])",
+        """(acc, el) -> acc || [CASE
+          |  WHEN len(acc) > 0 AND acc[-1] IS NULL THEN NULL
+          |  WHEN el[1] IS NULL THEN NULL
+          |  WHEN len(acc) = 0 THEN el[1]
+          |  ELSE el[1] * 0.25 + acc[-1] * 0.75 END]""".stripMargin,
+        "CAST(v * 16777216.0 AS BIGINT)"),
+      s"seqfold ewma (seed 4229, $CASES cases)")
+    compare(canon(got.select("cid", "idx", "cumprod_s")),
+      oneFold("cumprod_s", "list_transform(lf, v -> [v])",
+        """(acc, el) -> acc || [CASE WHEN el[1] IS NULL THEN COALESCE(acc[-1], 1.0)
+          |  ELSE COALESCE(acc[-1], 1.0) * el[1] END]""".stripMargin,
+        "CAST(v * 4096.0 AS BIGINT)"),
+      s"seqfold cumprod (seed 4229, $CASES cases)")
+    compare(canon(got.select("cid", "idx", "cusum_s")),
+      oneFold("cusum_s", "list_transform(lx, v -> [v])",
+        """(acc, el) -> acc || [CASE WHEN el[1] IS NULL THEN COALESCE(acc[-1], 0.0)
+          |  ELSE GREATEST(0.0, COALESCE(acc[-1], 0.0) + el[1]) END]""".stripMargin,
+        "CAST(v AS BIGINT)"),
+      s"seqfold cusum (seed 4229, $CASES cases)")
+    compare(canon(got.select("cid", "idx", "affine_s")),
+      oneFold("affine_s", "lab",
+        """(acc, el) -> acc || [CASE WHEN el[1] IS NULL OR el[2] IS NULL THEN COALESCE(acc[-1], 0.0)
+          |  ELSE COALESCE(acc[-1], 0.0) * el[1] + el[2] END]""".stripMargin,
+        "CAST(v * 4096.0 AS BIGINT)"),
+      s"seqfold affine (seed 4229, $CASES cases)")
+  }
 }

@@ -22,6 +22,29 @@ class EntryAnalysisSpec extends SparkSpec {
     assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
   }
 
+  test("no gate emits a decimal-family output column") {
+    // Driver-hash hazard (r13 text_collocations, r10 graph_pagerank one
+    // layer down): DECIMAL/HUGEINT output columns round-trip differently
+    // through the driver's parquet reader vs its DuckDB oracle during hash
+    // canonicalization, so a gate can be value-exact locally and still red
+    // in CORRECTNESS. Decimals are fine INTERNALLY (exact cross-multiply);
+    // they must never reach a dumped schema. tools/local_verify.py carries
+    // the same guard on the dumped parquet side.
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val schema = fn(spark, sf0001).queryExecution.analyzed.schema
+          val dec = schema.fields.collect {
+            case f if f.dataType.isInstanceOf[DecimalType] => f.name
+          }
+          if (dec.nonEmpty) Some(s"$name: ${dec.mkString(", ")}") else None
+        } catch { case _: Throwable => None } // analysis failures: first test
+    }
+    assert(offenders.isEmpty,
+      s"decimal-family output columns (driver hash hazard):\n${offenders.mkString("\n")}")
+  }
+
   test("oracle keys are a subset of query names, names are distinct") {
     val qNames = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- qNames

@@ -1565,6 +1565,50 @@ class PipelineSpec extends SparkSpec {
     assert(postN < 30L, s"post-filter kept $postN — expected heavy loss")
   }
 
+  test("MIPS ranking ≡ cosine ranking over norm-augmented vectors (the scale-path identity)") {
+    import graft.ann.Ann
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    // EXACT (unrounded) orderings on both sides: the production lanes
+    // round to 6dp for engine-portable tie groups, but ip and cos bin
+    // DIFFERENTLY under rounding (cos divides by ~‖q‖·M first), so the
+    // identity holds only for the exact order — which is what it claims.
+    import org.apache.spark.sql.expressions.Window
+    val wIp = Window.partitionBy("query_id")
+      .orderBy(col("ip").desc, col("neighbor_id").asc)
+    val mips = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", Ann.dotFold(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wIp))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    // augmented lane: every corpus vector gets constant norm M, a query a
+    // trailing 0 — cosine over x'/q' is q·x/(‖q‖·M), a per-query positive
+    // scaling, so the ORDER is exactly MIPS order
+    val bigM = 100.0 // ≥ max corpus norm for the fixture (64 dims in [-1,1])
+    val cAug = e.select(col("vec_id").as("neighbor_id"),
+      Ann.augmentForMips(col("embedding"), bigM, isQuery = false).as("cv"))
+    val qAug = q.select(col("vec_id").as("query_id"),
+      Ann.augmentForMips(col("embedding"), bigM, isQuery = true).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val viaCos = cAug.join(broadcast(qAug), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Ann.cosineFold(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(mips == viaCos,
+      s"MIPS vs augmented-cosine diverged: ${(mips -- viaCos).take(3)} | ${(viaCos -- mips).take(3)}")
+    // and the augmented corpus really is constant-norm M
+    val norms = cAug.select(Ann.dotFold(col("cv"), col("cv")).as("n2"))
+      .agg(min(col("n2")), max(col("n2"))).head()
+    assert(math.abs(norms.getDouble(0) - bigM * bigM) < 1e-6 &&
+      math.abs(norms.getDouble(1) - bigM * bigM) < 1e-6)
+  }
+
   test("prefix retrieval keeps most of the full-rank top-5 on the fixture embeddings") {
     import graft.ann.Ann
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
@@ -1615,6 +1659,68 @@ class PipelineSpec extends SparkSpec {
     assert(decode(zeroId).isEmpty)
     // (d) bogus magic routes nowhere
     assert(decode("notanebmlstream!".getBytes("US-ASCII")).isEmpty)
+    // (e) nesting bomb (ADVICE r13): ~200 nested Info containers would
+    // recurse past any sane structure — the MaxDepth cap drops the row
+    // instead of a task-killing StackOverflowError
+    def vint8(n: Long): Array[Byte] =
+      0x01.toByte +: (6 to 0 by -1).map(k => ((n >> (8 * k)) & 0xff).toByte).toArray
+    val infoId = Array(0x15, 0x49, 0xA9, 0x66).map(_.toByte)
+    var nested = Array.empty[Byte]
+    (1 to 200).foreach { _ =>
+      nested = infoId ++ vint8(nested.length.toLong) ++ nested }
+    val bomb = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++
+      vint8(nested.length.toLong) ++ nested
+    assert(decode(bomb).isEmpty)
+  }
+
+  test("H.264 I-frame slice decode: CAVLC + intra DC + integer transforms ≡ closed-form recurrence") {
+    import graft.multimodal.H264Px
+    val ids = spark.range(0, 40).as[Long]
+    val mbs = H264Px.decodeH264Px(H264Px.syntheticH264Px(ids)).collect()
+    val expect = (0L until 40L).flatMap { id =>
+      val (mbW, mbH) = H264Px.mbGrid(id)
+      val ys = H264Px.expectedLuma(id)
+      (0 until mbW * mbH).map(k => (id, k % mbW, k / mbW, ys(k)))
+    }.toSet
+    assert(mbs.length == expect.size)
+    mbs.foreach { m =>
+      // flatness is DECODED evidence, not framing: spreads are max-min
+      // over all 256 luma / 128 chroma pixels of the reconstruction
+      assert(m.y_spread == 0 && m.c_spread == 0 &&
+        m.cb_val == 128 && m.cr_val == 128, s"id=${m.id}")
+      assert(expect.contains((m.id, m.mb_x, m.mb_y, m.y_val)),
+        s"id=${m.id} (${m.mb_x},${m.mb_y}) y=${m.y_val}")
+    }
+    // the id%4==0 clips carry the 12-bit ESCAPE level (c=100) in MB 0 —
+    // their first MB must differ from the non-escape formula's value
+    assert(H264Px.expectedLuma(4L)(0) == math.min(255, 128 + (32 * 100 + 32 >> 6)))
+
+    // CAVLC level machinery round-trip across all three regimes and the
+    // regime fences: trailing-one (|c|=1), prefix (levelCode<14),
+    // prefix-14 4-bit suffix (14..29), 12-bit escape (>=30), both signs
+    for (c <- (-40 to 40).filter(_ != 0) ++ Seq(7, 8, 9, 15, 16, 17, -16, -17,
+         100, -100, 2000, -2000)) {
+      val got = H264Px.roundTripLevels(Array(c), nC = 0, maxCoeff = 16)
+      assert(got.toSeq == Seq(c), s"level $c round-trip -> ${got.toSeq}")
+    }
+    // two-coefficient blocks (coeff_token tc=2 rows, incl. mixed signs)
+    for ((a, b) <- Seq((1, 1), (-1, 1), (3, -1), (5, 4), (-7, -1))) {
+      val got = H264Px.roundTripLevels(Array(a, b), nC = 0, maxCoeff = 16)
+      assert(got.toSeq == Seq(a, b), s"levels ($a,$b) -> ${got.toSeq}")
+    }
+    // chroma-DC table class (nC = -1)
+    for (ls <- Seq(Array.empty[Int], Array(1), Array(-5), Array(2, -1))) {
+      val got = H264Px.roundTripLevels(ls, nC = -1, maxCoeff = 4)
+      assert(got.toSeq == ls.toSeq)
+    }
+
+    // forgeries / ceiling rejections drop the clip (no rows, no throw)
+    val good = H264Px.encodeOne(7L)
+    assert(H264Px.decodeOne(7L,
+      java.util.Arrays.copyOf(good, good.length - 2)).isEmpty) // truncated slice
+    assert(H264Px.decodeOne(1L, "notastream".getBytes("US-ASCII")).isEmpty)
+    val noSlice = H264Px.encodeOne(3L).take(40) // SPS+PPS survive, slice gone
+    assert(H264Px.decodeOne(3L, noSlice).isEmpty)
   }
 
   test("TTF/sfnt walk: search triplet, sorted tags, head-adjusted checksums, forgeries drop") {

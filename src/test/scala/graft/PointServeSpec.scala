@@ -84,4 +84,16 @@ class PointServeSpec extends SparkSpec {
     // guards against an accidental Spark action sneaking into the hot path
     assert(perCallMs < 20.0, f"warm point call took $perCallMs%.2f ms")
   }
+
+  test("version-1 reports have no (symbol, publ_date) ties — PointServe order contract") {
+    // PointServe.load sorts FundCol by (publ_date, end_date); the
+    // DataFrame as-of lane's last()-fill has no defined tiebreak among
+    // equal publ_dates, so the two tiers are provably equivalent only
+    // while publ_date is unique per symbol among version-1 reports
+    // (ADVICE r13). A fixture/view regeneration that introduces ties
+    // must fail HERE, not as silent serving divergence.
+    val ties = views.fundamentalsAll.filter(col("version") === 1)
+      .groupBy("symbol", "publ_date").count().filter(col("count") > 1).count()
+    assert(ties == 0, s"$ties (symbol, publ_date) ties among version-1 reports")
+  }
 }

@@ -81,6 +81,22 @@ def main(sf_dir, out_dir):
         # are DuckDB-side, so types share one vocabulary.
         stypes = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
         dtypes = dict(zip(duck_rel.columns, map(str, duck_rel.types)))
+        # Decimal-family OUTPUT columns are a driver-hash hazard even when
+        # every value matches here (r13 text_collocations: both local
+        # sweeps were [PASS exact] while the driver's hash canonicalization
+        # of the DECIMAL(38,0) columns diverged between its parquet reader
+        # and its DuckDB oracle). PRESENCE alone fails: decimals may feed
+        # internal arithmetic, never a gate's dumped schema.
+        dec = [(c, stypes[c]) for c in scols
+               if type_family(stypes[c]) == "decimal"]
+        dec += [(c, dtypes[c]) for c in dcols
+                if type_family(dtypes[c]) == "decimal"]
+        if dec:
+            print(f"[FAIL] {name}: decimal-family OUTPUT column(s) {dec} — "
+                  f"driver hash hazard; keep decimals internal, emit "
+                  f"bigint/double/string")
+            n_fail += 1
+            continue
         tmism = []
         for sc, dc in zip(scols, dcols):
             fs, fd = type_family(stypes[sc]), type_family(dtypes[dc])
