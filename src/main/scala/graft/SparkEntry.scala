@@ -1121,6 +1121,14 @@ object SparkEntry {
           col("cusum"), col("alarm"))
     }),
 
+    // DRAWDOWN DURATION (time under water): contiguous runs of close
+    // strictly below the running peak, per symbol — the duration
+    // companion to api_drawdown's depth series. Only COMPARISONS touch
+    // the px doubles (rule-1 safe); islands by rank difference.
+    "w17_underwater" -> ((s, dir) =>
+      Windows.underwater(mkt(s, dir).bars, Seq(col("symbol")),
+        Seq(col("date")), col("close"))),
+
     // Exact rolling MEDIAN — the order statistic no frame aggregate can
     // express (the frame must be sorted per row). Integer values, so the
     // whole operator is float-free (rule 1 trivially satisfied); ordering
@@ -2653,6 +2661,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_transitions"))
     }),
 
+    // Inter-arrival profile per user: ns gaps between consecutive events
+    // (exact BIGINT diffs on ts_ns), nearest-rank median — the burstiness
+    // audit behind session-gap and rate-limit tuning. (user_id, ts_ns) is
+    // unique (r10 tie audit); event_id rides as belt-and-braces tiebreak.
+    "events_inter_arrival" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val gaps = TestData(s, dir).events
+        .select(col("user_id"), col("ts_ns"), col("event_id"))
+        .withColumn("gap_ns", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
+        .filter(col("gap_ns").isNotNull)
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("gap_ns"), col("event_id"))
+      gaps
+        .withColumn("rn", row_number().over(wg).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_gaps"),
+          min(col("gap_ns")).as("min_gap_ns"),
+          max(col("gap_ns")).as("max_gap_ns"),
+          max(when(col("rn") === ceil(col("n").cast("double") * 0.5),
+            col("gap_ns"))).as("p50_gap_ns"))
+    }),
+
     // SCD-2 build (gaps-and-islands): collapse each user's event_type
     // stream into validity intervals [valid_from, valid_to) — the
     // snapshot→dimension-history derivation of a lakehouse pipeline.
@@ -4039,6 +4072,17 @@ object SparkEntry {
       graft.quality.DataQuality.barInvariants(v.bars, v.calendar)
     }),
 
+    // GAP REPORT: island-level missing-TRADING-day runs per symbol — the
+    // runbook artifact next to dq_calendar_gaps' per-symbol day-arithmetic
+    // counts (WHICH weeks are missing, not just how many). Islands by
+    // rank difference on the CALENDAR position so weekends never split
+    // a gap.
+    "dq_gap_report" -> ((s, dir) => {
+      val v = mkt(s, dir)
+      graft.quality.DataQuality.calendarGaps(v.bars, v.calendar,
+        topPerSymbol = 3)
+    }),
+
     // Single-pass column profiler: one scan, one aggregation, stack-pivot
     // to tidy per-column rows (exact multi-column COUNT(DISTINCT) via
     // Expand — the documented cost of a hash-exact profile).
@@ -4667,6 +4711,49 @@ object SparkEntry {
           SELECT ps.symbol, n_rows, null_ohlc, lo_gt_hi, ooh_range, nonpos_volume,
                  big_moves, (sp.std - n_rows) AS calendar_gaps
           FROM ps LEFT JOIN sp ON ps.symbol = sp.symbol""",
+
+    // Island replay: rank-difference on the calendar position; the span
+    // comes from each symbol's own bar min/max (≡ meta listed/de_listed).
+    "dq_gap_report" ->
+      s"""$MKT, rcal AS (SELECT trade_date,
+                           ROW_NUMBER() OVER (ORDER BY trade_date) AS rn
+                         FROM cal),
+          spine AS (SELECT m.symbol, r.trade_date, r.rn
+                    FROM rcal r JOIN meta m
+                      ON r.trade_date BETWEEN m.listed_date AND m.de_listed_date),
+          miss AS (SELECT s.symbol, s.trade_date, s.rn
+                   FROM spine s LEFT JOIN bars b
+                     ON s.symbol = b.symbol AND s.trade_date = b.date
+                   WHERE b.symbol IS NULL),
+          isl AS (SELECT symbol, trade_date, rn,
+                    rn - ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY rn) AS grp
+                  FROM miss),
+          agg AS (SELECT symbol, MIN(trade_date) AS gap_start,
+                    MAX(trade_date) AS gap_end,
+                    CAST(COUNT(*) AS BIGINT) AS n_days
+                  FROM isl GROUP BY symbol, grp)
+          SELECT symbol, gap_start, gap_end, n_days, sev_rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY symbol
+                     ORDER BY n_days DESC, gap_start ASC) AS BIGINT) AS sev_rank
+            FROM agg)
+          WHERE sev_rank <= 3""",
+
+    // Underwater replay: strict close < running-peak comparison (no
+    // arithmetic on the px doubles), islands by rank difference.
+    "w17_underwater" ->
+      s"""$MKT, pk AS (SELECT symbol, date, close,
+                   MAX(close) OVER (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+                   ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date) AS rn
+                 FROM bars),
+          un AS (SELECT symbol, rn,
+                   rn - ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY rn) AS grp
+                 FROM pk WHERE close < peak),
+          runs AS (SELECT symbol, grp, COUNT(*) AS len FROM un GROUP BY symbol, grp)
+          SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_runs,
+                 CAST(MAX(len) AS BIGINT) AS longest_run,
+                 CAST(SUM(len) AS BIGINT) AS n_under
+          FROM runs GROUP BY symbol""",
 
     "api_monthly_bars" ->
       s"""$MKT, sel AS (SELECT * FROM bars
@@ -7023,6 +7110,25 @@ $backtestPnlCtes,
 
     // Final per-key CDC state: n_since/sum_since replay as the ordered
     // fold over upserts AFTER the last tombstone (a delete row is never
+    // Inter-arrival replay: exact BIGINT ts_ns diffs; nearest-rank median
+    // (rank-k VALUE is tie-invariant because the rank order sorts by the
+    // value first).
+    "events_inter_arrival" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id FROM events),
+          g AS (SELECT user_id, event_id,
+                  tsn - LAG(tsn) OVER (PARTITION BY user_id
+                                       ORDER BY tsn, event_id) AS gap_ns
+                FROM e),
+          f AS (SELECT user_id, event_id, gap_ns,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY gap_ns, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n
+                FROM g WHERE gap_ns IS NOT NULL)
+          SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_gaps,
+                 MIN(gap_ns) AS min_gap_ns, MAX(gap_ns) AS max_gap_ns,
+                 MAX(CASE WHEN rn = CEIL(n * 0.5) THEN gap_ns END) AS p50_gap_ns
+          FROM f GROUP BY user_id""",
+
     // after the max delete ts, so the strict > filter is exact).
     "stream_cdc" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,

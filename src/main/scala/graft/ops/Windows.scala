@@ -353,6 +353,37 @@ object Windows {
     * window frame. Output: one row per key with the streak count, the
     * longest streak, and the length of the final (current) streak.
     */
+  /** DRAWDOWN DURATION — time-under-water per key: contiguous runs of
+    * rows STRICTLY below the running peak of `x`, summarized as
+    * (n_runs, longest_run, n_under). The duration companion to the
+    * depth-series drawdown (`api_drawdown`): a strategy that loses 5%
+    * for 3 years and one that loses 5% for a week have the same max
+    * drawdown and utterly different underwater profiles.
+    *
+    * Engine-safety: only COMPARISONS touch the (possibly px-division
+    * double) values — x < runningMax replays exactly in any engine that
+    * computed the same doubles; no sums, no rounding (rule 1). Keys with
+    * no underwater rows (monotone non-decreasing series) emit nothing —
+    * the report shape, not a zero-filled grid. Islands via the
+    * rank-difference trick on the per-key row number. */
+  def underwater(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 x: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = df
+      .withColumn("__peak", max(x).over(cum))
+      .withColumn("__rn", row_number().over(w))
+      .filter(x < col("__peak"))
+    val wu = Window.partitionBy(keys: _*).orderBy(col("__rn"))
+    flagged.withColumn("__grp", col("__rn") - row_number().over(wu))
+      .groupBy((keys :+ col("__grp")): _*)
+      .agg(count(lit(1)).as("len"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("len")).as("longest_run"),
+        sum(col("len")).as("n_under"))
+  }
+
   def streaks(df: DataFrame, keys: Seq[Column], order: Seq[Column],
               x: Column): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)

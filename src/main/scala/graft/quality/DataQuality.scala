@@ -42,6 +42,54 @@ object DataQuality {
       .drop("first_date", "last_date", "span_trading_days")
   }
 
+  /** GAP REPORT — the island-level companion to [[barInvariants]]'s
+    * per-symbol gap COUNT: every contiguous run of trading days inside a
+    * symbol's listing span with no bar, as (symbol, gap_start, gap_end,
+    * n_days). This is the artifact an ops runbook actually wants ("which
+    * weeks are missing, where") rather than a violation tally.
+    *
+    * Islands come from the rank-difference trick on the CALENDAR position
+    * (missing days are contiguous in calendar rank, not in date
+    * arithmetic — weekends must not split a gap). The global calendar
+    * rank window is single-partition BY CONSTRUCTION (the calendar is a
+    * dates-only dim, ~250 rows/year at any corpus scale — the bounded
+    * Window.orderBy convention of the Relevance top-k lanes).
+    *
+    * `topPerSymbol` keeps only each symbol's N LONGEST gaps (ties to the
+    * earliest) — the report stays symbol-bounded at any corpus scale
+    * instead of growing with every one-day halt (the fixtures alone have
+    * 418k islands at sf0.1; a runbook reads the worst three).
+    */
+  def calendarGaps(bars: DataFrame, calendar: DataFrame,
+                   topPerSymbol: Int = Int.MaxValue): DataFrame = {
+    val span = bars.groupBy(col("symbol"))
+      .agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+    val cal = calendar.select(col("trade_date"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("trade_date"))))
+    val spine = cal.join(broadcast(span),
+        col("trade_date").between(col("d0"), col("d1")))
+      .select(col("symbol"), col("trade_date"), col("rn"))
+    val missing = spine.join(
+        bars.select(col("symbol"), col("date").as("trade_date"))
+          .withColumn("has", lit(1)),
+        Seq("symbol", "trade_date"), "left")
+      .filter(col("has").isNull)
+    val wSym = Window.partitionBy(col("symbol")).orderBy(col("rn"))
+    val islands = missing.withColumn("grp", col("rn") - row_number().over(wSym))
+      .groupBy(col("symbol"), col("grp"))
+      .agg(min(col("trade_date")).as("gap_start"),
+        max(col("trade_date")).as("gap_end"),
+        count(lit(1)).as("n_days"))
+      .select("symbol", "gap_start", "gap_end", "n_days")
+    if (topPerSymbol == Int.MaxValue) islands
+    else {
+      val wTop = Window.partitionBy(col("symbol"))
+        .orderBy(col("n_days").desc, col("gap_start").asc)
+      islands.withColumn("sev_rank", row_number().over(wTop).cast("long"))
+        .filter(col("sev_rank") <= topPerSymbol)
+    }
+  }
+
   /** Global one-row summary for gating (all violations summed). */
   def summarize(invariants: DataFrame): DataFrame =
     invariants.agg(

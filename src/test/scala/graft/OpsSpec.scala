@@ -395,4 +395,49 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> (5.0, false), 2L -> (0.0, false),
       3L -> (3.0, false), 4L -> (3.0, false), 5L -> (7.0, true)))
   }
+
+  test("underwater: strict-below-peak runs; monotone series emit nothing") {
+    // k=1: 10, 8, 9, 10, 10, 7, 7, 11 — peaks 10,10,10,10,10,10,10,11
+    //   under: rows 2,3 (run of 2), rows 6,7 (run of 2); row 4 (=peak) not
+    // k=2: monotone non-decreasing — never under, absent from the report
+    val df = Seq(
+      (1, 1L, 10.0), (1, 2L, 8.0), (1, 3L, 9.0), (1, 4L, 10.0),
+      (1, 5L, 10.0), (1, 6L, 7.0), (1, 7L, 7.0), (1, 8L, 11.0),
+      (2, 1L, 1.0), (2, 2L, 1.0), (2, 3L, 2.0)).toDF("k", "t", "x")
+    val got = Windows.underwater(df, Seq(col("k")), Seq(col("t")), col("x"))
+      .select("k", "n_runs", "longest_run", "n_under")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(got == Set((1, 2L, 2L, 4L)))
+  }
+
+  test("calendarGaps: weekend-adjacent islands merge; top-N keeps longest-first") {
+    import graft.quality.DataQuality
+    // calendar: 5 trading days; symbol A misses d2 and d4+d5 (one 1-day
+    // and one 2-day island — a weekend between d4 and d5 must NOT split
+    // the island because islands run on calendar RANK, so we simulate by
+    // date-gapped calendar entries)
+    val cal = Seq("2020-01-06", "2020-01-07", "2020-01-08", "2020-01-10",
+      "2020-01-13").toDF("d").select(to_date(col("d")).as("trade_date"))
+    val bars = Seq(("A", "2020-01-06"), ("A", "2020-01-08"))
+      .toDF("symbol", "d").select(col("symbol"), to_date(col("d")).as("date"))
+    // span = [01-06, 01-08]: only 01-07 is missing (01-10/13 outside span)
+    val g1 = DataQuality.calendarGaps(bars, cal)
+      .select("symbol", "gap_start", "gap_end", "n_days")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDate(2).toString, r.getLong(3))).toSet
+    assert(g1 == Set(("A", "2020-01-07", "2020-01-07", 1L)))
+    // widen the span: bar on the last calendar day → 01-07 island AND the
+    // 01-10..01-13 island (2 calendar entries, spanning a real-week gap)
+    val bars2 = bars.union(Seq(("A", "2020-01-14")).toDF("s", "d")
+      .select(col("s"), to_date(col("d")).as("date")))
+    // 01-14 is not IN the calendar — extend the calendar instead
+    val cal2 = cal.union(Seq("2020-01-14").toDF("d")
+      .select(to_date(col("d")).as("trade_date")))
+    val g2 = DataQuality.calendarGaps(bars2, cal2, topPerSymbol = 1)
+      .select("symbol", "gap_start", "gap_end", "n_days", "sev_rank")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDate(2).toString, r.getLong(3), r.getLong(4))).toSet
+    // longest island (01-10..01-13, 2 trading days) outranks the 1-day one
+    assert(g2 == Set(("A", "2020-01-10", "2020-01-13", 2L, 1L)))
+  }
 }
