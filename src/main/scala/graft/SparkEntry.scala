@@ -4072,6 +4072,20 @@ object SparkEntry {
       graft.quality.DataQuality.barInvariants(v.bars, v.calendar)
     }),
 
+    // ORDER-INVARIANT table content digest: md5-low-60-bit per-row hashes
+    // summed mod 2^61−1 — two tables hold the same row multiset iff
+    // (n_rows, digest) match, no sort, no join; the replication /
+    // publish-verification audit at 16 bytes of shuffle. Non-float
+    // columns only (double rendering is engine-private).
+    "dq_table_digest" -> ((s, dir) => {
+      val o = TestData(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+      graft.quality.DataQuality.tableDigest(o, Seq("o_orderkey",
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
+    }),
+
     // GAP REPORT: island-level missing-TRADING-day runs per symbol — the
     // runbook artifact next to dq_calendar_gaps' per-symbol day-arithmetic
     // counts (WHICH weeks are missing, not just how many). Islands by
@@ -4711,6 +4725,26 @@ object SparkEntry {
           SELECT ps.symbol, n_rows, null_ohlc, lo_gt_hi, ooh_range, nonpos_volume,
                  big_moves, (sp.std - n_rows) AS calendar_gaps
           FROM ps LEFT JOIN sp ON ps.symbol = sp.symbol""",
+
+    // Digest replay: identical canonical string (length-prefixed fields,
+    // chr(0) null sentinel, chr(1) separator), md5 low 60 bits, HUGEINT
+    // sum mod the same Mersenne prime, BIGINT out.
+    "dq_table_digest" -> {
+      def lp(c: String) =
+        s"coalesce(CAST(length(CAST($c AS VARCHAR)) AS VARCHAR) || ':' || CAST($c AS VARCHAR), chr(0))"
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority")
+      s"""WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CAST(o_orderdate AS DATE) AS o_orderdate,
+                       o_orderpriority
+                     FROM orders),
+          c AS (SELECT concat_ws(chr(1), ${cols.map(lp).mkString(", ")}) AS canon
+                FROM b)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(CAST('0x' || substring(md5(canon), 1, 15) AS BIGINT) AS HUGEINT))
+                      % 2305843009213693951 AS BIGINT) AS digest
+          FROM c"""
+    },
 
     // Island replay: rank-difference on the calendar position; the span
     // comes from each symbol's own bar min/max (≡ meta listed/de_listed).

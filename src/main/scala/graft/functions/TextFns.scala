@@ -14,11 +14,16 @@ object TextFns {
   def words(text: Column): Column =
     filter(split(text, " "), w => length(w) > 0)
 
-  def wordCount(text: Column): Column = size(words(text))
+  /** Null text → null count (the repo's coerce-to-null convention) —
+    * Spark's legacy `size(null) = -1` otherwise leaks a sentinel into
+    * arithmetic (caught by the text differential family: a null doc
+    * scored -1 words and langId'd as 'de' via the all-equal argmax). */
+  def wordCount(text: Column): Column =
+    when(text.isNotNull, size(words(text)))
 
   /** Exact occurrence count of one word (list-filter, no overlap pitfalls). */
   def countWord(text: Column, word: String): Column =
-    size(filter(split(text, " "), w => w === word))
+    when(text.isNotNull, size(filter(split(text, " "), w => w === word)))
 
   /** BPE-ish token count: letter runs, digit runs, single other non-space. */
   def regexTokenCount(text: Column): Column =
@@ -70,10 +75,14 @@ object TextFns {
   def langIdFromWords(ws: Column): Column = {
     val scores = langMarkers.map { case (l, ms) => l -> langScoreFromWords(ws, ms) }
     val mx = greatest(scores.map(_._2): _*)
-    // foldRight gives ascending priority: earliest lang wins ties.
-    scores.foldRight(lit(null).cast("string")) { case ((l, sc), acc) =>
-      when(sc === mx, lit(l)).otherwise(acc)
-    }
+    // foldRight gives ascending priority: earliest lang wins ties. The
+    // isNotNull guard keeps null docs null — without it size(null) = -1
+    // makes every score "equal" and null docs come back 'de' (text
+    // differential family catch).
+    when(ws.isNotNull,
+      scores.foldRight(lit(null).cast("string")) { case ((l, sc), acc) =>
+        when(sc === mx, lit(l)).otherwise(acc)
+      })
   }
 
   def langId(text: Column): Column = langIdFromWords(words(text))

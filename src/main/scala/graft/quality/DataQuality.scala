@@ -90,6 +90,35 @@ object DataQuality {
     }
   }
 
+  /** ORDER-INVARIANT whole-table content digest — the replication /
+    * publish-verification audit: two tables hold the same multiset of
+    * rows iff (n_rows, digest) match, with no sort and no join. Per-row
+    * canonical string (the [[graft.ops.Joins.snapshotDiff]] discipline:
+    * length-prefixed fields, u0000 null sentinel, u0001 separator) →
+    * md5 low 60 bits → SUM mod 2⁶¹−1 (Mersenne prime). Addition is
+    * commutative, so partition order, partitioning, and shuffle order
+    * are all irrelevant — the 100 TB shape is one map + one partial/final
+    * agg, zero data shuffled beyond 16-byte partials.
+    *
+    * Column contract: values must RENDER identically across engines —
+    * ints/strings/dates/timestamps only; float columns are the caller's
+    * responsibility to exclude (double formatting is engine-private).
+    * The mod sum rides DECIMAL(38,0) INTERNALLY (60-bit values overflow
+    * BIGINT past ~8k rows) and emits BIGINT — decimals never reach the
+    * output schema (the r13 rule). */
+  def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val canon = concat_ws("\u0001",
+      cols.map { c =>
+        val s = col(c).cast("string")
+        coalesce(concat(length(s).cast("string"), lit(":"), s), lit("\u0000"))
+      }: _*)
+    val row60 = conv(substring(md5(canon), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    df.agg(count(lit(1)).as("n_rows"),
+      (sum(row60) % lit("2305843009213693951").cast("decimal(38,0)"))
+        .cast("long").as("digest"))
+  }
+
   /** Global one-row summary for gating (all violations summed). */
   def summarize(invariants: DataFrame): DataFrame =
     invariants.agg(

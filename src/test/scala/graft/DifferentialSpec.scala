@@ -532,4 +532,134 @@ class DifferentialSpec extends SparkSpec {
         "CAST(v * 4096.0 AS BIGINT)"),
       s"seqfold affine (seed 4229, $CASES cases)")
   }
+
+  test(s"text family: words/tokens/fingerprint/langid/url over $CASES seeded edge-shaped strings") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    // The per-gate text oracles replay over fixture prose; this family
+    // hunts the EDGE shapes prose rarely contains: runs of separators,
+    // leading/trailing spaces, empty and null texts, punctuation words,
+    // URL near-misses. All outputs are ints or strings — formatting never
+    // enters. (stopword/punct RATIOS are excluded by design: they divide,
+    // and the gates own float determinism.)
+    val rnd = new scala.util.Random(4241)
+    val pool = Seq("the", "and", "is", "der", "und", "nicht", "le", "les",
+      "el", "que", "cat", "dog42", "x", "yy", "zzz!", "!!", "a.b", "42")
+    val seps = Seq(" ", "  ", "   ")
+    val texts = (0 until CASES).map { cid =>
+      val t =
+        if (cid % 17 == 0) Some("")
+        else if (cid % 17 == 1) Some("   ")
+        else if (cid % 17 == 2) None
+        else Some {
+          val n = 1 + rnd.nextInt(10)
+          val body = (0 until n).map(_ => pool(rnd.nextInt(pool.size)))
+            .mkString(seps(rnd.nextInt(seps.size)))
+          (if (rnd.nextBoolean()) " " else "") + body +
+            (if (rnd.nextBoolean()) "  " else "")
+        }
+      (cid, t)
+    }
+    val df = texts.toDF("cid", "t").localCheckpoint()
+    val p = stage(df, "text")
+    import graft.functions.TextFns
+    val wordsExpr = "list_filter(string_split(t, ' '), w -> len(w) > 0)"
+
+    // scalar counts (no folds): wordCount / countWord / regexTokenCount
+    val gotCounts = df.select(col("cid"),
+      TextFns.wordCount(col("t")).cast("long").as("n_words"),
+      TextFns.countWord(col("t"), "the").cast("long").as("n_the"),
+      TextFns.regexTokenCount(col("t")).cast("long").as("n_toks"))
+    compare(canon(gotCounts), duck(Map("t" -> p),
+      s"""SELECT cid,
+         |  CAST(len($wordsExpr) AS BIGINT) AS n_words,
+         |  CAST(len(list_filter(string_split(t, ' '), w -> w = 'the')) AS BIGINT) AS n_the,
+         |  CAST(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_toks
+         |FROM t""".stripMargin),
+      s"text counts (seed 4241, $CASES cases)")
+
+    // rolling fingerprint (ONE fold in its own query — rule 9)
+    val gotFp = df.select(col("cid"),
+      TextFns.rollingFingerprint(col("t")).as("fp"))
+    compare(canon(gotFp), duck(Map("t" -> p),
+      s"""SELECT cid,
+         |  CASE WHEN t IS NULL THEN NULL ELSE
+         |  list_reduce([CAST(0 AS BIGINT)] ||
+         |    list_transform($wordsExpr, w -> CAST(len(w) * 131 + ascii(w) AS BIGINT)),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) END AS fp
+         |FROM t""".stripMargin),
+      s"text fingerprint (seed 4241, $CASES cases)")
+
+    // total word chars (its own fold query)
+    val gotChars = df.select(col("cid"),
+      TextFns.totalWordChars(col("t")).cast("long").as("n_chars"))
+    compare(canon(gotChars), duck(Map("t" -> p),
+      s"""SELECT cid,
+         |  CASE WHEN t IS NULL THEN NULL ELSE
+         |  list_reduce([CAST(0 AS BIGINT)] ||
+         |    list_transform($wordsExpr, w -> CAST(len(w) AS BIGINT)),
+         |    (acc, x) -> acc + x) END AS n_chars
+         |FROM t""".stripMargin),
+      s"text word chars (seed 4241, $CASES cases)")
+
+    // language ID: argmax with ascending-code tie rule
+    val gotLang = df.select(col("cid"), TextFns.langId(col("t")).as("lang"))
+    val scoreSql = TextFns.langMarkers.map { case (l, ms) =>
+      s"len(list_filter(ws, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS s_$l"
+    }.mkString(", ")
+    val caseSql = TextFns.langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = mx THEN '$l'"
+    }.mkString(" ")
+    compare(canon(gotLang), duck(Map("t" -> p),
+      s"""WITH w AS (SELECT cid, $wordsExpr AS ws FROM t),
+         |s AS (SELECT cid, $scoreSql FROM w),
+         |m AS (SELECT *, greatest(${TextFns.langMarkers.map(l => s"s_${l._1}").mkString(", ")}) AS mx FROM s)
+         |SELECT cid, CASE $caseSql END AS lang FROM m""".stripMargin),
+      s"text langid (seed 4241, $CASES cases)")
+
+    // URL canonicalization over composed edge cases (own frame)
+    val urls = {
+      val schemes = Seq("http", "HTTP", "https", "ftp")
+      val hosts = Seq("Example.COM", "a.b")
+      val ports = Seq("", ":80", ":443", ":8080")
+      val paths = Seq("", "/", "/A/b", "/a//", "/x/y/")
+      val queries = Seq("", "?b=2&a=1", "?utm_x=1&a=1", "?utm_only=1")
+      val frags = Seq("", "#f")
+      val composed = for {
+        s <- schemes; h <- hosts; po <- ports
+        pa <- paths; q <- queries; f <- frags
+      } yield s"$s://$h$po$pa$q$f"
+      val junk = Seq("not a url", "http//missing", "", "://nohost")
+      (composed ++ junk).zipWithIndex.map { case (u, i) => (i, u) }
+    }
+    val udf0 = urls.toDF("uid", "u").localCheckpoint()
+    val up = stage(udf0, "url")
+    val gotUrl = udf0.select(col("uid"),
+      TextFns.canonicalizeUrl(col("u")).as("cu"))
+    val urlPat = """^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"""
+    val extracts = (1 to 5).map(i => s"regexp_extract(u, '$urlPat', $i)")
+    compare(canon(gotUrl), duck(Map("t" -> up),
+      s"""WITH e AS (SELECT uid,
+         |    lower(${extracts(0)}) AS scheme,
+         |    ${extracts(1)} AS rawhost,
+         |    ${extracts(2)} AS port,
+         |    ${extracts(3)} AS rawpath,
+         |    ${extracts(4)} AS rawq
+         |  FROM t),
+         |n AS (SELECT uid, scheme, lower(rawhost) AS host, rawhost,
+         |        regexp_replace(rawpath, '/+$$', '') AS path,
+         |        CASE WHEN (scheme = 'http' AND port = ':80')
+         |               OR (scheme = 'https' AND port = ':443') THEN ''
+         |             ELSE port END AS keep_port,
+         |        list_sort(list_filter(string_split(regexp_replace(rawq, '^\\?', ''), '&'),
+         |          p -> len(p) > 0 AND substring(p, 1, 4) <> 'utm_')) AS params
+         |      FROM e)
+         |SELECT uid,
+         |  CASE WHEN rawhost = '' THEN NULL
+         |       ELSE scheme || '://' || host || keep_port || path ||
+         |            CASE WHEN len(params) > 0
+         |                 THEN '?' || array_to_string(params, '&') ELSE '' END
+         |  END AS cu
+         |FROM n""".stripMargin),
+      s"url canonicalization (${urls.size} composed cases)")
+  }
 }

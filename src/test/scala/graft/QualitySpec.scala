@@ -108,4 +108,37 @@ class QualitySpec extends SparkSpec {
     assert(back.select("date", "symbol", "close").exceptAll(long.select("date", "symbol", "close")).isEmpty)
     assert(long.select("date", "symbol", "close").exceptAll(back.select("date", "symbol", "close")).isEmpty)
   }
+
+  test("tableDigest: order/partitioning-invariant, value- and null-sensitive") {
+    val base = Seq((1L, "a", Option("x")), (2L, "b", Option("y")),
+      (3L, "c", None)).toDF("k", "s", "v")
+    val cols = Seq("k", "s", "v")
+    def dig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = DataQuality.tableDigest(df, cols).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val d0 = dig(base)
+    // multiset identity survives any reordering / repartitioning
+    assert(dig(base.orderBy(col("k").desc)) == d0)
+    assert(dig(base.repartition(7, col("s"))) == d0)
+    // one changed value changes the digest; row count unchanged
+    val d1 = dig(base.withColumn("v",
+      when(col("k") === 1L, lit("X")).otherwise(col("v"))))
+    assert(d1._1 == d0._1 && d1._2 != d0._2)
+    // NULL is distinct from every rendered string (incl. "null" and "")
+    val dNullStr = dig(base.withColumn("v",
+      when(col("k") === 3L, lit("null")).otherwise(col("v"))))
+    val dEmpty = dig(base.withColumn("v",
+      when(col("k") === 3L, lit("")).otherwise(col("v"))))
+    assert(dNullStr._2 != d0._2 && dEmpty._2 != d0._2 && dNullStr._2 != dEmpty._2)
+    // length-prefixing: boundary shifts across fields don't collide
+    val a = dig(Seq(("ab", "c")).toDF("s", "v").select(col("s"), col("v"), lit(1L).as("k"))
+      .select("k", "s", "v"))
+    val b = dig(Seq(("a", "bc")).toDF("s", "v").select(col("s"), col("v"), lit(1L).as("k"))
+      .select("k", "s", "v"))
+    assert(a._2 != b._2)
+    // a duplicated row changes the digest (multiset, not set, semantics)
+    val dDup = dig(base.union(base.limit(1)))
+    assert(dDup._1 == d0._1 + 1 && dDup._2 != d0._2)
+  }
 }
