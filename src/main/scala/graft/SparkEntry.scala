@@ -1129,6 +1129,21 @@ object SparkEntry {
       Windows.underwater(mkt(s, dir).bars, Seq(col("symbol")),
         Seq(col("date")), col("close"))),
 
+    // TOKEN-BUCKET rate-limit replay (the quota/throttle audit): bucket
+    // clock at SECONDS grain (integer DIV — rule 5), cap 2000 mt, cost
+    // 1000 mt, refill 1 mt/s: the fixture's real inter-arrival mix (min
+    // gap 8 s, p10 ~69 min) then produces BOTH verdicts. All-integer
+    // O(n) TokenBucketRun codegen pass; streaming twin shares the
+    // recursion (stream_rate_limit).
+    "w18_token_bucket" -> ((s, dir) =>
+      Windows.tokenBucket(
+        TestData(s, dir).events.select(col("user_id"), col("event_id"),
+          expr("ts_ns DIV 1000000000").as("sec")),
+        Seq(col("user_id")), col("sec"), col("event_id"), lit(1000L),
+        capMt = 2000L, refillPerMs = 1L)
+        .select(col("user_id"), col("ms").as("sec"),
+          col("tb").as("event_id"), col("allowed"), col("tokens_mt"))),
+
     // Exact rolling MEDIAN — the order statistic no frame aggregate can
     // express (the frame must be sorted per row). Integer values, so the
     // whole operator is float-free (rule 1 trivially satisfied); ordering
@@ -2543,6 +2558,31 @@ object SparkEntry {
       graft.streaming.Replay.toBatch(
         graft.streaming.StreamCusum.cusum(ev, h = 400.0).toDF(),
         "stream_cusum")
+    }),
+
+    // Streaming token-bucket rate limiter (flatMapGroupsWithState, two
+    // longs of state per key): same all-integer recursion as
+    // w18_token_bucket, same oracle family. Event time rides at SECONDS
+    // grain (cap 2000 mt / cost 1000 mt / refill 1 mt·s⁻¹ — the real
+    // inter-arrival distribution then provably produces BOTH verdicts).
+    "stream_rate_limit" -> ((s, dir) => {
+      import s.implicits._
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
+        .select(col("user_id"), col("event_id"),
+          // seconds-grain bucket clock, encoded so getTime == real
+          // seconds (timestamp_millis of the DIV): at ms grain any
+          // realistic bucket refills between fixture events (min gap
+          // 8.2 s) and every verdict is "allowed" — a vacuous gate
+          expr("timestamp_millis(ts_ns DIV 1000000000)").as("ts"),
+          lit(1000L).as("cost_mt"))
+        .withWatermark("ts", "601 seconds")
+        .as[graft.streaming.StreamRateLimit.Req]
+      graft.streaming.Replay.toBatch(
+        graft.streaming.StreamRateLimit.rateLimit(ev,
+          capMt = 2000L, refillPerMs = 1L).toDF(),
+        "stream_rate_limit")
     }),
 
     // Streaming ingest dedup (dropDuplicatesWithinWatermark), isolated from
@@ -7144,6 +7184,70 @@ $backtestPnlCtes,
 
     // Final per-key CDC state: n_since/sum_since replay as the ordered
     // fold over upserts AFTER the last tombstone (a delete row is never
+    // Token-bucket replay: the stride-2 running-list fold (rule 9: one
+    // reduce, per-key lists) — acc appends [packed, ts] per event where
+    // packed = tokens_after*2 + allowed; prev level = floor(acc[-2]/2),
+    // prev ts = acc[-1]; refill = least(cap, prev + (t - prev_ts) * r).
+    // All values integral and < 2^31, exact in the DOUBLE lists.
+    "w18_token_bucket" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+                           event_id
+                    FROM events),
+          g AS (SELECT user_id,
+                  list([CAST(sec AS DOUBLE), CAST(event_id AS DOUBLE)]
+                       ORDER BY sec, event_id) AS els
+                FROM e GROUP BY user_id),
+          f AS (SELECT user_id, els,
+                  list_reduce([CAST([] AS DOUBLE[])] || els,
+                    (acc, el) -> acc || [
+                      CASE WHEN len(acc) = 0
+                        THEN (2000 - 1000) * 2 + 1
+                        ELSE (CASE WHEN least(2000.0, floor(acc[-2] / 2) + (el[1] - acc[-1])) >= 1000
+                              THEN (least(2000.0, floor(acc[-2] / 2) + (el[1] - acc[-1])) - 1000) * 2 + 1
+                              ELSE least(2000.0, floor(acc[-2] / 2) + (el[1] - acc[-1])) * 2 END)
+                      END, el[1]]) AS run
+                FROM g)
+          SELECT user_id,
+                 CAST(e2[1] AS BIGINT) AS sec,
+                 CAST(e2[2] AS BIGINT) AS event_id,
+                 CAST(pk AS BIGINT) % 2 = 1 AS allowed,
+                 CAST(floor(pk / 2) AS BIGINT) AS tokens_mt
+          FROM (SELECT user_id,
+                  UNNEST(els) AS e2,
+                  UNNEST(list_transform(range(0, len(els)),
+                    k -> run[CAST(2 * k + 1 AS INT)])) AS pk
+                FROM f)""",
+
+    // Streaming twin: same fold, verdict-only projection (the stream op
+    // emits no clock column — event_id is the unique join key).
+    "stream_rate_limit" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+                           event_id
+                    FROM events),
+          g AS (SELECT user_id,
+                  list([CAST(sec AS DOUBLE), CAST(event_id AS DOUBLE)]
+                       ORDER BY sec, event_id) AS els
+                FROM e GROUP BY user_id),
+          f AS (SELECT user_id, els,
+                  list_reduce([CAST([] AS DOUBLE[])] || els,
+                    (acc, el) -> acc || [
+                      CASE WHEN len(acc) = 0
+                        THEN (2000 - 1000) * 2 + 1
+                        ELSE (CASE WHEN least(2000.0, floor(acc[-2] / 2) + (el[1] - acc[-1])) >= 1000
+                              THEN (least(2000.0, floor(acc[-2] / 2) + (el[1] - acc[-1])) - 1000) * 2 + 1
+                              ELSE least(2000.0, floor(acc[-2] / 2) + (el[1] - acc[-1])) * 2 END)
+                      END, el[1]]) AS run
+                FROM g)
+          SELECT user_id,
+                 CAST(e2[2] AS BIGINT) AS event_id,
+                 CAST(pk AS BIGINT) % 2 = 1 AS allowed,
+                 CAST(floor(pk / 2) AS BIGINT) AS tokens_mt
+          FROM (SELECT user_id,
+                  UNNEST(els) AS e2,
+                  UNNEST(list_transform(range(0, len(els)),
+                    k -> run[CAST(2 * k + 1 AS INT)])) AS pk
+                FROM f)""",
+
     // Inter-arrival replay: exact BIGINT ts_ns diffs; nearest-rank median
     // (rank-k VALUE is tie-invariant because the rank order sorts by the
     // value first).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for per-key RECURSIVE smoothers: given the
   * key's full history as `array<double>`, emit the running EWMA series
@@ -261,6 +261,84 @@ case class CusumRun(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** O(n) TOKEN-BUCKET replay over a key's ordered (timestamp-ms,
+  * cost-mtoken) arrays — the rate-limit audit every quota/throttle system
+  * needs replayed offline: the bucket starts FULL at `capMt` milli-tokens,
+  * refills `refillPerMs` mtokens per elapsed ms (clamped at `capMt`), and
+  * an event is ALLOWED iff the refilled level covers its cost (allowed
+  * events drain, denied leave the level untouched — strict policing).
+  *
+  * All-integer arithmetic (milli-token granularity), so the recursion is
+  * SQL-exact. Output packs (tokens_after << 1 | allowed) into one long per
+  * event — one pass, one allocation; callers unpack with bit ops. Null
+  * elements (either array) are skipped: state carries, packed output has
+  * allowed = 0 and the carried level (fixtures are null-free; the
+  * contract mirrors [[AffineRunB]]'s skip rule). First event sees a full
+  * bucket (no refill needed, none applied). */
+case class TokenBucketRun(left: Expression, right: Expression,
+                          capMt: Long, refillPerMs: Long)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val ts = l.asInstanceOf[ArrayData]
+    val cs = r.asInstanceOf[ArrayData]
+    val n = math.min(ts.numElements(), cs.numElements())
+    val out = new Array[Long](n)
+    var s = capMt
+    var tPrev = Long.MinValue
+    var i = 0
+    while (i < n) {
+      if (ts.isNullAt(i) || cs.isNullAt(i)) out(i) = s << 1
+      else {
+        val t = ts.getLong(i)
+        if (tPrev != Long.MinValue && t > tPrev)
+          s = math.min(capMt, s + (t - tPrev) * refillPerMs)
+        tPrev = t
+        val cost = cs.getLong(i)
+        if (s >= cost) { s -= cost; out(i) = (s << 1) | 1L }
+        else out(i) = s << 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ts, cs) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val tp = ctx.freshName("tp")
+      val t = ctx.freshName("t")
+      val c = ctx.freshName("c")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = java.lang.Math.min($ts.numElements(), $cs.numElements());
+         |long[] $arr = new long[$n];
+         |long $s = ${capMt}L;
+         |long $tp = java.lang.Long.MIN_VALUE;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($ts.isNullAt($i) || $cs.isNullAt($i)) { $arr[$i] = $s << 1; }
+         |  else {
+         |    long $t = $ts.getLong($i);
+         |    if ($tp != java.lang.Long.MIN_VALUE && $t > $tp)
+         |      $s = java.lang.Math.min(${capMt}L, $s + ($t - $tp) * ${refillPerMs}L);
+         |    $tp = $t;
+         |    long $c = $cs.getLong($i);
+         |    if ($s >= $c) { $s -= $c; $arr[$i] = ($s << 1) | 1L; }
+         |    else $arr[$i] = $s << 1;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SeqFoldExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -280,4 +358,10 @@ object SeqFoldExpressions {
   /** Column wrapper for [[CusumRun]]. */
   def cusumRun(xs: Column): Column =
     ColumnBridge.column(CusumRun(ColumnBridge.expression(xs)))
+
+  /** Column wrapper for [[TokenBucketRun]]. */
+  def tokenBucketRun(ts: Column, costs: Column, capMt: Long,
+                     refillPerMs: Long): Column =
+    ColumnBridge.column(TokenBucketRun(ColumnBridge.expression(ts),
+      ColumnBridge.expression(costs), capMt, refillPerMs))
 }

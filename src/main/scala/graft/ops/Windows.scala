@@ -263,6 +263,33 @@ object Windows {
         col("z.run").as(as), (col("z.run") > h).as("alarm"))): _*)
   }
 
+  /** TOKEN-BUCKET rate-limit replay per key (the quota/throttle audit):
+    * events in (`orderMs`, `tiebreak`) order drain a bucket that starts
+    * full at `capMt` milli-tokens and refills `refillPerMs` mtokens per
+    * elapsed ms — allowed iff the refilled level covers `costMt`, denied
+    * events leave the level untouched (strict policing). All-integer
+    * recursion via the O(n) [[graft.functions.TokenBucketRun]] codegen
+    * pass (the EwmaRun family — never an O(n²) array-accumulator fold);
+    * SQL-exact, streaming twin in [[graft.streaming.StreamRateLimit]].
+    * Emits (keys…, ms, tiebreak, allowed, tokens_mt). */
+  def tokenBucket(df: DataFrame, keys: Seq[Column], orderMs: Column,
+                  tiebreak: Column, costMt: Column,
+                  capMt: Long, refillPerMs: Long): DataFrame = {
+    val grouped = df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(struct(orderMs.as("ms"),
+        tiebreak.as("tb"), costMt.as("cost")))).as("xs"))
+    val run = graft.functions.SeqFoldExpressions.tokenBucketRun(
+      transform(col("xs"), x => x.getField("ms")),
+      transform(col("xs"), x => x.getField("cost")),
+      capMt, refillPerMs)
+    grouped.withColumn("run", run)
+      .select((keys :+ posexplode(arrays_zip(col("xs"), col("run"))).as(Seq("pos", "z"))): _*)
+      .select((keys ++ Seq(
+        col("z.xs.ms").as("ms"), col("z.xs.tb").as("tb"),
+        (col("z.run").bitwiseAND(1L) === 1L).as("allowed"),
+        shiftright(col("z.run"), 1).as("tokens_mt"))): _*)
+  }
+
   /** Exact rolling median (lower median) over the trailing `n` rows —
     * the order statistic no frame-aggregate expresses: the frame must be
     * SORTED per row, so the plan collects the frame list and indexes its

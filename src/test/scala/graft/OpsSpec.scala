@@ -396,6 +396,23 @@ class OpsSpec extends SparkSpec {
       3L -> (3.0, false), 4L -> (3.0, false), 5L -> (7.0, true)))
   }
 
+  test("tokenBucket: burst drain, deny-keeps-level, refill clamp, equal-ts no-refill") {
+    // cap 3000 mt, cost 1000, refill 1 mt/ms; one key, hand-traced:
+    // t=0    full 3000 → allow, 2000
+    // t=0    equal ts: NO refill     → allow, 1000
+    // t=100  refill 100 → 1100       → allow, 100
+    // t=200  refill 100 → 200 < 1000 → DENY, 200 (level untouched)
+    // t=5000 refill 4800 → clamp 3000 → allow, 2000
+    val df = Seq((1, 0L, 10L), (1, 0L, 11L), (1, 100L, 12L),
+      (1, 200L, 13L), (1, 5000L, 14L)).toDF("k", "t", "eid")
+    val got = Windows.tokenBucket(df, Seq(col("k")), col("t"), col("eid"),
+        lit(1000L), capMt = 3000L, refillPerMs = 1L)
+      .select("tb", "allowed", "tokens_mt")
+      .as[(Long, Boolean, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(10L -> (true, 2000L), 11L -> (true, 1000L),
+      12L -> (true, 100L), 13L -> (false, 200L), 14L -> (true, 2000L)))
+  }
+
   test("underwater: strict-below-peak runs; monotone series emit nothing") {
     // k=1: 10, 8, 9, 10, 10, 7, 7, 11 — peaks 10,10,10,10,10,10,10,11
     //   under: rows 2,3 (run of 2), rows 6,7 (run of 2); row 4 (=peak) not
