@@ -1129,6 +1129,24 @@ object SparkEntry {
       Windows.underwater(mkt(s, dir).bars, Seq(col("symbol")),
         Seq(col("date")), col("close"))),
 
+    // Relative-rank family under TIES: percent_rank = (rank−1)/(N−1) and
+    // cume_dist = peers≤/N are determined by peer SETS (never peer
+    // order), and both are single IEEE divisions of exact integers with
+    // identical operands in any engine — deterministic without rounding.
+    // (NTILE stays excluded: it SPLITS peer groups by arrival order —
+    // the w7 lesson.)
+    "w19_rank_ratios" -> ((s, dir) => {
+      val f = TestData(s, dir).lineitem
+        .filter(col("l_suppkey") % 20 === 2)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey").orderBy(col("qty"))
+      f.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("qty"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+    }),
+
     // TOKEN-BUCKET rate-limit replay (the quota/throttle audit): bucket
     // clock at SECONDS grain (integer DIV — rule 5), cap 2000 mt, cost
     // 1000 mt, refill 1 mt/s: the fixture's real inter-arrival mix (min
@@ -7184,6 +7202,17 @@ $backtestPnlCtes,
 
     // Final per-key CDC state: n_since/sum_since replay as the ordered
     // fold over upserts AFTER the last tombstone (a delete row is never
+    // Relative-rank replay: identical definitions and identical integer
+    // operands into the one IEEE division each.
+    "w19_rank_ratios" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+                CAST(l_quantity AS BIGINT) AS qty,
+                percent_rank() OVER (PARTITION BY l_suppkey
+                                     ORDER BY CAST(l_quantity AS BIGINT)) AS pr,
+                cume_dist() OVER (PARTITION BY l_suppkey
+                                  ORDER BY CAST(l_quantity AS BIGINT)) AS cd
+         FROM lineitem WHERE l_suppkey % 20 = 2""",
+
     // Token-bucket replay: the stride-2 running-list fold (rule 9: one
     // reduce, per-key lists) — acc appends [packed, ts] per event where
     // packed = tokens_after*2 + allowed; prev level = floor(acc[-2]/2),

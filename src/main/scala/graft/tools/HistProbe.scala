@@ -93,6 +93,11 @@ object HistProbe {
           .select(col("z.ra").as("a"), col("z.rb").as("b"))),
       ("sessionize", baseN, (s, n) =>
         Windows.sessionize(oneKey(s, n), k("k"), col("ts"), 5000L)),
+      ("token_bucket", baseN, (s, n) =>
+        // the r14 family member: one key, n-event history through the
+        // packed-long TokenBucketRun pass (ts in ms from the generator)
+        Windows.tokenBucket(oneKey(s, n), k("k"), col("ts"), col("t"),
+          lit(1000L), capMt = 5000L, refillPerMs = 1L)),
       // backtest chain: bounded-frame fold MAs + crossover + cumsum curve +
       // the one-row metric folds. Smaller base — metrics packs the whole
       // curve into one row's array by design (documented single-frame op).

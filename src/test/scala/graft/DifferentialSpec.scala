@@ -662,4 +662,66 @@ class DifferentialSpec extends SparkSpec {
          |FROM n""".stripMargin),
       s"url canonicalization (${urls.size} composed cases)")
   }
+  test(s"graph family: k-hop / bounded-SSSP / connected components over $CASES seeded graphs") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    // Seeded directed multigraph shapes the fixture corpus graph never
+    // contains: self-loops, 2-cycles, isolated sources, disconnected
+    // blobs, duplicate edges. Cases ride ONE disjoint union (node ids
+    // offset by cid*1000), so each iterative operator runs ONCE over all
+    // 120 graphs; DuckDB replays with bounded recursive CTEs. Integer
+    // payloads end to end.
+    val rnd = new scala.util.Random(4243)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    val srcs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    (0 until CASES).foreach { cid =>
+      val base = cid.toLong * 1000L
+      val n = 3 + rnd.nextInt(6)
+      val m = rnd.nextInt(2 * n + 1)
+      (0 until m).foreach { _ =>
+        val u = base + rnd.nextInt(n)
+        val v = base + rnd.nextInt(n) // self-loops and dups included
+        edges += ((cid, u, v, 1L + rnd.nextInt(5)))
+      }
+      srcs += ((cid, base)); srcs += ((cid, base + 1L))
+    }
+    val eDf = edges.toSeq.toDF("cid", "src", "dst", "w").localCheckpoint()
+    val sDf = srcs.toSeq.toDF("cid", "node").localCheckpoint()
+    val pe = stage(eDf, "gedges")
+    val ps = stage(sDf, "gsrcs")
+    import graft.ops.Graph
+
+    val khop = Graph.kHopCounts(eDf, "src", "dst", sDf, "node", k = 3)
+    compare(canon(khop), duck(Map("e" -> pe, "s" -> ps),
+      """WITH RECURSIVE r(source, node, h) AS (
+        |  SELECT node, node, 0 FROM s
+        |  UNION
+        |  SELECT r.source, e.dst, r.h + 1 FROM r JOIN e ON r.node = e.src
+        |  WHERE r.h < 3)
+        |SELECT source, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_reachable
+        |FROM r GROUP BY source""".stripMargin),
+      s"k-hop counts (seed 4243, $CASES cases)")
+
+    val sssp = Graph.boundedSssp(eDf, "src", "dst", "w",
+      sDf.select("node"), maxHops = 4)
+    compare(canon(sssp), duck(Map("e" -> pe, "s" -> ps),
+      """WITH RECURSIVE p(node, dist, h) AS (
+        |  SELECT node, CAST(0 AS BIGINT), 0 FROM s
+        |  UNION
+        |  SELECT e.dst, p.dist + e.w, p.h + 1 FROM p JOIN e ON p.node = e.src
+        |  WHERE p.h < 4)
+        |SELECT node, MIN(dist) AS dist FROM p GROUP BY node""".stripMargin),
+      s"bounded SSSP (seed 4243, $CASES cases)")
+
+    val cc = Graph.connectedComponents(eDf, "src", "dst")
+    compare(canon(cc), duck(Map("e" -> pe, "s" -> ps),
+      """WITH RECURSIVE ud AS (SELECT src AS a, dst AS b FROM e
+        |                      UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT a AS n FROM ud UNION SELECT b FROM ud),
+        |r(node, lbl) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT ud.b, r.lbl FROM r JOIN ud ON r.node = ud.a)
+        |SELECT node, MIN(lbl) AS component FROM r GROUP BY node""".stripMargin),
+      s"connected components (seed 4243, $CASES cases)")
+  }
 }
