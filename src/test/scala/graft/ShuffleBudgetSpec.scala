@@ -241,7 +241,28 @@ class ShuffleBudgetSpec extends SparkSpec {
     // the TakeOrdered single-partition result without a new exchange
     "events_path_topk" -> 2,
     // row-local codec walk
-    "mm_mkv_meta" -> 0
+    "mm_mkv_meta" -> 0,
+    // round-14 additions
+    // real bitstream slice decode is a pure per-row map
+    "mm_h264_px" -> 0,
+    // broadcast-query scan + the per-query rank window
+    "ann_mips_topk" -> 1,
+    // per-symbol lag window (1) + the tiny calendar-rank single-partition
+    // exchange appearing 3× (the ranked scan and the two rank→date
+    // broadcast lookups each rebuild the ~250-row/yr dim — pennies, and
+    // the alternative is caching a dim smaller than its cache entry)
+    "dq_gap_report" -> 4,
+    // the islands windows and both groupBys all reuse one symbol exchange
+    "w17_underwater" -> 1,
+    // one per-user groupBy; TokenBucketRun is row-local
+    "w18_token_bucket" -> 1,
+    // one per-supplier window; both ratios share it
+    "w19_rank_ratios" -> 1,
+    // ONE user exchange: the lag window, gap-rank window, and final agg
+    // all cluster on user_id (subset-key reuse)
+    "events_inter_arrival" -> 1,
+    // one map + one single-row agg exchange
+    "dq_table_digest" -> 1
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
