@@ -9,6 +9,26 @@ object Bench {
       .map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  /** Regression-gate selection, factored out so the overflow path is
+    * spec-testable (judge r14: `take(5)` silently dropped the 6th+
+    * gate-exceeding query — mm_video escaped un-adjudicated). EVERY query
+    * past the gate (>+0.30 s AND >1.3× the min-of-window baseline) is
+    * flagged; only the `remeasureCap` worst by absolute delta get the
+    * expensive 3× re-measure, the rest are reported `flagged_unmeasured`
+    * and their PERQ history is left untouched (an un-adjudicated inflated
+    * value must never become a window entry). Returns
+    * (toRemeasure, unmeasuredOverflow) as (name, prevMin, run, delta). */
+  private[graft] def selectRegressions(
+      current: Map[String, Double], hist: Map[String, Seq[Double]],
+      remeasureCap: Int = 5)
+      : (Seq[(String, Double, Double, Double)], Seq[(String, Double, Double, Double)]) = {
+    val regs = current.toSeq
+      .flatMap { case (k, v) => hist.get(k).map(h => (k, h.min, v, v - h.min)) }
+      .filter { case (_, p, v, d) => d > 0.30 && v > p * 1.3 }
+      .sortBy(-_._4)
+    (regs.take(remeasureCap), regs.drop(remeasureCap))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -141,16 +161,26 @@ object Bench {
       val calls = new java.util.concurrent.atomic.AtomicLong(0L)
       val t0 = System.nanoTime()
       val deadline = t0 + 2000000000L
+      // A throw inside a worker kills only that thread (ADVICE r14): without
+      // the flag a partially-failing shape silently DEFLATES the reported
+      // QPS instead of surfacing. Any dead hammer thread -> qps16 = -1.
+      val hammerFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
       val threads = (0 until nThreads).map { tid =>
         new Thread(() => {
-          var i = tid
-          while (System.nanoTime() < deadline) {
-            shapes(i % shapes.length)(); calls.incrementAndGet(); i += 1
+          try {
+            var i = tid
+            while (System.nanoTime() < deadline && !hammerFailed.get()) {
+              shapes(i % shapes.length)(); calls.incrementAndGet(); i += 1
+            }
+          } catch { case t: Throwable =>
+            hammerFailed.set(true)
+            System.err.println(s"[bench] qps16 hammer thread died: $t")
           }
         })
       }
       threads.foreach(_.start()); threads.foreach(_.join())
-      val qps = (calls.get() / ((System.nanoTime() - t0) / 1e9)).round
+      val qps = if (hammerFailed.get()) -1L
+        else (calls.get() / ((System.nanoTime() - t0) / 1e9)).round
       (samples, buildSec, qps)
     } catch { case _: Throwable => (Seq.empty, -1.0, -1L) }
     val (servAvg, servP99) =
@@ -166,6 +196,24 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
+    // Load-average precondition (judge r14 item 5): per-query cost crept
+    // ~7%/round across r12–r14 while every flag adjudicated "noise" — the
+    // box, not the code. Make the closing number comparable BY CONSTRUCTION:
+    // record the 1-min loadavg at launch, and if the box is visibly busy
+    // (above max(6, cpus/2) — idle-VM load here runs 4–6) wait up to 60 s
+    // for it to settle before the timed loop. Both readings + the wait ship
+    // in the artifact so a hot-box run is self-describing.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAtLaunch = osBean.getSystemLoadAverage
+    val loadThreshold = math.max(6.0, cpus.toDouble / 2.0)
+    var loadWaitedSec = 0
+    while (osBean.getSystemLoadAverage > loadThreshold && loadWaitedSec < 60) {
+      Thread.sleep(10000); loadWaitedSec += 10
+    }
+    val loadAtStart = osBean.getSystemLoadAverage
+    if (loadWaitedSec > 0)
+      System.err.println(f"[bench] loadavg precondition: waited ${loadWaitedSec}s " +
+        f"($loadAtLaunch%.1f -> $loadAtStart%.1f, threshold $loadThreshold%.1f)")
     // Timed action = a noop-sink write, NOT count(): under count() Catalyst
     // prunes every projected column, so scan/project queries would be billed
     // for less work than they claim; the noop sink materializes every output
@@ -265,6 +313,7 @@ object Bench {
     // records the best same-run measurement, so one hot first pass cannot
     // poison the window.
     var flaggedVerdicts: Seq[(String, Double, Double, Double, String)] = Seq.empty
+    var unmeasuredKeys: Set[String] = Set.empty
     val perqPath = java.nio.file.Paths.get("docs/BENCH_PERQ.tsv")
     if (only.isEmpty) {
       val lines: Seq[String] =
@@ -286,11 +335,10 @@ object Bench {
                 parts.head -> parts.tail.toSeq.map(_.toDouble)).toOption
             else None
           }.toMap
-      val regs = results.toSeq
-        .flatMap { case (k, (v, _)) => hist.get(k).map(h => (k, h.min, v, v - h.min)) }
-        .filter { case (_, p, v, d) => d > 0.30 && v > p * 1.3 }
-        .sortBy(-_._4).take(5)
-      flaggedVerdicts = regs.map { case (k, p, v, _) =>
+      val (regs, unmeasured) = selectRegressions(
+        results.map { case (k, (v, _)) => k -> v }.toMap, hist)
+      unmeasuredKeys = unmeasured.map(_._1).toSet
+      val remeasuredVerdicts = regs.map { case (k, p, v, _) =>
         val fn = selected(k)
         // A throwing run must NOT enter the min (ADVICE r13): its
         // near-zero wall time would fake a "noise" verdict and write a
@@ -314,34 +362,56 @@ object Bench {
           f"[bench] flagged $k%-24s prev=${f2(p)}s run=${f2(v)}s remeasure3x=${f2(re)}s -> $verdict")
         (k, p, v, re, verdict)
       }
+      // overflow past the re-measure cap: still REPORTED (the r14 escape),
+      // just not re-run — and below their inflated run value stays OUT of
+      // the history window.
+      val unmeasuredVerdicts = unmeasured.map { case (k, p, v, _) =>
+        System.err.println(
+          f"[bench] flagged $k%-24s prev=${f2(p)}s run=${f2(v)}s -> flagged_unmeasured")
+        (k, p, v, -1.0, "flagged_unmeasured")
+      }
+      flaggedVerdicts = remeasuredVerdicts ++ unmeasuredVerdicts
       val regLine =
         if (hist.isEmpty) "[bench] regressions: no prior per-query baseline"
-        else if (regs.isEmpty) "[bench] regressions vs min-of-last-3: none (>+0.30s & >1.3x)"
+        else if (flaggedVerdicts.isEmpty) "[bench] regressions vs min-of-last-3: none (>+0.30s & >1.3x)"
         else "[bench] regressions vs min-of-last-3: " + flaggedVerdicts.map {
           case (k, p, v, re, verdict) =>
             f"$k:+${f2(v - p)}s(${f2(p)}->${f2(v)},re=${f2(re)},$verdict)"
         }.mkString(" ")
       println(regLine)
       // history records the BEST same-run measurement for flagged queries;
-      // a failed re-measure contributes nothing (run value stands).
+      // a failed re-measure contributes nothing (run value stands), and an
+      // UN-adjudicated flag contributes nothing either (old window kept).
       val reMin = flaggedVerdicts.collect {
-        case (k, _, v, re, vd) if vd != "remeasure_failed" =>
+        case (k, _, v, re, vd) if vd == "noise" || vd == "regressed" =>
           k -> math.min(v, re) }.toMap
       java.nio.file.Files.write(perqPath,
         (s"#cpus=$cpus" +: results.toSeq.sortBy(_._1)
           .map { case (k, (v, _)) =>
-            (f2(reMin.getOrElse(k, v)) +: hist.getOrElse(k, Nil).take(2).map(f2))
-              .mkString(s"$k\t", "\t", "") })
+            val window =
+              if (unmeasuredKeys(k)) hist.getOrElse(k, Nil).take(3).map(f2)
+              else f2(reMin.getOrElse(k, v)) +: hist.getOrElse(k, Nil).take(2).map(f2)
+            window.mkString(s"$k\t", "\t", "") })
           .mkString("", "\n", "\n").getBytes("UTF-8"))
     }
-    val flaggedJson = flaggedVerdicts.map { case (k, p, v, re, verdict) =>
+    // cap the artifact's flagged map at 12 entries (5 remeasured + up to 7
+    // unmeasured) so a pathological round can't blow the 2000-char stdout
+    // tail; the overflow COUNT still ships.
+    val flaggedShown = flaggedVerdicts.take(12)
+    val flaggedDropped = flaggedVerdicts.size - flaggedShown.size
+    val flaggedJson = flaggedShown.map { case (k, p, v, re, verdict) =>
       s""""$k":[${f2(p)},${f2(v)},${f2(re)},"$verdict"]"""
     }.mkString("{", ",", "}")
     // "flagged": in-artifact re-measure verdicts ([prev_min, this_run,
     // remeasure_3x_min, verdict]); empty {} = the alarm line was clean.
     // "baseline_policy": how to read it — see docs/BENCH_POLICY.md.
+    // "planner_floor_ms" (née latency_ms, judge r14 item 8): the cold
+    // Spark plan→schedule→collect round trip per point query — the
+    // PLANNER FLOOR a user pays only if they skip PointServe (serving_ms
+    // is the real serving number). Renamed so the artifact says what it
+    // measures.
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","families":$fams,"queries":$qs,"store_build":${f2(storeSec)},"index_build":${f2(idxSec)},"stream_harness":${f2(streamHarnessSec)},"latency_ms":{"avg":${f2(latAvg)},"p99":${f2(latP99)},"n":${latencySamples.size}},"serving_ms":{"avg":${f3(servAvg)},"p99":${f3(servP99)},"n":${servingSamples.size},"build_sec":${f2(servingBuildSec)},"qps16":$servingQps},"flagged":$flaggedJson,"baseline_policy":"min-of-last-3@cpus=$cpus","rows_per_sec":$rps,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","families":$fams,"queries":$qs,"store_build":${f2(storeSec)},"index_build":${f2(idxSec)},"stream_harness":${f2(streamHarnessSec)},"planner_floor_ms":{"avg":${f2(latAvg)},"p99":${f2(latP99)},"n":${latencySamples.size}},"serving_ms":{"avg":${f3(servAvg)},"p99":${f3(servP99)},"n":${servingSamples.size},"build_sec":${f2(servingBuildSec)},"qps16":$servingQps},"flagged":$flaggedJson,"flagged_dropped":$flaggedDropped,"loadavg":{"launch":${f2(loadAtLaunch)},"start":${f2(loadAtStart)},"waited_s":$loadWaitedSec},"baseline_policy":"min-of-last-3@cpus=$cpus","rows_per_sec":$rps,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     // The driver keeps only the last 2000 chars of stdout; warn (stderr, so
     // it can't displace the metric line) before truncation becomes possible.
     if (line.length > 1900)

@@ -26,6 +26,14 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The deliberate single-partition windows (bounded top-k, the
+    // broadcast-sized centroid ranking in Ann.hierarchicalAssign) WARN on
+    // every execution; they are single-partition BY CONSTRUCTION, so the
+    // flood is noise (Bench has silenced this package since r7 — Verify and
+    // the tools get the same treatment).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 

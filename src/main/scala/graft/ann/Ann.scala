@@ -288,6 +288,71 @@ object Ann {
       .select("query_id", "centroid_id")
   }
 
+  /** Two-level (hierarchical) coarse assignment — the FAISS IMI/IVF
+    * discipline that retires the flat-assignment scale term. Flat
+    * assignment ([[assignCells]]) scores every row against ALL `nLists`
+    * centroids; under the occupancy-constant rule (nLists ∝ corpus) that
+    * is O(N·nLists) = O(N²) total work — the one named scale-killer of the
+    * index BUILD lanes (SCALE.md r14). Here ~√nLists of the fine centroids
+    * (every stride-th by id rank — a value pick) form a TOP level; each
+    * fine centroid hangs under its nearest top; a row scores the √nLists
+    * tops, keeps its `topProbe` nearest, and scores only THEIR children —
+    * O(√nLists·(1+topProbe)) per row, O(N^1.5) total under the rule.
+    *
+    * Exactness contract (spec-pinned): with `topProbe ≥ √nLists` every
+    * child is a candidate, and the candidate scoring uses the IDENTICAL
+    * expression and (d ASC, centroid_id ASC) tie rule as the flat argmin —
+    * so the assignment is bit-for-bit the flat one. The gate fixtures run
+    * at nLists = 16 (nTop = 4 ≤ default topProbe), i.e. the gate lanes ARE
+    * the exact regime; pruning engages only when nLists outgrows
+    * topProbe² — exactly the scale regime where it must.
+    *
+    * Shuffle posture: flat assignment pushes N·nLists expanded rows
+    * through the argmin exchange; this pushes N·nTop (stage 1), and
+    * stage 2 reuses stage 1's (cid) partitioning — no second exchange.
+    *
+    * Returns (cid, centroid_id, arn) with arn = 1..`m` (multi-assignment
+    * consumers like the graph build take m = 2). */
+  def hierarchicalAssign(corpus: DataFrame, id: String, vec: String,
+                         centroids: DataFrame, nLists: Int,
+                         m: Int = 1, topProbe: Int = 4,
+                         cos: (Column, Column) => Column = cosine): DataFrame = {
+    require(m >= 1 && topProbe >= 1, "degenerate hierarchical-assign parameters")
+    val nTop = math.max(1, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val stride = math.max(1, math.ceil(nLists.toDouble / nTop).toInt)
+    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    // rank fine centroids by id (value order, never arrival order); every
+    // stride-th is a top. The single-partition window is fine BY
+    // CONSTRUCTION: centroids are the broadcast-sized artifact.
+    val ranked = centroids.withColumn("crank",
+      row_number().over(Window.orderBy(col("centroid_id"))))
+    val tops = ranked.filter((col("crank") - lit(1)) % stride === 0)
+      .select(col("centroid_id").as("top_id"), col("centroid").as("top_vec"))
+    // child map: each fine centroid under its nearest top — nLists·√nLists
+    // work once per build, broadcast both sides
+    val children = centroids.crossJoin(broadcast(tops))
+      .withColumn("td", -cos(col("centroid"), col("top_vec")))
+      .withColumn("trn", row_number().over(
+        Window.partitionBy("centroid_id").orderBy(col("td").asc, col("top_id").asc)))
+      .filter(col("trn") === 1)
+      .select(col("top_id"), col("centroid_id"), col("centroid"))
+    // stage 1: per row, the topProbe nearest TOP centroids
+    val probed = c.crossJoin(broadcast(tops))
+      .withColumn("td", -cos(col("cv"), col("top_vec")))
+      .withColumn("trn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("td").asc, col("top_id").asc)))
+      .filter(col("trn") <= topProbe)
+      .select(col("cid"), col("cv"), col("top_id"))
+    // stage 2: argmin over ONLY the probed tops' children — same scoring
+    // expression + tie rule as the flat path (the identity contract)
+    probed.join(broadcast(children), Seq("top_id"))
+      .withColumn("d", -cos(col("cv"), col("centroid")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("d").asc, col("centroid_id").asc)))
+      .filter(col("arn") <= m)
+      .select(col("cid"), col("centroid_id"), col("arn"))
+  }
+
   /** Assign each corpus vector to its nearest centroid (broadcast argmin). */
   private def assignToNearest(c: DataFrame, centroids: DataFrame,
                               cos: (Column, Column) => Column): DataFrame =

@@ -49,11 +49,11 @@ object GraphAnn {
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
     val centroids = sharedCentroids.getOrElse(
       Ann.ivfCentroids(corpus, id, vec, nLists, lloydIters = 0))
-    val assign2 = c.crossJoin(broadcast(centroids))
-      .withColumn("d", -Ann.cosine(col("cv"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("cid").orderBy(col("d").asc, col("centroid_id").asc)))
-      .filter(col("rn") <= 2)
+    // two-level assignment (Ann.hierarchicalAssign): exact at gate nLists
+    // (topProbe covers every top), prunes to O(√nLists) per row at scale —
+    // the r14 flat-assignment scale-killer, retired
+    val assign2 = Ann.hierarchicalAssign(c, "cid", "cv", centroids, nLists,
+        m = 2)
       .select("cid", "centroid_id")
     val members = assign2.join(c, "cid")
     val pairs = members.select(col("centroid_id"),
@@ -78,7 +78,8 @@ object GraphAnn {
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
     val centroids = sharedCentroids.getOrElse(
       Ann.ivfCentroids(corpus, id, vec, nLists, lloydIters = 0))
-    val assigned = Ann.assignCells(corpus, id, vec, centroids)
+    val assigned = Ann.hierarchicalAssign(corpus, id, vec, centroids, nLists)
+      .select("cid", "centroid_id")
     assigned.join(c, "cid").join(broadcast(centroids), "centroid_id")
       .withColumn("m", round(Ann.cosine(col("cv"), col("centroid")), 6))
       .withColumn("rn", row_number().over(
@@ -142,8 +143,10 @@ object GraphAnn {
     indexCache.getOrElseUpdate(key, {
       val root = s"${sys.props("java.io.tmpdir")}/graft_graph_index/" +
         key.replaceAll("[^A-Za-z0-9.]", "_")
-      val done = new java.io.File(s"$root/meta/_SUCCESS").exists()
       val spark = org.apache.spark.sql.SparkSession.active
+      val donePath = new org.apache.hadoop.fs.Path(s"$root/meta/_SUCCESS")
+      val done = donePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(donePath)
       if (!done) saveIndex(buildIndex(corpus, id, vec, nLists, degree), root)
       loadIndex(spark, root)
     })
@@ -167,13 +170,10 @@ object GraphAnn {
     val spark = org.apache.spark.sql.SparkSession.active
     val idx = loadIndex(spark, dir)
     val nv = newNodes.select(col(id).as("cid"), col(vec).as("cv"))
-    def assign2(nodes: DataFrame): DataFrame = nodes
-      .crossJoin(broadcast(idx.centroids))
-      .withColumn("d", -Ann.cosine(col("cv"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("cid").orderBy(col("d").asc, col("centroid_id").asc)))
-      .filter(col("rn") <= 2)
-      .select("cid", "centroid_id")
+    def assign2(nodes: DataFrame): DataFrame =
+      Ann.hierarchicalAssign(nodes, "cid", "cv", idx.centroids, idx.nLists,
+          m = 2)
+        .select("cid", "centroid_id")
     val allVectors = idx.vectors.unionByName(nv)
     val memAll = assign2(allVectors).join(allVectors, "cid")
     val memNew = assign2(nv).select(col("cid").as("src"), col("centroid_id"))
@@ -217,12 +217,16 @@ object GraphAnn {
       // completed APPEND from a crashed pre-append base build (same dir),
       // so the append writes its OWN done marker last; marker absent =
       // a half-appended dir is untrustworthy, rebuild from scratch.
-      val done = new java.io.File(s"$root/_APPEND_DONE")
-      if (done.exists()) loadIndex(spark, root)
+      // Hadoop FileSystem API (ADVICE r14): java.io.File only worked
+      // because the root is tmpdir-local today — the Sinks/CorpusIO
+      // convention keeps the marker correct on any store.
+      val done = new org.apache.hadoop.fs.Path(s"$root/_APPEND_DONE")
+      val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(done)) loadIndex(spark, root)
       else {
         saveIndex(buildIndex(oldRows, id, vec, nLists, degree), root)
         val idx = appendToSavedIndex(root, freshRows, id, vec)
-        done.createNewFile()
+        fs.create(done, false).close()
         idx
       }
     })

@@ -279,6 +279,16 @@ case class TokenBucketRun(left: Expression, right: Expression,
                           capMt: Long, refillPerMs: Long)
   extends BinaryExpression {
 
+  // Saturation bound (ADVICE r14): `s + gap·refill` can overflow Long for
+  // large timestamp gaps before the min-clamp, silently going negative.
+  // The fix clamps the gap to the refill that already fills the bucket —
+  // semantically identical (the unclamped value would min-clamp to capMt
+  // anyway) and overflow-free as long as capMt + refillPerMs fits, which
+  // this require guarantees with headroom.
+  require(refillPerMs > 0 && capMt > 0 &&
+    capMt <= Long.MaxValue / 4 && refillPerMs <= Long.MaxValue / 4,
+    s"degenerate token-bucket parameters (cap=$capMt, refill=$refillPerMs)")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -293,8 +303,12 @@ case class TokenBucketRun(left: Expression, right: Expression,
       if (ts.isNullAt(i) || cs.isNullAt(i)) out(i) = s << 1
       else {
         val t = ts.getLong(i)
-        if (tPrev != Long.MinValue && t > tPrev)
-          s = math.min(capMt, s + (t - tPrev) * refillPerMs)
+        if (tPrev != Long.MinValue && t > tPrev) {
+          // clamp the gap to "enough to fill" BEFORE multiplying: identical
+          // result (min would land on capMt anyway), no Long overflow
+          val gap = math.min(t - tPrev, (capMt - s) / refillPerMs + 1L)
+          s = math.min(capMt, s + gap * refillPerMs)
+        }
         tPrev = t
         val cost = cs.getLong(i)
         if (s >= cost) { s -= cost; out(i) = (s << 1) | 1L }
@@ -323,8 +337,11 @@ case class TokenBucketRun(left: Expression, right: Expression,
          |  if ($ts.isNullAt($i) || $cs.isNullAt($i)) { $arr[$i] = $s << 1; }
          |  else {
          |    long $t = $ts.getLong($i);
-         |    if ($tp != java.lang.Long.MIN_VALUE && $t > $tp)
-         |      $s = java.lang.Math.min(${capMt}L, $s + ($t - $tp) * ${refillPerMs}L);
+         |    if ($tp != java.lang.Long.MIN_VALUE && $t > $tp) {
+         |      long ${t}g = java.lang.Math.min($t - $tp,
+         |        (${capMt}L - $s) / ${refillPerMs}L + 1L);
+         |      $s = java.lang.Math.min(${capMt}L, $s + ${t}g * ${refillPerMs}L);
+         |    }
          |    $tp = $t;
          |    long $c = $cs.getLong($i);
          |    if ($s >= $c) { $s -= $c; $arr[$i] = ($s << 1) | 1L; }

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression alarm's SELECTION rule (judge r14 item 2): every
+  * gate-exceeding query must be flagged — the old `take(5)` silently
+  * dropped the 6th+ (mm_video escaped un-adjudicated in r14). The cap now
+  * bounds only the expensive re-measure loop; the overflow is returned
+  * separately so main can report it `flagged_unmeasured` and keep its
+  * inflated value out of the PERQ history. */
+class BenchPolicySpec extends AnyFunSuite {
+
+  test("six gate-exceeding queries: five re-measured, the sixth reported as overflow") {
+    // baselines all 1.00 s; runs all 2.00 s + a per-query epsilon so the
+    // delta ordering is deterministic (q6 has the SMALLEST delta -> it is
+    // the one past the cap)
+    val hist = (1 to 6).map(i => s"q$i" -> Seq(1.0, 1.1, 1.2)).toMap
+    val current = (1 to 6).map(i => s"q$i" -> (2.0 + (6 - i) * 0.01)).toMap
+    val (remeasure, overflow) = Bench.selectRegressions(current, hist)
+    assert(remeasure.size == 5)
+    assert(overflow.map(_._1) == Seq("q6"),
+      s"the smallest-delta exceeder must overflow, got ${overflow.map(_._1)}")
+    // nothing silently dropped: union covers every exceeder
+    assert((remeasure ++ overflow).map(_._1).toSet == (1 to 6).map(i => s"q$i").toSet)
+  }
+
+  test("gate requires BOTH +0.30s and 1.3x; queries without history never flag") {
+    val hist = Map(
+      "abs_only" -> Seq(10.0),  // +0.5s but only 1.05x -> no flag
+      "ratio_only" -> Seq(0.10), // 2x but +0.1s -> no flag
+      "both" -> Seq(1.0))        // +0.7s and 1.7x -> flag
+    val current = Map(
+      "abs_only" -> 10.5, "ratio_only" -> 0.20, "both" -> 1.7,
+      "no_history" -> 99.0)
+    val (remeasure, overflow) = Bench.selectRegressions(current, hist)
+    assert(overflow.isEmpty)
+    assert(remeasure.map(_._1) == Seq("both"))
+    val (_, prev, run, delta) = remeasure.head
+    assert(prev == 1.0 && run == 1.7 && math.abs(delta - 0.7) < 1e-9)
+  }
+
+  test("baseline is the MIN of the history window (non-ratcheting)") {
+    // window (3.0, 1.0, 2.5): one quiet 1.0 s run keeps the gate honest —
+    // a 1.35 s run is +0.35s/1.35x over the MIN and must flag even though
+    // it is faster than two of the three window entries
+    val hist = Map("q" -> Seq(3.0, 1.0, 2.5))
+    val (remeasure, _) = Bench.selectRegressions(Map("q" -> 1.35), hist)
+    assert(remeasure.map(_._1) == Seq("q"))
+    assert(remeasure.head._2 == 1.0)
+  }
+}

@@ -190,4 +190,80 @@ class DataSourceV2Spec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     }
   }
+
+  // ------------------------------------------------------- micro-batch read
+
+  private def streamSrc = spark.readStream
+    .format("graft.sources.v2.SyntheticMarketSource")
+    .option("nSymbols", 20).option("nDays", 50).option("seed", 7)
+
+  test("micro-batch read: stream drains the grid in day-range batches, bit-identical to the batch scan") {
+    // daysPerBatch = 7 over 50 days -> ceil(50/7) = 8 micro-batches whose
+    // boundaries align with nothing; the union of the batches must be
+    // EXACTLY the batch grid (any offset overlap/gap duplicates or drops
+    // a day slice across every symbol)
+    val q = streamSrc.option("daysPerBatch", 7).load()
+      .writeStream.format("memory").queryName("dsv2_mb").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dsv2_mb")
+      .select("symbol", "date", "close", "volume").collect().toSet
+    val want = src.load()
+      .select("symbol", "date", "close", "volume").collect().toSet
+    assert(got.size == 20 * 50, s"stream emitted ${got.size} rows")
+    assert(got == want, "stream rows diverge from the batch scan")
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches == 8, s"expected 8 day-range micro-batches, saw $batches")
+  }
+
+  test("micro-batch read: checkpointed stop/restart resumes from the day offset with no dup or loss") {
+    // FILE sink (the memory sink refuses append-mode checkpoint recovery):
+    // run 1 commits at least one 9-day batch under a slow trigger and is
+    // STOPPED mid-grid; run 2 resumes from the SAME checkpoint with a fast
+    // trigger and drains the rest. The sink's commit log makes the final
+    // batch read the exactly-once view — total = grid exactly, values
+    // bit-identical to the batch scan, across a real kill/resume.
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsv2_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_dsv2_out").toString
+    def start(trigger: Trigger) = streamSrc.option("daysPerBatch", 9).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(trigger).start()
+    val q1 = start(Trigger.ProcessingTime("1 hour")) // batch 1 fires at start
+    try {
+      var waited = 0
+      while (q1.recentProgress.isEmpty && waited < 600) {
+        Thread.sleep(100); waited += 1
+      }
+    } finally q1.stop()
+    val partial = spark.read.parquet(out).count()
+    assert(partial > 0 && partial < 20 * 50,
+      s"run 1 must stop strictly mid-grid, saw $partial rows")
+    assert(partial % (20 * 9) == 0,
+      s"run 1 must stop on a 9-day batch boundary (multiples of 180), saw $partial")
+    val q2 = start(Trigger.ProcessingTime(0))
+    try q2.processAllAvailable() finally q2.stop()
+    val all = spark.read.parquet(out)
+      .select("symbol", "date", "close", "volume").collect()
+    assert(all.length == 20 * 50,
+      s"resume total ${all.length} after $partial — dup or loss across the checkpoint")
+    val want = src.load()
+      .select("symbol", "date", "close", "volume").collect().toSet
+    assert(all.toSet == want, "resumed stream diverges from the batch scan")
+  }
+
+  test("micro-batch read: pushed symbol equality and date bounds prune the streamed grid") {
+    val q = streamSrc.option("daysPerBatch", 6).load()
+      .filter(col("symbol") === "000004.SZ")
+      .filter(col("date").between(lit("2020-01-10"), lit("2020-01-19")))
+      .writeStream.format("memory").queryName("dsv2_pruned").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("dsv2_pruned").select("symbol", "date")
+      .as[(String, String)].collect()
+    assert(rows.length == 10, s"pruned stream emitted ${rows.length} rows")
+    assert(rows.forall(_._1 == "000004.SZ"))
+    assert(rows.map(_._2).min == "2020-01-10" && rows.map(_._2).max == "2020-01-19")
+  }
 }

@@ -413,6 +413,26 @@ class OpsSpec extends SparkSpec {
       12L -> (true, 100L), 13L -> (false, 200L), 14L -> (true, 2000L)))
   }
 
+  test("tokenBucket: huge gap × large refill saturates to cap (no Long-overflow wrap)") {
+    // gap ≈ 4.6e18 ms at refill 1e9 mt/ms would overflow Long ~2e9-fold
+    // before the min-clamp (ADVICE r14) — the saturated fold must land
+    // exactly at cap, not at a wrapped negative level that denies forever
+    val cap = 1000000L
+    val df = Seq((1, 0L, 20L), (1, Long.MaxValue / 2, 21L))
+      .toDF("k", "t", "eid")
+    val got = Windows.tokenBucket(df, Seq(col("k")), col("t"), col("eid"),
+        lit(400000L), capMt = cap, refillPerMs = 1000000000L)
+      .select("tb", "allowed", "tokens_mt")
+      .as[(Long, Boolean, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(20L -> (true, 600000L), 21L -> (true, 600000L)),
+      s"saturation broke the refill: $got")
+    // degenerate parameters are rejected at construction, not at runtime
+    intercept[IllegalArgumentException] {
+      Windows.tokenBucket(df, Seq(col("k")), col("t"), col("eid"),
+        lit(1L), capMt = Long.MaxValue / 2, refillPerMs = 1L)
+    }
+  }
+
   test("underwater: strict-below-peak runs; monotone series emit nothing") {
     // k=1: 10, 8, 9, 10, 10, 7, 7, 11 — peaks 10,10,10,10,10,10,10,11
     //   under: rows 2,3 (run of 2), rows 6,7 (run of 2); row 4 (=peak) not

@@ -470,4 +470,59 @@ class PqSpec extends SparkSpec {
     val newHits = res.filter(col("neighbor_id").isin(newIds.toSeq: _*)).count()
     assert(newHits > 0, "no query reached an appended node")
   }
+
+  test("hierarchicalAssign: full probe is bit-for-bit the flat assignment (m=1 and m=2)") {
+    // nLists=16 -> nTop=4, so the default topProbe=4 already covers every
+    // top-level cell — the regime every gate fixture runs in. The contract:
+    // candidate scoring uses the identical expression and (d ASC, id ASC)
+    // tie rule, so full-probe two-level ≡ flat, bit-for-bit.
+    import org.apache.spark.sql.expressions.Window
+    val centroids = Ann.ivfCentroids(embs, "vec_id", "embedding", 16)
+      .localCheckpoint()
+    val flat1 = Ann.assignCells(embs, "vec_id", "embedding", centroids)
+      .as[(Long, Long)].collect().toSet
+    val hier1 = Ann.hierarchicalAssign(embs, "vec_id", "embedding",
+        centroids, 16, m = 1)
+      .select("cid", "centroid_id").as[(Long, Long)].collect().toSet
+    assert(hier1 == flat1, "two-level full-probe m=1 diverged from flat argmin")
+    // m=2 (the graph build's multi-assignment): flat reference inline
+    val c = embs.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val flat2 = c.crossJoin(broadcast(centroids))
+      .withColumn("d", -Ann.cosine(col("cv"), col("centroid")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("cid").orderBy(col("d").asc, col("centroid_id").asc)))
+      .filter(col("rn") <= 2)
+      .select(col("cid"), col("centroid_id"), col("rn").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    val hier2 = Ann.hierarchicalAssign(embs, "vec_id", "embedding",
+        centroids, 16, m = 2)
+      .select(col("cid"), col("centroid_id"), col("arn").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hier2 == flat2, "two-level full-probe m=2 diverged from flat top-2")
+    // explicit topProbe = nTop spells the contract out (no default reliance)
+    val hierFull = Ann.hierarchicalAssign(embs, "vec_id", "embedding",
+        centroids, 16, m = 1, topProbe = 4)
+      .select("cid", "centroid_id").as[(Long, Long)].collect().toSet
+    assert(hierFull == flat1)
+  }
+
+  test("hierarchicalAssign: pruned regime assigns every row and mostly agrees with flat") {
+    // nLists=64 -> nTop=8; topProbe=2 probes only 2 of 8 top cells, so the
+    // pruning genuinely engages. Every row must still land exactly one cell,
+    // and the approximation must stay NEAR the flat assignment (geometric
+    // pruning, not arbitrary) — i.i.d. gaussian fixtures are the WORST case
+    // for cluster pruning, so the floor is deliberately loose.
+    val centroids = Ann.ivfCentroids(embs, "vec_id", "embedding", 64)
+      .localCheckpoint()
+    val n = embs.count()
+    val hier = Ann.hierarchicalAssign(embs, "vec_id", "embedding",
+        centroids, 64, m = 1, topProbe = 2)
+      .select("cid", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(hier.size == n, s"pruned assign lost rows: ${hier.size} of $n")
+    val flat = Ann.assignCells(embs, "vec_id", "embedding", centroids)
+      .as[(Long, Long)].collect().toMap
+    val agree = flat.count { case (k, v) => hier.get(k).contains(v) }
+    val frac = agree.toDouble / n
+    assert(frac >= 0.5, s"pruned assignment agreement $frac below floor")
+  }
 }
