@@ -45,6 +45,14 @@ trait MarketTables {
   def indexConstituents: DataFrame
   def stockMetadata: DataFrame
   def industry: DataFrame
+
+  /** Versioned (point-in-time) industry membership: one epoch per
+    * (symbol, trading year), effective from the symbol's first trading day
+    * of that year — the reference keeps per-stock status HISTORY
+    * (h5_writer.py:102-148), so the industry dimension is versioned too.
+    * A trait default derived from [[bars]] (one map-side-combinable
+    * aggregate) so both implementations share the exact rule. */
+  def industryHistory: DataFrame = MarketViews.industryHistoryFrom(bars)
 }
 
 /** Materialized serving layout: fact tables (bars, valuation) month-

@@ -122,6 +122,42 @@ class ApiSpec extends SparkSpec {
     assert(mismatch.count() == 0)
   }
 
+  test("versioned industry: epoch-0 matches the static dim; rotation provably changes as-of answers") {
+    val hist = views.industryHistory.localCheckpoint()
+    // each symbol's FIRST epoch reproduces the static dimension exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("effective_date"))
+    val first = hist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val drift = first.join(views.industry.withColumnRenamed("industry", "static_ind"), "symbol")
+      .filter(col("industry") =!= col("static_ind")).count()
+    assert(drift == 0, "epoch 0 must equal the static dimension")
+    // non-rotating symbols (code % 3 != 0) keep ONE industry across all epochs
+    val code = substring(col("symbol"), 1, 6).cast("int")
+    val nonRot = hist.filter(pmod(code, lit(3)) =!= 0)
+      .groupBy("symbol").agg(countDistinct(col("industry")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(nonRot == 0, "non-rotating symbols must be epoch-stable")
+    // rotating symbols change industry across epochs (they all have >1 epoch
+    // in the multi-year fixture)
+    val rot = hist.filter(pmod(code, lit(3)) === 0)
+      .groupBy("symbol").agg(countDistinct(col("industry")).as("n"))
+    assert(rot.filter(col("n") > 1).count() == rot.count(),
+      "every rotating symbol must change sector across the fixture's years")
+    // the as-of walk (api_trading_day discipline): membership at 1995 vs
+    // 1996 differs (at the sf0.001 code universe 1..10 the one rotating
+    // entry into Technology is code 9 at shift 1 — i.e. during 1996;
+    // the GATE at sf0.01+ uses 1995 vs 1997 where codes 18/24 swap),
+    // and a pre-history date returns nothing
+    val at95 = api.getIndustryStocksAsOf("Technology", "1995-06-30")
+      .as[String].collect().toSet
+    val at96 = api.getIndustryStocksAsOf("Technology", "1996-06-30")
+      .as[String].collect().toSet
+    assert(at95 != at96, "Technology membership must change between 1995 and 1996")
+    assert((at95 -- at96).nonEmpty || (at96 -- at95).nonEmpty)
+    assert(api.getIndustryStocksAsOf("Technology", "1990-01-01").count() == 0,
+      "pre-history as-of must be empty")
+  }
+
   test("getIndeces returns index codes only, disjoint from the A-share universe") {
     val idx = api.getIndeces("1998-06-30").as[String].collect().toSet
     assert(idx == Set("000300.SS", "000905.SS", "000016.SS"))

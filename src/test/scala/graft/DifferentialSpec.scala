@@ -724,4 +724,107 @@ class DifferentialSpec extends SparkSpec {
         |SELECT node, MIN(lbl) AS component FROM r GROUP BY node""".stripMargin),
       s"connected components (seed 4243, $CASES cases)")
   }
+
+  test(s"ratelimit family: tokenBucket / underwater / percent_rank+cume_dist over $CASES seeded histories") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    // The three r14/r15 operators that until now had only fixture gates +
+    // hand cases (judge r15 item 6). Seeded shapes the fixtures never
+    // contain: timestamp TIES (the refill gap-0 branch), NULL costs (the
+    // skip-without-state-change branch), refill gaps past the cap (the
+    // clamp), all-null keys, and tie-ful rank orders. Integer payloads
+    // end to end; rank ratios compared via floor(x*1e9) so float
+    // FORMATTING (Java vs Python shortest-repr) never enters.
+    val rnd = new scala.util.Random(4251)
+    val cap = 5L
+    val events = (0 until CASES).flatMap { cid =>
+      val n = 1 + rnd.nextInt(14)
+      var ms = 0L
+      (0 until n).map { i =>
+        ms += (if (rnd.nextInt(4) == 0) 0L else rnd.nextInt(8).toLong)
+        val cost: Option[Long] =
+          if (rnd.nextInt(10) < 3) None else Some(1L + rnd.nextInt(4))
+        (cid, ms, i.toLong, cost)
+      }
+    }
+    val eDf = events.toDF("cid", "ms", "tb", "cost").localCheckpoint()
+    val pe = stage(eDf, "rl")
+    val gotTb = graft.ops.Windows.tokenBucket(eDf, Seq(col("cid")),
+        col("ms"), col("tb"), col("cost"), capMt = cap, refillPerMs = 1L)
+      .select(col("cid"), col("ms"), col("tb"),
+        col("allowed").cast("long").as("allowed"), col("tokens_mt"))
+    // One reduce over per-key GROUPED lists (rule 9's safe shape), stride-2
+    // [packed, ts] pairs; `rs` = the refilled level (tPrev sentinel -1.0:
+    // no refill before the first non-null event, ties refill nothing).
+    val rs =
+      s"""(CASE WHEN len(acc) = 0 THEN $cap.0
+                ELSE least($cap.0, floor(acc[-2] / 2) +
+                  (CASE WHEN acc[-1] >= 0 AND el[1] > acc[-1]
+                        THEN el[1] - acc[-1] ELSE 0 END)) END)"""
+    val wantTb = duck(Map("t" -> pe),
+      s"""WITH g AS (SELECT cid,
+              list([CAST(ms AS DOUBLE), CAST(tb AS DOUBLE), CAST(cost AS DOUBLE)]
+                   ORDER BY ms, tb) AS els
+            FROM t GROUP BY cid),
+          f AS (SELECT cid, els,
+              list_reduce([CAST([] AS DOUBLE[])] || els, (acc, el) -> acc ||
+                CASE WHEN el[3] IS NULL THEN [
+                    CASE WHEN len(acc) = 0 THEN ${cap * 2}.0
+                         ELSE floor(acc[-2] / 2) * 2 END,
+                    CASE WHEN len(acc) = 0 THEN -1.0 ELSE acc[-1] END]
+                  ELSE [
+                    CASE WHEN $rs >= el[3] THEN ($rs - el[3]) * 2 + 1
+                         ELSE $rs * 2 END,
+                    el[1]]
+                END) AS run
+            FROM g)
+          SELECT cid, CAST(e2[1] AS BIGINT) AS ms, CAST(e2[2] AS BIGINT) AS tb,
+                 CAST(pk AS BIGINT) % 2 AS allowed,
+                 CAST(floor(pk / 2) AS BIGINT) AS tokens_mt
+          FROM (SELECT cid, UNNEST(els) AS e2,
+                  UNNEST(list_transform(range(0, len(els)),
+                    k -> run[CAST(2 * k + 1 AS INT)])) AS pk
+                FROM f)""")
+    compare(canon(gotTb), wantTb, s"token bucket (seed 4251, $CASES cases)")
+
+    // underwater + rank ratios share one seeded frame: unique ord (total
+    // order), tie-ful tord, nullable integer v (null v is never "below
+    // peak" — comparison-to-null drops it in BOTH engines)
+    val series = (0 until CASES).flatMap { cid =>
+      val n = 1 + rnd.nextInt(12)
+      rnd.shuffle((0 until n).toList).zipWithIndex.map { case (ord, _) =>
+        val v: Option[Int] = if (rnd.nextInt(10) < 2) None else Some(rnd.nextInt(8))
+        (cid, ord, rnd.nextInt(5), v)
+      }
+    }
+    val sDf = series.toDF("cid", "ord", "tord", "v").localCheckpoint()
+    val ps = stage(sDf, "uw")
+    val gotUw = graft.ops.Windows.underwater(
+      sDf, Seq(col("cid")), Seq(col("ord")), col("v"))
+    compare(canon(gotUw), duck(Map("t" -> ps),
+      """WITH pk AS (SELECT cid, ord, v,
+           max(v) OVER (PARTITION BY cid ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+           row_number() OVER (PARTITION BY cid ORDER BY ord) AS rn
+         FROM t),
+        u AS (SELECT *, rn - row_number() OVER (PARTITION BY cid ORDER BY rn) AS grp
+              FROM pk WHERE v < peak),
+        runs AS (SELECT cid, grp, CAST(COUNT(*) AS BIGINT) AS len
+                 FROM u GROUP BY cid, grp)
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_runs,
+               MAX(len) AS longest_run, CAST(SUM(len) AS BIGINT) AS n_under
+        FROM runs GROUP BY cid"""),
+      s"underwater (seed 4251, $CASES cases)")
+
+    import org.apache.spark.sql.expressions.{Window => W}
+    val wt = W.partitionBy(col("cid")).orderBy(col("tord"))
+    val gotRr = sDf.select(col("cid"), col("ord"),
+      floor(percent_rank().over(wt) * 1e9).cast("long").as("pr9"),
+      floor(cume_dist().over(wt) * 1e9).cast("long").as("cd9"))
+    compare(canon(gotRr), duck(Map("t" -> ps),
+      """SELECT cid, ord,
+           CAST(floor(percent_rank() OVER (PARTITION BY cid ORDER BY tord) * 1e9) AS BIGINT) AS pr9,
+           CAST(floor(cume_dist() OVER (PARTITION BY cid ORDER BY tord) * 1e9) AS BIGINT) AS cd9
+         FROM t"""),
+      s"rank ratios under ties (seed 4251, $CASES cases)")
+  }
 }
