@@ -3091,6 +3091,20 @@ object SparkEntry {
       Sampling.split(TestData(s, dir).documents.select(col("doc_id")),
         "doc_id", trainRate = 0.8, valRate = 0.1)),
 
+    // LEAKAGE-SAFE split: near-dup docs (minhash-LSH verified pairs) must
+    // land in the SAME split — assignment is per dedup CLUSTER (connected
+    // components over the pair graph), so a paraphrase of a test doc can
+    // never sit in train. The component loop touches only the capped pair
+    // graph; the corpus pays one left join + the stateless hash.
+    "sample_leakage_split" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5, maxBucket = 100,
+        family = Dedup.Md5Hash)
+      Sampling.leakageSafeSplit(docs.select(col("doc_id")), "doc_id",
+        pairs, "doc_a", "doc_b", trainRate = 0.8, valRate = 0.1)
+    }),
+
     // Source balancing: at most 10 docs per source, chosen by the
     // deterministic hash order — the absolute cap that stops one domain
     // flooding a pretraining mix (a RATE can't bound a hot source).
@@ -7648,6 +7662,28 @@ $backtestPnlCtes,
                 WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < 900000 THEN 'val'
                 ELSE 'test' END AS split
          FROM documents""",
+
+    // Leakage-safe replay: the shared minhash pair CTEs, connected
+    // components as a bounded recursive min-label CTE over the pair graph
+    // (the graph-family discipline), then the same md5 bucket on the
+    // COMPONENT label (singletons: the doc's own id).
+    "sample_leakage_split" ->
+      s"""${minHashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          ud AS (SELECT doc_a AS x, doc_b AS y FROM vp
+                 UNION SELECT doc_b, doc_a FROM vp),
+          r(node, lbl) AS (
+            SELECT DISTINCT x, x FROM ud
+            UNION
+            SELECT ud.y, r.lbl FROM r JOIN ud ON r.node = ud.x),
+          cc AS (SELECT node, MIN(lbl) AS component FROM r GROUP BY node),
+          asn AS (SELECT d.doc_id,
+                    COALESCE(cc.component, d.doc_id) AS component
+                  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
+          SELECT doc_id, component,
+            CASE WHEN CAST('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < 800000 THEN 'train'
+                 WHEN CAST('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < 900000 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM asn""",
 
     // Same md5-bucket ordering as the sampler family; ties break on the
     // key, so the kept set replays exactly.

@@ -336,21 +336,36 @@ object Ann {
         Window.partitionBy("centroid_id").orderBy(col("td").asc, col("top_id").asc)))
       .filter(col("trn") === 1)
       .select(col("top_id"), col("centroid_id"), col("centroid"))
-    // stage 1: per row, the topProbe nearest TOP centroids
-    val probed = c.crossJoin(broadcast(tops))
-      .withColumn("td", -cos(col("cv"), col("top_vec")))
-      .withColumn("trn", row_number().over(
-        Window.partitionBy("cid").orderBy(col("td").asc, col("top_id").asc)))
-      .filter(col("trn") <= topProbe)
-      .select(col("cid"), col("cv"), col("top_id"))
-    // stage 2: argmin over ONLY the probed tops' children — same scoring
-    // expression + tie rule as the flat path (the identity contract)
-    probed.join(broadcast(children), Seq("top_id"))
-      .withColumn("d", -cos(col("cv"), col("centroid")))
-      .withColumn("arn", row_number().over(
-        Window.partitionBy("cid").orderBy(col("d").asc, col("centroid_id").asc)))
-      .filter(col("arn") <= m)
-      .select(col("cid"), col("centroid_id"), col("arn"))
+    // MAP-ONLY corpus pass (r15 probe lesson: the first, window-based
+    // two-level cut measured WORSE than flat at 10× — its two corpus-sized
+    // exchanges swamped the comparison savings). Both argmin stages run as
+    // per-row ARRAY expressions against one-row broadcast artifacts, so
+    // assignment is a pure projection: zero shuffles, zero windows,
+    // embarrassingly parallel at any corpus size. The tie rule is carried
+    // by STRUCT ordering: array_sort on struct(d, id) compares d first,
+    // id second — exactly the flat lane's (d asc, centroid_id asc).
+    val topsRow = tops
+      .agg(collect_list(struct(col("top_id"), col("top_vec"))).as("__tops"))
+    val childRow = children
+      .groupBy("top_id")
+      .agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("kids"))
+      .agg(map_from_entries(collect_list(struct(col("top_id"), col("kids"))))
+        .as("__kids"))
+    // stage 1 per row: the topProbe nearest TOP centroids
+    val probedTops = slice(array_sort(transform(col("__tops"),
+      t => struct((-cos(col("cv"), t.getField("top_vec"))).as("d"),
+        t.getField("top_id").as("top_id")))), 1, topProbe)
+    // stage 2 per row: argmin over ONLY the probed tops' children — same
+    // scoring expression + tie rule as the flat path (identity contract)
+    val cands = flatten(transform(probedTops,
+      p => element_at(col("__kids"), p.getField("top_id"))))
+    val topM = slice(array_sort(transform(cands,
+      kid => struct((-cos(col("cv"), kid.getField("centroid"))).as("d"),
+        kid.getField("centroid_id").as("centroid_id")))), 1, m)
+    c.crossJoin(broadcast(topsRow)).crossJoin(broadcast(childRow))
+      .select(col("cid"), posexplode(topM))
+      .select(col("cid"), col("col").getField("centroid_id").as("centroid_id"),
+        (col("pos") + 1).as("arn"))
   }
 
   /** Assign each corpus vector to its nearest centroid (broadcast argmin). */

@@ -115,6 +115,39 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe split — the dedup-aware train/val/test assignment: a
+    * near-dup of a held-out document sitting in the training set is eval
+    * contamination, so the unit of assignment must be the DEDUP CLUSTER,
+    * never the document. `pairs` are verified near-dup pairs (a < b — e.g.
+    * [[graft.dedup.Dedup.minHashLsh]] output); connected components over
+    * them are the clusters; each document draws its split from the md5
+    * bucket of its COMPONENT label (documents in no pair are their own
+    * singleton component), so every member of a cluster lands in the same
+    * split by construction. Emits the input columns + (component, split).
+    *
+    * Scale posture: the iterative component loop runs over the PAIR graph
+    * only (bucket-capped near-dup pairs — a sliver of the corpus); the
+    * corpus-sized work is one left join against the component map (a
+    * broadcast in practice: |components| ≤ 2·|pairs|) plus the stateless
+    * hash — same cost shape as [[split]]. */
+  def leakageSafeSplit(docs: DataFrame, key: String, pairs: DataFrame,
+                       a: String, b: String,
+                       trainRate: Double, valRate: Double): DataFrame = {
+    require(trainRate >= 0 && valRate >= 0 && trainRate + valRate <= 1.0,
+      s"rates $trainRate/$valRate")
+    val comp = graft.ops.Graph.connectedComponents(
+        pairs.select(col(a).as("__src"), col(b).as("__dst")), "__src", "__dst")
+      .select(col("node").as(key), col("component"))
+    val t = math.round(trainRate * Scale)
+    val v = t + math.round(valRate * Scale)
+    docs.join(comp, Seq(key), "left")
+      .withColumn("component", coalesce(col("component"), col(key)))
+      .withColumn("split",
+        when(hashBucket(col("component")) < t, "train")
+          .when(hashBucket(col("component")) < v, "val")
+          .otherwise("test"))
+  }
+
   /** Per-group cap — "source balancing": keep at most `cap` rows per group
     * (domain, crawl host, dump shard…), chosen by the same deterministic
     * hash order as [[bernoulli]] (the kept subset is stable across runs,

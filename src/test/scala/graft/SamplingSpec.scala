@@ -61,6 +61,31 @@ class SamplingSpec extends SparkSpec {
     assert(tighter.subsetOf(ids))
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle splits; singletons match split()") {
+    // hand-built pair graph: {1,2,3} chained, {10,11} paired, rest singleton
+    val docIds = (1L to 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Sampling.leakageSafeSplit(docIds, "doc_id", pairs,
+      "doc_a", "doc_b", 0.6, 0.2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every pair member shares its partner's component AND split
+    assert(out(1L) == out(2L) && out(2L) == out(3L), "chain must be one cluster")
+    assert(out(10L) == out(11L), "pair must share a split")
+    assert(out(1L)._1 == 1L && out(10L)._1 == 10L, "component = min member id")
+    // docs in no pair are their own component and match the plain split
+    val plain = Sampling.split((4L to 9L).toDF("doc_id"), "doc_id", 0.6, 0.2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (4L to 9L).foreach { d =>
+      assert(out(d)._1 == d, s"singleton $d must be its own component")
+      assert(out(d)._2 == plain(d), s"singleton $d must match split()")
+    }
+    // assignment is partitioning-independent (the bernoulli discipline)
+    val out2 = Sampling.leakageSafeSplit(docIds.repartition(7), "doc_id",
+      pairs, "doc_a", "doc_b", 0.6, 0.2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out == out2)
+  }
+
   test("deterministicShuffle: identical order across runs, seed changes it") {
     val o1 = Sampling.deterministicShuffle(docs, "doc_id", 42L)
       .select("doc_id").as[Long].collect().toSeq
