@@ -1085,6 +1085,26 @@ object SparkEntry {
         .select(col("user_id"), col("d").as("date"), col("close"))
     }),
 
+    // BOUNDED forward-fill (pandas ffill(limit=)): fill at most 2
+    // consecutive missing days, staler gaps stay null — the guard against
+    // carrying a suspended security's last price across months. Same
+    // spine as w2_fill_forward so the two gates differ ONLY in the bound.
+    "w20_ffill_limit" -> ((s, dir) => {
+      val ev = TestData(s, dir).events
+        .select(col("user_id"), Coerce.normalize(col("ts")).as("d"),
+          col("value"), col("ts_ns"), col("event_id"))
+      val dailyLast = Windows.dedupKeepFirst(ev,
+          Seq(col("user_id"), col("d")),
+          Seq(col("ts_ns").desc, col("event_id").desc))
+        .select(col("user_id"), col("d"), col("value").as("close"))
+      val spine = ev.select(col("user_id")).distinct()
+        .crossJoin(ev.select(col("d")).distinct())
+      val joined = spine.join(dailyLast, Seq("user_id", "d"), "left")
+      Windows.fillForwardLimit(joined, Seq(col("user_id")), Seq(col("d")),
+          Seq("close"), limit = 2)
+        .select(col("user_id"), col("d").as("date"), col("close"))
+    }),
+
     // A3 moving average + A4 rolling (TTM-style) sum, rounded for stability.
     "a3_a4_windows" -> ((s, dir) => {
       val keys = Seq(col("o_custkey"))
@@ -3043,6 +3063,14 @@ object SparkEntry {
       Quant.randomProject(TestData(s, dir).embeddings, "vec_id", "embedding",
         dOut = 8, dIn = 64)),
 
+    // Feature-hashed bag-of-words doc embedding (the hashing trick):
+    // signed per-bucket occurrence counts, exact in BIGINT — the
+    // model-free text vector for blocking and cheap retrieval. One
+    // projection + one map-side-combinable aggregate; no vocabulary state.
+    "emb_hash_bow" -> ((s, dir) =>
+      graft.ann.Embed.hashedBow(TestData(s, dir).documents,
+        "doc_id", "text", dim = 16)),
+
     // Corpus-fit bigram LM scoring (CCNet-style quality signal): mean
     // conditional token probability under counts fit on the corpus itself.
     // Log-free (each p is one IEEE division of exact integer counts; the
@@ -3159,6 +3187,28 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.resolveClusters(
         Dedup.ngramJaccard(TestData(s, dir).documents, "doc_id", "text", 3, 0.5, 100))),
+
+    // LSH quality audit (the ann_recall_eval twin for dedup): recall of
+    // the banded-minhash pipeline against the inverted-index exact pair
+    // set at the same threshold — the number that says whether the
+    // banding parameters are safe to ship. Also surfaces the verification
+    // discrepancy (LSH verifies with UNcapped intersections, the exact
+    // lane df-caps), so recall < 1 decomposes into banding misses +
+    // df-cap drift. One row; both pair sets are capped-bucket bounded.
+    "dedup_recall_eval" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDF = 100).select("doc_a", "doc_b")
+      val lsh = Dedup.minHashLsh(docs, "doc_id", "text", n = 3, bands = 4,
+        rowsPerBand = 4, threshold = 0.5, maxBucket = 100,
+        family = Dedup.Md5Hash).select("doc_a", "doc_b")
+      exact.join(lsh.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_common"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .select(col("n_exact"), col("n_lsh"), col("n_common"),
+          (col("n_common").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }),
 
     // Fixed-point PageRank (3 iterations) over the bipartite
     // customer↔supplier trade graph — the iterative-algorithm tier next to
@@ -6090,6 +6140,32 @@ $backtestPnlCtes,
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close
          FROM spine s LEFT JOIN dl ON s.user_id = dl.user_id AND s.d = dl.d""",
 
+    // Bounded fill replay: "rows since the last non-null" = rn − max(rn |
+    // non-null) over the cumulative frame; fill only when ≤ 2.
+    "w20_ffill_limit" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, value,
+                           epoch_ns(ts) AS tsn, event_id
+                    FROM events),
+              dl AS (SELECT user_id, d, value AS close FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, d
+                         ORDER BY tsn DESC, event_id DESC) AS rn FROM e)
+                     WHERE rn = 1),
+              spine AS (SELECT u.user_id, dd.d
+                        FROM (SELECT DISTINCT user_id FROM e) u
+                        CROSS JOIN (SELECT DISTINCT d FROM e) dd),
+              j AS (SELECT s.user_id, s.d, dl.close,
+                      ROW_NUMBER() OVER (PARTITION BY s.user_id ORDER BY s.d) AS rn
+                    FROM spine s LEFT JOIN dl ON s.user_id = dl.user_id AND s.d = dl.d)
+         SELECT user_id, d AS date,
+                CASE WHEN close IS NOT NULL THEN close
+                     WHEN rn - MAX(CASE WHEN close IS NOT NULL THEN rn END)
+                            OVER cum <= 2
+                       THEN LAST_VALUE(close IGNORE NULLS) OVER cum
+                END AS close
+         FROM j
+         WINDOW cum AS (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
     // Mirrors Windows.ewma(α=0.25): per-symbol date-ordered lists, the
     // recursion replayed as a list_reduce building the running list
     // (init via the leading empty-list element), s₀ = x₀,
@@ -8081,6 +8157,21 @@ $backtestPnlCtes,
                             (a, b) -> a + b) AS proj
          FROM d, sm""",
 
+    // Mirrors Embed.hashedBow: bucket = md5[1..15] % 16, sign parity from
+    // md5[16..30] — the same digest slices, exact BIGINT sums.
+    "emb_hash_bow" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(list_filter(string_split(text, ' '),
+                                         x -> length(x) > 0)) AS word
+                    FROM documents),
+          b AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) % 16 AS dim,
+                  CASE WHEN CAST('0x' || substring(md5(word), 16, 15) AS BIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END AS s
+                FROM w)
+          SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS weight
+          FROM b GROUP BY doc_id, dim""",
+
     // Mirrors Quant.int8TopK: same per-vector scale, same floor(x/s + 0.5)
     // codes, BIGINT code dot (list_reduce with a prepended 0 init), score
     // = CAST(dot AS DOUBLE) * qs * ns in the same multiply order.
@@ -8186,6 +8277,35 @@ $backtestPnlCtes,
                   ROUND(CAST(inter AS DOUBLE) / CAST(sa.c + sb.c - inter AS DOUBLE), 6) AS jaccard
            FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
          WHERE jaccard >= 0.5""",
+
+    // Recall replay: the shared LSH pair CTEs (vp) + the exact lane's
+    // CTEs renamed j* (same text as dedup_ngram_jaccard over the shared
+    // g = per-doc distinct shingles), then plain counts + one division.
+    "dedup_recall_eval" ->
+      s"""$minHashPairCtes,
+          jsz AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY doc_id),
+          jrare AS (SELECT g.* FROM g JOIN (
+                      SELECT sh2 FROM (SELECT sh2, COUNT(*) AS df FROM g GROUP BY sh2)
+                      WHERE df BETWEEN 2 AND 100) d USING (sh2)),
+          jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                 FROM jrare a JOIN jrare b USING (sh2)
+                 WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+          jv AS (SELECT doc_a, doc_b FROM (
+                   SELECT doc_a, doc_b,
+                          ROUND(CAST(inter AS DOUBLE)
+                                / CAST(sa.c + sb.c - inter AS DOUBLE), 6) AS jaccard
+                   FROM jp JOIN jsz sa ON doc_a = sa.doc_id
+                           JOIN jsz sb ON doc_b = sb.doc_id)
+                 WHERE jaccard >= 0.5),
+          m AS (SELECT jv.doc_a, jv.doc_b, vp.doc_a IS NOT NULL AS hit
+                FROM jv LEFT JOIN vp ON vp.doc_a = jv.doc_a AND vp.doc_b = jv.doc_b),
+          c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                        CAST(COUNT(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_common
+                 FROM m),
+          c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM vp)
+          SELECT n_exact, n_lsh, n_common,
+                 CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+          FROM c1, c2""",
 
     "ann_hamming_topk" -> annHammingOracle,
 

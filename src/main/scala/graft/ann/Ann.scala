@@ -356,9 +356,16 @@ object Ann {
       t => struct((-cos(col("cv"), t.getField("top_vec"))).as("d"),
         t.getField("top_id").as("top_id")))), 1, topProbe)
     // stage 2 per row: argmin over ONLY the probed tops' children — same
-    // scoring expression + tie rule as the flat path (identity contract)
-    val cands = flatten(transform(probedTops,
-      p => element_at(col("__kids"), p.getField("top_id"))))
+    // scoring expression + tie rule as the flat path (identity contract).
+    // A top can be CHILDLESS (duplicate centroid vectors tie every child
+    // toward the lower top id — seen on replicated corpora): skip its
+    // missing map entry, exactly like the join formulation's inner join
+    // would. An unfiltered flatten nulls the WHOLE array on one missing
+    // key and silently drops the row (caught by the r15 10× probe: the
+    // fixed lane emitted zero assignments and "measured" 0.56×).
+    val cands = flatten(filter(transform(probedTops,
+      p => element_at(col("__kids"), p.getField("top_id"))),
+      a => a.isNotNull))
     val topM = slice(array_sort(transform(cands,
       kid => struct((-cos(col("cv"), kid.getField("centroid"))).as("d"),
         kid.getField("centroid_id").as("centroid_id")))), 1, m)

@@ -184,6 +184,28 @@ object Windows {
     }
   }
 
+  /** Forward-fill with a STALENESS BOUND (pandas `ffill(limit=)`): a null
+    * is filled only when the latest non-null is at most `limit` rows back;
+    * staler gaps stay null. The unbounded fill silently carries a
+    * suspended security's last price across months — the bound is the
+    * standard guard. Same one-shuffle window as [[fillForward]]: the
+    * "rows since last non-null" distance is `rn − max(rn | non-null)` over
+    * the cumulative frame. */
+  def fillForwardLimit(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                       fillCols: Seq[String], limit: Int): DataFrame = {
+    require(limit >= 0, s"negative fill limit $limit")
+    val ww = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val cum = ww.rowsBetween(Window.unboundedPreceding, 0)
+    val withRn = df.withColumn("__ffl_rn", row_number().over(ww))
+    fillCols.foldLeft(withRn) { (d, c) =>
+      val lastNnRn = max(when(col(c).isNotNull, col("__ffl_rn"))).over(cum)
+      d.withColumn(c,
+        when(col(c).isNotNull, col(c))
+          .when(col("__ffl_rn") - lastNnRn <= limit,
+            last(col(c), ignoreNulls = true).over(cum)))
+    }.drop("__ffl_rn")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event EXCEEDS `gapMs` (strict `>`: an exact-gap event extends
     * the session — note Structured Streaming's `session_window` uses a

@@ -506,6 +506,41 @@ class PqSpec extends SparkSpec {
     assert(hierFull == flat1)
   }
 
+  test("hierarchicalAssign: a CHILDLESS top (duplicate centroid vectors) never drops rows") {
+    // Replicated corpora produce duplicate centroid vectors: a top whose
+    // vector equals a lower-id top's loses every child to the tie rule and
+    // owns an EMPTY kids entry. The r15 10× probe caught the map-only
+    // formulation nulling the whole candidate array on that missing key
+    // (flatten(null-element) = null) and silently dropping ALL rows —
+    // 20k embeddings, zero assignments, a "0.56×" scale ratio. Contract:
+    // childless tops are skipped like the join formulation's inner join.
+    import org.apache.spark.sql.expressions.Window
+    val base = Ann.ivfCentroids(embs, "vec_id", "embedding", 16)
+      .localCheckpoint()
+    val v0 = base.orderBy("centroid_id").limit(1)
+      .select("centroid").head().getSeq[Float](0)
+    // overwrite centroids 4..7 (= the second top and its stride block)
+    // with centroid 0's vector: top@crank5 duplicates top@crank1
+    val dup = base.withColumn("centroid",
+      when(col("centroid_id").between(lit(4L), lit(7L)),
+        typedLit(v0)).otherwise(col("centroid"))).localCheckpoint()
+    val n = embs.count()
+    val hier = Ann.hierarchicalAssign(embs, "vec_id", "embedding", dup, 16,
+      m = 1)
+    assert(hier.count() == n, "childless top must not drop rows")
+    // and full-probe identity still holds against flat over the SAME dup
+    // centroid table (all children remain reachable through other tops)
+    val c = embs.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val flat = c.crossJoin(broadcast(dup))
+      .withColumn("d", -Ann.cosine(col("cv"), col("centroid")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("cid").orderBy(col("d").asc, col("centroid_id").asc)))
+      .filter(col("rn") === 1)
+      .select("cid", "centroid_id").as[(Long, Long)].collect().toSet
+    val got = hier.select("cid", "centroid_id").as[(Long, Long)].collect().toSet
+    assert(got == flat, "childless-top full probe diverged from flat")
+  }
+
   test("hierarchicalAssign: pruned regime assigns every row and mostly agrees with flat") {
     // nLists=64 -> nTop=8; topProbe=2 probes only 2 of 8 top cells, so the
     // pruning genuinely engages. Every row must still land exactly one cell,
