@@ -2541,6 +2541,21 @@ object SparkEntry {
         "dsv2", outputMode = "complete")
     }),
 
+    // DSv2 STREAMING WRITE (the fourth connector quadrant, next to the
+    // read gate above): the event stream drains through JsonlSinkSource's
+    // epoch-marked exactly-once commit protocol under the real micro-batch
+    // engine, then reads back schema-as-contract. Stateless projection so
+    // append mode needs no watermark; doubles JSON-roundtrip exactly
+    // (shortest-repr print/parse identity).
+    "stream_dsv2_sink" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(sch)
+        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
+        .filter(col("event_type") =!= "view")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      graft.streaming.Replay.toBatchJsonlV2(ev, "dsv2sink")
+    }),
+
     // STREAMING DRIFT MONITOR: per event-time hour, the value histogram
     // (10 fixed bins) is scored against a literal reference shape — the
     // production data-quality watchdog (does this hour's traffic still
@@ -7343,6 +7358,13 @@ $backtestPnlCtes,
                 MAX(DATE '2020-01-01' + dd) AS last_date,
                 CAST(SUM(CAST(dd AS BIGINT)) AS BIGINT) AS day_sum
          FROM g, d GROUP BY 1""",
+
+    // Sink round trip is value-preserving: stateless filter+projection,
+    // so the table contents equal the batch predicate (exactly once —
+    // every epoch's rows appear exactly one time).
+    "stream_dsv2_sink" ->
+      """SELECT user_id, event_id, event_type, value
+         FROM events WHERE event_type <> 'view'""",
 
     // Complete-mode convergence: the final table IS the batch aggregate.
     "stream_running_totals" ->

@@ -54,7 +54,7 @@ final class JsonlSinkTable(schema0: StructType, opts: CaseInsensitiveStringMap)
   override def name(): String = "graft_jsonl_sink"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = Option(opts.get("path"))
       .orElse(Option(info.options.get("path")))
@@ -72,6 +72,8 @@ final class JsonlWriteBuilder(path: String, schema: StructType, queryId: String,
   extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new JsonlBatchWrite(path, schema, queryId, confMap)
+    override def toStreaming: streaming.StreamingWrite =
+      new JsonlStreamingWrite(path, schema, confMap)
   }
 }
 
@@ -116,6 +118,78 @@ final class JsonlBatchWrite(path: String, schema: StructType, queryId: String,
   }
 }
 
+/** STREAMING write (micro-batch sink) — the fourth quadrant of the
+  * connector matrix (batch read/write + micro-batch read landed earlier).
+  * Exactly-once table contents from at-least-once epoch delivery:
+  *
+  *  - part names are a pure function of (epochId, writer index) — NO
+  *    query/run id, so a restarted query re-deriving the same epoch
+  *    produces the SAME names (one stream owns a sink directory; that is
+  *    the standard file-sink contract);
+  *  - a committed epoch leaves a creation-only `_epoch_<id>` marker; a
+  *    REPLAYED epoch (failure between sink commit and checkpoint write)
+  *    sees the marker and discards its temps instead of re-appending;
+  *  - a PARTIALLY committed epoch (driver died mid-rename, marker absent)
+  *    replays per part: an existing target name means that part already
+  *    landed from the dead attempt (same offsets ⇒ same data), so the
+  *    replay's temp is dropped, else renamed — convergent either way.
+  */
+final class JsonlStreamingWrite(path: String, schema: StructType,
+                                confMap: Map[String, String])
+  extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory =
+    new JsonlStreamingWriterFactory(path, schema, confMap)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, dir) = JsonlFs.resolve(path, confMap)
+    fs.mkdirs(dir)
+    val sf = new org.apache.hadoop.fs.Path(dir, "_schema.json")
+    if (!fs.exists(sf)) {
+      val out = fs.create(sf, true)
+      try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    }
+    val marker = new org.apache.hadoop.fs.Path(dir, s"_epoch_$epochId")
+    if (fs.exists(marker)) {
+      // fully committed epoch replayed: drop the replay's temps
+      messages.foreach {
+        case JsonlCommit(t, _) =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, t), false)
+        case _ =>
+      }
+    } else {
+      messages.zipWithIndex.foreach { case (m: JsonlCommit, i) =>
+        val from = new org.apache.hadoop.fs.Path(dir, m.tempName)
+        val to = new org.apache.hadoop.fs.Path(dir, f"part-e$epochId%06d-$i.jsonl")
+        if (fs.exists(to)) fs.delete(from, false) // partial-commit replay
+        else if (!fs.rename(from, to))
+          throw new java.io.IOException(s"epoch commit rename failed: $from -> $to")
+      }
+      fs.create(marker, false).close()
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, dir) = JsonlFs.resolve(path, confMap)
+    messages.foreach {
+      case JsonlCommit(t, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, t), false)
+      case _ =>
+    }
+  }
+}
+
+final class JsonlStreamingWriterFactory(path: String, schema: StructType,
+                                        confMap: Map[String, String])
+  extends streaming.StreamingDataWriterFactory {
+  // epoch folded into the writer's id string keeps every attempt's temp
+  // unique across epochs AND restarts (taskId differs per attempt)
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new JsonlDataWriter(path, schema, s"e$epochId", partitionId, taskId, confMap)
+}
+
 /** FS resolution shared by driver commit and executor writers: the
   * FileSystem is derived FROM the path's scheme (file://, hdfs://, s3a://)
   * AND the SESSION Hadoop configuration (captured on the driver as a plain
@@ -123,7 +197,7 @@ final class JsonlBatchWrite(path: String, schema: StructType, queryId: String,
   * is opened), so both sides talk to the same store with the same
   * credentials/endpoints. `Configuration.iterator` includes the loaded
   * default resources, so the replayed map is complete on its own. */
-private[v2] object JsonlFs {
+private[graft] object JsonlFs {
   def sessionConfMap(): Map[String, String] = {
     val c = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     val it = c.iterator()

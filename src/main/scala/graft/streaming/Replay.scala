@@ -98,6 +98,27 @@ object Replay {
     spark.read.schema(stream.schema).parquet(s"$root/out")
   }
 
+  /** [[toBatch]] through the DSv2 STREAMING WRITE path instead of the
+    * built-in parquet sink: stream → JsonlSinkSource (epoch-marked
+    * exactly-once commit protocol) → schema-as-contract JSONL read-back.
+    * Exercises the fourth connector quadrant end to end under the real
+    * micro-batch engine. Underscore-prefixed protocol files (_schema.json,
+    * _epoch_*) are hidden from the read by Spark's file index. */
+  def toBatchJsonlV2(stream: DataFrame, tag: String): DataFrame = {
+    val spark = stream.sparkSession
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_replay_$tag").toString
+    withReplayConf(spark) {
+      val q = stream.writeStream.format("graft.sources.v2.JsonlSinkSource")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    lastDir.put(tag, root).foreach(deleteRecursively)
+    spark.read.schema(stream.schema).json(s"$root/out")
+  }
+
   /** The r6–r7 DRIVER-memory sink path, kept as the harness cross-check
     * (StreamingSpec asserts file ≡ memory on a gate): collects into an
     * in-memory table behind a temp view. Same single-consumer-per-tag

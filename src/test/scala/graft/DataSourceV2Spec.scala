@@ -266,4 +266,58 @@ class DataSourceV2Spec extends SparkSpec {
     assert(rows.forall(_._1 == "000004.SZ"))
     assert(rows.map(_._2).min == "2020-01-10" && rows.map(_._2).max == "2020-01-19")
   }
+
+  test("streaming write: multi-epoch drain is exactly-once and lossless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    val root = java.nio.file.Files.createTempDirectory("graft_v2ssink").toString
+    val df = in.toDF().toDF("id", "name", "score")
+    val q = df.writeStream.format("graft.sources.v2.JsonlSinkSource")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/chk")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a", 1.5)); q.processAllAvailable()   // epoch 0
+      in.addData((2L, "b", -0.25), (3L, "c\n\"q", 2.0))     // epoch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.schema(df.schema).json(s"$root/out")
+      .as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "a", 1.5), (2L, "b", -0.25), (3L, "c\n\"q", 2.0)))
+    // epoch markers recorded; parts named by epoch only (restart-stable)
+    val files = new java.io.File(s"$root/out").listFiles().map(_.getName).toSet
+    assert(files.exists(_.startsWith("_epoch_0")) && files.exists(_.startsWith("_epoch_1")))
+    assert(files.filter(_.endsWith(".jsonl")).forall(_.startsWith("part-e")))
+  }
+
+  test("streaming write: replayed and partially-committed epochs converge (no dup, no loss)") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+    val confMap = graft.sources.v2.JsonlFs.sessionConfMap()
+    val root = java.nio.file.Files.createTempDirectory("graft_v2replay").toString
+    val path = s"$root/out"
+    val w = new graft.sources.v2.JsonlStreamingWrite(path, schema, confMap)
+    def temp(name: String, ids: Seq[Long]): graft.sources.v2.JsonlCommit = {
+      val dir = new java.io.File(path); dir.mkdirs()
+      val f = new java.io.File(dir, name)
+      val pw = new java.io.PrintWriter(f, "UTF-8")
+      try ids.foreach(id => pw.println(s"""{"id":$id}""")) finally pw.close()
+      graft.sources.v2.JsonlCommit(name, ids.size)
+    }
+    // epoch 5 commits, then the SAME epoch replays with fresh temps (crash
+    // between sink commit and checkpoint write): replay temps are dropped
+    w.commit(5L, Array(temp("_temp_e5_0_1", Seq(1L, 2L))))
+    w.commit(5L, Array(temp("_temp_e5_0_2", Seq(1L, 2L))))
+    // epoch 6 PARTIALLY committed (part landed, marker never written),
+    // then replayed: existing target keeps the dead attempt's part
+    temp("_temp_e6_0_1", Seq(7L))
+    new java.io.File(path, "_temp_e6_0_1")
+      .renameTo(new java.io.File(path, "part-e000006-0.jsonl"))
+    w.commit(6L, Array(temp("_temp_e6_0_9", Seq(7L))))
+    val back = spark.read.schema(schema).json(path)
+      .select("id").as[Long].collect().sorted
+    assert(back.toSeq == Seq(1L, 2L, 7L), s"converged table wrong: ${back.toSeq}")
+    val leftoverTemps = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("_temp"))
+    assert(leftoverTemps.isEmpty, s"temps not cleaned: ${leftoverTemps.toSeq}")
+  }
 }
