@@ -3203,6 +3203,13 @@ object SparkEntry {
       Dedup.resolveClusters(
         Dedup.ngramJaccard(TestData(s, dir).documents, "doc_id", "text", 3, 0.5, 100))),
 
+    // MinHash calibration: per candidate pair, signature-agreement
+    // fraction vs exact Jaccard — E[agree]=J is the estimator's
+    // foundational identity; a biased lane family shows here first.
+    "dedup_sig_calibration" -> ((s, dir) =>
+      Dedup.minHashCalibration(TestData(s, dir).documents, "doc_id", "text",
+        n = 3, k = 16, family = Dedup.Md5Hash, threshold = 0.1, maxDF = 100)),
+
     // LSH quality audit (the ann_recall_eval twin for dedup): recall of
     // the banded-minhash pipeline against the inverted-index exact pair
     // set at the same threshold — the number that says whether the
@@ -3214,9 +3221,12 @@ object SparkEntry {
       val docs = TestData(s, dir).documents
       val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
         threshold = 0.5, maxDF = 100).select("doc_a", "doc_b")
+      // checkpointed: consumed twice (the hit join AND the n_lsh count) —
+      // uncheckpointed, the whole verify pipeline re-plans per consumer
+      // (measured 14 static exchanges vs 4)
       val lsh = Dedup.minHashLsh(docs, "doc_id", "text", n = 3, bands = 4,
         rowsPerBand = 4, threshold = 0.5, maxBucket = 100,
-        family = Dedup.Md5Hash).select("doc_a", "doc_b")
+        family = Dedup.Md5Hash).select("doc_a", "doc_b").localCheckpoint()
       exact.join(lsh.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_common"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
@@ -8299,6 +8309,43 @@ $backtestPnlCtes,
                   ROUND(CAST(inter AS DOUBLE) / CAST(sa.c + sb.c - inter AS DOUBLE), 6) AS jaccard
            FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
          WHERE jaccard >= 0.5""",
+
+    // Calibration replay: the exact-pair CTEs at threshold 0.1 + the
+    // proven Md5 lane signature formula, per-pair lane-agreement count.
+    "dedup_sig_calibration" -> {
+      val k = 16
+      val sigCols = (0 until k).map(i =>
+        s"list_min(list_transform(shs, s -> ${laneSql(i, "s")})) AS sig_$i")
+        .mkString(",\n                  ")
+      val agree = (0 until k).map(i =>
+        s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+                     FROM documents),
+          sh AS (SELECT doc_id,
+                   list_transform(range(0, len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS shs
+                 FROM w WHERE len(ws) >= 3),
+          sigs AS (SELECT doc_id, $sigCols FROM sh),
+          g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh2
+                FROM w, unnest(range(1, len(ws)-1)) AS t(i) WHERE len(ws) >= 3),
+          sz AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY doc_id),
+          rare AS (SELECT g.* FROM g JOIN (
+                     SELECT sh2 FROM (SELECT sh2, COUNT(*) AS df FROM g GROUP BY sh2)
+                     WHERE df BETWEEN 2 AND 100) d USING (sh2)),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                FROM rare a JOIN rare b USING (sh2)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+          pairs AS (SELECT doc_a, doc_b, jaccard FROM (
+                      SELECT doc_a, doc_b,
+                             ROUND(CAST(inter AS DOUBLE) / CAST(sa.c + sb.c - inter AS DOUBLE), 6) AS jaccard
+                      FROM p JOIN sz sa ON doc_a = sa.doc_id
+                              JOIN sz sb ON doc_b = sb.doc_id)
+                    WHERE jaccard >= 0.1)
+          SELECT p.doc_a, p.doc_b, p.jaccard,
+                 CAST($agree AS BIGINT) AS n_agree,
+                 CAST($agree AS DOUBLE) / 16 AS sig_est
+          FROM pairs p JOIN sigs a ON p.doc_a = a.doc_id
+                       JOIN sigs b ON p.doc_b = b.doc_id"""
+    },
 
     // Recall replay: the shared LSH pair CTEs (vp) + the exact lane's
     // CTEs renamed j* (same text as dedup_ngram_jaccard over the shared

@@ -205,6 +205,44 @@ object Dedup {
         (0 until k).map(i => min(family.lane(i, col("_p"))).as(s"sig_$i")).head,
         (1 until k).map(i => min(family.lane(i, col("_p"))).as(s"sig_$i")): _*)
 
+  /** MinHash calibration audit (the estimator eval): per verified
+    * candidate pair, the fraction of agreeing signature lanes vs the
+    * exact Jaccard — E[agreement] = J is minhash's foundational identity
+    * (Broder 1997), and this is the corpus-level check that the lane
+    * family actually delivers it: a biased or correlated hash family
+    * shows up as a systematic est-vs-J gap long before recall numbers
+    * move. Pair set = the inverted-index exact pairs at a LOW threshold
+    * so calibration samples the whole J range; bounded by the same df
+    * caps as [[ngramJaccard]]. Returns
+    * (doc_a, doc_b, jaccard, n_agree, sig_est). */
+  def minHashCalibration(docs: DataFrame, id: String, text: String,
+                         n: Int = 3, k: Int = 16,
+                         family: HashFamily = XxHash,
+                         threshold: Double = 0.1, maxDF: Int = 100): DataFrame = {
+    val pairs = ngramJaccard(docs, id, text, n, threshold, maxDF)
+    // same two signature formulations (and the same reasons) as minHashLsh
+    val sigs = (family match {
+      case XxHash =>
+        shingleArray(docs, id, text, n).select(
+          col("doc_id") +: (0 until k).map(i =>
+            array_min(transform(col("shs"),
+              s => family.lane(i, family.prep(s)))).as(s"sig_$i")): _*)
+      case _ =>
+        minHashSignatures(
+          shingleArray(docs, id, text, n)
+            .select(col("doc_id"), explode_outer(col("shs")).as("shingle")),
+          k, family)
+    }).localCheckpoint() // consumed twice (both pair sides)
+    val a = sigs.toDF("doc_a" +: (0 until k).map(i => s"a_$i"): _*)
+    val b = sigs.toDF("doc_b" +: (0 until k).map(i => s"b_$i"): _*)
+    val agree = (0 until k).map(i =>
+      when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0)).reduce(_ + _)
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_agree", agree.cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("n_agree"),
+        (col("n_agree").cast("double") / lit(k)).as("sig_est"))
+  }
+
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
     *
     * k = bands·rowsPerBand signatures; documents agreeing on all rows of any

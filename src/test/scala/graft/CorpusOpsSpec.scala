@@ -229,6 +229,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(100L)._3 == 0L && r(100L)._4 == h(""))
   }
 
+  test("minhash calibration: identical docs agree on every lane; disjoint near-miss pairs agree on few") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "alpha beta gamma delta iota kappa lambda mu"),   // half-overlap head
+      (4L, "nu xi omicron pi rho sigma tau upsilon")         // disjoint
+    ).toDF("doc_id", "text")
+    val cal = graft.dedup.Dedup.minHashCalibration(docs, "doc_id", "text",
+      n = 3, k = 16, threshold = 0.01, maxDF = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    // identical docs: J = 1 and EVERY lane agrees (min over equal sets)
+    val (j12, a12, e12) = cal((1L, 2L))
+    assert(j12 == 1.0 && a12 == 16L && e12 == 1.0,
+      s"exact dup must calibrate to 1: $j12 $a12 $e12")
+    // the partial pair exists with 0 < J < 1 and agreement within [0, 16]
+    val (j13, a13, _) = cal((1L, 3L))
+    assert(j13 > 0 && j13 < 1 && a13 >= 0 && a13 <= 16)
+    // disjoint doc 4 shares no rare shingle -> no pair rows at all
+    assert(!cal.keys.exists { case (x, y) => x == 4L || y == 4L })
+    // estimator sanity on the real corpus: the mean |est - J| over fixture
+    // pairs stays inside the k=16 binomial band (sd <= 0.5/sqrt(16))
+    val fx = graft.dedup.Dedup.minHashCalibration(
+      TestData(spark, sf0001).documents, "doc_id", "text",
+      n = 3, k = 16, threshold = 0.1, maxDF = 100)
+      .select(abs(col("sig_est") - col("jaccard")).as("gap"))
+      .agg(avg("gap")).head().getDouble(0)
+    assert(fx < 0.25, s"mean calibration gap $fx out of band")
+  }
+
   test("canonicalizeUrl: each normalization rule, one probe each") {
     import graft.functions.TextFns
     val cases = Seq(

@@ -262,7 +262,29 @@ class ShuffleBudgetSpec extends SparkSpec {
     // all cluster on user_id (subset-key reuse)
     "events_inter_arrival" -> 1,
     // one map + one single-row agg exchange
-    "dq_table_digest" -> 1
+    "dq_table_digest" -> 1,
+    // round-15 additions
+    // one (doc, bucket) groupBy; hashing row-local
+    "emb_hash_bow" -> 1,
+    // daily-last dedup window + the two spine distincts (the fill windows
+    // reuse the join's (user, d) clustering)
+    "w20_ffill_limit" -> 3,
+    // per-(symbol, year) epoch agg + the symbol-window re-exchange
+    "api_industry_history" -> 2,
+    // the epoch derivation (2) + per-(symbol, qdate) as-of rank windows
+    // for the two unioned query dates
+    "api_industry_asof" -> 4,
+    // the CC loop runs eagerly behind localCheckpoint (pair-graph-sized);
+    // this plan: corpus join against the (broadcast-sized) component map
+    // + the coalesced-component hash — 2
+    "sample_leakage_split" -> 2,
+    // LSH pairs checkpoint (consumed twice — uncheckpointed, the verify
+    // pipeline re-planned per consumer: 14); the residual 6 = the exact
+    // lane's inverted-index aggs/joins + the hit join + two count aggs
+    "dedup_recall_eval" -> 6,
+    // exact-pair aggs + the two signature joins over the checkpointed
+    // sig frame
+    "dedup_sig_calibration" -> 4
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
