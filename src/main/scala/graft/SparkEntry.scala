@@ -2556,6 +2556,35 @@ object SparkEntry {
       graft.streaming.Replay.toBatchJsonlV2(ev, "dsv2sink")
     }),
 
+    // STREAMING POINT-IN-TIME ENRICHMENT (composes the r15 themes): the
+    // bars stream joins the VERSIONED industry dimension statelessly —
+    // the static side is rewritten to SCD2 interval form (effective_date,
+    // next_effective_date), so "the membership as of this bar's date" is
+    // one range-predicate stream-static join: no state, no watermark,
+    // PIT-correct by construction (the j15_scd2_lookup trick under the
+    // micro-batch engine — the feature-store enrichment shape).
+    "stream_pit_enrich" -> ((s, dir) => {
+      val m = mkt(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pit_src").toString
+      m.bars.select(col("symbol"), col("date"), col("close"))
+        .coalesce(4).write.mode("overwrite").parquet(root)
+      val sch = s.read.parquet(root).schema
+      val stream = s.readStream.schema(sch).parquet(root)
+      val iv = m.industryHistory
+        .withColumn("next_eff", lead(col("effective_date"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("symbol")).orderBy(col("effective_date"))))
+        .select(col("symbol").as("iv_symbol"), col("effective_date"),
+          col("next_eff"), col("industry"))
+      val joined = stream.join(iv,
+          stream("symbol") === col("iv_symbol") &&
+            col("date") >= col("effective_date") &&
+            (col("next_eff").isNull || col("date") < col("next_eff")))
+        .select(stream("symbol"), col("date"), col("close"), col("industry"))
+      graft.streaming.Replay.toBatch(joined, "pitenrich")
+    }),
+
     // STREAMING DRIFT MONITOR: per event-time hour, the value histogram
     // (10 fixed bins) is scored against a literal reference shape — the
     // production data-quality watchdog (does this hour's traffic still
@@ -7375,6 +7404,20 @@ $backtestPnlCtes,
     "stream_dsv2_sink" ->
       """SELECT user_id, event_id, event_type, value
          FROM events WHERE event_type <> 'view'""",
+
+    // Stateless PIT join replays as the identical batch interval join
+    // over the epoch table in SCD2 form.
+    "stream_pit_enrich" ->
+      s"""$MKT, $industryHistoryCtes,
+          iv AS (SELECT symbol, effective_date,
+                   lead(effective_date) OVER (PARTITION BY symbol
+                                              ORDER BY effective_date) AS next_eff,
+                   industry
+                 FROM indhist)
+          SELECT b.symbol, b.date, b.close, iv.industry
+          FROM bars b JOIN iv ON b.symbol = iv.symbol
+            AND b.date >= iv.effective_date
+            AND (iv.next_eff IS NULL OR b.date < iv.next_eff)""",
 
     // Complete-mode convergence: the final table IS the batch aggregate.
     "stream_running_totals" ->
