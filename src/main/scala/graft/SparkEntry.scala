@@ -4228,6 +4228,24 @@ object SparkEntry {
     // SEQUENTIAL FOLD over the ordered 20-row frame (rule 1 — a plain
     // window SUM of doubles is order-free only for the planner, not for
     // IEEE); √ of identical doubles is identical.
+    // Cross-sectional momentum factor: trailing-20-day return per symbol,
+    // then the PERCENTILE of that return across the universe per date
+    // (percent_rank — peer-SET determined, tie-safe; one IEEE division of
+    // identical integer operands). Two window keys (symbol → date): the
+    // standard factor-pipeline reshuffle.
+    "api_factor_momentum" -> ((s, dir) => {
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("date"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("date")).orderBy(col("ret20"))
+      mkt(s, dir).bars
+        .select(col("symbol"), col("date"), col("close"))
+        .withColumn("ret20", col("close") / lag(col("close"), 20).over(ws) - 1.0)
+        .filter(col("ret20").isNotNull)
+        .select(col("symbol"), col("date"), col("ret20"),
+          percent_rank().over(wd).as("mom_pr"))
+    }),
+
     "api_realized_vol" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("symbol")).orderBy(col("date"))
@@ -4826,6 +4844,17 @@ object SparkEntry {
 
     "api_bars" ->
       s"""$MKT SELECT symbol, date, open, high, low, close, volume, money FROM bars""",
+
+    // Momentum replay: identical return division, identical percent_rank
+    // over the per-date cross-section (ordering compares identical
+    // doubles; the ratio divides identical integers).
+    "api_factor_momentum" ->
+      s"""$MKT, r AS (SELECT symbol, date,
+                  close / lag(close, 20) OVER (PARTITION BY symbol ORDER BY date) - 1.0 AS ret20
+                FROM bars)
+          SELECT symbol, date, ret20,
+                 percent_rank() OVER (PARTITION BY date ORDER BY ret20) AS mom_pr
+          FROM r WHERE ret20 IS NOT NULL""",
 
     // Realized-vol replay: same return division, null-return filter,
     // ordered 20-frame list, sequential squared fold, √.

@@ -826,5 +826,24 @@ class DifferentialSpec extends SparkSpec {
            CAST(floor(cume_dist() OVER (PARTITION BY cid ORDER BY tord) * 1e9) AS BIGINT) AS cd9
          FROM t"""),
       s"rank ratios under ties (seed 4251, $CASES cases)")
+
+    // bounded forward-fill over the same null-heavy series: the limit
+    // gates the fill on rows-since-last-non-null (leading nulls stay
+    // null, exact-limit gaps fill, limit+1 gaps do not)
+    val gotFfl = graft.ops.Windows.fillForwardLimit(
+      sDf, Seq(col("cid")), Seq(col("ord")), Seq("v"), limit = 2)
+      .select(col("cid"), col("ord"), col("v").as("f2"))
+    compare(canon(gotFfl), duck(Map("t" -> ps),
+      """WITH j AS (SELECT cid, ord, v,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY ord) AS rn FROM t)
+         SELECT cid, ord,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN rn - MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER cum <= 2
+                  THEN LAST_VALUE(v IGNORE NULLS) OVER cum
+           END AS f2
+         FROM j
+         WINDOW cum AS (PARTITION BY cid ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""),
+      s"bounded forward-fill (seed 4251, $CASES cases)")
   }
 }
