@@ -3622,6 +3622,23 @@ object SparkEntry {
         5, nProbe = 4)
     }),
 
+    // Index UPDATE — the full CRUD cycle in one lane: tombstone the
+    // vec_id%5==2 rows, COMPACT (ids leave the tombstone table so they
+    // may re-enter), encode-only append of their NEGATED vectors, serve.
+    // Quantizers frozen at build time (FAISS remove_ids + add). Queries
+    // keep their ORIGINAL vectors — an updated doc is found via its new
+    // representation, which is the contract an embedding refresh needs.
+    "ann_ivfpq_update" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val replaced = e.filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val idx = Pq.cachedUpdatedIndex(e, replaced, "vec_id", "embedding", dir,
+        nLists = 16, m = 8, dsub = 8, ksub = 16)
+      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        5, nProbe = 4)
+    }),
+
     // Residual-lane incremental append: same daily-ingest shape as
     // ann_ivfpq_append but the frozen artifacts are the FAISS-default
     // residual encoding — appended rows subtract the STORED centroid
@@ -9432,6 +9449,18 @@ $backtestPnlCtes,
     // parquet bit-exactly, so the inline-build oracle replays it unchanged.
     "ann_ivfpq_served" -> ivfPqOracle,
     "ann_ivfpq_append" -> ivfPqOracleTrained("cid % 5 <> 4"),
+    // update lane: trained on the ORIGINAL full corpus; the served corpus
+    // carries the replacement (negated) vectors for the updated ids —
+    // delete+compact+append ≡ encode-the-modified-corpus with frozen
+    // quantizers.
+    "ann_ivfpq_update" -> ivfPqOracleTrainedTail("TRUE",
+      """SELECT query_id, neighbor_id, rank, score FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM fin)
+        WHERE rank <= 5""",
+      cvExpr = "CASE WHEN vec_id % 5 = 2 " +
+        "THEN list_transform(embedding, x -> -x) ELSE embedding END"),
     // delete lane: trained on the FULL corpus, serving only survivors
     "ann_ivfpq_delete" -> ivfPqOracleTrainedTail("TRUE",
       """SELECT query_id, neighbor_id, rank, score FROM (
@@ -10268,9 +10297,12 @@ $backtestPnlCtes,
     * `trainPred`'s mass, but deleted rows never reach scoring (the FAISS
     * remove_ids stance `Pq.deleteFromSavedIndex` implements). */
   private def ivfPqOracleTrainedTail(trainPred: String, tail: String,
-                                     servePred: String = "TRUE"): String =
-    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
-        tr AS (SELECT cid, cv FROM c WHERE $trainPred),
+                                     servePred: String = "TRUE",
+                                     cvExpr: String = "embedding"): String =
+    s"""WITH c AS (SELECT vec_id AS cid, $cvExpr AS cv FROM embeddings),
+        tr AS (SELECT cid, cv FROM
+                 (SELECT vec_id AS cid, embedding AS cv FROM embeddings)
+               WHERE $trainPred),
         par AS (SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 16) AS stride FROM tr),
         cent AS (SELECT cid AS centroid_id, cv AS centroid FROM tr, par
                  WHERE cid % stride = 0 AND cid < stride * 16),

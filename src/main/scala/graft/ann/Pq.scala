@@ -456,6 +456,33 @@ object Pq {
       }
     })
 
+  /** Gate harness for the UPDATE lane — the full index CRUD cycle:
+    * build over the full corpus, tombstone the updated ids, COMPACT (so
+    * the ids leave the tombstone table and may legally re-enter), then
+    * encode-only append of the replacement rows. Quantizers stay frozen
+    * throughout (build-time training mass), exactly the FAISS
+    * remove_ids + add discipline for in-place row replacement. */
+  def cachedUpdatedIndex(corpus: => DataFrame, updated: => DataFrame,
+                         id: String, vec: String, key: String,
+                         nLists: Int = 16, m: Int = 8, dsub: Int = 8,
+                         ksub: Int = 16): PqIndex =
+    indexCache.getOrElseUpdate(s"$key#update", {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_pq_index/" +
+        key.replaceAll("[^A-Za-z0-9.]", "_") + "_upd"
+      val spark = org.apache.spark.sql.SparkSession.active
+      val donePath = new org.apache.hadoop.fs.Path(s"$root/_UPDATE_DONE")
+      val fs = donePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(donePath)) loadIndex(spark, root)
+      else {
+        saveIndex(buildIndex(corpus, id, vec, nLists, m, dsub, ksub), root)
+        deleteFromSavedIndex(spark, root, updated.select(id), id)
+        compactIndex(spark, root)
+        val idx = appendToSavedIndex(spark, root, updated, id, vec)
+        fs.create(donePath, false).close()
+        idx
+      }
+    })
+
   // Build-once/serve-many for the gate queries: first use per (fixture dir,
   // JVM) builds + persists the index under tmpdir, every later call LOADS
   // the parquet artifacts (the MarketTables.cached pattern). Keyed on the

@@ -223,6 +223,60 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("update cycle (delete+compact+append) ≡ encoding the modified corpus with frozen artifacts") {
+    // The full CRUD lane: the vec_id%5==2 rows are replaced by their
+    // NEGATED vectors via tombstone -> compaction -> encode-only append.
+    // Contract: the resulting index is bit-identical to building the
+    // SAME frozen artifacts and encoding the already-modified corpus —
+    // and no tombstone table survives compaction.
+    val dir = java.nio.file.Files.createTempDirectory("pq_upd").toString
+    Pq.saveIndex(Pq.buildIndex(embs, "vec_id", "embedding",
+      nLists = 16, m = 8, dsub = 8, ksub = 16), dir)
+    val replaced = embs.filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+    Pq.deleteFromSavedIndex(spark, dir, replaced.select("vec_id"), "vec_id")
+    Pq.compactIndex(spark, dir)
+    val updated = Pq.appendToSavedIndex(spark, dir, replaced, "vec_id", "embedding")
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "compaction must retire the tombstone table")
+    // row conservation: every corpus id indexed exactly once
+    val n = embs.count()
+    assert(updated.cells.count() == n && updated.cells.select("cid").distinct().count() == n)
+    // reference: encode the modified corpus against the SAME saved
+    // artifacts (fresh load so nothing is shared in-memory)
+    val modified = embs.filter(col("vec_id") % 5 =!= 2)
+      .select("vec_id", "embedding").unionByName(replaced)
+    val refDir = java.nio.file.Files.createTempDirectory("pq_upd_ref").toString
+    Pq.saveIndex(Pq.buildIndex(embs, "vec_id", "embedding",
+      nLists = 16, m = 8, dsub = 8, ksub = 16), refDir)
+    // replace the reference's cells/codes wholesale with a re-encode of
+    // the modified corpus through ITS frozen artifacts
+    val refIdx0 = Pq.loadIndex(spark, refDir)
+    val ref = Pq.appendToIndex(
+      refIdx0.copy(cells = refIdx0.cells.limit(0), codes = refIdx0.codes.limit(0)),
+      modified, "vec_id", "embedding")
+    val queries = embs.filter(col("vec_id") < 10)
+    val a = Pq.topKFromIndex(updated, queries, "vec_id", "embedding", 5, nProbe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = Pq.topKFromIndex(ref, queries, "vec_id", "embedding", 5, nProbe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b, "update cycle diverged from the re-encoded reference")
+    // and the update BIT: an updated id's codes differ from the original
+    // build's, a non-updated id's are identical
+    val orig = Pq.loadIndex(spark, refDir)
+    def codesOf(idx: Pq.PqIndex, theId: Long) =
+      idx.codes.filter(col("cid") === theId).orderBy("sub")
+        .select("code").as[Int].collect().toSeq
+    val updId = embs.filter(col("vec_id") % 5 === 2)
+      .agg(min("vec_id")).head().getLong(0)
+    val keepId = embs.filter(col("vec_id") % 5 =!= 2)
+      .agg(min("vec_id")).head().getLong(0)
+    assert(codesOf(updated, keepId) == codesOf(orig, keepId),
+      "non-updated rows must keep their original codes")
+    assert(codesOf(updated, updId) != codesOf(orig, updId),
+      "updated rows must re-encode (negated vector, different codes)")
+  }
+
   test("serve path runs ZERO build jobs (judge r7 item)") {
     // Build + persist OUTSIDE the listener window, then serve a query from
     // the stored artifacts. Every counting/training action in the build is
