@@ -4245,6 +4245,22 @@ object SparkEntry {
     // SEQUENTIAL FOLD over the ordered 20-row frame (rule 1 — a plain
     // window SUM of doubles is order-free only for the planner, not for
     // IEEE); √ of identical doubles is identical.
+    // Trading-calendar features (the backtest feature columns every
+    // dated model needs): weekday, gap to the previous TRADING day
+    // (weekends/holidays > 1), and the is-last-trading-day-of-month flag
+    // (month boundary of the NEXT trading day — never civil month-end,
+    // which can be a holiday). Single-partition window over the dim is
+    // fine BY CONSTRUCTION (calendar-sized — the dq_gap_report rule).
+    "api_calendar_features" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("trade_date"))
+      mkt(s, dir).calendar.select(col("trade_date"),
+        weekday(col("trade_date")).cast("long").as("dow"),
+        datediff(col("trade_date"), lag(col("trade_date"), 1).over(w))
+          .cast("long").as("gap_days"),
+        (trunc(lead(col("trade_date"), 1).over(w), "month")
+          =!= trunc(col("trade_date"), "month")).as("is_month_end"))
+    }),
+
     // Cross-sectional momentum factor: trailing-20-day return per symbol,
     // then the PERCENTILE of that return across the universe per date
     // (percent_rank — peer-SET determined, tie-safe; one IEEE division of
@@ -4861,6 +4877,17 @@ object SparkEntry {
 
     "api_bars" ->
       s"""$MKT SELECT symbol, date, open, high, low, close, volume, money FROM bars""",
+
+    // Calendar-feature replay: weekday via isodow-1 (Spark weekday is
+    // Mon=0), integer day gaps, month-boundary flag on the NEXT trading
+    // day (both engines null the last row).
+    "api_calendar_features" ->
+      s"""$MKT SELECT trade_date,
+                 CAST(isodow(trade_date) - 1 AS BIGINT) AS dow,
+                 CAST(trade_date - lag(trade_date, 1) OVER (ORDER BY trade_date) AS BIGINT) AS gap_days,
+                 date_trunc('month', lead(trade_date, 1) OVER (ORDER BY trade_date))
+                   <> date_trunc('month', trade_date) AS is_month_end
+          FROM cal""",
 
     // Momentum replay: identical return division, identical percent_rank
     // over the per-date cross-section (ordering compares identical
