@@ -2131,6 +2131,38 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
     }),
 
+    // LSH-index UPDATE — the dedup twin of ann_ivfpq_update's CRUD cycle:
+    // the %10==3 docs (all indexed) get re-ingested REWRITTEN (every word
+    // suffixed '~u' — the ScaleProbe replica transform: every shingle
+    // changes, so the rewritten docs can no longer pair with unmodified
+    // text) via tombstone → compaction (ids may legally re-enter) →
+    // re-sign + append. Verdicts for the %5==4 batch then replay
+    // monolithically over the MODIFIED corpus; batch docs whose only dup
+    // partners were %10==3 docs provably flip is_dup (the dated-API
+    // "provably bites" discipline — asserted against the incremental
+    // lane's dump during the round, 1000-row diff non-empty).
+    "dedup_lsh_update" -> ((s, dir) => {
+      val docs = TestData(s, dir).documents
+      val rewritten = concat_ws(" ",
+        transform(TextFns.words(col("text")), w => concat(w, lit("~u"))))
+      val idx = jsonlStaged.getOrElseUpdate(dir + "#lshidxupd", {
+        val root = s"/tmp/graft_lshidx_upd_${ProcessHandle.current().pid()}/" +
+          stagedSeg(dir)
+        Dedup.buildLshIndex(docs.filter(col("doc_id") % 5 =!= 4),
+          "doc_id", "text", root)
+        Dedup.removeFromLshIndex(s, root,
+          docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
+        Dedup.compactLshIndex(s, root)
+        Dedup.appendToLshIndex(
+          docs.filter(col("doc_id") % 10 === 3)
+            .select(col("doc_id"), rewritten.as("text")),
+          "doc_id", "text", root)
+        root
+      })
+      Dedup.dedupAgainstIndex(s, idx,
+        docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
+    }),
+
     // Relational crosstab: source × language counts via pivot with an
     // EXPLICIT value list (schema deterministic, no value-discovery job);
     // absent cells coalesce to 0 so both engines agree. One Expand-free
@@ -9463,6 +9495,7 @@ $backtestPnlCtes,
 
     "dedup_incremental" -> dedupIncrementalOracle,
     "dedup_lsh_delete" -> dedupLshDeleteOracle,
+    "dedup_lsh_update" -> dedupLshUpdateOracle,
     "dedup_simhash" -> simHashOracle,
     "ann_ivf0_topk" -> ivf0Oracle,
     "semdedup" -> semDedupOracle,
@@ -9861,7 +9894,8 @@ $backtestPnlCtes,
     * anti-joined out behaves EXACTLY like one built without them,
     * bucket-size caps included, because the tombstone filter runs before
     * membership counting). */
-  private def minHashPairCtesFor(docPred: String): String = {
+  private def minHashPairCtesFor(docPred: String,
+                                 textExpr: String = "text"): String = {
     val bands = 4; val rpb = 4; val k = bands * rpb
     val sigCols = (0 until k).map(i =>
       s"list_min(list_transform(shs, s -> ${laneSql(i, "s")})) AS sig_$i").mkString(",\n                ")
@@ -9869,7 +9903,7 @@ $backtestPnlCtes,
       val cols = (b * rpb until (b + 1) * rpb).map(i => s"sig_$i").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bucket FROM sigs"
     }.mkString("\n                UNION ALL ")
-    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x)>0) AS ws
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split($textExpr,' '), x -> length(x)>0) AS ws
                    FROM documents WHERE ($docPred)),
         sh AS (SELECT doc_id,
                  list_transform(range(0, len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS shs
@@ -9913,6 +9947,25 @@ $backtestPnlCtes,
     * larger partner is existing). */
   private lazy val dedupIncrementalOracle: String =
     s"""$minHashPairCtes,
+        nd AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
+        pc AS (SELECT doc_id,
+                 (SELECT COUNT(*) FROM vp WHERE vp.doc_b = nd.doc_id)
+               + (SELECT COUNT(*) FROM vp
+                  WHERE vp.doc_a = nd.doc_id AND vp.doc_b % 5 <> 4) AS n_dup_partners
+               FROM nd)
+        SELECT doc_id, n_dup_partners > 0 AS is_dup,
+               CAST(n_dup_partners AS BIGINT) AS n_dup_partners
+        FROM pc"""
+
+  /** Update twin of [[dedupIncrementalOracle]]: the %10==3 docs were
+    * re-ingested with edited text (tombstone → compact → re-sign +
+    * append), so the monolithic replay runs over the MODIFIED corpus —
+    * the same marker-word edit applied in SQL. Same partner-count rule. */
+  private lazy val dedupLshUpdateOracle: String =
+    s"""${minHashPairCtesFor("TRUE",
+        "CASE WHEN doc_id % 10 = 3 THEN array_to_string(" +
+          "list_transform(list_filter(string_split(text, ' '), " +
+          "x -> length(x) > 0), w -> w || '~u'), ' ') ELSE text END")},
         nd AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
         pc AS (SELECT doc_id,
                  (SELECT COUNT(*) FROM vp WHERE vp.doc_b = nd.doc_id)
