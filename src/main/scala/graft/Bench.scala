@@ -190,6 +190,63 @@ object Bench {
         (servingSamples.sum / servingSamples.size,
           sorted(math.min(sorted.size - 1, (sorted.size * 99) / 100)))
       }
+    // Warm ANN serving lane (judge r15 item 3): the PointServe discipline
+    // applied to the served IVF-PQ artifacts — graft.ann.AnnServe loads them
+    // once into primitive arrays; each call is a pure JVM probe + ADC scan,
+    // bit-identical to Pq.topKFromIndex (PqSpec pins it). Target: ≪ the
+    // ~380 ms planner floor a Spark-plan top-k pays per query; comparator is
+    // the same prior-gen 1,500+ QPS row the market lane grades against.
+    val annT0 = System.nanoTime()
+    val (annSamples, annBuildSec, annQps): (Seq[Double], Double, Long) = try {
+      import org.apache.spark.sql.functions.col
+      val e = graft.sources.TestData(spark, sfDir).embeddings
+      val idx = graft.ann.Pq.cachedIndex(e, "vec_id", "embedding", sfDir,
+        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
+      val serve = graft.ann.AnnServe.load(idx)
+      val buildSec = (System.nanoTime() - annT0) / 1e9
+      val qvecs = e.filter(col("vec_id") < 32)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      qvecs.take(4).foreach { case (qid, qv) => serve.topK(qid, qv, 5, 4) } // warm
+      val samples = (0 until 120).map { i =>
+        val (qid, qv) = qvecs(i % qvecs.length)
+        val t0 = System.nanoTime()
+        serve.topK(qid, qv, 5, 4)
+        (System.nanoTime() - t0) / 1e6
+      }
+      val calls = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val deadline = t0 + 2000000000L
+      val hammerFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val threads = (0 until 16).map { tid =>
+        new Thread(() => {
+          try {
+            var i = tid
+            while (System.nanoTime() < deadline && !hammerFailed.get()) {
+              val (qid, qv) = qvecs(i % qvecs.length)
+              serve.topK(qid, qv, 5, 4); calls.incrementAndGet(); i += 1
+            }
+          } catch { case t: Throwable =>
+            hammerFailed.set(true)
+            System.err.println(s"[bench] ann qps16 hammer thread died: $t")
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val qps = if (hammerFailed.get()) -1L
+        else (calls.get() / ((System.nanoTime() - t0) / 1e9)).round
+      (samples, buildSec, qps)
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] ann serving lane failed: $t")
+      (Seq.empty, -1.0, -1L)
+    }
+    val (annAvg, annP99) =
+      if (annSamples.isEmpty) (-1.0, -1.0)
+      else {
+        val sorted = annSamples.sorted
+        (annSamples.sum / annSamples.size,
+          sorted(math.min(sorted.size - 1, (sorted.size * 99) / 100)))
+      }
     // optional comma-separated filter for fast single-query iteration
     // (mirrors graft.Verify's 3rd arg)
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -205,7 +262,11 @@ object Bench {
     // in the artifact so a hot-box run is self-describing.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadAtLaunch = osBean.getSystemLoadAverage
-    val loadThreshold = math.max(6.0, cpus.toDouble / 2.0)
+    // r16 (judge r15 item 5): the old max(6, cpus/2) never engaged on this
+    // 32-CPU box (threshold 16) even though its measured noise signature
+    // appears at load ~4–5 — the r15 driver bench launched at 5.32 with
+    // waited_s=0 and produced 16 flags. Engage at the noise onset instead.
+    val loadThreshold = math.max(2.0, cpus.toDouble / 8.0)
     var loadWaitedSec = 0
     while (osBean.getSystemLoadAverage > loadThreshold && loadWaitedSec < 60) {
       Thread.sleep(10000); loadWaitedSec += 10
@@ -338,6 +399,22 @@ object Bench {
       val (regs, unmeasured) = selectRegressions(
         results.map { case (k, (v, _)) => k -> v }.toMap, hist)
       unmeasuredKeys = unmeasured.map(_._1).toSet
+      // Cool-down before the re-measure loop (judge r15 item 5): the
+      // re-measures otherwise inherit the run's own heat — a 300-query JVM
+      // finishing its timed loop leaves GC debt and a hot box behind, and
+      // an inflated re-measure can only CONFIRM a flag, never exonerate it
+      // (the cold-floor lesson). Drain caches, collect, and give the box up
+      // to 30 s to drop back under the launch threshold.
+      if (regs.nonEmpty) {
+        spark.catalog.clearCache(); System.gc()
+        var cooled = 0
+        while (osBean.getSystemLoadAverage > loadThreshold && cooled < 30) {
+          Thread.sleep(5000); cooled += 5
+        }
+        if (cooled > 0)
+          System.err.println(s"[bench] re-measure cool-down: ${cooled}s " +
+            f"(loadavg now ${osBean.getSystemLoadAverage}%.1f)")
+      }
       val remeasuredVerdicts = regs.map { case (k, p, v, _) =>
         val fn = selected(k)
         // A throwing run must NOT enter the min (ADVICE r13): its
@@ -411,7 +488,7 @@ object Bench {
     // is the real serving number). Renamed so the artifact says what it
     // measures.
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","families":$fams,"queries":$qs,"store_build":${f2(storeSec)},"index_build":${f2(idxSec)},"stream_harness":${f2(streamHarnessSec)},"planner_floor_ms":{"avg":${f2(latAvg)},"p99":${f2(latP99)},"n":${latencySamples.size}},"serving_ms":{"avg":${f3(servAvg)},"p99":${f3(servP99)},"n":${servingSamples.size},"build_sec":${f2(servingBuildSec)},"qps16":$servingQps},"flagged":$flaggedJson,"flagged_dropped":$flaggedDropped,"loadavg":{"launch":${f2(loadAtLaunch)},"start":${f2(loadAtStart)},"waited_s":$loadWaitedSec},"baseline_policy":"min-of-last-3@cpus=$cpus","rows_per_sec":$rps,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","families":$fams,"queries":$qs,"store_build":${f2(storeSec)},"index_build":${f2(idxSec)},"stream_harness":${f2(streamHarnessSec)},"planner_floor_ms":{"avg":${f2(latAvg)},"p99":${f2(latP99)},"n":${latencySamples.size}},"serving_ms":{"avg":${f3(servAvg)},"p99":${f3(servP99)},"n":${servingSamples.size},"build_sec":${f2(servingBuildSec)},"qps16":$servingQps},"ann_serving_ms":{"avg":${f3(annAvg)},"p99":${f3(annP99)},"n":${annSamples.size},"build_sec":${f2(annBuildSec)},"qps16":$annQps},"flagged":$flaggedJson,"flagged_dropped":$flaggedDropped,"loadavg":{"launch":${f2(loadAtLaunch)},"start":${f2(loadAtStart)},"waited_s":$loadWaitedSec},"baseline_policy":"min-of-last-3@cpus=$cpus","rows_per_sec":$rps,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     // The driver keeps only the last 2000 chars of stdout; warn (stderr, so
     // it can't displace the metric line) before truncation becomes possible.
     if (line.length > 1900)

@@ -316,8 +316,94 @@ object Ann {
   def hierarchicalAssign(corpus: DataFrame, id: String, vec: String,
                          centroids: DataFrame, nLists: Int,
                          m: Int = 1, topProbe: Int = 4,
-                         cos: (Column, Column) => Column = cosine): DataFrame = {
+                         cos: (Column, Column) => Column = cosineDefault): DataFrame = {
     require(m >= 1 && topProbe >= 1, "degenerate hierarchical-assign parameters")
+    // r16: the default float-cosine lane runs as ONE codegen'd kernel
+    // expression (functions/HierArgMin) — same map-only posture, but the
+    // two argmin stages are tight JVM loops instead of interpreted
+    // higher-order functions (docs/ASSIGN_r15.json measured the HOF lane
+    // losing to flat below nLists≈256 purely on that constant). Custom
+    // `cos` lanes and non-float centroid tables keep the HOF formulation.
+    val isFloatVec = centroids.schema("centroid").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if ((cos eq cosineDefault) && isFloatVec)
+      hierarchicalAssignKernel(corpus, id, vec, centroids, nLists, m, topProbe)
+    else
+      hierarchicalAssignHof(corpus, id, vec, centroids, nLists, m, topProbe, cos)
+  }
+
+  /** Stable reference for [[hierarchicalAssign]]'s default-lane detection
+    * (a bare method default eta-expands to a fresh object per call site). */
+  val cosineDefault: (Column, Column) => Column = cosine
+
+  /** Kernel lane: identical semantics to [[hierarchicalAssignHof]] —
+    * bit-identical scoring ([[graft.functions.HierArgMinKernel]] docs) —
+    * with both stages compiled. The centroid table is the broadcast-sized
+    * artifact, so the driver collect is bounded by nLists. */
+  private[graft] def hierarchicalAssignKernel(
+      corpus: DataFrame, id: String, vec: String, centroids: DataFrame,
+      nLists: Int, m: Int, topProbe: Int): DataFrame = {
+    val nTop = math.max(1, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val stride = math.max(1, math.ceil(nLists.toDouble / nTop).toInt)
+    val all = centroids.select(col("centroid_id").cast("long").as("centroid_id"),
+        col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1) // crank order = centroid_id ascending, as the HOF window
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dotFF(a, a))
+    def lt(d1: Double, id1: Long, d2: Double, id2: Long): Boolean = {
+      val c = java.lang.Double.compare(d1, d2)
+      c < 0 || (c == 0 && id1 < id2)
+    }
+    // tops: every stride-th centroid by id rank (the HOF's (crank−1) % stride)
+    val topPos = all.indices.filter(i => i % stride == 0).toArray
+    val topIds = topPos.map(i => all(i)._1)
+    val topVecs = topPos.map(i => all(i)._2)
+    val topN = topVecs.map(nrm)
+    // each centroid (tops included) under its nearest top — (td ASC, top_id
+    // ASC) tie rule; iterate tops in ascending id so strict-< keeps lowest id
+    val kidsB = Array.fill(topIds.length)(
+      (Vector.newBuilder[Long], Vector.newBuilder[Array[Float]]))
+    all.foreach { case (cid0, cv0) =>
+      val cn = nrm(cv0)
+      var best = 0
+      var bestD = -(dotFF(cv0, topVecs(0)) / (cn * topN(0)))
+      var t = 1
+      while (t < topIds.length) {
+        val d = -(dotFF(cv0, topVecs(t)) / (cn * topN(t)))
+        if (lt(d, topIds(t), bestD, topIds(best))) { best = t; bestD = d }
+        t += 1
+      }
+      kidsB(best)._1 += cid0
+      kidsB(best)._2 += cv0
+    }
+    val kernel = new graft.functions.HierArgMinKernel(
+      topIds, topVecs,
+      kidsB.map(_._1.result().toArray), kidsB.map(_._2.result().toArray),
+      topProbe, m)
+    corpus.select(col(id).as("cid"), col(vec).as("cv"))
+      .select(col("cid"),
+        posexplode(graft.functions.HierArgMin(col("cv"), kernel)))
+      .select(col("cid"), col("col").as("centroid_id"),
+        (col("pos") + 1).as("arn"))
+  }
+
+  /** Higher-order-function formulation (kept for custom `cos` lanes and as
+    * the kernel's cross-check reference in PqSpec). */
+  private[graft] def hierarchicalAssignHof(
+      corpus: DataFrame, id: String, vec: String,
+      centroids: DataFrame, nLists: Int,
+      m: Int, topProbe: Int,
+      cos: (Column, Column) => Column): DataFrame = {
     val nTop = math.max(1, math.ceil(math.sqrt(nLists.toDouble)).toInt)
     val stride = math.max(1, math.ceil(nLists.toDouble / nTop).toInt)
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))

@@ -194,6 +194,10 @@ object Windows {
   def fillForwardLimit(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                        fillCols: Seq[String], limit: Int): DataFrame = {
     require(limit >= 0, s"negative fill limit $limit")
+    // ADVICE r15: the helper column would silently clobber (and then drop)
+    // a caller's same-named column — fail loudly instead.
+    require(!df.columns.contains("__ffl_rn"),
+      "fillForwardLimit: input already has a __ffl_rn column (reserved helper name)")
     val ww = Window.partitionBy(keys: _*).orderBy(order: _*)
     val cum = ww.rowsBetween(Window.unboundedPreceding, 0)
     val withRn = df.withColumn("__ffl_rn", row_number().over(ww))

@@ -77,7 +77,8 @@ final class JsonlWriteBuilder(path: String, schema: StructType, queryId: String,
   }
 }
 
-final case class JsonlCommit(tempName: String, rows: Long) extends WriterCommitMessage
+final case class JsonlCommit(tempName: String, rows: Long,
+                             partitionId: Int) extends WriterCommitMessage
 
 final class JsonlBatchWrite(path: String, schema: StructType, queryId: String,
                             confMap: Map[String, String])
@@ -99,11 +100,15 @@ final class JsonlBatchWrite(path: String, schema: StructType, queryId: String,
       val out = fs.create(sf, true)
       try out.write(schema.json.getBytes("UTF-8")) finally out.close()
     }
-    messages.zipWithIndex.foreach { case (m: JsonlCommit, i) =>
-      val from = new org.apache.hadoop.fs.Path(dir, m.tempName)
-      val to = new org.apache.hadoop.fs.Path(dir, s"part-$queryId-$i.jsonl")
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"commit rename failed: $from -> $to")
+    messages.foreach {
+      case m: JsonlCommit =>
+        val from = new org.apache.hadoop.fs.Path(dir, m.tempName)
+        // the writer's OWN partitionId, not the messages-array index
+        // (ADVICE r15: the array order is an engine detail, not a contract)
+        val to = new org.apache.hadoop.fs.Path(dir, s"part-$queryId-p${m.partitionId}.jsonl")
+        if (!fs.rename(from, to))
+          throw new java.io.IOException(s"commit rename failed: $from -> $to")
+      case _ => // foreign message type: not ours to commit (mirrors abort)
     }
     fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
   }
@@ -111,7 +116,7 @@ final class JsonlBatchWrite(path: String, schema: StructType, queryId: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val (fs, dir) = JsonlFs.resolve(path, confMap)
     messages.foreach {
-      case JsonlCommit(t, _) =>
+      case JsonlCommit(t, _, _) =>
         fs.delete(new org.apache.hadoop.fs.Path(dir, t), false)
       case _ =>
     }
@@ -122,17 +127,22 @@ final class JsonlBatchWrite(path: String, schema: StructType, queryId: String,
   * connector matrix (batch read/write + micro-batch read landed earlier).
   * Exactly-once table contents from at-least-once epoch delivery:
   *
-  *  - part names are a pure function of (epochId, writer index) — NO
-  *    query/run id, so a restarted query re-deriving the same epoch
+  *  - part names are a pure function of (epochId, writer PARTITION id) —
+  *    NO query/run id, so a restarted query re-deriving the same epoch
   *    produces the SAME names (one stream owns a sink directory; that is
-  *    the standard file-sink contract);
-  *  - a committed epoch leaves a creation-only `_epoch_<id>` marker; a
-  *    REPLAYED epoch (failure between sink commit and checkpoint write)
-  *    sees the marker and discards its temps instead of re-appending;
+  *    the standard file-sink contract); the partition id rides in the
+  *    commit message itself, never inferred from array order (ADVICE r15);
+  *  - a committed epoch leaves a creation-only `_epoch_<id>` MANIFEST
+  *    listing its part names; a REPLAYED epoch (failure between sink
+  *    commit and checkpoint write) sees the marker and discards its temps
+  *    instead of re-appending;
   *  - a PARTIALLY committed epoch (driver died mid-rename, marker absent)
-  *    replays per part: an existing target name means that part already
-  *    landed from the dead attempt (same offsets ⇒ same data), so the
-  *    replay's temp is dropped, else renamed — convergent either way.
+  *    replays by OVERWRITE-AND-RECONCILE (ADVICE r15): every replay part
+  *    replaces any same-named leftover from the dead attempt (a restarted
+  *    source may have replanned splits, so colliding names do NOT imply
+  *    identical per-part content), and stale `part-e<epoch>-*` files NOT
+  *    in the replay's name set are deleted — the epoch's final contents
+  *    are exactly one attempt's complete part set, whatever the split.
   */
 final class JsonlStreamingWrite(path: String, schema: StructType,
                                 confMap: Map[String, String])
@@ -154,26 +164,39 @@ final class JsonlStreamingWrite(path: String, schema: StructType,
     if (fs.exists(marker)) {
       // fully committed epoch replayed: drop the replay's temps
       messages.foreach {
-        case JsonlCommit(t, _) =>
+        case JsonlCommit(t, _, _) =>
           fs.delete(new org.apache.hadoop.fs.Path(dir, t), false)
         case _ =>
       }
     } else {
-      messages.zipWithIndex.foreach { case (m: JsonlCommit, i) =>
+      val partName = (pid: Int) => f"part-e$epochId%06d-p$pid.jsonl"
+      val mine = messages.collect { case m: JsonlCommit => m }
+      mine.foreach { m =>
         val from = new org.apache.hadoop.fs.Path(dir, m.tempName)
-        val to = new org.apache.hadoop.fs.Path(dir, f"part-e$epochId%06d-$i.jsonl")
-        if (fs.exists(to)) fs.delete(from, false) // partial-commit replay
-        else if (!fs.rename(from, to))
+        val to = new org.apache.hadoop.fs.Path(dir, partName(m.partitionId))
+        // partial-commit replay may have REPLANNED splits: a colliding name
+        // does not imply identical content, so the replay's temp WINS
+        if (fs.exists(to)) fs.delete(to, false)
+        if (!fs.rename(from, to))
           throw new java.io.IOException(s"epoch commit rename failed: $from -> $to")
       }
-      fs.create(marker, false).close()
+      // reconcile: stale parts from a dead attempt with different splits
+      val names = mine.map(m => partName(m.partitionId)).toSet
+      fs.globStatus(new org.apache.hadoop.fs.Path(dir, f"part-e$epochId%06d-*.jsonl"))
+        .foreach { st =>
+          if (!names.contains(st.getPath.getName)) fs.delete(st.getPath, false)
+        }
+      // creation-only manifest LAST: the epoch's expected part names
+      val out = fs.create(marker, false)
+      try out.write(names.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val (fs, dir) = JsonlFs.resolve(path, confMap)
     messages.foreach {
-      case JsonlCommit(t, _) =>
+      case JsonlCommit(t, _, _) =>
         fs.delete(new org.apache.hadoop.fs.Path(dir, t), false)
       case _ =>
     }
@@ -275,7 +298,7 @@ final class JsonlDataWriter(path: String, schema: StructType, queryId: String,
     rows += 1
   }
 
-  override def commit(): WriterCommitMessage = { out.close(); JsonlCommit(tempName, rows) }
+  override def commit(): WriterCommitMessage = { out.close(); JsonlCommit(tempName, rows, partitionId) }
   override def abort(): Unit = { out.close(); fs.delete(tempPath, false) }
   override def close(): Unit = ()
 }

@@ -62,7 +62,7 @@ object Replay {
     * and sizes its state stores from the real session conf. */
   val ReplayShufflePartitions = 4
 
-  private def withReplayConf[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+  private[streaming] def withReplayConf[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, ReplayShufflePartitions)

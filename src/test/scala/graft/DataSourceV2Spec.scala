@@ -296,28 +296,40 @@ class DataSourceV2Spec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_v2replay").toString
     val path = s"$root/out"
     val w = new graft.sources.v2.JsonlStreamingWrite(path, schema, confMap)
-    def temp(name: String, ids: Seq[Long]): graft.sources.v2.JsonlCommit = {
+    def temp(name: String, ids: Seq[Long],
+             pid: Int): graft.sources.v2.JsonlCommit = {
       val dir = new java.io.File(path); dir.mkdirs()
       val f = new java.io.File(dir, name)
       val pw = new java.io.PrintWriter(f, "UTF-8")
       try ids.foreach(id => pw.println(s"""{"id":$id}""")) finally pw.close()
-      graft.sources.v2.JsonlCommit(name, ids.size)
+      graft.sources.v2.JsonlCommit(name, ids.size, pid)
     }
     // epoch 5 commits, then the SAME epoch replays with fresh temps (crash
     // between sink commit and checkpoint write): replay temps are dropped
-    w.commit(5L, Array(temp("_temp_e5_0_1", Seq(1L, 2L))))
-    w.commit(5L, Array(temp("_temp_e5_0_2", Seq(1L, 2L))))
-    // epoch 6 PARTIALLY committed (part landed, marker never written),
-    // then replayed: existing target keeps the dead attempt's part
-    temp("_temp_e6_0_1", Seq(7L))
-    new java.io.File(path, "_temp_e6_0_1")
-      .renameTo(new java.io.File(path, "part-e000006-0.jsonl"))
-    w.commit(6L, Array(temp("_temp_e6_0_9", Seq(7L))))
+    w.commit(5L, Array(temp("_temp_e5_0_1", Seq(1L, 2L), 0)))
+    w.commit(5L, Array(temp("_temp_e5_0_2", Seq(1L, 2L), 0)))
+    // epoch 6 PARTIALLY committed by a DEAD attempt with DIFFERENT splits
+    // (ADVICE r15): its p0 landed with stale per-part content and its p1
+    // landed as an orphan — the marker was never written. The replay
+    // replans to ONE split carrying the epoch's full data; its part must
+    // WIN the name collision and the orphan must be reconciled away.
+    temp("_temp_e6_dead_p0", Seq(99L), 0)
+    new java.io.File(path, "_temp_e6_dead_p0")
+      .renameTo(new java.io.File(path, "part-e000006-p0.jsonl"))
+    temp("_temp_e6_dead_p1", Seq(98L), 1)
+    new java.io.File(path, "_temp_e6_dead_p1")
+      .renameTo(new java.io.File(path, "part-e000006-p1.jsonl"))
+    w.commit(6L, Array(temp("_temp_e6_0_9", Seq(7L), 0)))
     val back = spark.read.schema(schema).json(path)
       .select("id").as[Long].collect().sorted
     assert(back.toSeq == Seq(1L, 2L, 7L), s"converged table wrong: ${back.toSeq}")
     val leftoverTemps = new java.io.File(path).listFiles()
       .map(_.getName).filter(_.startsWith("_temp"))
     assert(leftoverTemps.isEmpty, s"temps not cleaned: ${leftoverTemps.toSeq}")
+    // the epoch-6 manifest records exactly the surviving part set
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_epoch_6")), "UTF-8").split("\n").toSet
+    assert(manifest == Set("part-e000006-p0.jsonl"),
+      s"manifest wrong: $manifest")
   }
 }
