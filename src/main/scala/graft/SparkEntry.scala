@@ -26,4747 +26,13 @@ import graft.sources.{Sinks, TestData}
   *  - engine-order-dependent float outputs (sliding window avg/sum) are
   *    rounded to 4 decimals.
   */
-object SparkEntry {
-
-  // once-per-JVM fixture stages keyed "dir#kind" (JSONL shards for the
-  // jsonl_* gates, AVI bytes for mm_video): the gate then measures the
-  // READ/decode lane, not fixture synthesis, and media rides a real
-  // parquet binary column like it would in production
-  private val jsonlStaged = scala.collection.concurrent.TrieMap.empty[String, String]
-  /** Fixture dir → filesystem-safe staging segment. Leading underscores are
-    * stripped: a `/`-rooted dir would otherwise sanitize to `_root_...`,
-    * and Spark's hidden-path filter treats `_`-prefixed names as internal,
-    * emitting an advisory "All paths were ignored" WARN on every read
-    * resolution (3× per bench query — the r11 bench-tail noise). */
-  private def stagedSeg(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_").dropWhile(_ == '_')
-
-  private def dec(c: Column) = c.cast("decimal(25,6)")
-  private def decSum(c: Column) = sum(dec(c)).cast("decimal(25,6)").cast("double")
+object SparkEntry extends CoreQueriesPart with ShapeQueriesPart
+  with JoinQueriesPart with WindowQueriesPart with PipelineQueriesPart
+  with ApiQueriesPart {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
-
-  // ---------------------------------------------------------------- scans & core
-  private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // A2 counters + headline aggregation (TPC-H Q1 shape).
-    "q1_pricing_summary" -> ((s, dir) => {
-      TestData(s, dir).lineitem
-        .filter(col("l_shipdate") <= lit("1998-09-01"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          decSum(col("l_quantity")).as("sum_qty"),
-          decSum(col("l_extendedprice")).as("sum_base_price"),
-          decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
-    }),
-
-    // Beyond-reference: hierarchical ROLLUP aggregation (free under
-    // Catalyst; the reference has no grouping-sets capability at all).
-    "rollup_revenue" -> ((s, dir) => {
-      TestData(s, dir).orders
-        .rollup(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderstatus"))
-        .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-    }),
-
-    // Beyond-reference: full CUBE grouping sets (all four (year, status)
-    // marginal combinations in one pass — Catalyst's Expand feeds a single
-    // aggregation, so the cube costs ONE shuffle, not 4 scans).
-    "cube_revenue" -> ((s, dir) => {
-      TestData(s, dir).orders
-        .cube(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderstatus"))
-        .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-    }),
-
-    // Headline join+agg+topk (TPC-H Q3 shape). Decimal revenue → exact order.
-    "q3_topk_revenue" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.orders.filter(col("o_orderdate") < lit("1996-07-01"))
-        .join(t.lineitem.filter(col("l_shipdate") > lit("1996-06-30")),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey").asc)
-        .limit(10)
-    }),
-
-    // S1/S2 unified wide scan: projection + date normalize + JSON extract +
-    // numeric coercion + boolean flag derivation (C2/C3/C4/C6).
-    "s1_unified_scan" -> ((s, dir) => {
-      TestData(s, dir).events.select(
-        col("event_id"), col("user_id"),
-        Coerce.normalize(col("ts")).as("date"),
-        col("value"),
-        get_json_object(col("props"), "$.k").cast("double").as("k_value"),
-        (col("event_type") === "error").as("is_error"))
-    }),
-
-    // F4 date-range predicate + P1 field-list projection (pushed to parquet).
-    "f4_p1_range_scan" -> ((s, dir) => {
-      TestData(s, dir).lineitem
-        .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1996-03-31")))
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-    }),
-  )
-
-  // ------------------------------------------------- projections / filters / fns
-  private val shapeQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // P2 routed split-projection + P3 rename map ("amount→money" analogue).
-    "p2_routed_split" -> ((s, dir) => {
-      val routes = Map(
-        "market" -> (Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
-          Map("l_extendedprice" -> "money", "l_quantity" -> "volume")))
-      Projections.routedSplit(TestData(s, dir).lineitem, routes)("market")
-    }),
-
-    // Wide→long unpivot (pandas melt): OHLC columns to (field, value)
-    // rows — builtin Dataset.unpivot (a Generate, row-local, no shuffle).
-    "p4_unpivot" -> ((s, dir) => {
-      TestData(s, dir).lineitem
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
-        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
-          Array(col("l_extendedprice"), col("l_quantity")),
-          "field", "value")
-    }),
-
-    // F6 column reorder/ensure with typed-null backfill (pandas reindex).
-    "f6_reindex" -> ((s, dir) => {
-      Projections.reindexColumns(
-        TestData(s, dir).orders.select("o_orderkey", "o_totalprice"),
-        Seq("o_orderkey", "o_totalprice", "total_shares", "float_value"))
-    }),
-
-    // F1/F5 status-flag predicates and labels (string-flag compare, C6).
-    "f5_status_flags" -> ((s, dir) => {
-      TestData(s, dir).orders
-        .filter(col("o_orderstatus") =!= "P")
-        .select(col("o_orderkey"),
-          (col("o_orderstatus") === "F").as("is_filled"),
-          when(col("o_orderstatus") === "O", lit("open")).otherwise(lit("other")).as("status_label"))
-    }),
-
-    // C1 code conversion round-trip + F2 index predicate — pure column exprs.
-    "c1_code_roundtrip" -> ((s, dir) => {
-      val bare = lpad((col("c_custkey") % 1000000).cast("string"), 6, "0")
-      TestData(s, dir).customer
-        .select(col("c_custkey"), CodeConvert.inferPtrade(bare).as("pt"))
-        .withColumn("bs", CodeConvert.ptradeToBaostock(col("pt")))
-        .withColumn("back", CodeConvert.baostockToPtrade(col("bs")))
-        .withColumn("is_index", CodeConvert.isIndexCode(col("bs")))
-    }),
-
-    // C2 date parse/format family: date↔int YYYYMMDD, month truncation.
-    "c2_dates" -> ((s, dir) => {
-      TestData(s, dir).orders.select(
-        col("o_orderkey"),
-        Coerce.dateToInt(col("o_orderdate")).as("date_int"),
-        Coerce.normalize(col("o_orderdate")).as("date_back"),
-        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"))
-    }),
-  )
-
-  // ----------------------------------------------------------- joins / set ops
-  private val joinQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // J3 broadcast-map lookup join with default fill.
-    "j3_broadcast_lookup" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val natReg = t.nation.join(broadcast(t.region),
-        col("n_regionkey") === col("r_regionkey"), "left")
-        .select(col("n_nationkey"), col("n_name"),
-          coalesce(col("r_name"), lit("UNKNOWN")).as("r_name"))
-      Joins.broadcastLookup(
-        t.customer.select(col("c_custkey"), col("c_nationkey")),
-        natReg.withColumnRenamed("n_nationkey", "c_nationkey"),
-        Seq("c_nationkey"), "n_name", lit("UNKNOWN"))
-        .select("c_custkey", "n_name", "r_name")
-    }),
-
-    // J6 as-of join: for each purchase, the user's latest click at or before
-    // the purchase timestamp (single-shuffle tagged-union plan).
-    "j6_asof" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val purchases = t.events.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts_ns"), col("value").as("purchase_value"))
-      val clicks = t.events.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_ns").as("cts"), col("value").as("click_value"))
-      Joins.asOf(purchases, clicks, Seq("user_id"), "ts_ns", "cts", Seq("click_value"))
-        .select("user_id", "event_id", "purchase_value", "click_value")
-    }),
-
-    // The SAME as-of semantics through the custom WHOLE-OPERATOR plan
-    // (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec, injected via
-    // SparkSessionExtensions): co-clustered + (key,time)-sorted children
-    // by planner contract, then a one-pass O(1)-state merge. Shares
-    // j6_asof's oracle verbatim; frame equality is spec-asserted.
-    "j6_asof_exec" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val purchases = t.events.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts_ns"), col("value").as("purchase_value"))
-      val clicks = t.events.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_ns").as("cts"), col("value").as("click_value"))
-      graft.plans.AsOfJoinExec.asOfMerge(purchases, clicks, "user_id",
-          "ts_ns", "cts", Seq("click_value"))
-        .select("user_id", "event_id", "purchase_value", "click_value")
-    }),
-
-    // J6 with a staleness bound: clicks older than one hour before the
-    // purchase null out instead of forward-filling forever — the
-    // fundamentals-join semantics at scale (quarter-old factor matches,
-    // decade-old must not). Same single-shuffle plan; the bound is a
-    // row-local filter on the filled payload.
-    "j6_asof_tol" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val purchases = t.events.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts_ns"), col("value").as("purchase_value"))
-      val clicks = t.events.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_ns").as("cts"), col("value").as("click_value"))
-      Joins.asOfTolerance(purchases, clicks, Seq("user_id"), "ts_ns", "cts",
-          Seq("click_value"), Some(lit(3600L * 1000000000L)))
-        .select("user_id", "event_id", "purchase_value", "click_value")
-    }),
-
-    // J6 NEAREST: each purchase takes the temporally closer click —
-    // backward or forward, tie to backward, 1 h bound both ways. One
-    // shuffle, two sorts; matched_side makes the pick auditable.
-    "j6_asof_nearest" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val purchases = t.events.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts_ns"), col("value").as("purchase_value"))
-      val clicks = t.events.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_ns").as("cts"), col("value").as("click_value"))
-      Joins.asOfNearest(purchases, clicks, Seq("user_id"), "ts_ns", "cts",
-          Seq("click_value"), Some(lit(3600L * 1000000000L)))
-        .select("user_id", "event_id", "purchase_value", "click_value", "matched_side")
-    }),
-
-    // J6 in the FORWARD direction: each click attaches the NEXT purchase
-    // at-or-after it (conversion attribution / trade→next-quote shape).
-    // Same single-shuffle tagged-union plan, walked over descending time.
-    "j6_asof_fwd" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val clicks = t.events.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), col("ts_ns"), col("value").as("click_value"))
-      val purchases = t.events.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_ns").as("pts"), col("value").as("purchase_value"))
-      Joins.asOfForward(clicks, purchases, Seq("user_id"), "ts_ns", "pts",
-          Seq("purchase_value"))
-        .select("user_id", "event_id", "click_value", "purchase_value")
-    }),
-
-    // J1 multi-way index-aligned full-outer join (quarterly-frames merge shape).
-    "j1_multiway_outer" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-      def per(tp: String): DataFrame = ev.filter(col("event_type") === tp)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as(s"${tp}_cnt"), decSum(col("value")).as(s"${tp}_sum"))
-      per("click")
-        .join(per("view"), Seq("user_id"), "full_outer")
-        .join(per("purchase"), Seq("user_id"), "full_outer")
-    }),
-
-    // J4 upsert (last-wins dedup-merge) of two snapshots.
-    "j4_upsert" -> ((s, dir) => {
-      val o = TestData(s, dir).orders
-      val snapA = o.filter(col("o_orderkey") % 3 =!= 0)
-        .select(col("o_orderkey"), col("o_totalprice")).withColumn("batch", lit(0))
-      val snapB = o.filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), (col("o_totalprice") * lit(1.1)).as("o_totalprice"))
-        .withColumn("batch", lit(1))
-      Joins.upsert(snapA, snapB, Seq("o_orderkey"), Seq(col("batch")))
-        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("totalprice"), col("batch"))
-    }),
-
-    // Semi-join (EXISTS): orders with at least one 1996-shipped lineitem.
-    "semi_join" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.orders.select(col("o_orderkey"), col("o_totalprice"))
-        .join(t.lineitem
-            .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1996-12-31")))
-            .select(col("l_orderkey").as("o_orderkey")),
-          Seq("o_orderkey"), "left_semi")
-    }),
-
-    // SET1 set difference via left-anti join (pool − existing): orders with
-    // no lineitem shipped before 1997.
-    "set1_except" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.orders.select(col("o_orderkey"))
-        .join(t.lineitem.filter(col("l_shipdate") < lit("1997-01-01"))
-            .select(col("l_orderkey").as("o_orderkey")),
-          Seq("o_orderkey"), "left_anti")
-    }),
-
-    // Skew-salted join: result ≡ plain join (the oracle), plan splits
-    // each key across 8 reducers. Explicit hot-key handling beyond AQE.
-    "j7_salted_join" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      Joins.saltedJoin(
-        t.lineitem.select(col("l_orderkey").as("okey"),
-          col("l_linenumber"), col("l_quantity")),
-        t.orders.select(col("o_orderkey").as("okey"), col("o_orderstatus")),
-        Seq("okey"), salts = 8)
-    }),
-
-    // Binned range join: global shipment volume in the week after each
-    // audited order — a pure interval-containment join (no equi-key),
-    // which Spark would otherwise plan as a BroadcastNestedLoop. The bin
-    // key makes it one co-shuffled equi-join; result ≡ the BETWEEN join.
-    // Intervals are the 1% audit sample: with ~250 points/day the TRUE
-    // pair count of the all-orders query is quadratic in SF (262 M pairs
-    // at sf0.1, 66 s measured) — a property of that query's semantics,
-    // not the operator; the audit framing keeps the result bounded.
-    "j8_range_join" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val pts = t.lineitem.select(
-        datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
-          .cast("long").as("ship_day"))
-      val ivs = t.orders.filter(col("o_orderkey") % 100 === 0)
-        .select(col("o_orderkey"),
-          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
-            .cast("long").as("lo"))
-        .withColumn("hi", col("lo") + lit(6L))
-      Joins.binnedRangeJoin(pts, ivs, "ship_day", "lo", "hi", bin = 7L)
-        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipments"))
-    }),
-
-    // INTERVAL × INTERVAL overlap join (j8's general form): per customer,
-    // finished orders' fulfillment windows overlapping open orders'
-    // windows. Binned co-shuffled equi-join; the emit-once-at-overlap-
-    // start rule dedupes WITHOUT a distinct shuffle. Day indexes +
-    // key-derived lengths keep everything integer.
-    "j13_interval_overlap" -> ((s, dir) => {
-      val o = TestData(s, dir).orders
-      def iv(status: String, tag: String) =
-        o.filter(col("o_orderstatus") === status)
-          .select(col("o_custkey").as("custkey"),
-            col("o_orderkey").as(s"${tag}_key"),
-            datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
-              .cast("long").as(s"${tag}_lo"))
-          .withColumn(s"${tag}_hi",
-            col(s"${tag}_lo") + col(s"${tag}_key") % 30 + 5)
-      Joins.intervalOverlapJoin(iv("F", "f"), iv("O", "o"), Seq("custkey"),
-          "f_lo", "f_hi", "o_lo", "o_hi", bin = 32L)
-        .select(col("custkey"), col("f_key"), col("o_key"),
-          (least(col("f_hi"), col("o_hi")) -
-            greatest(col("f_lo"), col("o_lo")) + 1L).as("overlap_days"))
-    }),
-
-    // TPC-H Q5 shape: 6-way join through the star (customer→orders→
-    // lineitem→supplier→nation→region) with the local-supplier predicate.
-    // Dims broadcast; the facts co-shuffle once on orderkey; the revenue
-    // sum takes the decimal route (float-determinism rule 1).
-    // TPC-H Q3 (shipping priority): segment-filtered customer ⋈ orders ⋈
-    // lineitem, revenue per open order, top 10 — the classic
-    // filter-pushdown + join + TakeOrderedAndProject plan. Deterministic
-    // total order: revenue DESC, o_orderdate ASC, l_orderkey ASC.
-    "q3_shipping_priority" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val agg = t.customer.filter(col("c_mktsegment") === "BUILDING")
-        .join(t.orders, col("c_custkey") === col("o_custkey"))
-        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .filter(col("o_orderdate") < lit("1996-07-01")
-          && col("l_shipdate") > lit("1996-07-01"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("revenue"))
-      agg.orderBy(col("revenue").desc, col("o_orderdate").asc,
-          col("l_orderkey").asc)
-        .limit(10)
-        .withColumn("o_orderdate", Coerce.normalize(col("o_orderdate")))
-    }),
-
-    "q5_region_revenue" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.customer
-        .join(t.orders, col("c_custkey") === col("o_custkey"))
-        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .join(t.supplier, col("l_suppkey") === col("s_suppkey")
-          && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "ASIA"
-          && col("o_orderdate") >= lit("1996-01-01")
-          && col("o_orderdate") < lit("1997-01-01"))
-        .groupBy(col("n_name"))
-        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("revenue"))
-    }),
-
-    // TPC-H Q17 class: correlated scalar subquery (per-part average
-    // quantity threshold). Written as SQL so Catalyst's decorrelation
-    // (RewriteCorrelatedScalarSubquery → aggregate + join, and
-    // MergeScalarSubqueries fusing the twin aggregates) is what plans it —
-    // the shape every analytics user hits. Boundary exactness: the
-    // avg comparison is cross-multiplied (qty·5·cnt < Σqty) in DECIMAL so
-    // neither engine ever divides — no float/decimal-scale boundary drift.
-    "q17_small_qty" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g17_lineitem")
-      t.part.createOrReplaceTempView("g17_part")
-      s.sql("""
-        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
-                 AS DECIMAL(25,6)) AS DOUBLE) / 7.0 AS avg_yearly
-        FROM g17_lineitem l JOIN g17_part p ON p_partkey = l_partkey
-        WHERE p_brand = 'Brand#1'
-          AND CAST(l_quantity AS DECIMAL(12,6)) * CAST(5 AS DECIMAL(2,0))
-              * CAST((SELECT COUNT(*) FROM g17_lineitem l2
-                      WHERE l2.l_partkey = l.l_partkey) AS DECIMAL(12,0))
-            < (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,6)))
-                 AS DECIMAL(25,6))
-               FROM g17_lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")
-    }),
-
-    // NOT IN over a nullable subquery column — Catalyst's null-aware
-    // anti-join (BroadcastHashJoin LeftAnti, isNullAware=true). The
-    // subquery side is a single pruned bigint column, broadcast by
-    // REQUIREMENT (Spark has no shuffled null-aware anti) — viable at
-    // 100 TB exactly because it stays one column of the filtered dim.
-    "q22_not_in" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.customer.createOrReplaceTempView("g22_customer")
-      t.orders.createOrReplaceTempView("g22_orders")
-      s.sql("""
-        SELECT c_custkey, c_mktsegment
-        FROM g22_customer
-        WHERE c_custkey NOT IN
-          (SELECT o_custkey FROM g22_orders
-           WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')""")
-    }),
-
-    // Bucketed co-located join (the repeated-fact-join strategy at
-    // 100 TB): lineitem and orders are written ONCE per fixture as
-    // 16-bucket tables hash-bucketed on the order key; the join + per-key
-    // aggregation then run with ZERO shuffle exchanges — the scans
-    // themselves carry the hash partitioning (merge hint pins SMJ so the
-    // broadcast path can't mask the demonstration at test scale;
-    // plan-frozen at 0 in ShuffleBudgetSpec). Result ≡ the plain join.
-    "j10_bucketed_join" -> ((s, dir) => {
-      val key = stagedSeg(dir)
-      jsonlStaged.getOrElseUpdate(dir + "#bucketed", {
-        val root = s"/tmp/graft_bucketed_${ProcessHandle.current().pid()}/$key"
-        val t = TestData(s, dir)
-        Sinks.writeBucketed(t.lineitem.select("l_orderkey", "l_quantity"),
-          s"graft_li_$key", s"$root/lineitem", "l_orderkey")
-        Sinks.writeBucketed(t.orders.select("o_orderkey", "o_orderstatus"),
-          s"graft_ord_$key", s"$root/orders", "o_orderkey")
-        root
-      })
-      s.table(s"graft_li_$key")
-        .join(s.table(s"graft_ord_$key").hint("merge"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_items"), decSum(col("l_quantity")).as("sum_qty"))
-    }),
-
-    // Magic-byte media router over a MIXED-format corpus (the real-world
-    // shape — crawled media never arrives format-sorted): doc_id % 21
-    // rotates every payload kind through the twenty real codecs plus an
-    // opaque residue lane; ONE mapPartitions pass dispatches each row by
-    // container signature. The gate checks detection + decode routing
-    // (kind, dims, unit counts — all integers, exact); per-kind signal
-    // fidelity is already gated by the mm_* codec gates.
-    "mm_sniff" -> ((s, dir) => {
-      import s.implicits._
-      val docs = TestData(s, dir).documents
-      val ids = docs.select(col("doc_id").cast("long")).as[Long]
-      def pick(m: Int) = ids.filter(_ % 21 == m)
-      def row(id: Long, media: Array[Byte]) =
-        Multimodal.MediaRow(id, media, "", 0, 0)
-      val mixed =
-        Jpeg.syntheticJpeg(pick(0)).map(r => row(r.id, r.media))
-          .union(Png.syntheticPng(pick(1)).map(r => row(r.id, r.media)))
-          .union(Gif.syntheticGif(pick(2)).map(r => row(r.id, r.media)))
-          .union(Multimodal.syntheticPpm(pick(3)).map(r => row(r.id, r.media)))
-          .union(Multimodal.syntheticWav(pick(4)).map(r => row(r.id, r.media)))
-          .union(Flac.syntheticFlac(pick(5)).map(r => row(r.id, r.media)))
-          .union(Video.syntheticAvi(pick(6)).map(r => row(r.id, r.media)))
-          .union(Bmp.syntheticBmp(pick(7)).map(r => row(r.id, r.media)))
-          .union(Tiff.syntheticTiff(pick(8)).map(r => row(r.id, r.media)))
-          .union(H264Meta.syntheticH264(pick(9)).map(r => row(r.id, r.media)))
-          .union(Mp4Meta.syntheticMp4(pick(10)).map(r => row(r.id, r.media)))
-          .union(Zip.syntheticZip(pick(11)).map(r => row(r.id, r.media)))
-          .union(TarShard.syntheticTar(pick(12)).map(r => row(r.id, r.media)))
-          .union(Ico.syntheticIco(pick(13)).map(r => row(r.id, r.media)))
-          .union(Mp3Meta.syntheticMp3(pick(14)).map(r => row(r.id, r.media)))
-          .union(Webp.syntheticWebp(pick(15)).map(r => row(r.id, r.media)))
-          .union(Pdf.syntheticPdf(pick(16)).map(r => row(r.id, r.media)))
-          .union(Ogg.syntheticOgg(pick(17)).map(r => row(r.id, r.media)))
-          .union(Mkv.syntheticMkv(pick(18)).map(r => row(r.id, r.media)))
-          .union(Ttf.syntheticTtf(pick(19)).map(r => row(r.id, r.media)))
-          .union(docs.filter(col("doc_id") % 21 === 20)
-            .select(col("doc_id").cast("long").as("id"),
-              encode(col("text"), "UTF-8").as("media"),
-              lit("").as("format"), lit(0).as("width"), lit(0).as("height"))
-            .as[Multimodal.MediaRow])
-      Multimodal.sniffAndDecode(mixed).toDF()
-        .select("id", "kind", "width", "height", "n_units")
-    }),
-
-    // TPC-H Q9 class (product-type profit): the 6-way fact-heavy snowflake
-    // grouped by (nation, year). The fixture has no partsupp, so
-    // ps_supplycost is a DERIVED deterministic analog — integer CENTS from
-    // (partkey, suppkey) ((p·31+s·17)%5000+100), so the per-row amount is
-    // pure row-local IEEE arithmetic identical in any engine, and the sum
-    // rides the q1 decimal route. The PLAN is the real thing: profit
-    // expression over a 5-join tree, dims broadcast, one agg exchange.
-    "q9_product_profit" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g9_lineitem")
-      t.orders.createOrReplaceTempView("g9_orders")
-      t.supplier.createOrReplaceTempView("g9_supplier")
-      t.nation.createOrReplaceTempView("g9_nation")
-      t.part.createOrReplaceTempView("g9_part")
-      s.sql("""
-        SELECT nation, o_year,
-               CAST(CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS sum_profit
-        FROM (
-          SELECT n_name AS nation,
-                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                 l_extendedprice * (1 - l_discount)
-                   - (CAST((l_partkey * 31 + l_suppkey * 17) % 5000 + 100 AS DOUBLE) / 100.0)
-                     * l_quantity AS amount
-          FROM g9_lineitem
-          JOIN g9_orders ON o_orderkey = l_orderkey
-          JOIN g9_supplier ON s_suppkey = l_suppkey
-          JOIN g9_nation ON n_nationkey = s_nationkey
-          JOIN g9_part ON p_partkey = l_partkey
-          WHERE p_type = 'PROMO')
-        GROUP BY nation, o_year""")
-    }),
-
-    // TPC-H Q4 class: correlated EXISTS with a NON-equi predicate that
-    // references the outer row (ship > order date + 90d) — Catalyst
-    // decorrelates to a left-semi join with the range condition as a
-    // residual join filter, the third distinctive subquery plan shape
-    // next to q17's scalar aggregates and q22's null-aware anti.
-    "q4_order_priority" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.orders.createOrReplaceTempView("g4_orders")
-      t.lineitem.createOrReplaceTempView("g4_lineitem")
-      s.sql("""
-        SELECT o_orderpriority, count(*) AS n_late
-        FROM g4_orders o
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-          AND EXISTS (SELECT 1 FROM g4_lineitem l
-                      WHERE l.l_orderkey = o.o_orderkey
-                        AND l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY)
-        GROUP BY o_orderpriority""")
-    }),
-
-    // TPC-H Q20 class: an IN-subquery whose inner block itself nests a
-    // correlated scalar aggregate — the deepest member of the subquery
-    // family (q17 scalar / q22 null-aware anti / q4 exists). No partsupp
-    // fixture, so lineitem plays the supply role: suppliers in the
-    // NATION_1x group who, for some PROMO part, shipped >20% of that
-    // part's total 1995 quantity. The threshold is cross-multiplied in
-    // DECIMAL (sum·5 > total) so neither engine divides (q17 precedent).
-    "q20_part_supp" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.supplier.createOrReplaceTempView("g20_supplier")
-      t.nation.createOrReplaceTempView("g20_nation")
-      t.lineitem.createOrReplaceTempView("g20_lineitem")
-      t.part.createOrReplaceTempView("g20_part")
-      s.sql("""
-        SELECT s_suppkey, s_name
-        FROM g20_supplier JOIN g20_nation ON s_nationkey = n_nationkey
-        WHERE n_name LIKE 'NATION_1%'
-          AND s_suppkey IN (
-            SELECT l.l_suppkey
-            FROM g20_lineitem l
-            WHERE l.l_partkey IN (SELECT p_partkey FROM g20_part
-                                  WHERE p_type = 'PROMO')
-              AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-              AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
-            GROUP BY l.l_suppkey, l.l_partkey
-            HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,6)))
-                     AS DECIMAL(25,6)) * 5
-                 > (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,6)))
-                          AS DECIMAL(25,6))
-                    FROM g20_lineitem l2
-                    WHERE l2.l_partkey = l.l_partkey
-                      AND l2.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-                      AND l2.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'))""")
-    }),
-
-    // TPC-H Q2 class: correlated scalar MIN subquery used in an EQUALITY
-    // predicate — "the supplier offering the minimum price", the classic
-    // min-per-group-then-rejoin shape. The subquery repeats the outer's
-    // region-restricted join, so decorrelation has to plan a second
-    // multi-way join under the aggregate. Exactness: the predicate
-    // compares a stored double against MIN over stored doubles — no
-    // arithmetic, so the equality is bit-exact in both engines.
-    "q2_min_cost" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g2_lineitem")
-      t.part.createOrReplaceTempView("g2_part")
-      t.supplier.createOrReplaceTempView("g2_supplier")
-      t.nation.createOrReplaceTempView("g2_nation")
-      t.region.createOrReplaceTempView("g2_region")
-      s.sql("""
-        SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name,
-               l.l_extendedprice AS min_price
-        FROM g2_lineitem l
-          JOIN g2_part p ON p.p_partkey = l.l_partkey
-          JOIN g2_supplier s ON s.s_suppkey = l.l_suppkey
-          JOIN g2_nation n ON n.n_nationkey = s.s_nationkey
-          JOIN g2_region r ON r.r_regionkey = n.n_regionkey
-        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
-          AND l.l_extendedprice =
-            (SELECT MIN(l2.l_extendedprice)
-             FROM g2_lineitem l2
-               JOIN g2_supplier s2 ON s2.s_suppkey = l2.l_suppkey
-               JOIN g2_nation n2 ON n2.n_nationkey = s2.s_nationkey
-               JOIN g2_region r2 ON r2.r_regionkey = n2.n_regionkey
-             WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')""")
-    }),
-
-    // TPC-H Q21 class: EXISTS and NOT EXISTS, BOTH correlated against the
-    // same fact table, with a supplier-inequality — and (absent
-    // receipt/commit dates in the fixtures) the lateness predicate
-    // correlates the NOT EXISTS on TWO outer tables (l1's order key and
-    // o's order date) at once. Catalyst plans the pair as a left-semi
-    // then null-filtering left-anti over the re-scanned lineitem — the
-    // hardest decorrelation shape in the subquery family (q17 scalar /
-    // q22 null-aware anti / q4 exists / q20 nested IN).
-    "q21_waiting" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.supplier.createOrReplaceTempView("g21_supplier")
-      t.lineitem.createOrReplaceTempView("g21_lineitem")
-      t.orders.createOrReplaceTempView("g21_orders")
-      t.nation.createOrReplaceTempView("g21_nation")
-      s.sql("""
-        SELECT s.s_name, count(*) AS numwait
-        FROM g21_supplier s
-          JOIN g21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
-          JOIN g21_orders o ON o.o_orderkey = l1.l_orderkey
-          JOIN g21_nation n ON n.n_nationkey = s.s_nationkey
-        WHERE o.o_orderstatus = 'F'
-          AND n.n_name LIKE 'NATION_%'
-          AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
-          AND EXISTS (SELECT 1 FROM g21_lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM g21_lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
-        GROUP BY s.s_name""")
-    }),
-
-    // TPC-H Q15 class: scalar subquery over a DERIVED aggregate view (the
-    // revenue CTE appears twice — once as the join input, once under the
-    // global MAX), the MergeScalarSubqueries / CTE-reuse shape. Revenue
-    // goes decimal-route on both engines, so MAX-equality is exact.
-    "q15_top_supplier" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g15_lineitem")
-      t.supplier.createOrReplaceTempView("g15_supplier")
-      s.sql("""
-        WITH rev AS (
-          SELECT l_suppkey AS supplier_no,
-                 CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)
-                   AS total_revenue
-          FROM g15_lineitem
-          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-          GROUP BY l_suppkey)
-        SELECT s.s_suppkey, s.s_name, r.total_revenue
-        FROM g15_supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
-        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""")
-    }),
-
-    // TPC-H Q6 class: the pure pushed-predicate scan-aggregate — every
-    // filter (date range, discount band, quantity cap) reaches the
-    // parquet reader, no join, one partial-agg shuffle of ONE row per
-    // partition. The what-if revenue probe that benchmarks scan + pushdown
-    // and nothing else.
-    "q6_forecast_revenue" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g6_lineitem")
-      s.sql("""
-        SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount
-                 AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
-               count(*) AS n_lines
-        FROM g6_lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-          AND l_discount BETWEEN 0.05 AND 0.07
-          AND l_quantity < 24""")
-    }),
-
-    // TPC-H Q10 class: returned-item revenue, top-20 customers — the
-    // ranked-report star: fact filter (returnflag) + customer/nation
-    // broadcast dims + one agg + TakeOrderedAndProject (never a global
-    // sort). c_custkey tiebreak makes the cut a total order.
-    "q10_returned_items" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g10_lineitem")
-      t.orders.createOrReplaceTempView("g10_orders")
-      t.customer.createOrReplaceTempView("g10_customer")
-      t.nation.createOrReplaceTempView("g10_nation")
-      s.sql("""
-        SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
-               CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                   AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue
-        FROM g10_customer c
-          JOIN g10_orders o ON c.c_custkey = o.o_custkey
-          JOIN g10_lineitem l ON o.o_orderkey = l.l_orderkey
-          JOIN g10_nation n ON c.c_nationkey = n.n_nationkey
-        WHERE l.l_returnflag = 'R'
-          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
-        GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
-        ORDER BY revenue DESC, c_custkey ASC LIMIT 20""")
-    }),
-
-    // TPC-H Q11 class: a filter against TWO scalar subqueries over the
-    // same derived aggregate — "parts worth over 1.5× the AVERAGE part"
-    // (average-relative, so the cut stays meaningful at any SF, unlike
-    // Q11's absolute fraction which needs per-SF retuning). The compare
-    // is cross-multiplied in DECIMAL (v·cnt·10 > total·15): division-free,
-    // boundary-exact, and the twin subqueries share the CTE scan.
-    "q11_important_stock" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g11_lineitem")
-      s.sql("""
-        WITH pv AS (SELECT l_partkey,
-                      CAST(SUM(CAST(l_extendedprice * l_quantity
-                        AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS v
-                    FROM g11_lineitem GROUP BY l_partkey)
-        SELECT l_partkey, CAST(v AS DOUBLE) AS stock_value
-        FROM pv
-        WHERE v * (SELECT COUNT(*) FROM pv) * 10
-            > (SELECT SUM(v) FROM pv) * 15""")
-    }),
-
-    // TPC-H Q7 class: the SAME dimension joined TWICE under different
-    // roles (supplier's nation vs customer's nation) with a cross-side
-    // disjunctive pair predicate — Catalyst must keep the two nation scans
-    // distinct (no erroneous dedup), broadcast both, and can't push the
-    // pair OR to either side alone because each disjunct constrains BOTH
-    // join branches. Revenue goes decimal-route; year() is exact.
-    "q7_nation_volume" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g7_lineitem")
-      t.orders.createOrReplaceTempView("g7_orders")
-      t.customer.createOrReplaceTempView("g7_customer")
-      t.supplier.createOrReplaceTempView("g7_supplier")
-      t.nation.createOrReplaceTempView("g7_nation")
-      s.sql("""
-        SELECT supp_nation, cust_nation, l_year,
-               CAST(CAST(SUM(volume) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
-               count(*) AS n_lines
-        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume
-              FROM g7_lineitem
-                JOIN g7_supplier ON s_suppkey = l_suppkey
-                JOIN g7_orders ON o_orderkey = l_orderkey
-                JOIN g7_customer ON c_custkey = o_custkey
-                JOIN g7_nation n1 ON s_nationkey = n1.n_nationkey
-                JOIN g7_nation n2 ON c_nationkey = n2.n_nationkey
-              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        GROUP BY supp_nation, cust_nation, l_year""")
-    }),
-
-    // TPC-H Q13 class: OUTER join that must PRESERVE zero-match customers
-    // (the join predicate carries a non-key condition on the nullable
-    // side), then a second aggregation over the first's counts — the
-    // distribution-histogram shape. count(o_orderkey) counts only matched
-    // rows (nulls don't count), so never-ordered customers land in the
-    // c_count=0 bucket instead of vanishing — the semantic an inner join
-    // silently gets wrong. All-integer outputs: exact on any engine.
-    "q13_custdist" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.customer.createOrReplaceTempView("g13_customer")
-      t.orders.createOrReplaceTempView("g13_orders")
-      s.sql("""
-        WITH c_orders AS (
-          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-          FROM g13_customer c LEFT OUTER JOIN g13_orders o
-            ON c.c_custkey = o.o_custkey
-           AND o.o_orderpriority <> '1-URGENT'
-          GROUP BY c.c_custkey)
-        SELECT c_count, count(*) AS custdist
-        FROM c_orders GROUP BY c_count""")
-    }),
-
-    // TPC-H Q16 class: COUNT(DISTINCT) under grouping (plans as the
-    // two-phase Expand/partial-distinct aggregate — a plan shape no other
-    // gate exercises) composed with a NOT IN anti-join on the
-    // counted-distinct column itself. The fixtures have no partsupp, so
-    // lineitem plays the who-supplies-what role (q20 precedent).
-    "q16_supplier_cnt" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g16_lineitem")
-      t.part.createOrReplaceTempView("g16_part")
-      t.supplier.createOrReplaceTempView("g16_supplier")
-      s.sql("""
-        SELECT p.p_brand, p.p_type, p.p_size,
-               count(DISTINCT l.l_suppkey) AS supplier_cnt
-        FROM g16_lineitem l JOIN g16_part p ON p.p_partkey = l.l_partkey
-        WHERE p.p_brand <> 'Brand#1'
-          AND p.p_type <> 'STANDARD'
-          AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM g16_supplier
-                                  WHERE s_acctbal < 0)
-        GROUP BY p.p_brand, p.p_type, p.p_size""")
-    }),
-
-    // TPC-H Q18 class: IN-subquery over a grouped HAVING on the SAME fact
-    // the outer query aggregates — the large-volume-order shape. Catalyst
-    // plans the subquery as its own aggregate then semi-joins it back into
-    // the customer⋈orders⋈lineitem pipeline (contrast q20, where the IN
-    // nests a *correlated* scalar agg). Quantity sums go decimal-route on
-    // both engines; the HAVING threshold compares the DECIMAL directly —
-    // no division, no boundary (q17/q20 precedent).
-    "q18_large_orders" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.customer.createOrReplaceTempView("g18_customer")
-      t.orders.createOrReplaceTempView("g18_orders")
-      t.lineitem.createOrReplaceTempView("g18_lineitem")
-      s.sql("""
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,6)))
-                   AS DECIMAL(25,6)) AS DOUBLE) AS sum_qty
-        FROM g18_customer
-          JOIN g18_orders ON c_custkey = o_custkey
-          JOIN g18_lineitem ON o_orderkey = l_orderkey
-        WHERE o_orderkey IN (
-          SELECT l_orderkey FROM g18_lineitem
-          GROUP BY l_orderkey
-          HAVING SUM(CAST(l_quantity AS DECIMAL(12,6))) > 150)
-        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""")
-    }),
-
-    // TPC-H Q19 class: disjunction of per-block CONJUNCTIONS spanning both
-    // join sides — the predicate-pushdown stress test. Catalyst cannot
-    // push the mixed OR itself, but derives the per-side residues (the
-    // brand/size OR onto the part scan, the quantity OR onto lineitem) so
-    // both scans still prune before the join; the full disjunction then
-    // re-applies post-join. Revenue goes decimal-route (q15 pattern).
-    "q19_disjunctive" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g19_lineitem")
-      t.part.createOrReplaceTempView("g19_part")
-      s.sql("""
-        SELECT p.p_brand,
-               CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                   AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS revenue,
-               count(*) AS n_lines
-        FROM g19_lineitem l JOIN g19_part p ON p.p_partkey = l.l_partkey
-        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
-               AND l.l_quantity BETWEEN 1 AND 11)
-           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
-               AND l.l_quantity BETWEEN 10 AND 20)
-           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
-               AND l.l_quantity BETWEEN 20 AND 30)
-        GROUP BY p.p_brand""")
-    }),
-
-    // TPC-H Q8 class: the DEEPEST join tree in the plan-shape tier — an
-    // 8-way snowflake with nation joined in TWO roles (customer's nation
-    // routes through region for the market filter; supplier's nation is
-    // the share indicator), then a per-year market-share ratio. Share =
-    // nation volume / total volume as a division of two DECIMAL-exact
-    // doubles — IEEE division of identical inputs is bit-identical
-    // cross-engine (the hazard is only ever in the SUMS, which go
-    // decimal-route). At 100 TB: every dim side (part, customer,
-    // supplier, nation×2, region) broadcasts; lineitem⋈orders is the one
-    // co-shuffled fact join; the year/share agg is one exchange.
-    "q8_market_share" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g8_lineitem")
-      t.orders.createOrReplaceTempView("g8_orders")
-      t.customer.createOrReplaceTempView("g8_customer")
-      t.supplier.createOrReplaceTempView("g8_supplier")
-      t.part.createOrReplaceTempView("g8_part")
-      t.nation.createOrReplaceTempView("g8_nation")
-      t.region.createOrReplaceTempView("g8_region")
-      s.sql("""
-        SELECT o_year,
-               CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
-                                  ELSE CAST(0 AS DECIMAL(25,6)) END)
-                   AS DECIMAL(25,6)) AS DOUBLE)
-                 / CAST(CAST(SUM(volume) AS DECIMAL(25,6)) AS DOUBLE)
-                 AS mkt_share,
-               count(*) AS n_lines
-        FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
-                     n2.n_name AS supp_nation
-              FROM g8_part
-                JOIN g8_lineitem ON p_partkey = l_partkey
-                JOIN g8_supplier ON s_suppkey = l_suppkey
-                JOIN g8_orders ON l_orderkey = o_orderkey
-                JOIN g8_customer ON o_custkey = c_custkey
-                JOIN g8_nation n1 ON c_nationkey = n1.n_nationkey
-                JOIN g8_region ON n1.n_regionkey = r_regionkey
-                JOIN g8_nation n2 ON s_nationkey = n2.n_nationkey
-              WHERE r_name = 'ASIA'
-                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-                AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-                AND p_type = 'MEDIUM')
-        GROUP BY o_year""")
-    }),
-
-    // TPC-H Q12 class: two-group CASE aggregation over a fact-fact join —
-    // per ship class, how many lines belong to high- vs low-priority
-    // orders. The fixtures carry no l_shipmode/commitdate, so
-    // l_returnflag plays the ship-class role and the date window filters
-    // l_shipdate — the PLAN shape (join + conditional two-way counts in
-    // one aggregation pass, never two scans) is the point. All-integer
-    // outputs; sums BIGINT-cast on both sides (DuckDB widens SUM(int) to
-    // HUGEINT — the graph_pagerank lesson).
-    "q12_ship_priority" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g12_lineitem")
-      t.orders.createOrReplaceTempView("g12_orders")
-      s.sql("""
-        SELECT l_returnflag AS ship_class,
-               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-        FROM g12_orders JOIN g12_lineitem ON o_orderkey = l_orderkey
-        WHERE l_linestatus = 'F'
-          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-        GROUP BY l_returnflag""")
-    }),
-
-    // TPC-H Q14 class: conditional-ratio aggregation — promo revenue as a
-    // share of total over one month, numerator and denominator summed in
-    // ONE pass via CASE (not two scans). Both sums go decimal-route, the
-    // ratio is a single double multiply+divide of the exact sums (IEEE
-    // bit-identical cross-engine); n_lines keeps the row verifiable even
-    // if the ratio were ever in doubt.
-    "q14_promo_effect" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g14_lineitem")
-      t.part.createOrReplaceTempView("g14_part")
-      s.sql("""
-        SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
-                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
-                   ELSE CAST(0 AS DECIMAL(25,6)) END)
-                 AS DECIMAL(25,6)) AS DOUBLE) * 100.0
-               / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                   AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)
-               AS promo_revenue,
-               count(*) AS n_lines
-        FROM g14_lineitem JOIN g14_part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""")
-    }),
-
-    // Hot-key split join: result ≡ plain join; the plan broadcasts the
-    // hot mass (keys with >N rows) and shuffles only the tail — the
-    // other standard skew treatment next to j7's salting.
-    "j9_split_join" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val li = t.lineitem.select(col("l_orderkey").as("okey"),
-        col("l_linenumber"), col("l_quantity"))
-      Joins.skewSplitJoin(li,
-        t.orders.select(col("o_orderkey").as("okey"), col("o_orderstatus")),
-        Seq("okey"), Joins.hotKeys(li, Seq("okey"), minCount = 5L))
-    }),
-
-    // Ordered conversion funnel (view → click → purchase): each stage's
-    // timestamp is the EARLIEST event of that type at-or-after the
-    // previous stage WITHIN a 2 h conversion window — three dependent
-    // conditional-min aggregations, the
-    // product-analytics shape sessionization doesn't cover. All integer
-    // nanos; reached_stage makes the verdict scannable.
-    "events_funnel" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.events.createOrReplaceTempView("gf_events")
-      s.sql("""
-        WITH v AS (SELECT user_id,
-                     MIN(CASE WHEN event_type = 'view' THEN ts_ns END) AS v_ts
-                   FROM gf_events GROUP BY user_id),
-        c AS (SELECT e.user_id,
-                MIN(CASE WHEN e.event_type = 'click'
-                         AND e.ts_ns >= v.v_ts
-                         AND e.ts_ns <= v.v_ts + 7200000000000 THEN e.ts_ns END) AS c_ts
-              FROM gf_events e JOIN v ON e.user_id = v.user_id
-              GROUP BY e.user_id),
-        p AS (SELECT e.user_id,
-                MIN(CASE WHEN e.event_type = 'purchase'
-                         AND e.ts_ns >= c.c_ts
-                         AND e.ts_ns <= c.c_ts + 7200000000000 THEN e.ts_ns END) AS p_ts
-              FROM gf_events e JOIN c ON e.user_id = c.user_id
-              GROUP BY e.user_id)
-        SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
-               CASE WHEN p.p_ts IS NOT NULL THEN 3
-                    WHEN c.c_ts IS NOT NULL THEN 2
-                    WHEN v.v_ts IS NOT NULL THEN 1 ELSE 0 END AS reached_stage
-        FROM v JOIN c ON v.user_id = c.user_id
-               JOIN p ON v.user_id = p.user_id""")
-    }),
-
-    // Cohort retention: users grouped by first-activity week, distinct
-    // active users counted per (cohort, week offset) — the
-    // week-over-week retention triangle, all integer counts.
-    // Multi-touch LINEAR attribution (the marketing-analytics shape the
-    // funnel's first-touch mins don't cover): every click by the same
-    // user within the 2 h window before a purchase shares the purchase
-    // value equally. Pair generation is the user-co-shuffled equi-join
-    // with a row-local time-band filter; credit = one IEEE division of
-    // the exact value by the window count, emitted at PAIR granularity so
-    // no float summation order exists. Integer nanos throughout (rule 5).
-    "events_attribution" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.events.createOrReplaceTempView("ga_events")
-      s.sql("""
-        WITH p AS (SELECT user_id, event_id AS purchase_id, ts_ns AS pts, value AS pvalue
-                   FROM ga_events WHERE event_type = 'purchase'),
-             c AS (SELECT user_id, event_id AS click_id, ts_ns AS cts
-                   FROM ga_events WHERE event_type = 'click'),
-             pairs AS (SELECT p.user_id, p.purchase_id, p.pvalue, c.click_id
-                       FROM p JOIN c ON p.user_id = c.user_id
-                       WHERE c.cts < p.pts AND c.cts >= p.pts - 7200000000000)
-        SELECT user_id, purchase_id, click_id,
-               pvalue / COUNT(*) OVER (PARTITION BY purchase_id) AS credit,
-               CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touch
-        FROM pairs""")
-    }),
-
-    "events_retention" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.events.createOrReplaceTempView("gr_events")
-      s.sql("""
-        WITH w AS (SELECT user_id, ts_ns DIV 604800000000000 AS wk
-                   FROM gr_events),
-        cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
-        SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
-               COUNT(DISTINCT w.user_id) AS n_active
-        FROM w JOIN cohort c ON w.user_id = c.user_id
-        GROUP BY c.cohort_wk, w.wk - c.cohort_wk""")
-    }),
-
-    // A1/SET3 distinct-union accumulation of a key pool.
-    "a1_distinct_union" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      Aggregates.distinctUnion(Seq(
-        t.orders.select(col("o_custkey").as("custkey")),
-        t.customer.select(col("c_custkey").as("custkey"))))
-    }),
-  )
-
-  // ------------------------------------------------------- windows / resample
-  private val windowQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // W1 last-N-per-key (get_history(count) shape): last 3 orders/customer.
-    "w1_last_n" -> ((s, dir) => {
-      Windows.lastNPerKey(TestData(s, dir).orders, Seq(col("o_custkey")),
-          Seq(col("o_orderdate"), col("o_orderkey")), 3)
-        .select("o_custkey", "o_orderkey", "o_orderdate")
-    }),
-
-    // W2 suspension forward-fill on a (user × date) calendar spine.
-    "w2_fill_forward" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-        .select(col("user_id"), Coerce.normalize(col("ts")).as("d"),
-          col("value"), col("ts_ns"), col("event_id"))
-      val dailyLast = Windows.dedupKeepFirst(ev,
-          Seq(col("user_id"), col("d")),
-          Seq(col("ts_ns").desc, col("event_id").desc))
-        .select(col("user_id"), col("d"), col("value").as("close"))
-      val spine = ev.select(col("user_id")).distinct()
-        .crossJoin(ev.select(col("d")).distinct())
-      val joined = spine.join(dailyLast, Seq("user_id", "d"), "left")
-      Windows.fillForward(joined, Seq(col("user_id")), Seq(col("d")), Seq("close"))
-        .select(col("user_id"), col("d").as("date"), col("close"))
-    }),
-
-    // BOUNDED forward-fill (pandas ffill(limit=)): fill at most 2
-    // consecutive missing days, staler gaps stay null — the guard against
-    // carrying a suspended security's last price across months. Same
-    // spine as w2_fill_forward so the two gates differ ONLY in the bound.
-    "w20_ffill_limit" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-        .select(col("user_id"), Coerce.normalize(col("ts")).as("d"),
-          col("value"), col("ts_ns"), col("event_id"))
-      val dailyLast = Windows.dedupKeepFirst(ev,
-          Seq(col("user_id"), col("d")),
-          Seq(col("ts_ns").desc, col("event_id").desc))
-        .select(col("user_id"), col("d"), col("value").as("close"))
-      val spine = ev.select(col("user_id")).distinct()
-        .crossJoin(ev.select(col("d")).distinct())
-      val joined = spine.join(dailyLast, Seq("user_id", "d"), "left")
-      Windows.fillForwardLimit(joined, Seq(col("user_id")), Seq(col("d")),
-          Seq("close"), limit = 2)
-        .select(col("user_id"), col("d").as("date"), col("close"))
-    }),
-
-    // A3 moving average + A4 rolling (TTM-style) sum, rounded for stability.
-    "a3_a4_windows" -> ((s, dir) => {
-      val keys = Seq(col("o_custkey"))
-      val ord = Seq(col("o_orderdate"), col("o_orderkey"))
-      val withMa = Windows.movingAvg(TestData(s, dir).orders, keys, ord,
-        col("o_totalprice"), 5, "ma5")
-      Windows.rollingSum(withMa, keys, ord, col("o_totalprice"), 4, "ttm4")
-        .select(col("o_custkey"), col("o_orderkey"),
-          round(col("ma5"), 4).as("ma5"), round(col("ttm4"), 4).as("ttm4"))
-    }),
-
-    // EWMA — the RECURSIVE window no frame can express (every output
-    // depends on the whole prefix): sequential per-key fold, α = 0.25
-    // exactly representable so each step is a fixed IEEE tree.
-    "w11_ewma" -> ((s, dir) =>
-      Windows.ewma(mkt(s, dir).bars, Seq(col("symbol")), col("date"),
-          col("close"), 0.25, "ewma")
-        .select(col("symbol"), col("o").as("date"), col("v").as("close"),
-          col("ewma"))),
-
-    // One-sided CUSUM change-point statistic per user: deviations are
-    // exact integers ((event_id % 100) − 45, target folded in), the
-    // clip-at-zero recursion runs through the O(n) CusumRun expression,
-    // and alarm = cusum > 400. Everything integer-valued → SQL-exact.
-    "w16_cusum" -> ((s, dir) => {
-      // (user_id, ts_ns) is unique in the fixtures (r10 tie audit), so
-      // ts_ns alone is a valid per-key total order
-      val ev = TestData(s, dir).events
-        .select(col("user_id"), col("ts_ns"),
-          ((col("event_id") % 100) - 45).cast("double").as("x"))
-      Windows.cusum(ev, Seq(col("user_id")), col("ts_ns"), col("x"),
-          target = 0.0, h = 400.0)
-        .select(col("user_id"), col("o").as("ts_ns"), col("v").as("x"),
-          col("cusum"), col("alarm"))
-    }),
-
-    // DRAWDOWN DURATION (time under water): contiguous runs of close
-    // strictly below the running peak, per symbol — the duration
-    // companion to api_drawdown's depth series. Only COMPARISONS touch
-    // the px doubles (rule-1 safe); islands by rank difference.
-    "w17_underwater" -> ((s, dir) =>
-      Windows.underwater(mkt(s, dir).bars, Seq(col("symbol")),
-        Seq(col("date")), col("close"))),
-
-    // Relative-rank family under TIES: percent_rank = (rank−1)/(N−1) and
-    // cume_dist = peers≤/N are determined by peer SETS (never peer
-    // order), and both are single IEEE divisions of exact integers with
-    // identical operands in any engine — deterministic without rounding.
-    // (NTILE stays excluded: it SPLITS peer groups by arrival order —
-    // the w7 lesson.)
-    "w19_rank_ratios" -> ((s, dir) => {
-      val f = TestData(s, dir).lineitem
-        .filter(col("l_suppkey") % 20 === 2)
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast("long").as("qty"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_suppkey").orderBy(col("qty"))
-      f.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("qty"),
-        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
-    }),
-
-    // TOKEN-BUCKET rate-limit replay (the quota/throttle audit): bucket
-    // clock at SECONDS grain (integer DIV — rule 5), cap 2000 mt, cost
-    // 1000 mt, refill 1 mt/s: the fixture's real inter-arrival mix (min
-    // gap 8 s, p10 ~69 min) then produces BOTH verdicts. All-integer
-    // O(n) TokenBucketRun codegen pass; streaming twin shares the
-    // recursion (stream_rate_limit).
-    "w18_token_bucket" -> ((s, dir) =>
-      Windows.tokenBucket(
-        TestData(s, dir).events.select(col("user_id"), col("event_id"),
-          expr("ts_ns DIV 1000000000").as("sec")),
-        Seq(col("user_id")), col("sec"), col("event_id"), lit(1000L),
-        capMt = 2000L, refillPerMs = 1L)
-        .select(col("user_id"), col("ms").as("sec"),
-          col("tb").as("event_id"), col("allowed"), col("tokens_mt"))),
-
-    // Exact rolling MEDIAN — the order statistic no frame aggregate can
-    // express (the frame must be sorted per row). Integer values, so the
-    // whole operator is float-free (rule 1 trivially satisfied); ordering
-    // carries the full rule-2 tiebreak chain ending in the value.
-    "w12_rolling_median" -> ((s, dir) => {
-      val li = TestData(s, dir).lineitem.filter(col("l_suppkey") % 20 === 0)
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("l_shipdate"), col("l_quantity").cast("long").as("qty"))
-      Windows.rollingMedian(li, Seq(col("l_suppkey")),
-          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-            col("qty")),
-          col("qty"), 5, "med5")
-        .select("l_suppkey", "l_orderkey", "l_linenumber", "qty", "med5")
-    }),
-
-    // Sliding DISTINCT COUNT — COUNT(DISTINCT) OVER a moving frame, which
-    // Spark (and most engines) reject as a window aggregate: expressed as
-    // the de-duplicated frame list's size. Exact set arithmetic.
-    "w13_sliding_distinct" -> ((s, dir) => {
-      val li = TestData(s, dir).lineitem.filter(col("l_suppkey") % 20 === 1)
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("l_shipdate"), col("l_partkey"))
-      Windows.slidingDistinct(li, Seq(col("l_suppkey")),
-          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-            col("l_partkey")),
-          col("l_partkey"), 10, "d10")
-        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "d10")
-    }),
-
-    // RUNNING distinct count (cumulative users by day) — the unbounded
-    // twin of w13, planned the scale-safe way: running distinct ≡ cumsum
-    // of FIRST OCCURRENCES (one groupBy for per-user first day, one for
-    // per-day news, one tiny date-domain window) — never a growing
-    // distinct set per row. The final global window runs over #days rows.
-    "w14_running_distinct" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-        .select(col("user_id"), Coerce.normalize(col("ts")).as("d"))
-      val perDay = ev.groupBy("user_id").agg(min(col("d")).as("first_d"))
-        .groupBy(col("first_d")).agg(count(lit(1)).as("new_users"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("date"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      ev.select(col("d")).distinct()
-        .join(perDay, col("d") === col("first_d"), "left")
-        .select(col("d").as("date"),
-          coalesce(col("new_users"), lit(0L)).as("new_users"))
-        .withColumn("cum_distinct_users", sum(col("new_users")).over(w))
-    }),
-
-    // Conditional recency window ("events since the last purchase") — the
-    // session-feature shape: running MAX over a flagged row number gives
-    // the most recent marker position; the distance is a row-local
-    // subtraction. Purchase rows read 0; rows before any purchase are
-    // null (no marker yet). One shuffle on the key.
-    "w15_since_event" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-      val cum = w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      TestData(s, dir).events
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("last_p",
-          max(when(col("event_type") === "purchase", col("rn"))).over(cum))
-        .select(col("user_id"), col("event_id"),
-          (col("rn") - col("last_p")).as("since_purchase"))
-    }),
-
-    // Time-RANGE window frame (30-day trailing revenue per supplier) —
-    // the frame type every ROWS gate can't cover: the frame is defined by
-    // the ORDER VALUE interval, so tied days share one frame and the sum
-    // is tie-order-free by construction (no tiebreak column — deliberate).
-    // Day index via datediff (integer); sums decimal-route.
-    "w8_range_frame" -> ((s, dir) => {
-      val li = TestData(s, dir).lineitem.select(
-        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        datediff(col("l_shipdate"), lit("1995-01-01")).cast("long").as("day"),
-        col("l_extendedprice"))
-      Windows.rangeSum(li, Seq(col("l_suppkey")), col("day"), 29L,
-          dec(col("l_extendedprice")), "rev30")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("day"),
-          col("rev30").cast("decimal(25,6)").cast("double").as("rev30"))
-    }),
-
-    // INTERSECT (distinct set semantics) — plans as a left-semi over
-    // distincts, the set-op shape set1's EXCEPT doesn't cover.
-    "set2_intersect" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.customer.createOrReplaceTempView("g_s2_customer")
-      t.orders.createOrReplaceTempView("g_s2_orders")
-      s.sql("""
-        SELECT c_custkey AS custkey FROM g_s2_customer
-        WHERE c_mktsegment = 'BUILDING'
-        INTERSECT
-        SELECT o_custkey FROM g_s2_orders
-        WHERE o_orderpriority = '1-URGENT'""")
-    }),
-
-    // EXCEPT ALL (MULTISET semantics — per-key multiplicity max(l−r, 0),
-    // kept as repeated rows): Catalyst plans it via the ReplicateRows
-    // generator, a plan node nothing else in the surface exercises.
-    "set3_except_all" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g_s3_lineitem")
-      s.sql("""
-        SELECT l_orderkey AS okey FROM g_s3_lineitem
-        EXCEPT ALL
-        SELECT l_orderkey FROM g_s3_lineitem WHERE l_returnflag = 'R'""")
-    }),
-
-    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
-    // MATCH each other — the join semantics a plain equi-join silently
-    // drops. Keys nulled via nullif so the fixture actually carries a
-    // NULL group; the aggregated row count per key pins both the matched
-    // and the null-null cardinalities.
-    "j11_nullsafe" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val c = t.customer.select(nullif(col("c_nationkey"), lit(3)).as("k"))
-      val sup = t.supplier.select(nullif(col("s_nationkey"), lit(3)).as("k2"))
-      c.join(sup, col("k") <=> col("k2"))
-        .groupBy(col("k")).agg(count(lit(1)).as("n_pairs"))
-    }),
-
-    // Text normalization (the first stage of every corpus pipeline):
-    // lowercase, non-alphanumerics → space, whitespace collapse, trim.
-    // The normalized text is md5-pinned so the gate verifies the BYTES,
-    // not just the lengths; simple character classes behave identically
-    // under Java regex and RE2.
-    "text_normalize" -> ((s, dir) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-      TestData(s, dir).documents
-        .select(col("doc_id"), norm.as("norm"))
-        .select(col("doc_id"),
-          length(col("norm")).cast("long").as("n_chars"),
-          md5(col("norm")).as("norm_md5"))
-    }),
-
-    // Pairwise trailing-window statistic: Pearson corr(qty, price) over the
-    // previous 5 shipments per supplier. Frame sums are sequential folds
-    // over the frame-ordered lists (rule-1 determinism); value columns ride
-    // in the order key because the fixtures contain fully-duplicated rows.
-    "w5_rolling_corr" -> ((s, dir) => {
-      Windows.rollingCorr(TestData(s, dir).lineitem,
-        Seq(col("l_suppkey")),
-        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), col("l_quantity")),
-        col("l_quantity"), col("l_extendedprice"), 5, "corr5")
-        .select("l_suppkey", "l_orderkey", "l_linenumber", "corr5")
-    }),
-
-    // Rolling OLS slope (beta): the regression member of the rolling-stat
-    // family — same fold sums as w5's corr, one division, no sqrt.
-    "w10_rolling_beta" -> ((s, dir) => {
-      Windows.rollingSlope(TestData(s, dir).lineitem,
-        Seq(col("l_suppkey")),
-        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), col("l_quantity")),
-        col("l_quantity"), col("l_extendedprice"), 5, "beta5")
-        .select("l_suppkey", "l_orderkey", "l_linenumber", "beta5")
-    }),
-
-    // The rank-function family under TIES (quantity is integer-valued, so
-    // peers are real): rank / dense_rank are integers; percent_rank =
-    // (rank−1)/(n−1) and cume_dist = peers_le/n are single exact-integer
-    // divisions — all tie-stable, so no row_number-style physical-order
-    // dependence leaks into the output. NTILE is deliberately absent: its
-    // tile assignment SPLITS peer groups by physical order.
-    "w7_rank_family" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g_w7_lineitem")
-      s.sql("""
-        SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
-               RANK() OVER w AS rnk,
-               DENSE_RANK() OVER w AS drnk,
-               PERCENT_RANK() OVER w AS prnk,
-               CUME_DIST() OVER w AS cdist
-        FROM g_w7_lineitem
-        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity)""")
-    }),
-
-    // Window NAVIGATION family: lag / lead / first_value / nth_value over
-    // a fully-tiebroken order (rule 2: (l_orderkey, l_linenumber) repeats
-    // in the fixtures, so the value columns close the total order). Values
-    // pass through untouched (stored doubles) — exact in any engine. The
-    // default cumulative frame is RANGE-based, but under a UNIQUE total
-    // order RANGE ≡ ROWS, so first/nth can't see engine frame-shape
-    // differences.
-    "w9_lead_lag" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), col("l_quantity"))
-      TestData(s, dir).lineitem.select(
-        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"),
-        lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
-        lead(col("l_extendedprice"), 1).over(w).as("next_price"),
-        first(col("l_extendedprice")).over(w).as("first_price"),
-        nth_value(col("l_extendedprice"), 3).over(w).as("third_price"))
-    }),
-
-    // Trailing z-score anomaly flags: division/sqrt-free verdict
-    // (cross-multiplied squares), fixed-tree z value, fold-sum frames.
-    "w6_zscore" -> ((s, dir) => {
-      Windows.rollingZscore(TestData(s, dir).lineitem,
-        Seq(col("l_suppkey")),
-        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), col("l_quantity")),
-        col("l_extendedprice"), 8, 2.0, "z8")
-        .select("l_suppkey", "l_orderkey", "l_linenumber", "z8", "z8_outlier")
-    }),
-
-    // A6 weekly OHLCV bar synthesis via min_by/max_by (single groupBy, no window).
-    "a6_resample_weekly" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-      Aggregates.resampleBars(ev,
-          Seq(col("user_id")),
-          to_date(date_trunc("week", col("ts"))),
-          Seq(col("ts_ns"), col("event_id")),
-          col("value"), lit(1L), dec(col("value")))
-        .withColumn("money", col("money").cast("decimal(25,6)").cast("double"))
-    }),
-
-    // Intraday frequency, batch side: resampleBars is grain-agnostic, so
-    // the documented-but-reference-stubbed 1m/5m bar frequencies are one
-    // period expression away — market-wide 5-minute bars over the events
-    // ticks. The bucket id comes from integer DIV on ts_ns (rule 5: a
-    // double-routed division at 1e18 ns loses sub-ms precision).
-    "a6_resample_minute" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-      Aggregates.resampleBars(ev,
-          Seq.empty,
-          expr("ts_ns DIV 300000000000"),
-          Seq(col("ts_ns"), col("event_id")),
-          col("value"), lit(1L), dec(col("value")))
-        .withColumn("money", col("money").cast("decimal(25,6)").cast("double"))
-    }),
-
-    // Two-sample KS drift detector: the scaled statistic is an exact
-    // BIGINT max (no float CDF), d is one IEEE division, the drift
-    // verdict cross-multiplies in DECIMAL(38,0) (d_scaled² passes the
-    // BIGINT range). Two pairs gated: same-distribution (no drift) and a
-    // 1.1× shifted copy (drift) — both verdicts must hold exactly.
-    "quantiles_ks_drift" -> ((s, dir) => {
-      val li = TestData(s, dir).lineitem
-      val a = li.filter(col("l_returnflag") === "R")
-        .select(col("l_extendedprice").as("v"))
-      val b = li.filter(col("l_returnflag") === "N")
-        .select(col("l_extendedprice").as("v"))
-      val shifted = b.select((col("v") * 1.1).as("v"))
-      Quantiles.ksTest(a, b, "v").withColumn("pair", lit("same"))
-        .unionByName(
-          Quantiles.ksTest(a, shifted, "v").withColumn("pair", lit("shifted")))
-    }),
-
-    // Two-sample chi-square homogeneity drift — the binned-count
-    // complement of the KS gate (KS sees CDF shape, χ² sees per-bin
-    // mass). Same pair framing: same-distribution (no drift) and the
-    // 1.1×-shifted copy (drift); crit = χ²₀.₀₅ for the fixture's ~19 df.
-    "quantiles_chi2_drift" -> ((s, dir) => {
-      val li = TestData(s, dir).lineitem
-      val a = li.filter(col("l_returnflag") === "R")
-        .select(col("l_extendedprice").as("v"))
-      val b = li.filter(col("l_returnflag") === "N")
-        .select(col("l_extendedprice").as("v"))
-      val shifted = b.select((col("v") * 1.1).as("v"))
-      Quantiles.chiSquareDrift(a, b, "v", 5000.0, 30.1435)
-        .withColumn("pair", lit("same"))
-        .unionByName(Quantiles.chiSquareDrift(a, shifted, "v", 5000.0, 30.1435)
-          .withColumn("pair", lit("shifted")))
-    }),
-
-    // Typed Aggregator rung of the custom-agg ladder: per-symbol OHLCV
-    // through Dataset.groupByKey + Aggregator[Tick, BarBuf, Bar] —
-    // compile-time-typed end to end (the API a case-class pipeline
-    // author reaches for); order-sensitive open/close resolve by the
-    // (tsNs, seq) total order carried in the buffer, turnover rides
-    // price-micros BIGINTs so merge order can't drift a float.
-    "a9_typed_bars" -> ((s, dir) => {
-      import s.implicits._
-      val ticks = TestData(s, dir).events.select(
-          concat(lit("S"), col("user_id") % 20).as("symbol"),
-          col("ts_ns").as("tsNs"), col("event_id").as("seq"),
-          ((col("event_id") * 37) % 10000).cast("double").as("px"),
-          ((col("event_id") % 100) + 1).as("qty"))
-        .as[(String, Long, Long, Double, Long)]
-      ticks.groupByKey(_._1)
-        .mapValues { case (_, ts, seq, px, qty) =>
-          graft.functions.TypedAggregators.Tick(ts, seq, px, qty) }
-        .agg(graft.functions.TypedAggregators.OhlcvAgg.toColumn)
-        .map { case (sym, b) => (sym, b.open, b.high, b.low, b.close,
-          b.volume, b.turnover_micros, b.n_ticks) }
-        .toDF("symbol", "open", "high", "low", "close", "volume",
-          "turnover_micros", "n_ticks")
-    }),
-
-    // 5-minute VWAP (the intraday twin of the resample tier): turnover
-    // and volume are EXACT BIGINT sums (px/qty derive integer-valued from
-    // event_id), so vwap is ONE IEEE division of exact integers — the
-    // only float op, identical in any engine. Bucket id via ts_ns DIV
-    // (rule 5). One partial-agged groupBy.
-    "a8_vwap" -> ((s, dir) =>
-      TestData(s, dir).events
-        .select(concat(lit("S"), col("user_id") % 20).as("symbol"),
-          expr("ts_ns DIV 300000000000").as("bucket"),
-          (((col("event_id") * 37) % 10000) * ((col("event_id") % 100) + 1))
-            .cast("long").as("pq"),
-          ((col("event_id") % 100) + 1).cast("long").as("q"))
-        .groupBy("symbol", "bucket")
-        .agg(sum(col("pq")).as("turnover"), sum(col("q")).as("volume"))
-        .withColumn("vwap",
-          col("turnover").cast("double") / col("volume").cast("double"))),
-
-    // ANCHORED VWAP — the intraday execution benchmark in its standard
-    // form: cumulative turnover/volume from a session ANCHOR (the trading
-    // day) forward, not per-bucket (a8_vwap) and not windowed. Per
-    // (symbol, day): 5-minute bucket sums, then BIGINT running sums over
-    // the bucket order (integer window cumsum — order-free exact), ONE
-    // IEEE division per row at the end (rule 1).
-    "a14_anchored_vwap" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("symbol", "day").orderBy("bucket")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      TestData(s, dir).events
-        .select(concat(lit("S"), col("user_id") % 20).as("symbol"),
-          expr("ts_ns DIV 86400000000000").as("day"),
-          expr("ts_ns DIV 300000000000").as("bucket"),
-          (((col("event_id") * 37) % 10000) * ((col("event_id") % 100) + 1))
-            .cast("long").as("pq"),
-          ((col("event_id") % 100) + 1).cast("long").as("q"))
-        .groupBy("symbol", "day", "bucket")
-        .agg(sum(col("pq")).as("pq"), sum(col("q")).as("q"))
-        .select(col("symbol"), col("day"), col("bucket"),
-          sum(col("pq")).over(w).as("cum_turnover"),
-          sum(col("q")).over(w).as("cum_volume"))
-        .withColumn("vwap_anchored",
-          col("cum_turnover").cast("double") / col("cum_volume").cast("double"))
-    }),
-
-    // Ratio-to-report: each nation's share of total order revenue — the
-    // percent-of-total shape every report carries. Revenue sums ride the
-    // decimal route; the share is ONE IEEE division of the double-cast
-    // exact sums (never decimal division — engines disagree on result
-    // scale). The total comes from a global window over the ~25-row
-    // nation aggregate (bounded by construction).
-    "a11_ratio_to_report" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val rev = t.orders
-        .join(t.customer, col("o_custkey") === col("c_custkey"))
-        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(dec(col("o_totalprice"))).cast("decimal(25,6)").as("__rev"))
-      val all = org.apache.spark.sql.expressions.Window.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      // the total stays DECIMAL through the window (order-independent);
-      // doubles appear only at the final cast and the single division
-      rev.withColumn("__tot", sum(col("__rev")).over(all))
-        .select(col("n_name"), col("__rev").cast("double").as("revenue"),
-          (col("__rev").cast("double") / col("__tot").cast("double"))
-            .as("share"))
-    }),
-
-    // Pareto / revenue-concentration (the 80/20 audit): customers ranked
-    // by revenue, cumulative share in exact integer CENTS (decimal×100 is
-    // integral, so the whole curve is BIGINT arithmetic — cum·1000 DIV
-    // total per-mille, no float cumsum). Ordered-cumsum window runs over
-    // the customer-cardinality aggregate; ties break on the key. At
-    // billions of customers the curve is served from a percentile sketch
-    // instead — this is the exact lane.
-    "a12_pareto" -> ((s, dir) => {
-      // o_totalprice is a stored DOUBLE carrying a 2-dp value: ×100 is
-      // integer ± ulps, so floor(x·100 + 0.5) recovers exact cents in any
-      // engine (the Coerce.roundHalfUp floor trick — never a raw bigint
-      // cast, which truncates in Spark and rounds in DuckDB)
-      val rev = TestData(s, dir).orders
-        .groupBy("o_custkey")
-        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
-          .as("cents"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cents").desc, col("o_custkey").asc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val all = org.apache.spark.sql.expressions.Window.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      rev.withColumn("cum", sum(col("cents")).over(w))
-        .withColumn("total", sum(col("cents")).over(all))
-        .select(col("o_custkey"), col("cents"),
-          expr("(cum * 1000) DIV total").as("cum_share_pm"),
-          (expr("(cum * 1000) DIV total") <= 800).as("in_top80"))
-    }),
-
-    // Gini coefficient over customer revenue — the scalar companion to
-    // a12's Pareto curve: G = 2·Σᵢ(i·xᵢ)/(n·Σx) − (n+1)/n over the
-    // ascending rank order (ties broken by key — the standard
-    // convention). Every accumulator is exact BIGINT (cents again);
-    // doubles appear only in the final fixed expression tree, replayed
-    // verbatim. Rank window over the customer-cardinality aggregate.
-    "a13_gini" -> ((s, dir) => {
-      val rev = TestData(s, dir).orders
-        .groupBy("o_custkey")
-        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
-          .as("cents"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cents").asc, col("o_custkey").asc)
-      rev.withColumn("rk", row_number().over(w).cast("long"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
-          sum(col("rk") * col("cents")).as("wsum"))
-        .withColumn("gini",
-          (lit(2.0) * col("wsum").cast("double"))
-            / (col("n") * col("s")).cast("double")
-            - (col("n") + 1).cast("double") / col("n").cast("double"))
-    }),
-
-    // Gaps-and-islands streaks: per user, maximal runs of STRICTLY rising
-    // event values under the (ts_ns, event_id) total order — streak count,
-    // longest, and the length of the current (final) streak. All outputs
-    // are exact row counts; the break flag's CASE is identical in both
-    // engines so the island ids line up row-for-row.
-    "a10_streaks" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-      Windows.streaks(ev, Seq(col("user_id")),
-        Seq(col("ts_ns"), col("event_id")), col("value"))
-    }),
-
-    // Fixed-width value histogram (the profiling primitive behind every
-    // "distribution of X" dashboard): bucket = floor(price/5000) — floor
-    // on the IEEE division, NEVER a bigint cast (Spark's cast truncates
-    // toward zero where DuckDB's ROUNDS — they'd disagree on every
-    // fractional value). Min/max carry stored doubles (no arithmetic).
-    "a7_histogram" -> ((s, dir) =>
-      TestData(s, dir).lineitem
-        .select(floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"),
-          col("l_extendedprice"))
-        .groupBy("bucket").agg(count(lit(1)).as("n_rows"),
-          min("l_extendedprice").as("min_price"),
-          max("l_extendedprice").as("max_price"))),
-
-    // Gap-based sessionization (batch form of a streaming session window):
-    // 30-minute inactivity gap per user, with per-session aggregates.
-    "sessionize" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-        // integer DIV: a double-routed division of an ~1.7e18 ns value loses
-        // sub-ms precision (doubles are exact only to 2^53)
-        .select(col("user_id"), col("event_id"), expr("ts_ns DIV 1000000").as("tms"),
-          col("value"))
-      Windows.sessionize(ev, Seq(col("user_id")), col("tms"), 30L * 60 * 1000,
-          tiebreak = Seq(col("event_id")))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          min(col("tms")).as("start_ms"), max(col("tms")).as("end_ms"),
-          decSum(col("value")).as("session_value"))
-    }),
-
-    // TOP-K SESSION PATHS — the behavioral-analytics staple one level up
-    // from pairwise transitions (events_transitions): the full ordered
-    // event_type sequence of each 30-minute session, ranked by frequency.
-    // Path strings assemble row-locally from the sorted per-session list
-    // ((tms, event_id) unique order — rule 2); the count is exact and the
-    // global top-20 is a TakeOrderedAndProject, never a full sort.
-    "events_path_topk" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-        .select(col("user_id"), col("event_id"), expr("ts_ns DIV 1000000").as("tms"),
-          col("event_type"))
-      val paths = Windows.sessionize(ev, Seq(col("user_id")), col("tms"),
-          30L * 60 * 1000, tiebreak = Seq(col("event_id")))
-        .groupBy("user_id", "session_id")
-        .agg(sort_array(collect_list(struct(col("tms"), col("event_id"),
-          col("event_type")))).as("xs"))
-        .select(concat_ws(">",
-          transform(col("xs"), x => x.getField("event_type"))).as("path"))
-      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
-        .orderBy(col("n_sessions").desc, col("path").asc).limit(20)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("n_sessions").desc, col("path").asc)).cast("long"))
-    }),
-
-    // §1.3 PTrade matrix shape: date × event_type pivot at the serving edge.
-    "pivot_matrix" -> ((s, dir) => {
-      TestData(s, dir).events
-        .groupBy(Coerce.normalize(col("ts")).as("date"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(decSum(col("value")))
-    }),
-  )
-
-  // ------------------------------------- LLM-data-pipeline operators (M7)
-  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // Hashed-feature linear classifier inference (fastText-style quality
-    // gate): word → md5 bucket (hashing trick), score = fold-sum of
-    // bucket weights + bias, verdict = score > 0. Row-local, zero-shuffle.
-    "text_classify" -> ((s, dir) =>
-      Relevance.hashedLinearScore(TestData(s, dir).documents, "doc_id", "text")),
-
-    // Text quality scoring: word/char counts, avg word length, stopword ratio.
-    "text_quality" -> ((s, dir) => {
-      val t = col("text")
-      TestData(s, dir).documents.select(
-        col("doc_id"),
-        TextFns.wordCount(t).cast("long").as("n_words"),
-        TextFns.totalWordChars(t).cast("long").as("total_chars"),
-        round(TextFns.totalWordChars(t).cast("double") / TextFns.wordCount(t).cast("double"), 6).as("avg_word_len"),
-        TextFns.stopwordRatio(t, Seq("the", "a", "of", "and", "is")).as("stop_ratio"))
-    }),
-
-    // Readability scoring (Flesch reading ease + FK grade) — the quality
-    // filter dimension Gopher signals don't carry: exact integer
-    // sufficient statistics (words, vowel-group syllables, 8-word
-    // pseudo-sentences — the fixture has no punctuation), then the two
-    // standard score trees over e0-literal constants (the DuckDB
-    // DECIMAL-literal hazard) with two shared divisions.
-    "text_readability" -> ((s, dir) => {
-      val d = TestData(s, dir).documents
-        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
-      val stats = d.select(col("doc_id"),
-          size(col("ws")).cast("long").as("n_words"),
-          TextFns.totalSyllablesFromWords(col("ws")).as("n_syllables"))
-        .withColumn("n_sentences", expr("(n_words + 7) div 8"))
-      val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
-      val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
-      stats.select(col("doc_id"), col("n_words"), col("n_sentences"),
-        col("n_syllables"),
-        when(col("n_words") > 0,
-          lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
-        when(col("n_words") > 0,
-          lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
-    }),
-
-    // Language ID: deterministic marker-word argmax heuristic.
-    "text_langid" -> ((s, dir) => {
-      // word array in its own Project (CLAUDE.md rule 3): 6 consumers share
-      // one split instead of re-deriving it each
-      TestData(s, dir).documents
-        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
-        .select(
-          col("doc_id"),
-          TextFns.langIdFromWords(col("ws")).as("lang_pred"),
-          TextFns.langScoreFromWords(col("ws"),
-            TextFns.langMarkers.toMap.apply("en")).cast("long").as("en_score"))
-    }),
-
-    // Token counting: whitespace words + BPE-ish regex tokens.
-    "text_tokens" -> ((s, dir) => {
-      TestData(s, dir).documents.select(
-        col("doc_id"),
-        TextFns.wordCount(col("text")).cast("long").as("ws_tokens"),
-        TextFns.regexTokenCount(col("text")).cast("long").as("re_tokens"))
-    }),
-
-    // Trained subword tokenizer: corpus-frequency vocab (top-200 char
-    // 2..4-grams, count-desc/token-asc total order) + greedy longest-match
-    // encode — the WordPiece-inference shape. Training is one mergeable
-    // agg + top-K; encoding is row-local over the broadcast vocab.
-    "tok_subword" -> ((s, dir) => {
-      Tokenizer.trainAndEncode(TestData(s, dir).documents, "doc_id", "text",
-        minLen = 2, maxLen = 4, vocabSize = 200)
-    }),
-
-    // Real BPE merge training (8 rounds): corpus touched once for word
-    // freqs, then vocabulary-sized pair-count/argmax/rewrite rounds. The
-    // learned merge table (all integer counts + binary string tiebreaks)
-    // IS the model; the oracle unrolls the 8 rounds as CTE blocks.
-    "tok_bpe_merges" -> ((s, dir) =>
-      Tokenizer.trainBpe(TestData(s, dir).documents, "text", nMerges = 8)),
-
-    // The driver-local BPE trainer (one corpus job + in-memory merge
-    // loop — the production trainer shape): same merge sequence as
-    // trainBpe by construction, so it shares bpeOracleSql verbatim; the
-    // ~40× job saving is listener-asserted in TokenizerSpec.
-    "tok_bpe_local" -> ((s, dir) =>
-      Tokenizer.trainBpeLocal(TestData(s, dir).documents, "text", nMerges = 8)),
-
-    // BPE inference under the learned merges: ascending-rank replace
-    // chain (provably ≡ the priority loop — a rank-k merge only creates
-    // higher-rank pairs), row-local until the per-doc count.
-    "tok_bpe_encode" -> ((s, dir) =>
-      Tokenizer.trainAndEncodeBpe(TestData(s, dir).documents, "doc_id", "text",
-        nMerges = 8)),
-
-    // WordPiece-style GREEDY longest-match inference over the BPE-trained
-    // vocabulary (merge products + corpus chars minus 'q', so <unk> is
-    // reachable) — the OTHER production tokenizer inference rule, provably
-    // different from BPE merge-order (greedy can strand a word that a
-    // different segmentation covers; spec-pinned). Walk runs on DISTINCT
-    // words only, broadcast back.
-    "tok_wordpiece_encode" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val vocab = Tokenizer.wordpieceVocab(docs, "text", nMerges = 8,
-        excludeChars = Set('q'))
-      Tokenizer.wordpieceEncode(docs, "doc_id", "text", vocab)
-    }),
-
-    // Unigram-LM (SentencePiece-style) Viterbi segmentation — the THIRD
-    // production tokenizer inference rule next to BPE's merge chain and
-    // WordPiece's greedy match: min-total-integer-cost segmentation with
-    // lexicographic (cost, pieces) tie-break packed into one DP value.
-    // Shared vocab constant renders into both engines.
-    // MapType round-trip (the one container type the surface hadn't
-    // exercised): per-doc word counts packed into a MAP column
-    // (map_from_entries), then exploded back to rows — the plan carries a
-    // real MapType through an exchange. Output ≡ plain word counts, which
-    // is exactly what makes it oracle-checkable.
-    "p8_map_explode" -> ((s, dir) => {
-      val withWords = TestData(s, dir).documents
-        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
-      withWords.select(col("doc_id"), explode(col("ws")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(map_from_entries(collect_list(struct(col("w"), col("c")))).as("m"))
-        .select(col("doc_id"), explode(col("m")).as(Seq("word", "cnt")))
-    }),
-
-    // Pad/truncate to fixed width (the training-loader batch-prep step):
-    // word-derived ids sliced to 16, zero-padded, digest of the padded
-    // row + kept counts. Row-local list arithmetic, no shuffle.
-    "tok_pad_truncate" -> ((s, dir) => {
-      val withWords = TestData(s, dir).documents
-        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
-      val withIds = withWords.select(col("doc_id"),
-        transform(col("ws"),
-          w => (length(w) * 131 + ascii(w)).cast("long")).as("ids"))
-      withIds.select(col("doc_id"),
-        size(col("ids")).cast("long").as("n_orig"),
-        least(size(col("ids")), lit(16)).cast("long").as("n_kept"),
-        md5(concat_ws(",",
-          transform(Tokenizer.padTruncate(col("ids"), 16),
-            x => x.cast("string")))).as("row_digest"))
-    }),
-
-    "tok_unigram_viterbi" -> ((s, dir) =>
-      Tokenizer.unigramViterbi(TestData(s, dir).documents, "doc_id", "text",
-        UnigramVocab)),
-
-    // Vocabulary coverage audit: per-doc OOV mass vs the top-1000 corpus
-    // vocab ((count DESC, word ASC) tie rule) — exact integer counts, one
-    // IEEE division, vocab broadcast back onto the token stream.
-    "tok_vocab_coverage" -> ((s, dir) =>
-      Tokenizer.vocabCoverage(TestData(s, dir).documents, "doc_id", "text",
-        vocabSize = 1000)),
-
-    // Rolling polynomial fingerprint (order-sensitive document hash).
-    "text_fingerprint" -> ((s, dir) => {
-      TestData(s, dir).documents.select(
-        col("doc_id"), TextFns.rollingFingerprint(col("text")).as("fp"))
-    }),
-
-    // TF-IDF top terms per doc (log-free rational IDF — see Relevance doc).
-    "text_tfidf" -> ((s, dir) =>
-      Relevance.tfIdfTopTerms(TestData(s, dir).documents, "doc_id", "text", k = 3)),
-
-    // BM25 document scoring against a fixed query-term set.
-    "text_bm25" -> ((s, dir) =>
-      Relevance.bm25(TestData(s, dir).documents, "doc_id", "text",
-        Seq("data", "query", "spark"))),
-
-    // BM25 retrieval: three queries ranked against the corpus in ONE
-    // scan, per-query TakeOrdered top-10 under the (score, doc_id) total
-    // order — the batch search-evaluation shape.
-    "text_search_topk" -> ((s, dir) =>
-      Relevance.searchTopK(TestData(s, dir).documents, "doc_id", "text",
-        SearchQueries, k = 10)),
-
-    // Corpus-wide bigram frequency top-k (TakeOrderedAndProject, no
-    // global sort).
-    "text_ngram_topk" -> ((s, dir) =>
-      Relevance.ngramTopK(TestData(s, dir).documents, "text", n = 2, k = 20)),
-
-    // Total-variation distance between two sources' WORD distributions —
-    // the text-domain drift audit next to the numeric chi²/KS gates
-    // (JS/KL need logs; TV = ½Σ|p−q| stays exact): cross-multiplied
-    // integers, numerator Σ|c₁·N₂ − c₂·N₁| over denominator 2·N₁·N₂,
-    // one IEEE division at the end. Full-outer vocab join so words
-    // exclusive to one source count their whole mass.
-    "text_tv_distance" -> ((s, dir) => {
-      val withWords = TestData(s, dir).documents
-        .filter(col("source").isin("src0", "src1"))
-        .select(col("source"), TextFns.words(col("text")).as("ws"))
-      val counts = withWords.select(col("source"), explode(col("ws")).as("w"))
-        .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      def side(src: String, as: String) = counts.filter(col("source") === src)
-        .select(col("w"), col("c").as(as))
-      val joined = side("src0", "c1").join(side("src1", "c2"), Seq("w"), "full_outer")
-        .select(coalesce(col("c1"), lit(0L)).as("c1"),
-          coalesce(col("c2"), lit(0L)).as("c2"))
-      val all = org.apache.spark.sql.expressions.Window.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      joined
-        .withColumn("n1", sum(col("c1")).over(all))
-        .withColumn("n2", sum(col("c2")).over(all))
-        .withColumn("term", abs(col("c1") * col("n2") - col("c2") * col("n1")))
-        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-          sum(col("term")).as("tv_num"))
-        .withColumn("tv",
-          col("tv_num").cast("double")
-            / (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
-    }),
-
-    // PMI collocation mining, rational form (no logs cross the engines):
-    // ratio = n_pair·N_uni² / (N_bi·c_a·c_b), support floor 5, ranked
-    // (ratio DESC, bigram ASC).
-    "text_collocations" -> ((s, dir) =>
-      Relevance.collocations(TestData(s, dir).documents, "text",
-        minCount = 5L, k = 20)),
-
-    // Token-window chunking with overlap (chunkSize 32, overlap 8) —
-    // shuffle-free generator, slice arithmetic replays in SQL.
-    "text_chunks" -> ((s, dir) =>
-      Chunker.chunkByTokens(TestData(s, dir).documents, "doc_id", "text",
-        chunkSize = 32, overlap = 8)),
-
-    // Greedy sequence packing of the chunks into capacity-100 bins,
-    // bucket-parallel (doc_id % 8) — oracle replays the greedy fold with a
-    // recursive CTE.
-    "pack_chunks" -> ((s, dir) =>
-      Packer.packGreedy(
-        Chunker.chunkByTokens(TestData(s, dir).documents, "doc_id", "text",
-          chunkSize = 32, overlap = 8),
-        "doc_id", "chunk_id", "n_tokens", capacity = 100L, numBuckets = 8)),
-
-    // Train/eval decontamination: 5-gram overlap of every corpus doc
-    // against the doc_id % 50 == 0 "benchmark" slice (broadcast side).
-    "decontam_ngram" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      Decontam.ngramOverlap(docs, docs.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", n = 5)
-    }),
-
-    // Bloom-filter decontamination: the broadcast-bits scale lane — same
-    // bench slice, one-sided error (supersets the exact lane; spec-
-    // asserted). Md5Hash lanes → the bit positions replay in DuckDB.
-    "decontam_bloom" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      Decontam.bloomDecontam(docs, docs.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", n = 5, mBits = 1 << 18, kHashes = 3,
-        family = Dedup.Md5Hash)
-    }),
-
-    // Semantic decontamination: embedding-cosine overlap vs a broadcast
-    // bench slice — catches paraphrased eval leakage the n-gram lanes
-    // can't. Bench items in the corpus self-match at cos 1 (flagged, as
-    // required); round-then-max commutes, so the verdict is SQL-exact.
-    "decontam_semantic" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Decontam.semanticDecontam(e, e.filter(col("vec_id") % 100 === 0),
-        "vec_id", "embedding", threshold = 0.8)
-    }),
-
-    // IVF-blocked semantic decontam — the lane for a LARGE bench: the
-    // bench clusters into cells (dense re-keyed ids so the value-predicate
-    // seeds spread), each corpus row scores only its 2 nearest cells'
-    // members. Deterministic end-to-end, so the approximation itself is
-    // oracle-replayed (the SQL blocks the same way).
-    "decontam_sem_blocked" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val bench = e.filter(col("vec_id") % 100 === 0)
-        .select(expr("vec_id DIV 100").as("vec_id"), col("embedding"))
-      Decontam.semanticDecontamBlocked(e, bench, "vec_id", "embedding",
-        threshold = 0.8, nLists = 4, nProbe = 2)
-    }),
-
-    // Count–Min frequency estimation: bigram occurrence counts for the
-    // bench slice's grams, estimated from a 3×4096 sketch instead of the
-    // exact vocab-sized shuffle. Md5Hash lanes → bucket indexes replay in
-    // DuckDB, so the oracle matches estimates exactly, collisions and all.
-    "cms_ngram_counts" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      def grams(df: DataFrame): DataFrame = {
-        val w = df.select(col("doc_id"), TextFns.words(col("text")).as("ws"))
-        w.filter(size(col("ws")) >= 2)
-          .select(explode_outer(transform(
-            sequence(lit(0), size(col("ws")) - 2),
-            i => concat_ws(" ", element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2)))).as("gram"))
-      }
-      Sketches.cmsCounts(grams(docs), grams(docs.filter(col("doc_id") % 50 === 0)),
-        "gram", width = 4096, depth = 3, family = Dedup.Md5Hash)
-    }),
-
-    // CMS heavy hitters over the word stream: est-heavy (≥ 1/200 of
-    // tokens by sketch estimate) is a provable SUPERSET of truly-heavy;
-    // exact counts + cross-multiplied flags carry the evidence.
-    "cms_heavy_hitters" -> ((s, dir) => {
-      val words = TestData(s, dir).documents
-        .select(explode(TextFns.words(col("text"))).as("word"))
-      Sketches.heavyHitters(words, "word", width = 512, depth = 3,
-        phiNum = 1, phiDen = 200, family = Dedup.Md5Hash)
-    }),
-
-    // JSONL interchange: documents exported as gzip'd JSON Lines shards
-    // and read back under the schema contract must be value-identical to
-    // the parquet the oracle reads — proves the export/ingest lane loses
-    // nothing (unicode text, longs) through JSON encoding. The export is
-    // staged once per JVM under a pid-unique path: repeat constructions
-    // (bench warm runs, analysis specs) reuse it, and concurrent sessions
-    // on the same fixture can't overwrite each other mid-read.
-    // ORC round trip — Spark's OTHER bundled columnar format: schema,
-    // longs, doubles and strings all preserve exactly, so the read-back ≡
-    // the parquet source row-for-row (the oracle just reads documents).
-    "orc_roundtrip" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val path = jsonlStaged.getOrElseUpdate(dir + "#orc", {
-        val p = s"/tmp/graft_orc_${ProcessHandle.current().pid()}/" +
-          stagedSeg(dir)
-        docs.write.mode("overwrite").orc(p)
-        p
-      })
-      s.read.schema(docs.schema).orc(path)
-    }),
-
-    // Composed TABLE LIFECYCLE (judge r11 item 4): the full write-side
-    // discipline in one gate — publish a base snapshot, upsert a revision
-    // batch (last-wins per key, J4), stage the result PARTITIONED, compact
-    // each partition leaf independently, publish atomically as v=1, then
-    // read BOTH versions back via time travel. Every hop a 100 TB table
-    // actually takes (ingest → merge → small-file hygiene → snapshot
-    // publication → pinned reads), content-verified end to end: the oracle
-    // replays base and the upsert as plain SQL over the fixture, so a row
-    // lost or duplicated by compaction/publication fails the hash compare.
-    "table_lifecycle" -> ((s, dir) => {
-      val root = jsonlStaged.getOrElseUpdate(dir + "#lifecycle", {
-        val p = s"/tmp/graft_table_${ProcessHandle.current().pid()}/" + stagedSeg(dir)
-        val t = TestData(s, dir)
-        val base = t.orders.select(col("o_orderkey").as("k"),
-          col("o_totalprice").as("price"),
-          year(col("o_orderdate")).cast("long").as("y"))
-        Sinks.publishVersion(s, p, base)
-        val batch = base.filter(col("k") % 10 === 3)
-          .withColumn("price", col("price") * 1.1) // pure double multiply — cross-engine exact
-        val staging = p + "_staging"
-        Joins.upsert(base, batch, Seq("k"), Nil)
-          .write.partitionBy("y").mode("overwrite").parquet(staging)
-        Sinks.compactPartitioned(s, staging)
-        Sinks.publishVersion(s, p, s.read.parquet(staging))
-        p
-      })
-      val v0 = Sinks.readVersioned(s, root, Some(0L))
-        .select(lit(0L).as("version"), col("k"), col("price"),
-          col("y").cast("long").as("y"))
-      val live = Sinks.readVersioned(s, root) // pointer-resolved = v1
-        .select(lit(1L).as("version"), col("k"), col("price"),
-          col("y").cast("long").as("y")) // partition col reads back as INT
-      v0.unionByName(live)
-    }),
-
-    // CSV round trip (header + quoting) — the interchange format that
-    // actually LOSES information when mishandled: the read supplies the
-    // schema explicitly (schema-as-contract, CorpusIO convention — an
-    // inferred read would come back all-string) and must reproduce the
-    // source exactly through quote/escape handling.
-    "csv_roundtrip" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val path = jsonlStaged.getOrElseUpdate(dir + "#csv", {
-        val p = s"/tmp/graft_csv_${ProcessHandle.current().pid()}/" +
-          stagedSeg(dir)
-        docs.write.mode("overwrite").option("header", "true").csv(p)
-        p
-      })
-      s.read.schema(docs.schema).option("header", "true").csv(path)
-    }),
-
-    "jsonl_roundtrip" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val path = jsonlStaged.getOrElseUpdate(dir, {
-        val p = s"/tmp/graft_jsonl_${ProcessHandle.current().pid()}/" +
-          stagedSeg(dir)
-        graft.sources.CorpusIO.writeJsonl(docs, p)
-        p
-      })
-      graft.sources.CorpusIO.readJsonl(s, path, docs.schema)
-    }),
-
-    // Same round-trip through ZSTD shards (the declared 100 TB corpus
-    // codec, SCALE.md): written via the zstd-jni Hadoop codec bridge,
-    // read back by `.zst` extension resolution.
-    "jsonl_zstd_roundtrip" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val path = jsonlStaged.getOrElseUpdate(dir + "#zstd", {
-        val p = s"/tmp/graft_jsonl_${ProcessHandle.current().pid()}/" +
-          stagedSeg(dir) + "_zstd"
-        graft.sources.CorpusIO.writeJsonlZstd(docs, p)
-        p
-      })
-      graft.sources.CorpusIO.readJsonl(s, path, docs.schema)
-    }),
-
-    // HLL++ cardinality: bounded-register distinct counts per group — the
-    // cardinality twin of the CM sketch. Bound-check gate pattern: the
-    // oracle replays the exact count and TRUE; a sketch answer outside 10%
-    // relative error flips the boolean and fails the hash compare.
-    "hll_distinct" -> ((s, dir) =>
-      Sketches.hllBoundCheck(TestData(s, dir).lineitem,
-        Seq("l_returnflag"), "l_partkey")),
-
-    // C4-style segment dedup: disjoint 8-token windows, global
-    // first-occurrence keep, docs rebuilt from surviving segments.
-    "dedup_segments" -> ((s, dir) =>
-      Dedup.dedupSegments(TestData(s, dir).documents, "doc_id", "text", segSize = 8)),
-
-    // Content-defined chunking (rsync/FastCDC, word grain): boundaries
-    // where the trailing-4-word md5 fingerprint has its low 4 bits clear
-    // (expected chunk ≈ 16 words), so an insert re-chunks only to the
-    // next boundary; n_copies is the per-hash corpus count (the dedup
-    // signal). Row-local chunking + one window count.
-    "dedup_cdc_chunks" -> ((s, dir) =>
-      Dedup.cdcChunks(TestData(s, dir).documents, "doc_id", "text",
-        window = 4, maskBits = 4)),
-
-    // Incremental LSH dedup (the daily-ingest shape, ANN-append twin):
-    // the 80% "existing" corpus is signed ONCE into parquet artifacts;
-    // the 20% batch dedups against the saved index + itself — per-batch
-    // work ∝ batch + touched buckets, old TEXT never re-read. Verdicts ≡
-    // the monolithic LSH run restricted to pairs touching the batch.
-    "dedup_incremental" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val idx = jsonlStaged.getOrElseUpdate(dir + "#lshidx", {
-        val root = s"/tmp/graft_lshidx_${ProcessHandle.current().pid()}/" +
-          stagedSeg(dir)
-        Dedup.buildLshIndex(docs.filter(col("doc_id") % 5 =!= 4),
-          "doc_id", "text", root)
-        root
-      })
-      Dedup.dedupAgainstIndex(s, idx,
-        docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
-    }),
-
-    // LSH-index TOMBSTONE DELETION (the ann_ivfpq_delete twin): the
-    // saved index loses its doc_id%10==3 members (all indexed: %10=3 ⊂
-    // %5≠4) to Dedup.removeFromLshIndex before the batch dedups against
-    // it — verdicts must equal a rebuild WITHOUT the deleted docs,
-    // bucket-size caps included (the anti-join runs before membership
-    // counting).
-    "dedup_lsh_delete" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val idx = jsonlStaged.getOrElseUpdate(dir + "#lshidxdel", {
-        val root = s"/tmp/graft_lshidx_del_${ProcessHandle.current().pid()}/" +
-          stagedSeg(dir)
-        Dedup.buildLshIndex(docs.filter(col("doc_id") % 5 =!= 4),
-          "doc_id", "text", root)
-        Dedup.removeFromLshIndex(s, root,
-          docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
-        root
-      })
-      Dedup.dedupAgainstIndex(s, idx,
-        docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
-    }),
-
-    // LSH-index UPDATE — the dedup twin of ann_ivfpq_update's CRUD cycle:
-    // the %10==3 docs (all indexed) get re-ingested REWRITTEN (every word
-    // suffixed '~u' — the ScaleProbe replica transform: every shingle
-    // changes, so the rewritten docs can no longer pair with unmodified
-    // text) via tombstone → compaction (ids may legally re-enter) →
-    // re-sign + append. Verdicts for the %5==4 batch then replay
-    // monolithically over the MODIFIED corpus; batch docs whose only dup
-    // partners were %10==3 docs provably flip is_dup (the dated-API
-    // "provably bites" discipline — asserted against the incremental
-    // lane's dump during the round, 1000-row diff non-empty).
-    "dedup_lsh_update" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val rewritten = concat_ws(" ",
-        transform(TextFns.words(col("text")), w => concat(w, lit("~u"))))
-      val idx = jsonlStaged.getOrElseUpdate(dir + "#lshidxupd", {
-        val root = s"/tmp/graft_lshidx_upd_${ProcessHandle.current().pid()}/" +
-          stagedSeg(dir)
-        Dedup.buildLshIndex(docs.filter(col("doc_id") % 5 =!= 4),
-          "doc_id", "text", root)
-        Dedup.removeFromLshIndex(s, root,
-          docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
-        Dedup.compactLshIndex(s, root)
-        Dedup.appendToLshIndex(
-          docs.filter(col("doc_id") % 10 === 3)
-            .select(col("doc_id"), rewritten.as("text")),
-          "doc_id", "text", root)
-        root
-      })
-      Dedup.dedupAgainstIndex(s, idx,
-        docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
-    }),
-
-    // Relational crosstab: source × language counts via pivot with an
-    // EXPLICIT value list (schema deterministic, no value-discovery job);
-    // absent cells coalesce to 0 so both engines agree. One Expand-free
-    // pivot aggregation shuffle.
-    // Pattern EXTRACTION (regexp_extract_all + explode): pull every long
-    // token out of each document and rank the global vocabulary — the
-    // entity/hashtag-mining shape; Java and RE2 agree on this simple
-    // character-class pattern (the text_normalize precedent).
-    "text_extract_all" -> ((s, dir) =>
-      TestData(s, dir).documents
-        .select(explode(expr("regexp_extract_all(text, '[a-z]{7,}', 0)"))
-          .as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n_hits"))),
-
-    // Semi-structured column extraction (C4 generalized): events.props is
-    // a JSON string; from_json with an EXPLICIT schema (inference on an
-    // unbounded corpus is a full extra scan) parses it in-plan — codegen'd
-    // JsonToStructs, row-local, no UDF. Malformed documents coerce to null
-    // (ANSI off), so the downstream agg sees them as missing, not a crash:
-    // the 100 TB posture for dirty semi-structured columns. Exact BIGINT
-    // aggregation over the extracted field.
-    "p7_json_extract" -> ((s, dir) => {
-      TestData(s, dir).events
-        .select(col("event_type"),
-          from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-            .getField("k").as("k"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          count(col("k")).as("n_with_k"),
-          sum(col("k").cast("long")).as("sum_k"),
-          countDistinct(col("k")).as("n_distinct_k"))
-    }),
-
-    "p5_crosstab" -> ((s, dir) => {
-      val langs = Seq("de", "en", "es", "fr", "zh")
-      val piv = TestData(s, dir).documents
-        .groupBy(col("source")).pivot("lang", langs).count()
-      piv.select(col("source") +:
-        langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
-    }),
-
-    // ARBITRARY grouping sets — the level list ((rf,ls),(ls),()) is
-    // non-hierarchical (skips the (rf) level), so neither rollup nor cube
-    // (both already gated) can express it; still ONE Expand → ONE
-    // aggregation pass. GROUPING() flags disambiguate real NULL groups
-    // from subtotal rows; BIGINT-cast on both sides (the DuckDB HUGEINT
-    // lesson applies to GROUPING too).
-    "p6_grouping_sets" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      t.lineitem.createOrReplaceTempView("g_p6_lineitem")
-      s.sql("""
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
-               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
-               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,6)))
-                   AS DECIMAL(25,6)) AS DOUBLE) AS sum_qty,
-               count(*) AS n_rows
-        FROM g_p6_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_linestatus), ())""")
-    }),
-
-    // Decontamination by EXCISION: bench 5-spans are removed from corpus
-    // docs (the higher-retention alternative to dropping contaminated
-    // docs); bench set broadcast, rebuild md5-pinned.
-    "decontam_strip" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      Decontam.stripBenchSpans(docs, docs.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", n = 5)
-    }),
-
-    // The REWRITE half of the Lee et al. pass: duplicated 8-spans are
-    // EXCISED (a token survives iff no duplicated span covers it) and the
-    // cleaned text rebuilt — md5-pinned so the gate row stays narrow.
-    "dedup_strip_spans" -> ((s, dir) =>
-      Dedup.stripDupSpans(TestData(s, dir).documents, "doc_id", "text",
-        w = 8, minDocs = 2)),
-
-    // Lee et al. sliding-window duplicated-span pass: an 8-token span
-    // occurring in ≥2 distinct docs at ANY alignment is duplicated; docs
-    // over 20% duplicated positions drop. Integer counts + a
-    // cross-multiplied verdict — exact on any engine.
-    "dedup_dup_spans" -> ((s, dir) =>
-      Dedup.dupSpans(TestData(s, dir).documents, "doc_id", "text",
-        w = 8, minDocs = 2, maxDupPct = 20)),
-
-    // Gopher-style repetition signals: duplicate-word and top-bigram
-    // fractions per document.
-    "text_repetition" -> ((s, dir) =>
-      DataQuality.repetitionSignals(TestData(s, dir).documents, "doc_id", "text")),
-
-    // The composed filter funnel: token floor + language-ID agreement +
-    // repetition ceiling + decontamination, one keep verdict per doc —
-    // the end-to-end corpus gate a training build runs before sampling.
-    "corpus_gate" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val rep = DataQuality.repetitionSignals(docs, "doc_id", "text")
-        .select(col("doc_id"), col("top_bigram_frac"))
-      val contam = Decontam.ngramOverlap(docs,
-          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
-        .select(col("doc_id"), col("n_contaminated"))
-      docs.select(col("doc_id"), col("lang"),
-          TextFns.wordCount(col("text")).cast("long").as("n_tokens"),
-          TextFns.langId(col("text")).as("lang_pred"))
-        .join(rep, Seq("doc_id"), "left")
-        .join(contam, Seq("doc_id"), "left")
-        .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
-        .withColumn("keep", coalesce(
-          col("n_tokens") >= 20 && col("lang_pred") === col("lang") &&
-            col("top_bigram_frac") <= 0.05 && col("n_contaminated") === 0,
-          lit(false)))
-    }),
-
-    // The STREAMING corpus gate, oracle-checked (judge r6 item 5): the
-    // fixture replays through the real streaming operator — watermark,
-    // dropDuplicatesWithinWatermark state store, append mode — and the
-    // output is projected to text-derived columns only, which are identical
-    // for every copy of a duplicate text, so WHICH re-delivery survived
-    // (arrival-order dependent) cannot leak into the compared result.
-    "stream_corpus_gate" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/documents.parquet"))
-        // synthetic deterministic event time (fixture has none): watermark
-        // anchor only — one-batch replay never advances past it
-        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
-      graft.streaming.Replay.toBatch(
-        graft.streaming.StreamCorpusGate.gate(docs, "text", "ts"),
-        "corpus_gate")
-        .select("content_hash", "content_len", "n_tokens", "lang_guess",
-          "dup_word_frac", "keep")
-    }),
-
-    // Stream-stream interval join over the events fixture: 1%-sampled left
-    // events pair with same-user right events within the following 10
-    // minutes. One-batch replay drops nothing, so the inner-join output is
-    // exactly the batch range join the oracle replays.
-    "stream_interval_join" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      // type-adaptive ts contract (long-nanos or µs-timestamp fixtures)
-      def ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-        .withColumn("ets", col("ts"))
-      val left = ev.filter(col("event_id") % 100 === 0)
-        .select(col("user_id"), col("ets").as("lts"), col("event_id").as("left_id"))
-      val right = ev
-        .select(col("user_id"), col("ets").as("rts"), col("event_id").as("right_id"))
-      graft.streaming.Replay.toBatch(
-        graft.streaming.StreamJoin.intervalJoin(left, right, "user_id",
-          "lts", "rts", window = "10 minutes"),
-        "interval_join")
-        .select("user_id", "left_id", "right_id")
-    }),
-
-    // LEFT OUTER stream-stream interval join: sampled left events pair
-    // with same-user PURCHASE events in the following 10 minutes; left
-    // rows with no such purchase emit null-extended — but only once the
-    // final watermark (min over both inputs of max-event-ms − lateness,
-    // advanced by the no-data batch) passes their window end, which is
-    // when "no match will ever arrive" becomes a theorem. The oracle
-    // replays exactly that cutoff (stream_bars precedent).
-    "stream_interval_outer" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      def ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-      val left = ev.filter(col("event_id") % 100 === 0)
-        .select(col("user_id"), col("ts").as("lts"), col("event_id").as("left_id"))
-      val right = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("rts"), col("event_id").as("right_id"))
-      graft.streaming.Replay.toBatch(
-        graft.streaming.StreamJoin.intervalJoinLeftOuter(left, right, "user_id",
-          "lts", "rts", window = "10 minutes"),
-        "interval_outer")
-        .select("user_id", "left_id", "right_id")
-    }),
-
-    // FULL OUTER interval join: both null-extension theorems, with their
-    // asymmetric cutoffs (left waits for its window END, right only for
-    // its own timestamp) replayed by the oracle.
-    "stream_interval_full" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      def ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-      val left = ev.filter(col("event_id") % 100 === 0)
-        .select(col("user_id"), col("ts").as("lts"), col("event_id").as("left_id"))
-      val right = ev.filter(col("event_type") === "purchase" && col("event_id") % 20 === 0)
-        .select(col("user_id"), col("ts").as("rts"), col("event_id").as("right_id"))
-      graft.streaming.Replay.toBatch(
-        graft.streaming.StreamJoin.intervalJoinFullOuter(left, right, "user_id",
-          "lts", "rts", window = "10 minutes"),
-        "interval_full")
-        .select("user_id", "left_id", "right_id")
-    }),
-
-    // Streaming OHLCV bar builder, oracle-checked: ticks derived from the
-    // events fixture (integer-valued px/qty, so every sum is exact in
-    // double regardless of fold order) stream through the REAL windowed
-    // aggregation — watermark, append-mode state store, no-data-batch
-    // flush. Append mode only emits windows the final watermark has passed
-    // (watermark = max event-time ms − 601 s), so the oracle replays the
-    // same emission cutoff; the last ~10 min of bars stay in state, which
-    // is exactly the production semantics.
-    "stream_bars" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-      val ticks = ev.select(
-        concat(lit("S"), col("user_id") % 20).as("symbol"),
-        col("ts"),
-        ((col("event_id") * 37) % 10000).cast("double").as("px"),
-        ((col("event_id") % 100) + 1).cast("double").as("qty"),
-        col("event_id").as("seq"))
-      graft.streaming.Replay.toBatch(
-        graft.streaming.BarBuilder.bars(ticks, "1 hour", "601 seconds",
-          seqCol = Some("seq")), "bars")
-        .select(col("symbol"), unix_micros(col("bar_start")).as("bar_start_us"),
-          col("open"), col("high"), col("low"), col("close"),
-          col("volume"), col("money"), col("n_ticks"))
-    }),
-
-    // KILL-AND-RESUME recovery gate (judge r12 item 4): the SAME bar
-    // builder as stream_bars, but the fixture arrives in two time-split
-    // chunks with a query STOP + checkpoint restart between them
-    // (Replay.toBatchResumed). Window state, watermark, and the sink
-    // commit log all survive the restart, so the final emitted set must
-    // equal the uninterrupted run's — the gate shares stream_bars' oracle
-    // verbatim. Time split at min + 2/3·(max−min) ns: every chunk-B event
-    // time ≥ every chunk-A one, so nothing is late against the resumed
-    // watermark and equality is deterministic (see toBatchResumed's doc).
-    "stream_resume" -> ((s, dir) => {
-      val path = s"$dir/events.parquet"
-      val raw = s.read.parquet(path)
-      val nsExpr = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => col("ts")
-        case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
-      }
-      val mm = TestData.normalizeEventTs(raw)
-        .agg(min(col("ts_ns")), max(col("ts_ns"))).head()
-      val splitNs = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 3 * 2
-      def transform(src: org.apache.spark.sql.DataFrame) = {
-        val ev = TestData.normalizeEventTs(src)
-        val ticks = ev.select(
-          concat(lit("S"), col("user_id") % 20).as("symbol"),
-          col("ts"),
-          ((col("event_id") * 37) % 10000).cast("double").as("px"),
-          ((col("event_id") % 100) + 1).cast("double").as("qty"),
-          col("event_id").as("seq"))
-        graft.streaming.BarBuilder.bars(ticks, "1 hour", "601 seconds",
-          seqCol = Some("seq"))
-      }
-      graft.streaming.Replay.toBatchResumed(s, path, nsExpr < lit(splitNs),
-          transform, "resume")
-        .select(col("symbol"), unix_micros(col("bar_start")).as("bar_start_us"),
-          col("open"), col("high"), col("low"), col("close"),
-          col("volume"), col("money"), col("n_ticks"))
-    }),
-
-    // The Spark 4 transformWithState arbitrary-state API (successor to
-    // flatMapGroupsWithState, which the sessionizer/anomaly lanes cover):
-    // typed StatefulProcessor with a named ValueState, RocksDB-backed
-    // (the only provider the operator accepts — off-heap spillable state
-    // is what survives 10⁹ keys). Order-free fold (count + integer
-    // checksum); one-batch replay ≡ the batch groupBy.
-    "stream_twstate" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
-      graft.streaming.TwState.withRocksDb(s) {
-        graft.streaming.Replay.toBatch(
-          graft.streaming.TwState.runningCounts(ev), "twstate")
-      }
-    }),
-
-    // HOPPING (sliding) window aggregation — the window type the tier
-    // still lacked next to tumbling (stream_bars) and session
-    // (stream_session_window): 10-minute windows every 5 minutes, so
-    // each event lands in exactly 2 overlapping windows (the engine
-    // plans this as an explode over size/slide candidates). Exact
-    // BIGINT count + checksum per (window, type); append emission once
-    // the final watermark passes the window END, replayed in SQL as the
-    // stream_bars cutoff.
-    "stream_hopping" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-      val agg = ev
-        .withWatermark("ts", "601 seconds")
-        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum((col("event_id") % 100).cast("long")).as("checksum"))
-      graft.streaming.Replay.toBatch(agg, "hopping")
-        .select(unix_micros(col("window.start")).as("win_start_us"),
-          col("event_type"), col("n_events"), col("checksum"))
-    }),
-
-    // Intraday frequency, streaming side: the SAME bar builder at a
-    // 5-minute window — PTrade documents 1m/5m frequencies
-    // (PTrade_API_mini_Reference.md:1798) that the reference rejects
-    // (ptrade_data_api.py:58-62); here intraday is purely a windowLen
-    // parameter. Emission cutoff replays as in stream_bars (window end ≤
-    // final watermark); batch/stream parity is additionally spec-asserted
-    // against resampleBars at the same grain (StreamingSpec).
-    "stream_minute_bars" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-      val ticks = ev.select(
-        concat(lit("S"), col("user_id") % 20).as("symbol"),
-        col("ts"),
-        ((col("event_id") * 37) % 10000).cast("double").as("px"),
-        ((col("event_id") % 100) + 1).cast("double").as("qty"),
-        col("event_id").as("seq"))
-      graft.streaming.Replay.toBatch(
-        graft.streaming.BarBuilder.bars(ticks, "5 minutes", "601 seconds",
-          seqCol = Some("seq")), "bars5m")
-        .select(col("symbol"), unix_micros(col("bar_start")).as("bar_start_us"),
-          col("open"), col("high"), col("low"), col("close"),
-          col("volume"), col("money"), col("n_ticks"))
-    }),
-
-    // Streaming gap sessionizer (flatMapGroupsWithState custom state),
-    // oracle-checked: sessions CLOSED by a later event emit from the data
-    // batch; each user's final open session emits only if the event-time
-    // timeout fired (last_ms + gap behind the final watermark) — the
-    // oracle replays the same per-user cutoff. session_value replays the
-    // operator's sequential fold in (ms, value) order.
-    "stream_sessions" -> ((s, dir) => {
-      import s.implicits._
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-        .select(col("user_id"), col("ts"), col("value"))
-        .withWatermark("ts", "601 seconds")
-        .as[graft.streaming.StreamSessionizer.Event]
-      graft.streaming.Replay.toBatch(
-        graft.streaming.StreamSessionizer.sessions(ev, gapMs = 30L * 60 * 1000)
-          .toDF(), "sessions")
-    }),
-
-    // The BUILT-IN merging session window (the native operator next to
-    // the flatMapGroupsWithState sessionizer in stream_sessions — prefer
-    // the engine's operator when it expresses the semantics): sessions
-    // merge while consecutive-event gaps stay UNDER 30 min (strict — an
-    // exactly-gap-sized step starts a new session, because per-event
-    // windows [ts, ts+gap) abut without overlapping), session end = last
-    // event + gap. All µs-exact: the oracle replays the island detection
-    // on integer microseconds, never ms-rounded (a boundary-straddling
-    // round would flip a merge verdict). Append emission: the final
-    // watermark (max ts − 601 s) must pass the session END.
-    "stream_session_window" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-        .select(col("user_id"), col("ts"), col("value"))
-        .withWatermark("ts", "601 seconds")
-      graft.streaming.Replay.toBatch(
-        ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"),
-            decSum(col("value")).as("session_value")),
-        "session_window")
-        .select(col("user_id"),
-          unix_micros(col("session_window.start")).as("start_us"),
-          unix_micros(col("session_window.end")).as("end_us"),
-          col("n_events"), col("session_value"))
-    }),
-
-    // COMPLETE-mode running aggregate — the output mode the append-only
-    // file-sink gates can't exercise: an unbounded (no-watermark) per-type
-    // running total whose state is O(|event_type|); the converged final
-    // table of a one-batch replay ≡ the batch aggregate. Decimal-route
-    // sums keep the running float total exact (rule 1 applies to
-    // streaming state merges exactly as to groupBy).
-    "stream_running_totals" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
-        .select(col("event_type"), col("value"))
-      graft.streaming.Replay.toBatchMemory(
-        ev.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value")),
-        "running_totals", outputMode = "complete")
-    }),
-
-    // DSV2 MICRO-BATCH READ (judge r14 item 3): `readStream.format(...)`
-    // over the synthetic-market connector — a REAL MicroBatchStream whose
-    // offsets are day ranges (sources/v2 SynMicroBatchStream), 37-day
-    // batches over a 200-day grid so batch boundaries never align with
-    // anything. The converged COMPLETE-mode aggregate is pure grid
-    // arithmetic per symbol (count, date bounds, day-index sum) which the
-    // oracle replays closed-form from range() — any dropped, duplicated,
-    // or overlapping micro-batch breaks n_days/day_sum. Value-level
-    // stream ≡ batch equality (close/volume) is DataSourceV2Spec's
-    // bit-for-bit assert; checkpoint recovery is spec'd there too.
-    "stream_dsv2" -> ((s, dir) => {
-      val src = s.readStream.format("graft.sources.v2.SyntheticMarketSource")
-        .option("nSymbols", 20).option("nDays", 200)
-        .option("startDate", "2020-01-01").option("daysPerBatch", 37)
-        .load()
-      graft.streaming.Replay.toBatchMemory(
-        src.groupBy(col("symbol")).agg(
-          count(lit(1)).as("n_days"),
-          min(col("date")).as("first_date"),
-          max(col("date")).as("last_date"),
-          sum(datediff(col("date"),
-            lit(java.sql.Date.valueOf("2020-01-01")))).as("day_sum")),
-        "dsv2", outputMode = "complete")
-    }),
-
-    // DSv2 STREAMING WRITE (the fourth connector quadrant, next to the
-    // read gate above): the event stream drains through JsonlSinkSource's
-    // epoch-marked exactly-once commit protocol under the real micro-batch
-    // engine, then reads back schema-as-contract. Stateless projection so
-    // append mode needs no watermark; doubles JSON-roundtrip exactly
-    // (shortest-repr print/parse identity).
-    "stream_dsv2_sink" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
-        .filter(col("event_type") =!= "view")
-        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
-      graft.streaming.Replay.toBatchJsonlV2(ev, "dsv2sink")
-    }),
-
-    // STREAMING POINT-IN-TIME ENRICHMENT (composes the r15 themes): the
-    // bars stream joins the VERSIONED industry dimension statelessly —
-    // the static side is rewritten to SCD2 interval form (effective_date,
-    // next_effective_date), so "the membership as of this bar's date" is
-    // one range-predicate stream-static join: no state, no watermark,
-    // PIT-correct by construction (the j15_scd2_lookup trick under the
-    // micro-batch engine — the feature-store enrichment shape).
-    "stream_pit_enrich" -> ((s, dir) => {
-      val m = mkt(s, dir)
-      // staged ONCE per (fixture dir, JVM) — ADVICE r15: the per-invocation
-      // temp write re-paid a corpus-sized parquet write inside the timed
-      // query and leaked temp dirs across Bench/Verify runs
-      val root = jsonlStaged.getOrElseUpdate(dir + "#pitsrc", {
-        val r = java.nio.file.Files
-          .createTempDirectory("graft_pit_src").toString
-        m.bars.select(col("symbol"), col("date"), col("close"))
-          .coalesce(4).write.mode("overwrite").parquet(r)
-        r
-      })
-      val sch = s.read.parquet(root).schema
-      val stream = s.readStream.schema(sch).parquet(root)
-      val iv = m.industryHistory
-        .withColumn("next_eff", lead(col("effective_date"), 1).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("symbol")).orderBy(col("effective_date"))))
-        .select(col("symbol").as("iv_symbol"), col("effective_date"),
-          col("next_eff"), col("industry"))
-      val joined = stream.join(iv,
-          stream("symbol") === col("iv_symbol") &&
-            col("date") >= col("effective_date") &&
-            (col("next_eff").isNull || col("date") < col("next_eff")))
-        .select(stream("symbol"), col("date"), col("close"), col("industry"))
-      graft.streaming.Replay.toBatch(joined, "pitenrich")
-    }),
-
-    // STREAMING INDEX MAINTENANCE (judge r15 item 4): the LSH dedup index
-    // is batch-built on 60% of the corpus; the remaining indexed slice
-    // (doc_id%10 ∈ {6,7}) arrives as a REAL file-source micro-batch stream
-    // (maxFilesPerTrigger=1 → several epochs) through foreachBatch with
-    // EPOCH-IDEMPOTENT appends (Dedup.appendEpochToLshIndex: committed
-    // epochs skip, crashed attempts overwrite-then-commit — a replayed
-    // micro-batch cannot double-append; StreamingSpec replays one
-    // deliberately). The stream-built index must then serve IDENTICALLY to
-    // dedup_incremental's batch-built index over the same %5==4 ingest
-    // batch — the two gates share one oracle verbatim.
-    "stream_index_append" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val idx = jsonlStaged.getOrElseUpdate(dir + "#lshidxstream", {
-        val root = s"/tmp/graft_lshidx_stream_${ProcessHandle.current().pid()}/" +
-          stagedSeg(dir)
-        Dedup.buildLshIndex(
-          docs.filter(col("doc_id") % 5 =!= 4
-            && col("doc_id") % 10 =!= 6 && col("doc_id") % 10 =!= 7),
-          "doc_id", "text", root)
-        graft.streaming.StreamIndexAppend.runFileStream(s,
-          docs.filter(col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7),
-          "doc_id", "text", root)
-        root
-      })
-      Dedup.dedupAgainstIndex(s, idx,
-        docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
-    }),
-
-    // STREAMING DRIFT MONITOR: per event-time hour, the value histogram
-    // (10 fixed bins) is scored against a literal reference shape — the
-    // production data-quality watchdog (does this hour's traffic still
-    // look like the corpus?). ONE windowed aggregation (fixed-bin
-    // conditional counts keep it to a single stateful op — a cascaded
-    // bin-then-window agg would be two, unsupported in append mode), then
-    // a stateless projection computes the squared-deviation score
-    // Σ(obs_b·1000 − ref_b·n)² in exact BIGINTs, verdict cross-multiplied
-    // (score > 5000·n²). Emission cutoff replays as in stream_bars.
-    "stream_drift" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-        .select(col("ts"), col("value"))
-        .withWatermark("ts", "601 seconds")
-      val bin = least(greatest(floor(col("value") / 50.0), lit(0.0)), lit(9.0)).cast("int")
-      val counts = (0 to 9).map(b =>
-        sum(when(bin === lit(b), 1L).otherwise(0L)).as(s"b$b"))
-      val agg = ev.groupBy(window(col("ts"), "1 hour"))
-        .agg(counts.head, counts.tail :+ count(lit(1)).as("n"): _*)
-      val score = (0 to 9).map { b =>
-        val d = col(s"b$b") * 1000L - lit(DriftRef(b)) * col("n")
-        d * d
-      }.reduce(_ + _)
-      graft.streaming.Replay.toBatch(
-        agg.select(unix_micros(col("window.start")).as("win_start_us"),
-          col("n"), score.as("score"),
-          (score > lit(5000L) * col("n") * col("n")).as("drift")),
-        "drift")
-    }),
-
-    // STREAMING QUANTILES: per event-time hour a percentile SKETCH
-    // (approx_percentile state rides the streaming aggregation store),
-    // then the quantiles_approx rank-bound framing verifies each emitted
-    // window's p50/p90 against exact batch ranks — `within` flips on a
-    // genuine bound violation. Emission cutoff as in stream_bars.
-    "stream_quantiles" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-        .select(col("ts"), col("value"))
-        .withWatermark("ts", "601 seconds")
-      val appr = ev.groupBy(window(col("ts"), "1 hour"))
-        .agg(percentile_approx(col("value"),
-            array(lit(0.5), lit(0.9)), lit(1000)).as("qs"),
-          count(lit(1)).as("wn"))
-        .select(unix_micros(col("window.start")).as("win_start_us"),
-          col("qs"), col("wn"))
-      val replayed = graft.streaming.Replay.toBatch(appr, "squant").localCheckpoint()
-      val raw = TestData(s, dir).events.select(
-        expr("(ts_ns DIV 1000 DIV 3600000000) * 3600000000").as("win_start_us"),
-        col("value").as("v"))
-      val perP = replayed.select(col("win_start_us"), col("wn"),
-          posexplode(col("qs")).as(Seq("pi", "qv")))
-        .withColumn("p", element_at(array(lit(0.5), lit(0.9)), col("pi") + 1))
-        .withColumn("p_label",
-          element_at(array(lit("p50"), lit("p90")), col("pi") + 1))
-      val ranks = raw.join(broadcast(perP), Seq("win_start_us"))
-        .groupBy("win_start_us", "p_label", "p", "wn", "qv")
-        .agg(sum(when(col("v") < col("qv"), 1L).otherwise(0L)).as("below"),
-          sum(when(col("v") <= col("qv"), 1L).otherwise(0L)).as("at_or_below"))
-      val eps = greatest(lit(1L), ceil(col("wn") * 2.0 / 1000).cast("long"))
-      val target = ceil(col("wn").cast("double") * col("p")).cast("long")
-      ranks.select(col("win_start_us"), col("p_label"), col("wn").as("n"),
-        (col("below") + lit(1L) <= target + eps &&
-          col("at_or_below") >= target - eps).as("within"))
-    }),
-
-    // Streaming z-score anomaly alerts: per-key bounded deque state
-    // (last n−1 values), every event emits one alert in its own batch —
-    // no watermark-gated emission, so the one-batch replay is exactly the
-    // batch window query (w6_zscore's tree over the events table).
-    "stream_anomaly" -> ((s, dir) => {
-      import s.implicits._
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-        .withWatermark("ts", "601 seconds")
-        .as[graft.streaming.StreamAnomaly.Event]
-      graft.streaming.Replay.toBatch(
-        graft.streaming.StreamAnomaly.zscores(ev, n = 8, k = 2.0).toDF(),
-        "anomaly")
-    }),
-
-    // Streaming CUSUM change-point monitor (flatMapGroupsWithState with a
-    // SCALAR state — the O(1)-per-key shape that scales to 10⁹ keys where
-    // frame-carrying monitors can't). Deviations are the w16 integers;
-    // one-batch replay folds in (ts, event_id) order ≡ the batch twin.
-    "stream_cusum" -> ((s, dir) => {
-      import s.implicits._
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-        .select(col("user_id"), col("event_id"), col("ts"),
-          ((col("event_id") % 100) - 45).cast("double").as("x"))
-        .withWatermark("ts", "601 seconds")
-        .as[graft.streaming.StreamCusum.Obs]
-      graft.streaming.Replay.toBatch(
-        graft.streaming.StreamCusum.cusum(ev, h = 400.0).toDF(),
-        "stream_cusum")
-    }),
-
-    // Streaming token-bucket rate limiter (flatMapGroupsWithState, two
-    // longs of state per key): same all-integer recursion as
-    // w18_token_bucket, same oracle family. Event time rides at SECONDS
-    // grain (cap 2000 mt / cost 1000 mt / refill 1 mt·s⁻¹ — the real
-    // inter-arrival distribution then provably produces BOTH verdicts).
-    "stream_rate_limit" -> ((s, dir) => {
-      import s.implicits._
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-        .select(col("user_id"), col("event_id"),
-          // seconds-grain bucket clock, encoded so getTime == real
-          // seconds (timestamp_millis of the DIV): at ms grain any
-          // realistic bucket refills between fixture events (min gap
-          // 8.2 s) and every verdict is "allowed" — a vacuous gate
-          expr("timestamp_millis(ts_ns DIV 1000000000)").as("ts"),
-          lit(1000L).as("cost_mt"))
-        .withWatermark("ts", "601 seconds")
-        .as[graft.streaming.StreamRateLimit.Req]
-      graft.streaming.Replay.toBatch(
-        graft.streaming.StreamRateLimit.rateLimit(ev,
-          capMt = 2000L, refillPerMs = 1L).toDF(),
-        "stream_rate_limit")
-    }),
-
-    // Streaming ingest dedup (dropDuplicatesWithinWatermark), isolated from
-    // the corpus gate: emitted columns are content-derived only, so the
-    // arrival-order-dependent survivor cannot leak into the compare.
-    // Stream-static enrichment, DIM-DEFAULT variant (the unknown-member
-    // convention next to stream_enrich's profile join): every event picks
-    // up its customer segment from a broadcast dim snapshot per
-    // micro-batch; users outside the dim get the unknown-member default
-    // (c_custkey % 3 == 0 is withheld so the default path provably fires).
-    "stream_enrich_dim" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet"))
-        .select("event_id", "user_id", "value")
-      val dim = TestData(s, dir).customer
-        .filter(col("c_custkey") % 3 =!= 0)
-        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
-      graft.streaming.Replay.toBatch(
-        graft.streaming.StreamEnrich.enrich(ev, dim, Seq("user_id"),
-          Map("c_mktsegment" -> lit("UNKNOWN"))),
-        "enrich")
-        .select(col("event_id"), col("user_id"), col("value"),
-          col("c_mktsegment").as("segment"))
-    }),
-
-    "stream_dedup" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/documents.parquet"))
-        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
-      graft.streaming.Replay.toBatch(
-        graft.streaming.StreamDedup.dropRedelivered(docs, "text", "ts"),
-        "dedup")
-        .select("content_hash", "content_len")
-    }),
-
-    // The BUILT-IN streaming dedup operator (dropDuplicatesWithinWatermark
-    // — the engine's bounded-state twin of StreamDedup.dropRedelivered,
-    // the session_window-vs-custom-sessionizer pattern again): state
-    // expires once the watermark passes a key's last sighting, which is
-    // exactly the redelivery horizon the custom lane enforces by hand.
-    // One-batch replay ≡ DISTINCT per key, so it shares stream_dedup's
-    // oracle verbatim.
-    "stream_dedup_wm" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/documents.parquet"))
-        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
-        .withWatermark("ts", "601 seconds")
-        .select(col("ts"), md5(col("text")).as("content_hash"),
-          length(col("text")).cast("long").as("content_len"))
-      graft.streaming.Replay.toBatch(
-        docs.dropDuplicatesWithinWatermark("content_hash"),
-        "dedup_wm")
-        .select("content_hash", "content_len")
-    }),
-
-    // Streaming CDC apply: tombstone-aware per-key state machine
-    // (mapGroupsWithState, Update mode) — 'error' events are DELETE
-    // markers that reset the key's since-delete count/sum; everything
-    // else upserts. One-batch replay emits the final state per key, which
-    // the oracle replays as an after-last-tombstone ordered fold.
-    "stream_cdc" -> ((s, dir) => {
-      import s.implicits._
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-      val changes = ev.select(col("user_id"), col("ts_ns"), col("event_id"),
-          when(col("event_type") === "error", lit("delete"))
-            .otherwise(lit("upsert")).as("op"),
-          coalesce(col("value"), lit(0.0)).as("value"))
-        .as[graft.streaming.StreamCdc.Change]
-      graft.streaming.Replay.toBatchMemory(
-        graft.streaming.StreamCdc.applyCdc(changes).toDF(), "cdc",
-        outputMode = "update")
-    }),
-
-    // Streaming top-k (trending items): watermarked tumbling-window
-    // counts in append mode, then a batch rank over the EMITTED windows —
-    // the lambda-free "top sellers per hour" serving shape. Emission
-    // cutoff replays as in stream_bars (window end ≤ final watermark).
-    "stream_topk" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-      val counts = ev.withWatermark("ts", "601 seconds")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(unix_micros(col("window.start")).as("win_us"),
-          col("event_type"), col("cnt"))
-      val emitted = graft.streaming.Replay.toBatch(counts, "topk")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("win_us"))
-        .orderBy(col("cnt").desc, col("event_type"))
-      emitted.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-    }),
-
-    // Event-type transition matrix (the Markov view of user journeys —
-    // funnel's unordered cousin): per user, each event pairs with its
-    // successor under the (ts_ns, event_id) total order (rule 2/5), then
-    // one (from, to) count aggregation. Exact integers; one window
-    // exchange + one agg.
-    "events_transitions" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("ts_ns"), col("event_id"))
-      TestData(s, dir).events
-        .select(col("user_id"), col("ts_ns"), col("event_id"),
-          col("event_type"))
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"),
-          col("next_type").as("to_type"))
-        .agg(count(lit(1)).as("n_transitions"))
-    }),
-
-    // Inter-arrival profile per user: ns gaps between consecutive events
-    // (exact BIGINT diffs on ts_ns), nearest-rank median — the burstiness
-    // audit behind session-gap and rate-limit tuning. (user_id, ts_ns) is
-    // unique (r10 tie audit); event_id rides as belt-and-braces tiebreak.
-    "events_inter_arrival" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-      val gaps = TestData(s, dir).events
-        .select(col("user_id"), col("ts_ns"), col("event_id"))
-        .withColumn("gap_ns", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
-        .filter(col("gap_ns").isNotNull)
-      val wg = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("gap_ns"), col("event_id"))
-      gaps
-        .withColumn("rn", row_number().over(wg).cast("long"))
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))).cast("long"))
-        .groupBy(col("user_id"))
-        .agg(max(col("n")).as("n_gaps"),
-          min(col("gap_ns")).as("min_gap_ns"),
-          max(col("gap_ns")).as("max_gap_ns"),
-          max(when(col("rn") === ceil(col("n").cast("double") * 0.5),
-            col("gap_ns"))).as("p50_gap_ns"))
-    }),
-
-    // SCD-2 build (gaps-and-islands): collapse each user's event_type
-    // stream into validity intervals [valid_from, valid_to) — the
-    // snapshot→dimension-history derivation of a lakehouse pipeline.
-    // Order is ts_ns alone: the r10 fixture audit (and
-    // FixtureContractSpec) pin (user_id, ts) unique, so no tiebreak
-    // column is needed and interval bounds are raw order values.
-    "j14_scd2" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-        .select(col("user_id"), col("ts_ns"), col("event_type"))
-      Windows.changeIntervals(ev, Seq(col("user_id")), col("ts_ns"),
-          col("event_type"))
-        .select(col("user_id"), col("attr").as("event_type"),
-          col("valid_from"), col("valid_to"), col("n_rows"),
-          col("is_current"))
-    }),
-
-    // Point-in-time dimension lookup — the CONSUMER of the SCD-2 build:
-    // a tier dimension derived from purchase events (value bucket,
-    // islands-collapsed), then every event joined to the tier in effect
-    // at its timestamp. Intervals partition each key's timeline, so the
-    // lookup IS an as-of join on valid_from (one tagged-union shuffle —
-    // no interval-predicate join needed); events before the first
-    // purchase get a null tier.
-    "j15_scd2_lookup" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-        .select(col("user_id"), col("ts_ns"), col("event_id"),
-          col("event_type"), col("value"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_ns"),
-          floor(col("value") / lit(25.0)).as("tier"))
-      val dim = Windows.changeIntervals(purchases, Seq(col("user_id")),
-          col("ts_ns"), col("tier"))
-        .select(col("user_id"), col("valid_from"), col("attr").as("tier"))
-      Joins.asOf(ev.select("user_id", "ts_ns", "event_id"), dim,
-          Seq("user_id"), "ts_ns", "valid_from", Seq("tier"))
-        .select("user_id", "ts_ns", "event_id", "tier")
-    }),
-
-    // Stream-STATIC enrichment join — the stateless streaming join shape
-    // (no watermark, no join state): each event picks up its user's
-    // profile from a broadcast static frame; LEFT join semantics so
-    // enrichment never drops an event. The profile derives from the same
-    // fixture's batch read, so the one-batch replay ≡ the plain batch
-    // join the oracle runs.
-    "stream_enrich" -> ((s, dir) => {
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = TestData.normalizeEventTs(s.readStream.schema(sch)
-        .parquet(graft.streaming.Replay.stagedDir(s"$dir/events.parquet")))
-      val profile = graft.streaming.Enrich.userProfile(TestData(s, dir).events)
-      graft.streaming.Replay.toBatch(
-        graft.streaming.Enrich.withProfile(
-          ev.select("event_id", "user_id", "value"), profile, "user_id",
-          heavyAt = 67L),
-        "enrich")
-        .select("event_id", "user_id", "value", "n_events", "total_value",
-          "is_heavy")
-    }),
-
-    // Incremental refresh ≡ full recompute (the lambda-equivalence claim,
-    // download_efficient.py:228-229): bars built from data before a
-    // NON-hour-aligned cutoff (so the boundary bar is stale/partial),
-    // upserted with a full recompute of the cutoff hour onward — last-wins
-    // prefers fresh — must equal bars over all data, which is what the
-    // oracle computes. Same tick derivation as stream_bars, batch mode
-    // (EliminateEventTimeWatermark drops the watermark on batch plans).
-    "stream_incr_refresh" -> ((s, dir) => {
-      val ticks = TestData(s, dir).events.select(
-        concat(lit("S"), col("user_id") % 20).as("symbol"),
-        col("ts"),
-        ((col("event_id") * 37) % 10000).cast("double").as("px"),
-        ((col("event_id") % 100) + 1).cast("double").as("qty"),
-        col("event_id").as("seq"))
-      def brs(t: DataFrame) =
-        graft.streaming.BarBuilder.bars(t, "1 hour", "601 seconds", Some("seq"))
-      val cutUs = 1705708800000000L + 1800000000L // 2024-01-20 00:30 UTC
-      val hourUs = 1705708800000000L              // cutoff's hour start
-      val existing = brs(ticks.filter(unix_micros(col("ts")) < cutUs))
-      val fresh = brs(ticks.filter(unix_micros(col("ts")) >= hourUs))
-      graft.streaming.BarBuilder.incrementalRefresh(existing, fresh)
-        .select(col("symbol"), unix_micros(col("bar_start")).as("bar_start_us"),
-          col("open"), col("high"), col("low"), col("close"),
-          col("volume"), col("money"), col("n_ticks"))
-    }),
-
-    // Token-budget mixture: per-language budgets, rates derived from the
-    // actual per-language token totals inside the plan (es capped at
-    // keep-all, fr absent -> dropped).
-    "sample_mixture" -> ((s, dir) => {
-      val d = TestData(s, dir).documents
-        .withColumn("n_tokens", TextFns.wordCount(col("text")).cast("long"))
-      Sampling.tokenBudgetMixture(d, "doc_id", "lang", "n_tokens",
-          Map("en" -> 4000L, "de" -> 2000L, "es" -> 10000000L, "zh" -> 1000L))
-        .select("doc_id", "lang", "n_tokens", "stratum_tokens", "threshold")
-    }),
-
-    // Exact per-group nearest-rank quantiles (percentile_disc shape);
-    // Quantiles.approx is the documented sketch path at 100 TB.
-    "quantiles_disc" -> ((s, dir) =>
-      Quantiles.exactDisc(TestData(s, dir).lineitem,
-        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))),
-
-    // Winsorization: clip values into the group's [p05, p95] nearest-rank
-    // band — row-preserving outlier treatment. The gate summarizes
-    // (cutoffs, clip counts, decimal-routed clipped sum) so the oracle
-    // stays compact; the operator itself returns the clipped rows.
-    "quantiles_winsorize" -> ((s, dir) =>
-      Quantiles.winsorize(TestData(s, dir).lineitem,
-          "l_returnflag", "l_extendedprice", 0.05, 0.95)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          max(col("cut_lo")).as("cut_lo"), max(col("cut_hi")).as("cut_hi"),
-          sum(when(col("clipped_low"), 1L).otherwise(0L)).as("n_lo"),
-          sum(when(col("clipped_high"), 1L).otherwise(0L)).as("n_hi"),
-          decSum(col("clipped")).as("sum_clipped"))),
-
-    // Tukey IQR fences (boxplot rule): nearest-rank quartiles, three IEEE
-    // ops per fence, per-group outlier counts — the robust outlier screen
-    // next to winsorize's clip.
-    "quantiles_iqr_outliers" -> ((s, dir) =>
-      Quantiles.iqrOutliers(TestData(s, dir).lineitem,
-          "l_returnflag", "l_extendedprice")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          max(col("q1")).as("q1"), max(col("q3")).as("q3"),
-          max(col("lo_fence")).as("lo_fence"),
-          max(col("hi_fence")).as("hi_fence"),
-          sum(when(col("is_low"), 1L).otherwise(0L)).as("n_low"),
-          sum(when(col("is_high"), 1L).otherwise(0L)).as("n_high"))),
-
-    // Interpolated (percentile_cont) quantiles — same window plan, but the
-    // value is COMPUTED: the oracle replays the identical IEEE expression
-    // tree (h = (n-1)p; lo + (hi-lo)·frac), so the doubles match exactly.
-    "quantiles_cont" -> ((s, dir) =>
-      Quantiles.exactCont(TestData(s, dir).lineitem,
-        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))),
-
-    // Robust scale: MAD = median(|x − median|) per group — two
-    // fixed-tree percentile passes, deviations are single IEEE
-    // subtractions, engine-exact end to end.
-    "quantiles_mad" -> ((s, dir) =>
-      Quantiles.madExact(TestData(s, dir).lineitem,
-        "l_returnflag", "l_extendedprice")),
-
-    // The sketch lane's gate: rank-error bound check per (group, p). The
-    // oracle replays TRUE per row — a sketch answer outside ±ε·n ranks
-    // flips the boolean and fails the hash compare (judge r6 item 4).
-    "quantiles_approx" -> ((s, dir) =>
-      Quantiles.approxRankCheck(TestData(s, dir).lineitem,
-        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99),
-        accuracy = 1000)),
-
-    // Deterministic stratified sampling: membership is a pure function of
-    // the row key (md5-bucket threshold) — retry/partitioning/engine
-    // independent, replayed exactly by the oracle.
-    "sample_stratified" -> ((s, dir) =>
-      Sampling.stratified(TestData(s, dir).documents, "doc_id", "lang",
-          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
-        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
-        .select("doc_id", "lang", "bucket")),
-
-    // Quality-weighted sampling: keep probability ∝ n_chars (clamped to
-    // 400), verdict by integer cross-multiplication — no float ratio.
-    // Contrastive triplet mining (anchor / positive / negative) — the
-    // training-pair generator for embedding models: positive = the next
-    // doc in the anchor's own source (a weak same-domain pair), negative
-    // = a DETERMINISTIC pseudo-random other doc via a modular affine map
-    // over the dense id space (no rand(): rebuilds produce the same
-    // triplets — the sample_split discipline). Self-negatives remap to
-    // the next id; same-source negatives are kept but FLAGGED (hard
-    // negatives). One window + one co-shuffled lookup join.
-    "sample_triplets" -> ((s, dir) => {
-      val d = TestData(s, dir).documents.select(col("doc_id"), col("source"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-      val n = d.agg((max(col("doc_id")) + 1).as("__nd"))
-      val neg0 = (col("doc_id") * 7919 + 13) % col("__nd")
-      val withPos = d.withColumn("pos_id", lead(col("doc_id"), 1).over(w))
-        .filter(col("pos_id").isNotNull)
-        .crossJoin(broadcast(n))
-        .withColumn("neg_id",
-          when(neg0 === col("doc_id"), (neg0 + 1) % col("__nd"))
-            .otherwise(neg0))
-      withPos.join(
-          d.select(col("doc_id").as("neg_id"), col("source").as("neg_source")),
-          Seq("neg_id"))
-        .select(col("doc_id").as("anchor_id"), col("pos_id"), col("neg_id"),
-          (col("source") === col("neg_source")).as("is_hard"))
-    }),
-
-    "sample_weighted" -> ((s, dir) =>
-      Sampling.weighted(TestData(s, dir).documents, "doc_id",
-          col("n_chars"), wMax = 400L, rate = 0.5)
-        .select("doc_id", "n_chars")),
-
-    // PII scrub: detection counts + typed-token masking over a PII-bearing
-    // text CONSTRUCTED in-plan from customer columns (the fixture corpus is
-    // word-salad with no natural PII; both engines build the identical
-    // string, so the regex lanes are exercised non-trivially). Patterns are
-    // Java-regex ∩ RE2, so the oracle replays them verbatim.
-    "pii_redact" -> ((s, dir) => {
-      val key = col("c_custkey")
-      def seg(cond: Column, c: Column) = when(cond, c).otherwise(lit(""))
-      val piiText = concat(
-        lit("doc "), col("c_name"),
-        seg(key % 3 === 0, concat(lit(" mail user"), key.cast("string"),
-          lit("@mail"), (key % 7).cast("string"), lit(".example.com"))),
-        seg(key % 4 === 1, concat(lit(" call +86-555-"),
-          lpad((key % 10000).cast("string"), 4, "0"))),
-        seg(key % 5 === 2, concat(lit(" host 10."), (key % 256).cast("string"),
-          lit(".0."), (key % 199).cast("string"))),
-        seg(key % 2 === 0, concat(lit(" see https://site"), (key % 50).cast("string"),
-          lit(".example.org/p/"), key.cast("string"))))
-      Redact.redact(
-        TestData(s, dir).customer.select(key.as("doc_id"), piiText.as("text")),
-        "doc_id", "text")
-    }),
-
-    // Blocklist word-fraction filter (C4 "bad words" rule) on the corpus.
-    "blocklist_filter" -> ((s, dir) =>
-      DataQuality.blocklistFilter(TestData(s, dir).documents, "doc_id", "text",
-        Seq("slow", "drop", "fail", "small"), maxFrac = 0.05)),
-
-    // Symmetric int8 embedding quantization: codes energy (exact ints),
-    // per-vector scale, sequential-fold reconstruction error.
-    "emb_quantize" -> ((s, dir) =>
-      Quant.quantizeInt8(TestData(s, dir).embeddings, "vec_id", "embedding")),
-
-    // SQ8 retrieval (FAISS scalar-quantizer flat scan): top-k by the
-    // descaled INTEGER code dot — the 4×-less-scan-bandwidth brute lane.
-    // Code dot exact in BIGINT; descale = two IEEE multiplies; ties on
-    // neighbor id. Recall floor vs exact brute is spec-asserted.
-    "ann_sq8_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Quant.int8TopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-    }),
-
-    // Binary (1-bit sign) quantization retrieval: packed sign words,
-    // Hamming ranking via bit_count(xor) — the 32×-less-bandwidth extreme
-    // of the quantization ladder (float32 → 1 bit/dim). Integer-exact
-    // scores, id ties; recall floor vs exact brute is spec-asserted.
-    "ann_hamming_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Quant.binaryTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, dIn = 64)
-    }),
-
-    // JL random projection 64 → 8: md5-derived ±1 sign matrix (no stored
-    // state — any engine rebuilds it from the formula), one sequential
-    // fold per output coordinate. Row-local, shuffle-free.
-    "emb_rand_proj" -> ((s, dir) =>
-      Quant.randomProject(TestData(s, dir).embeddings, "vec_id", "embedding",
-        dOut = 8, dIn = 64)),
-
-    // Feature-hashed bag-of-words doc embedding (the hashing trick):
-    // signed per-bucket occurrence counts, exact in BIGINT — the
-    // model-free text vector for blocking and cheap retrieval. One
-    // projection + one map-side-combinable aggregate; no vocabulary state.
-    "emb_hash_bow" -> ((s, dir) =>
-      graft.ann.Embed.hashedBow(TestData(s, dir).documents,
-        "doc_id", "text", dim = 16)),
-
-    // Corpus-fit bigram LM scoring (CCNet-style quality signal): mean
-    // conditional token probability under counts fit on the corpus itself.
-    // Log-free (each p is one IEEE division of exact integer counts; the
-    // doc sum is a sequential fold in position order), so the score gets a
-    // hash-exact oracle where a perplexity's ln would drift by 1 ulp.
-    "lm_bigram_score" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      LangModel.bigramScore(docs, docs, "doc_id", "text")
-    }),
-
-    // Cross-corpus LM scoring in penalizeUnseen mode: the model fits on
-    // the doc_id % 50 == 0 slice only, so most docs have partial coverage
-    // and the denominator switch (covered → total bigrams) actually bites
-    // — the mode the cross-corpus caveat (LangModel.scala) prescribes.
-    "lm_bigram_xscore" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      LangModel.bigramScore(docs, docs.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", penalizeUnseen = true)
-    }),
-
-    // Perplexity-bucket partitioning: quartile the corpus by LM score for
-    // curriculum/mixture routing. Scale-shaped bucketing — quantile cut
-    // points broadcast, assignment row-local (NTILE would single-partition
-    // the corpus). The exact nearest-rank cuts are the oracle lane;
-    // production at 100 TB swaps in Quantiles.approx cuts, assignment
-    // unchanged.
-    "lm_buckets" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val scored = LangModel.bigramScore(docs, docs, "doc_id", "text")
-        .select(col("doc_id"), col("lm_score")).localCheckpoint()
-      val cuts = Quantiles.exactDisc(scored.withColumn("g", lit(1)),
-          "g", "lm_score", Seq(0.25, 0.5, 0.75))
-        .select("p25", "p50", "p75")
-      scored.crossJoin(broadcast(cuts))
-        .withColumn("bucket", (lit(1)
-          + when(col("lm_score") > col("p25"), 1).otherwise(0)
-          + when(col("lm_score") > col("p50"), 1).otherwise(0)
-          + when(col("lm_score") > col("p75"), 1).otherwise(0)).cast("long"))
-        .select("doc_id", "lm_score", "bucket")
-    }),
-
-    // Deterministic 80/10/10 split: a row's assignment is a pure function
-    // of its key — the val set stays the same val set across every
-    // rebuild, cluster, and engine.
-    "sample_split" -> ((s, dir) =>
-      Sampling.split(TestData(s, dir).documents.select(col("doc_id")),
-        "doc_id", trainRate = 0.8, valRate = 0.1)),
-
-    // LEAKAGE-SAFE split: near-dup docs (minhash-LSH verified pairs) must
-    // land in the SAME split — assignment is per dedup CLUSTER (connected
-    // components over the pair graph), so a paraphrase of a test doc can
-    // never sit in train. The component loop touches only the capped pair
-    // graph; the corpus pays one left join + the stateless hash.
-    "sample_leakage_split" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
-        n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5, maxBucket = 100,
-        family = Dedup.Md5Hash)
-      Sampling.leakageSafeSplit(docs.select(col("doc_id")), "doc_id",
-        pairs, "doc_a", "doc_b", trainRate = 0.8, valRate = 0.1)
-    }),
-
-    // Source balancing: at most 10 docs per source, chosen by the
-    // deterministic hash order — the absolute cap that stops one domain
-    // flooding a pretraining mix (a RATE can't bound a hot source).
-    // Class-balanced downsampling: every source keeps exactly the MIN
-    // source's row count, selection hash-ordered — the training-mix
-    // equalizer; min size is an in-plan 1-row broadcast aggregate.
-    "sample_balanced" -> ((s, dir) =>
-      Sampling.balancePerGroup(TestData(s, dir).documents, "source", "doc_id")
-        .select("doc_id", "source")),
-
-    "sample_source_cap" -> ((s, dir) =>
-      Sampling.capPerGroup(TestData(s, dir).documents
-        .select(col("doc_id"), col("source")), "source", "doc_id", cap = 10)),
-
-    // Exact dedup by content hash.
-    "dedup_exact" -> ((s, dir) =>
-      Dedup.exact(TestData(s, dir).documents, "doc_id", "text")),
-
-    // URL canonicalization dedup: messy synthetic urls (case-shifted
-    // hosts, default ports, trailing slashes, fragments, utm params,
-    // shuffled query order) normalize to a canonical key; exact dedup on
-    // it. Cases 0 and 2 collide BY DESIGN (same page via two transports),
-    // case 3 collides across ids on the mod-10 query value.
-    "dedup_url" -> ((s, dir) => {
-      val urls = TestData(s, dir).documents.select(col("doc_id"),
-        when(col("doc_id") % 4 === 0,
-            concat(lit("HTTP://Example.COM:80/p/"),
-              expr("doc_id DIV 4").cast("string"), lit("/#frag")))
-          .when(col("doc_id") % 4 === 1,
-            concat(lit("https://Example.com:443/p/"),
-              expr("doc_id DIV 4").cast("string"),
-              lit("?b=2&utm_source=x&a=1")))
-          .when(col("doc_id") % 4 === 2,
-            concat(lit("http://example.com/p/"),
-              expr("doc_id DIV 4").cast("string")))
-          .otherwise(concat(lit("https://sub.example.com/q/?x="),
-            (col("doc_id") % 10).cast("string"), lit("&utm_campaign=z#top")))
-          .as("url"))
-      urls.select(TextFns.canonicalizeUrl(col("url")).as("canonical_url"),
-          col("doc_id"))
-        .groupBy("canonical_url")
-        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
-    }),
-
-    // N-gram Jaccard near-dup pairs via inverted-index join with DF cap.
-    "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(TestData(s, dir).documents, "doc_id", "text",
-        n = 3, threshold = 0.5, maxDF = 100)),
-
-    // Near-dup clusters: connected components (min-label fixpoint) over the
-    // exact-Jaccard pair graph.
-    "dedup_clusters" -> ((s, dir) =>
-      Dedup.resolveClusters(
-        Dedup.ngramJaccard(TestData(s, dir).documents, "doc_id", "text", 3, 0.5, 100))),
-
-    // MinHash calibration: per candidate pair, signature-agreement
-    // fraction vs exact Jaccard — E[agree]=J is the estimator's
-    // foundational identity; a biased lane family shows here first.
-    "dedup_sig_calibration" -> ((s, dir) =>
-      Dedup.minHashCalibration(TestData(s, dir).documents, "doc_id", "text",
-        n = 3, k = 16, family = Dedup.Md5Hash, threshold = 0.1, maxDF = 100)),
-
-    // LSH quality audit (the ann_recall_eval twin for dedup): recall of
-    // the banded-minhash pipeline against the inverted-index exact pair
-    // set at the same threshold — the number that says whether the
-    // banding parameters are safe to ship. Also surfaces the verification
-    // discrepancy (LSH verifies with UNcapped intersections, the exact
-    // lane df-caps), so recall < 1 decomposes into banding misses +
-    // df-cap drift. One row; both pair sets are capped-bucket bounded.
-    "dedup_recall_eval" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
-        threshold = 0.5, maxDF = 100).select("doc_a", "doc_b")
-      // checkpointed: consumed twice (the hit join AND the n_lsh count) —
-      // uncheckpointed, the whole verify pipeline re-plans per consumer
-      // (measured 14 static exchanges vs 4)
-      val lsh = Dedup.minHashLsh(docs, "doc_id", "text", n = 3, bands = 4,
-        rowsPerBand = 4, threshold = 0.5, maxBucket = 100,
-        family = Dedup.Md5Hash).select("doc_a", "doc_b").localCheckpoint()
-      exact.join(lsh.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
-        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_common"))
-        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-        .select(col("n_exact"), col("n_lsh"), col("n_common"),
-          (col("n_common").cast("double") / col("n_exact").cast("double"))
-            .as("recall"))
-    }),
-
-    // Fixed-point PageRank (3 iterations) over the bipartite
-    // customer↔supplier trade graph — the iterative-algorithm tier next to
-    // the connected-components fixpoint: integer fixed-point arithmetic
-    // makes every message sum associative, so the iteration is bit-exact
-    // in any engine and the oracle replays it with `//` (Graph.pageRank
-    // doc). localCheckpoint per round keeps lineage flat (rule 8).
-    "graph_pagerank" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val pairs = t.orders
-        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("C"), col("o_custkey")).as("c"),
-          concat(lit("S"), col("l_suppkey")).as("s"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-      Graph.pageRank(edges, "src", "dst", iters = 3)
-    }),
-
-    // Synchronous label propagation over the same bipartite graph: 3
-    // rounds of neighbor-majority labels (count DESC, label ASC total
-    // order) — exact by construction, unrolled-CTE oracle.
-    "graph_label_prop" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      val pairs = t.orders
-        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("C"), col("o_custkey")).as("c"),
-          concat(lit("S"), col("l_suppkey")).as("s"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-      Graph.labelPropagation(edges, "src", "dst", iters = 3)
-    }),
-
-    // Per-node triangle counts over the near-dup pair graph (cluster
-    // cohesion: a clique-y dup cluster is triangle-dense, a chain of
-    // borderline matches is triangle-free) — the forward algorithm with
-    // degree orientation, the skew-proof triangle shape (Graph doc). The
-    // bipartite trade graph the other graph gates use has NO triangles by
-    // construction, so this gate runs on the doc-similarity graph.
-    "graph_triangles" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 100)
-      Graph.triangleCounts(pairs, "doc_a", "doc_b")
-    }),
-
-    // Fuzzy (edit-distance) near-dup: Levenshtein over the 6-word head
-    // with first-2-words equality blocking — the character-level verdict
-    // the set-similarity family can't express; integer distance, block
-    // caps bound the pair explosion.
-    "dedup_edit_distance" -> ((s, dir) =>
-      Dedup.editDistancePairs(TestData(s, dir).documents, "doc_id", "text")),
-
-    // Snapshot CDC diff (the read-side complement of the versioned sink):
-    // keyed full-outer compare via per-row digests, one row per changed
-    // key with added/removed/changed. The new snapshot derives
-    // deterministically from orders (every 97th key removed, every 13th
-    // repriced, every 101st re-keyed in as an add).
-    "j12_snapshot_diff" -> ((s, dir) => {
-      val o = TestData(s, dir).orders
-      val neu = o.filter(col("o_orderkey") % 97 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
-            .otherwise(col("o_totalprice")))
-        .unionByName(o.filter(col("o_orderkey") % 101 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
-      Joins.snapshotDiff(o, neu, Seq("o_orderkey"),
-        Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
-    }),
-
-    // Asymmetric near-dup: containment |A∩B|/min(|A|,|B|) catches a short
-    // doc embedded in a long one, which Jaccard structurally misses
-    // (Broder's resemblance/containment split). Shares ngramJaccard's
-    // inverted-index plan; only the final ratio differs.
-    "dedup_containment" -> ((s, dir) =>
-      Dedup.ngramContainment(TestData(s, dir).documents, "doc_id", "text",
-        3, 0.8, 100)),
-
-    // Full dedup flow: near-dup pairs -> clusters -> keep canonical member.
-    "dedup_keep_canonical" -> ((s, dir) => {
-      val docs = TestData(s, dir).documents
-      Dedup.keepCanonical(docs, "doc_id",
-          Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 100))
-        .select("doc_id")
-    }),
-
-    // MinHash+LSH near-dup pairs. The gate runs the Md5Hash family so the
-    // lane hashes replay in DuckDB (full value oracle); the production
-    // XxHash path is semantically identical (DedupSpec asserts both paths'
-    // recall vs exact Jaccard).
-    "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashLsh(TestData(s, dir).documents, "doc_id", "text",
-        n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5, maxBucket = 100,
-        family = Dedup.Md5Hash)),
-
-    // SimHash near-dup pairs — Md5Hash family for the same reason.
-    "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(TestData(s, dir).documents, "doc_id", "text",
-        maxHamming = 6, family = Dedup.Md5Hash, maxBucket = 1000)),
-
-    // Embedding cosine near-dup within label blocks.
-    "emb_near_dup" -> ((s, dir) =>
-      Ann.nearDupPairs(TestData(s, dir).embeddings, "vec_id", "embedding", "label", 0.4)),
-
-    // SemDeDup: IVF-cell-blocked semantic dedup — within each seeded
-    // k-means cell, vectors with a lower-id near-dup at cosine >= 0.5 are
-    // dropped. One keep verdict per vector.
-    "semdedup" -> ((s, dir) =>
-      Ann.semanticDedup(TestData(s, dir).embeddings, "vec_id", "embedding",
-        nLists = 16, threshold = 0.5)),
-
-    // Self-contained embedding near-dup: LSH-signature blocks with a
-    // capped-bucket guard (no caller-supplied block key).
-    "emb_near_dup_lsh" -> ((s, dir) =>
-      Ann.lshNearDupPairs(TestData(s, dir).embeddings, "vec_id", "embedding",
-        dims = 64, bits = 6, threshold = 0.3, maxBucket = 1000)),
-
-    // Brute-force cosine top-k ANN (query set = vec_id < 10).
-    "ann_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-
-    // Maximum-inner-product retrieval (recommender/DPR scoring — no
-    // normalization, a high-norm item IS more relevant). Same broadcast
-    // one-pass scan; the norm-augmentation identity (constant-norm corpus
-    // ⇒ cosine order ≡ MIPS order) is spec-pinned, so every indexed
-    // cosine lane serves MIPS at scale unchanged.
-    "ann_mips_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Ann.mipsTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-
-    // Matryoshka-style PREFIX retrieval: cosine over only the first 16 of
-    // 64 dims — the truncated-embedding first stage modern nested-trained
-    // embedding stacks serve (4× less bandwidth per scan, same scan
-    // shape). Same exact fold + tie rules, sliced inputs.
-    // Attribute-filtered retrieval (PRE-filter): true top-5 of the
-    // eligible subset (vec_id ≡ 0 mod 3) — the predicate prunes the scan,
-    // never the result. Post-filtering an unfiltered top-k instead loses
-    // up to all k neighbors (spec-pinned).
-    "ann_filtered_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Ann.filteredTopK(e, e.filter(col("vec_id") < 10), "vec_id",
-          "embedding", 5, col("vec_id") % 3 === 0)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-
-    "ann_prefix_topk" -> ((s, dir) => {
-      val pre = TestData(s, dir).embeddings
-        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
-      Ann.bruteForceTopK(pre, pre.filter(col("vec_id") < 10), "vec_id",
-          "embedding", 5)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-
-    // IVF ANN with one Lloyd refinement step. The gate runs the
-    // fold-centroid lane (per-cell sequential-fold SUM in cid order —
-    // cosine is scale-invariant, so sum-centroids rank exactly like
-    // mean-centroids, and the fold replays bit-for-bit in DuckDB); the
-    // production mean path is semantically identical and recall-asserted
-    // in PipelineSpec.
-    "ann_ivf_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Ann.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-        nLists = 16, nProbe = 4, lloydIters = 1, foldCentroids = true)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-
-    // Graph-traversal ANN (the HNSW-class rung): per-cell kNN adjacency
-    // built from the IVF blocking (2-cell multi-assignment stitches the
-    // cells), medoid entry points, 5-hop beam-16 search at degree 12
-    // (recall@5 0.58 vs brute on this corpus — docs/ANN_TRADEOFF.json has
-    // the full hops x beam x degree curve up to 0.86). Deterministic
-    // round(6)/id-tiebreak steps make the whole traversal SQL-replayable —
-    // oracle-exact, not bound-checked.
-    "ann_graph_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      graft.ann.GraphAnn.graphTopK(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 5, nLists = 16, degree = 12, beam = 16, hops = 5)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-
-    // ...and the SERVED form of the same rung: adjacency + medoids +
-    // centroids + the shard's vectors persist as parquet artifacts (one
-    // build per fixture per JVM), queries beam-search from the loaded
-    // frames with ZERO build jobs (listener-asserted in PqSpec). Shares
-    // ann_graph_topk's oracle — serving must be bit-identical to inline.
-    "ann_graph_served" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val idx = graft.ann.GraphAnn.cachedIndex(e, "vec_id", "embedding", dir,
-        nLists = 16, degree = 12)
-      graft.ann.GraphAnn.topKFromIndex(idx, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 5, beam = 16, hops = 5)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-
-    // Incremental graph-index APPEND (the ann_ivfpq_append twin and the
-    // real NSW insert discipline): centroids/medoids FROZEN from the old
-    // 80%, the fresh 20% gets per-cell top-degree edges BIDIRECTIONALLY
-    // (reverse copies make inserted nodes reachable), old→old adjacency
-    // untouched; serving from the appended artifacts runs zero build jobs.
-    "ann_graph_append" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val idx = graft.ann.GraphAnn.cachedAppendedIndex(
-        e.filter(col("vec_id") % 5 =!= 4), e.filter(col("vec_id") % 5 === 4),
-        "vec_id", "embedding", dir, nLists = 16, degree = 12)
-      graft.ann.GraphAnn.topKFromIndex(idx, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 5, beam = 16, hops = 5)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-
-    // LSH-bucketed ANN: seeded literal hyperplanes make the signature
-    // replayable, so the scale path gets a full value oracle too.
-    "ann_lsh_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Ann.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        3, dims = 64, bits = 8)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-
-    // Product-quantization ADC top-k (lloydIters = 0 — the oracle-exact
-    // lane: value-predicate codebook seeds, fold-based L2 assignment with
-    // code-id tiebreak, sequential cross-subspace folds). The Lloyd-refined
-    // codebook path is recall-asserted in PqSpec.
-    "ann_pq_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Pq.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-        m = 8, dsub = 8, ksub = 16, lloydIters = 0)
-    }),
-
-    // OPQ-lite: signed-permutation rotation (exactly orthogonal, zero
-    // matrix cost) before the unchanged PQ pipeline — sub-spaces see
-    // decorrelated dimension mixes. Same oracle machinery, rotated source.
-    "ann_opq_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Pq.opqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-        m = 8, dsub = 8, ksub = 16, lloydIters = 0)
-    }),
-
-    // IVF-PQ (lloydIters = 0): coarse cells prune the scan, ADC scores
-    // PQ codes within probed cells only — the composed 100 TB ANN shape.
-    // Both quantizers seed by value predicate → fully SQL-replayable.
-    "ann_ivfpq_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Pq.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-        nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
-    }),
-
-    // Recall@5 evaluation harness: the compressed-domain IVF-PQ top-5
-    // joined against ground-truth brute-force cosine top-5 — per-query
-    // INTEGER match counts, the metric every ANN deployment monitors.
-    // Composes two already-oracle-exact operators, so the eval itself
-    // replays exactly.
-    "ann_recall_eval" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val queries = e.filter(col("vec_id") < 10)
-      val approx = Pq.ivfPqTopK(e, queries, "vec_id", "embedding", 5,
-          nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
-        .select(col("query_id"), col("neighbor_id"))
-      val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"))
-      queries.select(col("vec_id").as("query_id"))
-        .join(approx.join(exact, Seq("query_id", "neighbor_id"))
-            .groupBy("query_id").agg(count(lit(1)).as("n_match")),
-          Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_match"), lit(0L)).as("n_match_at_5"))
-    }),
-
-    // Ranking-quality tier above recall: nDCG@5 of the composed IVF-PQ
-    // lane vs the exact ranking (graded relevance 5..1 by true rank,
-    // shared-literal discounts, sequential DCG fold) + the rank of the
-    // first relevant hit. Recall counts overlap; nDCG weighs ORDER.
-    "ann_ndcg_eval" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val queries = e.filter(col("vec_id") < 10)
-      val approx = Pq.ivfPqTopK(e, queries, "vec_id", "embedding", 5,
-        nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
-      val exact = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
-      Ann.ndcgEval(queries.select(col("vec_id").as("query_id")),
-        approx, exact, 5)
-    }),
-
-    // Build-once/serve-many IVF-PQ: first call per fixture dir builds and
-    // PERSISTS the index (codebooks/centroids/cells/codes parquet under
-    // tmpdir); this query then serves top-k from the stored artifacts —
-    // zero build jobs on the serve path (PqSpec listener assert). Same
-    // params as ann_ivfpq_topk, so results (and the oracle) are identical.
-    "ann_ivfpq_served" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val idx = Pq.cachedIndex(e, "vec_id", "embedding", dir,
-        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
-      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        5, nProbe = 4)
-    }),
-
-    // Served RESIDUAL index: same build-once/serve-many shape for the
-    // FAISS-default encoding — the four artifacts round-trip parquet, the
-    // decomposed-cosine side tables (adc/qc/cn2/cross-energy) derive from
-    // queries + loaded centroids/codebooks at serve time, never the corpus.
-    "ann_ivfpq_res_served" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val idx = Pq.cachedIndex(e, "vec_id", "embedding", dir,
-        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0,
-        residual = true)
-      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        5, nProbe = 4)
-    }),
-
-    // Two-stage retrieval off the served index: ADC top-20 candidate pool
-    // per query (compressed-domain, probed cells only), then exact-cosine
-    // re-rank of just those candidates against their raw vectors — the
-    // quality serving shape. The raw corpus is only touched through a
-    // broadcast-candidate id lookup, never scanned for scoring.
-    "ann_ivfpq_rerank" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val idx = Pq.cachedIndex(e, "vec_id", "embedding", dir,
-        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
-      Pq.topKReranked(idx, e.filter(col("vec_id") < 10), e,
-        "vec_id", "embedding", 5, c = 20, nProbe = 4)
-    }),
-
-    // Incremental index append — the daily-ingest shape at 100 TB: the
-    // index is BUILT (quantizer training + encode) on the old 80% of the
-    // corpus and PERSISTED; the new 20% is then appended to the stored
-    // artifacts ENCODE-ONLY (assign with stored centroids, encode with
-    // stored codebooks, parquet SaveMode.Append — zero training/counting
-    // jobs, PqSpec listener-asserted). Serving the grown index ≡ an index
-    // whose cells/codes cover the full corpus under old-trained quantizers,
-    // which is exactly what the oracle replays (train on vec_id % 5 <> 4,
-    // encode all).
-    "ann_ivfpq_append" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val idx = Pq.cachedAppendedIndex(
-        e.filter(col("vec_id") % 5 =!= 4), e.filter(col("vec_id") % 5 === 4),
-        "vec_id", "embedding", dir,
-        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0)
-      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        5, nProbe = 4)
-    }),
-
-    // TOMBSTONE DELETION (judge r15... the retraction shape): build over
-    // the FULL corpus, tombstone the vec_id%5==3 fifth
-    // (Pq.deleteFromSavedIndex — parquet shards beside the cells, served
-    // lookups anti-join them at load), then serve. Quantizers stay frozen
-    // (FAISS remove_ids stance), so the oracle trains on the full corpus
-    // but scores only surviving rows (servePred).
-    "ann_ivfpq_delete" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val idx = Pq.cachedDeletedIndex(e, e.filter(col("vec_id") % 5 === 3),
-        "vec_id", "embedding", dir,
-        nLists = 16, m = 8, dsub = 8, ksub = 16)
-      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        5, nProbe = 4)
-    }),
-
-    // Index UPDATE — the full CRUD cycle in one lane: tombstone the
-    // vec_id%5==2 rows, COMPACT (ids leave the tombstone table so they
-    // may re-enter), encode-only append of their NEGATED vectors, serve.
-    // Quantizers frozen at build time (FAISS remove_ids + add). Queries
-    // keep their ORIGINAL vectors — an updated doc is found via its new
-    // representation, which is the contract an embedding refresh needs.
-    "ann_ivfpq_update" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val replaced = e.filter(col("vec_id") % 5 === 2)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding"))
-      val idx = Pq.cachedUpdatedIndex(e, replaced, "vec_id", "embedding", dir,
-        nLists = 16, m = 8, dsub = 8, ksub = 16)
-      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        5, nProbe = 4)
-    }),
-
-    // Residual-lane incremental append: same daily-ingest shape as
-    // ann_ivfpq_append but the frozen artifacts are the FAISS-default
-    // residual encoding — appended rows subtract the STORED centroid
-    // before encoding with the STORED residual codebooks.
-    "ann_ivfpq_res_append" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      val idx = Pq.cachedAppendedIndex(
-        e.filter(col("vec_id") % 5 =!= 4), e.filter(col("vec_id") % 5 === 4),
-        "vec_id", "embedding", dir,
-        nLists = 16, m = 8, dsub = 8, ksub = 16, lloydIters = 0,
-        residual = true)
-      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        5, nProbe = 4)
-    }),
-
-    // Residual IVF-PQ (FAISS-default encoding): PQ quantizes v − centroid;
-    // cosine decomposes exactly over x̂ = c + ŵ via four broadcast tables.
-    // Recall beats the raw lane at equal bits (PqSpec).
-    "ann_ivfpq_res_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Pq.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-        nLists = 16, nProbe = 4, m = 8, dsub = 8, ksub = 16, lloydIters = 0,
-        residual = true)
-    }),
-
-    // IVF ANN with lloydIters = 0: the pure value-predicate quantizer +
-    // probe + exact re-rank — fully SQL-replayable, so this variant carries
-    // the value oracle for the IVF plan shape (argmin = ROW_NUMBER).
-    "ann_ivf0_topk" -> ((s, dir) => {
-      val e = TestData(s, dir).embeddings
-      Ann.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-        nLists = 16, nProbe = 4, lloydIters = 0)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-
-    // Multimodal binary plumbing: payload + typed metadata struct.
-    "mm_binary_meta" -> ((s, dir) => {
-      Multimodal.attachBinary(TestData(s, dir).documents, "doc_id", "text")
-        .select(col("id").as("doc_id"),
-          col("meta.n_bytes").cast("long").as("n_bytes"),
-          md5(col("media")).as("content_hash"))
-    }),
-
-    // Multimodal decode: REAL binary-PPM encode → parse → channel-mean
-    // features; the oracle replays the generation formula (the Spark side
-    // must round-trip the actual bytes to match it).
-    "mm_decode" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Multimodal.decodePpm(Multimodal.syntheticPpm(ids)).toDF()
-    }),
-
-    // Nearest-neighbor resize through the real PPM codec: encode → resize
-    // (integer source-index sampling, re-encoded P6 bytes) → decode. The
-    // fixed 8×6 target crosses BOTH up- and down-scale across the 4–8 ×
-    // 3–6 source dims. The oracle replays the generation formula AT THE
-    // SAMPLED coordinates ((x·sw) DIV 8, (y·sh) DIV 6), so an off-by-one
-    // in the index map shifts a channel mean and fails the hash.
-    "mm_resize" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Multimodal.decodePpm(Multimodal.resizePpm(
-        Multimodal.syntheticPpm(ids), 8, 6)).toDF()
-    }),
-
-    // Average-hash image fingerprint: 8×8 NN sample, integer grayscale,
-    // cross-multiplied mean threshold (64·g > Σg), 64 bits as two 32-bit
-    // halves — the image near-dup primitive, all-integer oracle.
-    "mm_ahash" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Multimodal.aHashPpm(Multimodal.syntheticPpm(ids)).toDF()
-    }),
-
-    // Gradient hash (dHash): adjacent-cell compares on a 9×8 sample —
-    // brightness AND contrast invariant; pure integer compares.
-    "mm_dhash" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Multimodal.dHashPpm(Multimodal.syntheticPpm(ids)).toDF()
-    }),
-
-    // Compressed-codec round trip: PPM bytes → REAL gzip → REAL streaming
-    // gunzip → PPM decode. Same oracle formula as mm_decode — matching it
-    // proves the inflate path reproduced the original bytes distributed.
-    "mm_gzip" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Multimodal.decodePpm(Multimodal.gunzip(Multimodal.gzip(
-        Multimodal.syntheticPpm(ids)))).toDF()
-    }),
-
-    // REAL GIF codec (LZW, pure JVM): palette-indexed pixels through a
-    // growing-dictionary variable-width LZW round trip; the oracle replays
-    // the pixel/palette formulas, so a single desynced code width or a
-    // wrong KwKwK expansion shifts a mean and fails the hash.
-    "mm_gif" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Gif.decodeGif(Gif.syntheticGif(ids)).toDF()
-    }),
-
-    // zstd round trip (the 100 TB corpus codec, via Spark's own zstd-jni):
-    // same formula-replay proof shape as mm_gzip.
-    "mm_zstd" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Multimodal.decodePpm(Multimodal.unzstd(Multimodal.zstd(
-        Multimodal.syntheticPpm(ids)))).toDF()
-    }),
-
-    // REAL PNG codec: deflate + all five PNG filter types + CRC-32 chunk
-    // walk, pure JVM. Matching the formula-replay oracle proves the zlib
-    // inflate AND every filter reconstruction ran correctly distributed.
-    "mm_png" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Png.decodePng(Png.syntheticPng(ids)).toDF()
-    }),
-
-    // REAL BMP decode (24-bpp BI_RGB: BGR byte order, 4-byte row padding,
-    // bottom-up AND top-down orientations, the pixel-offset FIELD honored)
-    // — the oracle replays the generation formula while the Spark path
-    // truly encodes and re-parses the padded container.
-    "mm_bmp" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Bmp.decodeBmp(Bmp.syntheticBmp(ids)).toDF()
-    }),
-
-    // REAL baseline TIFF decode (IFD tag walk under BOTH byte orders,
-    // left-justified SHORT-in-entry values, multi-strip layout with a
-    // short tail strip, PackBits on a third of the fixtures) — the oracle
-    // replays the generation formula while the Spark path truly encodes
-    // and re-parses the directory structure.
-    "mm_tiff" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Tiff.decodeTiff(Tiff.syntheticTiff(ids)).toDF()
-    }),
-
-    // Schema EVOLUTION read: two parquet generations of the same table —
-    // the new one grew a column — merged with mergeSchema=true, the
-    // missing column null-filled for old files (the lakehouse migration
-    // shape; without mergeSchema the read would silently take ONE
-    // footer's schema). Staged once per fixture dir; the oracle replays
-    // the null-fill semantics straight off the fixture.
-    "src_schema_merge" -> ((s, dir) => {
-      val stage = s"/tmp/graft_schevo_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val marker = new java.io.File(s"$stage/_done")
-      if (!marker.exists()) {
-        val ev = TestData(s, dir).events
-        ev.filter(col("event_id") % 2 === 0)
-          .select("user_id", "value")
-          .write.mode("overwrite").parquet(s"$stage/gen=1")
-        ev.filter(col("event_id") % 2 === 1)
-          .select("user_id", "value", "event_type")
-          .write.mode("overwrite").parquet(s"$stage/gen=2")
-        marker.getParentFile.mkdirs(); marker.createNewFile()
-      }
-      s.read.option("mergeSchema", "true").parquet(stage)
-        .groupBy("event_type") // null for every gen=1 row
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(25,6)")).cast("decimal(25,6)")
-            .cast("double").as("sum_value"))
-    }),
-
-    // WebDataset-style TAR shard listing: real ustar parsing (OCTAL
-    // sizes, the spaces-counted header checksum VERIFIED per member,
-    // 512-block padding, zero-block terminator) + the pairing integrity
-    // check (every sample basename must carry the {jpg, txt} set) a
-    // sharded multimodal corpus needs before training reads it.
-    "mm_tar_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      TarShard.listTar(TarShard.syntheticTar(ids)).toDF()
-    }),
-
-    // ZIP shard lane (the TFDS/ImageNet container next to WebDataset's
-    // tar): REAL format walk — EOCD found by the backward comment scan,
-    // central directory as source of truth, local-header signatures
-    // verified at their claimed offsets, members INFLATED for real (raw
-    // deflate, nowrap) with CRC-32 and size verified against the
-    // directory; stored members, forged sizes, bombs and truncations all
-    // handled. Row-local mapPartitions; only formula-replayable counts
-    // flow out.
-    "mm_zip_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Zip.listZip(Zip.syntheticZip(ids)).toDF()
-    }),
-
-    // Frame-level audio features through the REAL WAV codec: per 32-sample
-    // frame, exact-integer energy (Σx²) and zero-crossing count — the
-    // VAD/energy-gating first pass of an audio-corpus pipeline. sqrt/RMS
-    // deliberately not taken (emit rational sufficient statistics).
-    "mm_audio_frames" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Multimodal.wavFrameFeatures(Multimodal.syntheticWav(ids), 32).toDF()
-    }),
-
-    // K-hop reachability (bounded transitive closure) over a derived
-    // functional graph on 500 nodes: per source, distinct nodes within
-    // 3 directed hops. Frontier BFS — each round expands only the NEWLY
-    // discovered set (left-anti vs reached), never re-walking paths.
-    "graph_khop" -> ((s, dir) => {
-      val edges = TestData(s, dir).orders
-        .select((col("o_orderkey") % 500).as("src"),
-          ((col("o_orderkey") * 7 + 3) % 500).as("dst"))
-      val sources = edges.filter(col("src") % 50 === 0).select("src")
-      Graph.kHopCounts(edges, "src", "dst", sources, "src", k = 3)
-    }),
-
-    // Connected components (pointer-halving min-label) over a derived
-    // graph whose TRUE component structure is nontrivial by construction:
-    // 30-node blocks with EVEN step edges only, so each block splits into
-    // its even- and odd-position halves (parity is invariant under
-    // p → (p+2k) mod 30) — ~60 components the operator must separate
-    // exactly. Oracle = recursive transitive closure with a min-label
-    // reduction; the operator reaches the same fixpoint in O(log d)
-    // shuffle rounds.
-    "graph_cc" -> ((s, dir) => {
-      val base = TestData(s, dir).orders
-        .select((col("o_orderkey") % 900).as("n"),
-          (lit(2) + (col("o_orderkey") % 3) * 2).as("st"))
-        .distinct()
-      val edges = base.select(col("n").as("src"),
-        (col("n") - col("n") % 30 + (col("n") % 30 + col("st")) % 30).as("dst"))
-      Graph.connectedComponents(edges, "src", "dst")
-    }),
-
-    // Hop-bounded multi-source shortest paths over a weighted two-rule
-    // graph (block edges + mod-37 long links, symmetric integer weights):
-    // dist from the nearest of seeds {0,1,2} within ≤6 hops. Exact
-    // BIGINT min-plus; the oracle enumerates every ≤6-hop path.
-    "graph_sssp" -> ((s, dir) => {
-      import s.implicits._
-      val base = TestData(s, dir).orders
-        .select((col("o_orderkey") % 900).as("n"),
-          (lit(2) + (col("o_orderkey") % 3) * 2).as("st"))
-        .distinct()
-      val e1 = base.select(col("n").as("src"),
-          (col("n") - col("n") % 30 + (col("n") % 30 + col("st")) % 30).as("dst"))
-        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
-      val e2 = base.select(col("n").as("src"),
-          ((col("n") + 37) % 900).as("dst"))
-        .withColumn("w", lit(2L) + (col("src") + col("dst")) % 5)
-      val dir1 = e1.unionByName(e2)
-      val edges = dir1.unionByName(
-        dir1.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      val sources = Seq(0L, 1L, 2L).toDF("node")
-      Graph.boundedSssp(edges, "src", "dst", "w", sources, maxHops = 6)
-    }),
-
-    // Co-occurrence graph construction (market-basket edges): part pairs
-    // bought together in ≥2 orders. The self-join co-shuffles on the
-    // basket key with C(n,2) fan-out bounded by TPC-H's ≤7-line orders;
-    // memberships are DISTINCT'd first so duplicate (order, part) lines
-    // never double-count a pair.
-    "graph_copurchase" -> ((s, dir) =>
-      Graph.cooccurrencePairs(TestData(s, dir).lineitem,
-        "l_orderkey", "l_partkey", minCount = 2L)),
-
-    // Freshness monitoring: per-symbol staleness vs the market's latest
-    // bar date — the DQ watchdog a daily-ingest table needs (a feed that
-    // silently stopped shows up as days_behind, not as absence).
-    "dq_freshness" -> ((s, dir) => {
-      val b = mkt(s, dir).bars
-      val last = b.groupBy("symbol").agg(max(col("date")).as("last_date"))
-      val global = b.agg(max(col("date")).as("max_date"))
-      last.crossJoin(global)
-        .select(col("symbol"), col("last_date"),
-          datediff(col("max_date"), col("last_date")).cast("long").as("days_behind"))
-        .withColumn("stale", col("days_behind") > 7L)
-    }),
-
-    // Calendar-gap audit: per symbol, how many calendar days inside the
-    // symbol's own [first, last] span have NO bar, and the longest single
-    // gap — dq_freshness catches a feed that STOPPED; this catches one
-    // with holes in the middle. Exact integer day arithmetic.
-    "dq_calendar_gaps" -> ((s, dir) => {
-      val b = mkt(s, dir).bars.select(col("symbol"), col("date"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("symbol").orderBy("date")
-      b.withColumn("gap",
-          datediff(col("date"), lag(col("date"), 1).over(w)) - 1)
-        .groupBy("symbol").agg(
-          min(col("date")).as("first_date"),
-          max(col("date")).as("last_date"),
-          count(lit(1)).as("n_days"),
-          (datediff(max(col("date")), min(col("date"))) + 1 - count(lit(1)))
-            .cast("long").as("n_missing"),
-          coalesce(max(col("gap")), lit(0)).cast("long").as("max_gap_days"))
-    }),
-
-    // NumPy .npy tensor container — how embeddings ship from Python
-    // stacks: both header versions (v1 uint16 / v2 uint32 length), the
-    // dict-literal header parsed without eval, dtype gated to '<f4',
-    // shape validated against actual bytes + bomb cap, and
-    // fortran_order-AWARE indexing (the emitted off-diagonal element
-    // catches an order-ignoring reader that a layout-invariant sum hides).
-    "mm_npy" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Npy.decodeNpy(Npy.syntheticNpy(ids)).toDF()
-    }),
-
-    // ICO multi-image container: directory walk with the 0 ⇒ 256 width
-    // byte convention, PNG entries through the full PNG decoder, DIB
-    // entries with the DOUBLED-height XOR+AND layout — one row per icon
-    // image. The oracle replays dims/kind/means from the entry formulas.
-    "mm_ico" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Ico.decodeIco(Ico.syntheticIco(ids)).toDF()
-    }),
-
-    // Per-channel color histograms over the real PPM decode (the dataset
-    // color-stats pass before normalization): 8 fixed-width bins per
-    // channel, exact integer counts, one row per (image, bin).
-    "mm_histogram" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Multimodal.channelHistogram(Multimodal.syntheticPpm(ids), bins = 8).toDF()
-    }),
-
-    // OGG metadata lane: page walk with segment LACING (255-run packet
-    // framing incl. the exact-multiple zero tail) and the OGG CRC-32
-    // (0x04c11db7 MSB-first, init 0, no xor — NOT the zlib CRC), verified
-    // per page with the CRC field zeroed; page sequence must increment.
-    "mm_ogg_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Ogg.decodeOgg(Ogg.syntheticOgg(ids)).toDF()
-    }),
-
-    // PDF metadata lane: the real random-access read discipline — enter
-    // from the END via startxref, jump to the xref table, walk EXACT
-    // 20-byte records (both legal EOL forms), verify every offset lands
-    // on its own object header, then resolve trailer → catalog → pages
-    // tree with /Size and /Count cross-checks.
-    "mm_pdf_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Pdf.decodePdf(Pdf.syntheticPdf(ids)).toDF()
-    }),
-
-    // WebP metadata lane: real RIFF chunk walk (odd-size pad bytes,
-    // unknown-chunk skip) over all three bitstream forms — VP8 lossy
-    // (start code + 14-bit masked dims), VP8L lossless (LE bitstream,
-    // minus-one dims, alpha + version bits), VP8X extended (24-bit canvas
-    // cross-checked against the inner frame).
-    "mm_webp_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Webp.decodeWebp(Webp.syntheticWebp(ids)).toDF()
-    }),
-
-    // MP3 metadata lane: ID3v2 syncsafe skip + stride-computed MPEG-1
-    // Layer III frame walk (bitrate/samplerate tables, padding bit),
-    // measured VBR flag, exact integer µs duration.
-    "mm_mp3_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Mp3Meta.decodeMp3(Mp3Meta.syntheticMp3(ids)).toDF()
-    }),
-
-    // SubRip subtitle parse (comma-millisecond timestamps, multi-line cue
-    // text, per-cue validity) — the caption container video-text pairing
-    // pipelines align against. Exact integer milliseconds.
-    "mm_srt_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Srt.decodeSrt(Srt.syntheticSrt(ids)).toDF()
-    }),
-
-    // EXIF metadata lane: real JPEG marker walk to the APP1 Exif segment,
-    // full TIFF-IFD parse inside it (both endians, IFD0 → Exif sub-IFD
-    // pointer, inline LEFT-justified SHORTs vs at-offset ASCII, offsets
-    // relative to the TIFF header not the file) — orientation/dims/
-    // capture-time extraction without touching the entropy-coded image.
-    "mm_exif" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Exif.decodeExif(Exif.syntheticExifJpeg(ids)).toDF()
-    }),
-
-    // MP4/ISO-BMFF METADATA lane (the container around the H.264 stream):
-    // length-prefixed box walk with the 64-bit largesize escape, nested
-    // moov/trak recursion by byte range, BOTH mvhd versions (field widths
-    // differ), 16.16 fixed-point tkhd dims (the classic off-by-65536×),
-    // exact-ms duration via integer DIV.
-    "mm_mp4_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Mp4Meta.decodeMp4(Mp4Meta.syntheticMp4(ids)).toDF()
-    }),
-
-    // MATROSKA/EBML METADATA lane (RFC 8794): variable-width-integer
-    // element walk — vint width from the leading set bit, IDs keep marker
-    // bits, sizes strip them, PADDED size encodings are legal, and the
-    // unknown-size vint is honored ONLY on the Segment (live-remux form).
-    // Video dims / timestamp scale / float duration → exact-ms integers.
-    "mm_mkv_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Mkv.decodeMkv(Mkv.syntheticMkv(ids)).toDF()
-    }),
-
-    // TrueType/sfnt FONT TABLE walk: offset-table binary-search triplet
-    // verified (redundant with numTables — forgers get it wrong),
-    // tag-sorted directory, per-table BE-u32 checksums with the `head`
-    // checkSumAdjustment zeroed during the sum (THE classic sfnt trap),
-    // 0x5F0F3CF5 magic, metrics + glyph count out.
-    "mm_ttf_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Ttf.decodeTtf(Ttf.syntheticTtf(ids)).toDF()
-    }),
-
-    // H.264 METADATA lane: real Annex-B NAL walk + exp-Golomb SPS parse
-    // (emulation prevention stripped, display dims via the spec's chroma
-    // crop math) — the metadata pass a video corpus runs first; slice
-    // DECODE is the documented codec-ladder ceiling and stays out.
-    "mm_h264_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      H264Meta.decodeH264(H264Meta.syntheticH264(ids)).toDF()
-    }),
-
-    // H.264 baseline I-frame SLICE DECODE (the pixel half mm_h264_meta
-    // stopped short of — r13 item 8 taken on the "land it" branch): real
-    // CAVLC (coeff_token, trailing ones, all three level regimes incl.
-    // the 12-bit escape), Intra_16x16 DC prediction with availability
-    // rules, luma-DC inverse Hadamard + two-branch dequant + integer core
-    // transform, Clip1. The DC-only-residual subset makes every MB flat
-    // and the whole decode a per-MB recurrence the oracle replays EXACTLY
-    // (one running-list fold per clip) — an oracle-exact PIXEL gate, where
-    // mm_jpeg can only bound-check. Per-MB spread columns prove flatness
-    // came out of the decoder, not the framing.
-    "mm_h264_px" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      H264Px.decodeH264Px(H264Px.syntheticH264Px(ids)).toDF()
-    }),
-
-    // Multimodal audio decode: REAL RIFF/WAVE (PCM16) chunk-walk → sample
-    // stats; oracle replays the generation formula (integer math, exact).
-    "mm_wav" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Multimodal.decodeWav(Multimodal.syntheticWav(ids)).toDF()
-    }),
-
-    // REAL FLAC (rice-coded fixed/LPC prediction, CRC-8/16, pure JVM).
-    // Lossless: the oracle replays the generation formula exactly — one
-    // flipped bit anywhere in the encode→decode round trip fails the hash.
-    "mm_flac" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      Flac.decodeFlac(Flac.syntheticFlac(ids)).toDF()
-    }),
-
-    // REAL baseline JPEG (Huffman + IDCT, pure JVM). JPEG is LOSSY, so the
-    // gate emits exact header fields plus BOOLEAN mean-error bound checks
-    // (|decoded − formula mean| ≤ 3.0, budget from the flat quant step) the
-    // oracle replays as TRUE — the quantiles_approx pattern: a decode
-    // drift flips a boolean and fails the hash compare, a dropped row
-    // fails rows_match.
-    "mm_jpeg" -> ((s, dir) => {
-      import s.implicits._
-      val ids = TestData(s, dir).documents
-        .select(col("doc_id").cast("long")).as[Long]
-      val f = Jpeg.decodeJpeg(Jpeg.syntheticJpeg(ids)).toDF()
-      val w = col("width").cast("long"); val h = col("height").cast("long")
-      val grid = sequence(lit(0L), w * h - 1)
-      def fmean(g: (Column, Column) => Column): Column =
-        aggregate(grid, lit(0L), (a, i) => {
-          val x = pmod(i, w)
-          a + g(x, ((i - x) / w).cast("long"))
-        }).cast("double") / (w * h).cast("double")
-      f.select(col("id"), col("width"), col("height"), col("n_pixels"),
-        (abs(col("mean_r") - fmean((x, y) =>
-          pmod(col("id") + x * 3 + y * 7, lit(256L)))) <= 3.0).as("mean_r_ok"),
-        (abs(col("mean_g") - fmean((x, _) =>
-          pmod(col("id") * 2 + x, lit(256L)))) <= 3.0).as("mean_g_ok"),
-        (abs(col("mean_b") - fmean((_, y) =>
-          pmod(col("id") + y, lit(256L)))) <= 3.0).as("mean_b_ok"))
-    }),
-
-    // REAL video lane: MJPEG-in-AVI — the RIFF chunk walk (decodeWav
-    // idiom, nested LISTs) finds per-frame JPEG payloads, each decoded by
-    // the baseline Huffman+IDCT decoder. Per-frame rows; the booleans
-    // gate each decoded channel mean against the generation formula
-    // (mm_jpeg pattern). Budget ±4.0, not mm_jpeg's ±3.0: the blue channel
-    // is constant per ROW, so when (id + y + 2t) wraps 255→0 mid-image the
-    // 8×8 blocks see a full-scale horizontal edge and DCT ringing peaks —
-    // measured max error 3.05 over all 5000 sf0.1 ids × frames (r=2.65,
-    // g=1.60); 4.0 still fails a genuinely broken decode by an order of
-    // magnitude. A dimension/count lie or undecodable frame drops the row.
-    "mm_video" -> ((s, dir) => {
-      import s.implicits._
-      // stage the AVI bytes to a parquet binary column once per fixture:
-      // the gate measures container-walk + Huffman decode over stored
-      // media (the production shape), not per-evaluation re-encoding
-      val staged = jsonlStaged.getOrElseUpdate(dir + "#avi", {
-        val p = s"/tmp/graft_media_${ProcessHandle.current().pid()}/" +
-          stagedSeg(dir) + "_avi"
-        val ids = TestData(s, dir).documents
-          .select(col("doc_id").cast("long")).as[Long]
-        Video.syntheticAvi(ids).toDF().write.mode("overwrite").parquet(p)
-        p
-      })
-      val f = Video.decodeMjpegAvi(s.read.parquet(staged).as[Video.VideoRow]).toDF()
-      val w = col("width").cast("long"); val h = col("height").cast("long")
-      val t = col("frame").cast("long")
-      val grid = sequence(lit(0L), w * h - 1)
-      def fmean(g: (Column, Column) => Column): Column =
-        aggregate(grid, lit(0L), (a, i) => {
-          val x = pmod(i, w)
-          a + g(x, ((i - x) / w).cast("long"))
-        }).cast("double") / (w * h).cast("double")
-      f.select(col("id"), col("frame"), col("n_frames"),
-        col("width"), col("height"),
-        (abs(col("mean_r") - fmean((x, y) =>
-          pmod(col("id") + x * 3 + y * 7 + t * 11, lit(256L)))) <= 4.0).as("mean_r_ok"),
-        (abs(col("mean_g") - fmean((x, _) =>
-          pmod(col("id") * 2 + x + t * 5, lit(256L)))) <= 4.0).as("mean_g_ok"),
-        (abs(col("mean_b") - fmean((_, y) =>
-          pmod(col("id") + y + t * 2, lit(256L)))) <= 4.0).as("mean_b_ok"))
-    }),
-
-    // Frame sampling over the decoded MJPEG-AVI frames: keep every 2nd
-    // frame by index (frame 0 always). Row membership IS the gate — a
-    // stride slip emits/misses a frame row and fails rows_match; decode
-    // fidelity is mm_video's job, so only the integer identity columns
-    // flow here.
-    "mm_frame_sample" -> ((s, dir) => {
-      import s.implicits._
-      val staged = jsonlStaged.getOrElseUpdate(dir + "#avi", {
-        val p = s"/tmp/graft_media_${ProcessHandle.current().pid()}/" +
-          stagedSeg(dir) + "_avi"
-        val ids = TestData(s, dir).documents
-          .select(col("doc_id").cast("long")).as[Long]
-        Video.syntheticAvi(ids).toDF().write.mode("overwrite").parquet(p)
-        p
-      })
-      Video.sampleFrames(
-        Video.decodeMjpegAvi(s.read.parquet(staged).as[Video.VideoRow]),
-        stride = 2)
-        .toDF().select("id", "frame", "n_frames", "width", "height")
-    }),
-  )
-
-  // --------------------------- financial serving surface (M3/M4, PTradeApi)
-  // Serving path: api_* queries run against the MATERIALIZED store (one
-  // derivation pass per fixture dir, then parquet reads with partition
-  // pruning) — the 100 TB posture, where re-deriving bars per API call
-  // would re-scan the fact table every time.
-  private def api(s: SparkSession, dir: String) =
-    PTradeApi(graft.domain.MarketStore.cached(s, dir))
-  private def mkt(s: SparkSession, dir: String): graft.domain.MarketTables =
-    graft.domain.MarketStore.cached(s, dir)
-  private val syms3 = Seq("000001.SZ", "000002.SZ", "000003.SZ")
-
-  private val apiQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // The canonical bars derivation itself (A6 over the tick mapping).
-    "api_bars" -> ((s, dir) => mkt(s, dir).bars),
-
-    // Realized volatility (20-day, zero-mean convention: rv = √Σr²) —
-    // closes the risk-metrics family next to beta/corr/slope/zscore/
-    // drawdown. Returns are one IEEE division each; the window sum is a
-    // SEQUENTIAL FOLD over the ordered 20-row frame (rule 1 — a plain
-    // window SUM of doubles is order-free only for the planner, not for
-    // IEEE); √ of identical doubles is identical.
-    // Trading-calendar features (the backtest feature columns every
-    // dated model needs): weekday, gap to the previous TRADING day
-    // (weekends/holidays > 1), and the is-last-trading-day-of-month flag
-    // (month boundary of the NEXT trading day — never civil month-end,
-    // which can be a holiday). Single-partition window over the dim is
-    // fine BY CONSTRUCTION (calendar-sized — the dq_gap_report rule).
-    "api_calendar_features" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("trade_date"))
-      mkt(s, dir).calendar.select(col("trade_date"),
-        weekday(col("trade_date")).cast("long").as("dow"),
-        datediff(col("trade_date"), lag(col("trade_date"), 1).over(w))
-          .cast("long").as("gap_days"),
-        (trunc(lead(col("trade_date"), 1).over(w), "month")
-          =!= trunc(col("trade_date"), "month")).as("is_month_end"))
-    }),
-
-    // Cross-sectional momentum factor: trailing-20-day return per symbol,
-    // then the PERCENTILE of that return across the universe per date
-    // (percent_rank — peer-SET determined, tie-safe; one IEEE division of
-    // identical integer operands). Two window keys (symbol → date): the
-    // standard factor-pipeline reshuffle.
-    "api_factor_momentum" -> ((s, dir) => {
-      val ws = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("symbol")).orderBy(col("date"))
-      val wd = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("date")).orderBy(col("ret20"))
-      mkt(s, dir).bars
-        .select(col("symbol"), col("date"), col("close"))
-        .withColumn("ret20", col("close") / lag(col("close"), 20).over(ws) - 1.0)
-        .filter(col("ret20").isNotNull)
-        .select(col("symbol"), col("date"), col("ret20"),
-          percent_rank().over(wd).as("mom_pr"))
-    }),
-
-    "api_realized_vol" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("symbol")).orderBy(col("date"))
-      val fr = w.rowsBetween(-19, 0)
-      val fold = (l: Column) =>
-        aggregate(l, lit(0.0), (a, e) => a + e * e)
-      // the first row per symbol has a NULL return — drop it BEFORE the
-      // frame (Spark's collect_list skips nulls where DuckDB's list
-      // keeps them; filtering makes both frames identical)
-      mkt(s, dir).bars
-        .select(col("symbol"), col("date"), col("close"))
-        .withColumn("r", col("close") / lag(col("close"), 1).over(w) - 1.0)
-        .filter(col("r").isNotNull)
-        .withColumn("__lr", collect_list(col("r")).over(fr))
-        .select(col("symbol"), col("date"),
-          size(col("__lr")).cast("long").as("n_rets"),
-          sqrt(fold(col("__lr"))).as("rv20"))
-    }),
-
-    // Daily most-active board ("today's top movers by turnover") — the
-    // per-date top-N serving query: one rank window partitioned by date
-    // (money DESC, symbol ASC ties), filter ≤ 3. At scale this is a
-    // per-partition top-k, never a global sort.
-    "api_top_turnover" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("date"))
-        .orderBy(col("money").desc, col("symbol").asc)
-      mkt(s, dir).bars
-        .select(col("date"), col("symbol"), col("money"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-    }),
-
-    // Drawdown SERIES (the curve behind api_backtest_metrics' max-dd
-    // scalar): running peak = windowed MAX (a SELECTED close — no
-    // arithmetic), dd = (close − peak)/peak as one subtraction + one
-    // IEEE division of replayed values. Close is a px-division double —
-    // rule 1 forbids decimal casts here; the pure selected-value +
-    // fixed-tree form is what keeps the series hash-exact.
-    "api_drawdown" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("symbol")).orderBy(col("date"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      mkt(s, dir).bars
-        .select(col("symbol"), col("date"), col("close"))
-        .withColumn("peak", max(col("close")).over(w))
-        .withColumn("dd", (col("close") - col("peak")) / col("peak"))
-    }),
-
-    // get_price, fq=none: filter + project off the long bars table.
-    "api_get_price" -> ((s, dir) =>
-      api(s, dir).getPrice(syms3, "1996-01-01", "1996-12-31", Seq("close", "volume"))),
-
-    // get_price, fq=post: as-of factor join (J2) over A5-synthesized factors.
-    "api_adjusted_price" -> ((s, dir) =>
-      api(s, dir).getPrice(Seq("000001.SZ", "000002.SZ"), "1995-01-01", "1998-12-31",
-        Seq("close"), fq = "post")),
-
-    // get_price, fq=pre: backward factor normalized by the latest factor
-    // (most recent bar keeps its raw price).
-    "api_pre_adjusted" -> ((s, dir) =>
-      api(s, dir).getPrice(Seq("000001.SZ", "000002.SZ"), "1995-01-01", "1998-12-31",
-        Seq("close"), fq = "pre")),
-
-    // A4 on the financial domain: rolling 4-quarter (TTM) revenue.
-    "api_revenue_ttm" -> ((s, dir) => {
-      val f = mkt(s, dir).fundamentals
-        .filter(col("symbol").isin(syms3: _*))
-      graft.ops.Windows.rollingSum(
-          f.withColumn("rev_d", col("revenue").cast("decimal(25,6)")),
-          Seq(col("symbol")), Seq(col("end_date")), col("rev_d"), 4, "revenue_ttm")
-        .select(col("symbol"), col("end_date"), col("revenue"),
-          col("revenue_ttm").cast("decimal(25,6)").cast("double").as("revenue_ttm"))
-    }),
-
-    // Data-quality invariant report (SURVEY §5.4): per-symbol bar checks.
-    "dq_bars_invariants" -> ((s, dir) => {
-      val v = mkt(s, dir)
-      graft.quality.DataQuality.barInvariants(v.bars, v.calendar)
-    }),
-
-    // ORDER-INVARIANT table content digest: md5-low-60-bit per-row hashes
-    // summed mod 2^61−1 — two tables hold the same row multiset iff
-    // (n_rows, digest) match, no sort, no join; the replication /
-    // publish-verification audit at 16 bytes of shuffle. Non-float
-    // columns only (double rendering is engine-private).
-    "dq_table_digest" -> ((s, dir) => {
-      val o = TestData(s, dir).orders
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_orderdate").cast("date").as("o_orderdate"),
-          col("o_orderpriority"))
-      graft.quality.DataQuality.tableDigest(o, Seq("o_orderkey",
-        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
-    }),
-
-    // GAP REPORT: island-level missing-TRADING-day runs per symbol — the
-    // runbook artifact next to dq_calendar_gaps' per-symbol day-arithmetic
-    // counts (WHICH weeks are missing, not just how many). Islands by
-    // rank difference on the CALENDAR position so weekends never split
-    // a gap.
-    "dq_gap_report" -> ((s, dir) => {
-      val v = mkt(s, dir)
-      graft.quality.DataQuality.calendarGaps(v.bars, v.calendar,
-        topPerSymbol = 3)
-    }),
-
-    // Single-pass column profiler: one scan, one aggregation, stack-pivot
-    // to tidy per-column rows (exact multi-column COUNT(DISTINCT) via
-    // Expand — the documented cost of a hash-exact profile).
-    "dq_profile" -> ((s, dir) =>
-      graft.quality.DataQuality.profile(TestData(s, dir).lineitem,
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
-
-    // Write-path expectations (quarantine view): rows failing any named
-    // check, labeled with the comma-joined failed-check names in
-    // declaration order. NULL check results count as failures (an
-    // unevaluable expectation is not satisfied). The write split itself
-    // is spec-gated; this gate checks the labeling semantics.
-    "dq_expectations" -> ((s, dir) => {
-      val checks = Seq(
-        "qty_range" -> col("l_quantity").between(1, 45),
-        "disc_cap" -> (col("l_discount") <= 0.08),
-        "tax_cap" -> (col("l_tax") <= 0.07))
-      graft.quality.Expectations.violations(TestData(s, dir).lineitem, checks)
-        .filter(col("__violations") =!= "")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("__violations").as("violations"))
-    }),
-
-    // Referential-integrity audit: orphan counts across the two FK edges
-    // a star schema lives on (lineitem→orders, orders→customer). LEFT
-    // ANTI joins — null-safe, and at scale each co-shuffles on its key
-    // (AQE broadcasts the dim side when it fits). One row per relation.
-    "dq_referential" -> ((s, dir) => {
-      val t = TestData(s, dir)
-      def audit(rel: String, child: DataFrame, key: Column,
-                parent: DataFrame, pkey: Column) = {
-        val orphans = child.join(parent, key === pkey, "left_anti")
-        child.agg(count(lit(1)).as("n_child"))
-          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
-          .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"))
-      }
-      audit("lineitem_orders", t.lineitem, col("l_orderkey"),
-          t.orders, col("o_orderkey"))
-        .unionByName(audit("orders_customer", t.orders, col("o_custkey"),
-          t.customer, col("c_custkey")))
-    }),
-
-    // RFM segmentation (recency / frequency / monetary) — the classic
-    // user-value partitioning: per-user exact R (integer days via ts_ns
-    // DIV), F (count), M (decimal-route purchase sum), then quartile
-    // CELLS via broadcast nearest-rank cuts (the lm_buckets discipline —
-    // never a global NTILE window over the user table; prod swaps in
-    // Quantiles.approx cuts). bucket = 1 + Σ(v > cut): integer adds of
-    // exact compares.
-    "events_rfm" -> ((s, dir) => {
-      val ev = TestData(s, dir).events
-      val perUser = ev.groupBy("user_id").agg(
-        max(col("ts_ns")).as("last_ns"),
-        count(lit(1)).as("f_events"),
-        sum(when(col("event_type") === "purchase",
-          dec(col("value"))).otherwise(dec(lit(0))))
-          .cast("decimal(25,6)").cast("double").as("m_value"))
-      val spine = perUser
-        .crossJoin(broadcast(ev.agg(max(col("ts_ns")).as("__mx"))))
-        .withColumn("r_days",
-          expr("(__mx - last_ns) DIV 86400000000000"))
-      def cuts(c: Column, as: String) = {
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v").asc)
-        val ranked = spine.select(c.as("__v"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .withColumn("n", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.rowsBetween(
-              org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.unboundedFollowing))
-            .cast("long"))
-        ranked.agg(
-          max(when(col("rn") === ceil(col("n").cast("double") * 0.25), col("__v"))).as(s"${as}25"),
-          max(when(col("rn") === ceil(col("n").cast("double") * 0.50), col("__v"))).as(s"${as}50"),
-          max(when(col("rn") === ceil(col("n").cast("double") * 0.75), col("__v"))).as(s"${as}75"))
-      }
-      def bucket(c: Column, as: String) =
-        (lit(1) + (c > col(s"${as}25")).cast("int")
-          + (c > col(s"${as}50")).cast("int")
-          + (c > col(s"${as}75")).cast("int")).cast("long")
-      spine
-        .crossJoin(broadcast(cuts(col("r_days"), "r")))
-        .crossJoin(broadcast(cuts(col("f_events"), "f")))
-        .crossJoin(broadcast(cuts(col("m_value"), "m")))
-        .select(col("user_id"), col("r_days"), col("f_events"), col("m_value"),
-          bucket(col("r_days"), "r").as("r_q"),
-          bucket(col("f_events"), "f").as("f_q"),
-          bucket(col("m_value"), "m").as("m_q"))
-    }),
-
-    // Benford first-digit audit over order totals: per-digit observed
-    // counts vs the fixed per-mille expectation grid, deviations as exact
-    // integers (dev = 1000·obs − pm·N). First digit via the string
-    // rendering, not log₁₀ — decimal formatting agrees across engines
-    // where boundary logs need not.
-    "dq_benford" -> ((s, dir) =>
-      graft.quality.DataQuality.benfordAudit(TestData(s, dir).orders,
-        col("o_totalprice"))),
-
-    // A6 monthly bar synthesis off daily bars (multi-frequency resample).
-    "api_monthly_bars" -> ((s, dir) =>
-      api(s, dir).resampleBars(syms3, "month")),
-
-    // get_price count mode: last N bars per security (count XOR start rule).
-    "api_price_count" -> ((s, dir) =>
-      api(s, dir).getPriceCount(syms3, 5, "1997-06-30")),
-
-    // get_history: calendar-spine suspension fill (W2) + last-N (W1).
-    "api_history_ffill" -> ((s, dir) =>
-      api(s, dir).getHistory(30, syms3, "1997-06-30")),
-
-    // get_fundamentals date mode: point-in-time as-of on publication date.
-    "api_fundamentals_asof" -> ((s, dir) => {
-      val v = mkt(s, dir)
-      val qdates = v.calendar.groupBy(year(col("trade_date")))
-        .agg(min(col("trade_date")).as("qdate")).select("qdate")
-      api(s, dir).getFundamentalsAsOf(syms3, qdates)
-        .select("symbol", "qdate", "end_date", "revenue", "roe")
-    }),
-
-    // get_fundamentals merge_type=1: latest publication incl. restatements.
-    "api_fund_latest" -> ((s, dir) => {
-      val v = mkt(s, dir)
-      val qdates = v.calendar.groupBy(year(col("trade_date")))
-        .agg(min(col("trade_date")).as("qdate")).select("qdate")
-      api(s, dir).getFundamentalsAsOf(syms3, qdates, mergeType = 1)
-        .withColumn("version", col("version").cast("long"))
-    }),
-
-    // get_fundamentals report_types=4 first-publication: latest ANNUAL
-    // report published at or before the date, original data only.
-    "api_fund_annual_first" -> ((s, dir) => {
-      val v = mkt(s, dir)
-      val qdates = v.calendar.groupBy(year(col("trade_date")))
-        .agg(min(col("trade_date")).as("qdate")).select("qdate")
-      api(s, dir).getFundamentalsAsOf(syms3, qdates, reportTypes = Some(4))
-        .select("symbol", "qdate", "end_date", "revenue", "roe")
-    }),
-
-    // get_fundamentals year-range mode (ptrade_data_api.py:484-594 — the
-    // branch the reference implements as a stock × year × quarter LOOP;
-    // here one pushed scan): every quarterly report whose END date falls
-    // in the year range, original publication data.
-    "api_fundamentals_years" -> ((s, dir) =>
-      api(s, dir).getFundamentalsYears(syms3, 1995, 1996)),
-
-    // get_stock_status: HALT/DELISTING flags at a date (F5 + J3).
-    "api_stock_status" -> ((s, dir) => api(s, dir).getStockStatus("1997-03-03")),
-
-    // get_fundamentals table=valuation (daily valuation series).
-    "api_valuation" -> ((s, dir) =>
-      api(s, dir).getValuation(syms3, "1996-01-01", "1996-12-31")),
-
-    // get_Ashares: tradable universe at a date (F1).
-    "api_ashares" -> ((s, dir) => api(s, dir).getAshares("1997-03-03")),
-
-    // get_stock_name / get_trading_day: PTrade doc functions the reference
-    // omits — the last data-side parity wins (VERDICT r10 item 6).
-    "api_stock_name" -> ((s, dir) => api(s, dir).getStockName(
-      Seq("000001.SZ", "000002.SZ", "000003.SZ"))),
-
-    // offsets −3 / 0 / +5 from a NON-trading anchor date (1996-06-15 is a
-    // weekend in the bar calendar) — exercises the anchor-back convention,
-    // zero, and both walk directions in one gate.
-    "api_trading_day" -> ((s, dir) => {
-      val a = api(s, dir)
-      Seq(-3, 0, 5).map(o => a.getTradingDay("1996-06-15", o)
-          .withColumn("offset", lit(o)))
-        .reduce(_ unionByName _)
-    }),
-
-    // get_index_stocks: constituents at latest sample ≤ query date (S7).
-    "api_index_stocks" -> ((s, dir) =>
-      api(s, dir).getIndexStocks("000300.SS", "1998-06-30")),
-
-    // get_stock_exrights: serving-edge int dates (C2 edge rule).
-    "api_exrights" -> ((s, dir) =>
-      api(s, dir).getExrights(Seq("000001.SZ", "000002.SZ"))),
-
-    // Ex-rights A/B affine coefficients (SURVEY §7.4.4 resolved): cumulative
-    // (A, B) per event via a struct-accumulator fold.
-    "api_exrights_ab" -> ((s, dir) => {
-      mkt(s, dir).exrightsAB
-        .filter(col("symbol").isin(syms3: _*))
-        .select(col("symbol"), Coerce.dateToInt(col("date")).as("date_int"),
-          col("ratio"), col("cash"), col("exer_forward_a"), col("exer_forward_b"))
-    }),
-
-    // Technical indicators: EMA / MACD / RSI as bounded-fold window programs.
-    "api_indicators" -> ((s, dir) => {
-      val b = mkt(s, dir).bars.filter(col("symbol").isin(syms3: _*))
-      val keys = Seq(col("symbol")); val ord = Seq(col("date"))
-      val withM = graft.functions.Indicators.withMacd(b, keys, ord, col("close"))
-      graft.functions.Indicators.withRsi(withM, keys, ord, col("close"), 14, "rsi")
-        .withColumn("ema12", graft.functions.Indicators.emaCol(keys, ord, col("close"), 12))
-        .select("symbol", "date", "close", "ema12", "macd", "macd_signal", "rsi")
-    }),
-
-    // Cross-symbol return correlation matrix (every-10th symbol keeps the
-    // pair count N²/2-bounded at both scales): date-co-shuffled return
-    // self-join, per-pair date-sorted fold sums, rational corr tree.
-    "api_corr_matrix" -> ((s, dir) => {
-      val b = mkt(s, dir).bars.filter(col("symbol").substr(6, 1) === "0")
-      graft.functions.Indicators.returnsCorrMatrix(b, minOverlap = 3)
-    }),
-
-    // CAPM beta per symbol vs the equal-weight market return — O(N) where
-    // the corr matrix is O(N²); same symbol slice, same fold discipline.
-    "api_beta" -> ((s, dir) => {
-      val b = mkt(s, dir).bars.filter(col("symbol").substr(6, 1) === "0")
-      graft.functions.Indicators.betasVsMarket(b, minOverlap = 3)
-    }),
-
-    // Portfolio-level acceptance: equal-weight combine of every symbol's
-    // curve, then the same metric folds over the portfolio series.
-    "api_portfolio_metrics" -> ((s, dir) => {
-      val sig = graft.api.Backtest.dualMaSignals(mkt(s, dir).bars,
-        fast = 5, slow = 20, exact = true)
-      graft.api.Backtest.portfolioMetrics(graft.api.Backtest.equityCurve(sig))
-    }),
-
-    // Backtest acceptance metrics: the full strategy chain (fold-MA
-    // crossover → position → P&L) aggregated per symbol — trades,
-    // exposure, total P&L, Sharpe core, struct-fold max drawdown.
-    "api_backtest_metrics" -> ((s, dir) => {
-      val sig = graft.api.Backtest.dualMaSignals(mkt(s, dir).bars,
-        fast = 5, slow = 20, exact = true)
-      graft.api.Backtest.metrics(graft.api.Backtest.equityCurve(sig))
-    }),
-
-    // Sector (industry) daily returns: equal-constituent value-weighted
-    // return per (industry, date) — Σ(close−preclose)/Σpreclose, decimal-
-    // routed sums and ONE IEEE division (a mean of per-symbol ratios
-    // would be an order-sensitive float sum). The serving aggregate a
-    // sector dashboard reads.
-    "api_sector_returns" -> ((s, dir) => {
-      val v = mkt(s, dir)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("symbol")).orderBy(col("date"))
-      val pr = v.bars.select(col("symbol"), col("date"), col("close"))
-        .withColumn("prev", lag(col("close"), 1).over(w))
-        .filter(col("prev").isNotNull)
-      // close is an arbitrary double (px division) — decimal-casting it is
-      // the rule-1 boundary hazard (found by this gate's first run: a
-      // single half-way rounding disagreed between engines). The sums are
-      // SEQUENTIAL FOLDS in symbol order instead.
-      pr.join(broadcast(v.industry.select("symbol", "industry")), "symbol")
-        .groupBy("industry", "date")
-        .agg(count(lit(1)).as("n_symbols"),
-          sort_array(collect_list(struct(col("symbol"),
-            (col("close") - col("prev")).as("chg"),
-            col("prev").as("pv")))).as("xs"))
-        .select(col("industry"), col("date"), col("n_symbols"),
-          aggregate(col("xs"), lit(0.0),
-            (a, x) => a + x.getField("chg")).as("sum_chg"),
-          aggregate(col("xs"), lit(0.0),
-            (a, x) => a + x.getField("pv")).as("sum_prev"))
-        .withColumn("sector_ret", col("sum_chg") / col("sum_prev"))
-    }),
-
-    // get_stock_blocks: the S5 industry dimension per security.
-    "api_stock_blocks" -> ((s, dir) =>
-      api(s, dir).getStockBlocks(syms3 ++ Seq("000004.SZ", "000005.SZ", "000006.SZ"))),
-
-    // get_Indeces: the index half of the universe split (F2 predicate).
-    "api_indeces" -> ((s, dir) => api(s, dir).getIndeces("1998-06-30")),
-
-    // get_industry_stocks: inverse lookup on the S5 industry dimension
-    // (a logged stub in the reference itself — implemented here), with the
-    // F1 tradable-universe restriction at the query date.
-    "api_industry_stocks" -> ((s, dir) =>
-      // 1995-01-10: two Banking listings are still pre-IPO at both scales,
-      // so the date restriction provably bites (11 of 13 rows; the
-      // dateless variant below returns all 13)
-      api(s, dir).getIndustryStocks("Banking", Some("1995-01-10"))),
-
-    // ...and the DEFAULT (dateless) mode of the same call — full industry
-    // membership with no tradable-at-date restriction (judge r12 item 7:
-    // both modes of ptrade_data_api.py:648-650 gated; the dated gate above
-    // must be a strict subset whenever the date excludes listings).
-    "api_industry_stocks_all" -> ((s, dir) =>
-      api(s, dir).getIndustryStocks("Banking")),
-
-    // VERSIONED industry dimension (judge r15 item 7): one membership epoch
-    // per (symbol, trading year), effective from the symbol's first trading
-    // day that year; code%3==0 symbols rotate one sector per epoch, so
-    // point-in-time answers provably change across years.
-    "api_industry_history" -> ((s, dir) =>
-      mkt(s, dir).industryHistory),
-
-    // ...and the as-of lookup over it, at TWO query dates in one gate: the
-    // 1997 Technology membership provably differs from 1995's (rotating
-    // symbols enter from Energy and leave toward Healthcare — asserted in
-    // ApiSpec with the api_trading_day walk-direction discipline).
-    "api_industry_asof" -> ((s, dir) => {
-      val a = api(s, dir)
-      a.getIndustryStocksAsOf("Technology", "1995-06-30")
-        .withColumn("qdate", lit("1995-06-30"))
-        .unionByName(a.getIndustryStocksAsOf("Technology", "1997-06-30")
-          .withColumn("qdate", lit("1997-06-30")))
-    }),
-
-    // get_all_trades_days: PTrade-compat alias of get_trade_days.
-    "api_all_trade_days" -> ((s, dir) =>
-      api(s, dir).getAllTradeDays("1996-01-01", "1996-12-31")),
-
-    // get_stock_info: metadata projection incl. the blocks JSON field.
-    "api_stock_info" -> ((s, dir) => api(s, dir).getStockInfo(syms3)),
-
-    // PTrade derived fields: preclose / price limits (lag window).
-    "api_derived_fields" -> ((s, dir) => {
-      val v = mkt(s, dir)
-      api(s, dir).withDerivedFields(v.bars.filter(col("symbol").isin(syms3: _*)))
-        .filter(col("date") <= lit("1996-12-31"))
-        .select("symbol", "date", "close", "preclose", "high_limit", "low_limit")
-    }),
-  )
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -9615,33 +4881,6 @@ $backtestPnlCtes,
     }.mkString
     s"$head$its SELECT node, rank_fp FROM r$iters"
   }
-
-  /** The text_search_topk query set (shared by the gate and its oracle
-    * generator so the two can't drift). */
-  private val SearchQueries: Seq[(String, Seq[String])] = Seq(
-    "q_hashjoin" -> Seq("hash", "join"),
-    "q_vecscan" -> Seq("vector", "scan", "filter"),
-    "q_mergeorder" -> Seq("merge", "order"))
-
-  /** Reference histogram shape for the streaming drift monitor (counts
-    * per 1000 over the 10 value/50 bins — the corpus's own geometric-ish
-    * decay, rounded): one constant rendered into both the streaming
-    * projection and the oracle SQL. */
-  private val DriftRef: Seq[Long] =
-    Seq(634L, 235L, 84L, 30L, 11L, 4L, 2L, 0L, 0L, 0L)
-
-  /** Shared unigram-LM vocabulary (piece → integer cost ≈ quantized
-    * −log p): rendered into the Spark map literal AND the DuckDB CASE
-    // arms, one constant so the two replays can't drift. Costs make
-    * multi-char pieces genuinely cheaper than their characters
-    * (2-char 9 < 16–20, 3-char 12 < 24–30), so the DP has real choices. */
-  private val UnigramVocab: Seq[(String, Int)] = Seq(
-    "e" -> 8, "a" -> 8,
-    "th" -> 9, "he" -> 9, "in" -> 9, "er" -> 9, "an" -> 9, "re" -> 9,
-    "on" -> 9, "at" -> 9, "en" -> 9, "nd" -> 9, "ti" -> 9, "es" -> 9,
-    "or" -> 9, "st" -> 9, "ar" -> 9, "te" -> 9, "ed" -> 9, "it" -> 9,
-    "the" -> 12, "ing" -> 12, "and" -> 12, "ion" -> 12, "ent" -> 12,
-    "for" -> 12)
 
   /** DuckDB replay of [[graft.quality.Relevance.searchTopK]](k=10):
     * the text_bm25 component tree per query over the union term set, a

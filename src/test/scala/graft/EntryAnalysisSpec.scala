@@ -57,9 +57,16 @@ class EntryAnalysisSpec extends SparkSpec {
     // or runtime signal (round-12 precedent: a second "stream_enrich"
     // made the new dim-default lane dead code). The Map can't see it —
     // the source can.
-    val src = scala.io.Source.fromFile(
-      "src/main/scala/graft/SparkEntry.scala", "UTF-8")
-    val text = try src.mkString finally src.close()
+    // r16: the gate wiring is split across SparkEntry.scala (oracles +
+    // composition) and the per-family traits under entry/ — the guard
+    // scans their UNION, so a key duplicated ACROSS files is caught too
+    val entryFiles = new java.io.File("src/main/scala/graft/entry")
+      .listFiles().filter(_.getName.endsWith(".scala")).map(_.getPath).sorted
+    val text = ("src/main/scala/graft/SparkEntry.scala" +: entryFiles.toSeq)
+      .map { p =>
+        val src = scala.io.Source.fromFile(p, "UTF-8")
+        try src.mkString finally src.close()
+      }.mkString("\n")
     val qKeyRe = """"([a-z0-9_]+)" -> \(\(s, dir\)""".r
     def dups(keys: Seq[String]) =
       keys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
