@@ -4813,6 +4813,9 @@ $backtestPnlCtes,
     // parquet bit-exactly, so the inline-build oracle replays it unchanged.
     "ann_ivfpq_served" -> ivfPqOracle,
     "ann_ivfpq_append" -> ivfPqOracleTrained("cid % 5 <> 4"),
+    // stream-grown index ≡ batch-appended index (encode-only appends are
+    // row-local given frozen quantizers) — ann_ivfpq_append's oracle verbatim
+    "stream_ann_append" -> ivfPqOracleTrained("cid % 5 <> 4"),
     // update lane: trained on the ORIGINAL full corpus; the served corpus
     // carries the replacement (negated) vectors for the updated ids —
     // delete+compact+append ≡ encode-the-modified-corpus with frozen

@@ -139,6 +139,66 @@ object AnnServe {
 
   final case class Hit(neighborId: Long, rank: Long, score: Double)
 
+  /** Two-stage warm serving — the quality shape ([[Pq.topKReranked]]
+    * in-process): stage 1 is the compressed-domain ADC top-`c` from the
+    * resident index; stage 2 re-ranks ONLY those candidates by exact
+    * cosine against raw vectors held in the same process. Bit-identical
+    * rows to `Pq.topKReranked` (spec-pinned): exact scores are the
+    * float→double left-fold cosine under `round(·, 6)` HALF_UP, ranked
+    * (score DESC, id ASC). At 100 TB a node holds ITS shard's raw vectors
+    * (4 B/dim — the candidate-lookup store the Spark lane reaches via a
+    * broadcast join, resident here). */
+  final class Reranker private[AnnServe] (
+      serve: AnnServe, vecs: java.util.HashMap[Long, Array[Float]]) {
+
+    def topK(queryId: Long, qv: Array[Float], k: Int, c: Int,
+             nProbe: Int): Array[Hit] = {
+      require(c >= k, s"rerank candidate pool c=$c must be ≥ k=$k")
+      val cands = serve.topK(queryId, qv, c, nProbe)
+      var qq = 0.0
+      locally { var i = 0; while (i < qv.length) { qq += qv(i).toDouble * qv(i).toDouble; i += 1 } }
+      val qn = math.sqrt(qq)
+      val bs = new Array[Double](k); val bid = new Array[Long](k); var bn = 0
+      var ci = 0
+      while (ci < cands.length) {
+        val cid = cands(ci).neighborId
+        val nv = vecs.get(cid)
+        if (nv != null) {
+          val n = math.min(qv.length, nv.length)
+          var dab = 0.0; var nn = 0.0
+          var i = 0
+          while (i < n) { dab += qv(i).toDouble * nv(i).toDouble; i += 1 }
+          i = 0
+          while (i < nv.length) { nn += nv(i).toDouble * nv(i).toDouble; i += 1 }
+          val score = round6(dab / (qn * math.sqrt(nn)))
+          if (bn < k || gtScore(score, cid, bs(bn - 1), bid(bn - 1))) {
+            var j = if (bn < k) bn else k - 1
+            while (j > 0 && gtScore(score, cid, bs(j - 1), bid(j - 1))) {
+              bs(j) = bs(j - 1); bid(j) = bid(j - 1); j -= 1
+            }
+            bs(j) = score; bid(j) = cid
+            if (bn < k) bn += 1
+          }
+        }
+        ci += 1
+      }
+      Array.tabulate(bn)(i => Hit(bid(i), (i + 1).toLong, bs(i)))
+    }
+  }
+
+  /** [[Reranker]] loader: the resident index plus this shard's raw
+    * vectors (one collect over the serving slice). */
+  def loadReranker(idx: Pq.PqIndex, corpus: org.apache.spark.sql.DataFrame,
+                   id: String, vec: String): Reranker = {
+    import org.apache.spark.sql.functions.col
+    val serve = load(idx)
+    val vecs = new java.util.HashMap[Long, Array[Float]]()
+    corpus.select(col(id).cast("long"), col(vec)).collect().foreach { r =>
+      vecs.put(r.getLong(0), r.getSeq[Float](1).toArray)
+    }
+    new Reranker(serve, vecs)
+  }
+
   // (d1, id1) < (d2, id2) — Spark's double ordering (NaN last), id tiebreak
   @inline private def lt(d1: Double, id1: Long, d2: Double, id2: Long): Boolean = {
     val c = java.lang.Double.compare(d1, d2)

@@ -34,24 +34,50 @@ object StreamIndexAppend {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** The ANN twin: a vector stream feeds a SAVED IVF-PQ index through the
+    * same epoch-commit protocol ([[graft.ann.Pq.appendEpochToSavedIndex]]
+    * — encode-only against the frozen quantizers). */
+  def annAppendStream(stream: DataFrame, id: String, vec: String, dir: String,
+                      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ann.Pq.appendEpochToSavedIndex(batch.sparkSession, dir,
+            batch, id, vec, epochId)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Gate/spec harness: stage `docs` as a multi-file directory, stream it
     * file-by-file (`maxFilesPerTrigger=1` → several real micro-batch
     * epochs), and run the append stream to completion against the index at
     * `dir`. Same run-to-completion discipline as [[Replay.toBatch]]. */
   def runFileStream(spark: SparkSession, docs: DataFrame, id: String,
-                    text: String, dir: String, nFiles: Int = 3): Unit = {
+                    text: String, dir: String, nFiles: Int = 3): Unit =
+    runStaged(spark, docs.select(id, text), nFiles,
+      stream => appendStream(stream, id, text, dir,
+        java.nio.file.Files.createTempDirectory("graft_stream_idx_chk").toString))
+
+  /** [[runFileStream]] for the ANN lane. */
+  def runAnnFileStream(spark: SparkSession, rows: DataFrame, id: String,
+                       vec: String, dir: String, nFiles: Int = 3): Unit =
+    runStaged(spark, rows.select(id, vec), nFiles,
+      stream => annAppendStream(stream, id, vec, dir,
+        java.nio.file.Files.createTempDirectory("graft_stream_ann_chk").toString))
+
+  private def runStaged(spark: SparkSession, rows: DataFrame, nFiles: Int,
+                        attach: DataFrame => StreamingQuery): Unit = {
     val staged = java.nio.file.Files
       .createTempDirectory("graft_stream_idx_src").toString
-    docs.select(id, text).repartition(nFiles).write
-      .mode("overwrite").parquet(staged)
-    val chk = java.nio.file.Files
-      .createTempDirectory("graft_stream_idx_chk").toString
+    rows.repartition(nFiles).write.mode("overwrite").parquet(staged)
     Replay.withReplayConf(spark) {
       val stream = spark.readStream
-        .schema(docs.select(id, text).schema)
+        .schema(rows.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
-      val q = appendStream(stream, id, text, dir, chk)
+      val q = attach(stream)
       try q.processAllAvailable() finally q.stop()
     }
   }

@@ -128,6 +128,69 @@ object ScaleProbe {
       graft.ann.GraphAnn.graphTopK(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5, nLists = 16 * k, degree = 12,
         beam = 16, hops = 5)
+    }),
+
+    // CRUD-cycle probes (judge r15 item 7): the gate lanes cache their
+    // artifacts per (fixture, JVM), so a plain probe of ann_ivfpq_update /
+    // dedup_lsh_update times only the SERVE — tombstone anti-joins and
+    // compaction rewrites (the shapes that can hide superlinear terms)
+    // escape. These variants run the FULL maintenance cycle fresh per
+    // timed call (new temp dir each time): build → save → tombstone →
+    // compact → encode-only append → serve.
+    "ann_ivfpq_update@crud" -> ((s, dir, _) => {
+      import graft.ann.Pq
+      val e = graft.sources.TestData(s, dir).embeddings
+      val replaced = e.filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_crud_pq").toString
+      Pq.saveIndex(Pq.buildIndex(e, "vec_id", "embedding",
+        nLists = 16, m = 8, dsub = 8, ksub = 16), root)
+      Pq.deleteFromSavedIndex(s, root, replaced.select("vec_id"), "vec_id")
+      Pq.compactIndex(s, root)
+      val idx = Pq.appendToSavedIndex(s, root, replaced, "vec_id", "embedding")
+      Pq.topKFromIndex(idx, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nProbe = 4)
+    }),
+
+    "dedup_lsh_update@crud" -> ((s, dir, _) => {
+      import graft.dedup.Dedup
+      val docs = graft.sources.TestData(s, dir).documents
+      val rewritten = concat_ws(" ",
+        transform(graft.functions.TextFns.words(col("text")),
+          w => concat(w, lit("~u"))))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_crud_lsh").toString
+      Dedup.buildLshIndex(docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", root)
+      Dedup.removeFromLshIndex(s, root,
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
+      Dedup.compactLshIndex(s, root)
+      Dedup.appendToLshIndex(
+        docs.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"), rewritten.as("text")),
+        "doc_id", "text", root)
+      Dedup.dedupAgainstIndex(s, root,
+        docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
+    }),
+
+    // the r16 streaming-maintenance composition, fresh per call: batch
+    // base build + real micro-batch epoch appends + dedup-against
+    "stream_index_append@stream" -> ((s, dir, _) => {
+      import graft.dedup.Dedup
+      val docs = graft.sources.TestData(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_crud_stream").toString
+      Dedup.buildLshIndex(
+        docs.filter(col("doc_id") % 5 =!= 4
+          && col("doc_id") % 10 =!= 6 && col("doc_id") % 10 =!= 7),
+        "doc_id", "text", root)
+      graft.streaming.StreamIndexAppend.runFileStream(s,
+        docs.filter(col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7),
+        "doc_id", "text", root)
+      Dedup.dedupAgainstIndex(s, root,
+        docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
     }))
 
   private def time(spark: SparkSession, name: String, dir: String,

@@ -357,6 +357,68 @@ class PqSpec extends SparkSpec {
     assert(warmSet(idx2) == s2, "warm lane diverged after tombstones")
   }
 
+  test("AnnServe.Reranker: warm two-stage top-k ≡ topKReranked") {
+    import graft.ann.AnnServe
+    val queries = embs.filter(col("vec_id") < 10)
+    val idx = Pq.buildIndex(embs, "vec_id", "embedding",
+      nLists = 16, m = 8, dsub = 8, ksub = 16)
+    val want = Pq.topKReranked(idx, queries, embs, "vec_id", "embedding",
+        5, c = 20, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val rr = AnnServe.loadReranker(idx, embs, "vec_id", "embedding")
+    val got = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .flatMap { case (qid, qv) =>
+        rr.topK(qid, qv, 5, c = 20, nProbe = 4)
+          .map(h => (qid, h.neighborId, h.rank, h.score))
+      }.toSet
+    assert(got == want, "warm rerank diverged from the Spark two-stage lane")
+  }
+
+  test("PQ epoch append: crashed attempts invisible, replays converge, ≡ batch append") {
+    // the ANN twin of the LSH epoch protocol (StreamingSpec): (a) staged
+    // epoch files without a _COMMITTED marker never reach a read; (b) the
+    // replay of a crashed attempt overwrites and commits; (c) a committed
+    // epoch replays as a no-op; (d) the epoch-grown index serves
+    // identically to Pq.appendToSavedIndex over the same rows; (e)
+    // compaction folds the epochs in, serve unchanged.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_epoch").toString
+    val old = embs.filter(col("vec_id") % 5 =!= 4)
+    val fresh = embs.filter(col("vec_id") % 5 === 4)
+    Pq.saveIndex(Pq.buildIndex(old, "vec_id", "embedding",
+      nLists = 16, m = 8, dsub = 8, ksub = 16), dir)
+    val queries = embs.filter(col("vec_id") < 10)
+    def serve(d: String): Set[(Long, Long, Long, Double)] =
+      Pq.topKFromIndex(Pq.loadIndex(spark, d), queries, "vec_id", "embedding",
+          5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val before = serve(dir)
+    // (a) crash junk: any schema — the read path never opens unmarked dirs
+    embs.limit(3).write.mode("overwrite").parquet(s"$dir/epochs/9/cells")
+    assert(serve(dir) == before, "uncommitted epoch junk leaked into a read")
+    // (b) replay commits
+    assert(Pq.appendEpochToSavedIndex(spark, dir, fresh, "vec_id", "embedding", 9L))
+    val after = serve(dir)
+    assert(after != before, "epoch append changed no serve row — vacuous split")
+    // (c) committed replay is a no-op
+    assert(!Pq.appendEpochToSavedIndex(spark, dir, fresh, "vec_id", "embedding", 9L))
+    assert(serve(dir) == after, "committed-epoch replay changed the index")
+    // (d) ≡ the batch append path
+    val ref = java.nio.file.Files.createTempDirectory("graft_pq_epoch_ref").toString
+    Pq.saveIndex(Pq.buildIndex(old, "vec_id", "embedding",
+      nLists = 16, m = 8, dsub = 8, ksub = 16), ref)
+    Pq.appendToSavedIndex(spark, ref, fresh, "vec_id", "embedding")
+    assert(serve(ref) == after, "epoch-grown index diverged from batch append")
+    // (e) compaction folds epochs, serve unchanged
+    Pq.compactIndex(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/epochs")))
+    assert(serve(dir) == after, "compaction changed serve rows")
+  }
+
   test("two-stage rerank: exact scores, recall ≥ pure-ADC, corpus never SMJs") {
     val queries = embs.filter(col("vec_id") < 10)
     val idx = Pq.buildIndex(embs, "vec_id", "embedding",
