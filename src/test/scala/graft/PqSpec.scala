@@ -357,6 +357,26 @@ class PqSpec extends SparkSpec {
     assert(warmSet(idx2) == s2, "warm lane diverged after tombstones")
   }
 
+  test("GraphServe: warm beam search ≡ GraphAnn.topKFromIndex") {
+    import graft.ann.{GraphAnn, GraphServe}
+    val queries = embs.filter(col("vec_id") < 10)
+    val idx = GraphAnn.buildIndex(embs, "vec_id", "embedding",
+      nLists = 16, degree = 12)
+    val want = GraphAnn.topKFromIndex(idx, queries, "vec_id", "embedding",
+        5, beam = 16, hops = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val gs = GraphServe.load(idx)
+    val got = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .flatMap { case (qid, qv) =>
+        gs.topK(qid, qv, 5, beam = 16, hops = 5)
+          .map(h => (qid, h.neighborId, h.rank, h.score))
+      }.toSet
+    assert(got == want, "warm beam search diverged from the Spark graph lane")
+  }
+
   test("AnnServe.Reranker: warm two-stage top-k ≡ topKReranked") {
     import graft.ann.AnnServe
     val queries = embs.filter(col("vec_id") < 10)
