@@ -284,7 +284,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_recall_eval" -> 6,
     // exact-pair aggs + the two signature joins over the checkpointed
     // sig frame
-    "dedup_sig_calibration" -> 4
+    "dedup_sig_calibration" -> 4,
+    // r16 streaming-maintenance gates: the MEASURED plan is the serve
+    // (dedup-against / top-k-from-parquet) — the builds + epoch appends
+    // run eagerly in the staged-cache block before this plan exists
+    "dedup_incremental" -> 10, // serve plan: twin parity with stream_index_append
+    "stream_index_append" -> 10,
+    "stream_ann_append" -> 3
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
