@@ -4812,6 +4812,10 @@ $backtestPnlCtes,
     // Served lane reads a pre-materialized index; the artifacts round-trip
     // parquet bit-exactly, so the inline-build oracle replays it unchanged.
     "ann_ivfpq_served" -> ivfPqOracle,
+    // filtered serve: scoring membership restricted to the predicate —
+    // the tombstone-replay servePred lane with a value predicate
+    "ann_ivfpq_filtered" -> ivfPqOracleTrained("TRUE",
+      servePred = "e.cid % 3 = 0"),
     "ann_ivfpq_append" -> ivfPqOracleTrained("cid % 5 <> 4"),
     // stream-grown index ≡ batch-appended index (encode-only appends are
     // row-local given frozen quantizers) — ann_ivfpq_append's oracle verbatim
@@ -5644,13 +5648,14 @@ $backtestPnlCtes,
     * [[graft.ann.Pq.appendToSavedIndex]] — old rows train, all rows encode
     * (encoding is a pure function of the frozen artifacts, so
     * append-then-serve ≡ train-on-old-encode-all). */
-  private def ivfPqOracleTrained(trainPred: String): String =
+  private def ivfPqOracleTrained(trainPred: String,
+                                 servePred: String = "TRUE"): String =
     ivfPqOracleTrainedTail(trainPred,
       """SELECT query_id, neighbor_id, rank, score FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
           FROM fin)
-        WHERE rank <= 5""")
+        WHERE rank <= 5""", servePred)
 
   /** `servePred` restricts which corpus rows are SERVABLE (references
     * `e.cid`) — the tombstone-deletion replay: quantizers still train on

@@ -324,15 +324,26 @@ object Ann {
     // higher-order functions (docs/ASSIGN_r15.json measured the HOF lane
     // losing to flat below nLists≈256 purely on that constant). Custom
     // `cos` lanes and non-float centroid tables keep the HOF formulation.
-    val isFloatVec = centroids.schema("centroid").dataType match {
+    // BOTH vector columns must be array<float> for the kernel lane (ADVICE
+    // r16: the kernel reads via ArrayData.getFloat — an array<double>
+    // corpus column would also fail HierArgMinFloat's analysis-time type
+    // check, but falling back keeps non-float lanes working)
+    def isFloatArray(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => true
       case _ => false
     }
+    val isFloatVec = isFloatArray(centroids.schema("centroid").dataType) &&
+      isFloatArray(corpus.schema(vec).dataType)
     if ((cos eq cosineDefault) && isFloatVec)
       hierarchicalAssignKernel(corpus, id, vec, centroids, nLists, m, topProbe)
-    else
-      hierarchicalAssignHof(corpus, id, vec, centroids, nLists, m, topProbe, cos)
+    else {
+      // the default `cos` rides VecDotFloat (array<float> only, enforced at
+      // analysis) — a non-float lane needs the generic fold, which is
+      // bit-identical on float input and exact on widened doubles
+      val effCos = if ((cos eq cosineDefault) && !isFloatVec) cosineFold _ else cos
+      hierarchicalAssignHof(corpus, id, vec, centroids, nLists, m, topProbe, effCos)
+    }
   }
 
   /** Stable reference for [[hierarchicalAssign]]'s default-lane detection

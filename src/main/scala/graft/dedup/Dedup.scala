@@ -607,36 +607,50 @@ object Dedup {
     * the capped membership equals what a rebuild without those docs would
     * see (the oracle pins it). Signatures are never recomputed. */
   def removeFromLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                         ids: DataFrame, id: String): Unit =
+                         ids: DataFrame, id: String): Unit = {
+    // a pending compaction's resumed cleanup deletes dir/tombstones
+    // wholesale — finish it BEFORE this tombstone lands (ADVICE r16)
+    graft.sources.EpochStore.finishCompaction(
+      graft.sources.EpochStore.fsFor(spark, dir), dir,
+      Seq("buckets", "shingles"), graft.CrashBudget.unlimited)
     ids.select(col(id).as("doc_id"))
       .write.mode("append").parquet(s"$dir/tombstones")
+  }
 
   /** An index table (`buckets`/`shingles`) with COMMITTED streaming epochs
     * unioned in and tombstones applied — the single read path every
     * serve-side consumer uses. Epoch dirs lacking their `_COMMITTED`
     * marker are crashed append attempts and stay invisible
     * ([[appendEpochToLshIndex]]'s exactly-once contract). */
-  private def readIndexTable(spark: org.apache.spark.sql.SparkSession,
-                             dir: String, sub: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a COMPLETED-but-unswapped compaction is authoritative: its tables
-    // already fold every committed epoch and tombstone in (the marker is
-    // [[compactLshIndex]]'s atomic commit point; the swap is cleanup)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/compact_tmp/_COMPLETE"))) {
+  private[graft] def readIndexTable(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, sub: String): DataFrame =
+    readIndexTableEpochs(spark, dir, sub, None)
+
+  /** `forcedEpochs` pins EXACTLY which committed epochs fold in — the
+    * compaction fold uses it so its output matches the manifest it
+    * commits. Committed epochs read as ONE multi-path parquet load
+    * (O(1) plan in epoch count — ADVICE r16). */
+  private def readIndexTableEpochs(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, sub: String,
+                                   forcedEpochs: Option[Seq[String]]): DataFrame = {
+    import graft.sources.EpochStore
+    val fs = EpochStore.fsFor(spark, dir)
+    // a COMPLETED-but-unswapped compaction is authoritative for everything
+    // it FOLDED (the manifest is [[compactLshIndex]]'s atomic commit
+    // point; the swap is cleanup); epochs committed after the fold — not
+    // in its manifest — still union in (the r16 ADVICE medium)
+    if (forcedEpochs.isEmpty && EpochStore.pendingCompaction(fs, dir)) {
+      val folded = EpochStore.foldedEpochs(fs, dir).toSet
       val t = s"$dir/compact_tmp/$sub"
-      return spark.read.parquet(
-        if (fs.exists(new org.apache.hadoop.fs.Path(t))) t else s"$dir/$sub")
+      val base =
+        if (fs.exists(new org.apache.hadoop.fs.Path(t))) t else s"$dir/$sub"
+      val unfolded = EpochStore.committedEpochs(fs, dir)
+        .filterNot(folded).map(e => s"$dir/epochs/$e/$sub")
+      return spark.read.parquet((base +: unfolded): _*)
     }
-    val epochsPath = new org.apache.hadoop.fs.Path(s"$dir/epochs")
-    val epochDirs: Seq[String] =
-      if (!fs.exists(epochsPath)) Seq.empty
-      else fs.listStatus(epochsPath).toSeq.filter(_.isDirectory)
-        .filter(st => fs.exists(
-          new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")))
-        .map(st => new org.apache.hadoop.fs.Path(st.getPath, sub).toString)
-    val base = epochDirs.foldLeft(spark.read.parquet(s"$dir/$sub"))(
-      (acc, p) => acc.unionByName(spark.read.parquet(p)))
+    val eps = forcedEpochs.getOrElse(EpochStore.committedEpochs(fs, dir))
+      .map(e => s"$dir/epochs/$e/$sub")
+    val base = spark.read.parquet((s"$dir/$sub" +: eps): _*)
     val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     if (fs.exists(tombPath))
       base.join(spark.read.parquet(s"$dir/tombstones").select("doc_id"),
@@ -663,20 +677,29 @@ object Dedup {
     * engine's contract), so marker creation needs no cross-writer CAS.
     * Returns true if this call committed the epoch, false on a replay. */
   def appendEpochToLshIndex(docs: DataFrame, id: String, text: String,
-                            dir: String, epochId: Long): Boolean = {
+                            dir: String, epochId: Long): Boolean =
+    appendEpochImpl(docs, id, text, dir, epochId, graft.CrashBudget.unlimited)
+
+  /** [[appendEpochToLshIndex]] with a fault-injection budget
+    * (EpochFuzzSpec) — protocol in [[graft.sources.EpochStore.appendEpoch]]
+    * (attempt-unique staging, atomic claim rename, creation-only marker
+    * last, pending compaction finished first). */
+  private[graft] def appendEpochImpl(docs: DataFrame, id: String, text: String,
+                                     dir: String, epochId: Long,
+                                     budget: graft.CrashBudget): Boolean = {
+    import graft.sources.EpochStore
     val spark = docs.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val epochDir = s"$dir/epochs/$epochId"
-    val marker = new org.apache.hadoop.fs.Path(s"$epochDir/_COMMITTED")
-    if (fs.exists(marker)) return false
-    val m = spark.read.parquet(s"$dir/meta").head()
-    val (buckets, shStore) =
-      lshArtifacts(docs, id, text, m.getInt(0), m.getInt(1), m.getInt(2))
-    buckets.write.mode("overwrite").parquet(s"$epochDir/buckets")
-    shStore.write.mode("overwrite").parquet(s"$epochDir/shingles")
-    fs.create(marker, false).close()
-    true
+    val fs = EpochStore.fsFor(spark, dir)
+    EpochStore.appendEpoch(fs, dir, Seq("buckets", "shingles"), epochId,
+        budget) { (stage, b) =>
+      val m = spark.read.parquet(s"$dir/meta").head()
+      val (buckets, shStore) =
+        lshArtifacts(docs, id, text, m.getInt(0), m.getInt(1), m.getInt(2))
+      b.step("append-write-buckets") {
+        buckets.write.mode("overwrite").parquet(s"$stage/buckets") }
+      b.step("append-write-shingles") {
+        shStore.write.mode("overwrite").parquet(s"$stage/shingles") }
+    }
   }
 
   /** Fold tombstones into the artifacts and drop them (the
@@ -684,43 +707,44 @@ object Dedup {
     * before the self-overwrite; remove the tombstone dir LAST so a crash
     * leaves only redundant tombstones behind). */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-                      dir: String): Unit = {
-    // r16: compaction now also folds committed streaming EPOCHS into the
-    // base tables. Folding is NOT idempotent the way tombstones are (a
-    // crash between the base rewrite and the epoch delete would double
-    // every appended membership), so the fold runs as a STAGED SWAP: the
-    // compacted tables land in compact_tmp, a creation-only _COMPLETE
-    // marker is the atomic commit point ([[readIndexTable]] prefers a
-    // COMPLETED tmp and ignores epochs/tombstones from that instant), and
-    // the swap below is pure cleanup — idempotent, resumable by the next
-    // compact call from any crash point.
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = s"$dir/compact_tmp"
-    val complete = new org.apache.hadoop.fs.Path(s"$tmp/_COMPLETE")
-    if (!fs.exists(complete)) {
-      val buckets = readIndexTable(spark, dir, "buckets").localCheckpoint()
-      val shingles = readIndexTable(spark, dir, "shingles").localCheckpoint()
-      buckets.write.mode("overwrite").parquet(s"$tmp/buckets")
-      shingles.write.mode("overwrite").parquet(s"$tmp/shingles")
-      fs.create(complete, false).close()
+                      dir: String): Unit =
+    compactLshImpl(spark, dir, graft.CrashBudget.unlimited)
+
+  /** [[compactLshIndex]] with a fault-injection budget (EpochFuzzSpec).
+    * Folding committed epochs is NOT idempotent the way tombstone folding
+    * is, so the fold runs as a STAGED SWAP through
+    * [[graft.sources.EpochStore.compact]]: compacted tables land in
+    * compact_tmp, the `_COMPLETE` MANIFEST (folded epoch ids, atomic
+    * temp+rename) is the commit point, and the resumed cleanup deletes
+    * ONLY the folded epoch dirs — an epoch committed after a crashed
+    * compaction survives its resume (the r16 ADVICE medium). */
+  private[graft] def compactLshImpl(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String,
+                                    budget: graft.CrashBudget): Unit = {
+    import graft.sources.EpochStore
+    val fs = EpochStore.fsFor(spark, dir)
+    EpochStore.compact(fs, dir, Seq("buckets", "shingles"), budget) {
+      (folded, b) =>
+        // fold EXACTLY the manifest's epochs; base files are only read —
+        // the swap that overwrites them runs strictly after both writes
+        val buckets = readIndexTableEpochs(spark, dir, "buckets", Some(folded))
+        val shingles = readIndexTableEpochs(spark, dir, "shingles", Some(folded))
+        b.step("compact-write-buckets") {
+          buckets.write.mode("overwrite").parquet(s"$dir/compact_tmp/buckets") }
+        b.step("compact-write-shingles") {
+          shingles.write.mode("overwrite").parquet(s"$dir/compact_tmp/shingles") }
     }
-    Seq("buckets", "shingles").foreach { sub =>
-      val t = new org.apache.hadoop.fs.Path(s"$tmp/$sub")
-      if (fs.exists(t)) {
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$sub"), true)
-        fs.rename(t, new org.apache.hadoop.fs.Path(s"$dir/$sub"))
-      }
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/epochs"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   /** Append a batch's artifacts to a saved index (encode-only — no old
     * doc is ever re-signed). Callers typically append only the KEPT docs
     * from [[dedupAgainstIndex]]'s verdicts. */
   def appendToLshIndex(docs: DataFrame, id: String, text: String, dir: String): Unit = {
+    // shards appended into the base tables would be deleted by a pending
+    // compaction's swap — finish it first (ADVICE r16)
+    graft.sources.EpochStore.finishCompaction(
+      graft.sources.EpochStore.fsFor(docs.sparkSession, dir), dir,
+      Seq("buckets", "shingles"), graft.CrashBudget.unlimited)
     val m = docs.sparkSession.read.parquet(s"$dir/meta").head()
     val (buckets, shStore) =
       lshArtifacts(docs, id, text, m.getInt(0), m.getInt(1), m.getInt(2))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Compiled kernel for the two-level (hierarchical) IVF coarse assignment —
   * the r15 verdict's "codegen the argmin" item. The higher-order-function
@@ -66,6 +66,16 @@ final class HierArgMinKernel(
     c < 0 || (c == 0 && id1 < id2)
   }
 
+  /** [[apply]] behind a null-element scan: a null element would read as
+    * garbage through `ArrayData.getFloat` (ADVICE r16) — yield null
+    * instead (the consumer's posexplode drops the row). */
+  def applyChecked(v: ArrayData): ArrayData = {
+    var i = 0
+    val n = v.numElements()
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    apply(v)
+  }
+
   /** m nearest centroid ids for one row vector, in (d ASC, id ASC) order.
     * Called from generated code — must stay allocation-light. */
   def apply(v: ArrayData): ArrayData = {
@@ -125,20 +135,39 @@ final class HierArgMinKernel(
 
 /** `array<float>` → `array<long>`: the row's `m` nearest centroid ids via
   * [[HierArgMinKernel]]. Null input → null (the consumer's posexplode drops
-  * the row, matching the HOF lane's terminal behavior). */
+  * the row, matching the HOF lane's terminal behavior). Input type is
+  * ENFORCED at analysis (ADVICE r16: an `array<double>` child would
+  * otherwise be read via `ArrayData.getFloat` — silent garbage distances);
+  * a null ELEMENT also yields null instead of reading garbage. */
 case class HierArgMinFloat(child: Expression, kernel: HierArgMinKernel)
   extends UnaryExpression {
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"HierArgMin requires array<float> input, got ${other.catalogString}")
+    }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // null even for a non-null child: a null ELEMENT nulls the result
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
-    kernel.apply(input.asInstanceOf[ArrayData])
+    kernel.applyChecked(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val k = ctx.addReferenceObj("hierArgMinKernel", kernel,
       classOf[HierArgMinKernel].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = $k.apply($c);")
+      s"""
+         |${ev.value} = $k.applyChecked($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -21,6 +21,21 @@ case class VecDotFloat(left: Expression, right: Expression) extends BinaryExpres
 
   override def dataType: DataType = DoubleType
 
+  // reads go through ArrayData.getFloat — any other element type would be
+  // silent garbage (the HierArgMin ADVICE r16 defect class). Fail analysis.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_dot requires two array<float> inputs, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+    }
+  }
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]

@@ -186,10 +186,23 @@ final class JsonlStreamingWrite(path: String, schema: StructType,
         .foreach { st =>
           if (!names.contains(st.getPath.getName)) fs.delete(st.getPath, false)
         }
-      // creation-only manifest LAST: the epoch's expected part names
-      val out = fs.create(marker, false)
+      // manifest LAST, via temp + RENAME (ADVICE r16: create-then-write
+      // left a window where a crash published an EMPTY marker — an epoch
+      // reading as committed with a manifest listing no parts). The rename
+      // is atomic on the local FS, so the marker appears with its full
+      // content or not at all; a failed rename (concurrent committer won)
+      // keeps the creation-only semantics.
+      val tmpMarker = new org.apache.hadoop.fs.Path(dir,
+        s"._epoch_$epochId.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmpMarker, true)
       try out.write(names.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      if (!fs.rename(tmpMarker, marker)) {
+        fs.delete(tmpMarker, false)
+        if (!fs.exists(marker))
+          throw new java.io.IOException(
+            s"epoch $epochId manifest rename failed with no existing marker")
+      }
     }
   }
 

@@ -733,6 +733,45 @@ class PqSpec extends SparkSpec {
     assert(kern == hof, "kernel lane diverged from the HOF formulation")
   }
 
+  test("hierarchicalAssign type gates: array<double> corpus routes to HOF; " +
+      "HierArgMin rejects non-float at analysis; null elements yield null") {
+    // ADVICE r16: the kernel reads via ArrayData.getFloat — an
+    // array<double> corpus silently produced garbage distances. (a) the
+    // dispatch now falls back to the HOF lane for non-float corpora, whose
+    // assignment must MATCH the float lane's (float→double cast is exact);
+    // (b) building the expression against a double column fails analysis;
+    // (c) a null ELEMENT yields null instead of reading garbage.
+    val centroids = Ann.ivfCentroids(embs, "vec_id", "embedding", 16)
+      .localCheckpoint()
+    val dbl = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val viaDouble = Ann.hierarchicalAssign(dbl, "vec_id", "embedding",
+        centroids, 16)
+      .select("cid", "centroid_id").as[(Long, Long)].collect().toSet
+    val viaFloat = Ann.hierarchicalAssign(embs, "vec_id", "embedding",
+        centroids, 16)
+      .select("cid", "centroid_id").as[(Long, Long)].collect().toSet
+    assert(viaDouble == viaFloat, "double-corpus HOF fallback diverged")
+    // (b) analysis-time rejection of a non-float child
+    val kernel = new graft.functions.HierArgMinKernel(
+      Array(0L), Array(Array(1f, 0f)), Array(Array(0L)),
+      Array(Array(Array(1f, 0f))), topProbe = 1, m = 1)
+    val ex = intercept[Exception] {
+      dbl.select(graft.functions.HierArgMin(col("embedding"), kernel)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<float>")
+      || ex.getMessage.toLowerCase.contains("data type mismatch"),
+      s"expected an analysis-time type failure, got: ${ex.getMessage}")
+    // (c) null element → null result (row dropped by the consumer's explode)
+    val withNull = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS v")
+    val out = withNull
+      .select(graft.functions.HierArgMin(col("v"), kernel).as("r"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(0),
+      "null-bearing vector must yield null, not garbage")
+  }
+
   test("hierarchicalAssign: pruned regime assigns every row and mostly agrees with flat") {
     // nLists=64 -> nTop=8; topProbe=2 probes only 2 of 8 top cells, so the
     // pruning genuinely engages. Every row must still land exactly one cell,
