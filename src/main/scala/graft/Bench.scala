@@ -29,9 +29,122 @@ object Bench {
     (regs.take(remeasureCap), regs.drop(remeasureCap))
   }
 
+  /** COLD-FLOOR probe mode (judge r16 item 2 — the manual
+    * BENCH_ADJUDICATION procedure, automated): a FRESH JVM measures only
+    * the named queries (warm pass + min of 2 timed runs each) and prints
+    * one `COLDFLOOR {"query":…,"floor":…}` line per query. The parent
+    * bench spawns this for every `regressed`/`flagged_unmeasured` verdict
+    * so the driver artifact ships with its adjudication closed instead of
+    * waiting for a post-hoc side doc. */
+  private def coldProbe(names: Seq[String], sfDir: String, cpus: String): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case _: Throwable => () }
+    // a cold floor on a hot box is no floor — give the box up to 30 s
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val threshold = math.max(2.0, cpus.toDouble / 8.0)
+    var waited = 0
+    while (osBean.getSystemLoadAverage > threshold && waited < 30) {
+      Thread.sleep(5000); waited += 5
+    }
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    names.foreach { k =>
+      val floor = SparkEntry.queries.get(k) match {
+        case None => -1.0
+        case Some(fn) =>
+          try {
+            fn(spark, sfDir).count() // warm pass (cached store/index builds land here)
+            (0 until 2).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              spark.catalog.clearCache(); System.gc()
+              dt
+            }.min
+          } catch { case _: Throwable => -1.0 }
+      }
+      println(s"""COLDFLOOR {"query":"$k","floor":${f2(floor)}}""")
+    }
+    spark.stop()
+  }
+
+  /** Spawn [[coldProbe]] in a fresh JVM (same flags + classpath — `run`
+    * is forked, so `java.class.path` is real) and parse the floors.
+    * Returns name → floor seconds (-1 = probe failed). Never throws: a
+    * broken probe must not take the headline JSON down with it. */
+  private[graft] def coldFloors(names: Seq[String], sfDir: String,
+                                cpus: String): Map[String, Double] = {
+    if (names.isEmpty) return Map.empty
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_COLD_QUERY", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      val p = pb.start()
+      // drain stderr concurrently or Spark's logging fills the pipe and
+      // deadlocks the child
+      val errDrain = new Thread(() => {
+        val in = p.getErrorStream
+        val buf = new Array[Byte](8192)
+        try { while (in.read(buf) >= 0) {} } catch { case _: Throwable => () }
+      })
+      errDrain.setDaemon(true); errDrain.start()
+      val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val reader = new Thread(() => {
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+        try {
+          var l = rd.readLine()
+          while (l != null) { lines.add(l); l = rd.readLine() }
+        } catch { case _: Throwable => () }
+      })
+      reader.setDaemon(true); reader.start()
+      val done = p.waitFor(180L * names.size + 300L,
+        java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) p.destroyForcibly()
+      reader.join(10000)
+      val Floor = """COLDFLOOR \{"query":"([^"]+)","floor":(-?[0-9.]+)\}""".r
+      lines.asScala.collect {
+        case Floor(k, f) => k -> f.toDouble
+      }.toMap
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] cold-floor probe failed: $t")
+        Map.empty
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    sys.env.get("SPARK_GRAFT_COLD_QUERY") match {
+      case Some(qs) =>
+        coldProbe(qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          sfDir, cpus)
+        return
+      case None => ()
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -373,9 +486,15 @@ object Bench {
     // ≤+0.30 s), "regressed" when it stays out. The per-query history then
     // records the best same-run measurement, so one hot first pass cannot
     // poison the window.
-    var flaggedVerdicts: Seq[(String, Double, Double, Double, String)] = Seq.empty
-    var unmeasuredKeys: Set[String] = Set.empty
-    val perqPath = java.nio.file.Paths.get("docs/BENCH_PERQ.tsv")
+    // (name, prevMin, run, remeasure3xMin, coldFloor, verdict); -1 = not run
+    var flaggedVerdicts: Seq[(String, Double, Double, Double, Double, String)] = Seq.empty
+    // per-query history is comparable only within one (cpus, sf) setting;
+    // cpus rides the file header (r11 lesson), and a non-default sf gets
+    // its OWN file so an sf0.01 shakeout run can never clobber the graded
+    // sf0.1 window
+    val perqPath = java.nio.file.Paths.get(
+      if (sfDir == "/root/testdata/sf0.1") "docs/BENCH_PERQ.tsv"
+      else s"docs/BENCH_PERQ_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}.tsv")
     if (only.isEmpty) {
       val lines: Seq[String] =
         if (java.nio.file.Files.exists(perqPath))
@@ -398,7 +517,6 @@ object Bench {
           }.toMap
       val (regs, unmeasured) = selectRegressions(
         results.map { case (k, (v, _)) => k -> v }.toMap, hist)
-      unmeasuredKeys = unmeasured.map(_._1).toSet
       // Cool-down before the re-measure loop (judge r15 item 5): the
       // re-measures otherwise inherit the run's own heat — a 300-query JVM
       // finishing its timed loop leaves GC debt and a hot box behind, and
@@ -440,47 +558,85 @@ object Bench {
         (k, p, v, re, verdict)
       }
       // overflow past the re-measure cap: still REPORTED (the r14 escape),
-      // just not re-run — and below their inflated run value stays OUT of
-      // the history window.
-      val unmeasuredVerdicts = unmeasured.map { case (k, p, v, _) =>
+      // just not re-run in-band — the cold pass below gives each at least
+      // a one-line fresh-JVM measurement.
+      unmeasured.foreach { case (k, p, v, _) =>
         System.err.println(
           f"[bench] flagged $k%-24s prev=${f2(p)}s run=${f2(v)}s -> flagged_unmeasured")
-        (k, p, v, -1.0, "flagged_unmeasured")
       }
-      flaggedVerdicts = remeasuredVerdicts ++ unmeasuredVerdicts
+      // COLD-FLOOR self-adjudication (judge r16 item 2): both r15 and r16
+      // driver artifacts shipped open `regressed` verdicts because the
+      // cold-JVM adjudication lane was manual and post-hoc. Every verdict
+      // the in-band re-measure could not close — `regressed` — and every
+      // unmeasured overflow flag now gets a FRESH-JVM floor before the
+      // headline JSON is emitted, so the graded artifact lands closed.
+      // `regressed` verdicts each get their OWN fresh JVM (a shared probe
+      // JVM carries GC debt from earlier probes and inflates later floors
+      // — measured on the first r17 run: batch-probed floors ran ~1.3×
+      // the same queries' solo floors); unmeasured overflow flags share
+      // one batch JVM — the judge's "at least a one-line cold pass".
+      val regTargets = remeasuredVerdicts.collect {
+        case (k, _, _, _, "regressed") => k }
+      val unmTargets = unmeasured.map(_._1)
+      if (regTargets.nonEmpty || unmTargets.nonEmpty)
+        System.err.println("[bench] cold-floor probe: solo=" +
+          regTargets.mkString(",") + " batch=" + unmTargets.mkString(","))
+      val floors = regTargets.map(k => coldFloors(Seq(k), sfDir, cpus))
+        .fold(Map.empty[String, Double])(_ ++ _) ++
+        coldFloors(unmTargets, sfDir, cpus)
+      def coldVerdict(p: Double, cold: Double, prefix: String): String =
+        if (cold < 0) s"${prefix}cold_failed"
+        else if (cold <= p * 1.3 || cold - p <= 0.30) s"${prefix}cold_noise"
+        else s"${prefix}cold_regressed"
+      flaggedVerdicts = remeasuredVerdicts.map {
+        case (k, p, v, re, "regressed") =>
+          val cold = floors.getOrElse(k, -1.0)
+          (k, p, v, re, cold, coldVerdict(p, cold, ""))
+        case (k, p, v, re, vd) => (k, p, v, re, -1.0, vd)
+      } ++ unmeasured.map { case (k, p, v, _) =>
+        val cold = floors.getOrElse(k, -1.0)
+        (k, p, v, -1.0, cold, coldVerdict(p, cold, "unmeasured_"))
+      }
       val regLine =
         if (hist.isEmpty) "[bench] regressions: no prior per-query baseline"
         else if (flaggedVerdicts.isEmpty) "[bench] regressions vs min-of-last-3: none (>+0.30s & >1.3x)"
         else "[bench] regressions vs min-of-last-3: " + flaggedVerdicts.map {
-          case (k, p, v, re, verdict) =>
-            f"$k:+${f2(v - p)}s(${f2(p)}->${f2(v)},re=${f2(re)},$verdict)"
+          case (k, p, v, re, cold, verdict) =>
+            f"$k:+${f2(v - p)}s(${f2(p)}->${f2(v)},re=${f2(re)},cold=${f2(cold)},$verdict)"
         }.mkString(" ")
       println(regLine)
-      // history records the BEST same-run measurement for flagged queries;
-      // a failed re-measure contributes nothing (run value stands), and an
-      // UN-adjudicated flag contributes nothing either (old window kept).
-      val reMin = flaggedVerdicts.collect {
-        case (k, _, v, re, vd) if vd == "noise" || vd == "regressed" =>
-          k -> math.min(v, re) }.toMap
+      // history records the BEST measurement this run produced for every
+      // ADJUDICATED flag (run / re-measure / cold floor); a flag whose
+      // every lane failed contributes nothing (old window kept).
+      val adjMin = flaggedVerdicts.collect {
+        case (k, _, v, re, cold, vd)
+            if vd != "remeasure_failed" && !vd.endsWith("cold_failed") =>
+          k -> Seq(v, re, cold).filter(_ > 0).min
+      }.toMap
+      val unadjudicated = flaggedVerdicts.collect {
+        case (k, _, _, _, _, vd)
+            if vd == "remeasure_failed" || vd.endsWith("cold_failed") => k
+      }.toSet
       java.nio.file.Files.write(perqPath,
         (s"#cpus=$cpus" +: results.toSeq.sortBy(_._1)
           .map { case (k, (v, _)) =>
             val window =
-              if (unmeasuredKeys(k)) hist.getOrElse(k, Nil).take(3).map(f2)
-              else f2(reMin.getOrElse(k, v)) +: hist.getOrElse(k, Nil).take(2).map(f2)
+              if (unadjudicated(k)) hist.getOrElse(k, Nil).take(3).map(f2)
+              else f2(adjMin.getOrElse(k, v)) +: hist.getOrElse(k, Nil).take(2).map(f2)
             window.mkString(s"$k\t", "\t", "") })
           .mkString("", "\n", "\n").getBytes("UTF-8"))
     }
-    // cap the artifact's flagged map at 12 entries (5 remeasured + up to 7
-    // unmeasured) so a pathological round can't blow the 2000-char stdout
-    // tail; the overflow COUNT still ships.
+    // cap the artifact's flagged map at 12 entries so a pathological round
+    // can't blow the 2000-char stdout tail; the overflow COUNT still ships.
     val flaggedShown = flaggedVerdicts.take(12)
     val flaggedDropped = flaggedVerdicts.size - flaggedShown.size
-    val flaggedJson = flaggedShown.map { case (k, p, v, re, verdict) =>
-      s""""$k":[${f2(p)},${f2(v)},${f2(re)},"$verdict"]"""
+    // entry shape: [prev_min, this_run, remeasure_3x_min, cold_floor, verdict]
+    val flaggedJson = flaggedShown.map { case (k, p, v, re, cold, verdict) =>
+      s""""$k":[${f2(p)},${f2(v)},${f2(re)},${f2(cold)},"$verdict"]"""
     }.mkString("{", ",", "}")
-    // "flagged": in-artifact re-measure verdicts ([prev_min, this_run,
-    // remeasure_3x_min, verdict]); empty {} = the alarm line was clean.
+    // "flagged": in-artifact adjudicated verdicts ([prev_min, this_run,
+    // remeasure_3x_min, cold_floor, verdict] — cold_floor from a fresh
+    // probe JVM, -1 = not needed); empty {} = the alarm line was clean.
     // "baseline_policy": how to read it — see docs/BENCH_POLICY.md.
     // "planner_floor_ms" (née latency_ms, judge r14 item 8): the cold
     // Spark plan→schedule→collect round trip per point query — the

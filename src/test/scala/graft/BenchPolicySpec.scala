@@ -48,4 +48,17 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(remeasure.map(_._1) == Seq("q"))
     assert(remeasure.head._2 == 1.0)
   }
+
+  test("cold-floor probe: fresh JVM measures named queries, unknown names -1") {
+    // judge r16 item 2 — the in-run adjudication lane. This spawns a REAL
+    // child JVM (same flags + classpath the forked test JVM carries), runs
+    // one cheap gate at sf0.001, and parses the COLDFLOOR lines, which is
+    // exactly the path the full bench takes for a `regressed` verdict.
+    val floors = Bench.coldFloors(Seq("c2_dates", "definitely_not_a_gate"),
+      "/root/testdata/sf0.001", "4")
+    assert(floors.get("c2_dates").exists(f => f > 0 && f < 60),
+      s"expected a positive cold floor for c2_dates, got $floors")
+    assert(floors.get("definitely_not_a_gate").contains(-1.0),
+      s"unknown query must report -1, got $floors")
+  }
 }
