@@ -310,7 +310,8 @@ object Bench {
     // ~380 ms planner floor a Spark-plan top-k pays per query; comparator is
     // the same prior-gen 1,500+ QPS row the market lane grades against.
     val annT0 = System.nanoTime()
-    val (annSamples, annBuildSec, annQps): (Seq[Double], Double, Long) = try {
+    val (annSamples, annFiltered, annBuildSec, annQps)
+        : (Seq[Double], Seq[Double], Double, Long) = try {
       import org.apache.spark.sql.functions.col
       val e = graft.sources.TestData(spark, sfDir).embeddings
       val idx = graft.ann.Pq.cachedIndex(e, "vec_id", "embedding", sfDir,
@@ -325,6 +326,16 @@ object Bench {
         val (qid, qv) = qvecs(i % qvecs.length)
         val t0 = System.nanoTime()
         serve.topK(qid, qv, 5, 4)
+        (System.nanoTime() - t0) / 1e6
+      }
+      // the FILTERED serving shape (judge r16 item 5): attribute pre-filter
+      // during the cell scan — the most common production retrieval query
+      val allowed: java.util.function.LongPredicate = (cid: Long) => cid % 3 == 0
+      serve.topK(qvecs.head._1, qvecs.head._2, 5, 4, allowed) // warm
+      val filtered = (0 until 40).map { i =>
+        val (qid, qv) = qvecs(i % qvecs.length)
+        val t0 = System.nanoTime()
+        serve.topK(qid, qv, 5, 4, allowed)
         (System.nanoTime() - t0) / 1e6
       }
       val calls = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -348,10 +359,10 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       val qps = if (hammerFailed.get()) -1L
         else (calls.get() / ((System.nanoTime() - t0) / 1e9)).round
-      (samples, buildSec, qps)
+      (samples, filtered, buildSec, qps)
     } catch { case t: Throwable =>
       System.err.println(s"[bench] ann serving lane failed: $t")
-      (Seq.empty, -1.0, -1L)
+      (Seq.empty, Seq.empty, -1.0, -1L)
     }
     val (annAvg, annP99) =
       if (annSamples.isEmpty) (-1.0, -1.0)
@@ -360,6 +371,8 @@ object Bench {
         (annSamples.sum / annSamples.size,
           sorted(math.min(sorted.size - 1, (sorted.size * 99) / 100)))
       }
+    val annFilteredAvg =
+      if (annFiltered.isEmpty) -1.0 else annFiltered.sum / annFiltered.size
     // optional comma-separated filter for fast single-query iteration
     // (mirrors graft.Verify's 3rd arg)
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -644,7 +657,7 @@ object Bench {
     // is the real serving number). Renamed so the artifact says what it
     // measures.
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","families":$fams,"queries":$qs,"store_build":${f2(storeSec)},"index_build":${f2(idxSec)},"stream_harness":${f2(streamHarnessSec)},"planner_floor_ms":{"avg":${f2(latAvg)},"p99":${f2(latP99)},"n":${latencySamples.size}},"serving_ms":{"avg":${f3(servAvg)},"p99":${f3(servP99)},"n":${servingSamples.size},"build_sec":${f2(servingBuildSec)},"qps16":$servingQps},"ann_serving_ms":{"avg":${f3(annAvg)},"p99":${f3(annP99)},"n":${annSamples.size},"build_sec":${f2(annBuildSec)},"qps16":$annQps},"flagged":$flaggedJson,"flagged_dropped":$flaggedDropped,"loadavg":{"launch":${f2(loadAtLaunch)},"start":${f2(loadAtStart)},"waited_s":$loadWaitedSec},"baseline_policy":"min-of-last-3@cpus=$cpus","rows_per_sec":$rps,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","families":$fams,"queries":$qs,"store_build":${f2(storeSec)},"index_build":${f2(idxSec)},"stream_harness":${f2(streamHarnessSec)},"planner_floor_ms":{"avg":${f2(latAvg)},"p99":${f2(latP99)},"n":${latencySamples.size}},"serving_ms":{"avg":${f3(servAvg)},"p99":${f3(servP99)},"n":${servingSamples.size},"build_sec":${f2(servingBuildSec)},"qps16":$servingQps},"ann_serving_ms":{"avg":${f3(annAvg)},"p99":${f3(annP99)},"n":${annSamples.size},"filtered_avg":${f3(annFilteredAvg)},"build_sec":${f2(annBuildSec)},"qps16":$annQps},"flagged":$flaggedJson,"flagged_dropped":$flaggedDropped,"loadavg":{"launch":${f2(loadAtLaunch)},"start":${f2(loadAtStart)},"waited_s":$loadWaitedSec},"baseline_policy":"min-of-last-3@cpus=$cpus","rows_per_sec":$rps,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     // The driver keeps only the last 2000 chars of stdout; warn (stderr, so
     // it can't displace the metric line) before truncation becomes possible.
     if (line.length > 1900)

@@ -290,7 +290,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // run eagerly in the staged-cache block before this plan exists
     "dedup_incremental" -> 10, // serve plan: twin parity with stream_index_append
     "stream_index_append" -> 10,
-    "stream_ann_append" -> 3
+    "stream_ann_append" -> 3,
+    // r17: the pre-filter rides the 16 B/row cells frame — the plan shape
+    // (and budget) is EXACTLY the unfiltered serve's
+    "ann_ivfpq_filtered" -> 3
   )
 
   test("q22_not_in plans as a broadcast LeftAnti (null-aware NOT IN shape)") {
