@@ -4847,6 +4847,10 @@ $backtestPnlCtes,
     "ann_graph_topk" -> graphAnnOracle,
     "ann_graph_served" -> graphAnnOracle,
     "ann_graph_append" -> graphAnnAppendOracle,
+    // single-epoch stream append is content-identical to the batch append
+    // (StreamingSpec pins it, plus multi-epoch ≡ sequential appends) — the
+    // gate shares the oracle verbatim, the stream_ann_append precedent
+    "stream_graph_append" -> graphAnnAppendOracle,
     "ann_lsh_topk" -> annLshOracle,
     "emb_near_dup_lsh" -> embLshOracle,
   )

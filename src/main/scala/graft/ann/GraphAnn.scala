@@ -124,13 +124,42 @@ object GraphAnn {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
   }
 
-  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): GraphIndex = {
+  /** Load a saved graph index. Committed streaming EPOCHS (r17 — the
+    * third family on the shared [[graft.sources.EpochStore]] protocol)
+    * union into edges and vectors as ONE multi-path parquet load; a
+    * COMPLETED-but-unswapped compaction is authoritative for what it
+    * folded. Centroids/medoids/meta never change after build (frozen
+    * quantizer discipline). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): GraphIndex =
+    loadIndexEpochs(spark, dir, None)
+
+  private def loadIndexEpochs(spark: org.apache.spark.sql.SparkSession,
+                              dir: String,
+                              forcedEpochs: Option[Seq[String]]): GraphIndex = {
+    import graft.sources.EpochStore
     val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val fs = EpochStore.fsFor(spark, dir)
+    val pending = forcedEpochs.isEmpty && EpochStore.pendingCompaction(fs, dir)
+    def table(sub: String): DataFrame =
+      if (pending) {
+        val folded = EpochStore.foldedEpochs(fs, dir).toSet
+        val t = s"$dir/compact_tmp/$sub"
+        val base =
+          if (fs.exists(new org.apache.hadoop.fs.Path(t))) t else s"$dir/$sub"
+        val unfolded = EpochStore.committedEpochs(fs, dir)
+          .filterNot(folded).map(e => s"$dir/epochs/$e/$sub")
+        spark.read.parquet((base +: unfolded): _*)
+      } else {
+        val eps = forcedEpochs
+          .getOrElse(EpochStore.committedEpochs(fs, dir))
+          .map(e => s"$dir/epochs/$e/$sub")
+        spark.read.parquet((s"$dir/$sub" +: eps): _*)
+      }
     GraphIndex(
       spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/edges"),
+      table("edges"),
       spark.read.parquet(s"$dir/medoids"),
-      spark.read.parquet(s"$dir/vectors"),
+      table("vectors"),
       meta.getAs[Int]("n_lists"), meta.getAs[Int]("degree"))
   }
 
@@ -165,10 +194,15 @@ object GraphAnn {
     * new×cell-occupancy scoring plus one artifact rewrite; old vectors
     * are read (neighbor candidates), never re-scored against each other.
     */
-  def appendToSavedIndex(dir: String, newNodes: DataFrame, id: String,
-                         vec: String): GraphIndex = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val idx = loadIndex(spark, dir)
+  /** The NSW-insert increments for `newNodes` against the CURRENT index:
+    * (bidirectional new-edge rows, new vector rows). Factored out so the
+    * batch rewrite ([[appendToSavedIndex]]) and the streaming epoch lane
+    * ([[appendEpochToSavedIndex]]) derive IDENTICAL content — each new
+    * node is assigned to its top-2 cells and ranks its top-`degree`
+    * neighbors among that cell population (old + new); reverse copies
+    * make inserted nodes reachable. */
+  private def appendIncrements(idx: GraphIndex, newNodes: DataFrame,
+                               id: String, vec: String): (DataFrame, DataFrame) = {
     val nv = newNodes.select(col(id).as("cid"), col(vec).as("cv"))
     def assign2(nodes: DataFrame): DataFrame =
       Ann.hierarchicalAssign(nodes, "cid", "cv", idx.centroids, idx.nLists,
@@ -189,16 +223,89 @@ object GraphAnn {
         Window.partitionBy("src").orderBy(col("score").desc, col("dst").asc)))
       .filter(col("rn") <= idx.degree)
       .select("src", "dst")
-    val edges = idx.edges
-      .unionByName(eNew)
-      .unionByName(eNew.select(col("dst").as("src"), col("src").as("dst")))
+    (eNew.unionByName(
+      eNew.select(col("dst").as("src"), col("src").as("dst"))), nv)
+  }
+
+  def appendToSavedIndex(dir: String, newNodes: DataFrame, id: String,
+                         vec: String): GraphIndex = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    // fold any committed epochs (and finish any pending compaction) FIRST,
+    // through the crash-safe staged swap — the rewrite below then starts
+    // from an epoch-free dir, so no crash point can leave epoch rows to
+    // double against the rewritten base
+    val fs = graft.sources.EpochStore.fsFor(spark, dir)
+    if (graft.sources.EpochStore.pendingCompaction(fs, dir)
+        || graft.sources.EpochStore.committedEpochs(fs, dir).nonEmpty)
+      compactIndex(spark, dir)
+    val idx = loadIndex(spark, dir)
+    val (edgesInc, nv) = appendIncrements(idx, newNodes, id, vec)
+    val edges = idx.edges.unionByName(edgesInc)
     // materialize BEFORE the rewrite: every frame below lazily reads the
     // artifact files that saveIndex is about to overwrite (self-overwrite
     // corrupts); localCheckpoint pins the data first
     val appended = GraphIndex(idx.centroids.localCheckpoint(),
       edges.localCheckpoint(), idx.medoids.localCheckpoint(),
-      allVectors.localCheckpoint(), idx.nLists, idx.degree)
+      idx.vectors.unionByName(nv).localCheckpoint(), idx.nLists, idx.degree)
     saveIndex(appended, dir)
+    loadIndex(spark, dir)
+  }
+
+  /** EXACTLY-ONCE streaming epoch append — the graph family joins the
+    * shared [[graft.sources.EpochStore]] protocol (r17; the PQ/LSH twins
+    * landed r16): the epoch's artifacts are the bidirectional new-edge
+    * rows and the new vector rows, staged attempt-unique and committed by
+    * the creation-only `_COMMITTED` marker. A single-batch epoch append
+    * is content-identical to [[appendToSavedIndex]]; multi-epoch appends
+    * equal SEQUENTIAL batch appends of the same splits (each epoch's
+    * neighbor pool includes earlier committed epochs via [[loadIndex]] —
+    * the real NSW insertion-order semantics, spec-pinned). Returns true
+    * iff this call committed the epoch. */
+  def appendEpochToSavedIndex(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, newNodes: DataFrame, id: String,
+                              vec: String, epochId: Long): Boolean =
+    appendEpochImpl(spark, dir, newNodes, id, vec, epochId,
+      graft.CrashBudget.unlimited)
+
+  private[graft] def appendEpochImpl(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, newNodes: DataFrame,
+                                     id: String, vec: String, epochId: Long,
+                                     budget: graft.CrashBudget): Boolean = {
+    import graft.sources.EpochStore
+    import org.apache.spark.sql.SaveMode
+    val fs = EpochStore.fsFor(spark, dir)
+    EpochStore.appendEpoch(fs, dir, Seq("edges", "vectors"), epochId, budget) {
+      (stage, b) =>
+        val idx = loadIndex(spark, dir)
+        val (edgesInc, nv) = appendIncrements(idx, newNodes, id, vec)
+        b.step("append-write-edges") {
+          edgesInc.write.mode(SaveMode.Overwrite).parquet(s"$stage/edges") }
+        b.step("append-write-vectors") {
+          nv.write.mode(SaveMode.Overwrite).parquet(s"$stage/vectors") }
+    }
+  }
+
+  /** Fold committed epochs into the base edge/vector artifacts — the
+    * [[graft.ann.Pq.compactIndex]] twin on the shared staged-swap
+    * protocol (manifest-scoped; an epoch committed after a crashed
+    * compaction survives its resume). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): GraphIndex =
+    compactIndexImpl(spark, dir, graft.CrashBudget.unlimited)
+
+  private[graft] def compactIndexImpl(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String,
+                                      budget: graft.CrashBudget): GraphIndex = {
+    import graft.sources.EpochStore
+    import org.apache.spark.sql.SaveMode
+    val fs = EpochStore.fsFor(spark, dir)
+    EpochStore.compact(fs, dir, Seq("edges", "vectors"), budget) { (folded, b) =>
+      val idx = loadIndexEpochs(spark, dir, Some(folded))
+      b.step("compact-write-edges") {
+        idx.edges.write.mode(SaveMode.Overwrite).parquet(s"$dir/compact_tmp/edges") }
+      b.step("compact-write-vectors") {
+        idx.vectors.write.mode(SaveMode.Overwrite).parquet(s"$dir/compact_tmp/vectors") }
+    }
     loadIndex(spark, dir)
   }
 

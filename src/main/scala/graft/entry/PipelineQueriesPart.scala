@@ -2058,6 +2058,31 @@ private[graft] trait PipelineQueriesPart extends EntryShared {
         e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, nProbe = 4)
     }),
 
+    // GRAPH-index streaming maintenance (r17): the third family on the
+    // shared epoch protocol — NSW inserts arrive as a real file-source
+    // stream through foreachBatch with epoch-idempotent appends
+    // (GraphAnn.appendEpochToSavedIndex: bidirectional top-degree edges +
+    // vectors as epoch artifacts). One epoch is content-identical to the
+    // batch append (multi-epoch ≡ sequential appends, StreamingSpec), so
+    // the gate shares ann_graph_append's oracle verbatim.
+    "stream_graph_append" -> ((s, dir) => {
+      val e = TestData(s, dir).embeddings
+      val root = jsonlStaged.getOrElseUpdate(dir + "#gridxstream", {
+        val r = s"${sys.props("java.io.tmpdir")}/graft_graph_index/" +
+          stagedSeg(dir) + "_stream"
+        graft.ann.GraphAnn.saveIndex(graft.ann.GraphAnn.buildIndex(
+          e.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding",
+          nLists = 16, degree = 12), r)
+        graft.streaming.StreamIndexAppend.runGraphFileStream(s,
+          e.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", r)
+        r
+      })
+      graft.ann.GraphAnn.topKFromIndex(graft.ann.GraphAnn.loadIndex(s, root),
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        beam = 16, hops = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // TOMBSTONE DELETION (judge r15... the retraction shape): build over
     // the FULL corpus, tombstone the vec_id%5==3 fifth
     // (Pq.deleteFromSavedIndex — parquet shards beside the cells, served

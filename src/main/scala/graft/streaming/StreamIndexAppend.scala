@@ -67,6 +67,35 @@ object StreamIndexAppend {
       stream => annAppendStream(stream, id, vec, dir,
         java.nio.file.Files.createTempDirectory("graft_stream_ann_chk").toString))
 
+  /** The GRAPH twin (r17 — the third index family on the shared epoch
+    * protocol): a vector stream feeds a SAVED NSW graph index; each
+    * micro-batch's nodes get their bidirectional top-degree edges against
+    * the index AS OF that epoch (earlier committed epochs included — the
+    * real insertion-order semantics), committed exactly-once. */
+  def graphAppendStream(stream: DataFrame, id: String, vec: String,
+                        dir: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ann.GraphAnn.appendEpochToSavedIndex(batch.sparkSession, dir,
+            batch, id, vec, epochId)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** [[runFileStream]] for the graph lane. The GATE runs nFiles = 1 (one
+    * epoch — content-identical to the batch append, so the gate shares
+    * ann_graph_append's oracle); the multi-epoch determinism
+    * (≡ sequential batch appends of the same splits) is spec-pinned in
+    * StreamingSpec. */
+  def runGraphFileStream(spark: SparkSession, rows: DataFrame, id: String,
+                         vec: String, dir: String, nFiles: Int = 1): Unit =
+    runStaged(spark, rows.select(id, vec), nFiles,
+      stream => graphAppendStream(stream, id, vec, dir,
+        java.nio.file.Files.createTempDirectory("graft_stream_gr_chk").toString))
+
   private def runStaged(spark: SparkSession, rows: DataFrame, nFiles: Int,
                         attach: DataFrame => StreamingQuery): Unit = {
     val staged = java.nio.file.Files

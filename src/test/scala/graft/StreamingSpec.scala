@@ -616,4 +616,67 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/epochs")))
     assert(verdicts(dir) == after, "compaction changed verdicts")
   }
+
+  test("stream GRAPH index append: 1 epoch ≡ batch insert; epochs ≡ sequential inserts; replay no-op; compaction folds") {
+    // r17 — the THIRD index family on the shared epoch protocol. Unlike
+    // the PQ twin (encode is row-local, so epoch splits can't change
+    // content), a graph epoch's edges depend on the index AS OF that epoch
+    // — real NSW insertion-order semantics. The contracts pinned here:
+    // (a) a single-epoch stream append is content-identical to the batch
+    //     appendToSavedIndex (this is what lets stream_graph_append share
+    //     ann_graph_append's oracle);
+    // (b) multi-epoch appends equal SEQUENTIAL batch appends of the same
+    //     splits; (c) committed epochs replay as no-ops; (d) compaction
+    //     folds epochs into the base tables, content unchanged.
+    import graft.ann.GraphAnn
+    val e = graft.sources.TestData(spark, sf0001).embeddings.localCheckpoint()
+    val old = e.filter(col("vec_id") % 5 =!= 4)
+    val fresh = e.filter(col("vec_id") % 5 === 4)
+    def frames(d: String): (Set[String], Set[String]) = {
+      val idx = GraphAnn.loadIndex(spark, d)
+      (idx.edges.select("src", "dst").collect().map(_.mkString("|")).toSet,
+        idx.vectors.select("cid").collect().map(_.mkString("|")).toSet)
+    }
+    def mkBase(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_gr_epoch").toString
+      GraphAnn.saveIndex(GraphAnn.buildIndex(old, "vec_id", "embedding",
+        nLists = 16, degree = 12), d)
+      d
+    }
+    // (a) one streamed epoch ≡ one batch insert
+    val streamDir = mkBase()
+    graft.streaming.StreamIndexAppend.runGraphFileStream(spark, fresh,
+      "vec_id", "embedding", streamDir, nFiles = 1)
+    val batchDir = mkBase()
+    GraphAnn.appendToSavedIndex(batchDir, fresh, "vec_id", "embedding")
+    assert(frames(streamDir) == frames(batchDir),
+      "single-epoch stream append diverged from the batch insert")
+    // (b) two epochs ≡ two sequential batch inserts of the same splits
+    val f1 = fresh.filter(col("vec_id") % 2 === 0)
+    val f2 = fresh.filter(col("vec_id") % 2 === 1)
+    val epochDir = mkBase()
+    assert(GraphAnn.appendEpochToSavedIndex(spark, epochDir, f1,
+      "vec_id", "embedding", 1L))
+    assert(GraphAnn.appendEpochToSavedIndex(spark, epochDir, f2,
+      "vec_id", "embedding", 2L))
+    val seqDir = mkBase()
+    GraphAnn.appendToSavedIndex(seqDir, f1, "vec_id", "embedding")
+    GraphAnn.appendToSavedIndex(seqDir, f2, "vec_id", "embedding")
+    assert(frames(epochDir) == frames(seqDir),
+      "two-epoch append diverged from sequential batch inserts")
+    // insertion order genuinely matters (the contract is real, not vacuous):
+    // one shot over ALL fresh differs from the two-step sequence
+    assert(frames(epochDir) != frames(streamDir),
+      "split vs one-shot inserts agreed — insertion-order pin is vacuous")
+    // (c) a committed epoch replays as a no-op
+    assert(!GraphAnn.appendEpochToSavedIndex(spark, epochDir, f2,
+      "vec_id", "embedding", 2L))
+    assert(frames(epochDir) == frames(seqDir), "replay changed the index")
+    // (d) compaction folds the epochs, content unchanged
+    GraphAnn.compactIndex(spark, epochDir)
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs2.exists(new org.apache.hadoop.fs.Path(s"$epochDir/epochs")))
+    assert(frames(epochDir) == frames(seqDir), "compaction changed content")
+  }
 }
