@@ -44,12 +44,53 @@ final class AnnServe private (
     while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
     math.sqrt(acc)
   }
+
+  /** Corpus rows resident in THIS server (its shard's slice) — the number
+    * the shard-scaling evidence reports (tools/ShardProbe). */
+  def residentRows: Long = cellMembers.map(_.length.toLong).sum
   // nn term per (sub, code): dotFold(word, word) — hoisted once
   private val wordNN: Array[Array[Double]] = words.map(_.map { w =>
     var acc = 0.0; var i = 0
     while (i < w.length) { acc += w(i) * w(i); i += 1 }
     acc
   })
+
+  /** A new server with the given rows appended into their cells — the
+    * resident tier's INCREMENTAL refresh unit (cost ∝ epoch size: only the
+    * affected cells rebuild their member/code arrays; everything else is
+    * shared by reference). Merged members keep ids ASC — the scan-order
+    * contract the bit-identity pins rely on. Already-present ids are
+    * skipped (idempotent under marker races). */
+  private[ann] def withAppended(
+      newCells: Seq[(Long, Long)], // (cid, centroid_id)
+      newCodes: scala.collection.Map[Long, Array[Short]]): AnnServe = {
+    val centIdx = centIds.zipWithIndex.toMap
+    val mem2 = cellMembers.clone()
+    val codes2 = cellCodes.clone()
+    newCells.groupBy(_._2).foreach { case (centId, rows) =>
+      centIdx.get(centId).foreach { ci =>
+        val oldIds = cellMembers(ci)
+        val oldCodes = cellCodes(ci)
+        val oldPos = oldIds.zipWithIndex.toMap
+        val addIds = rows.map(_._1).distinct.filterNot(oldPos.contains)
+        if (addIds.nonEmpty) {
+          val merged = (oldIds ++ addIds).sorted
+          val flat = new Array[Short](merged.length * m)
+          var r = 0
+          while (r < merged.length) {
+            oldPos.get(merged(r)) match {
+              case Some(or) => System.arraycopy(oldCodes, or * m, flat, r * m, m)
+              case None => System.arraycopy(newCodes(merged(r)), 0, flat, r * m, m)
+            }
+            r += 1
+          }
+          mem2(ci) = merged
+          codes2(ci) = flat
+        }
+      }
+    }
+    new AnnServe(centIds, centVecs, mem2, codes2, words, m, dsub)
+  }
 
   /** Top-k neighbors of `qv` (self-id excluded), highest approximate cosine
     * first — identical rows to `Pq.topKFromIndex(idx, …, k, nProbe)` for the
@@ -163,24 +204,85 @@ object AnnServe {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       shardId: Int, numShards: Int) {
 
-    @volatile private var cur: (AnnServe, String) = load0()
+    // (server, committed-epoch set, fingerprint of everything ELSE)
+    @volatile private var cur: (AnnServe, Set[String], String) = load0()
+    private var nFull = 0
+    private var nIncremental = 0
 
-    private def load0(): (AnnServe, String) = {
-      // fingerprint FIRST: a mutation landing mid-load then re-triggers a
-      // refresh instead of being absorbed into a stale fingerprint
-      val fp = ServeRefresh.fingerprint(spark, dir)
-      (AnnServe.load(Pq.loadIndex(spark, dir), shardId, numShards), fp)
+    private def baseFp(): String =
+      ServeRefresh.fingerprint(spark, dir, excludeTop = Set("epochs"))
+
+    private def epochsNow(): Set[String] = {
+      val fs = graft.sources.EpochStore.fsFor(spark, dir)
+      graft.sources.EpochStore.committedEpochs(fs, dir).toSet
+    }
+
+    private def load0(): (AnnServe, Set[String], String) = {
+      // state FIRST: a mutation landing mid-load then re-triggers a
+      // refresh instead of being absorbed into stale bookkeeping
+      val (eps, fp) = (epochsNow(), baseFp())
+      (AnnServe.load(Pq.loadIndex(spark, dir), shardId, numShards), eps, fp)
     }
 
     /** The currently resident server (stable reference between refreshes). */
     def server: AnnServe = cur._1
 
-    /** Reload iff the index dir mutated since the last load. Returns true
-      * when a reload happened. */
+    /** (full reloads, incremental epoch merges) performed so far. */
+    def refreshCounts: (Int, Int) = (nFull, nIncremental)
+
+    /** Refresh iff the index mutated since the last load. The common
+      * continuous-ingest mutation — NEW committed epochs, nothing else —
+      * merges ONLY the epoch rows into the resident structure (cost ∝
+      * epoch size; at 100 TB a per-micro-batch full shard reload is
+      * untenable). Any other change (tombstone, compaction swap, batch
+      * append into the base tables, epoch retirement) forces a full
+      * reload. Returns true when anything refreshed. */
     def maybeRefresh(): Boolean = {
-      val fp = ServeRefresh.fingerprint(spark, dir)
-      if (fp == cur._2) false
-      else { cur = load0(); true }
+      val fp = baseFp()
+      val eps = epochsNow()
+      if (fp != cur._3 || !cur._2.subsetOf(eps)) {
+        cur = load0(); nFull += 1; true
+      } else if (eps == cur._2) false
+      else {
+        val fresh = (eps -- cur._2).toSeq.sorted
+        cur = (mergeEpochs(cur._1, fresh), eps, fp)
+        nIncremental += 1
+        true
+      }
+    }
+
+    /** Read ONLY the named epochs' cells/codes (shard-scoped, tombstones
+      * honored) and merge them into `base`. Exactly `loadIndex`'s fold
+      * restricted to the new epochs — spec-pinned ≡ a full reload. */
+    private def mergeEpochs(base: AnnServe, eps: Seq[String]): AnnServe = {
+      import org.apache.spark.sql.functions.col
+      val fs = graft.sources.EpochStore.fsFor(spark, dir)
+      var cells = spark.read.parquet(eps.map(e => s"$dir/epochs/$e/cells"): _*)
+      if (numShards > 1) {
+        val owned = AnnServe.ownedCentroids(
+          spark.read.parquet(s"$dir/centroids")
+            .select(col("centroid_id").cast("long")).collect()
+            .map(_.getLong(0)).sorted, shardId, numShards)
+        cells = cells.filter(col("centroid_id").isin(owned: _*))
+      }
+      val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      if (fs.exists(tombPath))
+        cells = cells.join(spark.read.parquet(s"$dir/tombstones").select("cid"),
+          Seq("cid"), "left_anti")
+      val cellRows = cells.select(col("cid").cast("long"),
+          col("centroid_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val codes = spark.read.parquet(eps.map(e => s"$dir/epochs/$e/codes"): _*)
+        .join(cells.select("cid"), Seq("cid"), "left_semi")
+        .select(col("cid").cast("long"), col("sub").cast("int"),
+          col("code").cast("int"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val flat = new Array[Short](base.m)
+          rows.foreach(r => flat(r.getInt(1)) = r.getInt(2).toShort)
+          cid -> flat
+        }
+      base.withAppended(cellRows, codes)
     }
 
     def topK(queryId: Long, qv: Array[Float], k: Int, nProbe: Int): Array[Hit] =
@@ -269,13 +371,16 @@ object AnnServe {
   def loadReranker(idx: Pq.PqIndex, corpus: org.apache.spark.sql.DataFrame,
                    id: String, vec: String, shardId: Int,
                    numShards: Int): Reranker = {
-    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import org.apache.spark.sql.functions.col
     val serve = load(idx, shardId, numShards)
+    lazy val owned = ownedCentroids(
+      idx.centroids.select(col("centroid_id").cast("long")).collect()
+        .map(_.getLong(0)).sorted, shardId, numShards)
     val rows =
       if (numShards == 1) corpus.select(col(id).cast("long"), col(vec))
       else corpus.select(col(id).cast("long").as("__rid"), col(vec))
         .join(idx.cells
-            .filter(pmod(col("centroid_id"), lit(numShards)) === shardId)
+            .filter(col("centroid_id").isin(owned: _*))
             .select(col("cid").as("__rid")),
           Seq("__rid"), "left_semi")
     val vecs = new java.util.HashMap[Long, Array[Float]]()
@@ -341,21 +446,33 @@ object AnnServe {
     * [[Pq.loadIndex]]. */
   def load(idx: Pq.PqIndex): AnnServe = load(idx, 0, 1)
 
+  /** The cells a shard OWNS: centroids taken by RANK in (sorted)
+    * centroid-id order, round-robin — raw `centroid_id % numShards` was
+    * measured catastrophically unbalanced (centroid ids are stride-spaced
+    * corpus ids, so half the shards owned NOTHING; tools/ShardProbe caught
+    * it). Rank round-robin gives every shard ⌈nLists/numShards⌉ cells
+    * regardless of the id spacing. */
+  private[ann] def ownedCentroids(sortedCentIds: Array[Long], shardId: Int,
+                                  numShards: Int): Seq[Long] =
+    sortedCentIds.indices.collect {
+      case i if i % numShards == shardId => sortedCentIds(i) }.toSeq
+
   /** SHARD-SCOPED loader (judge r16 item 1 — the 100 TB claim made
-    * executable): this server collects only the cells/codes of centroids
-    * with `centroid_id % numShards == shardId`; the broadcast-sized
-    * centroid/codebook artifacts replicate to every shard. A shard's
-    * [[AnnServe.topK]] still probes GLOBALLY (it has all centroids) but
-    * scans only probed cells it owns, so its answer is the exact top-k of
-    * its rows and [[mergeTopK]] over all shards is bit-identical to the
-    * one-server answer (spec-pinned in ShardServeSpec). Heap per node is
-    * the shard's slice, never the corpus. */
+    * executable): this server collects only the cells/codes of the
+    * centroids it owns (by rank round-robin — [[ownedCentroids]]); the
+    * broadcast-sized centroid/codebook artifacts replicate to every shard.
+    * A shard's [[AnnServe.topK]] still probes GLOBALLY (it has all
+    * centroids) but scans only probed cells it owns, so its answer is the
+    * exact top-k of its rows and [[mergeTopK]] over all shards is
+    * bit-identical to the one-server answer (spec-pinned in
+    * ShardServeSpec). Heap per node is the shard's slice, never the
+    * corpus. */
   def load(idx: Pq.PqIndex, shardId: Int, numShards: Int): AnnServe = {
     require(!idx.residual,
       "AnnServe: raw-encoding lane only (residual serving stays on Spark)")
     require(numShards >= 1 && shardId >= 0 && shardId < numShards,
       s"bad shard ($shardId of $numShards)")
-    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.sql.functions.col
     val cents = idx.centroids.select(col("centroid_id").cast("long"), col("centroid"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -376,7 +493,8 @@ object AnnServe {
     // heap never sees another shard's rows); group members per cell, ASC
     val ownCells =
       if (numShards == 1) idx.cells
-      else idx.cells.filter(pmod(col("centroid_id"), lit(numShards)) === shardId)
+      else idx.cells.filter(col("centroid_id")
+        .isin(ownedCentroids(centIds, shardId, numShards): _*))
     val cellOf = ownCells.select(col("cid").cast("long"), col("centroid_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val ownCodes =

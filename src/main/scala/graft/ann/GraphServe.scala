@@ -101,6 +101,14 @@ final class GraphServe private (
   def ownsCell(cell: Long): Boolean =
     ownedCells == null || ownedCells.contains(cell)
 
+  /** The shard owning `cell` under the rank round-robin rule — every
+    * server computes it identically from the replicated centroid table. */
+  def shardOf(cell: Long, numShards: Int): Int = {
+    val i = java.util.Arrays.binarySearch(centIds, cell)
+    require(i >= 0, s"unknown cell $cell")
+    i % numShards
+  }
+
   def topK(queryId: Long, qv: Array[Float], k: Int, beam: Int,
            hops: Int): Array[Hit] = {
     require(k <= beam, s"k=$k must be <= beam=$beam")
@@ -192,14 +200,17 @@ object GraphServe {
            maxHops: Int): GraphServe = {
     require(numShards >= 1 && shardId >= 0 && shardId < numShards,
       s"bad shard ($shardId of $numShards)")
-    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.sql.functions.col
     val cents = idx.centroids
       .select(col("centroid_id").cast("long"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     val whole = numShards == 1
+    // ownership by centroid RANK round-robin (the AnnServe rule — raw-id
+    // modulo was measured badly unbalanced on stride-spaced centroid ids)
+    val ownedSeq = AnnServe.ownedCentroids(cents.map(_._1), shardId, numShards)
     val ownMedoidRows =
       if (whole) idx.medoids
-      else idx.medoids.filter(pmod(col("centroid_id"), lit(numShards)) === shardId)
+      else idx.medoids.filter(col("centroid_id").isin(ownedSeq: _*))
     val medoids = new java.util.HashMap[Long, Long]()
     ownMedoidRows.select(col("centroid_id").cast("long"), col("entry").cast("long"))
       .collect().foreach(r => medoids.put(r.getLong(0), r.getLong(1)))
@@ -207,12 +218,7 @@ object GraphServe {
       if (whole) null
       else {
         val s = new java.util.HashSet[Long]()
-        var i = 0
-        while (i < cents.length) {
-          val cid = cents(i)._1
-          if (((cid % numShards) + numShards) % numShards == shardId) s.add(cid)
-          i += 1
-        }
+        ownedSeq.foreach(s.add)
         s
       }
     // resident slice: whole index, or the maxHops-ball from owned medoids.
@@ -256,16 +262,16 @@ object GraphServe {
   }
 
   /** Route-and-serve over shard servers: the query's nearest cell names
-    * its owning shard (`cell % shards.length` — the [[load]] assignment);
-    * that shard's closure answers exactly, so the result is bit-identical
-    * to the whole-index server (ShardServeSpec). `shards` must be ordered
-    * by shardId. */
+    * its owning shard (centroid-RANK round-robin — the [[load]]
+    * assignment); that shard's closure answers exactly, so the result is
+    * bit-identical to the whole-index server (ShardServeSpec). `shards`
+    * must be ordered by shardId. */
   def shardedTopK(shards: IndexedSeq[GraphServe], queryId: Long,
                   qv: Array[Float], k: Int, beam: Int,
                   hops: Int): Array[AnnServe.Hit] = {
     val route = shards.head.routeCell(qv)
     if (route < 0) return Array.empty
-    val owner = (((route % shards.length) + shards.length) % shards.length).toInt
-    shards(owner).topK(queryId, qv, k, beam, hops)
+    shards(shards.head.shardOf(route, shards.length))
+      .topK(queryId, qv, k, beam, hops)
   }
 }

@@ -16,7 +16,16 @@ private[ann] object ServeRefresh {
     * uncommitted attempt must not trigger a reload; its commit marker
     * will. */
   def fingerprint(spark: org.apache.spark.sql.SparkSession,
-                  dir: String): String = {
+                  dir: String): String =
+    fingerprint(spark, dir, excludeTop = Set.empty)
+
+  /** [[fingerprint]] skipping the named top-level subtrees — the resident
+    * tier's INCREMENTAL path fingerprints everything EXCEPT `epochs/`
+    * (tombstones, base tables, compaction state), and tracks the committed
+    * epoch set separately: epoch-only growth merges in place; anything
+    * else forces a full reload. */
+  def fingerprint(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  excludeTop: Set[String]): String = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return "absent"
@@ -26,8 +35,9 @@ private[ann] object ServeRefresh {
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toString.stripPrefix(prefix)
-      val segs = rel.split('/')
-      if (!segs.exists(s => s.startsWith(".") || s == "_temporary"))
+      val segs = rel.split('/').filter(_.nonEmpty)
+      if (!segs.exists(s => s.startsWith(".") || s == "_temporary")
+          && !segs.headOption.exists(excludeTop))
         entries += s"$rel#${st.getLen}"
     }
     val md = java.security.MessageDigest.getInstance("MD5")

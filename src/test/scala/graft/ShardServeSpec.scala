@@ -110,7 +110,7 @@ class ShardServeSpec extends SparkSpec {
       "post-filtering never lost a neighbor — the pre-filter claim is vacuous here")
   }
 
-  test("resident AnnServe: live refresh observes epochs + tombstones; no-op without mutation") {
+  test("resident AnnServe: epoch-only mutations merge INCREMENTALLY; tombstones force a full reload; both exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_resident").toString
     Pq.saveIndex(Pq.buildIndex(embs.filter(col("vec_id") % 5 =!= 4),
       "vec_id", "embedding", nLists = 16, m = 8, dsub = 8, ksub = 16), dir)
@@ -119,25 +119,53 @@ class ShardServeSpec extends SparkSpec {
     val s0 = res.server
     assert(!res.maybeRefresh(), "refresh with no mutation must be a no-op")
     assert(res.server eq s0, "no-op refresh must not reload")
-    // mutate through the PUBLISHED maintenance paths: one streaming epoch
-    // (the stream_ann_append protocol) and one tombstone delete
+    def checkExact(tag: String): Unit = {
+      val fresh = AnnServe.load(Pq.loadIndex(spark, dir))
+      val want = sparkRows(Pq.topKFromIndex(Pq.loadIndex(spark, dir), queries,
+        "vec_id", "embedding", 5, nProbe = 4))
+      qvecs.foreach { case (qid, qv) =>
+        val rows = res.topK(qid, qv, 5, 4).toSeq
+        assert(rows == fresh.topK(qid, qv, 5, 4).toSeq,
+          s"$tag q$qid: refreshed ≠ fresh load")
+        assert(rows == want(qid), s"$tag q$qid: refreshed ≠ Spark lane")
+      }
+    }
+    // a streaming epoch (the stream_ann_append protocol), NOTHING else →
+    // the refresh must be the INCREMENTAL merge (cost ∝ epoch, not index)
     assert(Pq.appendEpochToSavedIndex(spark, dir,
       embs.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", 11L))
+    assert(res.maybeRefresh(), "epoch append not detected")
+    assert(res.refreshCounts == (0, 1),
+      s"epoch-only mutation must merge incrementally, got ${res.refreshCounts}")
+    val afterEpoch = qvecs.map { case (qid, qv) => res.topK(qid, qv, 5, 4).toSeq }
+    assert(afterEpoch != before, "epoch changed no answer — vacuous refresh")
+    checkExact("post-epoch")
+    // a tombstone delete → FULL reload
     Pq.deleteFromSavedIndex(spark, dir, Seq(7L).toDF("vec_id"), "vec_id")
-    assert(res.maybeRefresh(), "index mutations not detected")
-    val after = qvecs.map { case (qid, qv) => res.topK(qid, qv, 5, 4).toSeq }
-    assert(after != before, "mutations changed no answer — vacuous refresh")
-    // ≡ a fresh load of the mutated dir ≡ the Spark lane post-mutation
-    val fresh = AnnServe.load(Pq.loadIndex(spark, dir))
-    val want = sparkRows(Pq.topKFromIndex(Pq.loadIndex(spark, dir), queries,
-      "vec_id", "embedding", 5, nProbe = 4))
-    qvecs.zip(after).foreach { case ((qid, qv), rows) =>
-      assert(rows == fresh.topK(qid, qv, 5, 4).toSeq,
-        s"q$qid: refreshed ≠ fresh load")
-      assert(rows == want(qid), s"q$qid: refreshed ≠ Spark lane")
-    }
+    assert(res.maybeRefresh(), "tombstone not detected")
+    assert(res.refreshCounts == (1, 1),
+      s"tombstone must force a full reload, got ${res.refreshCounts}")
+    checkExact("post-delete")
     // idempotent: a second refresh with no further mutation is a no-op
     assert(!res.maybeRefresh())
+    assert(res.refreshCounts == (1, 1))
+  }
+
+  test("SHARD-scoped resident: incremental epoch merge stays inside the shard slice") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_res_shard").toString
+    Pq.saveIndex(Pq.buildIndex(embs.filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "embedding", nLists = 16, m = 8, dsub = 8, ksub = 16), dir)
+    val res = AnnServe.resident(spark, dir, 1, 3)
+    assert(!res.maybeRefresh())
+    assert(Pq.appendEpochToSavedIndex(spark, dir,
+      embs.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", 21L))
+    assert(res.maybeRefresh() && res.refreshCounts == (0, 1),
+      s"expected one incremental merge, got ${res.refreshCounts}")
+    val fresh = AnnServe.load(Pq.loadIndex(spark, dir), 1, 3)
+    qvecs.foreach { case (qid, qv) =>
+      assert(res.topK(qid, qv, 5, 4).toSeq == fresh.topK(qid, qv, 5, 4).toSeq,
+        s"q$qid: shard-resident incremental merge ≠ fresh shard load")
+    }
   }
 
   test("resident GraphServe: live refresh observes NSW inserts") {
