@@ -175,6 +175,21 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
     }),
 
+    // r17: the graph family's streaming-maintenance composition, fresh
+    // per call — base NSW build + a real micro-batch epoch insert
+    // (bidirectional edges + vectors as epoch artifacts) + beam-search
+    // serve from the epoch-unioned index
+    "stream_graph_append@stream" -> ((s, dir, k) =>
+      streamGraphCycle(s, dir, 16)),
+
+    // occupancy-constant variant (the r14 @nlists_scaled discipline): the
+    // fixed-16-cell lane grows quadratically BY CONSTRUCTION (per-cell
+    // all-pairs kNN + per-insert cell scans both pay occupancy ∝ corpus);
+    // a real deployment holds occupancy constant by growing nLists with
+    // the corpus, which is what this lane measures
+    "stream_graph_append@stream_scaled" -> ((s, dir, k) =>
+      streamGraphCycle(s, dir, 16 * k)),
+
     // the r16 streaming-maintenance composition, fresh per call: batch
     // base build + real micro-batch epoch appends + dedup-against
     "stream_index_append@stream" -> ((s, dir, _) => {
@@ -192,6 +207,26 @@ object ScaleProbe {
       Dedup.dedupAgainstIndex(s, root,
         docs.filter(col("doc_id") % 5 === 4), "doc_id", "text")
     }))
+
+  /** r17: the graph family's streaming-maintenance composition, fresh per
+    * call — base NSW build + a real micro-batch epoch insert
+    * (bidirectional edges + vectors as epoch artifacts) + beam-search
+    * serve from the epoch-unioned index. */
+  private def streamGraphCycle(s: SparkSession, dir: String,
+                               nLists: Int): DataFrame = {
+    import graft.ann.GraphAnn
+    val e = graft.sources.TestData(s, dir).embeddings
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_crud_graph").toString
+    GraphAnn.saveIndex(GraphAnn.buildIndex(
+      e.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding",
+      nLists = nLists, degree = 12), root)
+    graft.streaming.StreamIndexAppend.runGraphFileStream(s,
+      e.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", root)
+    GraphAnn.topKFromIndex(GraphAnn.loadIndex(s, root),
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+      beam = 16, hops = 5)
+  }
 
   private def time(spark: SparkSession, name: String, dir: String,
                    k: Int = 1): Double = {
