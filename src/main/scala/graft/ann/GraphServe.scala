@@ -79,6 +79,37 @@ final class GraphServe private (
     (java.util.Arrays.copyOf(bid, bn), java.util.Arrays.copyOf(bs, bn))
   }
 
+  /** A new server with epoch increments merged in — the resident tier's
+    * incremental refresh unit (whole-index servers only; a SHARD server
+    * must reload to recompute its hop closure). Edge rows append to their
+    * src's adjacency (the walk's candidate sets are order-independent, so
+    * concatenation ≡ a fresh grouped load); vectors/norms extend the maps.
+    * Maps copy-on-write (pointer copies — O(nodes) references, zero data
+    * copies) so in-flight queries keep a consistent server. */
+  private[ann] def withAppended(newEdges: Seq[(Long, Long)],
+                                newVecs: Seq[(Long, Array[Float])]): GraphServe = {
+    require(ownedCells == null,
+      "incremental merge is whole-index only (shard closures must reload)")
+    val adj2 = new java.util.HashMap[Long, Array[Long]](adj)
+    newEdges.groupBy(_._1).foreach { case (src, rows) =>
+      val add = rows.map(_._2).toArray
+      val old = adj2.get(src)
+      adj2.put(src, if (old == null) add else old ++ add)
+    }
+    val vecs2 = new java.util.HashMap[Long, Array[Float]](vecs)
+    val norms2 = new java.util.HashMap[Long, java.lang.Double](norms)
+    newVecs.foreach { case (cid, v) =>
+      if (!vecs2.containsKey(cid)) {
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+        vecs2.put(cid, v)
+        norms2.put(cid, math.sqrt(acc))
+      }
+    }
+    new GraphServe(centIds, centVecs, medoidOf, adj2, vecs2, norms2,
+      ownedCells, closureHops)
+  }
+
   /** The query's route cell: nearest centroid by (−cos ASC, centroid_id
     * ASC). Every shard computes this identically (centroids replicate), so
     * it doubles as the scatter router ([[GraphServe.shardedTopK]]). */
@@ -156,20 +187,56 @@ object GraphServe {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       shardId: Int, numShards: Int, maxHops: Int) {
 
-    @volatile private var cur: (GraphServe, String) = load0()
+    // (server, committed-epoch set, fingerprint of everything else)
+    @volatile private var cur: (GraphServe, Set[String], String) = load0()
+    private var nFull = 0
+    private var nIncremental = 0
 
-    private def load0(): (GraphServe, String) = {
-      val fp = ServeRefresh.fingerprint(spark, dir)
+    private def baseFp(): String =
+      ServeRefresh.fingerprint(spark, dir, excludeTop = Set("epochs"))
+
+    private def epochsNow(): Set[String] = {
+      val fs = graft.sources.EpochStore.fsFor(spark, dir)
+      graft.sources.EpochStore.committedEpochs(fs, dir).toSet
+    }
+
+    private def load0(): (GraphServe, Set[String], String) = {
+      val (eps, fp) = (epochsNow(), baseFp())
       (GraphServe.load(GraphAnn.loadIndex(spark, dir), shardId, numShards,
-        maxHops), fp)
+        maxHops), eps, fp)
     }
 
     def server: GraphServe = cur._1
 
+    /** (full reloads, incremental epoch merges) performed so far. */
+    def refreshCounts: (Int, Int) = (nFull, nIncremental)
+
+    /** Epoch-only growth on a WHOLE-INDEX resident merges the epochs'
+      * edge/vector increments in place (graph epochs are pure unions —
+      * cost ∝ epoch); a shard resident must reload (its hop closure can
+      * grow through the new edges), as must any non-epoch mutation. */
     def maybeRefresh(): Boolean = {
-      val fp = ServeRefresh.fingerprint(spark, dir)
-      if (fp == cur._2) false
-      else { cur = load0(); true }
+      val fp = baseFp()
+      val eps = epochsNow()
+      if (fp != cur._3 || !cur._2.subsetOf(eps) || numShards > 1) {
+        if (fp == cur._3 && eps == cur._2) return false
+        cur = load0(); nFull += 1; true
+      } else if (eps == cur._2) false
+      else {
+        import org.apache.spark.sql.functions.col
+        val fresh = (eps -- cur._2).toSeq.sorted
+        val edges = spark.read
+          .parquet(fresh.map(e => s"$dir/epochs/$e/edges"): _*)
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val vecs = spark.read
+          .parquet(fresh.map(e => s"$dir/epochs/$e/vectors"): _*)
+          .select(col("cid").cast("long"), col("cv"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        cur = (cur._1.withAppended(edges, vecs), eps, fp)
+        nIncremental += 1
+        true
+      }
     }
 
     def topK(queryId: Long, qv: Array[Float], k: Int, beam: Int,

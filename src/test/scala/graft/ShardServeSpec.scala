@@ -168,23 +168,40 @@ class ShardServeSpec extends SparkSpec {
     }
   }
 
-  test("resident GraphServe: live refresh observes NSW inserts") {
+  test("resident GraphServe: epoch inserts merge incrementally; batch rewrites force a full reload; both exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gresident").toString
     GraphAnn.saveIndex(GraphAnn.buildIndex(
-      embs.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding",
+      embs.filter(col("vec_id") % 10 <= 5), "vec_id", "embedding",
       nLists = 16, degree = 12), dir)
     val res = GraphServe.resident(spark, dir)
     val before = qvecs.map { case (qid, qv) => res.topK(qid, qv, 5, 16, 5).toSeq }
     assert(!res.maybeRefresh())
-    GraphAnn.appendToSavedIndex(dir, embs.filter(col("vec_id") % 5 === 4),
-      "vec_id", "embedding")
-    assert(res.maybeRefresh(), "NSW insert not detected")
-    val after = qvecs.map { case (qid, qv) => res.topK(qid, qv, 5, 16, 5).toSeq }
-    assert(after != before, "insert changed no answer — vacuous refresh")
-    val fresh = GraphServe.load(GraphAnn.loadIndex(spark, dir))
-    qvecs.zip(after).foreach { case ((qid, qv), rows) =>
-      assert(rows == fresh.topK(qid, qv, 5, 16, 5).toSeq,
-        s"q$qid: refreshed ≠ fresh load")
+    def checkExact(tag: String): Unit = {
+      val fresh = GraphServe.load(GraphAnn.loadIndex(spark, dir))
+      qvecs.foreach { case (qid, qv) =>
+        assert(res.topK(qid, qv, 5, 16, 5).toSeq
+            == fresh.topK(qid, qv, 5, 16, 5).toSeq,
+          s"$tag q$qid: refreshed ≠ fresh load")
+      }
     }
+    // a streaming EPOCH insert (the stream_graph_append protocol) with no
+    // other mutation → incremental merge of the edge/vector increments
+    assert(GraphAnn.appendEpochToSavedIndex(spark, dir,
+      embs.filter(col("vec_id") % 10 === 6 || col("vec_id") % 10 === 7),
+      "vec_id", "embedding", 31L))
+    assert(res.maybeRefresh(), "epoch insert not detected")
+    assert(res.refreshCounts == (0, 1),
+      s"epoch-only mutation must merge incrementally, got ${res.refreshCounts}")
+    val afterEpoch = qvecs.map { case (qid, qv) => res.topK(qid, qv, 5, 16, 5).toSeq }
+    assert(afterEpoch != before, "epoch insert changed no answer — vacuous")
+    checkExact("post-epoch")
+    // a batch NSW insert REWRITES the base artifacts → full reload
+    GraphAnn.appendToSavedIndex(dir,
+      embs.filter(col("vec_id") % 10 >= 8), "vec_id", "embedding")
+    assert(res.maybeRefresh(), "batch insert not detected")
+    assert(res.refreshCounts == (1, 1),
+      s"base rewrite must force a full reload, got ${res.refreshCounts}")
+    checkExact("post-batch")
+    assert(!res.maybeRefresh())
   }
 }
