@@ -36,6 +36,10 @@ final class GraphServe private (
     math.sqrt(acc)
   }
 
+  /** Nodes resident in THIS server (owned cells' hop closure for a shard)
+    * — the boundary-replication evidence (tools/ShardProbe). */
+  def residentNodes: Int = vecs.size()
+
   @inline private def lt(d1: Double, id1: Long, d2: Double, id2: Long): Boolean = {
     val c = java.lang.Double.compare(d1, d2)
     c < 0 || (c == 0 && id1 < id2)

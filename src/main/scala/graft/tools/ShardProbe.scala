@@ -79,6 +79,35 @@ object ShardProbe {
       s""""shard_rows_sum":${shardStats.map(_._1).sum},""" +
       s""""max_shard_fraction":${f2(maxShardRows.toDouble / whole.residentRows)}}"""
     println(line)
+
+    // graph tier (opt-in, 6th arg "graph"): per-shard hop-closure sizes —
+    // the boundary-replication factor of routed beam-search sharding. In a
+    // small-world NSW graph a radius-`hops` ball can span MOST of the
+    // graph, so this number is the honest limit of graph sharding at a
+    // given (degree, hops): report it, don't assume it.
+    if (args.lift(5).contains("graph")) {
+      import graft.ann.{GraphAnn, GraphServe}
+      val gDir = s"$outDir/graph_index_$nLists"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$gDir/meta")))
+        GraphAnn.saveIndex(GraphAnn.buildIndex(e, "vec_id", "embedding",
+          nLists = nLists, degree = 12), gDir)
+      val gidx = GraphAnn.loadIndex(spark, gDir)
+      val (gw, gwSec) = timed(GraphServe.load(gidx))
+      val hops = 5
+      val gShards = (0 until nShards).map { s =>
+        val (srv, sec) = timed(GraphServe.load(gidx, s, nShards, hops))
+        (srv.residentNodes, sec)
+      }
+      val gj = gShards.map { case (nodes, sec) =>
+        s"""{"nodes":$nodes,"sec":${f2(sec)}}""" }.mkString("[", ",", "]")
+      println(
+        s"""{"probe":"graph_shard_load","k":$k,"n_shards":$nShards,""" +
+        s""""n_lists":$nLists,"degree":12,"hops":$hops,""" +
+        s""""whole":{"nodes":${gw.residentNodes},"sec":${f2(gwSec)}},""" +
+        s""""shards":$gj,""" +
+        s""""replication_factor":${f2(
+          gShards.map(_._1.toLong).sum.toDouble / gw.residentNodes)}}""")
+    }
     spark.stop()
   }
 }

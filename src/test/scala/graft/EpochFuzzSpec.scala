@@ -128,6 +128,45 @@ class EpochFuzzSpec extends SparkSpec {
     Append(1L, 40, 44), Delete(Seq(3L, 11L, 42L)), Compact,
     Append(2L, 42, 46), Compact, Append(3L, 46, 48))
 
+  /** r17: the graph family (no tombstone lane — appends + compactions
+    * only). Epoch content DEPENDS on the committed state at append time
+    * (each epoch's neighbor pool includes earlier epochs), so losing an
+    * epoch to a crashed compaction's resume would shift every LATER
+    * epoch's edges too — the fuzz invariant catches both the direct loss
+    * and the knock-on. */
+  private object GraphFamily extends Family {
+    import graft.ann.GraphAnn
+    def base: DataFrame = embAll.filter(col("vec_id") < 40)
+    def slice(lo: Long, hi: Long): DataFrame =
+      embAll.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    def init(dir: String): Unit =
+      GraphAnn.saveIndex(GraphAnn.buildIndex(base, "vec_id", "embedding",
+        nLists = 4, degree = 4), dir)
+    def append(dir: String, op: Append, budget: CrashBudget): Boolean =
+      GraphAnn.appendEpochImpl(spark, dir, slice(op.lo, op.hi), "vec_id",
+        "embedding", op.epochId, budget)
+    def delete(dir: String, ids: Seq[Long]): Unit =
+      throw new UnsupportedOperationException("graph index has no tombstones")
+    def compact(dir: String, budget: CrashBudget): Unit = {
+      GraphAnn.compactIndexImpl(spark, dir, budget); ()
+    }
+    def state(dir: String): Map[String, Set[String]] = {
+      val idx = GraphAnn.loadIndex(spark, dir)
+      // edges can legitimately repeat across epochs — compare MULTISETS
+      // (rendered as row#count), vectors as a plain set
+      Map(
+        "edges" -> idx.edges.select("src", "dst")
+          .groupBy("src", "dst").count()
+          .collect().map(_.mkString("|")).toSet,
+        "vectors" -> idx.vectors.select("cid")
+          .collect().map(_.mkString("|")).toSet)
+    }
+  }
+
+  private val graphScript: Seq[Op] = Seq(
+    Append(1L, 40, 48), Compact, Append(2L, 48, 56), Append(3L, 56, 64),
+    Compact)
+
   // --- the fuzz harness ---------------------------------------------------
 
   /** Crash-free reference execution of `ops` (unlimited budgets). */
@@ -223,6 +262,12 @@ class EpochFuzzSpec extends SparkSpec {
   test("LSH epoch protocol: seeded crash interleavings converge to the crash-free state") {
     val refDir = runReference(LshFamily, lshScript)
     (101 to 106).foreach(seed => assertConverged(LshFamily, lshScript, refDir, seed))
+  }
+
+  test("GRAPH epoch protocol: seeded crash interleavings converge to the crash-free state") {
+    val refDir = runReference(GraphFamily, graphScript)
+    (201 to 204).foreach(seed =>
+      assertConverged(GraphFamily, graphScript, refDir, seed))
   }
 
   test("systematic sweep: compaction killed at EVERY step, then absorbed by the next append") {
