@@ -299,7 +299,7 @@ object GraphAnn {
     import graft.sources.EpochStore
     import org.apache.spark.sql.SaveMode
     val fs = EpochStore.fsFor(spark, dir)
-    EpochStore.compact(fs, dir, Seq("edges", "vectors"), budget) { (folded, b) =>
+    EpochStore.compact(fs, dir, Seq("edges", "vectors"), budget) { (folded, _, b) =>
       val idx = loadIndexEpochs(spark, dir, Some(folded))
       b.step("compact-write-edges") {
         idx.edges.write.mode(SaveMode.Overwrite).parquet(s"$dir/compact_tmp/edges") }

@@ -402,7 +402,8 @@ object Pq {
     * mid-fold). */
   private def loadIndexEpochs(spark: org.apache.spark.sql.SparkSession,
                               dir: String,
-                              forcedEpochs: Option[Seq[String]]): PqIndex = {
+                              forcedEpochs: Option[Seq[String]],
+                              forcedTombstones: Option[Seq[String]] = None): PqIndex = {
     import graft.sources.EpochStore
     val meta = spark.read.parquet(s"$dir/meta").collect()(0)
     val fs = EpochStore.fsFor(spark, dir)
@@ -430,9 +431,22 @@ object Pq {
           .map(e => s"$dir/epochs/$e/$sub")
         spark.read.parquet((s"$dir/$sub" +: eps): _*)
       }
+    // tombstone source: the fold reads EXACTLY its snapshot file list
+    // (forcedTombstones — ADVICE r17: a tombstone landing mid-fold must not
+    // be half-applied); a pending-compaction read applies only tombstones
+    // the fold did NOT snapshot (they postdate it and survive its cleanup);
+    // the plain path reads the whole dir.
+    val tombFiles: Seq[String] = forcedTombstones.getOrElse {
+      if (pending)
+        (EpochStore.tombstoneFiles(fs, dir).toSet --
+          EpochStore.foldedTombstones(fs, dir).toSet)
+          .toSeq.sorted.map(t => s"$dir/tombstones/$t")
+      else if (fs.exists(tombPath)) Seq(s"$dir/tombstones")
+      else Seq.empty
+    }
     val (cells, codes) =
-      if (!pending && fs.exists(tombPath)) {
-        val tomb = spark.read.parquet(s"$dir/tombstones").select("cid")
+      if (tombFiles.nonEmpty) {
+        val tomb = spark.read.parquet(tombFiles: _*).select("cid")
         (table("cells").join(tomb, Seq("cid"), "left_anti"),
           table("codes").join(tomb, Seq("cid"), "left_anti"))
       } else
@@ -530,11 +544,13 @@ object Pq {
     import graft.sources.EpochStore
     import org.apache.spark.sql.SaveMode
     val fs = EpochStore.fsFor(spark, dir)
-    EpochStore.compact(fs, dir, Seq("cells", "codes"), budget) { (folded, b) =>
-      // fold EXACTLY the epochs the manifest will record (tombstones are
-      // anti-joined by the read); base files are only read here — the
+    EpochStore.compact(fs, dir, Seq("cells", "codes"), budget) { (folded, tombs, b) =>
+      // fold EXACTLY the epochs AND tombstone files the manifest will
+      // record (the tombstone file list is the fold's snapshot — both
+      // table writes anti-join the same frozen set even though the jobs
+      // run at different times); base files are only read here — the
       // swap that overwrites them runs strictly after both writes
-      val idx = loadIndexEpochs(spark, dir, Some(folded))
+      val idx = loadIndexEpochs(spark, dir, Some(folded), Some(tombs))
       b.step("compact-write-cells") {
         idx.cells.write.mode(SaveMode.Overwrite).parquet(s"$dir/compact_tmp/cells") }
       b.step("compact-write-codes") {

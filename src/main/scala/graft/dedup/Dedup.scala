@@ -632,13 +632,15 @@ object Dedup {
     * (O(1) plan in epoch count — ADVICE r16). */
   private def readIndexTableEpochs(spark: org.apache.spark.sql.SparkSession,
                                    dir: String, sub: String,
-                                   forcedEpochs: Option[Seq[String]]): DataFrame = {
+                                   forcedEpochs: Option[Seq[String]],
+                                   forcedTombstones: Option[Seq[String]] = None): DataFrame = {
     import graft.sources.EpochStore
     val fs = EpochStore.fsFor(spark, dir)
     // a COMPLETED-but-unswapped compaction is authoritative for everything
     // it FOLDED (the manifest is [[compactLshIndex]]'s atomic commit
     // point; the swap is cleanup); epochs committed after the fold — not
-    // in its manifest — still union in (the r16 ADVICE medium)
+    // in its manifest — still union in (the r16 ADVICE medium), as do
+    // tombstones the fold did NOT snapshot (ADVICE r17)
     if (forcedEpochs.isEmpty && EpochStore.pendingCompaction(fs, dir)) {
       val folded = EpochStore.foldedEpochs(fs, dir).toSet
       val t = s"$dir/compact_tmp/$sub"
@@ -646,14 +648,24 @@ object Dedup {
         if (fs.exists(new org.apache.hadoop.fs.Path(t))) t else s"$dir/$sub"
       val unfolded = EpochStore.committedEpochs(fs, dir)
         .filterNot(folded).map(e => s"$dir/epochs/$e/$sub")
-      return spark.read.parquet((base +: unfolded): _*)
+      val read = spark.read.parquet((base +: unfolded): _*)
+      val extraTombs = (EpochStore.tombstoneFiles(fs, dir).toSet --
+        EpochStore.foldedTombstones(fs, dir).toSet)
+        .toSeq.sorted.map(t => s"$dir/tombstones/$t")
+      return if (extraTombs.isEmpty) read
+      else read.join(spark.read.parquet(extraTombs: _*).select("doc_id"),
+        Seq("doc_id"), "left_anti")
     }
     val eps = forcedEpochs.getOrElse(EpochStore.committedEpochs(fs, dir))
       .map(e => s"$dir/epochs/$e/$sub")
     val base = spark.read.parquet((s"$dir/$sub" +: eps): _*)
     val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    if (fs.exists(tombPath))
-      base.join(spark.read.parquet(s"$dir/tombstones").select("doc_id"),
+    // the compaction fold reads EXACTLY its snapshot's files (never the
+    // dir — a tombstone landing mid-fold must not be half-applied)
+    val tombFiles: Seq[String] = forcedTombstones.getOrElse(
+      if (fs.exists(tombPath)) Seq(s"$dir/tombstones") else Seq.empty)
+    if (tombFiles.nonEmpty)
+      base.join(spark.read.parquet(tombFiles: _*).select("doc_id"),
         Seq("doc_id"), "left_anti")
     else base
   }
@@ -724,11 +736,14 @@ object Dedup {
     import graft.sources.EpochStore
     val fs = EpochStore.fsFor(spark, dir)
     EpochStore.compact(fs, dir, Seq("buckets", "shingles"), budget) {
-      (folded, b) =>
-        // fold EXACTLY the manifest's epochs; base files are only read —
-        // the swap that overwrites them runs strictly after both writes
-        val buckets = readIndexTableEpochs(spark, dir, "buckets", Some(folded))
-        val shingles = readIndexTableEpochs(spark, dir, "shingles", Some(folded))
+      (folded, tombs, b) =>
+        // fold EXACTLY the manifest's epochs and tombstone files (the
+        // snapshot — both table writes anti-join the same frozen set);
+        // base files are only read — the swap runs strictly after
+        val buckets = readIndexTableEpochs(spark, dir, "buckets",
+          Some(folded), Some(tombs))
+        val shingles = readIndexTableEpochs(spark, dir, "shingles",
+          Some(folded), Some(tombs))
         b.step("compact-write-buckets") {
           buckets.write.mode("overwrite").parquet(s"$dir/compact_tmp/buckets") }
         b.step("compact-write-shingles") {

@@ -5,30 +5,42 @@ import org.apache.spark.sql.SparkSession
 
 import graft.CrashBudget
 
-/** Shared FS protocol for the two epoch-maintained index families — the
-  * saved IVF-PQ index ([[graft.ann.Pq]]) and the saved LSH dedup index
-  * ([[graft.dedup.Dedup]]). Both maintain a directory of base artifact
-  * tables plus `epochs/<id>/` increments committed by a creation-only
-  * `_COMMITTED` marker, tombstone shards under `tombstones/`, and a
-  * staged-swap compaction under `compact_tmp/`. The protocol used to live
-  * twice (one copy per family); r17 centralizes it so the
-  * crash-interleaving fuzz audits ONE implementation through both
-  * consumers, and fixes the r16 ADVICE findings in one place:
+/** Shared FS protocol for the epoch-maintained index families — the saved
+  * IVF-PQ index ([[graft.ann.Pq]]), the saved LSH dedup index
+  * ([[graft.dedup.Dedup]]) and the saved graph index
+  * ([[graft.ann.GraphAnn]]). Each maintains a directory of base artifact
+  * tables plus `epochs/<id>/` increments committed atomically, tombstone
+  * shards under `tombstones/`, and a staged-swap compaction under
+  * `compact_tmp/`. The protocol used to live per family; r17 centralized it
+  * so the crash-interleaving fuzz audits ONE implementation through all
+  * consumers. r18 hardens the three concurrency edges ADVICE found:
   *
-  *  - (medium) a resumed compaction deleted the WHOLE `epochs/` dir, so
-  *    epochs committed after a crashed compaction's `_COMPLETE` were
-  *    silently lost. The `_COMPLETE` marker is now a MANIFEST of the
-  *    folded epoch ids (written atomically via temp + rename); resume
-  *    deletes only those, and every MUTATOR first finishes a pending
-  *    compaction, so nothing can ever commit "behind" one.
-  *  - (low) epoch appends staged their artifacts DIRECTLY in the epoch dir
-  *    with a check-then-act marker test, so two racing writers (zombie
-  *    driver after failover) could tear each other's artifacts. Appends
-  *    now stage under an attempt-unique dot-dir and CLAIM the epoch with
-  *    one atomic rename — whatever commits is one attempt's complete set.
-  *  - (low) epoch reads union'd one plan node per epoch (foldLeft
-  *    unionByName) — linear plan growth under continuous ingest. Reads are
-  *    now ONE multi-path parquet load, O(1) in epoch count.
+  *  - (medium) the epoch CLAIM was check-then-act: a rival writer that had
+  *    just renamed its staged dir to `epochs/<id>` but not yet created
+  *    `_COMMITTED` could have its complete artifacts deleted by this
+  *    attempt's delete-of-unmarked guard. The `_COMMITTED` marker is now
+  *    written INTO the staging dir BEFORE the claim rename — a claimed dir
+  *    is always complete-and-marked, the rename IS the commit point, and
+  *    delete-of-unmarked can only ever hit a dead attempt. The rename's
+  *    `mv`-into-existing-dir semantics (Hadoop local FS nests the source
+  *    inside an existing destination) are detected post-rename and treated
+  *    as a lost race.
+  *  - (low) compaction cleanup deleted `tombstones/` wholesale, sweeping a
+  *    tombstone another process wrote DURING the fold without it ever being
+  *    folded — and the fold's table writes read the tombstone dir lazily at
+  *    job time, so the two tables could even apply it inconsistently. The
+  *    fold now runs against a SNAPSHOT of the tombstone files taken at fold
+  *    start; the snapshot is recorded in the `_COMPLETE` manifest
+  *    (`tomb:` lines) and cleanup deletes exactly those files. Tombstones
+  *    that postdate the snapshot survive and re-apply on the next read.
+  *  - (low) compaction deleted folded epoch dirs marker-and-all, so a
+  *    foreachBatch replay of an epoch that was committed and then compacted
+  *    before the streaming checkpoint advanced would re-append (and
+  *    double-count) its rows. Folded epoch ids are now recorded DURABLY in
+  *    a retained `folded/<id>` ledger (creation-only empty files, written
+  *    before the epoch dirs drop); [[appendEpoch]] treats a ledger hit like
+  *    an existing marker. The ledger grows one empty file per epoch ever
+  *    folded — the same order as the streaming commit log it mirrors.
   */
 private[graft] object EpochStore {
 
@@ -54,6 +66,20 @@ private[graft] object EpochStore {
   def committedEpochPaths(fs: FileSystem, dir: String, sub: String): Seq[String] =
     committedEpochs(fs, dir).map(e => s"$dir/epochs/$e/$sub")
 
+  /** Tombstone DATA file names currently under `dir/tombstones` (parquet
+    * part files; `_SUCCESS`/dot files excluded). The compaction fold
+    * snapshots this listing so late-arriving tombstones are never half
+    * applied or silently swept. */
+  def tombstoneFiles(fs: FileSystem, dir: String): Seq[String] = {
+    val p = new Path(s"$dir/tombstones")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .sorted
+  }
+
   private def completePath(dir: String) = new Path(s"$dir/compact_tmp/_COMPLETE")
 
   /** True when a compaction has COMMITTED its fold (`_COMPLETE` manifest
@@ -63,10 +89,7 @@ private[graft] object EpochStore {
   def pendingCompaction(fs: FileSystem, dir: String): Boolean =
     fs.exists(completePath(dir))
 
-  /** The epoch names a pending compaction FOLDED — the `_COMPLETE`
-    * manifest content. Epochs not listed here postdate the fold and must
-    * survive its cleanup. */
-  def foldedEpochs(fs: FileSystem, dir: String): Seq[String] = {
+  private def manifestLines(fs: FileSystem, dir: String): Seq[String] = {
     val in = fs.open(completePath(dir))
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -74,17 +97,31 @@ private[graft] object EpochStore {
     txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** The epoch names a pending compaction FOLDED — the `_COMPLETE`
+    * manifest content. Epochs not listed here postdate the fold and must
+    * survive its cleanup. */
+  def foldedEpochs(fs: FileSystem, dir: String): Seq[String] =
+    manifestLines(fs, dir).filterNot(_.startsWith("tomb:"))
+
+  /** The tombstone file names a pending compaction's fold SNAPSHOTTED (and
+    * therefore applied) — cleanup deletes exactly these; later tombstones
+    * survive and re-apply on the next read. */
+  def foldedTombstones(fs: FileSystem, dir: String): Seq[String] =
+    manifestLines(fs, dir).filter(_.startsWith("tomb:")).map(_.drop(5))
+
   /** Atomic manifest commit: content to a temp name, RENAME to
     * `_COMPLETE` — the marker appears with its full content or not at all
     * (the rename-as-commit discipline; a half-written marker can never
-    * read as an empty fold). */
+    * read as an empty fold). Lines: folded epoch names, then `tomb:<file>`
+    * per snapshotted tombstone file. */
   private def commitCompleteMarker(fs: FileSystem, dir: String,
-                                   folded: Seq[String],
+                                   folded: Seq[String], tombs: Seq[String],
                                    budget: CrashBudget): Unit = {
     val tmp = new Path(s"$dir/compact_tmp/._COMPLETE.tmp")
     budget.step("compact-manifest-write") {
       val out = fs.create(tmp, true)
-      try out.write(folded.mkString("\n").getBytes("UTF-8")) finally out.close()
+      val lines = folded ++ tombs.map(t => s"tomb:$t")
+      try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
     }
     budget.step("compact-manifest-rename") {
       if (!fs.rename(tmp, completePath(dir)))
@@ -92,18 +129,27 @@ private[graft] object EpochStore {
     }
   }
 
+  private def ledgerPath(dir: String, epoch: String) =
+    new Path(s"$dir/folded/$epoch")
+
+  /** True when `epoch` was folded by a FINISHED compaction — the durable
+    * ledger [[appendEpoch]] consults so a replayed micro-batch whose epoch
+    * was committed AND already compacted away cannot double-append. */
+  def epochFolded(fs: FileSystem, dir: String, epochId: Long): Boolean =
+    fs.exists(ledgerPath(dir, epochId.toString))
+
   /** Finish (or resume) a pending compaction's cleanup: swap each folded
-    * table into place, delete ONLY the manifest's epoch dirs (newer
-    * committed epochs survive for the next fold), sweep crashed staging
-    * dirs, drop tombstones and `compact_tmp`. Idempotent and resumable
-    * from any crash point; pure FS ops — no Spark jobs. Tombstone deletion
-    * is safe here because mutators finish a pending compaction BEFORE
-    * writing, so every tombstone present predates the fold that already
-    * applied it. Returns true iff a pending compaction was finished. */
+    * table into place, record the folded epoch ids in the durable ledger,
+    * delete ONLY the manifest's epoch dirs (newer committed epochs survive
+    * for the next fold), sweep crashed staging dirs, drop exactly the
+    * SNAPSHOTTED tombstone files and `compact_tmp`. Idempotent and
+    * resumable from any crash point; pure FS ops — no Spark jobs.
+    * Returns true iff a pending compaction was finished. */
   def finishCompaction(fs: FileSystem, dir: String, subs: Seq[String],
                        budget: CrashBudget): Boolean = {
     if (!pendingCompaction(fs, dir)) return false
     val folded = foldedEpochs(fs, dir)
+    val tombs = foldedTombstones(fs, dir)
     subs.foreach { sub =>
       val t = new Path(s"$dir/compact_tmp/$sub")
       if (fs.exists(t)) {
@@ -114,6 +160,14 @@ private[graft] object EpochStore {
           if (!fs.rename(t, new Path(s"$dir/$sub")))
             throw new java.io.IOException(s"compaction swap rename failed: $dir/$sub")
         }
+      }
+    }
+    // ledger BEFORE the epoch dirs drop: from any crash point either the
+    // marker or the ledger entry (or both) is visible — never neither
+    folded.foreach { e =>
+      budget.step(s"compact-ledger-$e") {
+        try fs.create(ledgerPath(dir, e), false).close()
+        catch { case _: java.io.IOException => () } // resume: already present
       }
     }
     folded.foreach { e =>
@@ -135,9 +189,18 @@ private[graft] object EpochStore {
       if (fs.listStatus(epochsPath).isEmpty)
         budget.step("compact-drop-epochs-dir") { fs.delete(epochsPath, true); () }
     }
-    budget.step("compact-drop-tombstones") {
-      fs.delete(new Path(s"$dir/tombstones"), true); ()
+    // drop ONLY the snapshotted tombstone files — one written during the
+    // fold (after the snapshot) was NOT folded and must survive to the
+    // next read/compaction (ADVICE r17)
+    tombs.foreach { t =>
+      budget.step(s"compact-drop-tomb-$t") {
+        fs.delete(new Path(s"$dir/tombstones/$t"), true); ()
+      }
     }
+    if (tombstoneFiles(fs, dir).isEmpty)
+      budget.step("compact-drop-tombstones") {
+        fs.delete(new Path(s"$dir/tombstones"), true); ()
+      }
     budget.step("compact-drop-tmp") {
       fs.delete(new Path(s"$dir/compact_tmp"), true); ()
     }
@@ -146,37 +209,45 @@ private[graft] object EpochStore {
 
   /** Full compaction: the fold phase runs only when no `_COMPLETE` is
     * pending (a pending one's fold is authoritative — re-folding would
-    * double-count), writes via `writeFolded(foldedEpochIds, budget)` into
-    * `dir/compact_tmp/<sub>`, commits the manifest atomically, then
-    * finishes the cleanup. `writeFolded` MUST fold exactly the epoch ids
-    * it is handed (they become the manifest — the cleanup deletes exactly
-    * those dirs). */
+    * double-count), writes via `writeFolded(foldedEpochIds,
+    * tombstoneFilePaths, budget)` into `dir/compact_tmp/<sub>`, commits the
+    * manifest atomically, then finishes the cleanup. `writeFolded` MUST
+    * fold exactly the epoch ids and tombstone FILES it is handed (both
+    * become the manifest — the cleanup deletes exactly those), and must
+    * read tombstones from the given file paths, never the directory: the
+    * listing is the snapshot. */
   def compact(fs: FileSystem, dir: String, subs: Seq[String],
               budget: CrashBudget)
-             (writeFolded: (Seq[String], CrashBudget) => Unit): Unit = {
+             (writeFolded: (Seq[String], Seq[String], CrashBudget) => Unit): Unit = {
     if (!pendingCompaction(fs, dir)) {
       val folded = committedEpochs(fs, dir)
-      writeFolded(folded, budget)
-      commitCompleteMarker(fs, dir, folded, budget)
+      val tombs = tombstoneFiles(fs, dir)
+      writeFolded(folded, tombs.map(t => s"$dir/tombstones/$t"), budget)
+      commitCompleteMarker(fs, dir, folded, tombs, budget)
     }
     finishCompaction(fs, dir, subs, budget)
     ()
   }
 
-  /** EXACTLY-ONCE staged epoch append, shared by both families:
+  /** EXACTLY-ONCE staged epoch append, shared by all families:
     *
     *  1. a pending compaction is FINISHED first — its resumed cleanup
     *     would otherwise delete this epoch (the r16 ADVICE medium);
-    *  2. a committed epoch (marker present) returns false immediately —
-    *     a replayed micro-batch cannot double-append;
+    *  2. a committed epoch (marker present) or an already-FOLDED one
+    *     (durable ledger hit — committed then compacted away before the
+    *     stream's checkpoint advanced) returns false immediately: a
+    *     replayed micro-batch cannot double-append;
     *  3. `writeStage(stageDir, budget)` materializes the artifacts under
     *     an attempt-unique dot-prefixed staging dir (invisible to reads);
-    *  4. the CLAIM is one atomic rename of the staging dir to
-    *     `epochs/<id>` — racing attempts can no longer tear each other's
-    *     artifacts (whatever commits is ONE attempt's complete set); a
-    *     crashed attempt's unmarked leftover is deleted before the claim;
-    *  5. the creation-only `_COMMITTED` marker lands LAST; a lost race
-    *     surfaces loudly instead of silently double-committing.
+    *  4. the `_COMMITTED` marker is written INTO the staging dir — a
+    *     claimed epoch dir is always complete-and-marked (ADVICE r17);
+    *  5. the CLAIM is one atomic rename of the staging dir to
+    *     `epochs/<id>` — the commit point. A destination that already
+    *     exists unmarked is a dead pre-marker-era attempt and is deleted;
+    *     losing the race (rename fails, or the local-FS `mv` nests the
+    *     stage INSIDE a rival's committed dir) returns false after
+    *     cleaning up this attempt's files; a failed rename with NO rival
+    *     marker is a loud protocol error, never a silent drop.
     *
     * Returns true iff this call committed the epoch. */
   def appendEpoch(fs: FileSystem, dir: String, subs: Seq[String],
@@ -185,26 +256,34 @@ private[graft] object EpochStore {
     finishCompaction(fs, dir, subs, budget)
     val epochDir = new Path(s"$dir/epochs/$epochId")
     val marker = new Path(s"$dir/epochs/$epochId/_COMMITTED")
-    if (fs.exists(marker)) return false
-    val stage = s"$dir/epochs/.stage_${epochId}_${java.util.UUID.randomUUID}"
+    if (fs.exists(marker) || epochFolded(fs, dir, epochId)) return false
+    val stageName = s".stage_${epochId}_${java.util.UUID.randomUUID}"
+    val stage = s"$dir/epochs/$stageName"
     writeStage(stage, budget)
-    budget.step("append-claim-rename") {
-      if (fs.exists(epochDir) && !fs.exists(marker)) fs.delete(epochDir, true)
-      if (!fs.rename(new Path(stage), epochDir)) {
-        fs.delete(new Path(stage), true)
-        if (!fs.exists(marker))
-          throw new IllegalStateException(
-            s"epoch $epochId claim rename failed with no committed marker under $dir")
-      }
+    budget.step("append-stage-marker") {
+      fs.create(new Path(s"$stage/_COMMITTED"), false).close()
     }
-    if (fs.exists(marker)) return false // lost the race to a concurrent committer
-    budget.step("append-marker") {
-      try fs.create(marker, false).close()
-      catch {
-        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"concurrent commit detected for epoch $epochId under $dir", e)
-      }
+    val renamed = budget.step("append-claim-rename") {
+      if (fs.exists(epochDir) && !fs.exists(marker)) fs.delete(epochDir, true)
+      fs.rename(new Path(stage), epochDir)
+    }
+    if (!renamed) {
+      fs.delete(new Path(stage), true)
+      if (!fs.exists(marker))
+        throw new IllegalStateException(
+          s"epoch $epochId claim rename failed with no committed marker under $dir")
+      return false // lost the race to a concurrent committer
+    }
+    // local-FS rename onto an existing directory nests the source inside it
+    // (`mv` semantics): if our stage dir landed INSIDE a rival's committed
+    // epoch dir, the rival won — remove our nested remains and report false
+    val nested = new Path(epochDir, stageName)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
+      if (!fs.exists(marker))
+        throw new IllegalStateException(
+          s"epoch $epochId nested-claim race left no committed marker under $dir")
+      return false
     }
     true
   }

