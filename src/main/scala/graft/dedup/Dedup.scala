@@ -83,8 +83,15 @@ object Dedup {
       // (measured 3× the stage cost at sf0.1). The rule skips outer
       // generates, and `size(ws) >= n` already guarantees ≥ 1 gram, so
       // no null rows are ever emitted.
-      .select(col("doc_id"), explode_outer(grams).as("shingle"))
-      .distinct()
+      //
+      // array_distinct BEFORE the explode (optimization r18, guide §2.4):
+      // distinct-ness of (doc_id, shingle) is PER DOCUMENT — rows from
+      // different docs can never collide — so a row-local array_distinct
+      // produces exactly the row set the old `.distinct()` did while
+      // removing a corpus-sized EXCHANGE from every consumer (the shingle
+      // strings were shuffled once just to dedup, then again by the
+      // consumer's own groupBy).
+      .select(col("doc_id"), explode_outer(array_distinct(grams)).as("shingle"))
   }
 
   /** All ordered (doc_a < doc_b) pairs from a bucket's sorted id list —
@@ -109,14 +116,22 @@ object Dedup {
     * Returns (doc_a, doc_b, jaccard) with jaccard >= `threshold`.
     */
   def ngramJaccard(docs: DataFrame, id: String, text: String,
-                   n: Int = 3, threshold: Double = 0.5, maxDF: Int = 100): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5, maxDF: Int = 100,
+                   sharedShingles: Option[DataFrame] = None): DataFrame = {
     // localCheckpoint, not persist: blocks are reaped by the ContextCleaner
     // when the frame is GC'd, so repeated calls don't pin storage memory for
     // the session lifetime. Materializing the (doc, shingle) index ONCE here
     // measurably beats a "shuffle-free" row-wise reformulation (tried:
     // array_distinct sizes + collect_set index without the barrier → every
     // consumer branch re-evaluated the shingle transform, 2.9 s → 11 s).
-    val sh = wordShingles(docs, id, text, n).localCheckpoint()
+    // `sharedShingles` (optimization r18): a caller composing several
+    // shingle consumers over the SAME corpus (dedup_recall_eval runs this
+    // exact lane AND the LSH lane) passes ONE materialized
+    // (doc_id, shingle) frame so the corpus-wide shingle derivation runs
+    // once per query instead of once per lane — identical rows by
+    // construction (it is wordShingles' own output).
+    val sh = sharedShingles.getOrElse(
+      wordShingles(docs, id, text, n).localCheckpoint())
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, maxDF))
@@ -205,6 +220,29 @@ object Dedup {
         (0 until k).map(i => min(family.lane(i, col("_p"))).as(s"sig_$i")).head,
         (1 until k).map(i => min(family.lane(i, col("_p"))).as(s"sig_$i")): _*)
 
+  /** Md5-family signatures via the compiled kernel (optimization r18):
+    * one row per doc with ≥ n words, `sig_0..sig_{k-1}` — BIT-IDENTICAL
+    * values to `minHashSignatures(wordShingles(docs), k, Md5Hash)` (the
+    * kernel replays concat_ws + md5 + the Kirsch–Mitzenmacher lanes over
+    * every n-gram window; min over the multiset ≡ min over the set), with
+    * ZERO shuffles: the signature is a pure per-row function of the word
+    * array, so the explode + 17-column groupBy exchange the expression
+    * formulation needed is gone, as is the interpreted per-shingle
+    * `concat_ws`/`md5`/`conv` expression tree. The `_sigs` array is
+    * materialized in its OWN Project and referenced k times — an
+    * expensive multi-referenced alias, which CollapseProject keeps
+    * un-inlined (the wordShingles rule), so the kernel runs once per row
+    * (plan-asserted in DedupSpec). */
+  private[graft] def md5KernelSignatures(docs: DataFrame, id: String,
+                                         text: String, n: Int, k: Int): DataFrame =
+    docs.select(col(id).as("doc_id"),
+        filter(split(col(text), " "), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        graft.functions.CorpusKernels.minHashMd5(col("ws"), n, k).as("_sigs"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("_sigs"), i + 1).as(s"sig_$i")): _*)
+
   /** MinHash calibration audit (the estimator eval): per verified
     * candidate pair, the fraction of agreeing signature lanes vs the
     * exact Jaccard — E[agreement] = J is minhash's foundational identity
@@ -228,10 +266,7 @@ object Dedup {
             array_min(transform(col("shs"),
               s => family.lane(i, family.prep(s)))).as(s"sig_$i")): _*)
       case _ =>
-        minHashSignatures(
-          shingleArray(docs, id, text, n)
-            .select(col("doc_id"), explode_outer(col("shs")).as("shingle")),
-          k, family)
+        md5KernelSignatures(docs, id, text, n, k)
     }).localCheckpoint() // consumed twice (both pair sides)
     val a = sigs.toDF("doc_a" +: (0 until k).map(i => s"a_$i"): _*)
     val b = sigs.toDF("doc_b" +: (0 until k).map(i => s"b_$i"): _*)
@@ -267,7 +302,8 @@ object Dedup {
   def minHashLsh(docs: DataFrame, id: String, text: String,
                  n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                  threshold: Double = 0.5, maxBucket: Int = 100,
-                 family: HashFamily = XxHash): DataFrame = {
+                 family: HashFamily = XxHash,
+                 sharedShingles: Option[DataFrame] = None): DataFrame = {
     val k = bands * rowsPerBand
     // Signature stage, two formulations:
     // - XxHash: per-row array mins — min over a multiset equals min over
@@ -287,13 +323,9 @@ object Dedup {
             (0 until k).map(i =>
               array_min(transform(col("shs"), s => family.lane(i, family.prep(s)))).as(s"sig_$i")): _*)
       case _ =>
-        // explode_outer for the same reason as wordShingles: a plain
-        // explode gets an inferred size>0 filter with the O(words²)
-        // substituted transform; shs is never empty (size(ws) >= n).
-        minHashSignatures(
-          shingleArray(docs, id, text, n)
-            .select(col("doc_id"), explode_outer(col("shs")).as("shingle")),
-          k, family)
+        // compiled signature kernel — zero shuffles, identical values
+        // (optimization r18; see md5KernelSignatures)
+        md5KernelSignatures(docs, id, text, n, k)
     }
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -325,10 +357,15 @@ object Dedup {
     // actually small.
     val docsInPlay = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b"))).distinct()
-    val sh = wordShingles(
-      docs.join(docsInPlay.withColumnRenamed("doc_id", id), Seq(id), "left_semi"),
-      id, text, n)
-      .localCheckpoint()
+    // the semi-join commutes with the per-row shingle derivation, so a
+    // caller-shared materialized shingle frame (see ngramJaccard) filters
+    // to exactly the rows the fresh derivation would produce
+    val sh = (sharedShingles match {
+      case Some(s) => s.join(docsInPlay, Seq("doc_id"), "left_semi")
+      case None => wordShingles(
+        docs.join(docsInPlay.withColumnRenamed("doc_id", id), Seq(id), "left_semi"),
+        id, text, n)
+    }).localCheckpoint()
     verifyJaccardPrefiltered(cands, sh, threshold)
   }
 
@@ -577,7 +614,7 @@ object Dedup {
   private def lshArtifacts(docs: DataFrame, id: String, text: String,
                            n: Int, bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     val shing = wordShingles(docs, id, text, n)
-    val sigs = minHashSignatures(shing, bands * rowsPerBand, Md5Hash)
+    val sigs = md5KernelSignatures(docs, id, text, n, bands * rowsPerBand)
     val buckets = bandBucketRows(sigs, bands, rowsPerBand, Md5Hash)
     val shStore = shing.select(col("doc_id"), md5(col("shingle")).as("sh"))
     (buckets, shStore)
@@ -794,7 +831,7 @@ object Dedup {
     val m = spark.read.parquet(s"$dir/meta").head()
     val (n, bands, rpb) = (m.getInt(0), m.getInt(1), m.getInt(2))
     val incShing = wordShingles(incoming, id, text, n)
-    val incSigs = minHashSignatures(incShing, bands * rpb, Md5Hash)
+    val incSigs = md5KernelSignatures(incoming, id, text, n, bands * rpb)
     val incBuckets = bandBucketRows(incSigs, bands, rpb, Md5Hash)
       .localCheckpoint() // consumed twice (keys + members)
     val keys = incBuckets.select("band", "bucket").distinct()

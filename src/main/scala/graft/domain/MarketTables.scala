@@ -130,7 +130,7 @@ object MarketStore {
   def cached(spark: SparkSession, dir: String): MarketStore =
     cache.getOrElseUpdate(dir, {
       val root = s"${sys.props("java.io.tmpdir")}/graft_store/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-      materialize(MarketViews(spark, dir), root)
+      materialize(MarketViews(spark, dir, materializeHeavy = true), root)
     })
 
   /** Drop cached stores (test hook). */

@@ -19,7 +19,8 @@ import graft.sources.TestData
   * partitioned by date (SURVEY.md §4 physical notes); here they are
   * recomputed per query over the fixture files.
   */
-final case class MarketViews(spark: SparkSession, dir: String) extends MarketTables {
+final case class MarketViews(spark: SparkSession, dir: String,
+                             materializeHeavy: Boolean = false) extends MarketTables {
   private val t = TestData(spark, dir)
 
   /** PTrade-style symbol from the supplier key: 6-digit code + market
@@ -43,13 +44,24 @@ final case class MarketViews(spark: SparkSession, dir: String) extends MarketTab
     * Open/close order by (seq, px): the fixtures contain duplicate
     * (orderkey, linenumber) rows, so seq alone can tie — px breaks the tie
     * deterministically (and identical (seq, px) rows are interchangeable). */
-  def bars: DataFrame = Aggregates.resampleBars(
+  private def barsFresh: DataFrame = Aggregates.resampleBars(
       ticks, Seq(col("symbol")), col("date"), Seq(col("seq"), col("px")),
       col("px"), col("qty").cast("decimal(25,6)"), col("amt").cast("decimal(25,6)"))
     .select(col("symbol"), col("period").as("date"),
       col("open"), col("high"), col("low"), col("close"),
       col("volume").cast("double").as("volume"),
       col("money").cast("double").as("money"))
+
+  /** One materialized bars per instance under `materializeHeavy` — the
+    * store build derives EIGHT views off bars (valuation, exrights chain,
+    * metadata chain), each of which re-executed the full tick resample
+    * otherwise (optimization r18, guide §1.2 "don't recompute what you
+    * already have": measured 18.5 s → the bars resample alone ~8× inside
+    * one materialize call). localCheckpoint, not persist: blocks are
+    * reaped when the instance is GC'd. Identical rows by construction —
+    * it is the same frame, computed once. */
+  @transient private lazy val barsShared: DataFrame = barsFresh.localCheckpoint()
+  def bars: DataFrame = if (materializeHeavy) barsShared else barsFresh
 
   /** Trading calendar = distinct bar dates (S6/K9). */
   def calendar: DataFrame =
@@ -118,7 +130,7 @@ final case class MarketViews(spark: SparkSession, dir: String) extends MarketTab
     * publ_date = end_date + 45 + (suppkey-derived jitter) days — creates the
     * out-of-order publications that the as-of join must handle
     * (SURVEY.md §7.4.1 point-in-time risk). */
-  def fundamentals: DataFrame = {
+  private def fundamentalsFresh: DataFrame = {
     val q = ticks.groupBy(col("symbol"),
         to_date(date_trunc("quarter", col("date"))).as("q_start"))
       .agg(sum(col("amt").cast("decimal(25,6)")).cast("decimal(25,6)").cast("double").as("revenue"),
@@ -130,6 +142,13 @@ final case class MarketViews(spark: SparkSession, dir: String) extends MarketTab
       col("revenue"),
       graft.functions.Coerce.roundHalfUp(col("revenue") / (col("n_trades") * 1000.0), 6).as("roe"))
   }
+
+  /** Same sharing rationale as [[bars]]: `fundamentalsAll` reads this
+    * twice (base + restated branch), and the store writes both tables. */
+  @transient private lazy val fundamentalsShared: DataFrame =
+    fundamentalsFresh.localCheckpoint()
+  def fundamentals: DataFrame =
+    if (materializeHeavy) fundamentalsShared else fundamentalsFresh
 
   /** Fundamentals with publication VERSIONS (merge_type substrate,
     * PTrade_API_mini_Reference.md:3329-3337): every report is published once

@@ -1660,14 +1660,21 @@ private[graft] trait PipelineQueriesPart extends EntryShared {
     // df-cap drift. One row; both pair sets are capped-bucket bounded.
     "dedup_recall_eval" -> ((s, dir) => {
       val docs = TestData(s, dir).documents
+      // ONE corpus-wide shingle materialization shared by the exact lane
+      // and the LSH verify lane (optimization r18) — both lanes derived
+      // the identical (doc_id, shingle) frame from scratch before
+      val shingles = Dedup.wordShingles(docs, "doc_id", "text", 3)
+        .localCheckpoint()
       val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
-        threshold = 0.5, maxDF = 100).select("doc_a", "doc_b")
+        threshold = 0.5, maxDF = 100, sharedShingles = Some(shingles))
+        .select("doc_a", "doc_b")
       // checkpointed: consumed twice (the hit join AND the n_lsh count) —
       // uncheckpointed, the whole verify pipeline re-plans per consumer
       // (measured 14 static exchanges vs 4)
       val lsh = Dedup.minHashLsh(docs, "doc_id", "text", n = 3, bands = 4,
         rowsPerBand = 4, threshold = 0.5, maxBucket = 100,
-        family = Dedup.Md5Hash).select("doc_a", "doc_b").localCheckpoint()
+        family = Dedup.Md5Hash, sharedShingles = Some(shingles))
+        .select("doc_a", "doc_b").localCheckpoint()
       exact.join(lsh.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_common"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
@@ -2661,20 +2668,35 @@ private[graft] trait PipelineQueriesPart extends EntryShared {
       val f = Video.decodeMjpegAvi(s.read.parquet(staged).as[Video.VideoRow]).toDF()
       val w = col("width").cast("long"); val h = col("height").cast("long")
       val t = col("frame").cast("long")
-      val grid = sequence(lit(0L), w * h - 1)
-      def fmean(g: (Column, Column) => Column): Column =
-        aggregate(grid, lit(0L), (a, i) => {
-          val x = pmod(i, w)
-          a + g(x, ((i - x) / w).cast("long"))
-        }).cast("double") / (w * h).cast("double")
+      // Expected-mean replay in CLOSED FORM (optimization r18): the old
+      // formulation folded an interpreted `aggregate` over the full w·h
+      // pixel grid PER CHANNEL PER FRAME (~9M interpreted fold steps per
+      // evaluation at sf0.1) to sum ((c + s·x) mod 256) terms. With
+      // s·(len−1) < 256 each term wraps AT MOST once, so the row sum is
+      // the arithmetic series minus 256·(number of wrapped terms), an
+      // exact closed form — the integer SUM is identical (order-free exact
+      // arithmetic), hence the division and the booleans are bit-identical
+      // to the fold's. G depends only on x and B only on y (one closed
+      // form each); R needs one O(h) fold of per-row closed forms instead
+      // of the O(w·h) grid.
+      def innerSum(c: Column, len: Column, s: Long): Column = {
+        // first wrapped index m = ceil((256−c)/s); values are tiny exact
+        // integers, so double division + truncation IS the integer ceil
+        val m = ((lit(256L + s - 1) - c) / lit(s.toDouble)).cast("long")
+        val wraps = greatest(lit(0L), len - m)
+        len * c + lit(s) * shiftright(len * (len - 1), 1) - lit(256L) * wraps
+      }
+      val sumR = aggregate(sequence(lit(0L), h - 1), lit(0L), (a, y) =>
+        a + innerSum(pmod(col("id") + y * 7 + t * 11, lit(256L)), w, 3L))
+      val sumG = h * innerSum(pmod(col("id") * 2 + t * 5, lit(256L)), w, 1L)
+      val sumB = w * innerSum(pmod(col("id") + t * 2, lit(256L)), h, 1L)
+      def fmean(sum: Column): Column =
+        sum.cast("double") / (w * h).cast("double")
       f.select(col("id"), col("frame"), col("n_frames"),
         col("width"), col("height"),
-        (abs(col("mean_r") - fmean((x, y) =>
-          pmod(col("id") + x * 3 + y * 7 + t * 11, lit(256L)))) <= 4.0).as("mean_r_ok"),
-        (abs(col("mean_g") - fmean((x, _) =>
-          pmod(col("id") * 2 + x + t * 5, lit(256L)))) <= 4.0).as("mean_g_ok"),
-        (abs(col("mean_b") - fmean((_, y) =>
-          pmod(col("id") + y + t * 2, lit(256L)))) <= 4.0).as("mean_b_ok"))
+        (abs(col("mean_r") - fmean(sumR)) <= 4.0).as("mean_r_ok"),
+        (abs(col("mean_g") - fmean(sumG)) <= 4.0).as("mean_g_ok"),
+        (abs(col("mean_b") - fmean(sumB)) <= 4.0).as("mean_b_ok"))
     }),
 
     // Frame sampling over the decoded MJPEG-AVI frames: keep every 2nd

@@ -409,28 +409,23 @@ object Tokenizer {
                      maxPieceLen: Int = 3, maxWordLen: Int = 512): DataFrame = {
     require(vocab.forall(_._1.length <= maxPieceLen),
       s"vocab pieces must be ≤ $maxPieceLen chars")
-    val vmap = map_from_arrays(
-      array(vocab.map(v => lit(v._1)): _*),
-      array(vocab.map(v => lit(v._2)): _*))
     val words = docs
       .select(col(idCol), explode_outer(TextFns.words(col(textCol))).as("w"))
       .filter(col("w").isNotNull && length(col("w")) <= maxWordLen)
     val w = col("w")
-    // acc(k) = packed best for prefix of length k−1 (1-based list); the
-    // fold extends it one position at a time, taking the least over every
-    // vocab piece (and the single-char unk) that could end at position i
-    val packed = element_at(
-      aggregate(sequence(lit(1), length(w)), array(lit(0L)), (acc, i) => {
-        val cands = (1 to maxPieceLen).map { L =>
-          val piece = w.substr(i - L + 1, lit(L))
-          val fromVocab = element_at(vmap, piece)
-          val cost = if (L == 1) coalesce(fromVocab, lit(unkCost)) else fromVocab
-          when(i >= L,
-            element_at(acc, (i - L + 1).cast("int")) + cost.cast("long") * 1024L + 1L)
-        }
-        concat(acc, array(least(cands: _*)))
-      }),
-      length(w) + 1)
+    // Compiled DP kernel (optimization r18): the original formulation —
+    // `element_at(aggregate(sequence(1, length(w)), [0L], step), len+1)`
+    // with a 3-candidate `least` per position, each candidate a `substr`
+    // plus a LINEAR-scan literal-map lookup — is an interpreted
+    // higher-order fold (CodegenFallback) and dominated the gate's wall
+    // time. The kernel runs the identical DP (same packed `cost·1024 +
+    // pieces` state, same signed-long `least`, same UTF8String
+    // character-position substrings, byte-equality vocab lookups) as one
+    // tight JVM loop per word; values are bit-identical (TokenizerSpec
+    // pins kernel ≡ fold on edge-shaped words; the DuckDB oracle replays
+    // the fold at both scales).
+    val packed = graft.functions.CorpusKernels.viterbiPack(
+      w, vocab, unkCost, maxPieceLen)
     val perWord = words.select(col(idCol), packed.as("p"))
     docs.select(col(idCol)).distinct()
       .join(perWord.groupBy(idCol).agg(

@@ -58,7 +58,12 @@ object Graph {
       .unionByName(e.select(col("dst").as("node"))).distinct()
     if (checkpoint) nodes = nodes.localCheckpoint(eager = true)
     val n = nodes.count()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    // out-degrees are loop-invariant but were re-aggregated from the edge
+    // frame EVERY round (optimization r18, guide §2.4 — the deg groupBy
+    // and its exchange ran `iters` times for an unchanging node-sized
+    // table); checkpoint once like nodes/edges
+    var deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    if (checkpoint) deg = deg.localCheckpoint(eager = true)
     val base = (Scale * (dampDen - dampNum) / dampDen) / n // driver-side: exact int ops
     var ranks = nodes.withColumn("rank_fp", lit(Scale / n))
     if (checkpoint) ranks = ranks.localCheckpoint(eager = true)
@@ -109,11 +114,17 @@ object Graph {
     for (_ <- 0 until iters) {
       val votes = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n_votes"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))
-        .orderBy(col("n_votes").desc, col("label").asc)
-      val winners = votes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("dst"), col("label").as("new_label"))
+      // per-dst argmax under (n_votes DESC, label ASC) as a MIN-STRUCT
+      // aggregate (optimization r18): lexicographic struct comparison on
+      // (−n_votes, label) selects exactly the row the old row_number
+      // window picked — (dst,label) rows are unique so there is no
+      // residual tie — while replacing the window's exchange+SORT with a
+      // partially-aggregated hash agg (guide §2.3 "aggregate before you
+      // shuffle"; the window also could not map-side combine).
+      val winners = votes
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("n_votes")).as("__nv"), col("label"))).as("__w"))
+        .select(col("dst"), col("__w.label").as("new_label"))
       // join against the PREVIOUS labels, not the node list: a node with
       // no in-neighbors keeps its round-(k−1) label by construction
       labels = labels.join(winners, col("node") === col("dst"), "left")

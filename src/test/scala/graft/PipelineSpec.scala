@@ -26,6 +26,50 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("md5KernelSignatures ≡ expression-formulation signatures, kernel runs once per row") {
+    // Edge shapes: separator runs (empty words filtered), duplicate
+    // shingles (multiset min ≡ set min), exactly-n words, non-ASCII
+    // multi-byte text, and the fixture corpus itself.
+    val edge = Seq(
+      (1L, "a b c d e a b c"),
+      (2L, "a  b   c"), // empty words from the separator run are filtered
+      (3L, "x y z"),    // exactly n words → one shingle
+      (4L, "héllo wörld ünïcode δοκιμή παράδειγμα"),
+      (5L, "t t t t t t t t t")) // one distinct shingle, many duplicates
+      .toDF("doc_id", "text")
+    for (frame <- Seq(edge, docs.select(col("doc_id"), col("text")))) {
+      val viaExpr = Dedup.minHashSignatures(
+        Dedup.wordShingles(frame, "doc_id", "text", 3), 16, Dedup.Md5Hash)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val viaKernel = Dedup.md5KernelSignatures(frame, "doc_id", "text", 3, 16)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(viaKernel == viaExpr,
+        s"kernel signatures diverge from the expression formulation")
+    }
+    // the _sigs alias is referenced 16 times — CollapseProject must NOT
+    // inline the kernel into every element_at consumer (16× the md5 work).
+    // Plan inspected over the parquet-backed fixture: a local Seq constant-
+    // folds to a LocalTableScan and the Project never materializes.
+    val plan = Dedup.md5KernelSignatures(docs, "doc_id", "text", 3, 16)
+      .queryExecution.executedPlan.toString
+    val evals = "(?i)minhashmd5".r.findAllIn(plan).size
+    assert(evals == 1, s"kernel must appear exactly once in the plan, found $evals:\n$plan")
+  }
+
+  test("wordShingles: row-local array_distinct ≡ the old global distinct") {
+    // per-doc duplicates collapse; cross-doc same shingle stays per doc
+    val d = Seq((1L, "a b c a b c a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.wordShingles(d, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toSeq
+    assert(got.size == got.toSet.size, "shingle rows must be distinct")
+    assert(got.toSet == Set((1L, "a b c"), (1L, "b c a"), (1L, "c a b"),
+      (2L, "a b c"), (2L, "b c d")))
+    // and the plan has NO exchange: distinct-ness is row-local now
+    val plan = Dedup.wordShingles(d, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"wordShingles must be shuffle-free:\n$plan")
+  }
+
   test("ngramContainment: catches the asymmetric embedding Jaccard misses") {
     // doc 2 (3 shingles) sits wholly inside doc 1 (18 shingles):
     // jaccard = 3/18 ≈ 0.17 — invisible at the 0.5 gate — while

@@ -187,6 +187,43 @@ class TokenizerSpec extends SparkSpec {
     assert(byId(3L) == ((0L, 0L, 0L)))
   }
 
+  test("viterbiPack kernel ≡ the higher-order fold it replaced, bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vocab = Seq("e" -> 8, "a" -> 8, "th" -> 9, "re" -> 9, "at" -> 9,
+      "the" -> 12, "tha" -> 20, "é" -> 5, "éé" -> 3, "ζω" -> 7)
+    val unkCost = 10
+    val maxPieceLen = 3
+    // edge words: 1-char, unk-only, greedy trap, non-ASCII multi-byte,
+    // mixed, piece-length boundaries
+    val words = Seq("a", "z", "that", "threat", "ééé", "éζωé", "xyzzy",
+      "the", "thethethe", "q", "éé", "ζ").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    // the ORIGINAL fold formulation, verbatim
+    val vmap = map_from_arrays(
+      array(vocab.map(v => lit(v._1)): _*),
+      array(vocab.map(v => lit(v._2)): _*))
+    val w = col("w")
+    val foldPacked = element_at(
+      aggregate(sequence(lit(1), length(w)), array(lit(0L)), (acc, i) => {
+        val cands = (1 to maxPieceLen).map { L =>
+          val piece = w.substr(i - L + 1, lit(L))
+          val fromVocab = element_at(vmap, piece)
+          val cost = if (L == 1) coalesce(fromVocab, lit(unkCost)) else fromVocab
+          when(i >= L,
+            element_at(acc, (i - L + 1).cast("int")) + cost.cast("long") * 1024L + 1L)
+        }
+        concat(acc, array(least(cands: _*)))
+      }),
+      length(w) + 1)
+    val expect = words.select(col("id"), foldPacked.as("p"))
+      .as[(Long, Long)].collect().toMap
+    val got = words.select(col("id"),
+        graft.functions.CorpusKernels.viterbiPack(w, vocab, unkCost, maxPieceLen).as("p"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect, s"kernel diverges from the fold:\n got=$got\n exp=$expect")
+  }
+
   test("trainBpeLocal refuses vocabularies beyond maxLocalWords, loudly") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
