@@ -84,14 +84,14 @@ object Dedup {
       // generates, and `size(ws) >= n` already guarantees ≥ 1 gram, so
       // no null rows are ever emitted.
       //
-      // array_distinct BEFORE the explode (optimization r18, guide §2.4):
-      // distinct-ness of (doc_id, shingle) is PER DOCUMENT — rows from
-      // different docs can never collide — so a row-local array_distinct
-      // produces exactly the row set the old `.distinct()` did while
-      // removing a corpus-sized EXCHANGE from every consumer (the shingle
-      // strings were shuffled once just to dedup, then again by the
-      // consumer's own groupBy).
-      .select(col("doc_id"), explode_outer(array_distinct(grams)).as("shingle"))
+      // NB (optimization r18): replacing this `.distinct()` with a
+      // row-local `array_distinct(grams)` was MEASURED SLOWER at sf0.1
+      // (ArrayDistinct on array<string> is an interpreted per-row pass
+      // with a per-row hash set; the exchange it removes is map-side
+      // combined and cheaper) — A/B in OPTIMIZATION_r18.md §2. Keep the
+      // exchange form.
+      .select(col("doc_id"), explode_outer(grams).as("shingle"))
+      .distinct()
   }
 
   /** All ordered (doc_a < doc_b) pairs from a bucket's sorted id list —
@@ -905,6 +905,10 @@ object Dedup {
       i => concat_ws(" ", (0 until w).map(j => element_at(ws, i + j + 1)): _*))
     val posSpans = withWords.filter(size(ws) >= w)
       .select(col("doc_id"), posexplode_outer(spans).as(Seq("pos", "span")))
+    // row-local array_distinct instead of a global distinct on
+    // (doc_id, span) — same rationale as wordShingles (optimization r18):
+    // distinctness is per-document, so the corpus-sized exchange of raw
+    // span strings was pure overhead before the span-DF groupBy
     val dupSet = posSpans.select("doc_id", "span").distinct()
       .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

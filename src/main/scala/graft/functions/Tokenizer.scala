@@ -288,15 +288,24 @@ object Tokenizer {
         call_function("replace", c,
           lit(sep + l + sep + sep + r + sep), lit(sep + l + r + sep))
     }
-    docs
+    val words = docs
       .select(col(idCol).as("doc_id"), explode(TextFns.words(col(textCol))).as("word"))
       .filter(!col("word").contains(sep))
+    // Vocabulary-bound encode (optimization r18, the wordpieceEncode
+    // pattern): n_toks is a pure function of the WORD, so the
+    // delimit + merge-replay chain runs over DISTINCT words (a
+    // vocabulary-sized table at any corpus scale) and joins back
+    // broadcast, instead of re-encoding every occurrence (~50× fewer
+    // chain evaluations on the fixtures). Identical per-doc counts by
+    // construction.
+    val perWord = words.select("word").distinct()
       // stage the encoded symbol string as a named column BEFORE counting
       // symbols (rule 3: a single-select formulation would re-inline the
       // whole replace chain into the size() argument)
-      .select(col("doc_id"), encoded.as("enc"))
-      .select(col("doc_id"),
+      .select(col("word"), encoded.as("enc"))
+      .select(col("word"),
         size(filter(split(col("enc"), sep), s => length(s) > 0)).cast("long").as("n_toks"))
+    words.join(broadcast(perWord), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
   }

@@ -56,18 +56,17 @@ class PipelineSpec extends SparkSpec {
     assert(evals == 1, s"kernel must appear exactly once in the plan, found $evals:\n$plan")
   }
 
-  test("wordShingles: row-local array_distinct ≡ the old global distinct") {
-    // per-doc duplicates collapse; cross-doc same shingle stays per doc
+  test("wordShingles: per-doc duplicate shingles collapse, cross-doc copies stay") {
+    // (An array_distinct row-local reformulation was MEASURED SLOWER than
+    // the distinct() exchange at sf0.1 — ArrayDistinct on string arrays is
+    // interpreted per row — and rejected; OPTIMIZATION_r18.md. This pins
+    // the semantics either formulation must satisfy.)
     val d = Seq((1L, "a b c a b c a b c"), (2L, "a b c d")).toDF("doc_id", "text")
     val got = Dedup.wordShingles(d, "doc_id", "text", 3)
       .as[(Long, String)].collect().toSeq
     assert(got.size == got.toSet.size, "shingle rows must be distinct")
     assert(got.toSet == Set((1L, "a b c"), (1L, "b c a"), (1L, "c a b"),
       (2L, "a b c"), (2L, "b c d")))
-    // and the plan has NO exchange: distinct-ness is row-local now
-    val plan = Dedup.wordShingles(d, "doc_id", "text", 3)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"wordShingles must be shuffle-free:\n$plan")
   }
 
   test("ngramContainment: catches the asymmetric embedding Jaccard misses") {
