@@ -55,19 +55,43 @@ object GraphAnn {
     val assign2 = Ann.hierarchicalAssign(c, "cid", "cv", centroids, nLists,
         m = 2)
       .select("cid", "centroid_id")
-    val members = assign2.join(c, "cid")
-    val pairs = members.select(col("centroid_id"),
-        col("cid").as("src"), col("cv").as("sv"))
-      .join(members.select(col("centroid_id"),
-        col("cid").as("dst"), col("cv").as("dv")), Seq("centroid_id"))
-      .filter(col("src") =!= col("dst"))
+    // Optimization r18 (guide §2.3/§2.4): the candidate-pair set is
+    // Σ_cell |cell|² rows (~25M at sf0.1) and the old formulation moved it
+    // through TWO full exchanges — a distinct() (a pair sharing both cells
+    // appears once per shared cell) and the row_number window's
+    // partition+SORT. Both are gone:
+    //  - each node carries its ≤2-cell SET; an unordered candidate pair
+    //    emits EXACTLY once, from its MINIMUM shared cell (row-local
+    //    scalar predicate — m=2 is knnGraph's contract, so two
+    //    element_at's per side cover the set);
+    //  - per-src top-`degree` selection is the partial-aggregating
+    //    [[graft.functions.TopKByScore]] under the identical
+    //    (score DESC, dst ASC) total order, so the exchange carries
+    //    ~|nodes|×degree rows instead of every candidate.
+    // Same edge set, same scores (spec: GraphSpec/PqSpec serve ≡ inline;
+    // the ann_graph_* oracles replay the traversal end to end).
+    val cells = assign2.groupBy(col("cid"))
+      .agg(collect_list(col("centroid_id")).as("cls"))
+    val members = cells.join(c, "cid")
+      .select(col("cid"), col("cv"), col("cls"),
+        explode(col("cls")).as("centroid_id"))
+    val a = members.select(col("centroid_id"), col("cid").as("src"),
+      col("cv").as("sv"), col("cls").as("scl"))
+    val b = members.select(col("centroid_id"), col("cid").as("dst"),
+      col("cv").as("dv"), col("cls").as("dcl"))
+    val s1 = element_at(col("scl"), 1); val s2 = element_at(col("scl"), 2)
+    val d1 = element_at(col("dcl"), 1); val d2 = element_at(col("dcl"), 2)
+    val minShared = least(
+      when(s1 === d1 || s1 === d2, s1),
+      when(s2 === d1 || s2 === d2, s2))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("src") =!= col("dst") && col("centroid_id") === minShared)
       .select(col("src"), col("dst"),
         round(Ann.cosine(col("sv"), col("dv")), 6).as("score"))
-      .distinct() // a pair sharing both cells appears twice with one score
-    pairs.withColumn("rn", row_number().over(
-        Window.partitionBy("src").orderBy(col("score").desc, col("dst").asc)))
-      .filter(col("rn") <= degree)
-      .select("src", "dst", "score")
+      .groupBy(col("src"))
+      .agg(graft.functions.TopKByScore.topK(col("dst"), col("score"), degree).as("nb"))
+      .select(col("src"), explode(col("nb")).as("e"))
+      .select(col("src"), col("e.dst").as("dst"), col("e.score").as("score"))
   }
 
   /** Entry-point table: each cell's medoid — the member nearest its own
@@ -209,20 +233,33 @@ object GraphAnn {
           m = 2)
         .select("cid", "centroid_id")
     val allVectors = idx.vectors.unionByName(nv)
-    val memAll = assign2(allVectors).join(allVectors, "cid")
-    val memNew = assign2(nv).select(col("cid").as("src"), col("centroid_id"))
-      .join(nv.select(col("cid").as("src"), col("cv").as("sv")), "src")
+    // same once-emission + partial top-k shape as [[knnGraph]]
+    // (optimization r18): the assignment is a pure function of
+    // (node, frozen centroids), so the src side's cell set from
+    // assign2(nv) equals its rows inside assign2(all)
+    def cellsOf(nodes: DataFrame): DataFrame =
+      assign2(nodes).groupBy(col("cid"))
+        .agg(collect_list(col("centroid_id")).as("cls"))
+    val memNew = cellsOf(nv).join(nv, "cid")
+      .select(col("cid").as("src"), col("cv").as("sv"), col("cls").as("scl"),
+        explode(col("cls")).as("centroid_id"))
+    val memAll = cellsOf(allVectors).join(allVectors, "cid")
+      .select(col("cid").as("dst"), col("cv").as("dv"), col("cls").as("dcl"),
+        explode(col("cls")).as("centroid_id"))
+    val s1 = element_at(col("scl"), 1); val s2 = element_at(col("scl"), 2)
+    val d1 = element_at(col("dcl"), 1); val d2 = element_at(col("dcl"), 2)
+    val minShared = least(
+      when(s1 === d1 || s1 === d2, s1),
+      when(s2 === d1 || s2 === d2, s2))
     val eNew = memNew
-      .join(memAll.select(col("centroid_id"), col("cid").as("dst"),
-        col("cv").as("dv")), Seq("centroid_id"))
-      .filter(col("src") =!= col("dst"))
+      .join(memAll, Seq("centroid_id"))
+      .filter(col("src") =!= col("dst") && col("centroid_id") === minShared)
       .select(col("src"), col("dst"),
         round(Ann.cosine(col("sv"), col("dv")), 6).as("score"))
-      .distinct()
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("src").orderBy(col("score").desc, col("dst").asc)))
-      .filter(col("rn") <= idx.degree)
-      .select("src", "dst")
+      .groupBy(col("src"))
+      .agg(graft.functions.TopKByScore.topK(col("dst"), col("score"), idx.degree).as("nb"))
+      .select(col("src"), explode(col("nb")).as("e"))
+      .select(col("src"), col("e.dst").as("dst"))
     (eNew.unionByName(
       eNew.select(col("dst").as("src"), col("src").as("dst"))), nv)
   }

@@ -99,4 +99,39 @@ class AggExpressionsSpec extends SparkSpec {
       .as[(String, Double, Double, Long, Long)].collect().toSet
     assert(typed === sql)
   }
+
+  test("TopKByScore ≡ the row_number window under ties, partial-merge invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic candidate set with deliberate score TIES (score is a
+    // coarse bucket) so the dst-ASC tiebreak is exercised, and enough rows
+    // per group that map-side partials must merge
+    val rows = for {
+      g <- 0L until 7L
+      i <- 0L until 400L
+    } yield (g, (g * 997 + i * 131) % 1000, ((i * 37) % 11).toDouble / 10.0)
+    val df = rows.toDF("src", "dst", "score")
+      .repartition(8) // force multi-partition partial aggregation
+    val k = 5
+    val viaWindow = df.withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("score").desc, col("dst").asc)))
+      .filter(col("rn") <= k)
+      .select("src", "dst", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaAgg = df.groupBy("src")
+      .agg(graft.functions.TopKByScore.topK(col("dst"), col("score"), k).as("nb"))
+      .select(col("src"), explode(col("nb")).as("e"))
+      .select(col("src"), col("e.dst"), col("e.score"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaAgg === viaWindow, "top-k aggregate must select the window's rows")
+    // duplicate (dst, score) rows: the window emits BOTH copies inside k —
+    // the aggregate does too (insertion has no dedup; callers emit each
+    // pair once, which is what keeps the two formulations equal)
+    val dup = Seq((1L, 5L, 1.0), (1L, 5L, 1.0), (1L, 6L, 0.5)).toDF("src", "dst", "score")
+    val got = dup.groupBy("src")
+      .agg(graft.functions.TopKByScore.topK(col("dst"), col("score"), 2).as("nb"))
+      .select(explode(col("nb")).as("e")).select(col("e.dst"), col("e.score"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((5L, 1.0), (5L, 1.0)))
+  }
 }
