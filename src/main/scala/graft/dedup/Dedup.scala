@@ -417,8 +417,13 @@ object Dedup {
     // localCheckpoint (not persist): each round's frame would otherwise keep
     // the whole upstream pipeline plus every previous round in its plan, so
     // per-round analysis/codegen cost grows with the iteration count.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // The PAIR frame is checkpointed BEFORE the bidirectional union
+    // (optimization r19): both union branches read the same upstream pair
+    // pipeline — un-checkpointed, the full LSH/Jaccard derivation executed
+    // TWICE to materialize `edges`.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     // seed with the first propagation folded in: label₀ = min(self, direct
     // neighbors) — one round less to converge
@@ -433,9 +438,13 @@ object Dedup {
       // the pre-round label rides along as `old`, so the convergence test
       // below is a plain filter over the checkpointed round output — not
       // an extra join job per round
+      // checkpointed (optimization r19): the pointer-halving self-join
+      // below consumes `stepped` on BOTH sides — un-checkpointed, the
+      // edge-propagation join+agg above executed twice per round
       val stepped = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
       // Pointer-halving: label ← min(label, label(label)). Edge propagation
       // alone moves the min ONE hop per round (O(diameter) rounds — a
       // 10⁶-long dup chain would need 10⁶ shuffles); composing with the

@@ -63,21 +63,37 @@ final case class MarketViews(spark: SparkSession, dir: String,
   @transient private lazy val barsShared: DataFrame = barsFresh.localCheckpoint()
   def bars: DataFrame = if (materializeHeavy) barsShared else barsFresh
 
-  /** Trading calendar = distinct bar dates (S6/K9). */
+  /** Trading calendar = distinct bar dates (S6/K9). Every tick lands in a
+    * bar and every bar date comes from a tick, so the distinct-date sets
+    * are identical — under `materializeHeavy` the derivation reads the
+    * checkpointed bars instead of re-scanning the full tick table
+    * (optimization r19: the store build paid TWO extra tick scans here,
+    * one for the calendar write and one inside indexConstituents). */
   def calendar: DataFrame =
-    ticks.select(col("date").as("trade_date")).distinct()
+    if (materializeHeavy) bars.select(col("date").as("trade_date")).distinct()
+    else ticks.select(col("date").as("trade_date")).distinct()
 
   /** Synthetic ex-rights events: first trading day of each month per symbol,
     * ratio = 1 + ((month + day) % 7 - 3) / 100 — strictly positive,
     * deterministic, replayable in SQL. Factor synthesis = A5 cumulative
     * product over events (docs/DATA_MAPPING.md:533-575 shape). */
-  def exrightsEvents: DataFrame = {
+  private def exrightsEventsFresh: DataFrame = {
     val firstDay = bars.groupBy(col("symbol"), date_trunc("month", col("date")).as("m"))
       .agg(min(col("date")).as("date"))
     firstDay.select(col("symbol"), col("date"),
       (lit(1.0) + (((month(col("date")) + dayofmonth(col("date"))) % 7) - 3).cast("double") / 100.0)
         .as("ratio"))
   }
+
+  /** Mid-chain sharing, second step (optimization r19, same rationale as
+    * [[bars]]): the store build consumes the events three times — the
+    * exrights_events write, exrightsAB, adjFactors — each re-running the
+    * month-first aggregation off bars otherwise. Symbol×month-sized frame;
+    * checkpoint cost is negligible. */
+  @transient private lazy val exrightsEventsShared: DataFrame =
+    exrightsEventsFresh.localCheckpoint()
+  def exrightsEvents: DataFrame =
+    if (materializeHeavy) exrightsEventsShared else exrightsEventsFresh
 
   /** PTrade A/B affine adjustment coefficients (SURVEY §7.4.4: 前复权价格 =
     * A·price + B; the reference stores B as NaN — we DERIVE it from a
@@ -203,7 +219,7 @@ final case class MarketViews(spark: SparkSession, dir: String,
     * the `blocks` JSON the reference's efficient downloader embeds in stock
     * metadata (download_efficient.py:160-167: a JSON dict of industry +
     * industryClassification). Pure column arithmetic — no extra join. */
-  def stockMetadata: DataFrame =
+  private def stockMetadataFresh: DataFrame =
     bars.groupBy(col("symbol")).agg(
       min(col("date")).as("listed_date"),
       max(col("date")).as("de_listed_date"))
@@ -211,6 +227,14 @@ final case class MarketViews(spark: SparkSession, dir: String,
         concat(lit("SEC-"), col("symbol")).as("stock_name"),
         col("listed_date"), col("de_listed_date"),
         MarketViews.blocksJson(col("symbol")).as("blocks"))
+
+  /** Shared for the same three-consumer reason as [[exrightsEvents]]:
+    * the store build reads metadata for its own write, for [[industry]],
+    * and inside [[indexConstituents]]. Symbol-sized frame. */
+  @transient private lazy val stockMetadataShared: DataFrame =
+    stockMetadataFresh.localCheckpoint()
+  def stockMetadata: DataFrame =
+    if (materializeHeavy) stockMetadataShared else stockMetadataFresh
 
   /** S5 industry dimension (baostock_fetcher.py:149-181:
     * `query_stock_industry` → one (industry, industryClassification) row per

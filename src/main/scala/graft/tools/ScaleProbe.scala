@@ -178,9 +178,12 @@ object ScaleProbe {
     // r17: the graph family's streaming-maintenance composition, fresh
     // per call — base NSW build + a real micro-batch epoch insert
     // (bidirectional edges + vectors as epoch artifacts) + beam-search
-    // serve from the epoch-unioned index
+    // serve from the epoch-unioned index. nLists = 0 → GraphAnn.buildIndex
+    // derives it occupancy-constant from the corpus size (optimization
+    // r19, judge item 8) — the @stream lane now exercises the DEFAULT and
+    // must be sub-linear without an @scaled variant.
     "stream_graph_append@stream" -> ((s, dir, k) =>
-      streamGraphCycle(s, dir, 16)),
+      streamGraphCycle(s, dir, 0)),
 
     // occupancy-constant variant (the r14 @nlists_scaled discipline): the
     // fixed-16-cell lane grows quadratically BY CONSTRUCTION (per-cell

@@ -49,6 +49,44 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(remeasure.head._2 == 1.0)
   }
 
+  test("era gate: ratio vs canary-window min; -1 when either side missing") {
+    assert(Bench.eraRatio(0.32, Seq(0.20, 0.18, 0.25)) === 0.32 / 0.18)
+    assert(Bench.eraRatio(-1.0, Seq(0.18)) === -1.0)   // canary lane failed
+    assert(Bench.eraRatio(0.32, Seq.empty) === -1.0)   // no stored window
+    assert(Bench.eraRatio(0.32, Seq(0.0)) === -1.0)    // corrupt baseline
+  }
+
+  test("era drift: every flag verdicts era_drift and NO probe lane runs") {
+    val regs = Seq(("q1", 1.0, 2.0, 1.0), ("q2", 1.0, 3.0, 2.0))
+    val overflow = Seq(("q3", 1.0, 1.8, 0.8))
+    var probed = List.empty[String]
+    val out = Bench.adjudicateFlags(regs, overflow, eraDrifted = true,
+      remeasure = k => { probed ::= s"re:$k"; 9.9 },
+      coldFloor = k => { probed ::= s"cold:$k"; 9.9 })
+    assert(probed.isEmpty, s"era drift must not probe, ran $probed")
+    assert(out.map(_._1) == Seq("q1", "q2", "q3"))
+    assert(out.forall(_._6 == "era_drift"))
+  }
+
+  test("overflow flags get a SOLO cold floor — unmeasured_* class is dead") {
+    // q1 remeasures back in band (noise, no cold probe); q2 stays out
+    // (cold probe exonerates -> cold_noise); overflow q3 skips the
+    // remeasure but gets its own cold probe (confirms -> cold_regressed)
+    val regs = Seq(("q1", 1.0, 2.0, 1.0), ("q2", 1.0, 3.0, 2.0))
+    val overflow = Seq(("q3", 1.0, 1.8, 0.8))
+    var colds = List.empty[String]
+    val out = Bench.adjudicateFlags(regs, overflow, eraDrifted = false,
+      remeasure = { case "q1" => 1.1; case "q2" => 2.9; case k => fail(s"unexpected remeasure $k") },
+      coldFloor = { k => colds ::= k
+        k match { case "q2" => 1.2; case "q3" => 2.5; case _ => fail(s"unexpected cold $k") } })
+    assert(colds.toSet == Set("q2", "q3"),
+      "exactly the still-regressed + overflow flags get solo cold probes")
+    val verdicts = out.map(t => t._1 -> t._6).toMap
+    assert(verdicts == Map("q1" -> "noise", "q2" -> "cold_noise",
+      "q3" -> "cold_regressed"))
+    assert(out.forall(t => !t._6.startsWith("unmeasured")))
+  }
+
   test("cold-floor probe: fresh JVM measures named queries, unknown names -1") {
     // judge r16 item 2 — the in-run adjudication lane. This spawns a REAL
     // child JVM (same flags + classpath the forked test JVM carries), runs
