@@ -72,9 +72,11 @@ object Dedup {
     val withWords = docs.select(col(id).as("doc_id"),
       filter(split(col(text), " "), w => length(w) > 0).as("ws"))
     val ws = col("ws")
-    val grams = transform(
-      sequence(lit(0), size(ws) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+    // compiled n-gram kernel (optimization r19): the HOF form paid one
+    // interpreted lambda dispatch + n interpreted element_at's per window
+    // — byte-identical output via UTF8String.concatWs (NgramJoinSpec pins
+    // kernel ≡ HOF on edge shapes)
+    val grams = graft.functions.CorpusKernels.ngramJoin(ws, n)
     withWords.filter(size(ws) >= n)
       // explode_outer, NOT explode: InferFiltersFromGenerate adds a
       // `size(grams) > 0` filter under a plain explode, and predicate
@@ -135,7 +137,7 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, maxDF))
-      .select(explode(pairExpr(array_sort(col("ds")))).as("p"))
+      .select(explode(graft.functions.CorpusKernels.sortedPairs(col("ds"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -162,7 +164,7 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, maxDF))
-      .select(explode(pairExpr(array_sort(col("ds")))).as("p"))
+      .select(explode(graft.functions.CorpusKernels.sortedPairs(col("ds"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -295,8 +297,7 @@ object Dedup {
     val ws = col("ws")
     withWords.filter(size(ws) >= n)
       .select(col("doc_id"),
-        transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)).as("shs"))
+        graft.functions.CorpusKernels.ngramJoin(ws, n).as("shs"))
   }
 
   def minHashLsh(docs: DataFrame, id: String, text: String,
@@ -342,7 +343,7 @@ object Dedup {
     val cands = buckets.groupBy("band", "bucket")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(pairExpr(array_sort(col("ds")))).as("p"))
+      .select(explode(graft.functions.CorpusKernels.sortedPairs(col("ds"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
       .localCheckpoint()
@@ -393,7 +394,7 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(pairExpr(array_sort(col("ds")))).as("p"))
+      .select(explode(graft.functions.CorpusKernels.sortedPairs(col("ds"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     cands.join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0, Seq("inter"))
@@ -909,9 +910,7 @@ object Dedup {
     val withWords = docs.select(col(id).as("doc_id"),
       filter(split(col(text), " "), t => length(t) > 0).as("ws"))
     val ws = col("ws")
-    val spans = transform(
-      sequence(lit(0), size(ws) - w),
-      i => concat_ws(" ", (0 until w).map(j => element_at(ws, i + j + 1)): _*))
+    val spans = graft.functions.CorpusKernels.ngramJoin(ws, w)
     val posSpans = withWords.filter(size(ws) >= w)
       .select(col("doc_id"), posexplode_outer(spans).as(Seq("pos", "span")))
     // row-local array_distinct instead of a global distinct on
@@ -970,9 +969,7 @@ object Dedup {
     val withWords = docs.select(col(id).as("doc_id"),
       filter(split(col(text), " "), t => length(t) > 0).as("ws"))
     val ws = col("ws")
-    val spans = transform(
-      sequence(lit(0), size(ws) - w),
-      i => concat_ws(" ", (0 until w).map(j => element_at(ws, i + j + 1)): _*))
+    val spans = graft.functions.CorpusKernels.ngramJoin(ws, w)
     val perDocSpan = withWords.filter(size(ws) >= w)
       // explode_outer: same InferFiltersFromGenerate O(words²) trap as
       // wordShingles — size(ws) >= w already guarantees ≥ 1 span.

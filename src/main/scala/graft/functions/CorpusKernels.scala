@@ -53,6 +53,27 @@ object CorpusKernels {
                   maxPieceLen: Int): Column =
     ColumnBridge.column(UnigramViterbiPack(ColumnBridge.expression(word),
       new ViterbiKernel(vocab, unkCost, maxPieceLen)))
+
+  /** Space-joined word n-grams — exactly
+    * `transform(sequence(0, size(ws) - n), i ->
+    *    concat_ws(" ", element_at(ws, i+1), …, element_at(ws, i+n)))`
+    * (optimization r19): the dedup family's hottest interpreted
+    * expression, one CodegenFallback lambda dispatch + n interpreted
+    * element_at's per window. Caller contract unchanged: filter
+    * `size(ws) >= n` first (the kernel returns an empty array below n
+    * where the HOF form would mis-expand a descending sequence). */
+  def ngramJoin(words: Column, n: Int): Column =
+    ColumnBridge.column(NgramJoin(ColumnBridge.expression(words), n))
+
+  /** Ordered (a < b) pair structs of a long-id array — exactly
+    * `flatten(transform(array_sort(ids), (x, i) ->
+    *    transform(slice(array_sort(ids), i + 2, size(ids)),
+    *      y -> struct(x AS doc_a, y AS doc_b))))`
+    * with the sort folded in (long ascending — bit-identical to
+    * array_sort on non-null longs). Emits b·(b−1)/2 structs in the same
+    * (i asc, j asc) order. */
+  def sortedPairs(ids: Column): Column =
+    ColumnBridge.column(SortedPairs(ColumnBridge.expression(ids)))
 }
 
 /** MD5 MinHash signature kernel — see [[CorpusKernels.minHashMd5]].
@@ -198,6 +219,148 @@ final class ViterbiKernel(vocab: Seq[(String, Int)], unkCost: Int,
     }
     dp(len)
   }
+}
+
+/** N-gram join kernel — see [[CorpusKernels.ngramJoin]]. Window strings
+  * are built with `UTF8String.concatWs` (the exact routine Catalyst's
+  * `ConcatWs` evaluates — byte-identical output, null words skipped). */
+final class NgramJoinKernel(n: Int) extends Serializable {
+  require(n >= 1, "degenerate n-gram size")
+  private val space = UTF8String.fromString(" ")
+
+  def apply(ws: ArrayData): ArrayData = {
+    val w = ws.numElements()
+    if (w < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](w - n + 1)
+    // reuse one window buffer; concatWs copies bytes out per call
+    val win = new Array[UTF8String](n)
+    var s = 0
+    val last = w - n
+    while (s <= last) {
+      var j = 0
+      while (j < n) {
+        win(j) = if (ws.isNullAt(s + j)) null else ws.getUTF8String(s + j)
+        j += 1
+      }
+      out(s) = UTF8String.concatWs(space, win: _*)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `array<string>` words → `array<string>` of space-joined n-grams.
+  * Null input → null. */
+case class NgramJoin(child: Expression, n: Int) extends UnaryExpression {
+  private val kernel = new NgramJoinKernel(n)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"NgramJoin requires array<string> input, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("ngramJoinKernel", kernel,
+      classOf[NgramJoinKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kRef.apply($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sorted-pair kernel — see [[CorpusKernels.sortedPairs]]. Long arrays
+  * take a primitive fast path; any other atomic element type sorts with
+  * the SAME interpreted ordering `array_sort` uses, so pair order is
+  * bit-identical for every id type the call sites pass. */
+final class SortedPairsKernel(elemType: DataType) extends Serializable {
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(elemType)
+
+  def apply(ids: ArrayData): ArrayData = {
+    val b = ids.numElements()
+    val out = new Array[Any](b * (b - 1) / 2)
+    var k = 0
+    if (elemType == LongType) {
+      val sorted = ids.toLongArray()
+      java.util.Arrays.sort(sorted)
+      var i = 0
+      while (i < b) {
+        var j = i + 1
+        while (j < b) {
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(sorted(i), sorted(j))
+          k += 1; j += 1
+        }
+        i += 1
+      }
+    } else {
+      val sorted = ids.toObjectArray(elemType)
+      java.util.Arrays.sort(sorted.asInstanceOf[Array[AnyRef]],
+        ordering.asInstanceOf[Ordering[AnyRef]])
+      var i = 0
+      while (i < b) {
+        var j = i + 1
+        while (j < b) {
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(sorted(i), sorted(j))
+          k += 1; j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `array<T>` ids → ordered `array<struct<doc_a:T, doc_b:T>>` pairs over
+  * the ascending-sorted ids. Null input → null; elements must be non-null
+  * (collect_list output — the only call sites). */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  @transient private lazy val kernel = new SortedPairsKernel(elemType)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(et, false)
+          if org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(et) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "SortedPairs requires array<orderable> with non-null elements, got " +
+            other.catalogString)
+    }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_a", elemType, nullable = false),
+      org.apache.spark.sql.types.StructField("doc_b", elemType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("sortedPairsKernel", kernel,
+      classOf[SortedPairsKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kRef.apply($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `string` word → packed `long` Viterbi verdict. Null input → null. */

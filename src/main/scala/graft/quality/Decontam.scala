@@ -32,10 +32,8 @@ object Decontam {
     val withWords = df.select(col(id).as("doc_id"), TextFns.words(col(text)).as("ws"))
     val ws = col("ws")
     withWords.filter(size(ws) >= n)
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
-        .as("grams"))
+      .select(col("doc_id"), array_distinct(
+        graft.functions.CorpusKernels.ngramJoin(ws, n)).as("grams"))
   }
 
   /** Bloom-filter decontamination — the scale lane of [[ngramOverlap]].
@@ -114,9 +112,7 @@ object Decontam {
     val withWords = corpus.select(col(id).as("doc_id"),
       graft.functions.TextFns.words(col(text)).as("ws"))
     val ws = col("ws")
-    val spans = transform(
-      sequence(lit(0), size(ws) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+    val spans = graft.functions.CorpusKernels.ngramJoin(ws, n)
     val posSpans = withWords.filter(size(ws) >= n)
       .select(col("doc_id"), posexplode_outer(spans).as(Seq("pos", "span")))
     val dirty = posSpans.join(broadcast(benchG), Seq("span"))

@@ -170,10 +170,8 @@ object Relevance {
       // explode_outer, not explode — see Dedup.wordShingles: a plain
       // explode gets a size(grams)>0 infer-filter that re-inlines the
       // whole transform
-      .select(explode_outer(transform(
-        sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
-        .as("ngram"))
+      .select(explode_outer(
+        graft.functions.CorpusKernels.ngramJoin(ws, n)).as("ngram"))
     val counts = grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
     // The partition-less window here triggers a `WindowExec: No Partition
     // Defined` WARN — deliberately benign: it runs AFTER limit(k), over at

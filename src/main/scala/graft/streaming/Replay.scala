@@ -68,6 +68,16 @@ object Replay {
   val ReplayShufflePartitions: Int =
     sys.env.get("GRAFT_REPLAY_PARTS").map(_.toInt).getOrElse(4)
 
+  /** Scratch root for replay checkpoints/sinks (`GRAFT_REPLAY_SCRATCH`
+    * overrides java.io.tmpdir — e.g. a tmpfs for A/B-ing how much of the
+    * replay floor is checkpoint/sink IO). Default: unchanged tmpdir. */
+  private def scratchDir(prefix: String): String =
+    (sys.env.get("GRAFT_REPLAY_SCRATCH") match {
+      case Some(d) => java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(d), prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }).toString
+
   private[streaming] def withReplayConf[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     // State-store MAINTENANCE is scoped off during a replay (optimization
@@ -100,8 +110,7 @@ object Replay {
     * (Verify/Bench/specs run gates one at a time) satisfies this. */
   def toBatch(stream: DataFrame, tag: String): DataFrame = {
     val spark = stream.sparkSession
-    val root = java.nio.file.Files
-      .createTempDirectory(s"graft_replay_$tag").toString
+    val root = scratchDir(s"graft_replay_$tag")
     withReplayConf(spark) {
       val q = stream.writeStream.format("parquet")
         .option("path", s"$root/out")
@@ -123,8 +132,7 @@ object Replay {
     * _epoch_*) are hidden from the read by Spark's file index. */
   def toBatchJsonlV2(stream: DataFrame, tag: String): DataFrame = {
     val spark = stream.sparkSession
-    val root = java.nio.file.Files
-      .createTempDirectory(s"graft_replay_$tag").toString
+    val root = scratchDir(s"graft_replay_$tag")
     withReplayConf(spark) {
       val q = stream.writeStream.format("graft.sources.v2.JsonlSinkSource")
         .option("path", s"$root/out")
@@ -200,8 +208,7 @@ object Replay {
                      srcParquet: String, splitA: org.apache.spark.sql.Column,
                      transform: DataFrame => DataFrame, tag: String): DataFrame = {
     val batch = spark0.read.parquet(srcParquet)
-    val root = java.nio.file.Files
-      .createTempDirectory(s"graft_resume_$tag").toString
+    val root = scratchDir(s"graft_resume_$tag")
     val srcDir = s"$root/src"
     // key carries the split expression: two resumes of one fixture with
     // different split points must never share chunks

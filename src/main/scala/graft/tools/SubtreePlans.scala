@@ -16,6 +16,15 @@ object SubtreePlans {
     val e = graft.sources.TestData(spark, sfDir).embeddings
     graft.ann.GraphAnn.knnGraph(e, "vec_id", "embedding", 16, 12)
       .explain("formatted")
+    // r19: the shingle + pair-generation subtrees (both sit behind
+    // ngramJaccard's localCheckpoint in every consumer gate) — the n-gram
+    // kernel and the sorted-pairs kernel replace the interpreted HOFs here
+    println("=== word_shingles: physical plan ===")
+    graft.dedup.Dedup.wordShingles(docs, "doc_id", "text", 3)
+      .explain("formatted")
+    println("=== jaccard_pairs: physical plan ===")
+    graft.dedup.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 100)
+      .explain("formatted")
     spark.stop()
   }
 }

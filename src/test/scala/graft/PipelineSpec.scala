@@ -56,6 +56,59 @@ class PipelineSpec extends SparkSpec {
     assert(evals == 1, s"kernel must appear exactly once in the plan, found $evals:\n$plan")
   }
 
+  test("ngramJoin kernel ≡ HOF transform+concat_ws, byte-for-byte") {
+    // optimization r19: the kernel replaces the dedup family's hottest
+    // interpreted expression. Edge shapes: separator runs, exactly-n,
+    // multi-byte text, duplicates; n = 3 and 8 (the span width).
+    import graft.functions.CorpusKernels
+    val frames = Seq(
+      Seq((1L, "a b c d e a b c"), (2L, "a  b   c"), (3L, "x y z"),
+        (4L, "héllo wörld ünïcode δοκιμή παράδειγμα x y z"),
+        (5L, "t t t t t t t t t")).toDF("doc_id", "text"),
+      docs.select(col("doc_id"), col("text")))
+    for (frame <- frames; n <- Seq(3, 8)) {
+      val withWords = frame.select(col("doc_id"),
+        graft.functions.TextFns.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= n)
+      val ws = col("ws")
+      val viaHof = withWords.select(col("doc_id"),
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+          .as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val viaKernel = withWords.select(col("doc_id"),
+        CorpusKernels.ngramJoin(ws, n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(viaKernel == viaHof, s"ngramJoin diverges from the HOF at n=$n")
+    }
+  }
+
+  test("sortedPairs kernel ≡ flatten-transform pairExpr over array_sort") {
+    import graft.functions.CorpusKernels
+    // the HOF form the kernel replaces, verbatim from Dedup.pairExpr
+    def pairExpr(sortedIds: org.apache.spark.sql.Column) =
+      flatten(transform(sortedIds, (x, i) =>
+        transform(slice(sortedIds, i + 2, size(sortedIds)),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))
+    // unsorted input (kernel sorts), minimal pair, duplicate ids
+    val df = Seq((1L, Seq(5L, 1L, 9L, 3L)), (2L, Seq(2L, 7L)),
+      (3L, Seq(4L, 4L, 4L))).toDF("b", "ds")
+    val viaHof = df.select(col("b"), pairExpr(array_sort(col("ds"))).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toSeq).toMap
+    val viaKernel = df.select(col("b"), CorpusKernels.sortedPairs(col("ds")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toSeq).toMap
+    assert(viaKernel == viaHof, "sortedPairs diverges from pairExpr(array_sort)")
+    // and on the corpus-derived shingle buckets (string keys group them)
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", 3)
+      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val hofPairs = sh.select(explode(pairExpr(array_sort(col("ds")))).as("p"))
+      .select("p.doc_a", "p.doc_b").as[(Long, Long)].collect().sorted.toSeq
+    val kerPairs = sh.select(explode(CorpusKernels.sortedPairs(col("ds"))).as("p"))
+      .select("p.doc_a", "p.doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(kerPairs == hofPairs)
+  }
+
   test("wordShingles: per-doc duplicate shingles collapse, cross-doc copies stay") {
     // (An array_distinct row-local reformulation was MEASURED SLOWER than
     // the distinct() exchange at sf0.1 — ArrayDistinct on string arrays is
