@@ -55,10 +55,20 @@ object LangModel {
   def bigramScore(docs: DataFrame, modelCorpus: DataFrame,
                   id: String, text: String,
                   penalizeUnseen: Boolean = false): DataFrame = {
-    val bigrams = bigramsOf(docs, id, text)
+    // SELF-SCORING fast path (optimization r19): the self-score gates pass
+    // the SAME frame instance for docs and model (`bigramScore(d, d, …)`),
+    // and the doc-side and model-side bigram derivations are then the
+    // identical frame — materialize it once instead of re-running the
+    // corpus scan + bigram explode for the model aggregation. Reference
+    // equality is deliberate: two distinct-but-equal frames (cross-corpus
+    // mode) keep their own derivations.
+    val selfScore = docs eq modelCorpus
+    val bigrams =
+      if (selfScore) bigramsOf(docs, id, text).localCheckpoint()
+      else bigramsOf(docs, id, text)
     // model: c(w1,w2) then c_head(w1) = Σ_w2 c(w1,w2), both off the same
     // aggregated (vocab²-sized) frame — the corpus is scanned once
-    val model = bigramsOf(modelCorpus, id, text)
+    val model = (if (selfScore) bigrams else bigramsOf(modelCorpus, id, text))
       .groupBy("w1", "w2").agg(count(lit(1)).as("bg_cnt"))
       .localCheckpoint()
     val heads = model.groupBy("w1").agg(sum("bg_cnt").as("head_cnt"))
